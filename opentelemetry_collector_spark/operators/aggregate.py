@@ -1,0 +1,94 @@
+"""Aggregation stage: the batch-processor / exporter-accumulator analogs.
+
+- :func:`turn_counts` — groupBy(conv_id, role) counts + ts bounds (the
+  obsreport per-component counter analog, generalized; north_rule's
+  "groupBy(conv_id, role) window and count aggregates"). Optional salted
+  two-phase aggregation for hot conversations.
+- :func:`accumulate_last` — the Prometheus exporter accumulator: keep the
+  latest value per timeseries signature, dropping stale timestamps
+  (``exporter/prometheusexporter/accumulator.go:65-132,353-384``).
+- :func:`timeseries_group` — the remote-write exporter's tsMap grouping:
+  all (ts, value) points gathered per label signature, time-ordered
+  (``exporter/prometheusremotewriteexporter/exporter.go:99-243``).
+
+Scale notes: groupBy aggregates get map-side partial aggregation for free
+(HashAggregate partial -> shuffle -> final). Salting is exposed for the case
+where a single conv_id floods even the partial-agg path (hot key with high
+distinct sub-key cardinality); AQE skew-join handles the join side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def turn_counts(df: DataFrame, salt_buckets: int | None = None) -> DataFrame:
+    """(conv_id, role, turn_count, first_ts, last_ts) per FIXTURES.md §5."""
+    if not salt_buckets:
+        return df.groupBy("conv_id", "role").agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    # two-phase salted aggregation: partial by (key, salt), then final merge
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64("turn_idx", "ts"), F.lit(salt_buckets)))
+    partial = salted.groupBy("conv_id", "role", "_salt").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min("ts").alias("_f"),
+        F.max("ts").alias("_l"),
+    )
+    return partial.groupBy("conv_id", "role").agg(
+        F.sum("_c").alias("turn_count"),
+        F.min("_f").alias("first_ts"),
+        F.max("_l").alias("last_ts"),
+    )
+
+
+def accumulate_last(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Latest value per signature (accumulator.go:353-384 keeps the sample
+    with the newest timestamp and drops older/stale ones).
+
+    Deterministic under ties via explicit tiebreak ordering (the reference
+    processes serially so last-write-wins; a parallel engine must order).
+    """
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def timeseries_group(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-signature time-ordered series, rendered deterministically.
+
+    collect_list is order-nondeterministic post-shuffle, so sort the struct
+    array (struct comparison is field-order lexicographic => ts first).
+    """
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.array_sort(F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(value_col).alias("v")))).alias(
+            "series"
+        ),
+    )
+
+
+def stable_order(df: DataFrame) -> DataFrame:
+    """The per-turn stable ordering invariant: (conv_id, turn_idx).
+
+    Used before any order-sensitive output; cluster-side this is a
+    sortWithinPartitions after repartition(conv_id) so no global sort."""
+    return df.repartition("conv_id").sortWithinPartitions("conv_id", "turn_idx")

@@ -1,0 +1,70 @@
+"""Probabilistic head sampler.
+
+Reference: ``processor/probabilisticsamplerprocessor/probabilisticsampler.go``.
+
+Decision order (:72-153):
+1. `sampling.priority` attribute, if present (accepts int/double/string,
+   :104-153): 0 => always drop, > 0 => always keep.
+2. Otherwise keep iff ``murmur3_32(id_bytes, hash_seed) & 0x3FFF <
+   percentage * 0x4000 / 100`` (:46-49, :84-89; murmur3 impl :155-207) —
+   i.e. a 14-bit bucket test, deterministic per id so all records of one
+   trace/conversation sample together.
+
+Spark mapping: ``F.hash()`` IS murmur3_x86_32 but with Spark's fixed seed and
+value layout, so for bit-exact reference parity we derive a 16-byte id
+(md5 of conv_id, computed JVM-side) and run the same murmur3 in a vectorized
+numpy pandas UDF — no per-row Python, Arrow batches throughout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from opentelemetry_collector_spark.functions.hashing import hex16_to_u32x4, murmur3_32_x4
+
+_NUM_BUCKETS = 0x4000  # 14-bit, probabilisticsampler.go:42-49
+_BITMASK = _NUM_BUCKETS - 1
+
+
+def scaled_threshold(percentage: float) -> int:
+    """uint32(percentage * percentageScaleFactor), scale = 0x4000/100."""
+    pct = min(max(percentage, 0.0), 100.0)
+    return int(pct * _NUM_BUCKETS / 100.0)
+
+
+def keep_by_hash(id_hex_col: Column, percentage: float, hash_seed: int = 0) -> Column:
+    """Boolean keep decision from a 32-hex-char id column."""
+    threshold = scaled_threshold(percentage)
+
+    @pandas_udf("boolean")
+    def _keep(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="boolean")
+        words = hex16_to_u32x4(s.to_numpy(dtype=object))
+        h = murmur3_32_x4(words, hash_seed)
+        return pd.Series((h & np.uint32(_BITMASK)) < np.uint32(threshold))
+
+    return _keep(id_hex_col)
+
+
+def probabilistic_sample(
+    df: DataFrame,
+    percentage: float,
+    hash_seed: int = 0,
+    id_col: str = "conv_id",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Keep a deterministic ~percentage% of ids.
+
+    priority_col (the `sampling.priority` analog): rows with 0 are dropped,
+    rows with > 0 are kept unconditionally, NULL defers to the hash.
+    """
+    keep = keep_by_hash(F.md5(F.col(id_col).cast("string")), percentage, hash_seed)
+    if priority_col is not None:
+        p = F.col(priority_col).cast("double")
+        keep = F.when(p == 0.0, F.lit(False)).when(p > 0.0, F.lit(True)).otherwise(keep)
+    return df.filter(keep)

@@ -1,0 +1,63 @@
+"""Checkpoint/resume with per-sink lineage manifests.
+
+The reference's delivery guarantees come from the exporterhelper chain:
+bounded queue + exponential-backoff retry + timeout
+(``exporter/exporterhelper/queued_retry.go:52-332``). Spark replaces the
+intra-process queue/retry with task retries; what we must keep is the
+CONTRACT: at-least-once delivery to every sink with resumability, made
+effectively exactly-once by idempotent per-sink overwrites.
+
+Design (batch analog of FIXTURES.md §5 `checkpoints`):
+- each sink write is staged to `<base>/<sink>` with mode=overwrite
+  (idempotent: a re-run replaces partial output rather than duplicating it);
+- after a sink commits, a manifest line (run_id, stage=sink name, rows,
+  input_snapshot, status=committed) is appended to `<base>/_manifest.json`;
+- resume skips sinks whose manifest line is committed for the same
+  input_snapshot — commit order sinks-first/manifest-last, so a crash
+  between the two re-runs that sink idempotently (SURVEY §7 risk 4).
+- lineage: input_snapshot identifies the exact input (path + row count),
+  the Iceberg-snapshot-id analog for plain parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+
+@dataclass
+class ManifestEntry:
+    run_id: str
+    stage: str
+    input_snapshot: str
+    status: str
+    rows: int
+
+
+class CheckpointManifest:
+    def __init__(self, base_path: str):
+        self.base_path = base_path
+        self.path = os.path.join(base_path, "_manifest.json")
+
+    def load(self) -> list[ManifestEntry]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [ManifestEntry(**json.loads(line)) for line in f if line.strip()]
+
+    def committed(self, stage: str, input_snapshot: str) -> bool:
+        return any(
+            e.stage == stage and e.input_snapshot == input_snapshot and e.status == "committed"
+            for e in self.load()
+        )
+
+    def commit(self, entry: ManifestEntry) -> None:
+        os.makedirs(self.base_path, exist_ok=True)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(entry.__dict__) + "\n")
+
+
+def input_snapshot_id(path: str, rows: int) -> str:
+    """Cheap lineage id for a parquet input (Iceberg snapshot-id analog)."""
+    return f"{path}@rows={rows}"

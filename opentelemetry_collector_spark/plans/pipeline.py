@@ -1,0 +1,132 @@
+"""Pipeline planner: config spec -> DataFrame DAG -> per-sink writes.
+
+The reference builds pipelines backwards from a YAML config — exporters,
+then processors back-to-front, then receivers
+(``service/internal/builder/pipelines_builder.go:93-216``,
+``service/service.go:154-198``); the IR is a chain of consumer closures.
+Here the "IR" is a chain of pure DataFrame->DataFrame functions; Catalyst
+owns physical ordering, so "start backwards" reduces to validating sinks
+before materializing scans.
+
+Spec shape (dict; YAML loads to the same thing — configloader analog,
+``config/configloader/config.go:96-140``):
+
+    {
+      "receivers":  {"transcripts": {"path": ".../events.parquet"}},
+      "processors": [ {"type": "attributes", ...}, {"type": "filter", ...} ],
+      "exporters":  {"sink_a": {"predicate": ..., "path": ...}, ...},
+    }
+
+Validation mirrors config.go:31-150: >=1 receiver and >=1 exporter.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.plans.checkpoint import (
+    CheckpointManifest,
+    ManifestEntry,
+    input_snapshot_id,
+)
+from opentelemetry_collector_spark.plans.metrics import MetricsCollector
+from opentelemetry_collector_spark.plans.route import Route, fan_out
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class SinkSpec:
+    name: str
+    predicate: Column
+    path: str
+    format: str = "parquet"
+    max_records_per_file: int | None = None
+
+
+@dataclass
+class PipelineSpec:
+    name: str
+    source: Callable[[SparkSession], DataFrame]
+    processors: list[Transform] = field(default_factory=list)
+    sinks: list[SinkSpec] = field(default_factory=list)
+
+    def validate(self) -> None:
+        # config.go:31-150 — every pipeline needs >=1 receiver & >=1 exporter
+        if self.source is None:
+            raise ValueError(f"pipeline {self.name}: must have a source")
+        if not self.sinks:
+            raise ValueError(f"pipeline {self.name}: must have at least one exporter")
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    sink_rows: dict[str, int]
+    metrics: DataFrame
+    resumed_sinks: list[str]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    base_path: str,
+    run_id: str | None = None,
+    input_rows: int | None = None,
+) -> RunResult:
+    """Execute: scan -> processors -> predicate fan-out -> idempotent sink
+    writes, with obsreport metrics and a resume-capable manifest."""
+    spec.validate()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    metrics = MetricsCollector(run_id)
+
+    df = spec.source(spark)
+    # cache when fanning to many sinks (the receiver fan-in reuse analog,
+    # receivers_builder.go:161-233 — one scan feeds all pipelines)
+    if len(spec.sinks) > 1:
+        df_processed = df
+        for p in spec.processors:
+            df_processed = p(df_processed)
+        df_processed = df_processed.persist()
+    else:
+        df_processed = df
+        for p in spec.processors:
+            df_processed = p(df_processed)
+
+    n_in = input_rows if input_rows is not None else df.count()
+    metrics.receiver_accepted(n_in)
+    n_proc = df_processed.count()
+    metrics.processor_counts("processors/chain", n_in, n_proc)
+
+    snapshot = input_snapshot_id(spec.name, n_in)
+    manifest = CheckpointManifest(base_path)
+    sink_rows: dict[str, int] = {}
+    resumed: list[str] = []
+
+    routed = fan_out(df_processed, [Route(s.name, s.predicate) for s in spec.sinks])
+    for s in spec.sinks:
+        if manifest.committed(s.name, snapshot):
+            resumed.append(s.name)
+            sink_rows[s.name] = spark.read.format(s.format).load(s.path).count()
+            metrics.exporter_sent(s.name, sink_rows[s.name])
+            continue
+        out = routed[s.name]
+        writer = out.write.mode("overwrite").format(s.format)
+        if s.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", s.max_records_per_file)
+        writer.save(s.path)
+        n = spark.read.format(s.format).load(s.path).count()
+        sink_rows[s.name] = n
+        metrics.exporter_sent(s.name, n)
+        # sinks-first, manifest-last commit order (SURVEY §7 risk 4)
+        manifest.commit(ManifestEntry(run_id, s.name, snapshot, "committed", n))
+
+    df_processed.unpersist()
+    mdf = metrics.to_df(spark)
+    mdf.write.mode("append").parquet(f"{base_path}/metrics")
+    return RunResult(run_id, sink_rows, mdf, resumed)

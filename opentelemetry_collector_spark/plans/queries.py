@@ -1,0 +1,336 @@
+"""Driver-facing query catalog: one entry per implemented operator.
+
+Each query has a Spark implementation (DataFrame API, via the operator
+modules) and an independent DuckDB oracle SQL over the same parquet views.
+Both operate on the deterministic transcripts derivation from `events`
+(sources/transcripts.py) so every pipeline operator is oracle-checkable.
+
+Cross-engine hash-safety rules (driver compares order-insensitive value
+hashes): no float aggregates (convert to integer cents via floor before
+summing), explicit BIGINT casts on counts, identical column aliases.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators import aggregate as agg
+from opentelemetry_collector_spark.operators.attributes import Action, apply_actions
+from opentelemetry_collector_spark.operators.filters import (
+    REGEXP,
+    MatchProperties,
+    filter_records,
+)
+from opentelemetry_collector_spark.operators.parse import extract_columns
+from opentelemetry_collector_spark.operators.sample import probabilistic_sample
+from opentelemetry_collector_spark.operators.span import to_attributes
+from opentelemetry_collector_spark.plans.route import Route, route_counts, route_tagged
+from opentelemetry_collector_spark.sources.transcripts import (
+    CONV_META_SQL,
+    TRANSCRIPTS_SQL,
+    conv_meta,
+    from_events,
+)
+
+TOOL_CALL_PAT = r"tool_call: (?P<tool_name>\w+)\((?P<arg>[^)]*)\)"
+ERR_PAT = r"error code=(?P<err_code>\d+)"
+
+# SQL CTE prelude shared by all transcript oracles
+_PRELUDE = f"WITH t AS ({TRANSCRIPTS_SQL}), m AS ({CONV_META_SQL})"
+
+
+def _routes() -> list[Route]:
+    """The flagship 3-sink fan-out (exporter fan-out analog)."""
+    return [
+        Route("sink_tools", F.col("text").rlike(r"tool_call: \w+\([^)]*\)")),
+        Route("sink_errors", F.col("text").rlike(r"error code=\d+")),
+        Route("sink_user", F.col("role") == "user"),
+    ]
+
+
+_ROUTES_SQL = {
+    "sink_tools": r"regexp_matches(text, 'tool_call: \w+\([^)]*\)')",
+    "sink_errors": r"regexp_matches(text, 'error code=\d+')",
+    "sink_user": "role = 'user'",
+}
+
+
+# ---------------------------------------------------------------------------
+# q00 flagship: full parse -> enrich -> route -> aggregate
+# ---------------------------------------------------------------------------
+
+
+def q00_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = from_events(spark, sf_dir)
+    t = extract_columns(t, "text", TOOL_CALL_PAT)  # parse
+    t = extract_columns(t, "text", ERR_PAT)
+    dim = conv_meta(spark, sf_dir)
+    t = t.join(F.broadcast(dim), on="conv_id", how="left")  # enrich
+    tagged = route_tagged(t, _routes())  # route
+    return tagged.groupBy("sink", "role").agg(  # aggregate
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+    )
+
+
+Q00_SQL = f"""{_PRELUDE},
+enriched AS (SELECT t.*, m.tenant, m.channel, m.priority FROM t LEFT JOIN m USING (conv_id)),
+routed AS (
+  SELECT 'sink_tools' AS sink, * FROM enriched WHERE {_ROUTES_SQL['sink_tools']}
+  UNION ALL SELECT 'sink_errors', * FROM enriched WHERE {_ROUTES_SQL['sink_errors']}
+  UNION ALL SELECT 'sink_user', * FROM enriched WHERE {_ROUTES_SQL['sink_user']}
+)
+SELECT sink, role, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM routed GROUP BY sink, role
+"""
+
+
+# ---------------------------------------------------------------------------
+# parse / attributes
+# ---------------------------------------------------------------------------
+
+
+def q01_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = from_events(spark, sf_dir)
+    t = extract_columns(t, "text", TOOL_CALL_PAT)
+    t = extract_columns(t, "text", ERR_PAT)
+    return t.select("conv_id", "turn_idx", "role", "text", "tool_name", "arg", "err_code")
+
+
+Q01_SQL = f"""{_PRELUDE}
+SELECT conv_id, turn_idx, role, text,
+  CASE WHEN regexp_matches(text, 'tool_call: \\w+\\([^)]*\\)')
+       THEN regexp_extract(text, 'tool_call: (\\w+)\\(([^)]*)\\)', 1) END AS tool_name,
+  CASE WHEN regexp_matches(text, 'tool_call: \\w+\\([^)]*\\)')
+       THEN regexp_extract(text, 'tool_call: (\\w+)\\(([^)]*)\\)', 2) END AS arg,
+  CASE WHEN regexp_matches(text, 'error code=\\d+')
+       THEN regexp_extract(text, 'error code=(\\d+)', 1) END AS err_code
+FROM t
+"""
+
+
+def q02_filter_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = from_events(spark, sf_dir)
+    inc = MatchProperties(columns={"role": ["user", "assistant"]})
+    exc = MatchProperties(match_type=REGEXP, columns={"text": [r"clicked item \d+"]})
+    return filter_records(t, include=inc, exclude=exc)
+
+
+Q02_SQL = f"""{_PRELUDE}
+SELECT * FROM t
+WHERE role IN ('user','assistant')
+  AND NOT regexp_matches(text, '^(?:clicked item \\d+)$')
+"""
+
+
+def q03_filter_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = from_events(spark, sf_dir)
+    inc = MatchProperties(
+        match_type=REGEXP,
+        columns={"text": [r"tool_call: \w+\([^)]*\)", r"error code=\d+"]},
+    )
+    return filter_records(t, include=inc)
+
+
+Q03_SQL = f"""{_PRELUDE}
+SELECT * FROM t
+WHERE regexp_matches(text, '^(?:(?:tool_call: \\w+\\([^)]*\\))|(?:error code=\\d+))$')
+"""
+
+
+def q04_attributes_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = from_events(spark, sf_dir)
+    # build the attrs payload from envelope columns first (resource_to_label
+    # analog: exporter/exporterhelper/resource_to_label.go:36-90)
+    t = t.withColumn("attrs", F.create_map(F.lit("src_role"), F.col("role")))
+    actions = [
+        Action(key="env", action="insert", value="prod"),
+        Action(key="env", action="insert", value="SHOULD_NOT_WIN"),  # only-if-absent
+        Action(key="role_copy", action="upsert", from_attribute="src_role"),
+        Action(key="missing_copy", action="update", from_attribute="nope"),  # no-op
+        Action(key="src_role", action="extract", pattern=r"(?P<role_prefix>^\w{4})"),
+        Action(key="role_copy", action="hash", algorithm="md5"),
+    ]
+    t = apply_actions(t, actions)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.col("attrs")["env"].alias("env"),
+        F.col("attrs")["role_copy"].alias("role_copy"),
+        F.col("attrs")["role_prefix"].alias("role_prefix"),
+        F.col("attrs")["src_role"].alias("src_role"),
+    )
+
+
+Q04_SQL = f"""{_PRELUDE}
+SELECT conv_id, turn_idx,
+       'prod' AS env,
+       md5(role) AS role_copy,
+       CASE WHEN regexp_matches(role, '^\\w{{4}}') THEN substr(role, 1, 4) END AS role_prefix,
+       role AS src_role
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# enrich / route / aggregate
+# ---------------------------------------------------------------------------
+
+
+def q05_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = from_events(spark, sf_dir)
+    dim = conv_meta(spark, sf_dir)
+    return t.join(F.broadcast(dim), on="conv_id", how="left").select(
+        "conv_id", "turn_idx", "role", "tenant", "channel", "priority"
+    )
+
+
+Q05_SQL = f"""{_PRELUDE}
+SELECT conv_id, turn_idx, role, m.tenant, m.channel, m.priority
+FROM t LEFT JOIN m USING (conv_id)
+"""
+
+
+def q06_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = from_events(spark, sf_dir)
+    return route_counts(t, _routes()).select(
+        "sink", F.col("sent_records").cast("bigint").alias("sent_records")
+    )
+
+
+Q06_SQL = f"""{_PRELUDE},
+routed AS (
+  SELECT 'sink_tools' AS sink FROM t WHERE {_ROUTES_SQL['sink_tools']}
+  UNION ALL SELECT 'sink_errors' FROM t WHERE {_ROUTES_SQL['sink_errors']}
+  UNION ALL SELECT 'sink_user' FROM t WHERE {_ROUTES_SQL['sink_user']}
+)
+SELECT sink, CAST(count(*) AS BIGINT) AS sent_records FROM routed GROUP BY sink
+"""
+
+
+def q07_turn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = from_events(spark, sf_dir)
+    return agg.turn_counts(t).select(
+        "conv_id", "role", F.col("turn_count").cast("bigint").alias("turn_count"), "first_ts", "last_ts"
+    )
+
+
+Q07_SQL = f"""{_PRELUDE}
+SELECT conv_id, role, CAST(count(*) AS BIGINT) AS turn_count,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM t GROUP BY conv_id, role
+"""
+
+
+def q08_accumulate_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    last = agg.accumulate_last(ev, keys=["user_id", "event_type"], ts_col="ts", tiebreak=["event_id"])
+    return last.select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("last_value_cents"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+Q08_SQL = """
+SELECT user_id, event_type,
+       CAST(floor(value * 100) AS BIGINT) AS last_value_cents,
+       ts AS last_ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def q09_timeseries_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("bigint")
+    )
+    grouped = agg.timeseries_group(ev, keys=["user_id", "event_type"], ts_col="ts", value_col="cents")
+    return grouped.select(
+        "user_id",
+        "event_type",
+        F.col("n_points").cast("bigint").alias("n_points"),
+        F.concat_ws(",", F.transform(F.col("series"), lambda s: s["v"].cast("string"))).alias("series_csv"),
+    )
+
+
+Q09_SQL = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_points,
+       string_agg(CAST(CAST(floor(value * 100) AS BIGINT) AS varchar), ',' ORDER BY ts) AS series_csv
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q10_sampler_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = from_events(spark, sf_dir)
+    dim = conv_meta(spark, sf_dir)
+    t = t.join(F.broadcast(dim.select("conv_id", "priority")), on="conv_id", how="left")
+    # percentage=100 => the hash path keeps everything; decisions come from
+    # the sampling.priority analog: 0 => drop, >0 => keep, NULL => hash path
+    kept = probabilistic_sample(t, percentage=100.0, id_col="conv_id", priority_col="priority")
+    return kept.select("conv_id", "turn_idx", "role", "priority")
+
+
+Q10_SQL = f"""{_PRELUDE}
+SELECT conv_id, turn_idx, role, m.priority
+FROM t LEFT JOIN m USING (conv_id)
+WHERE m.priority IS NULL OR m.priority > 0
+"""
+
+
+def q11_span_to_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = from_events(spark, sf_dir)
+    t = to_attributes(t, patterns=[r"error code=(?P<code>\d+)"], name_col="text")
+    return t.select(
+        "conv_id", "turn_idx", F.col("text").alias("name"), F.col("attrs")["code"].alias("code")
+    )
+
+
+Q11_SQL = f"""{_PRELUDE}
+SELECT conv_id, turn_idx,
+       regexp_replace(text, 'error code=\\d+', 'error code={{code}}') AS name,
+       CASE WHEN regexp_matches(text, 'error code=\\d+')
+            THEN regexp_extract(text, 'error code=(\\d+)', 1) END AS code
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q00_pipeline_e2e": q00_pipeline_e2e,
+    "q01_parse_extract": q01_parse_extract,
+    "q02_filter_strict": q02_filter_strict,
+    "q03_filter_regexp": q03_filter_regexp,
+    "q04_attributes_actions": q04_attributes_actions,
+    "q05_enrich_broadcast": q05_enrich_broadcast,
+    "q06_route_counts": q06_route_counts,
+    "q07_turn_counts": q07_turn_counts,
+    "q08_accumulate_last": q08_accumulate_last,
+    "q09_timeseries_group": q09_timeseries_group,
+    "q10_sampler_priority": q10_sampler_priority,
+    "q11_span_to_attributes": q11_span_to_attributes,
+}
+
+ORACLES: dict[str, str] = {
+    "q00_pipeline_e2e": Q00_SQL,
+    "q01_parse_extract": Q01_SQL,
+    "q02_filter_strict": Q02_SQL,
+    "q03_filter_regexp": Q03_SQL,
+    "q04_attributes_actions": Q04_SQL,
+    "q05_enrich_broadcast": Q05_SQL,
+    "q06_route_counts": Q06_SQL,
+    "q07_turn_counts": Q07_SQL,
+    "q08_accumulate_last": Q08_SQL,
+    "q09_timeseries_group": Q09_SQL,
+    "q10_sampler_priority": Q10_SQL,
+    "q11_span_to_attributes": Q11_SQL,
+}

@@ -1,0 +1,78 @@
+"""Batch-processor count invariance and routing fan-out equivalence.
+
+- batch: record counts invariant for any (send_batch_size, max_size) pair
+  (processor/batchprocessor/splitlogs.go:21-70 preserves counts on split).
+- routing: fan_out (N filtered frames) and route_tagged (single-pass explode)
+  produce identical per-sink row sets — the cloning-vs-original equivalence
+  of service/internal/fanoutconsumer (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.batch import rebatch, writer_options
+from opentelemetry_collector_spark.plans.route import Route, fan_out, route_counts, route_tagged
+
+
+@pytest.mark.parametrize("batch_size", [1, 7, 100, 10_000])
+def test_rebatch_count_invariance(spark, small, batch_size):
+    total = small.count()
+    out = rebatch(small, send_batch_size=batch_size, approx_rows=total)
+    assert out.count() == total
+
+
+def test_rebatch_partition_sizing(spark, small):
+    total = small.count()
+    out = rebatch(small, send_batch_size=100, approx_rows=total)
+    assert out.rdd.getNumPartitions() == (total + 99) // 100
+
+
+def test_writer_options():
+    assert writer_options(500) == {"maxRecordsPerFile": "500"}
+    assert writer_options(None) == {}
+
+
+def _routes():
+    return [
+        Route("a", F.col("role") == "user"),
+        Route("b", F.col("role").isin("user", "assistant")),  # overlaps a
+        Route("c", F.col("text").rlike(r"error code=\d+")),
+    ]
+
+
+def test_fanout_vs_tagged_set_equality(spark, small):
+    routes = _routes()
+    per_sink = fan_out(small, routes)
+    tagged = route_tagged(small, routes)
+    for r in routes:
+        left = {tuple(x) for x in per_sink[r.name].select("conv_id", "turn_idx").collect()}
+        right = {
+            tuple(x)
+            for x in tagged.filter(F.col("sink") == r.name).select("conv_id", "turn_idx").collect()
+        }
+        assert left == right, r.name
+
+
+def test_multi_match_lands_in_every_sink(spark, small):
+    routes = _routes()
+    tagged = route_tagged(small, routes)
+    # every 'user' row must appear in both a and b
+    n_user = small.filter(F.col("role") == "user").count()
+    assert tagged.filter((F.col("sink") == "a")).count() == n_user
+    assert tagged.filter((F.col("sink") == "b")).count() >= n_user
+
+
+def test_unrouted_rows_dropped(spark):
+    df = spark.createDataFrame([("x", "nomatch")], "conv_id string, role string")
+    tagged = route_tagged(df, [Route("only", F.col("role") == "user")])
+    assert tagged.count() == 0
+
+
+def test_route_counts_single_pass(spark, small):
+    routes = _routes()
+    counts = {r.sink: r.sent_records for r in route_counts(small, routes).collect()}
+    per_sink = fan_out(small, routes)
+    for r in routes:
+        assert counts.get(r.name, 0) == per_sink[r.name].count()

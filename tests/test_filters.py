@@ -1,0 +1,113 @@
+"""Filter processor golden cases.
+
+Modeled on the reference's table-driven tests
+(processor/filterprocessor/filter_processor_test.go, configs
+processor/filterprocessor/testdata/config_strict.yaml / config_regexp.yaml).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.filters import (
+    REGEXP,
+    STRICT,
+    MatchProperties,
+    filter_records,
+    filterset_predicate,
+    match_predicate,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, role string, text string, attrs map<string,string>"
+    )
+
+
+ROWS = [
+    ("c1", "user", "hello", {"env": "prod"}),
+    ("c1", "assistant", "tool_call: calc(1)", {"env": "dev"}),
+    ("c2", "tool", "error code=500", {}),
+    ("c2", "system", "boot", None),
+]
+
+
+def test_strict_include(spark):
+    df = _df(spark, ROWS)
+    out = filter_records(df, include=MatchProperties(columns={"role": ["user", "tool"]}))
+    assert {r.role for r in out.collect()} == {"user", "tool"}
+
+
+def test_strict_exclude(spark):
+    df = _df(spark, ROWS)
+    out = filter_records(df, exclude=MatchProperties(columns={"role": ["system"]}))
+    assert out.count() == 3
+
+
+def test_regexp_fullmatch_anchoring(spark):
+    # regexpfilterset.go:79-80 — patterns are implicitly anchored
+    df = _df(spark, ROWS)
+    # substring pattern must NOT match under full-match semantics
+    out = filter_records(df, include=MatchProperties(match_type=REGEXP, columns={"text": ["error"]}))
+    assert out.count() == 0
+    out2 = filter_records(
+        df, include=MatchProperties(match_type=REGEXP, columns={"text": [r"error code=\d+"]})
+    )
+    assert out2.count() == 1
+
+
+def test_regexp_alternation(spark):
+    df = _df(spark, ROWS)
+    out = filter_records(
+        df, include=MatchProperties(match_type=REGEXP, columns={"text": ["hello", "boot"]})
+    )
+    assert out.count() == 2
+
+
+def test_attribute_match_key_exists(spark):
+    # attributematcher.go:96-100 — value None means key must exist
+    df = _df(spark, ROWS)
+    out = filter_records(df, include=MatchProperties(attributes={"env": None}))
+    assert out.count() == 2
+
+
+def test_attribute_match_value(spark):
+    df = _df(spark, ROWS)
+    out = filter_records(df, include=MatchProperties(attributes={"env": "prod"}))
+    assert out.count() == 1
+
+
+def test_empty_attrs_never_match_nonempty_spec(spark):
+    # attributematcher.go:83-114 — empty/null map never matches a non-empty spec
+    df = _df(spark, [("c", "r", "t", {}), ("c", "r", "t", None)])
+    out = filter_records(df, include=MatchProperties(attributes={"k": None}))
+    assert out.count() == 0
+
+
+def test_include_then_exclude_protocol(spark):
+    # filterspan.go:90-106 — include mismatch skips, then exclude match skips
+    df = _df(spark, ROWS)
+    out = filter_records(
+        df,
+        include=MatchProperties(columns={"role": ["user", "assistant"]}),
+        exclude=MatchProperties(attributes={"env": "dev"}),
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].role == "user"
+
+
+def test_empty_filterset_matches_nothing(spark):
+    df = _df(spark, ROWS)
+    assert df.filter(filterset_predicate(F.col("role"), [], STRICT)).count() == 0
+
+
+def test_no_specs_matches_everything(spark):
+    df = _df(spark, ROWS)
+    assert df.filter(match_predicate(None, None)).count() == len(ROWS)
+
+
+def test_unknown_match_type_raises():
+    with pytest.raises(ValueError):
+        filterset_predicate(F.col("x"), ["a"], "fuzzy")

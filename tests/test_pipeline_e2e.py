@@ -1,0 +1,110 @@
+"""End-to-end pipeline tests: the testbed correctness analog.
+
+Reference gate: sent items == received items per run
+(testbed/correctness/traces/correctness_test.go:95-100), plus our
+north-star invariants (FIXTURES.md §6): per-turn text equality under stable
+(conv_id, turn_idx) ordering, per-sink aggregate counts, routed-row set
+equality, determinism, and checkpoint resume.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.attributes import Action, apply_actions
+from opentelemetry_collector_spark.operators.parse import extract_columns
+from opentelemetry_collector_spark.plans.checkpoint import CheckpointManifest
+from opentelemetry_collector_spark.plans.pipeline import PipelineSpec, SinkSpec, run_pipeline
+from opentelemetry_collector_spark.sources.transcripts import synthesize
+
+
+def _spec(spark, base, n_convs=100):
+    def source(s):
+        return synthesize(s, n_convs=n_convs, mean_turns=8, seed=42)
+
+    def parse(df):
+        return extract_columns(df, "text", r"tool_call: (?P<tool_name>\w+)\((?P<arg>[^)]*)\)")
+
+    def attrs(df):
+        return apply_actions(df, [Action("stage", "upsert", value="e2e")])
+
+    return PipelineSpec(
+        name="e2e",
+        source=source,
+        processors=[parse, attrs],
+        sinks=[
+            SinkSpec("sink_tools", F.col("tool_name").isNotNull(), f"{base}/sink_tools"),
+            SinkSpec("sink_user", F.col("role") == "user", f"{base}/sink_user"),
+        ],
+    )
+
+
+def test_pipeline_e2e_counts_and_invariants(spark, tmp_path):
+    base = str(tmp_path / "run1")
+    spec = _spec(spark, base)
+    res = run_pipeline(spark, spec, base)
+
+    src = spec.source(spark)
+    n_user = src.filter(F.col("role") == "user").count()
+    assert res.sink_rows["sink_user"] == n_user  # sent == received
+
+    # per-turn text equality under stable ordering vs the input
+    out = spark.read.parquet(f"{base}/sink_user").orderBy("conv_id", "turn_idx")
+    inp = src.filter(F.col("role") == "user").orderBy("conv_id", "turn_idx")
+    assert [r.text for r in out.select("text").collect()] == [
+        r.text for r in inp.select("text").collect()
+    ]
+
+    # metrics table taxonomy
+    m = spark.read.parquet(f"{base}/metrics")
+    metrics = {r.metric for r in m.collect()}
+    assert {"accepted_log_records", "dropped_log_records", "sent_log_records"} <= metrics
+    sent = {
+        r.sink: r.value for r in m.filter(F.col("metric") == "sent_log_records").collect()
+    }
+    assert sent == res.sink_rows
+
+
+def test_pipeline_validation():
+    with pytest.raises(ValueError):
+        PipelineSpec(name="bad", source=lambda s: None, sinks=[]).validate()
+
+
+def test_resume_skips_committed_sinks(spark, tmp_path):
+    base = str(tmp_path / "run2")
+    spec = _spec(spark, base, n_convs=40)
+    r1 = run_pipeline(spark, spec, base, run_id="r1")
+    assert r1.resumed_sinks == []
+    # second run over identical input resumes every sink
+    r2 = run_pipeline(spark, spec, base, run_id="r2")
+    assert set(r2.resumed_sinks) == {"sink_tools", "sink_user"}
+    assert r2.sink_rows == r1.sink_rows
+
+
+def test_crash_between_sink_and_manifest_is_idempotent(spark, tmp_path):
+    # SURVEY §7 risk 4: sink committed but manifest write lost => re-run
+    # rewrites the sink idempotently (overwrite), same final content.
+    base = str(tmp_path / "run3")
+    spec = _spec(spark, base, n_convs=40)
+    r1 = run_pipeline(spark, spec, base, run_id="r1")
+    # simulate lost manifest for sink_user
+    man = CheckpointManifest(base)
+    entries = [e for e in man.load() if e.stage != "sink_user"]
+    import json, os
+
+    with open(man.path, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e.__dict__) + "\n")
+    r2 = run_pipeline(spark, spec, base, run_id="r2")
+    assert r2.resumed_sinks == ["sink_tools"]
+    assert r2.sink_rows == r1.sink_rows
+
+
+def test_determinism_two_runs_identical(spark, tmp_path):
+    b1, b2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    for b in (b1, b2):
+        run_pipeline(spark, _spec(spark, b, n_convs=40), b)
+    a = spark.read.parquet(f"{b1}/sink_tools").orderBy("conv_id", "turn_idx").collect()
+    b = spark.read.parquet(f"{b2}/sink_tools").orderBy("conv_id", "turn_idx").collect()
+    assert a == b

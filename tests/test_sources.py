@@ -1,0 +1,68 @@
+"""Transcripts sources: generator invariants + events-derivation vs DuckDB."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.sources.transcripts import (
+    CONV_META_SQL,
+    TRANSCRIPTS_SQL,
+    conv_meta,
+    from_events,
+    synthesize_pandas,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_generator_deterministic():
+    a = synthesize_pandas(n_convs=50, mean_turns=5, seed=42)
+    b = synthesize_pandas(n_convs=50, mean_turns=5, seed=42)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_generator_turn_idx_contiguous():
+    pdf = synthesize_pandas(n_convs=30, mean_turns=6, seed=1)
+    for _, g in pdf.groupby("conv_id"):
+        assert list(g.turn_idx) == list(range(len(g)))
+
+
+def test_generator_skew_block():
+    pdf = synthesize_pandas(n_convs=500, mean_turns=10, seed=42, hot_frac=0.2)
+    counts = pdf.conv_id.value_counts()
+    hot2 = counts.iloc[:2].sum()
+    assert hot2 / len(pdf) > 0.15  # hot block holds ~20% of rows
+
+
+def test_generator_roles_and_patterns():
+    pdf = synthesize_pandas(n_convs=300, mean_turns=10, seed=42)
+    assert set(pdf.role.unique()) <= {"user", "assistant", "tool", "system"}
+    assert pdf.text.str.contains(r"tool_call: \w+\(", regex=True).any()
+    assert pdf.text.str.contains(r"error code=\d+", regex=True).any()
+    assert (pdf.text == "").any()  # empty strings present
+    assert pdf[pdf.role != "tool"].tool.isna().all()
+
+
+def test_from_events_matches_duckdb(spark):
+    got = from_events(spark, SF).orderBy("conv_id", "turn_idx").toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    con.sql(f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'")
+    want = con.sql(TRANSCRIPTS_SQL + " ORDER BY conv_id, turn_idx").df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_conv_meta_matches_duckdb(spark):
+    got = conv_meta(spark, SF).orderBy("conv_id").toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'")
+    want = con.sql(CONV_META_SQL + " ORDER BY conv_id").df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_turn_idx_stable_ordering_invariant(spark):
+    t = from_events(spark, SF)
+    dup = t.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count()
+    assert dup == 0

@@ -1,0 +1,73 @@
+"""Local harness mirroring the driver's correctness gate: run every
+queries() entry on Spark and its oracle on DuckDB, compare row count,
+column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype("string")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main(sf_dir: str, only: list[str] | None = None) -> int:
+    from opentelemetry_collector_spark.plans.queries import ORACLES, QUERIES
+    from opentelemetry_collector_spark.session import build_session
+
+    spark = build_session(master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        try:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        except Exception:
+            pass
+
+    failures = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            spk = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error {e}")
+            failures += 1
+            continue
+        if name not in ORACLES:
+            print(f"ok   {name}: rows-only ({len(spk)} rows)")
+            continue
+        try:
+            dk = con.sql(ORACLES[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {e}")
+            failures += 1
+            continue
+        try:
+            a, b = normalize(spk), normalize(dk)
+            if list(a.columns) != list(b.columns):
+                raise AssertionError(f"columns {list(a.columns)} vs {list(b.columns)}")
+            if len(a) != len(b):
+                raise AssertionError(f"rows {len(a)} vs {len(b)}")
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+            print(f"ok   {name}: {len(a)} rows match")
+        except AssertionError as e:
+            print(f"FAIL {name}: {str(e)[:400]}")
+            failures += 1
+    spark.stop()
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sys.exit(main(sf, sys.argv[2:] or None))
