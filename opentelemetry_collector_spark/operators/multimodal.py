@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as `binary` columns with a metadata struct
+(modality, mime, width/height/duration...). The Spark-side plumbing —
+schema, partition sizing, Arrow batch shape, UDF signatures — is real and
+tested; the actual codec step is STUBBED (decode libs are not in this
+container): `decode_stub=True` produces a deterministic fake feature vector
+(byte histogram moments), `decode_stub=False` raises NotImplementedError at
+the exact point a real `PIL.Image.open` / `soundfile.read` call would go.
+
+Scale notes: binary payloads dominate row size, so feature extraction uses
+mapInPandas (streaming Arrow batches, bounded memory via
+spark.sql.execution.arrow.maxRecordsPerBatch) and should run AFTER any
+filter that can prune rows — never before.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("modality", T.StringType(), False),  # image|audio|video
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def wrap_binary(df: DataFrame, id_col: str, bytes_col: str, modality: str, mime: str) -> DataFrame:
+    """Adapt any (id, binary) pair onto the MEDIA_SCHEMA envelope."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(bytes_col).alias("payload"),
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def payload_stats(df: DataFrame) -> DataFrame:
+    """Pure-JVM metadata pass: byte length + content hash, no decode."""
+    return df.select(
+        "media_id",
+        F.col("meta.modality").alias("modality"),
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.sha1("payload").alias("content_sha1"),
+    )
+
+
+def extract_features(
+    df: DataFrame, n_features: int = 8, decode_stub: bool = True
+) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow-batched).
+
+    Real pipeline would decode `payload` per modality; the stub computes
+    deterministic byte-histogram moments so downstream stages (ANN over the
+    feature column, dedup by feature hash) are fully exercisable.
+    """
+    schema = "media_id long, modality string, features array<double>"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    feats.append(None)
+                    continue
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real codec not available in this container; "
+                        "plug PIL/soundfile/av decode here"
+                    )
+                a = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(a % n_features, minlength=n_features).astype(np.float64)
+                total = hist.sum() or 1.0
+                feats.append(list(hist / total))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": [m["modality"] if m is not None else None for m in pdf["meta"]],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
+    """Video frame-sampling analog: slice the payload at fixed strides.
+
+    JVM-side substring on binary (no Python): stand-in for keyframe
+    extraction; demonstrates exploded one-row-per-frame output shape.
+    """
+    idx = F.sequence(F.lit(0), F.least(F.floor(F.octet_length("payload") / every_n_bytes), F.lit(max_frames - 1)))
+    frames = F.transform(idx, lambda i: F.struct(i.cast("int").alias("frame_idx")))
+    return (
+        df.withColumn("f", F.explode(frames))
+        .select("media_id", F.col("f.frame_idx").alias("frame_idx"))
+    )

@@ -302,6 +302,196 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def q12_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs, id_col="doc_id", text_col="text")
+
+
+Q12_SQL = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS survivor_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q13_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators.text import quality_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_metrics(docs, "text").select(
+        "doc_id", "n_chars", "n_tokens", "alpha_pm", "punct_pm", "stopword_pm", "mean_token_len_pm"
+    )
+
+
+Q13_SQL = r"""
+WITH q AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_toks,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+    length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}]', '', 'g')) AS punct,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+              x -> list_contains(['the','a','an','and','of','to','in','is','it','for'], lower(x)))) END AS stop_hits,
+    length(regexp_replace(text, '\s+', '', 'g')) AS nonspace
+  FROM documents)
+SELECT doc_id, n_chars,
+  CAST(n_toks AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN n_chars > 0 THEN floor(alpha * 1000.0 / n_chars) ELSE 0 END AS BIGINT) AS alpha_pm,
+  CAST(CASE WHEN n_chars > 0 THEN floor(punct * 1000.0 / n_chars) ELSE 0 END AS BIGINT) AS punct_pm,
+  CAST(CASE WHEN n_toks > 0 THEN floor(stop_hits * 1000.0 / n_toks) ELSE 0 END AS BIGINT) AS stopword_pm,
+  CAST(CASE WHEN n_toks > 0 THEN floor(nonspace * 1000.0 / n_toks) ELSE 0 END AS BIGINT) AS mean_token_len_pm
+FROM q
+"""
+
+
+def q14_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators.text import lang_guess
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", "lang", lang_guess(F.col("text")).alias("lang_guess"))
+
+
+Q14_SQL = r"""
+WITH h AS (
+  SELECT doc_id, lang,
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS h_en,
+    len(list_filter(toks, x -> list_contains(['el','la','los','que','y'], x))) AS h_es,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))) AS h_fr
+  FROM h)
+SELECT doc_id, lang,
+  CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+       WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
+       WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+       WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+       ELSE 'de' END AS lang_guess
+FROM s
+"""
+
+
+def q15_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators.text import bpe_token_count, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+Q15_SQL = r"""
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q16_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+Q16_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+s AS (SELECT q.vec_id AS qid, e.vec_id AS nid, list_cosine_similarity(q.v, e.v) AS c
+      FROM q JOIN e ON e.vec_id <> q.vec_id),
+r AS (SELECT qid, nid, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rk FROM s)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rk AS INTEGER) AS rank,
+       CAST(floor(c * 1000) AS BIGINT) AS cos_milli
+FROM r WHERE rk <= 10
+"""
+
+
+def q17_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.30, max_id=400)
+
+
+Q17_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 400)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       CAST(floor(list_cosine_similarity(a.v, b.v) * 1000) AS BIGINT) AS cos_milli
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.30
+"""
+
+
+def q18_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators.multimodal import payload_stats, wrap_binary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "payload_bytes", F.encode(F.col("text"), "UTF-8")
+    )
+    media = wrap_binary(docs, "doc_id", "payload_bytes", modality="image", mime="application/octet-stream")
+    return payload_stats(media).select("media_id", "modality", "n_bytes")
+
+
+Q18_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+# --- rows-only (non-SQL-expressible) training-data ops ---------------------
+
+
+def q19_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, id_col="doc_id", threshold=0.5)
+
+
+def q20_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_neardup_pairs(docs, id_col="doc_id", max_hamming=8)
+
+
+def q21_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # coarse buckets (2^6) x 8 tables: sized for recall on ~1e3-1e5 corpora;
+    # at larger N raise n_planes so bucket occupancy stays bounded
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10, n_planes=6, n_tables=8)
+
+
+def q22_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators.multimodal import extract_features, wrap_binary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "payload_bytes", F.encode(F.col("text"), "UTF-8")
+    )
+    media = wrap_binary(docs, "doc_id", "payload_bytes", modality="image", mime="application/octet-stream")
+    return extract_features(media)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -318,6 +508,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q09_timeseries_group": q09_timeseries_group,
     "q10_sampler_priority": q10_sampler_priority,
     "q11_span_to_attributes": q11_span_to_attributes,
+    "q12_dedup_exact": q12_dedup_exact,
+    "q13_text_quality": q13_text_quality,
+    "q14_lang_id": q14_lang_id,
+    "q15_token_count": q15_token_count,
+    "q16_ann_topk": q16_ann_topk,
+    "q17_embedding_dedup": q17_embedding_dedup,
+    "q18_multimodal_stats": q18_multimodal_stats,
+    "q19_minhash_lsh": q19_minhash_lsh,
+    "q20_simhash_neardup": q20_simhash_neardup,
+    "q21_ann_lsh": q21_ann_lsh,
+    "q22_media_features": q22_media_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -333,4 +534,14 @@ ORACLES: dict[str, str] = {
     "q09_timeseries_group": Q09_SQL,
     "q10_sampler_priority": Q10_SQL,
     "q11_span_to_attributes": Q11_SQL,
+    "q12_dedup_exact": Q12_SQL,
+    "q13_text_quality": Q13_SQL,
+    "q14_lang_id": Q14_SQL,
+    "q15_token_count": Q15_SQL,
+    "q16_ann_topk": Q16_SQL,
+    "q17_embedding_dedup": Q17_SQL,
+    "q18_multimodal_stats": Q18_SQL,
+    # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
+    # SQL-expressible); the driver records rows-only checks and pytest holds
+    # their golden tests (tests/test_dedup_similarity.py).
 }

@@ -1,0 +1,186 @@
+"""Golden tests for dedup / similarity / text-analysis operators
+(the non-SQL-expressible ops get their correctness gate here)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_neardup_pairs,
+)
+from opentelemetry_collector_spark.operators.similarity import cosine, cosine_topk, lsh_topk
+from opentelemetry_collector_spark.operators.text import lang_guess, quality_metrics, token_count
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain in spain "
+    "falls mainly on the plain and every good boy deserves fudge"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("quick", "swift")),  # near-dup of 0
+        (2, BASE),  # exact dup of 0
+        (3, "completely different content about databases and query engines"),
+        (4, "another unrelated document mentioning volcanoes and oceans"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark), "doc_id").collect()
+    by_survivor = {r.survivor_id: r.n_copies for r in out}
+    assert by_survivor[0] == 2  # docs 0 and 2 collapse
+    assert by_survivor[1] == 1
+    assert len(out) == 5
+
+
+def test_minhash_lsh_finds_planted_neardup(spark):
+    pairs = {(r.a_id, r.b_id) for r in minhash_lsh_pairs(_docs(spark), "doc_id", threshold=0.5).collect()}
+    assert (0, 1) in pairs  # near-dup found
+    assert (0, 2) in pairs  # exact dup found
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in pairs)  # no false positives
+
+
+def test_minhash_matches_exact_jaccard_on_found_pairs(spark):
+    lsh = {(r.a_id, r.b_id): r.jaccard_milli for r in minhash_lsh_pairs(_docs(spark), "doc_id", threshold=0.5).collect()}
+    exact = {(r.a_id, r.b_id): r.jaccard_milli for r in ngram_jaccard_pairs(_docs(spark), "doc_id", threshold=0.5).collect()}
+    for k, v in lsh.items():
+        assert exact[k] == v  # verify stage reports EXACT jaccard
+
+
+def test_lsh_no_false_negatives_at_high_threshold(spark):
+    # with 32 hashes / 8 bands, P(candidate | j>=0.8) ~ 1 - (1-0.8^4)^8 > 0.99
+    exact = {(r.a_id, r.b_id) for r in ngram_jaccard_pairs(_docs(spark), "doc_id", threshold=0.8).collect()}
+    lsh = {(r.a_id, r.b_id) for r in minhash_lsh_pairs(_docs(spark), "doc_id", threshold=0.8).collect()}
+    assert exact <= lsh or exact == lsh
+
+
+def test_shingle_jaccard_identity(spark):
+    df = spark.createDataFrame([(BASE,)], "t string").select(
+        jaccard(shingles(F.col("t")), shingles(F.col("t"))).alias("j")
+    )
+    assert df.collect()[0].j == 1.0
+
+
+def test_simhash_properties(spark):
+    df = _docs(spark).withColumn("h", simhash(F.col("text")))
+    h = {r.doc_id: r.h for r in df.collect()}
+    assert h[0] == h[2]  # identical text => identical simhash
+    ham01 = bin((h[0] ^ h[1]) & (2**64 - 1)).count("1")
+    ham03 = bin((h[0] ^ h[3]) & (2**64 - 1)).count("1")
+    assert ham01 < ham03  # near-dup closer than unrelated
+
+
+def test_simhash_neardup_pairs(spark):
+    pairs = {(r.a_id, r.b_id) for r in simhash_neardup_pairs(_docs(spark), "doc_id", max_hamming=6).collect()}
+    assert (0, 2) in pairs
+    assert (0, 1) in pairs or (1, 2) in pairs  # near-dup within 6 bits
+    assert (0, 3) not in pairs
+
+
+def _emb(spark, n=80, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, dim))
+    v[1] = v[0] + rng.standard_normal(dim) * 0.01  # planted near-dup of 0
+    rows = [(i, [float(x) for x in v[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark):
+    emb = _emb(spark)
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    assert out[0].neighbor_id == 1 and out[0].rank == 1  # planted near-dup is NN
+    assert out[0].cos_milli >= 990
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_cosine_self_similarity(spark):
+    emb = _emb(spark, n=4)
+    d = emb.select(
+        cosine(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.transform("embedding", lambda x: x.cast("double")),
+        ).alias("c")
+    ).collect()
+    assert all(abs(r.c - 1.0) < 1e-9 for r in d)
+
+
+def test_lsh_topk_recall(spark):
+    emb = _emb(spark, n=200)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, q, dim=16, k=5, n_planes=4, n_tables=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # approximate, but must be way better than chance (5/199)
+    # the planted near-dup must survive LSH (it lands in the same bucket w.h.p.)
+    assert (0, 1) in approx
+
+
+def test_embedding_neardup_pairs(spark):
+    out = embedding_neardup_pairs(_emb(spark), threshold=0.95).collect()
+    assert {(r.a_id, r.b_id) for r in out} == {(0, 1)}
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame([("",), ("  ",), ("one",), ("a  b\tc",)], "t string")
+    got = [r.n for r in df.select(token_count(F.col("t")).alias("n")).collect()]
+    assert got == [0, 0, 1, 3]
+
+
+def test_quality_metrics_ranges(spark):
+    out = quality_metrics(_docs(spark), "text").collect()
+    for r in out:
+        assert 0 <= r.alpha_pm <= 1000 and 0 <= r.punct_pm <= 1000 and 0 <= r.stopword_pm <= 1000
+    empty = [r for r in out if r.doc_id == 5][0]
+    assert empty.n_tokens == 0 and empty.stopword_pm == 0
+
+
+def test_lang_guess_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the hat is of note"),
+            (1, "el gato y la casa que bonita"),
+            (2, "der hund und die katze ist da"),
+            (3, "le chien et la maison est grande"),
+            (4, "xyzzy plugh"),
+        ],
+        "id long, t string",
+    )
+    got = {r.id: r.g for r in df.select("id", lang_guess(F.col("t")).alias("g")).collect()}
+    assert got == {0: "en", 1: "es", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_multimodal_stub(spark):
+    from opentelemetry_collector_spark.operators.multimodal import (
+        extract_features,
+        frame_sample,
+        payload_stats,
+        wrap_binary,
+    )
+
+    df = _docs(spark).withColumn("b", F.encode("text", "UTF-8"))
+    media = wrap_binary(df, "doc_id", "b", modality="image", mime="img/fake")
+    stats = {r.media_id: r.n_bytes for r in payload_stats(media).collect()}
+    assert stats[0] == len(BASE.encode())
+    feats = {r.media_id: r.features for r in extract_features(media).collect()}
+    assert feats[0] == feats[2]  # deterministic fake decode
+    assert len(feats[0]) == 8 and abs(sum(feats[0]) - 1.0) < 1e-9
+    frames = frame_sample(media, every_n_bytes=32, max_frames=4)
+    per = {r[0]: r[1] for r in frames.groupBy("media_id").count().collect()}
+    assert per[0] == 4  # len(BASE) > 128 bytes -> capped at max_frames
+
+    with pytest.raises(Exception) as ei:
+        extract_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
