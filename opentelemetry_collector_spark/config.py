@@ -1,0 +1,303 @@
+"""Collector-shaped config surface: YAML/dict -> compiled pipeline.
+
+The reference wires pipelines from a YAML config with top-level sections
+``receivers / processors / exporters / service.pipelines`` where component
+ids are ``type`` or ``type/name`` (``config/configloader/config.go:96-140``,
+id parsing :142-168). Validation mirrors ``config/config.go:31-150``: every
+pipeline references >=1 receiver and >=1 exporter, and every reference must
+resolve to a declared component of the right section.
+
+A user of the reference keeps the same mental model here: the same four
+sections, the same ``type/name`` ids, processor configs whose fields mirror
+the Go processor configs (actions, include/exclude, sampling_percentage,
+send_batch_max_size, ...). The compiler turns the spec into a
+:class:`~opentelemetry_collector_spark.plans.pipeline.PipelineSpec` — a chain
+of pure DataFrame transforms plus predicate-routed sinks — and
+``run_config`` executes it with obsreport metrics and checkpoint/resume.
+
+Supported component types:
+
+receivers:
+  ``transcripts``  {events_path | path | sf_dir} — parquet scan (the scan IS
+                   the receiver); ``events_path``/``sf_dir`` derive the
+                   transcripts shape from an events table.
+  ``synthetic``    {n_convs, mean_turns, seed} — goldendataset analog.
+processors:
+  ``attributes``   {actions: [...], include?, exclude?}   (attraction.go)
+  ``resource``     {lookup_path | lookup_sql?, join_key, actions?} —
+                   broadcast-join enrich (resource_processor.go:29-53
+                   generalized to a dimension lookup per SURVEY §2.3)
+  ``filter``       {include?, exclude?}                   (filter_processor.go)
+  ``probabilistic_sampler`` {sampling_percentage, hash_seed?, id_column?,
+                   priority_column?}                      (probabilisticsampler.go)
+  ``span``         {from_attributes? | to_attributes?}    (span.go)
+  ``batch``        {send_batch_max_size?} — sets per-sink maxRecordsPerFile
+                   (batch_processor.go; batching-for-transport == file sizing)
+exporters:
+  ``parquet`` / ``json`` {path, predicate?: match-properties spec}
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.attributes import Action, apply_actions
+from opentelemetry_collector_spark.operators.filters import (
+    MatchProperties,
+    filter_records,
+    match_predicate,
+)
+from opentelemetry_collector_spark.operators.sample import probabilistic_sample
+from opentelemetry_collector_spark.operators.span import from_attributes, to_attributes
+from opentelemetry_collector_spark.plans.pipeline import PipelineSpec, SinkSpec, run_pipeline
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+class ConfigError(ValueError):
+    """Invalid pipeline config (the configloader/validation error analog)."""
+
+
+def load_config(source: dict | str) -> dict:
+    """Accept a dict, a YAML string, or a path to a YAML file."""
+    if isinstance(source, dict):
+        return source
+    text = source
+    if isinstance(source, str) and os.path.exists(source):
+        with open(source) as f:
+            text = f.read()
+    try:
+        import yaml
+
+        cfg = yaml.safe_load(text)
+    except ImportError:  # pragma: no cover - yaml is present in this env
+        import json
+
+        cfg = json.loads(text)
+    if not isinstance(cfg, dict):
+        raise ConfigError("config must be a mapping")
+    return cfg
+
+
+def component_type(component_id: str) -> str:
+    """``type[/name]`` -> ``type`` (config.go:142-168 id parsing)."""
+    return component_id.split("/", 1)[0].strip()
+
+
+# ---------------------------------------------------------------------------
+# section compilers
+# ---------------------------------------------------------------------------
+
+
+def _match_props(spec: dict | None) -> MatchProperties | None:
+    if spec is None:
+        return None
+    known = {"match_type", "columns", "attributes", "attrs_col"}
+    unknown = set(spec) - known
+    if unknown:
+        raise ConfigError(f"unknown match-properties fields: {sorted(unknown)}")
+    return MatchProperties(
+        match_type=spec.get("match_type", "strict"),
+        columns={k: list(v) for k, v in (spec.get("columns") or {}).items()},
+        attributes=dict(spec.get("attributes") or {}),
+        attrs_col=spec.get("attrs_col", "attrs"),
+    )
+
+
+def _compile_receiver(cid: str, cfg: dict) -> Callable[[SparkSession], DataFrame]:
+    ctype = component_type(cid)
+    if ctype == "transcripts":
+        from opentelemetry_collector_spark.sources.transcripts import from_events
+
+        if "sf_dir" in cfg:
+            sf_dir = cfg["sf_dir"]
+            return lambda spark: from_events(spark, sf_dir)
+        if "events_path" in cfg:
+            events_path = cfg["events_path"]
+
+            def _scan_events(spark: SparkSession) -> DataFrame:
+                sf_dir = os.path.dirname(events_path)
+                return from_events(spark, sf_dir)
+
+            return _scan_events
+        if "path" in cfg:
+            path = cfg["path"]
+            return lambda spark: spark.read.parquet(path)
+        raise ConfigError(f"receiver {cid}: needs one of sf_dir/events_path/path")
+    if ctype == "synthetic":
+        from opentelemetry_collector_spark.sources.transcripts import synthesize
+
+        n_convs = int(cfg.get("n_convs", 100))
+        mean_turns = int(cfg.get("mean_turns", 20))
+        seed = int(cfg.get("seed", 42))
+        return lambda spark: synthesize(spark, n_convs=n_convs, mean_turns=mean_turns, seed=seed)
+    raise ConfigError(f"receiver {cid}: unknown type '{ctype}'")
+
+
+def _compile_processor(spark: SparkSession, cid: str, cfg: dict) -> Transform:
+    ctype = component_type(cid)
+    if ctype == "attributes":
+        actions = [Action(**a) for a in cfg.get("actions", [])]
+        if not actions:
+            raise ConfigError(f"processor {cid}: actions required (attraction.go:139)")
+        include = _match_props(cfg.get("include"))
+        exclude = _match_props(cfg.get("exclude"))
+        return lambda df: apply_actions(df, actions, include=include, exclude=exclude)
+    if ctype == "resource":
+        lookup_path = cfg.get("lookup_path")
+        if not lookup_path:
+            raise ConfigError(f"processor {cid}: lookup_path required")
+        join_key = cfg.get("join_key", "conv_id")
+        how = cfg.get("join_type", "left")
+
+        def _enrich(df: DataFrame) -> DataFrame:
+            dim = df.sparkSession.read.parquet(lookup_path)
+            return df.join(F.broadcast(dim), on=join_key, how=how)
+
+        return _enrich
+    if ctype == "filter":
+        include = _match_props(cfg.get("include"))
+        exclude = _match_props(cfg.get("exclude"))
+        if include is None and exclude is None:
+            raise ConfigError(f"processor {cid}: include or exclude required (config.go:70)")
+        return lambda df: filter_records(df, include=include, exclude=exclude)
+    if ctype == "probabilistic_sampler":
+        pct = float(cfg.get("sampling_percentage", 100.0))
+        seed = int(cfg.get("hash_seed", 0))
+        id_col = cfg.get("id_column", "conv_id")
+        prio = cfg.get("priority_column")
+        return lambda df: probabilistic_sample(
+            df, pct, hash_seed=seed, id_col=id_col, priority_col=prio
+        )
+    if ctype == "span":
+        if "from_attributes" in cfg:
+            fa = cfg["from_attributes"]
+            return lambda df: from_attributes(
+                df,
+                keys=list(fa["keys"]),
+                separator=fa.get("separator", ""),
+                name_col=fa.get("name_col", "text"),
+            )
+        if "to_attributes" in cfg:
+            ta = cfg["to_attributes"]
+            return lambda df: to_attributes(
+                df,
+                patterns=list(ta["patterns"]),
+                name_col=ta.get("name_col", "text"),
+                break_after_match=bool(ta.get("break_after_match", False)),
+            )
+        raise ConfigError(f"processor {cid}: from_attributes or to_attributes required")
+    if ctype == "batch":
+        # record-count invariance is the contract; physical effect is applied
+        # at the sinks (max_records_per_file), so the transform is identity
+        return lambda df: df
+    raise ConfigError(f"processor {cid}: unknown type '{ctype}'")
+
+
+def _compile_exporter(cid: str, cfg: dict, batch_max: int | None) -> SinkSpec:
+    ctype = component_type(cid)
+    if ctype not in ("parquet", "json"):
+        raise ConfigError(f"exporter {cid}: unknown type '{ctype}'")
+    if "path" not in cfg:
+        raise ConfigError(f"exporter {cid}: path required")
+    pred_spec = cfg.get("predicate")
+    if pred_spec is None:
+        predicate = F.lit(True)
+    else:
+        # either {include: {...}, exclude: {...}} or a bare match-properties
+        # spec (treated as include) — same shorthand the filter processor allows
+        if "include" in pred_spec or "exclude" in pred_spec:
+            inc, exc = pred_spec.get("include"), pred_spec.get("exclude")
+        else:
+            inc, exc = pred_spec, None
+        predicate = match_predicate(include=_match_props(inc), exclude=_match_props(exc))
+    return SinkSpec(
+        name=cid.replace("/", "_"),
+        predicate=predicate,
+        path=cfg["path"],
+        format=ctype,
+        max_records_per_file=cfg.get("max_records_per_file", batch_max),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-level compile + run
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CompiledService:
+    """All pipelines of a config, compiled (service.pipelines analog)."""
+
+    pipelines: dict[str, PipelineSpec] = field(default_factory=dict)
+
+
+def compile_config(spark: SparkSession, source: dict | str) -> CompiledService:
+    cfg = load_config(source)
+    receivers: dict[str, dict] = cfg.get("receivers") or {}
+    processors: dict[str, dict] = cfg.get("processors") or {}
+    exporters: dict[str, dict] = cfg.get("exporters") or {}
+    service = cfg.get("service") or {}
+    pipelines_cfg: dict[str, dict] = service.get("pipelines") or {}
+    if not pipelines_cfg:
+        raise ConfigError("service.pipelines must define at least one pipeline (config.go:31)")
+
+    out = CompiledService()
+    for pname, pcfg in pipelines_cfg.items():
+        r_ids = pcfg.get("receivers") or []
+        p_ids = pcfg.get("processors") or []
+        e_ids = pcfg.get("exporters") or []
+        if not r_ids:
+            raise ConfigError(f"pipeline {pname}: must have at least one receiver (config.go:106)")
+        if not e_ids:
+            raise ConfigError(f"pipeline {pname}: must have at least one exporter (config.go:112)")
+        for rid in r_ids:
+            if rid not in receivers:
+                raise ConfigError(f"pipeline {pname}: references unknown receiver '{rid}'")
+        for pid in p_ids:
+            if pid not in processors:
+                raise ConfigError(f"pipeline {pname}: references unknown processor '{pid}'")
+        for eid in e_ids:
+            if eid not in exporters:
+                raise ConfigError(f"pipeline {pname}: references unknown exporter '{eid}'")
+
+        sources = [_compile_receiver(rid, receivers[rid]) for rid in r_ids]
+        if len(sources) == 1:
+            source_fn = sources[0]
+        else:
+            # receiver fan-in: one pipeline fed by several receivers =>
+            # union of scans (receivers_builder.go:161-233)
+            def source_fn(spark: SparkSession, _sources=tuple(sources)) -> DataFrame:
+                dfs = [s(spark) for s in _sources]
+                df = dfs[0]
+                for other in dfs[1:]:
+                    df = df.unionByName(other, allowMissingColumns=True)
+                return df
+
+        transforms = [_compile_processor(spark, pid, processors[pid]) for pid in p_ids]
+        batch_max = None
+        for pid in p_ids:
+            if component_type(pid) == "batch":
+                batch_max = processors[pid].get("send_batch_max_size")
+        sinks = [_compile_exporter(eid, exporters[eid], batch_max) for eid in e_ids]
+        out.pipelines[pname] = PipelineSpec(
+            name=pname, source=source_fn, processors=transforms, sinks=sinks
+        )
+    return out
+
+
+def run_config(
+    spark: SparkSession, source: dict | str, base_path: str, run_id: str | None = None
+) -> dict[str, Any]:
+    """Compile and execute every pipeline; returns {pipeline: RunResult}."""
+    svc = compile_config(spark, source)
+    results: dict[str, Any] = {}
+    for pname, spec in svc.pipelines.items():
+        results[pname] = run_pipeline(spark, spec, os.path.join(base_path, pname), run_id=run_id)
+    return results

@@ -455,6 +455,132 @@ FROM documents
 """
 
 
+def q23_session_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation response latency: user turn immediately followed by
+    an assistant turn (lead() over stable (conv_id, turn_idx) ordering —
+    the per-turn ordering invariant exercised as an analytic query)."""
+    from pyspark.sql import Window as W
+
+    t = from_events(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    x = t.withColumn("nrole", F.lead("role").over(w)).withColumn("nts", F.lead("ts").over(w))
+    return (
+        x.filter((F.col("role") == "user") & (F.col("nrole") == "assistant"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_responses"),
+            F.sum(F.unix_timestamp("nts") - F.unix_timestamp("ts")).cast("bigint").alias("total_latency_sec"),
+        )
+    )
+
+
+Q23_SQL = f"""{_PRELUDE},
+x AS (SELECT conv_id, role, ts, turn_idx,
+        lead(role) OVER w AS nrole, lead(ts) OVER w AS nts
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_responses,
+       CAST(sum(date_diff('second', ts, nts)) AS BIGINT) AS total_latency_sec
+FROM x WHERE role = 'user' AND nrole = 'assistant' GROUP BY conv_id
+"""
+
+
+def q24_grok_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same extraction surface as q01 but through the Arrow-vectorized
+    pandas-UDF grok pack (parse.py grok_pack) — proves the UDF path is
+    value-identical to both the JVM regexp_extract path and the SQL oracle."""
+    from opentelemetry_collector_spark.operators.parse import grok_pack
+
+    t = from_events(spark, sf_dir)
+    t = grok_pack(t, "text", [TOOL_CALL_PAT, ERR_PAT])
+    return t.select("conv_id", "turn_idx", "tool_name", "arg", "err_code")
+
+
+Q24_SQL = f"""{_PRELUDE}
+SELECT conv_id, turn_idx,
+  CASE WHEN regexp_matches(text, 'tool_call: \\w+\\([^)]*\\)')
+       THEN regexp_extract(text, 'tool_call: (\\w+)\\(([^)]*)\\)', 1) END AS tool_name,
+  CASE WHEN regexp_matches(text, 'tool_call: \\w+\\([^)]*\\)')
+       THEN regexp_extract(text, 'tool_call: (\\w+)\\(([^)]*)\\)', 2) END AS arg,
+  CASE WHEN regexp_matches(text, 'error code=\\d+')
+       THEN regexp_extract(text, 'error code=(\\d+)', 1) END AS err_code
+FROM t
+"""
+
+
+def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, id_col="doc_id", k=5, threshold=0.2)
+
+
+Q25_SQL = r"""
+WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s FROM documents),
+sh AS (SELECT doc_id,
+         list_distinct([substr(s, i, 5) for i in range(1, greatest(length(s) - 4, 1) + 1)]) AS sh
+       FROM d),
+p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        len(list_intersect(a.sh, b.sh)) AS i,
+        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT a_id, b_id, CAST(floor(i * 1000.0 / u) AS BIGINT) AS jaccard_milli
+FROM p WHERE u > 0 AND i * 1.0 / u >= 0.2
+"""
+
+
+def q26_conv_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star invariant as a query: md5 digest of each conversation's
+    texts concatenated under stable (conv_id, turn_idx) ordering. Any
+    ordering or text drift vs the oracle flips the digest."""
+    t = from_events(spark, sf_dir)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))), lambda s: s["text"]
+    )
+    return t.groupBy("conv_id").agg(
+        F.md5(F.concat_ws("\x1f", ordered)).alias("digest"),
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+    )
+
+
+Q26_SQL = f"""{_PRELUDE}
+SELECT conv_id,
+       md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS digest,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM t GROUP BY conv_id
+"""
+
+
+def q27_severity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SeverityNumber mapping (model/pdata/logs.go:100-128 enum analog):
+    error-text turns are ERROR(17), system WARN(13), tool DEBUG(5),
+    dialog INFO(9); hourly tumbling-window counts per severity (the
+    streaming windowed_turn_counts plan, batch-checked)."""
+    t = from_events(spark, sf_dir)
+    sev = (
+        F.when(F.col("text").rlike(r"error code=\d+"), 17)
+        .when(F.col("role") == "system", 13)
+        .when(F.col("role") == "tool", 5)
+        .otherwise(9)
+    )
+    return (
+        t.withColumn("severity", sev.cast("int"))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "severity")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.col("win.start").alias("hour_start"), "severity", "n")
+    )
+
+
+Q27_SQL = f"""{_PRELUDE}
+SELECT date_trunc('hour', ts) AS hour_start,
+       CAST(CASE WHEN regexp_matches(text, 'error code=\\d+') THEN 17
+                 WHEN role = 'system' THEN 13
+                 WHEN role = 'tool' THEN 5
+                 ELSE 9 END AS INTEGER) AS severity,
+       CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY 1, 2
+"""
+
+
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
 
@@ -515,6 +641,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_ann_topk": q16_ann_topk,
     "q17_embedding_dedup": q17_embedding_dedup,
     "q18_multimodal_stats": q18_multimodal_stats,
+    "q23_session_latency": q23_session_latency,
+    "q24_grok_pack": q24_grok_pack,
+    "q25_ngram_jaccard": q25_ngram_jaccard,
+    "q26_conv_digest": q26_conv_digest,
+    "q27_severity_counts": q27_severity_counts,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -541,6 +672,11 @@ ORACLES: dict[str, str] = {
     "q16_ann_topk": Q16_SQL,
     "q17_embedding_dedup": Q17_SQL,
     "q18_multimodal_stats": Q18_SQL,
+    "q23_session_latency": Q23_SQL,
+    "q24_grok_pack": Q24_SQL,
+    "q25_ngram_jaccard": Q25_SQL,
+    "q26_conv_digest": Q26_SQL,
+    "q27_severity_counts": Q27_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

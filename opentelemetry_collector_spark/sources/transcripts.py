@@ -197,3 +197,76 @@ def synthesize_pandas(
 def synthesize(spark: SparkSession, n_convs: int = 1000, mean_turns: int = 20, seed: int = 42) -> DataFrame:
     pdf = synthesize_pandas(n_convs=n_convs, mean_turns=mean_turns, seed=seed)
     return spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+
+
+def synthesize_distributed(
+    spark: SparkSession,
+    n_rows: int,
+    turns_per_conv: int = 400,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Executor-side deterministic transcripts generator (goldendataset analog
+    at scale, ``internal/goldendataset/``).
+
+    Built entirely from ``spark.range`` + hash-derived column expressions, so
+    generation parallelizes across executors with zero driver-side data — this
+    is how a 10^12-turn fixture would be laid down on a real cluster. Same
+    text grammar as :func:`synthesize_pandas` (tool_call/error/filler lines),
+    fully deterministic in (n_rows, turns_per_conv, seed).
+    """
+    base = spark.range(0, n_rows, numPartitions=num_partitions)
+    conv = (F.col("id") / turns_per_conv).cast("bigint")
+    turn = (F.col("id") % turns_per_conv).cast("int")
+
+    def h(salt: int, mod: int):
+        # xxhash64 is deterministic and executor-side; pmod keeps it positive
+        return F.pmod(F.xxhash64(F.col("id"), F.lit(seed + salt)), F.lit(mod))
+
+    role = (
+        F.when(h(1, 100) < 50, "user")
+        .when(h(1, 100) < 85, "assistant")
+        .when(h(1, 100) < 95, "tool")
+        .otherwise("system")
+    )
+    tool_pick = F.element_at(
+        F.array(F.lit("search"), F.lit("python"), F.lit("browser"), F.lit("calc")),
+        (h(2, 4) + 1).cast("int"),
+    )
+    arg = h(3, 10_000).cast("string")
+    text = (
+        F.when(
+            (role == "assistant") & (h(4, 100) < 30),
+            F.concat(F.lit("calling tool_call: "), tool_pick, F.lit("("), arg, F.lit(")")),
+        )
+        .when(h(5, 100) < 5, F.concat(F.lit("error code="), (h(6, 200) + 400).cast("string")))
+        .otherwise(F.concat(F.lit("turn text #"), arg))
+    )
+    ts = F.timestamp_seconds(F.lit(1735689600) + F.pmod(F.xxhash64(conv, F.lit(seed)), F.lit(86_400)) + turn)
+    return base.select(
+        F.concat(F.lit("conv-"), F.lpad(conv.cast("string"), 9, "0")).alias("conv_id"),
+        turn.alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        F.when(role == "tool", tool_pick).alias("tool"),
+        ts.alias("ts"),
+    )
+
+
+def synthesize_conv_meta(spark: SparkSession, n_convs: int, seed: int = 42) -> DataFrame:
+    """Dimension table matching :func:`synthesize_distributed` conv_ids
+    (resource-attributes analog; broadcast side of the enrich join)."""
+    base = spark.range(0, n_convs)
+    seg = F.element_at(
+        F.array(*[F.lit(s) for s in ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")]),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(5)) + 1).cast("int"),
+    )
+    return base.select(
+        F.concat(F.lit("conv-"), F.lpad(F.col("id").cast("string"), 9, "0")).alias("conv_id"),
+        seg.alias("tenant"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("api"), F.lit("mobile")),
+            ((F.col("id") % 3) + 1).cast("int"),
+        ).alias("channel"),
+        (F.col("id") % 3).cast("int").alias("priority"),
+    )

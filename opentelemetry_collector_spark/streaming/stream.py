@@ -1,0 +1,137 @@
+"""Structured Streaming pipeline: the push-data-path analog.
+
+The reference is a push engine: receivers accept batches on live connections
+and forward them synchronously through the processor chain to exporters
+(``receiver/otlpreceiver/internal/logs/otlp.go:60-69`` ->
+``processor/processorhelper/logs.go:62-75`` ->
+``fanoutconsumer/consumer.go:104-112``). Its "streaming" has no event-time
+semantics — everything is in-order per connection, no watermarks, no late
+data (SURVEY §2.7). The Spark-native equivalent is Structured Streaming:
+
+- **receiver** = ``readStream`` on a directory (each arriving file is a
+  pushed batch; in production this is the Kafka/OTLP landing zone);
+- **processor chain** = the SAME pure DataFrame transforms as the batch
+  planner — parse/attributes/filter/sampler compose unchanged on a
+  streaming DataFrame (they are stateless projections/filters);
+- **exporter fan-out** = ``foreachBatch`` writing each sink's predicate
+  slice idempotently per micro-batch (epoch id = the batch-sequence number,
+  the queued_retry redelivery analog: a replayed epoch overwrites itself);
+- **batch processor** = micro-batch trigger (`processingTime`/`availableNow`)
+  — size/timeout rebatching is the trigger policy;
+- **aggregates** = watermarked window / session-window groupBy, the
+  streaming generalization of the prometheus-accumulator groupBy
+  (``exporter/prometheusexporter/accumulator.go:65-132``) with the
+  late-data story the Go collector never had.
+
+Everything here is bounded-state: watermarks cap the window state store,
+and the fan-out write is append-only per epoch — the design a 1000-executor
+continuous ingest of 10^12 turns needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from opentelemetry_collector_spark.schema import TRANSCRIPTS_SCHEMA
+from opentelemetry_collector_spark.plans.route import Route
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source receiver: each new parquet file under `path` is a pushed
+    batch (the OTLP-receiver analog; swap for format("kafka") in production —
+    the downstream plan is identical)."""
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_turn_counts(
+    df: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-(window, role) turn counts with a watermark bounding state.
+
+    The streaming form of the obsreport/accumulator counters: counts are
+    emitted per event-time window once the watermark passes, late rows
+    beyond `watermark` are dropped (documented, deterministic behavior the
+    reference leaves implicit in connection ordering)."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("role"))
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.approx_count_distinct("conv_id").alias("approx_convs"),
+        )
+    )
+
+
+def session_turn_counts(
+    df: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Conversation sessionization via built-in session windows: a session
+    closes after `gap` of event-time silence per conv_id. This is the
+    stateful custom operator slot (SURVEY §2.7) expressed with the built-in
+    session_window instead of applyInPandasWithState — bounded state, no
+    Python in the hot path."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("session"), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+def run_stream_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    base_path: str,
+    processors: list[Transform],
+    routes: list[Route],
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """readStream -> processor chain -> per-epoch idempotent fan-out writes.
+
+    Each micro-batch is routed with the SAME Route predicates as the batch
+    planner and appended to `<base>/<sink>` partitioned by epoch; a replayed
+    epoch (failure/restart redelivery — the queued_retry.go:241-332 analog)
+    overwrites its own partition, so sinks stay exactly-once downstream of
+    Spark's at-least-once epoch replay."""
+    df = read_transcript_stream(spark, input_path)
+    for p in processors:
+        df = p(df)
+
+    def _write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            for r in routes:
+                (
+                    batch_df.filter(r.predicate)
+                    .withColumn("_epoch", F.lit(epoch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_epoch")
+                    .parquet(f"{base_path}/{r.name}")
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = df.writeStream.foreachBatch(_write_epoch).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

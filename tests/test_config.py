@@ -1,0 +1,211 @@
+"""Config-surface tests: YAML -> compiled pipelines -> run.
+
+Mirrors the reference's configloader tests (config/configloader/config_test.go
+patterns): valid config round-trips into a runnable service; invalid configs
+fail validation with the same classes of errors as config.go:31-150
+(missing receivers/exporters, dangling references, unknown component types).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.config import (
+    ConfigError,
+    compile_config,
+    component_type,
+    load_config,
+    run_config,
+)
+
+YAML_TEMPLATE = """
+receivers:
+  synthetic:
+    n_convs: 60
+    mean_turns: 6
+    seed: 42
+
+processors:
+  attributes/stage:
+    actions:
+      - {{key: stage, action: upsert, value: e2e}}
+      - {{key: text_hash, action: insert, from_attribute: stage}}
+  filter/keep-dialog:
+    include:
+      match_type: strict
+      columns:
+        role: [user, assistant]
+  probabilistic_sampler/half:
+    sampling_percentage: 100
+  batch:
+    send_batch_max_size: 1000
+
+exporters:
+  parquet/sink_user:
+    path: "{base}/sink_user"
+    predicate:
+      columns:
+        role: [user]
+  parquet/sink_assistant:
+    path: "{base}/sink_assistant"
+    predicate:
+      columns:
+        role: [assistant]
+
+service:
+  pipelines:
+    logs:
+      receivers: [synthetic]
+      processors: [attributes/stage, filter/keep-dialog, probabilistic_sampler/half, batch]
+      exporters: [parquet/sink_user, parquet/sink_assistant]
+"""
+
+
+def test_component_type_parsing():
+    assert component_type("attributes/stage") == "attributes"
+    assert component_type("batch") == "batch"
+
+
+def test_load_config_yaml_string():
+    cfg = load_config("receivers:\n  synthetic: {n_convs: 3}\n")
+    assert cfg["receivers"]["synthetic"]["n_convs"] == 3
+
+
+def test_compile_and_run_yaml(spark, tmp_path):
+    base = str(tmp_path / "cfg_run")
+    results = run_config(spark, YAML_TEMPLATE.format(base=base), base)
+    res = results["logs"]
+    user_rows = spark.read.parquet(f"{base}/sink_user").collect()
+    asst_rows = spark.read.parquet(f"{base}/sink_assistant").collect()
+    assert res.sink_rows["parquet_sink_user"] == len(user_rows) > 0
+    assert res.sink_rows["parquet_sink_assistant"] == len(asst_rows) > 0
+    # filter processor dropped everything but user/assistant, and each sink
+    # predicate selects exactly its role (routed-row set equality gate)
+    assert {r.role for r in user_rows} == {"user"}
+    assert {r.role for r in asst_rows} == {"assistant"}
+    # attributes processor ran before the fan-out: stage present everywhere,
+    # insert-from-attribute saw the just-upserted key (ordered actions)
+    assert all(r.attrs["stage"] == "e2e" for r in user_rows)
+    assert all(r.attrs["text_hash"] == "e2e" for r in user_rows)
+    # obsreport metrics emitted per sink
+    sent = {
+        (r.sink): r.value
+        for r in res.metrics.filter(F.col("metric") == "sent_log_records").collect()
+    }
+    assert sent["parquet_sink_user"] == len(user_rows)
+
+
+def test_receiver_fan_in_union(spark, tmp_path):
+    base = str(tmp_path / "fanin")
+    cfg = {
+        "receivers": {
+            "synthetic/a": {"n_convs": 10, "mean_turns": 4, "seed": 1},
+            "synthetic/b": {"n_convs": 10, "mean_turns": 4, "seed": 2},
+        },
+        "exporters": {"parquet/all": {"path": f"{base}/all"}},
+        "service": {
+            "pipelines": {
+                "logs": {"receivers": ["synthetic/a", "synthetic/b"], "exporters": ["parquet/all"]}
+            }
+        },
+    }
+    svc = compile_config(spark, cfg)
+    df = svc.pipelines["logs"].source(spark)
+    from opentelemetry_collector_spark.sources.transcripts import synthesize
+
+    expected = synthesize(spark, 10, 4, 1).count() + synthesize(spark, 10, 4, 2).count()
+    assert df.count() == expected
+
+
+@pytest.mark.parametrize(
+    "mutate, err_frag",
+    [
+        (lambda c: c["service"]["pipelines"]["logs"].update(receivers=[]), "receiver"),
+        (lambda c: c["service"]["pipelines"]["logs"].update(exporters=[]), "exporter"),
+        (lambda c: c["service"]["pipelines"]["logs"].update(processors=["nope"]), "unknown processor"),
+        (lambda c: c["receivers"].update({"bogus/x": {}}) or c["service"]["pipelines"]["logs"].update(receivers=["bogus/x"]), "unknown type"),
+        (lambda c: c.pop("service"), "pipelines"),
+    ],
+)
+def test_validation_errors(spark, mutate, err_frag):
+    cfg = {
+        "receivers": {"synthetic": {"n_convs": 5}},
+        "processors": {"batch": {}},
+        "exporters": {"parquet/out": {"path": "/tmp/x"}},
+        "service": {
+            "pipelines": {
+                "logs": {"receivers": ["synthetic"], "processors": ["batch"], "exporters": ["parquet/out"]}
+            }
+        },
+    }
+    mutate(cfg)
+    with pytest.raises(ConfigError, match=err_frag):
+        compile_config(spark, cfg)
+
+
+def test_processor_config_validation(spark):
+    base_cfg = {
+        "receivers": {"synthetic": {"n_convs": 5}},
+        "exporters": {"parquet/out": {"path": "/tmp/x"}},
+        "service": {
+            "pipelines": {
+                "logs": {"receivers": ["synthetic"], "processors": ["filter/f"], "exporters": ["parquet/out"]}
+            }
+        },
+    }
+    # filter with neither include nor exclude is invalid (filterconfig config.go:70-136)
+    base_cfg["processors"] = {"filter/f": {}}
+    with pytest.raises(ConfigError, match="include or exclude"):
+        compile_config(spark, base_cfg)
+    # attributes without actions is invalid (attraction.go:139)
+    base_cfg["service"]["pipelines"]["logs"]["processors"] = ["attributes/a"]
+    base_cfg["processors"] = {"attributes/a": {}}
+    with pytest.raises(ConfigError, match="actions required"):
+        compile_config(spark, base_cfg)
+
+
+def test_resource_enrich_processor(spark, tmp_path):
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [("conv-000000", "t0"), ("conv-000001", "t1")], ["conv_id", "tenant"]
+    ).write.parquet(dim_path)
+    cfg = {
+        "receivers": {"synthetic": {"n_convs": 4, "mean_turns": 3}},
+        "processors": {"resource/enrich": {"lookup_path": dim_path, "join_key": "conv_id"}},
+        "exporters": {"parquet/out": {"path": str(tmp_path / "out")}},
+        "service": {
+            "pipelines": {
+                "logs": {
+                    "receivers": ["synthetic"],
+                    "processors": ["resource/enrich"],
+                    "exporters": ["parquet/out"],
+                }
+            }
+        },
+    }
+    svc = compile_config(spark, cfg)
+    spec = svc.pipelines["logs"]
+    df = spec.source(spark)
+    for p in spec.processors:
+        df = p(df)
+    rows = df.collect()
+    assert "tenant" in df.columns
+    by_conv = {r.conv_id: r.tenant for r in rows}
+    assert by_conv["conv-000000"] == "t0"
+    assert by_conv["conv-000003"] is None  # left-join null path
+
+
+def test_batch_max_records_propagates_to_sinks(spark, tmp_path):
+    cfg = {
+        "receivers": {"synthetic": {"n_convs": 5}},
+        "processors": {"batch": {"send_batch_max_size": 7}},
+        "exporters": {"parquet/out": {"path": str(tmp_path / "out")}},
+        "service": {
+            "pipelines": {
+                "logs": {"receivers": ["synthetic"], "processors": ["batch"], "exporters": ["parquet/out"]}
+            }
+        },
+    }
+    svc = compile_config(spark, cfg)
+    assert svc.pipelines["logs"].sinks[0].max_records_per_file == 7

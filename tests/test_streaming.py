@@ -1,0 +1,121 @@
+"""Structured Streaming pipeline tests (push-path analog).
+
+Gate: the streaming fan-out over the same input produces exactly the same
+per-sink row sets as the batch pipeline (sent == received,
+testbed/correctness/traces/correctness_test.go:95-100), and watermarked
+window aggregates match a batch groupBy over the same data once the stream
+drains (availableNow)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.filters import MatchProperties, filter_records
+from opentelemetry_collector_spark.operators.parse import extract_columns
+from opentelemetry_collector_spark.plans.route import Route, fan_out
+from opentelemetry_collector_spark.sources.transcripts import synthesize
+from opentelemetry_collector_spark.streaming import (
+    run_stream_pipeline,
+    session_turn_counts,
+    windowed_turn_counts,
+)
+
+
+def _routes():
+    return [
+        Route("sink_tools", F.col("tool_name").isNotNull()),
+        Route("sink_user", F.col("role") == "user"),
+    ]
+
+
+def _processors():
+    return [
+        lambda df: extract_columns(df, "text", r"tool_call: (?P<tool_name>\w+)\((?P<arg>[^)]*)\)"),
+        lambda df: filter_records(df, include=MatchProperties(columns={"role": ["user", "assistant"]})),
+    ]
+
+
+def _landing(spark, tmp_path, n_convs=40):
+    """Write the input as several files => several pushed batches."""
+    path = str(tmp_path / "landing")
+    df = synthesize(spark, n_convs=n_convs, mean_turns=6, seed=42)
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    return path, df
+
+
+def test_stream_fanout_matches_batch(spark, tmp_path):
+    landing, df = _landing(spark, tmp_path)
+    base = str(tmp_path / "sinks")
+    q = run_stream_pipeline(
+        spark,
+        landing,
+        base,
+        processors=_processors(),
+        routes=_routes(),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    # batch reference over the identical input
+    b = df
+    for p in _processors():
+        b = p(b)
+    expected = fan_out(b, _routes())
+    for sink in ("sink_tools", "sink_user"):
+        got = spark.read.parquet(f"{base}/{sink}").drop("_epoch")
+        exp = expected[sink]
+        cols = ["conv_id", "turn_idx", "role", "text"]
+        assert {tuple(r) for r in got.select(*cols).collect()} == {
+            tuple(r) for r in exp.select(*cols).collect()
+        }
+
+
+def test_windowed_counts_match_batch_groupby(spark, tmp_path):
+    landing, df = _landing(spark, tmp_path)
+    out = []
+    stream = windowed_turn_counts(
+        __import__("opentelemetry_collector_spark.streaming.stream", fromlist=["x"]).read_transcript_stream(
+            spark, landing
+        ),
+        window="1 minute",
+        watermark="0 seconds",
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.win.start, r.role): r.turn_count
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    exp = {
+        (r.win.start, r.role): r.turn_count
+        for r in df.groupBy(F.window("ts", "1 minute").alias("win"), "role")
+        .agg(F.count(F.lit(1)).alias("turn_count"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_session_windows_close_on_gap(spark):
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, "user", "a", None, base),
+        ("c1", 1, "assistant", "b", None, base + dt.timedelta(minutes=1)),
+        # > 5 min gap => second session for c1
+        ("c1", 2, "user", "c", None, base + dt.timedelta(minutes=20)),
+        ("c2", 0, "user", "d", None, base),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+    got = session_turn_counts(df, gap="5 minutes").collect()
+    per_conv = {}
+    for r in got:
+        per_conv.setdefault(r.conv_id, []).append(r.turn_count)
+    assert sorted(per_conv["c1"]) == [1, 2]
+    assert per_conv["c2"] == [1]
