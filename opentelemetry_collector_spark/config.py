@@ -223,6 +223,8 @@ def _compile_exporter(cid: str, cfg: dict, batch_max: int | None) -> SinkSpec:
         path=cfg["path"],
         format=ctype,
         max_records_per_file=cfg.get("max_records_per_file", batch_max),
+        repartition_key=cfg.get("repartition_key"),
+        partition_by=list(cfg["partition_by"]) if cfg.get("partition_by") else None,
     )
 
 

@@ -22,6 +22,7 @@ Catalyst evaluates ``rlike`` vectorized in codegen.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -105,3 +106,152 @@ def filter_records(
     The RemoveIf empty-parent pruning and ErrSkipProcessingData short-circuit
     are subsumed by Catalyst empty-relation propagation."""
     return df.filter(match_predicate(include, exclude))
+
+
+# ---------------------------------------------------------------------------
+# expr mini-language (internal/processor/filterexpr/matcher.go:24-62)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<op>\(|\)|==|!=|=~|&&|\|\||!)"
+    r"|(?P<str>\"(?:[^\"\\]|\\.)*\")"
+    r"|(?P<ident>[A-Za-z_][A-Za-z0-9_]*))"
+)
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m or m.end() == pos:
+            if src[pos:].strip():
+                raise ValueError(f"expr: bad token at {src[pos:]!r}")
+            break
+        pos = m.end()
+        for kind in ("op", "str", "ident"):
+            if m.group(kind) is not None:
+                out.append((kind, m.group(kind)))
+                break
+    return out
+
+
+class _ExprParser:
+    """Recursive-descent parser for the subset of antonmedv/expr the
+    reference exposes (matcher.go env: MetricName, Label(k), HasLabel(k) —
+    generalized here to Name / Attr(k) / HasAttr(k) over transcript columns).
+
+    Grammar: or := and ('||' and)* ; and := unary ('&&' unary)* ;
+    unary := '!' unary | cmp ; cmp := primary (('=='|'!='|'=~') primary)? ;
+    primary := '(' or ')' | STRING | Name | Fn '(' STRING ')'.
+    """
+
+    def __init__(self, tokens: list[tuple[str, str]], name_col: str, attr_cols: dict[str, str] | None, attrs_col: str):
+        self.toks = tokens
+        self.i = 0
+        self.name_col = name_col
+        self.attr_cols = attr_cols or {}
+        self.attrs_col = attrs_col
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def _eat(self, val: str | None = None):
+        kind, tok = self._peek()
+        if kind is None or (val is not None and tok != val):
+            raise ValueError(f"expr: expected {val!r}, got {tok!r}")
+        self.i += 1
+        return kind, tok
+
+    def parse(self) -> Column:
+        col = self._or()
+        if self.i != len(self.toks):
+            raise ValueError(f"expr: trailing tokens {self.toks[self.i:]}")
+        return col
+
+    def _or(self) -> Column:
+        left = self._and()
+        while self._peek()[1] == "||":
+            self._eat("||")
+            left = left | self._and()
+        return left
+
+    def _and(self) -> Column:
+        left = self._unary()
+        while self._peek()[1] == "&&":
+            self._eat("&&")
+            left = left & self._unary()
+        return left
+
+    def _unary(self) -> Column:
+        if self._peek()[1] == "!":
+            self._eat("!")
+            return ~self._unary()
+        return self._cmp()
+
+    def _cmp(self) -> Column:
+        left = self._primary()
+        op = self._peek()[1]
+        if op in ("==", "!=", "=~"):
+            self._eat(op)
+            if op == "=~":
+                kind, tok = self._eat()
+                if kind != "str":
+                    raise ValueError("expr: =~ requires a string pattern on the right")
+                return left.rlike(tok[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
+            right = self._primary()
+            if op == "==":
+                return left == right
+            # expr's != over a missing/NULL operand is false, not NULL —
+            # a filter must drop, never keep, on missing
+            return F.coalesce(left != right, F.lit(False))
+        return left
+
+    def _primary(self):
+        kind, tok = self._peek()
+        if tok == "(":
+            self._eat("(")
+            col = self._or()
+            self._eat(")")
+            return col
+        if kind == "str":
+            self._eat()
+            return F.lit(tok[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
+        if kind == "ident":
+            self._eat()
+            if tok in ("Name", "MetricName"):
+                return F.col(self.name_col)
+            if tok in ("Attr", "Label", "HasAttr", "HasLabel"):
+                self._eat("(")
+                skind, s = self._eat()
+                if skind != "str":
+                    raise ValueError(f"expr: {tok}() takes a string key")
+                key = s[1:-1]
+                self._eat(")")
+                if tok in ("HasAttr", "HasLabel"):
+                    if key in self.attr_cols:
+                        return F.col(self.attr_cols[key]).isNotNull()
+                    return F.coalesce(
+                        F.map_contains_key(F.col(self.attrs_col), F.lit(key)), F.lit(False)
+                    )
+                if key in self.attr_cols:
+                    return F.col(self.attr_cols[key])
+                return F.col(self.attrs_col)[key]
+            raise ValueError(f"expr: unknown identifier {tok!r}")
+        raise ValueError(f"expr: unexpected token {tok!r}")
+
+
+def expr_predicate(
+    expression: str,
+    name_col: str = "text",
+    attr_cols: dict[str, str] | None = None,
+    attrs_col: str = "attrs",
+) -> Column:
+    """Translate an expr-language string to a boolean Column.
+
+    The reference evaluates these per-datapoint in a VM
+    (``internal/processor/filterexpr/matcher.go:24-62``); here the whole
+    expression compiles once into Catalyst predicates (vectorized, and
+    eligible for scan pushdown when it references plain columns).
+    `attr_cols` maps Attr/Label keys to flattened envelope columns; other
+    keys fall back to the `attrs` map column."""
+    return _ExprParser(_tokenize(expression), name_col, attr_cols, attrs_col).parse()

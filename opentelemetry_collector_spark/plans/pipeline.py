@@ -35,7 +35,6 @@ from opentelemetry_collector_spark.plans.checkpoint import (
     input_snapshot_id,
 )
 from opentelemetry_collector_spark.plans.metrics import MetricsCollector
-from opentelemetry_collector_spark.plans.route import Route, fan_out
 
 Transform = Callable[[DataFrame], DataFrame]
 
@@ -47,6 +46,25 @@ class SinkSpec:
     path: str
     format: str = "parquet"
     max_records_per_file: int | None = None
+    # Kafka-exporter analog (exporter/kafkaexporter/kafka_exporter.go:44-100,
+    # jaeger_marshaler.go:56 keys messages by trace id): co-locate a sink's
+    # rows by key before writing, so downstream consumers see per-key locality
+    repartition_key: str | None = None
+    # hive-style partitioned layout (partition pruning for sink readers)
+    partition_by: list[str] | None = None
+
+
+def write_sink(df: DataFrame, s: SinkSpec) -> None:
+    """One idempotent sink write honoring the spec's physical options."""
+    out = df.filter(s.predicate)
+    if s.repartition_key:
+        out = out.repartition(F.col(s.repartition_key))
+    writer = out.write.mode("overwrite").format(s.format)
+    if s.max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", s.max_records_per_file)
+    if s.partition_by:
+        writer = writer.partitionBy(*s.partition_by)
+    writer.save(s.path)
 
 
 @dataclass
@@ -108,18 +126,13 @@ def run_pipeline(
     sink_rows: dict[str, int] = {}
     resumed: list[str] = []
 
-    routed = fan_out(df_processed, [Route(s.name, s.predicate) for s in spec.sinks])
     for s in spec.sinks:
         if manifest.committed(s.name, snapshot):
             resumed.append(s.name)
             sink_rows[s.name] = spark.read.format(s.format).load(s.path).count()
             metrics.exporter_sent(s.name, sink_rows[s.name])
             continue
-        out = routed[s.name]
-        writer = out.write.mode("overwrite").format(s.format)
-        if s.max_records_per_file:
-            writer = writer.option("maxRecordsPerFile", s.max_records_per_file)
-        writer.save(s.path)
+        write_sink(df_processed, s)
         n = spark.read.format(s.format).load(s.path).count()
         sink_rows[s.name] = n
         metrics.exporter_sent(s.name, n)

@@ -581,6 +581,44 @@ FROM t GROUP BY 1, 2
 """
 
 
+def q28_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP-JSON codec gate: marshal every turn to a JSON line and parse it
+    back (sources/codecs.py; model/otlp/json_marshaler.go analog). The
+    oracle is the identity — any encoding drift (quoting, unicode,
+    timestamp format) breaks the value hash."""
+    from opentelemetry_collector_spark.sources.codecs import parse_turn_json, to_turn_json
+
+    t = from_events(spark, sf_dir)
+    return parse_turn_json(to_turn_json(t)).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+Q28_SQL = f"""{_PRELUDE}
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t
+"""
+
+
+def q29_expr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expr-language filter (internal/processor/filterexpr/matcher.go:24-62):
+    the reference's only UDF surface, translated to a Column predicate."""
+    from opentelemetry_collector_spark.operators.filters import expr_predicate
+
+    t = from_events(spark, sf_dir)
+    pred = expr_predicate(
+        'Name == "user" || (HasAttr("tool") && Attr("tool") != "calc")',
+        name_col="role",
+        attr_cols={"tool": "tool"},
+    )
+    return t.filter(pred).select("conv_id", "turn_idx", "role", "tool")
+
+
+Q29_SQL = f"""{_PRELUDE}
+SELECT conv_id, turn_idx, role, tool FROM t
+WHERE role = 'user' OR (tool IS NOT NULL AND tool <> 'calc')
+"""
+
+
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
 
@@ -646,6 +684,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_ngram_jaccard": q25_ngram_jaccard,
     "q26_conv_digest": q26_conv_digest,
     "q27_severity_counts": q27_severity_counts,
+    "q28_json_roundtrip": q28_json_roundtrip,
+    "q29_expr_filter": q29_expr_filter,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -677,6 +717,8 @@ ORACLES: dict[str, str] = {
     "q25_ngram_jaccard": Q25_SQL,
     "q26_conv_digest": Q26_SQL,
     "q27_severity_counts": Q27_SQL,
+    "q28_json_roundtrip": Q28_SQL,
+    "q29_expr_filter": Q29_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -1,0 +1,105 @@
+"""Codec + sink-physical-options tests (SURVEY §2.2 / §2.5).
+
+Codec gate: marshal->unmarshal is the identity on every turn (the
+pb_marshaler/json_marshaler round-trip tests' analog). Sink gate: keyed
+repartition and hive partitioning change the LAYOUT, never the row set
+(record-count invariance, the batch-processor contract).
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.plans.pipeline import SinkSpec, write_sink
+from opentelemetry_collector_spark.sources.codecs import (
+    UNMARSHALERS,
+    parse_turn_json,
+    to_turn_json,
+    unmarshal,
+)
+from opentelemetry_collector_spark.sources.transcripts import synthesize
+
+
+def _key(df):
+    return {tuple(r) for r in df.select("conv_id", "turn_idx", "role", "text", "tool", "ts").collect()}
+
+
+def test_turn_json_roundtrip_identity(spark, tiny):
+    wire = to_turn_json(tiny)
+    assert wire.columns == ["value"]
+    back = parse_turn_json(wire)
+    assert _key(back) == _key(tiny)
+
+
+def test_turn_json_handles_special_text(spark):
+    rows = [
+        ("c", 0, "user", 'quote " backslash \\ newline \n tab \t', None, None),
+        ("c", 1, "user", "héllo ∑ (.*+?)", "calc", None),
+        ("c", 2, "user", "", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    back = parse_turn_json(to_turn_json(df))
+    assert _key(back) == _key(df)
+
+
+def test_malformed_json_yields_nulls_not_errors(spark):
+    df = spark.createDataFrame([("{not json",), ('{"conv_id": "c"}',)], ["value"])
+    out = parse_turn_json(df).collect()
+    assert out[0].conv_id is None  # refused-record, not an exception
+    assert out[1].conv_id == "c"
+
+
+def test_kv_text_encoding(spark):
+    df = spark.createDataFrame(
+        [("conv_id=c1 turn_idx=3 role=user text=hello_world ts=2025-01-01T00:00:05",)], ["value"]
+    )
+    row = unmarshal(df, "kv_text").collect()[0]
+    assert (row.conv_id, row.turn_idx, row.role, row.text) == ("c1", 3, "user", "hello world")
+    assert row.ts is not None
+
+
+def test_unmarshaler_registry_dispatch(spark):
+    assert set(UNMARSHALERS) == {"turn_json", "kv_text"}
+    with pytest.raises(ValueError, match="unknown encoding"):
+        unmarshal(None, "jaeger_proto")
+
+
+def test_keyed_sink_write_preserves_rows_and_colocates(spark, tmp_path, small):
+    path = str(tmp_path / "keyed")
+    spec = SinkSpec(
+        name="k",
+        predicate=F.lit(True),
+        path=path,
+        repartition_key="conv_id",
+        max_records_per_file=5000,
+    )
+    write_sink(small, spec)
+    back = spark.read.parquet(path)
+    assert back.count() == small.count()
+    # co-location: every conv_id appears in exactly one file (the Kafka
+    # key-partitioning contract, jaeger_marshaler.go:56)
+    per_conv_files = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("conv_id")
+        .agg(F.countDistinct("f").alias("nf"))
+        .agg(F.max("nf"))
+        .collect()[0][0]
+    )
+    assert per_conv_files == 1
+
+
+def test_partitioned_sink_layout(spark, tmp_path, small):
+    path = str(tmp_path / "byrole")
+    write_sink(small, SinkSpec(name="p", predicate=F.lit(True), path=path, partition_by=["role"]))
+    dirs = {d.split("/")[-1] for d in glob.glob(f"{path}/role=*")}
+    assert {"role=user", "role=assistant"} <= dirs
+    back = spark.read.parquet(path)
+    assert back.count() == small.count()
+    # partition pruning: reading one role touches only its directory
+    plan = back.filter(F.col("role") == "user")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(role" in plan

@@ -1,0 +1,112 @@
+"""Physical-plan quality gates (SURVEY §4 / §7 risk 6).
+
+These tests pin the *plan shape*, not just results — the properties that
+decide whether the same code survives a 100 TB input:
+
+- filters and column projections reach the parquet scan (PushedFilters /
+  ReadSchema pruning);
+- the hot path contains no row-at-a-time Python (BatchEvalPython); only
+  Arrow-vectorized exchange (ArrowEvalPython / mapInPandas) is allowed,
+  and only in the operators documented to use it;
+- single-pass routing produces ONE scan, not one per sink;
+- the enrich join is a BroadcastHashJoin (no shuffle of the fact side).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    q = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    q = ev.select("event_id", "event_type")
+    plan = _plan(q)
+    assert "ReadSchema: struct<event_id:bigint,event_type:string>" in plan
+
+
+def test_flagship_has_no_rowwise_python(spark):
+    from opentelemetry_collector_spark.plans.queries import q00_pipeline_e2e
+
+    plan = _plan(q00_pipeline_e2e(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python UDF
+    assert "ArrowEvalPython" not in plan  # flagship is 100% JVM expressions
+    assert "PythonMapInArrow" not in plan
+
+
+def test_flagship_enrich_is_broadcast_join(spark):
+    from opentelemetry_collector_spark.plans.queries import q00_pipeline_e2e
+
+    plan = _plan(q00_pipeline_e2e(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_single_pass_routing_scans_once(spark):
+    from opentelemetry_collector_spark.plans.queries import _routes
+    from opentelemetry_collector_spark.plans.route import route_counts
+    from opentelemetry_collector_spark.sources.transcripts import from_events
+
+    plan = _plan(route_counts(from_events(spark, SF_DIR), _routes()))
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_attribute_actions_single_projection_no_shuffle(spark, tiny):
+    from opentelemetry_collector_spark.operators.attributes import Action, apply_actions
+
+    q = apply_actions(
+        tiny,
+        [
+            Action("env", "insert", value="prod"),
+            Action("rc", "upsert", from_attribute="env"),
+            Action("rc", "hash"),
+        ],
+    )
+    plan = _plan(q)
+    assert "Exchange" not in plan  # pure projection chain
+    assert "BatchEvalPython" not in plan
+
+
+def test_grok_pack_uses_arrow_not_rowwise(spark, tiny):
+    from opentelemetry_collector_spark.operators.parse import grok_pack
+
+    plan = _plan(grok_pack(tiny, "text", [r"error code=(?P<code>\d+)"]))
+    assert "BatchEvalPython" not in plan
+    # mapInPandas shows up as MapInPandas (Arrow-batched)
+    assert "MapInPandas" in plan
+
+
+def test_turn_counts_partial_aggregation(spark):
+    from opentelemetry_collector_spark.operators.aggregate import turn_counts
+    from opentelemetry_collector_spark.sources.transcripts import from_events
+
+    plan = _plan(turn_counts(from_events(spark, SF_DIR)))
+    # map-side partial agg before the exchange, final after (two HashAggregates)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_rowwise_udf_usage_in_source_tree():
+    """Static gate: no `F.udf(`/`@udf` or rdd.map anywhere in the package
+    (SURVEY §7 risk 6 — pandas_udf/mapInPandas only)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "opentelemetry_collector_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        if "F.udf(" in src or "@udf" in src or ".rdd.map" in src or "functions.udf(" in src:
+            offenders.append(str(p))
+    assert not offenders, f"row-wise Python found in: {offenders}"
