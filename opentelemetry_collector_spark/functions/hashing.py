@@ -1,8 +1,10 @@
 """Hash parity helpers.
 
 1. SHA-1 over typed canonical bytes — byte layout per the reference
-   (``processor/processorhelper/hasher.go:37-77``): int64 big-endian 8B,
-   float64 IEEE-754 big-endian 8B, bool one byte 0/1, string raw UTF-8.
+   (``processor/processorhelper/hasher.go:37-77``): int64 LITTLE-endian 8B,
+   float64 IEEE-754 bits little-endian 8B (binary.LittleEndian.PutUint64,
+   hasher.go:53-57), bool one byte 0/1, string raw UTF-8. Golden digests:
+   attributes_log_test.go:311-351.
    For strings plain ``F.sha1`` matches; for numerics we build the byte
    encoding JVM-side so no Python runs in the hot path.
 
@@ -29,11 +31,11 @@ def sha1_typed(col: Column, dtype: str) -> Column:
     if dtype == "string":
         return F.sha1(col.cast("string"))
     if dtype == "int":
-        # int64 big-endian 8 bytes (hasher.go:53-58)
-        return F.sha1(_int64_be_bytes(col.cast("long")))
+        # int64 little-endian 8 bytes (hasher.go:52-54)
+        return F.sha1(_int64_le_bytes(col.cast("long")))
     if dtype == "double":
-        # IEEE-754 bits big-endian (hasher.go:60-66)
-        return F.sha1(_int64_be_bytes(_double_bits(col.cast("double"))))
+        # IEEE-754 bits little-endian (hasher.go:55-57)
+        return F.sha1(_int64_le_bytes(_double_bits(col.cast("double"))))
     if dtype == "bool":
         # single byte 1/0 (hasher.go:68-74)
         return F.sha1(
@@ -44,13 +46,17 @@ def sha1_typed(col: Column, dtype: str) -> Column:
     raise ValueError(f"unsupported dtype {dtype}")
 
 
-def _int64_be_bytes(col: Column) -> Column:
-    """long -> 8-byte big-endian binary, JVM-side.
+def _int64_le_bytes(col: Column) -> Column:
+    """long -> 8-byte little-endian binary, JVM-side.
 
     Spark lacks a to-binary-from-long builtin; build via hex + unhex
-    (hex(long) is the big-endian hex of the two's-complement value).
+    (hex(long) is the big-endian hex of the two's-complement value) and
+    swap the 8 hex pairs to match Go's binary.LittleEndian layout.
+    (NOT F.reverse on the binary — that round-trips through string and
+    mangles non-UTF-8 bytes.)
     """
-    return F.unhex(F.lpad(F.hex(col), 16, "0"))
+    h = F.lpad(F.hex(col), 16, "0")
+    return F.unhex(F.concat(*[F.substring(h, i * 2 + 1, 2) for i in range(7, -1, -1)]))
 
 
 def _double_bits(col: Column) -> Column:

@@ -3,10 +3,12 @@
 Reference semantics reproduced:
 - strict filterset: exact string membership
   (``internal/processor/filterset/strict/strictfilterset.go:22-43``).
-- regexp filterset: OR of **full-match** re2 patterns — "automatically
-  anchored" (``internal/processor/filterset/regexp/regexpfilterset.go:37-96``,
-  anchor note :79-80). We anchor explicitly with ^(?:...)$ since Java
-  ``rlike`` is find-anywhere.
+- regexp filterset: OR of **find-anywhere** re2 patterns. The comment at
+  ``regexpfilterset.go:79`` claims automatic anchoring, but the code compiles
+  patterns verbatim and matches with Go's unanchored ``MatchString`` (:64);
+  the golden table ``filter_processor_test.go:111-127`` pins the unanchored
+  behavior (``prefixprefix/test/match`` matches ``prefix/.*``). Java
+  ``rlike`` is also find-anywhere, so patterns pass through verbatim.
 - attribute matcher: all listed keys must exist and equal the (stringified)
   value, or regex-match for strings; an empty attribute map never matches a
   non-empty spec (``internal/processor/filtermatcher/attributematcher.go:83-114``).
@@ -41,9 +43,14 @@ def filterset_predicate(col: Column, values: list[str], match_type: str = STRICT
     if match_type == STRICT:
         return col.isin(list(values))
     if match_type == REGEXP:
-        # full-match anchored alternation (regexpfilterset.go:79-96)
+        # find-anywhere alternation: regexpfilterset.go:79 COMMENTS that
+        # patterns are "automatically anchored" but the code compiles them
+        # verbatim and uses Go's unanchored MatchString (:64) — the golden
+        # table in filter_processor_test.go:111-127 (prefixprefix/test/match
+        # matching prefix/.*) pins the unanchored behavior, and Spark rlike
+        # has the same find-anywhere semantics. Callers anchor explicitly.
         alt = "|".join(f"(?:{p})" for p in values)
-        return col.rlike(f"^(?:{alt})$")
+        return col.rlike(alt)
     raise ValueError(f"unknown match_type {match_type}")
 
 
@@ -74,7 +81,7 @@ class MatchProperties:
             if value is None:
                 preds.append(has)
             elif self.match_type == REGEXP and isinstance(value, str):
-                preds.append(has & m[key].rlike(f"^(?:{value})$"))
+                preds.append(has & m[key].rlike(value))
             else:
                 preds.append(has & (m[key] == F.lit(canonical_str(value))))
         if not preds:

@@ -123,7 +123,7 @@ def q02_filter_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q02_SQL = f"""{_PRELUDE}
 SELECT * FROM t
 WHERE role IN ('user','assistant')
-  AND NOT regexp_matches(text, '^(?:clicked item \\d+)$')
+  AND NOT regexp_matches(text, 'clicked item \\d+')
 """
 
 
@@ -138,7 +138,7 @@ def q03_filter_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q03_SQL = f"""{_PRELUDE}
 SELECT * FROM t
-WHERE regexp_matches(text, '^(?:(?:tool_call: \\w+\\([^)]*\\))|(?:error code=\\d+))$')
+WHERE regexp_matches(text, '(?:tool_call: \\w+\\([^)]*\\))|(?:error code=\\d+)')
 """
 
 

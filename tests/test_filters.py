@@ -46,16 +46,22 @@ def test_strict_exclude(spark):
     assert out.count() == 3
 
 
-def test_regexp_fullmatch_anchoring(spark):
-    # regexpfilterset.go:79-80 — patterns are implicitly anchored
+def test_regexp_find_anywhere_semantics(spark):
+    # regexpfilterset.go:64 — unanchored MatchString: a substring pattern
+    # matches (the :79 "automatically anchored" comment is contradicted by
+    # the code and by filter_processor_test.go:111-127's golden expectations)
     df = _df(spark, ROWS)
-    # substring pattern must NOT match under full-match semantics
     out = filter_records(df, include=MatchProperties(match_type=REGEXP, columns={"text": ["error"]}))
-    assert out.count() == 0
+    assert out.count() == 1  # substring match on "error code=500"
+    # explicit anchors still give full-match when the caller wants it
     out2 = filter_records(
-        df, include=MatchProperties(match_type=REGEXP, columns={"text": [r"error code=\d+"]})
+        df, include=MatchProperties(match_type=REGEXP, columns={"text": [r"^code=\d+$"]})
     )
-    assert out2.count() == 1
+    assert out2.count() == 0
+    out3 = filter_records(
+        df, include=MatchProperties(match_type=REGEXP, columns={"text": [r"^error code=\d+$"]})
+    )
+    assert out3.count() == 1
 
 
 def test_regexp_alternation(spark):

@@ -1,0 +1,224 @@
+"""Golden-parity tests ported from the reference's own test tables.
+
+Each case cites the Go test it reproduces; inputs and expected outputs are
+copied VALUES (public test vectors), evaluated through our Spark operators:
+
+- SHA-1 hash digests per value type
+  (processor/attributesprocessor/attributes_log_test.go:309-375 TestLogAttributes_Hash)
+- attributes-processor include/exclude gating tables
+  (attributes_log_test.go:121-306 TestAttributes_FilterLogs*)
+- filter-processor metric-name include/exclude tables
+  (processor/filterprocessor/filter_processor_test.go:50-163 standardTests)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.functions.hashing import sha1_typed
+from opentelemetry_collector_spark.operators.attributes import Action, apply_actions
+from opentelemetry_collector_spark.operators.filters import (
+    REGEXP,
+    STRICT,
+    MatchProperties,
+    filter_records,
+)
+
+
+# ---------------------------------------------------------------------------
+# TestLogAttributes_Hash — exact digests from the Go table
+# ---------------------------------------------------------------------------
+
+
+def test_hash_golden_digests(spark):
+    df = spark.createDataFrame(
+        [("john.doe@example.com", 10, 99.1, True)],
+        "email string, uid long, balance double, authed boolean",
+    )
+    row = df.select(
+        sha1_typed(F.col("email"), "string").alias("hs"),
+        sha1_typed(F.col("uid"), "int").alias("hi"),
+        sha1_typed(F.col("balance"), "double").alias("hd"),
+        sha1_typed(F.col("authed"), "bool").alias("hb"),
+    ).collect()[0]
+    # attributes_log_test.go:311-351 expected values (hasher.go byte layouts)
+    assert row.hs == "73ec53c4ba1747d485ae2a0d7bfafa6cda80a5a9"
+    assert row.hi == "71aa908aff1548c8c6cdecf63545261584738a25"
+    assert row.hd == "76429edab4855b03073f9429fd5d10313c28655e"
+    assert row.hb == "bf8b4530d8d246dd74ac53a13471bba17941dff7"
+
+
+# ---------------------------------------------------------------------------
+# TestAttributes_FilterLogs* — include/exclude gating tables
+# The Go cases carry (log name, input attrs) -> expected attrs; the action is
+# always {key: attribute1, action: INSERT, value: 123}.
+# ---------------------------------------------------------------------------
+
+_INSERT_123 = [Action("attribute1", "insert", value=123)]
+
+
+def _run_gating(spark, cases, include, exclude):
+    rows = [(name, attrs) for name, attrs, _ in cases]
+    df = spark.createDataFrame(rows, "name string, attrs map<string,string>")
+    out = apply_actions(df, _INSERT_123, include=include, exclude=exclude)
+    got = {r.name: dict(r.attrs or {}) for r in out.collect()}
+    for name, _, expected in cases:
+        assert got[name] == expected, f"case {name!r}: {got[name]} != {expected}"
+
+
+def test_filter_logs_regex_include_attr_exclude(spark):
+    """attributes_log_test.go:121-179 TestAttributes_FilterLogs:
+    include = log name =~ ^[^i].*   exclude = attr NoModification == true."""
+    cases = [
+        ("apply processor", {}, {"attribute1": "123"}),
+        (
+            "different value for exclude property",
+            {"NoModification": "false"},
+            {"attribute1": "123", "NoModification": "false"},
+        ),
+        ("incorrect name for include property", {}, {}),
+        ("attribute match for exclude property", {"NoModification": "true"}, {"NoModification": "true"}),
+    ]
+    _run_gating(
+        spark,
+        cases,
+        include=MatchProperties(match_type=REGEXP, columns={"name": [r"^[^i].*"]}),
+        exclude=MatchProperties(match_type=STRICT, attributes={"NoModification": True}),
+    )
+
+
+def test_filter_logs_by_name_strict(spark):
+    """attributes_log_test.go:181-243 TestAttributes_FilterLogsByNameStrict:
+    include = name in {apply, dont_apply}, exclude = name in {dont_apply}."""
+    cases = [
+        ("apply", {}, {"attribute1": "123"}),
+        ("incorrect_log_name", {}, {}),
+        ("dont_apply", {}, {}),
+        ("incorrect_log_name_with_attr", {"NoModification": "true"}, {"NoModification": "true"}),
+    ]
+    _run_gating(
+        spark,
+        cases,
+        include=MatchProperties(match_type=STRICT, columns={"name": ["apply", "dont_apply"]}),
+        exclude=MatchProperties(match_type=STRICT, columns={"name": ["dont_apply"]}),
+    )
+    # the second "apply" row of the Go table (same name, with an attr)
+    _run_gating(
+        spark,
+        [("apply", {"NoModification": "false"}, {"attribute1": "123", "NoModification": "false"})],
+        include=MatchProperties(match_type=STRICT, columns={"name": ["apply", "dont_apply"]}),
+        exclude=MatchProperties(match_type=STRICT, columns={"name": ["dont_apply"]}),
+    )
+
+
+def test_filter_logs_by_name_regexp(spark):
+    """attributes_log_test.go:244-306 TestAttributes_FilterLogsByNameRegexp:
+    include = name =~ ^apply.*, exclude = name =~ .*dont_apply$."""
+    cases = [
+        ("apply_to_log_with_no_attrs", {}, {"attribute1": "123"}),
+        (
+            "apply_to_log_with_attr",
+            {"NoModification": "false"},
+            {"attribute1": "123", "NoModification": "false"},
+        ),
+        ("incorrect_log_name", {}, {}),
+        ("apply_dont_apply", {}, {}),
+        ("incorrect_log_name_with_attr", {"NoModification": "true"}, {"NoModification": "true"}),
+    ]
+    _run_gating(
+        spark,
+        cases,
+        include=MatchProperties(match_type=REGEXP, columns={"name": [r"^apply.*"]}),
+        exclude=MatchProperties(match_type=REGEXP, columns={"name": [r".*dont_apply$"]}),
+    )
+
+
+# ---------------------------------------------------------------------------
+# filter_processor_test.go standardTests — metric-name filtersets
+# ---------------------------------------------------------------------------
+
+VALID_FILTERS = [
+    "prefix/.*",
+    "prefix_.*",
+    ".*/suffix",
+    ".*_suffix",
+    ".*/contains/.*",
+    ".*_contains_.*",
+    "full/name/match",
+    "full_name_match",
+]
+
+IN_METRIC_NAMES = [
+    "full_name_match",
+    "not_exact_string_match",
+    "prefix/test/match",
+    "prefix_test_match",
+    "prefixprefix/test/match",
+    "test/match/suffix",
+    "test_match_suffix",
+    "test/match/suffixsuffix",
+    "test/contains/match",
+    "test_contains_match",
+    "random",
+    "full/name/match",
+    "full_name_match",  # repeats preserved
+    "not_exact_string_match",
+]
+
+
+def _metric_df(spark):
+    return spark.createDataFrame([(i, n) for i, n in enumerate(IN_METRIC_NAMES)], "i int, metric string")
+
+
+def _out_names(df):
+    return [r.metric for r in df.orderBy("i").collect()]
+
+
+def test_filterprocessor_include_regexp(spark):
+    out = filter_records(
+        _metric_df(spark),
+        include=MatchProperties(match_type=REGEXP, columns={"metric": VALID_FILTERS}),
+    )
+    assert _out_names(out) == [
+        "full_name_match",
+        "prefix/test/match",
+        "prefix_test_match",
+        "prefixprefix/test/match",
+        "test/match/suffix",
+        "test_match_suffix",
+        "test/match/suffixsuffix",
+        "test/contains/match",
+        "test_contains_match",
+        "full/name/match",
+        "full_name_match",
+    ]
+
+
+def test_filterprocessor_exclude_regexp(spark):
+    out = filter_records(
+        _metric_df(spark),
+        exclude=MatchProperties(match_type=REGEXP, columns={"metric": VALID_FILTERS}),
+    )
+    assert _out_names(out) == ["not_exact_string_match", "random", "not_exact_string_match"]
+
+
+def test_filterprocessor_include_and_exclude(spark):
+    out = filter_records(
+        _metric_df(spark),
+        include=MatchProperties(match_type=REGEXP, columns={"metric": VALID_FILTERS}),
+        exclude=MatchProperties(
+            match_type=STRICT, columns={"metric": ["prefix_test_match", "test_contains_match"]}
+        ),
+    )
+    assert _out_names(out) == [
+        "full_name_match",
+        "prefix/test/match",
+        "prefixprefix/test/match",
+        "test/match/suffix",
+        "test_match_suffix",
+        "test/match/suffixsuffix",
+        "test/contains/match",
+        "full/name/match",
+        "full_name_match",
+    ]

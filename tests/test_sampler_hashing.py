@@ -93,7 +93,7 @@ def test_sampler_priority_paths(spark):
 
 
 def test_sha1_typed_bytes_layout(spark):
-    # hasher.go:37-77: int64 BE 8B, float64 IEEE BE 8B, bool 1B, string utf8
+    # hasher.go:37-77: int64 LE 8B, float64 IEEE-bits LE 8B, bool 1B, string utf8
     df = spark.createDataFrame(
         [(-123456789, 3.14159, True, "héllo")], "i long, d double, b boolean, s string"
     )
@@ -103,7 +103,7 @@ def test_sha1_typed_bytes_layout(spark):
         sha1_typed(F.col("b"), "bool").alias("hb"),
         sha1_typed(F.col("s"), "string").alias("hs"),
     ).collect()[0]
-    assert row.hi == hashlib.sha1(struct.pack(">q", -123456789)).hexdigest()
-    assert row.hd == hashlib.sha1(struct.pack(">d", 3.14159)).hexdigest()
+    assert row.hi == hashlib.sha1(struct.pack("<q", -123456789)).hexdigest()
+    assert row.hd == hashlib.sha1(struct.pack("<d", 3.14159)).hexdigest()
     assert row.hb == hashlib.sha1(b"\x01").hexdigest()
     assert row.hs == hashlib.sha1("héllo".encode()).hexdigest()
