@@ -1,0 +1,51 @@
+"""spark-submit entry point: run a Collector-shaped config end-to-end.
+
+The reference's binary is `otelcol --config config.yaml`
+(``service/collector.go:134-139`` cobra CLI); ours is
+
+    spark-submit --py-files otelcol_spark.zip -m opentelemetry_collector_spark.job \
+        --config pipeline.yaml --base-path s3://bucket/runs/2026-08-17 \
+        [--run-id RUN] [--master local[8]]
+
+or locally: ``python -m opentelemetry_collector_spark.job --config ...``.
+
+On a cluster, omit --master and let spark-submit supply the session; the
+same config then runs unchanged at N or 4N executors (the two-cluster-size
+criterion) because every stage is expressed as partition-parallel DataFrame
+ops. Exit code 0 iff every pipeline committed every sink; per-sink counts
+and the metrics table land under --base-path (see plans/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="otelcol-spark", description=__doc__)
+    ap.add_argument("--config", required=True, help="YAML pipeline config (see config.py)")
+    ap.add_argument("--base-path", required=True, help="output root: sinks, metrics, manifest")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--master", default=None, help="override master (local runs); omit under spark-submit")
+    args = ap.parse_args(argv)
+
+    from opentelemetry_collector_spark.config import run_config
+    from opentelemetry_collector_spark.session import build_session
+
+    spark = build_session(master=args.master) if args.master else build_session(master=None)
+    try:
+        results = run_config(spark, args.config, args.base_path, run_id=args.run_id)
+        summary = {
+            p: {"run_id": r.run_id, "sink_rows": r.sink_rows, "resumed": r.resumed_sinks}
+            for p, r in results.items()
+        }
+        print(json.dumps(summary), flush=True)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

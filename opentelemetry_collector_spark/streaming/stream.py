@@ -135,3 +135,46 @@ def run_stream_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_redelivered(
+    df: DataFrame,
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Stateful exactly-once filter over an at-least-once stream.
+
+    The reference's delivery chain may redeliver whole batches (queue retry,
+    ``exporter/exporterhelper/queued_retry.go:241-332``); sinks there are
+    expected to tolerate duplicates. This operator upgrades the contract to
+    exactly-once per (conv_id, turn_idx): a custom stateful operator via
+    ``applyInPandasWithState`` (the SURVEY §2.7 slot) keeping the set of
+    seen turn_idx per conversation, emitting only first deliveries. State is
+    bounded per conversation and dropped after `timeout_minutes` of
+    processing-time inactivity (closed conversations cost nothing).
+
+    Arrow-batched per group — no per-row Python.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    state_schema = "seen array<int>"
+
+    def fn(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            fresh = pdf[~pdf["turn_idx"].isin(seen)]
+            # dedupe within the batch too (a batch may repeat a turn)
+            fresh = fresh.drop_duplicates(subset=["turn_idx"])
+            seen.update(int(t) for t in fresh["turn_idx"])
+            if len(fresh):
+                yield fresh[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+        state.update((sorted(seen),))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+
+    return df.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -209,3 +209,55 @@ def test_batch_max_records_propagates_to_sinks(spark, tmp_path):
     }
     svc = compile_config(spark, cfg)
     assert svc.pipelines["logs"].sinks[0].max_records_per_file == 7
+
+
+def test_job_cli_main(spark, tmp_path):
+    """spark-submit entry point (job.py): config in, sinks + summary out.
+
+    Runs in a subprocess: job.main owns (and stops) its own SparkSession,
+    which must not tear down the shared test session's JVM."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    cfg = tmp_path / "p.yaml"
+    cfg.write_text(
+        f"""
+receivers:
+  synthetic: {{n_convs: 12, mean_turns: 4, seed: 7}}
+exporters:
+  parquet/all:
+    path: {tmp_path}/out_all
+service:
+  pipelines:
+    logs:
+      receivers: [synthetic]
+      exporters: [parquet/all]
+"""
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "opentelemetry_collector_spark.job",
+            "--config",
+            str(cfg),
+            "--base-path",
+            str(tmp_path / "run"),
+            "--master",
+            "local[2]",
+        ],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    from opentelemetry_collector_spark.sources.transcripts import synthesize
+
+    expected = synthesize(spark, 12, 4, 7).count()
+    assert summary["logs"]["sink_rows"]["parquet_all"] == expected
+    assert spark.read.parquet(str(tmp_path / "out_all")).count() == expected

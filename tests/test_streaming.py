@@ -119,3 +119,41 @@ def test_session_windows_close_on_gap(spark):
         per_conv.setdefault(r.conv_id, []).append(r.turn_count)
     assert sorted(per_conv["c1"]) == [1, 2]
     assert per_conv["c2"] == [1]
+
+
+def test_stateful_dedup_redelivered(spark, tmp_path):
+    """applyInPandasWithState exactly-once filter: overlapping redelivered
+    files (the queued_retry at-least-once analog) emit each (conv, turn)
+    exactly once across micro-batches."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.streaming.stream import (
+        dedup_redelivered,
+        read_transcript_stream,
+    )
+
+    base = dt.datetime(2025, 1, 1)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+    def rows(lo, hi):
+        return [
+            ("A", i, "user", f"t{i}", None, base + dt.timedelta(seconds=i)) for i in range(lo, hi)
+        ]
+
+    landing = str(tmp_path / "landing")
+    # delivery 1: turns 0-4; delivery 2 (retry): turns 3-7 overlap
+    spark.createDataFrame(rows(0, 5), schema).coalesce(1).write.mode("append").parquet(landing)
+    spark.createDataFrame(rows(3, 8), schema).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = dedup_redelivered(read_transcript_stream(spark, landing, max_files_per_trigger=1))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.conv_id, r.turn_idx) for r in spark.sql("select * from dedup_out").collect())
+    assert got == [("A", i) for i in range(8)]  # each turn exactly once
