@@ -51,20 +51,31 @@ def accumulate_last(
     ts_col: str = "ts",
     value_col: str = "value",
     tiebreak: list[str] | None = None,
+    as_of=None,
+    expiration_seconds: int | None = None,
 ) -> DataFrame:
     """Latest value per signature (accumulator.go:353-384 keeps the sample
     with the newest timestamp and drops older/stale ones).
 
     Deterministic under ties via explicit tiebreak ordering (the reference
     processes serially so last-write-wins; a parallel engine must order).
+
+    Expiry (accumulator.go:357-362): with `as_of` + `expiration_seconds`,
+    signatures whose latest sample is older than as_of - expiration are
+    dropped from the snapshot — the batch form of the Collect()-time sweep,
+    with an explicit as-of instant instead of wall-clock for determinism.
     """
     order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
     w = Window.partitionBy(*keys).orderBy(*order)
-    return (
+    out = (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    if as_of is not None and expiration_seconds is not None:
+        cutoff = F.lit(as_of).cast("timestamp") - F.make_interval(secs=F.lit(expiration_seconds))
+        out = out.filter(F.col(ts_col) >= cutoff)
+    return out
 
 
 def timeseries_group(

@@ -61,3 +61,59 @@ class CheckpointManifest:
 def input_snapshot_id(path: str, rows: int) -> str:
     """Cheap lineage id for a parquet input (Iceberg snapshot-id analog)."""
     return f"{path}@rows={rows}"
+
+
+@dataclass
+class PartitionLineage:
+    partition_id: int
+    file: str
+    rows: int
+
+
+def partition_lineage(path: str) -> list[PartitionLineage]:
+    """Per-partition lineage of a committed parquet sink: one entry per
+    written file (task partition), with its exact row count from the parquet
+    footer — no data scan. This is the audit trail the north rule asks for:
+    which task wrote which rows of which input snapshot."""
+    import pyarrow.parquet as pq
+
+    out: list[PartitionLineage] = []
+    ds = pq.ParquetDataset(path)
+    for i, frag in enumerate(sorted(ds.files)):
+        md = pq.ParquetFile(frag).metadata
+        out.append(PartitionLineage(i, os.path.basename(frag), md.num_rows))
+    return out
+
+
+class LineageLog:
+    """Append-only per-partition lineage log next to the manifest
+    (`<base>/_lineage.json`), one line per (run, sink, partition)."""
+
+    def __init__(self, base_path: str):
+        self.base_path = base_path
+        self.path = os.path.join(base_path, "_lineage.json")
+
+    def record(self, run_id: str, sink: str, input_snapshot: str, parts: list[PartitionLineage]) -> None:
+        os.makedirs(self.base_path, exist_ok=True)
+        with open(self.path, "a") as f:
+            for p in parts:
+                f.write(
+                    json.dumps(
+                        {
+                            "run_id": run_id,
+                            "stage": sink,
+                            "partition_id": p.partition_id,
+                            "file": p.file,
+                            "rows": p.rows,
+                            "input_snapshot": input_snapshot,
+                            "status": "committed",
+                        }
+                    )
+                    + "\n"
+                )
+
+    def load(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(line) for line in f if line.strip()]

@@ -31,8 +31,10 @@ from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.plans.checkpoint import (
     CheckpointManifest,
+    LineageLog,
     ManifestEntry,
     input_snapshot_id,
+    partition_lineage,
 )
 from opentelemetry_collector_spark.plans.metrics import MetricsCollector
 
@@ -123,6 +125,7 @@ def run_pipeline(
 
     snapshot = input_snapshot_id(spec.name, n_in)
     manifest = CheckpointManifest(base_path)
+    lineage = LineageLog(base_path)
     sink_rows: dict[str, int] = {}
     resumed: list[str] = []
 
@@ -133,10 +136,19 @@ def run_pipeline(
             metrics.exporter_sent(s.name, sink_rows[s.name])
             continue
         write_sink(df_processed, s)
-        n = spark.read.format(s.format).load(s.path).count()
+        if s.format == "parquet":
+            # per-partition lineage + counts straight from parquet footers
+            # (no re-scan of the data)
+            parts = partition_lineage(s.path)
+            n = sum(p.rows for p in parts)
+        else:
+            parts = []
+            n = spark.read.format(s.format).load(s.path).count()
         sink_rows[s.name] = n
         metrics.exporter_sent(s.name, n)
-        # sinks-first, manifest-last commit order (SURVEY §7 risk 4)
+        # sinks-first, lineage, manifest-last commit order (SURVEY §7 risk 4)
+        if parts:
+            lineage.record(run_id, s.name, snapshot, parts)
         manifest.commit(ManifestEntry(run_id, s.name, snapshot, "committed", n))
 
     df_processed.unpersist()

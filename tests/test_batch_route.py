@@ -76,3 +76,26 @@ def test_route_counts_single_pass(spark, small):
     per_sink = fan_out(small, routes)
     for r in routes:
         assert counts.get(r.name, 0) == per_sink[r.name].count()
+
+
+def test_accumulate_last_expiry(spark):
+    """accumulator.go:357-362 — series whose newest sample predates
+    as_of - expiration are swept from the snapshot."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.operators.aggregate import accumulate_last
+
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        ("s1", base - dt.timedelta(seconds=30), 1.0),   # fresh
+        ("s1", base - dt.timedelta(seconds=400), 9.0),  # older sample, ignored anyway
+        ("s2", base - dt.timedelta(seconds=400), 2.0),  # stale series -> swept
+    ]
+    df = spark.createDataFrame(rows, "sig string, ts timestamp, value double")
+    got = {r.sig: r.value for r in accumulate_last(
+        df, keys=["sig"], as_of=base, expiration_seconds=300
+    ).collect()}
+    assert got == {"s1": 1.0}
+    # without expiry both series survive with their latest values
+    got2 = {r.sig: r.value for r in accumulate_last(df, keys=["sig"]).collect()}
+    assert got2 == {"s1": 1.0, "s2": 2.0}

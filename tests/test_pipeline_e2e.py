@@ -108,3 +108,22 @@ def test_determinism_two_runs_identical(spark, tmp_path):
     a = spark.read.parquet(f"{b1}/sink_tools").orderBy("conv_id", "turn_idx").collect()
     b = spark.read.parquet(f"{b2}/sink_tools").orderBy("conv_id", "turn_idx").collect()
     assert a == b
+
+
+def test_per_partition_lineage_recorded(spark, tmp_path):
+    """North-rule lineage: every committed parquet sink logs one line per
+    written partition file with exact footer row counts, summing to the
+    sink's sent count."""
+    from opentelemetry_collector_spark.plans.checkpoint import LineageLog
+
+    base = str(tmp_path / "lineage_run")
+    spec = _spec(spark, base)
+    res = run_pipeline(spark, spec, base)
+    entries = LineageLog(base).load()
+    assert entries, "lineage log missing"
+    for sink, n in res.sink_rows.items():
+        sink_entries = [e for e in entries if e["stage"] == sink]
+        assert sink_entries and sum(e["rows"] for e in sink_entries) == n
+        assert all(e["status"] == "committed" and e["file"] for e in sink_entries)
+        # partition ids are dense from 0
+        assert sorted(e["partition_id"] for e in sink_entries) == list(range(len(sink_entries)))

@@ -222,3 +222,97 @@ def test_filterprocessor_include_and_exclude(spark):
         "full/name/match",
         "full_name_match",
     ]
+
+
+# ---------------------------------------------------------------------------
+# span_test.go — to_attributes / from_attributes golden tables
+# ---------------------------------------------------------------------------
+
+from opentelemetry_collector_spark.operators.span import from_attributes, to_attributes
+
+
+def _span_df(spark, name, attrs):
+    return spark.createDataFrame([(name, attrs)], "name string, attrs map<string,string>")
+
+
+@pytest.mark.parametrize(
+    "rules, brk, in_name, out_name, out_attrs",
+    [
+        # span_test.go:333-401 TestSpanProcessor_ToAttributes
+        (
+            [r"^\/api\/v1\/document\/(?P<documentId>.*)\/update\/1$"],
+            False,
+            "/api/v1/document/321083210/update/1",
+            "/api/v1/document/{documentId}/update/1",
+            {"documentId": "321083210"},
+        ),
+        (
+            [r"^\/api\/(?P<version>.*)\/document\/(?P<documentId>.*)\/update\/2$"],
+            False,
+            "/api/v1/document/321083210/update/2",
+            "/api/{version}/document/{documentId}/update/2",
+            {"documentId": "321083210", "version": "v1"},
+        ),
+        (
+            [
+                r"^\/api\/.*\/document\/(?P<documentId>.*)\/update\/3$",
+                r"^\/api\/(?P<version>.*)\/document\/.*\/update\/3$",
+            ],
+            False,
+            "/api/v1/document/321083210/update/3",
+            "/api/{version}/document/{documentId}/update/3",
+            {"documentId": "321083210", "version": "v1"},
+        ),
+        (
+            [
+                r"^\/api\/v1\/document\/(?P<documentId>.*)\/update\/4$",
+                r"^\/api\/(?P<version>.*)\/document\/(?P<documentId>.*)\/update\/4$",
+            ],
+            True,  # break_after_match: second rule must not fire
+            "/api/v1/document/321083210/update/4",
+            "/api/v1/document/{documentId}/update/4",
+            {"documentId": "321083210"},
+        ),
+        (["rule"], False, "", "", {}),
+    ],
+)
+def test_span_to_attributes_golden(spark, rules, brk, in_name, out_name, out_attrs):
+    df = _span_df(spark, in_name, {})
+    got = to_attributes(df, patterns=rules, name_col="name", break_after_match=brk).collect()[0]
+    assert got.name == out_name
+    assert dict(got.attrs or {}) == out_attrs
+
+
+@pytest.mark.parametrize(
+    "in_name, attrs, out_name",
+    [
+        # span_test.go:144-211 TestSpanProcessor_Values (canonical stringify)
+        ("string-type", {"key1": "bob"}, "bob"),
+        ("int-type", {"key1": "123"}, "123"),
+        ("double-type", {"key1": "234.129312"}, "234.129312"),
+        ("bool-type", {"key1": "true"}, "true"),
+        ("empty-attributes", {}, "empty-attributes"),
+    ],
+)
+def test_span_from_attributes_values_golden(spark, in_name, attrs, out_name):
+    df = _span_df(spark, in_name, attrs)
+    got = from_attributes(df, keys=["key1"], name_col="name").collect()[0]
+    assert got.name == out_name
+
+
+def test_span_from_attributes_missing_keys_golden(spark):
+    """span_test.go:245-307 TestSpanProcessor_MissingKeys: ANY missing key
+    aborts the rename; all present -> keys joined with '::'."""
+    full = {"key1": "bob", "key2": "123", "key3": "234.129312", "key4": "true"}
+    cases = [
+        ("first-keys-missing", {k: v for k, v in full.items() if k != "key1"}, "first-keys-missing"),
+        ("middle-key-missing", {k: v for k, v in full.items() if k != "key3"}, "middle-key-missing"),
+        ("last-key-missing", {k: v for k, v in full.items() if k != "key4"}, "last-key-missing"),
+        ("all-keys-exists", full, "bob::123::234.129312::true"),
+    ]
+    for in_name, attrs, out_name in cases:
+        df = _span_df(spark, in_name, attrs)
+        got = from_attributes(
+            df, keys=["key1", "key2", "key3", "key4"], separator="::", name_col="name"
+        ).collect()[0]
+        assert got.name == out_name, in_name
