@@ -1,20 +1,45 @@
-"""PySpark-native reimplementation of the OpenTelemetry Collector pipeline.
+"""otelcol-spark: a PySpark-native parse -> enrich -> route -> aggregate
+pipeline engine with the operator semantics of the OpenTelemetry Collector
+(reference: open-o11y/opentelemetry-collector), built Spark-first.
 
-A from-scratch batch **parse -> enrich -> route -> aggregate** engine over
-tables of multi-turn conversation/agent transcripts
-(``conv_id, turn_idx, role, text, tool, ts``), re-expressing the semantics of
-the reference Collector's receiver -> processor -> exporter dataflow
-(reference: /root/reference, ``service/defaultcomponents/defaults.go:59-115``)
-as idiomatic Spark DataFrame operations.
+Public API — the stable surface a Collector user migrates onto:
 
-Design principles (see SURVEY.md):
-- DataFrames only; no RDDs, no per-row Python UDFs (pandas/Arrow UDFs where
-  Spark builtins can't express the semantics, e.g. murmur3 sampler parity).
-- Processors are pure ``DataFrame -> DataFrame`` functions compiled once from
-  a config spec (the reference compiles regex/actions at build time,
-  ``processor/processorhelper/attraction.go:139-212``).
-- Fan-out/fan-in are unions and predicate-filtered writes; the reference's
-  clone-capability machinery disappears under immutability.
+    from opentelemetry_collector_spark import (
+        build_session, run_config, compile_config,   # config-driven pipelines
+        PipelineSpec, SinkSpec, run_pipeline,        # programmatic pipelines
+    )
+
+Operator modules (importable individually, all pure DataFrame->DataFrame):
+``operators.parse`` ``operators.attributes`` ``operators.filters``
+``operators.sample`` ``operators.span`` ``operators.batch``
+``operators.aggregate`` ``operators.dedup`` ``operators.similarity``
+``operators.text`` ``operators.multimodal``; ``streaming`` for the
+Structured Streaming path; ``sources.codecs`` for wire codecs.
 """
 
+from opentelemetry_collector_spark.session import build_session
+
 __version__ = "0.1.0"
+
+__all__ = [
+    "build_session",
+    "compile_config",
+    "run_config",
+    "PipelineSpec",
+    "SinkSpec",
+    "run_pipeline",
+    "__version__",
+]
+
+
+def __getattr__(name):
+    # lazy imports keep `import opentelemetry_collector_spark` light
+    if name in ("compile_config", "run_config"):
+        from opentelemetry_collector_spark import config as _c
+
+        return getattr(_c, name)
+    if name in ("PipelineSpec", "SinkSpec", "run_pipeline"):
+        from opentelemetry_collector_spark.plans import pipeline as _p
+
+        return getattr(_p, name)
+    raise AttributeError(name)

@@ -144,17 +144,34 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str = "text", k: int = 5, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard (the verify-stage / small-data oracle;
-    O(n^2) — the LSH path above is the scale path)."""
+    """Exact n-gram Jaccard via an inverted shingle index.
+
+    Scale plan (not the naive O(n^2) cross join): explode distinct shingles
+    to (shingle, id) postings, self-join on shingle so only documents
+    sharing >=1 shingle ever pair, count shared shingles per pair with a
+    grouped aggregate (map-side partial), then derive
+    |A∩B| / (|A| + |B| - |A∩B|). Candidate generation is proportional to
+    posting-list sizes, not n^2, and every step is a shuffle-partitioned
+    join/agg — the same plan holds at 10^9 documents with AQE handling
+    hot shingles.
+    """
     s = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh"))
-    a, b = s.alias("a"), s.alias("b")
+    sizes = s.select("_id", F.size("_sh").alias("_n"))
+    post = s.select("_id", F.explode("_sh").alias("_g"))
+    a, b = post.alias("a"), post.alias("b")
+    inter = (
+        a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
     return (
-        a.join(b, F.col("a._id") < F.col("b._id"))
-        .withColumn("jaccard", jaccard(F.col("a._sh"), F.col("b._sh")))
+        inter.join(sizes.withColumnRenamed("_id", "a_id").withColumnRenamed("_n", "_na"), "a_id")
+        .join(sizes.withColumnRenamed("_id", "b_id").withColumnRenamed("_n", "_nb"), "b_id")
+        .withColumn("jaccard", F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")))
         .filter(F.col("jaccard") >= threshold)
         .select(
-            F.col("a._id").alias("a_id"),
-            F.col("b._id").alias("b_id"),
+            "a_id",
+            "b_id",
             F.floor(F.col("jaccard") * 1000).cast("bigint").alias("jaccard_milli"),
         )
     )

@@ -510,12 +510,17 @@ FROM t
 def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # bounded corpus slice (a no-op at sf<=0.01): this synthetic corpus is
+    # heavily templated, so ~1/3 of ALL pairs clear a 0.2 threshold — exact
+    # verify output is inherently quadratic and q19's MinHash-LSH is the
+    # unbounded-scale path (same trade as q17's max_id bound)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 1000)
     return ngram_jaccard_pairs(docs, id_col="doc_id", k=5, threshold=0.2)
 
 
 Q25_SQL = r"""
-WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s FROM documents),
+WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+           FROM documents WHERE doc_id < 1000),
 sh AS (SELECT doc_id,
          list_distinct([substr(s, i, 5) for i in range(1, greatest(length(s) - 4, 1) + 1)]) AS sh
        FROM d),

@@ -261,3 +261,42 @@ service:
     expected = synthesize(spark, 12, 4, 7).count()
     assert summary["logs"]["sink_rows"]["parquet_all"] == expected
     assert spark.read.parquet(str(tmp_path / "out_all")).count() == expected
+
+
+def test_multi_pipeline_service(spark, tmp_path):
+    """service.pipelines with two pipelines sharing one receiver (the
+    receiver fan-in to N pipelines shape, receivers_builder.go:161-233)."""
+    cfg = {
+        "receivers": {"synthetic": {"n_convs": 20, "mean_turns": 5, "seed": 3}},
+        "processors": {
+            "filter/users": {"include": {"columns": {"role": ["user"]}}},
+            "filter/asst": {"include": {"columns": {"role": ["assistant"]}}},
+        },
+        "exporters": {
+            "parquet/u": {"path": str(tmp_path / "u")},
+            "parquet/a": {"path": str(tmp_path / "a")},
+        },
+        "service": {
+            "pipelines": {
+                "logs/users": {"receivers": ["synthetic"], "processors": ["filter/users"], "exporters": ["parquet/u"]},
+                "logs/asst": {"receivers": ["synthetic"], "processors": ["filter/asst"], "exporters": ["parquet/a"]},
+            }
+        },
+    }
+    from opentelemetry_collector_spark.config import run_config
+
+    results = run_config(spark, cfg, str(tmp_path / "runs"))
+    assert set(results) == {"logs/users", "logs/asst"}
+    u = spark.read.parquet(str(tmp_path / "u"))
+    a = spark.read.parquet(str(tmp_path / "a"))
+    assert {r.role for r in u.collect()} == {"user"}
+    assert {r.role for r in a.collect()} == {"assistant"}
+
+
+def test_public_api_surface(spark):
+    import opentelemetry_collector_spark as pkg
+
+    assert callable(pkg.build_session)
+    assert callable(pkg.run_config) and callable(pkg.compile_config)
+    assert pkg.PipelineSpec and pkg.SinkSpec and callable(pkg.run_pipeline)
+    assert pkg.__version__
