@@ -67,6 +67,13 @@ def run_default() -> None:
             "input_turns": n_turns,
             "turns_per_sec": round(n_turns / e2e, 1) if e2e > 0 else None,
         }
+        # last measured two-cluster-size result (written by --scaling mode);
+        # the sf0.1 numbers above are fixed-overhead-dominated — this is the
+        # at-scale throughput + N->4N efficiency against BASELINE.md
+        scaling_path = os.path.join(REPO, "BENCH", "scaling.json")
+        if os.path.exists(scaling_path):
+            with open(scaling_path) as f:
+                result["scaling"] = json.load(f)
         print(json.dumps(result), flush=True)
     finally:
         spark.stop()
@@ -196,17 +203,127 @@ patterns), broadcast enrich, 3-sink routed fan-out, grouped aggregation.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"low": low, "high": high, "scaling_efficiency": round(eff, 3)}), flush=True)
+    payload = {"low": low, "high": high, "scaling_efficiency": round(eff, 3), "input_turns": n_rows}
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(payload, f)
+    print(json.dumps(payload), flush=True)
+
+
+def run_skew(rows_millions: float, hot_frac: float = 0.25, buckets: int = 32) -> None:
+    """Hot-conversation skew demonstration (SURVEY §7 risk 3): one conv_id
+    holds `hot_frac` of all rows with high-cardinality per-turn text. Times
+    groupBy(conv).countDistinct(text) unsalted (hot key -> one reducer) vs
+    value-hash-salted two-phase (exact, skew-spread); writes BENCH/SKEW.md."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.aggregate import distinct_count_salted
+    from opentelemetry_collector_spark.session import build_session
+    from opentelemetry_collector_spark.sources.transcripts import synthesize_distributed
+
+    n_rows = int(rows_millions * 1_000_000)
+    tmp = os.path.join(tempfile.gettempdir(), f"otelcol_skew_{int(rows_millions*1000)}k")
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        spark = build_session(master="local[*]", app_name="otelcol-skew-gen")
+        base = synthesize_distributed(spark, n_rows, turns_per_conv=2000, num_partitions=128)
+        # route hot_frac of rows into ONE conv with globally-unique texts
+        hot = F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(99)), F.lit(10_000)) < int(hot_frac * 10_000)
+        skewed = base.withColumn(
+            "conv_id", F.when(hot, F.lit("conv-HOT")).otherwise(F.col("conv_id"))
+        ).withColumn(
+            "text",
+            F.when(hot, F.concat(F.lit("uniq#"), F.xxhash64("turn_idx", "ts", "text").cast("string"))).otherwise(
+                F.col("text")
+            ),
+        )
+        skewed.write.mode("overwrite").parquet(tmp)
+        spark.stop()
+
+    dim_tmp = tmp + "_dim"
+    spark = build_session(master="local[16]", app_name="otelcol-skew-gen2")
+    if not os.path.exists(os.path.join(dim_tmp, "_SUCCESS")):
+        spark.read.parquet(tmp).select("conv_id").distinct().withColumn(
+            "tenant", F.md5("conv_id")
+        ).write.mode("overwrite").parquet(dim_tmp)
+    spark.stop()
+
+    def timed(fn, **conf):
+        spark = build_session(master="local[16]", app_name="otelcol-skew-bench", extra_conf=conf)
+        try:
+            df, dim = spark.read.parquet(tmp), spark.read.parquet(dim_tmp)
+            fn(df, dim)  # warm-up
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(df, dim)
+                times.append(time.perf_counter() - t0)
+            return round(min(times), 3)
+        finally:
+            spark.stop()
+
+    def distinct_job(salt):
+        return lambda df, dim: _force(distinct_count_salted(df, ["conv_id"], "text", salt_buckets=salt))
+
+    def join_job(df, dim):
+        _force(df.join(dim, "conv_id").groupBy("tenant").agg(F.count(F.lit(1)).alias("n")))
+
+    no_bcast = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    results = {
+        "distinct_unsalted_sec": timed(distinct_job(None)),
+        "distinct_salted_sec": timed(distinct_job(buckets)),
+        "smj_join_aqe_skew_off_sec": timed(join_job, **no_bcast, **{"spark.sql.adaptive.skewJoin.enabled": "false"}),
+        "smj_join_aqe_skew_on_sec": timed(join_job, **no_bcast, **{
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        }),
+    }
+
+    md = f"""# BENCH/SKEW.md — hot-conversation skew measurements
+
+Input: {n_rows:,} turns, ONE conv_id holding {hot_frac:.0%} of all rows with
+unique per-turn texts (the pathological hot conversation). local[16],
+best of 2 after warm-up.
+
+| job | wall sec |
+|---|---|
+| distinct-text per conv, plain countDistinct | {results['distinct_unsalted_sec']} |
+| distinct-text per conv, value-hash salted two-phase ({buckets} buckets) | {results['distinct_salted_sec']} |
+| fact⋈dim sort-merge join, AQE skew-join OFF | {results['smj_join_aqe_skew_off_sec']} |
+| fact⋈dim sort-merge join, AQE skew-join ON | {results['smj_join_aqe_skew_on_sec']} |
+
+Honest read of the numbers: at this scale the four variants are within
+noise of each other — a {hot_frac:.0%}-hot key does NOT produce a straggler
+here, because (a) Spark plans countDistinct as an expand over (key, value),
+so the hot key's distinct set is already hash-spread across reducers at the
+partial stage, and (b) the join's wall time is dominated by the 16-way scan
++ shuffle-write of the fact side, with the hot reduce partition still far
+smaller than executor memory. The mitigation knobs matter in the regime
+where the hot partition approaches executor memory (the 100 TB case: a
+conversation with 10^8+ turns): `aggregate.distinct_count_salted` (exact —
+value-hash buckets partition each key's value space; parity-tested in
+tests/test_batch_route.py) bounds any single reducer's group, and the AQE
+skew-join configs shown above split oversized join partitions at runtime.
+Keeping both paths measured here guards against regressions in either.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(results), flush=True)
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--skew", action="store_true")
     ap.add_argument("--n-low", type=int, default=4)
     ap.add_argument("--n-high", type=int, default=16)
     ap.add_argument("--rows-millions", type=float, default=160.0)
     args = ap.parse_args()
     if args.scaling:
         run_scaling(args.n_low, args.n_high, args.rows_millions)
+    elif args.skew:
+        run_skew(min(args.rows_millions, 40.0))
     else:
         run_default()

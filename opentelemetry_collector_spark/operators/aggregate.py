@@ -103,3 +103,29 @@ def stable_order(df: DataFrame) -> DataFrame:
     Used before any order-sensitive output; cluster-side this is a
     sortWithinPartitions after repartition(conv_id) so no global sort."""
     return df.repartition("conv_id").sortWithinPartitions("conv_id", "turn_idx")
+
+
+def distinct_count_salted(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Exact distinct-value count per key with bounded reducer groups.
+
+    Salting by the HASH OF THE VALUE partitions each key's value space into
+    disjoint buckets, so per-bucket distinct counts sum exactly. Measured
+    honestly (BENCH/SKEW.md): at 40M rows Spark's own expand-based
+    countDistinct already hash-spreads the hot key's values, so salting is
+    wall-time-neutral there; its value is the guarantee that NO single
+    reduce group ever exceeds ~|values|/buckets — the insurance needed when
+    one conversation's distinct set approaches executor memory (SURVEY §7
+    risk 3 at the 100 TB scale).
+    """
+    if not salt_buckets:
+        return df.groupBy(*key_cols).agg(F.countDistinct(value_col).alias("distinct_count"))
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_buckets)))
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        F.countDistinct(value_col).alias("_dc")
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("_dc").alias("distinct_count"))

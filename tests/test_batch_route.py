@@ -99,3 +99,19 @@ def test_accumulate_last_expiry(spark):
     # without expiry both series survive with their latest values
     got2 = {r.sig: r.value for r in accumulate_last(df, keys=["sig"]).collect()}
     assert got2 == {"s1": 1.0, "s2": 2.0}
+
+
+def test_distinct_count_salted_exact(spark, small):
+    """Salted distinct == unsalted distinct on every key (value-hash salt
+    partitions each key's value space, so bucket counts sum exactly)."""
+    from opentelemetry_collector_spark.operators.aggregate import distinct_count_salted
+
+    plain = {
+        (r.conv_id, r.role): r.distinct_count
+        for r in distinct_count_salted(small, ["conv_id", "role"], "text").collect()
+    }
+    salted = {
+        (r.conv_id, r.role): r.distinct_count
+        for r in distinct_count_salted(small, ["conv_id", "role"], "text", salt_buckets=8).collect()
+    }
+    assert plain == salted and len(plain) > 0

@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the value-preserving surfaces.
+
+Batched: each example generates a whole table and makes ONE Spark round
+trip, keeping runtimes sane while still exploring the input space
+(unicode, regex metacharacters, empty strings, extreme timestamps).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# printable-ish text incl. unicode + regex metachars, no surrogates/control
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+    max_size=80,
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 99),  # turn_idx
+            st.sampled_from(["user", "assistant", "tool", "system"]),
+            text_st,
+            st.one_of(st.none(), st.sampled_from(["search", "python", "calc"])),
+            st.datetimes(
+                min_value=__import__("datetime").datetime(1971, 1, 1),
+                max_value=__import__("datetime").datetime(2200, 1, 1),
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: r[0],
+    )
+)
+@settings(**SETTINGS)
+def test_json_codec_roundtrip_property(spark, rows):
+    from opentelemetry_collector_spark.sources.codecs import parse_turn_json, to_turn_json
+
+    data = [("c", t, role, txt, tool, ts.replace(microsecond=ts.microsecond)) for t, role, txt, tool, ts in rows]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    back = parse_turn_json(to_turn_json(df))
+    want = {tuple(r) for r in df.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert got == want
+
+
+@given(values=st.lists(text_st, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_sha1_string_matches_hashlib_property(spark, values):
+    from opentelemetry_collector_spark.functions.hashing import sha1_typed
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = [r.h for r in df.select(sha1_typed(F.col("s"), "string").alias("h")).collect()]
+    want = [hashlib.sha1(v.encode("utf-8")).hexdigest() for v in values]
+    assert sorted(got) == sorted(want)
+
+
+@given(
+    ints=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=20),
+)
+@settings(**SETTINGS)
+def test_sha1_int64_le_layout_property(spark, ints):
+    import struct
+
+    from opentelemetry_collector_spark.functions.hashing import sha1_typed
+
+    df = spark.createDataFrame([(v,) for v in ints], "i long")
+    got = sorted(r.h for r in df.select(sha1_typed(F.col("i"), "int").alias("h")).collect())
+    want = sorted(hashlib.sha1(struct.pack("<q", v)).hexdigest() for v in ints)
+    assert got == want
+
+
+@given(
+    keys=st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=4), min_size=1, max_size=5, unique=True),
+    value=text_st,
+)
+@settings(**SETTINGS)
+def test_attribute_insert_idempotent_property(spark, keys, value):
+    """insert is only-if-absent: applying the same ordered action list twice
+    equals once (attraction.go:225-229)."""
+    from opentelemetry_collector_spark.operators.attributes import Action, apply_actions
+
+    df = spark.createDataFrame([({},)], "attrs map<string,string>")
+    actions = [Action(k, "insert", value=value or "x") for k in keys]
+    once = apply_actions(df, actions).collect()[0].attrs
+    twice = apply_actions(apply_actions(df, actions), actions).collect()[0].attrs
+    assert dict(once) == dict(twice)
