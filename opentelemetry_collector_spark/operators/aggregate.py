@@ -97,6 +97,59 @@ def timeseries_group(
     )
 
 
+def bucket_index(value, bounds: list[float]):
+    """OTLP explicit-bounds bucketing: bucket i holds values in
+    (bounds[i-1], bounds[i]]; the final bucket holds values > bounds[-1]
+    (``model/pdata/metrics.go`` Histogram/IntHistogram explicit_bounds).
+    Index = number of bounds strictly below the value. Pure JVM expression.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    return F.size(F.filter(barr, lambda b: v > b))
+
+
+def histogram_merge(
+    df: DataFrame,
+    keys: list[str],
+    counts_col: str = "bucket_counts",
+    sum_col: str = "h_sum",
+    count_col: str = "h_count",
+) -> DataFrame:
+    """Merge histogram datapoints per label signature: bucket-wise vector
+    add + scalar sum/count (what the Collector's metric exporters do when
+    combining Histogram datapoints of one timeseries,
+    ``model/pdata/metrics.go:129-141`` Histogram; remote-write groups them
+    via the same label-signature map, ``exporter.go:99-243``).
+
+    Physical shape: posexplode -> partial-agg-friendly groupBy(keys, pos)
+    -> array rebuild via sorted struct collect. One shuffle keyed by
+    (keys, pos), so a signature with B buckets spreads over B reduce groups
+    — no single hot reducer even for a dominant series; map-side partial
+    aggregation compresses each task to |keys|*B rows before the shuffle.
+    """
+    exploded = df.select(
+        *keys,
+        F.col(sum_col),
+        F.col(count_col),
+        F.posexplode(F.col(counts_col)).alias("_pos", "_c"),
+    )
+    per_bucket = exploded.groupBy(*keys, "_pos").agg(
+        F.sum("_c").alias("_bsum"),
+        # carry the scalar pair through bucket 0 only, so the final regroup
+        # does not double-count them
+        F.sum(F.when(F.col("_pos") == 0, F.col(sum_col))).alias("_s0"),
+        F.sum(F.when(F.col("_pos") == 0, F.col(count_col))).alias("_n0"),
+    )
+    return per_bucket.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_bsum")))),
+            lambda s: s["_bsum"],
+        ).alias(counts_col),
+        F.sum("_s0").alias(sum_col),
+        F.sum("_n0").alias(count_col),
+    )
+
+
 def stable_order(df: DataFrame) -> DataFrame:
     """The per-turn stable ordering invariant: (conv_id, turn_idx).
 

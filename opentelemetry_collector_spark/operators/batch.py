@@ -18,7 +18,7 @@ Mapping:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -38,3 +38,29 @@ def rebatch(
 def writer_options(send_batch_max_size: int | None) -> dict[str, str]:
     """Per-sink writer options enforcing the max batch size exactly."""
     return {"maxRecordsPerFile": str(send_batch_max_size)} if send_batch_max_size else {}
+
+
+def split_batches(
+    df: DataFrame,
+    max_size: int,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Exact ``splitLogs`` semantics (``splitlogs.go:21-70``): walk records in
+    stable (resource, record) order and cut a batch after every ``max_size``
+    records — a resource group MAY straddle a cut (splitLogs copies out
+    exactly N records, splitting the current ResourceLogs when needed), the
+    last batch is partial, nothing is dropped or duplicated.
+
+    Adds a ``batch_id`` column: global (group_col, order_col) rank div
+    max_size. The unpartitioned window is intentional — batch numbering is a
+    *global* sequence in the reference too (one splitLogs loop over the whole
+    Logs object). At 100 TB one would zipWithIndex per partition + offset
+    cumsum instead; the semantics pinned here (and in the oracle) are the
+    contract, and batching-for-transport at scale is `maxRecordsPerFile`
+    (see :func:`writer_options`) — this operator exists for golden parity.
+    """
+    w = Window.orderBy(F.col(group_col).asc(), F.col(order_col).asc())
+    return df.withColumn(
+        "batch_id", ((F.row_number().over(w) - F.lit(1)) / F.lit(max_size)).cast("bigint")
+    )

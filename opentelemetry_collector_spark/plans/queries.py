@@ -624,6 +624,122 @@ WHERE role = 'user' OR (tool IS NOT NULL AND tool <> 'calc')
 """
 
 
+def q30_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with nprobe == nlist, which is EXACTLY brute force — so
+    the approximate operator's bucketing/probing machinery is value-checked
+    against the exact SQL oracle (tests cover recall at nprobe < nlist)."""
+    from opentelemetry_collector_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10, nlist=8, nprobe=8)
+
+
+Q30_SQL = Q16_SQL
+
+
+def q31_otlp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full OTLP-JSON envelope codec gate: group turns into per-conversation
+    3-level resourceLogs envelopes (model/otlp/json_marshaler.go:27-60 shape,
+    jsonpb int64-as-string and omit-empty included), then explode/flatten
+    back (json_unmarshaler analog). Oracle = identity over the turns."""
+    from opentelemetry_collector_spark.sources.codecs import parse_otlp_json, to_otlp_json
+
+    t = from_events(spark, sf_dir)
+    return parse_otlp_json(to_otlp_json(t)).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+Q31_SQL = f"""{_PRELUDE}
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t
+"""
+
+
+def q32_batch_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """splitLogs parity (splitlogs.go:21-70): global stable-order batch cuts
+    every 500 records; per-batch record and conversation counts prove exact
+    boundary placement (a conversation straddling a cut shows up in both
+    batches' n_convs)."""
+    from opentelemetry_collector_spark.operators.batch import split_batches
+
+    t = from_events(spark, sf_dir)
+    return (
+        split_batches(t, max_size=500)
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )
+
+
+Q32_SQL = f"""{_PRELUDE},
+r AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS rn FROM t)
+SELECT CAST(rn // 500 AS BIGINT) AS batch_id, count(*) AS n_rows,
+       count(DISTINCT conv_id) AS n_convs
+FROM r GROUP BY 1
+"""
+
+
+_HIST_BOUNDS = [16.0, 32.0, 64.0, 128.0]
+
+
+def q33_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram datapoint merge (model/pdata/metrics.go Histogram with
+    explicit_bounds): per-(conv_id, role) datapoints of text-length
+    histograms are merged per role — bucket-wise vector add + scalar
+    sum/count — then flattened to (role, pos, bucket_count) rows for the
+    oracle. Exercises aggregate.bucket_index + histogram_merge."""
+    from opentelemetry_collector_spark.operators.aggregate import bucket_index, histogram_merge
+
+    t = from_events(spark, sf_dir)
+    lv = F.length(F.col("text")).cast("double")
+    per_row = t.select(
+        "conv_id",
+        "role",
+        lv.alias("lv"),
+        bucket_index(lv, _HIST_BOUNDS).alias("_pos"),
+    )
+    nb = len(_HIST_BOUNDS) + 1
+    dp = per_row.groupBy("conv_id", "role").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("_pos") == i, 1).otherwise(0)).cast("bigint")
+                for i in range(nb)
+            ]
+        ).alias("bucket_counts"),
+        F.sum("lv").alias("h_sum"),
+        F.count(F.lit(1)).alias("h_count"),
+    )
+    merged = histogram_merge(dp, ["role"])
+    return merged.select(
+        "role",
+        F.col("h_sum").cast("bigint").alias("h_sum"),
+        F.col("h_count").cast("bigint").alias("h_count"),
+        F.posexplode("bucket_counts").alias("pos", "bucket_count"),
+    ).select(
+        "role",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("bucket_count").cast("bigint").alias("bucket_count"),
+        "h_sum",
+        "h_count",
+    )
+
+
+Q33_SQL = f"""{_PRELUDE},
+v AS (SELECT role, CAST(length(text) AS DOUBLE) AS lv FROM t),
+b AS (SELECT role, len(list_filter([16.0,32.0,64.0,128.0], x -> lv > x)) AS pos, lv FROM v),
+grid AS (SELECT role, g.pos FROM (SELECT DISTINCT role FROM v) roles
+         CROSS JOIN (SELECT unnest([0,1,2,3,4]) AS pos) g),
+per AS (SELECT role, pos, count(*) AS c FROM b GROUP BY role, pos),
+tot AS (SELECT role, CAST(sum(lv) AS BIGINT) AS h_sum, count(*) AS h_count FROM v GROUP BY role)
+SELECT grid.role, CAST(grid.pos AS INTEGER) AS pos,
+       CAST(coalesce(per.c, 0) AS BIGINT) AS bucket_count, tot.h_sum, tot.h_count
+FROM grid LEFT JOIN per ON per.role = grid.role AND per.pos = grid.pos
+JOIN tot ON tot.role = grid.role
+"""
+
+
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
 
@@ -691,6 +807,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_severity_counts": q27_severity_counts,
     "q28_json_roundtrip": q28_json_roundtrip,
     "q29_expr_filter": q29_expr_filter,
+    "q30_ann_ivf": q30_ann_ivf,
+    "q31_otlp_roundtrip": q31_otlp_roundtrip,
+    "q32_batch_split": q32_batch_split,
+    "q33_histogram_merge": q33_histogram_merge,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -724,6 +844,10 @@ ORACLES: dict[str, str] = {
     "q27_severity_counts": Q27_SQL,
     "q28_json_roundtrip": Q28_SQL,
     "q29_expr_filter": Q29_SQL,
+    "q30_ann_ivf": Q30_SQL,
+    "q31_otlp_roundtrip": Q31_SQL,
+    "q32_batch_split": Q32_SQL,
+    "q33_histogram_merge": Q33_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

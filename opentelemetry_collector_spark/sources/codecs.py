@@ -92,10 +92,138 @@ def parse_kv_text(df: DataFrame, col: str = "value") -> DataFrame:
     )
 
 
+# --- Full OTLP-JSON envelope (3-level nesting) ---------------------------------
+#
+# The real OTLP-JSON wire shape (model/otlp/json_marshaler.go:27-60 via jsonpb):
+# {"resourceLogs":[{"resource":{"attributes":[{"key":...,"value":{"stringValue":...}}]},
+#   "instrumentationLibraryLogs":[{"logRecords":[{"timeUnixNano":"...","body":{...},
+#   "attributes":[...]}]}]}]}
+# Faithful details reproduced here: 64-bit ints (timeUnixNano, intValue) travel
+# as JSON *strings* (jsonpb renders (u)int64 as string); attributes are an
+# ordered KEY/VALUE LIST, not an object; absent fields are omitted.
+# One conversation = one Resource (conv.id resource attribute); the scope is a
+# fixed instrumentation library name; each turn = one LogRecord with the text
+# as Body and role/tool/turn.idx as record attributes.
+
+_OTLP_SCHEMA = (
+    "resourceLogs array<struct<"
+    "  resource: struct<attributes: array<struct<key: string, value: struct<stringValue: string>>>>,"
+    "  instrumentationLibraryLogs: array<struct<"
+    "    instrumentationLibrary: struct<name: string>,"
+    "    logRecords: array<struct<"
+    "      timeUnixNano: string,"
+    "      body: struct<stringValue: string>,"
+    "      attributes: array<struct<key: string,"
+    "        value: struct<stringValue: string, intValue: string>>>"
+    "    >>"
+    "  >>"
+    ">>"
+)
+
+_LIB_NAME = "otelcol-spark/transcripts"
+
+
+def _kv_str(key: str, val: Column) -> Column:
+    return F.struct(
+        F.lit(key).alias("key"),
+        F.struct(val.alias("stringValue"), F.lit(None).cast("string").alias("intValue")).alias(
+            "value"
+        ),
+    )
+
+
+def _kv_int(key: str, val: Column) -> Column:
+    return F.struct(
+        F.lit(key).alias("key"),
+        F.struct(
+            F.lit(None).cast("string").alias("stringValue"),
+            val.cast("string").alias("intValue"),
+        ).alias("value"),
+    )
+
+
+def to_otlp_json(df: DataFrame, out_col: str = "value") -> DataFrame:
+    """Marshal turns to one OTLP-JSON envelope per conversation (one
+    ResourceLogs per conv_id — the grouping the OTLP receiver hands to
+    ``nextConsumer``, receiver/otlpreceiver/internal/logs/otlp.go:60-69).
+
+    The groupBy is a single shuffle on conv_id; array_sort keeps logRecords
+    in stable turn order inside each envelope so marshal is deterministic.
+    """
+    # _ord leads the struct so array_sort orders records by turn_idx (the
+    # stable (conv_id, turn_idx) ordering invariant); dropped after the sort.
+    rec = F.struct(
+        F.col("turn_idx").alias("_ord"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string").alias("timeUnixNano"),
+        F.struct(F.col("text").alias("stringValue")).alias("body"),
+        # omit-empty: null tool contributes no attribute entry (jsonpb parity)
+        F.filter(
+            F.array(
+                _kv_str("role", F.col("role")),
+                _kv_str("tool", F.col("tool")),
+                _kv_int("turn.idx", F.col("turn_idx")),
+            ),
+            lambda kv: kv["value"]["stringValue"].isNotNull()
+            | kv["value"]["intValue"].isNotNull(),
+        ).alias("attributes"),
+    )
+    per_conv = df.groupBy("conv_id").agg(F.array_sort(F.collect_list(rec)).alias("recs"))
+    envelope = F.struct(
+        F.array(
+            F.struct(
+                F.struct(F.array(_kv_str("conv.id", F.col("conv_id"))).alias("attributes")).alias(
+                    "resource"
+                ),
+                F.array(
+                    F.struct(
+                        F.struct(F.lit(_LIB_NAME).alias("name")).alias("instrumentationLibrary"),
+                        F.transform(F.col("recs"), lambda r: r.dropFields("_ord")).alias(
+                            "logRecords"
+                        ),
+                    )
+                ).alias("instrumentationLibraryLogs"),
+            )
+        ).alias("resourceLogs")
+    )
+    return per_conv.select(F.to_json(envelope).alias(out_col))
+
+
+def parse_otlp_json(df: DataFrame, col: str = "value") -> DataFrame:
+    """Unmarshal OTLP-JSON envelopes back to flat turn rows: the 3-level
+    explode (resourceLogs -> instrumentationLibraryLogs -> logRecords) that
+    undoes the pdata nesting (model/pdata/logs.go:43-97), then attribute
+    list -> typed columns. All JVM-side: from_json + explode + map_from_entries.
+    """
+    parsed = df.select(F.from_json(F.col(col), _OTLP_SCHEMA).alias("env"))
+    rl = parsed.select(F.explode("env.resourceLogs").alias("rl"))
+    ill = rl.select(
+        F.map_from_entries(
+            F.transform("rl.resource.attributes", lambda kv: F.struct(kv["key"], kv["value"]["stringValue"]))
+        ).alias("res_attrs"),
+        F.explode("rl.instrumentationLibraryLogs").alias("ill"),
+    )
+    recs = ill.select("res_attrs", F.explode("ill.logRecords").alias("r"))
+    attrs = F.map_from_entries(
+        F.transform(
+            "r.attributes",
+            lambda kv: F.struct(kv["key"], F.coalesce(kv["value"]["stringValue"], kv["value"]["intValue"])),
+        )
+    )
+    return recs.select(
+        F.col("res_attrs")["conv.id"].alias("conv_id"),
+        attrs["turn.idx"].cast("int").alias("turn_idx"),
+        attrs["role"].alias("role"),
+        F.col("r.body.stringValue").alias("text"),
+        attrs["tool"].alias("tool"),
+        F.timestamp_micros(F.expr("CAST(r.timeUnixNano AS BIGINT) div 1000")).alias("ts"),
+    )
+
+
 # Per-encoding dispatch (receiver/kafkareceiver/unmarshaler.go:defaultLogsUnmarshalers)
 UNMARSHALERS: dict[str, Callable[[DataFrame, str], DataFrame]] = {
     "turn_json": parse_turn_json,
     "kv_text": parse_kv_text,
+    "otlp_json": parse_otlp_json,
 }
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from opentelemetry_collector_spark.operators.batch import rebatch, writer_options
+from opentelemetry_collector_spark.operators.batch import rebatch, split_batches, writer_options
 from opentelemetry_collector_spark.plans.route import Route, fan_out, route_counts, route_tagged
 
 
@@ -40,6 +40,51 @@ def _routes():
         Route("b", F.col("role").isin("user", "assistant")),  # overlaps a
         Route("c", F.col("text").rlike(r"error code=\d+")),
     ]
+
+
+@pytest.mark.parametrize("max_size", [1, 7, 64])
+def test_split_batches_exact_boundaries(spark, small, max_size):
+    """splitlogs.go:21-70 parity: every batch except the last has exactly
+    max_size records, the last holds the remainder, and the global stable
+    (conv_id, turn_idx) order is preserved within the numbering."""
+    total = small.count()
+    out = split_batches(small, max_size).groupBy("batch_id").count().collect()
+    sizes = {r.batch_id: r["count"] for r in out}
+    n_batches = (total + max_size - 1) // max_size
+    assert set(sizes) == set(range(n_batches))
+    for b in range(n_batches - 1):
+        assert sizes[b] == max_size
+    assert sizes[n_batches - 1] == total - max_size * (n_batches - 1)
+
+
+def test_split_batches_resource_straddles_cut(spark):
+    """A conversation whose records cross a batch boundary is split — the
+    reference copies out exactly N records even mid-resource."""
+    rows = [("c1", i) for i in range(5)] + [("c2", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    got = {
+        (r.conv_id, r.turn_idx): r.batch_id for r in split_batches(df, max_size=4).collect()
+    }
+    assert got[("c1", 3)] == 0 and got[("c1", 4)] == 1  # c1 straddles the cut
+    assert got[("c2", 0)] == 1 and got[("c2", 4)] == 2
+
+
+def test_histogram_merge_golden(spark):
+    from opentelemetry_collector_spark.operators.aggregate import histogram_merge
+
+    rows = [
+        ("a", [1, 0, 2], 10.0, 3),
+        ("a", [0, 5, 0], 20.0, 5),
+        ("b", [2, 2, 2], 30.0, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "role string, bucket_counts array<bigint>, h_sum double, h_count long"
+    )
+    got = {r.role: r for r in histogram_merge(df, ["role"]).collect()}
+    assert got["a"].bucket_counts == [1, 5, 2]
+    assert got["a"].h_sum == 30.0 and got["a"].h_count == 8
+    assert got["b"].bucket_counts == [2, 2, 2]
+    assert got["b"].h_sum == 30.0 and got["b"].h_count == 6
 
 
 def test_fanout_vs_tagged_set_equality(spark, small):

@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 from opentelemetry_collector_spark.plans.pipeline import SinkSpec, write_sink
 from opentelemetry_collector_spark.sources.codecs import (
     UNMARSHALERS,
+    parse_otlp_json,
     parse_turn_json,
+    to_otlp_json,
     to_turn_json,
     unmarshal,
 )
@@ -54,6 +56,48 @@ def test_malformed_json_yields_nulls_not_errors(spark):
     assert out[1].conv_id == "c"
 
 
+def test_otlp_envelope_roundtrip_identity(spark, tiny):
+    wire = to_otlp_json(tiny)
+    # one envelope per conversation (one ResourceLogs per resource)
+    assert wire.count() == tiny.select("conv_id").distinct().count()
+    back = parse_otlp_json(wire)
+    assert _key(back) == _key(tiny)
+
+
+def test_otlp_envelope_wire_shape(spark):
+    """jsonpb parity details: 64-bit ints as JSON strings, attributes as a
+    key/value LIST, omit-empty for null tool, stable turn order."""
+    import json
+
+    rows = [
+        ("c1", 1, "assistant", "later", None, "2025-01-01T00:00:02"),
+        ("c1", 0, "user", "hi", "calc", "2025-01-01T00:00:01"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    doc = json.loads(to_otlp_json(df).collect()[0].value)
+    rl = doc["resourceLogs"][0]
+    assert rl["resource"]["attributes"][0] == {
+        "key": "conv.id",
+        "value": {"stringValue": "c1"},
+    }
+    recs = rl["instrumentationLibraryLogs"][0]["logRecords"]
+    assert [r["body"]["stringValue"] for r in recs] == ["hi", "later"]  # turn order
+    assert isinstance(recs[0]["timeUnixNano"], str)  # int64-as-string
+    a0 = {kv["key"]: kv["value"] for kv in recs[0]["attributes"]}
+    assert a0["turn.idx"] == {"intValue": "0"}
+    assert a0["tool"] == {"stringValue": "calc"}
+    a1 = {kv["key"]: kv["value"] for kv in recs[1]["attributes"]}
+    assert "tool" not in a1  # omit-empty
+
+
+def test_otlp_unmarshaler_in_registry(spark, tiny):
+    assert "otlp_json" in UNMARSHALERS
+    back = unmarshal(to_otlp_json(tiny), "otlp_json")
+    assert back.count() == tiny.count()
+
+
 def test_kv_text_encoding(spark):
     df = spark.createDataFrame(
         [("conv_id=c1 turn_idx=3 role=user text=hello_world ts=2025-01-01T00:00:05",)], ["value"]
@@ -64,7 +108,7 @@ def test_kv_text_encoding(spark):
 
 
 def test_unmarshaler_registry_dispatch(spark):
-    assert set(UNMARSHALERS) == {"turn_json", "kv_text"}
+    assert set(UNMARSHALERS) == {"turn_json", "kv_text", "otlp_json"}
     with pytest.raises(ValueError, match="unknown encoding"):
         unmarshal(None, "jaeger_proto")
 

@@ -17,7 +17,12 @@ from opentelemetry_collector_spark.operators.dedup import (
     simhash,
     simhash_neardup_pairs,
 )
-from opentelemetry_collector_spark.operators.similarity import cosine, cosine_topk, lsh_topk
+from opentelemetry_collector_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
 from opentelemetry_collector_spark.operators.text import lang_guess, quality_metrics, token_count
 
 BASE = (
@@ -126,6 +131,44 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.6  # approximate, but must be way better than chance (5/199)
     # the planted near-dup must survive LSH (it lands in the same bucket w.h.p.)
     assert (0, 1) in approx
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    emb = _emb(spark, n=120)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id, r.rank) for r in cosine_topk(emb, q, k=5).collect()}
+    ivf = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(emb, q, dim=16, k=5, nlist=8, nprobe=8).collect()
+    }
+    assert ivf == exact  # nprobe == nlist is brute force
+
+
+def test_ivf_partial_probe_recall(spark):
+    emb = _emb(spark, n=200)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, dim=16, k=5, nlist=8, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # probing 3/8 lists keeps most true neighbors
+    assert (0, 1) in approx  # planted near-dup shares the query's own list
+
+
+def test_ivf_corpus_assignment_is_single_list(spark):
+    from opentelemetry_collector_spark.operators.similarity import centroid_probe
+
+    emb = _emb(spark, n=50)
+    sizes = (
+        emb.select(F.element_at(centroid_probe(F.transform("embedding", lambda x: x.cast("double")), 16, 8, 1), 1).alias("list_id"))
+        .groupBy("list_id")
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in sizes) == 50  # every vector in exactly one list
+    assert all(0 <= r.list_id < 8 for r in sizes)
 
 
 def test_embedding_neardup_pairs(spark):

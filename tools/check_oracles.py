@@ -4,10 +4,15 @@ column names, and order-insensitive values."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
