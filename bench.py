@@ -24,12 +24,19 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 HEADLINE = [
+    # pipeline stages (the north_rule metric is q00)
     "q00_pipeline_e2e",
     "q01_parse_extract",
     "q05_enrich_broadcast",
     "q06_route_counts",
     "q07_turn_counts",
     "q08_accumulate_last",
+    # training-data ops breadth (documents/embeddings tables)
+    "q12_dedup_exact",
+    "q13_text_quality",
+    "q16_ann_topk",
+    "q19_minhash_lsh",
+    "q24_grok_pack",
 ]
 
 

