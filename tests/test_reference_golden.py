@@ -374,3 +374,160 @@ def test_splitlogs_noop_when_fits(spark):
     recs = [("res0", f"n{i}") for i in range(20)]
     got = _split_names(spark, recs, 40)
     assert got == [[f"n{i}" for i in range(20)]]
+
+
+# attraction_test.go — attribute-action engine golden tables
+# (processor/processorhelper/attraction_test.go:49-739; values canonically
+# stringified per filtermatcher/attributematcher.go:116-129)
+
+
+def _attr_case(spark, attrs, actions):
+    from opentelemetry_collector_spark.operators.attributes import apply_actions
+
+    df = spark.createDataFrame([("r", attrs)], "id string, attrs map<string,string>")
+    return dict(apply_actions(df, actions).collect()[0].attrs or {})
+
+
+def test_attraction_insert_value_golden(spark):
+    """attraction_test.go:49-95 TestAttributes_InsertValue."""
+    from opentelemetry_collector_spark.operators.attributes import Action
+
+    acts = [Action("attribute1", "insert", value=123)]
+    assert _attr_case(spark, {}, acts) == {"attribute1": "123"}
+    assert _attr_case(spark, {"anotherkey": "bob"}, acts) == {
+        "anotherkey": "bob",
+        "attribute1": "123",
+    }
+    assert _attr_case(spark, {"attribute1": "bob"}, acts) == {"attribute1": "bob"}
+
+
+def test_attraction_insert_from_attribute_golden(spark):
+    """attraction_test.go:97-157 TestAttributes_InsertFromAttribute."""
+    from opentelemetry_collector_spark.operators.attributes import Action
+
+    acts = [Action("string key", "insert", from_attribute="anotherkey")]
+    assert _attr_case(spark, {}, acts) == {}
+    assert _attr_case(spark, {"bob": "1"}, acts) == {"bob": "1"}
+    assert _attr_case(spark, {"anotherkey": "8892342"}, acts) == {
+        "anotherkey": "8892342",
+        "string key": "8892342",
+    }
+    assert _attr_case(spark, {"anotherkey": "8892342", "string key": "here"}, acts) == {
+        "anotherkey": "8892342",
+        "string key": "here",
+    }
+
+
+def test_attraction_update_golden(spark):
+    """attraction_test.go:155-258 TestAttributes_UpdateValue / UpdateFromAttribute."""
+    from opentelemetry_collector_spark.operators.attributes import Action
+
+    upd = [Action("db.secret", "update", value="redacted")]
+    assert _attr_case(spark, {}, upd) == {}
+    assert _attr_case(spark, {"boo": "foo"}, upd) == {"boo": "foo"}
+    assert _attr_case(spark, {"db.secret": "password1234"}, upd) == {"db.secret": "redacted"}
+
+    upd_from = [Action("boo", "update", from_attribute="foo")]
+    assert _attr_case(spark, {}, upd_from) == {}
+    assert _attr_case(spark, {"boo": "bob"}, upd_from) == {"boo": "bob"}
+    assert _attr_case(spark, {"foo": "over there"}, upd_from) == {"foo": "over there"}
+    assert _attr_case(spark, {"foo": "there is a party over here", "boo": "not here"}, upd_from) == {
+        "foo": "there is a party over here",
+        "boo": "there is a party over here",
+    }
+
+
+def test_attraction_upsert_value_golden(spark):
+    """attraction_test.go:259-307 TestAttributes_UpsertValue."""
+    from opentelemetry_collector_spark.operators.attributes import Action
+
+    acts = [Action("region", "upsert", value="planet-earth")]
+    assert _attr_case(spark, {}, acts) == {"region": "planet-earth"}
+    assert _attr_case(spark, {"mission": "to mars"}, acts) == {
+        "mission": "to mars",
+        "region": "planet-earth",
+    }
+    assert _attr_case(spark, {"mission": "to mars", "region": "solar system"}, acts) == {
+        "mission": "to mars",
+        "region": "planet-earth",
+    }
+
+
+def test_attraction_extract_golden(spark):
+    """attraction_test.go:309-427 TestAttributes_Extract — the exact anchored
+    pattern with underscore group names (Java rejects those; the engine
+    strips names and addresses groups positionally)."""
+    from opentelemetry_collector_spark.operators.attributes import Action
+
+    pat = r"^\/api\/v1\/document\/(?P<new_user_key>.*)\/update\/(?P<version>.*)$"
+    acts = [Action("user_key", "extract", pattern=pat)]
+    assert _attr_case(spark, {}, acts) == {}
+    assert _attr_case(spark, {"boo": "ghosts are scary"}, acts) == {"boo": "ghosts are scary"}
+    no_match = {"user_key": "does not match", "boo": "ghosts are scary"}
+    assert _attr_case(spark, no_match, acts) == no_match
+    partial = {"user_key": "/api/v1/document/12345678/update", "boo": "ghosts are scary"}
+    assert _attr_case(spark, partial, acts) == partial
+    assert _attr_case(
+        spark,
+        {"user_key": "/api/v1/document/12345678/update/v1", "foo": "casper the friendly ghost"},
+        acts,
+    ) == {
+        "user_key": "/api/v1/document/12345678/update/v1",
+        "new_user_key": "12345678",
+        "version": "v1",
+        "foo": "casper the friendly ghost",
+    }
+    assert _attr_case(
+        spark,
+        {
+            "user_key": "/api/v1/document/12345678/update/v1",
+            "new_user_key": "2321",
+            "version": "na",
+            "foo": "casper the friendly ghost",
+        },
+        acts,
+    ) == {
+        "user_key": "/api/v1/document/12345678/update/v1",
+        "new_user_key": "12345678",
+        "version": "v1",
+        "foo": "casper the friendly ghost",
+    }
+
+
+def test_attraction_from_attribute_self_no_change_golden(spark):
+    """attraction_test.go:632-656 TestAttributes_FromAttributeNoChange:
+    insert/update/upsert from the key itself leave it untouched."""
+    from opentelemetry_collector_spark.operators.attributes import Action
+
+    acts = [
+        Action("boo", "insert", from_attribute="boo"),
+        Action("boo", "update", from_attribute="boo"),
+        Action("boo", "upsert", from_attribute="boo"),
+    ]
+    assert _attr_case(spark, {"boo": "ghosts are scary"}, acts) == {"boo": "ghosts are scary"}
+
+
+def test_attraction_ordering_golden(spark):
+    """attraction_test.go:658-739 TestAttributes_Ordering: actions apply
+    strictly in sequence — insert, upsert-from, then delete of the source."""
+    from opentelemetry_collector_spark.operators.attributes import Action
+
+    acts = [
+        Action("operation", "insert", value="default"),
+        Action("svc.operation", "upsert", from_attribute="operation"),
+        Action("operation", "delete"),
+    ]
+    foo = {"foo": "casper the friendly ghost"}
+    assert _attr_case(spark, foo, acts) == {**foo, "svc.operation": "default"}
+    assert _attr_case(spark, {**foo, "operation": "arithmetic"}, acts) == {
+        **foo,
+        "svc.operation": "arithmetic",
+    }
+    assert _attr_case(spark, {**foo, "svc.operation": "some value"}, acts) == {
+        **foo,
+        "svc.operation": "default",
+    }
+    assert _attr_case(spark, {**foo, "operation": "arithmetic", "svc.operation": "add"}, acts) == {
+        **foo,
+        "svc.operation": "arithmetic",
+    }
