@@ -112,11 +112,60 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) 
     """Video frame-sampling analog: slice the payload at fixed strides.
 
     JVM-side substring on binary (no Python): stand-in for keyframe
-    extraction; demonstrates exploded one-row-per-frame output shape.
+    extraction; demonstrates the exploded one-row-per-frame output shape
+    with the frame's byte slice carried along (what a real keyframe decoder
+    would hand to the per-frame feature stage).
     """
-    idx = F.sequence(F.lit(0), F.least(F.floor(F.octet_length("payload") / every_n_bytes), F.lit(max_frames - 1)))
-    frames = F.transform(idx, lambda i: F.struct(i.cast("int").alias("frame_idx")))
-    return (
-        df.withColumn("f", F.explode(frames))
-        .select("media_id", F.col("f.frame_idx").alias("frame_idx"))
+    idx = F.sequence(
+        F.lit(0),
+        F.least(F.floor(F.octet_length("payload") / every_n_bytes), F.lit(max_frames - 1)),
     )
+    out = df.withColumn("frame_idx", F.explode(idx))
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        # 1-based substring start; binary slices stay JVM-side
+        F.substring(
+            F.col("payload"), F.col("frame_idx") * every_n_bytes + 1, every_n_bytes
+        ).alias("frame_bytes"),
+    )
+
+
+def resize(df: DataFrame, width: int, height: int, decode_stub: bool = True) -> DataFrame:
+    """Image-resize analog via mapInPandas: payload -> resized payload with
+    updated meta (width/height). The Arrow plumbing — binary in, binary out,
+    nested meta rebuild, bounded batches — is real; the pixel work is
+    stubbed (deterministic byte stride-sample sized to width*height) with
+    the NotImplementedError marking where `PIL.Image.resize` would go.
+    """
+    out_schema = MEDIA_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            payloads = []
+            metas = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                new_meta = dict(meta) if meta is not None else {"modality": None, "mime": None}
+                new_meta["width"], new_meta["height"] = width, height
+                metas.append(new_meta)
+                if payload is None:
+                    payloads.append(None)
+                    continue
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real codec not available in this container; "
+                        "plug PIL.Image.open(...).resize((w, h)) here"
+                    )
+                a = np.frombuffer(payload, dtype=np.uint8)
+                if len(a) == 0:
+                    payloads.append(b"")
+                    continue
+                # deterministic stride re-sample to exactly target bytes
+                pos = (np.arange(target, dtype=np.int64) * len(a)) // target
+                payloads.append(a[pos].tobytes())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads, "meta": metas}
+            )
+
+    return df.mapInPandas(gen, schema=out_schema)

@@ -227,3 +227,32 @@ def test_multimodal_stub(spark):
     with pytest.raises(Exception) as ei:
         extract_features(media, decode_stub=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_multimodal_frame_bytes_and_resize(spark):
+    from opentelemetry_collector_spark.operators.multimodal import (
+        frame_sample,
+        resize,
+        wrap_binary,
+    )
+
+    df = _docs(spark).withColumn("b", F.encode("text", "UTF-8"))
+    media = wrap_binary(df, "doc_id", "b", modality="image", mime="img/fake")
+
+    # frame slices reassemble to a prefix of the payload (stride slicing)
+    frames = frame_sample(media, every_n_bytes=32, max_frames=4).filter(F.col("media_id") == 0)
+    got = b"".join(r.frame_bytes for r in sorted(frames.collect(), key=lambda r: r.frame_idx))
+    assert got == BASE.encode()[: len(got)] and len(got) == min(128, len(BASE.encode()))
+
+    # resize: exact target byte size, meta width/height updated, deterministic
+    out = {r.media_id: r for r in resize(media, width=8, height=4).collect()}
+    assert len(out[0].payload) == 32
+    assert out[0].meta.width == 8 and out[0].meta.height == 4
+    assert out[0].payload == out[2].payload  # doc2 is an exact dup of doc0
+    assert out[5].payload == b""  # empty doc -> empty payload, no crash
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        resize(media, 8, 4, decode_stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
