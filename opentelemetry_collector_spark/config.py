@@ -197,6 +197,23 @@ def _compile_processor(spark: SparkSession, cid: str, cfg: dict) -> Transform:
         # record-count invariance is the contract; physical effect is applied
         # at the sinks (max_records_per_file), so the transform is identity
         return lambda df: df
+    if ctype == "memory_limiter":
+        from opentelemetry_collector_spark.operators.memory_limiter import (
+            MemoryLimiterConfig,
+            memory_limit,
+        )
+
+        if "limit_mib" not in cfg:
+            raise ConfigError(
+                f"processor {cid}: memAllocLimit or memoryLimitPercentage "
+                "must be greater than zero (memorylimiter.go:47-48)"
+            )
+        ml_cfg = MemoryLimiterConfig(
+            limit_mib=float(cfg["limit_mib"]),
+            spike_limit_mib=float(cfg.get("spike_limit_mib", 0.0)),
+        )
+        batch_key = cfg.get("batch_key", "conv_id")
+        return lambda df: memory_limit(df, ml_cfg, batch_key=batch_key)
     raise ConfigError(f"processor {cid}: unknown type '{ctype}'")
 
 

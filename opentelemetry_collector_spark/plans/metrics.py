@@ -32,6 +32,11 @@ class MetricsCollector:
         self.add(component, "accepted_log_records", after)
         self.add(component, "dropped_log_records", before - after)
 
+    def processor_refused(self, component: str, n: int) -> None:
+        # memory-limiter path: batches rejected at admission are *refused*,
+        # not dropped (obs_processor.go:24-77; memorylimiter.go:191-209)
+        self.add(component, "refused_log_records", n)
+
     def exporter_sent(self, sink: str, n: int, failed: int = 0) -> None:
         self.add("exporter", "sent_log_records", n, sink=sink)
         self.add("exporter", "send_failed_log_records", failed, sink=sink)

@@ -740,6 +740,31 @@ JOIN tot ON tot.role = grid.role
 """
 
 
+def q34_memory_limiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory limiter batch admission (memorylimiter.go:191-209 whole-batch
+    refusal above the soft limit): per-verdict batch + record counts with a
+    ~6.4 KiB limit (20% default spike => soft limit 5243 bytes), sized so
+    both verdicts occur on the transcripts conversations."""
+    from opentelemetry_collector_spark.operators.memory_limiter import (
+        MemoryLimiterConfig,
+        admission_report,
+    )
+
+    t = from_events(spark, sf_dir)
+    cfg = MemoryLimiterConfig(limit_mib=0.00625)  # 6553 B; soft = 5243 B
+    return admission_report(t, cfg)
+
+
+Q34_SQL = f"""{_PRELUDE},
+b AS (SELECT conv_id, sum(strlen(text) + coalesce(strlen(tool), 0) + 64) AS bytes,
+             count(*) AS n
+      FROM t GROUP BY conv_id),
+v AS (SELECT CASE WHEN bytes < 5243 THEN 'accepted' ELSE 'refused' END AS status, n FROM b)
+SELECT status, CAST(count(*) AS BIGINT) AS n_batches, CAST(sum(n) AS BIGINT) AS n_records
+FROM v GROUP BY status
+"""
+
+
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
 
@@ -811,6 +836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_otlp_roundtrip": q31_otlp_roundtrip,
     "q32_batch_split": q32_batch_split,
     "q33_histogram_merge": q33_histogram_merge,
+    "q34_memory_limiter": q34_memory_limiter,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -848,6 +874,7 @@ ORACLES: dict[str, str] = {
     "q31_otlp_roundtrip": Q31_SQL,
     "q32_batch_split": Q32_SQL,
     "q33_histogram_merge": Q33_SQL,
+    "q34_memory_limiter": Q34_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
