@@ -56,6 +56,11 @@ def run_default() -> None:
         n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         # warm up JVM/codegen once so per-query numbers measure the plan
         _force(QUERIES["q06_route_counts"](spark, sf_dir))
+        # ... and the Python/Arrow worker pool (one no-op mapInPandas task per
+        # core), so pandas-UDF queries measure the plan, not interpreter forks
+        spark.range(0, 1024, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
 
         per_query: dict[str, float] = {}
         for name in HEADLINE:

@@ -114,6 +114,30 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def sorted_intersect_size(a: Column, b: Column) -> Column:
+    """|A ∩ B| for pairs of SORTED distinct int64 arrays (Arrow-batched C
+    binary search; the vectorized replacement for interpreted
+    array_intersect — UDF created lazily so module import needs no session)."""
+
+    def _impl(aa, bb):
+        import numpy as np
+        import pandas as pd
+
+        out = np.empty(len(aa), dtype=np.int32)
+        for i, (x, y) in enumerate(zip(aa, bb)):
+            xa = np.asarray(x, dtype=np.int64)
+            ya = np.asarray(y, dtype=np.int64)
+            if xa.size == 0 or ya.size == 0:
+                out[i] = 0
+                continue
+            idx = np.searchsorted(ya, xa)
+            idx[idx == ya.size] = ya.size - 1
+            out[i] = int(np.count_nonzero(ya[idx] == xa))
+        return pd.Series(out)
+
+    return F.pandas_udf(_impl, "int")(a, b)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -133,14 +157,13 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    # staged projections so each expensive expression is evaluated ONCE:
-    # norm (regex) -> shingles -> base hashes -> signature
-    base = (
-        df.withColumn("_norm", normalize_text(F.col(text_col)))
-        .select(F.col(id_col).alias("_id"), shingles_of_normalized(F.col("_norm"), k).alias("_sh"))
-        .withColumn("_bases", shingle_bases(F.col("_sh")))
-        .withColumn("_sig", minhash_signature_from_bases(F.col("_bases"), num_hashes, seed))
-        .drop("_bases")
+    # one Arrow-vectorized pass computes hashed shingles + signatures
+    # (numpy rolling hash; Catalyst HOFs are interpreted — see
+    # functions/shingle_hash.py for the measured 10x)
+    from opentelemetry_collector_spark.functions.shingle_hash import shingle_hash_table
+
+    base = shingle_hash_table(
+        df, id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes, seed=seed
     )
     # the signature table feeds three plan branches (candidate generation +
     # the two verification re-joins). Those branches are all ROOT stages of
@@ -200,9 +223,16 @@ def minhash_lsh_pairs(
         cand.join(sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh")), "a_id")
         .join(sh.select(F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh")), "b_id")
     )
+    # exact verify: array_intersect is an interpreted expression — on a
+    # pair-dense corpus (sf0.1: 184k candidates x ~300 shingles) it was 15 s
+    # of the 24 s total. The _sh arrays arrive SORTED from shingle_hash_table,
+    # so a numpy merge in one Arrow batch pass does the same count in C.
+    inter = sorted_intersect_size(F.col("a_sh"), F.col("b_sh"))
+    verified = verified.withColumn(
+        "jaccard", inter / (F.size("a_sh") + F.size("b_sh") - inter)
+    )
     return (
-        verified.withColumn("jaccard", jaccard(F.col("a_sh"), F.col("b_sh")))
-        .filter(F.col("jaccard") >= threshold)
+        verified.filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.floor(F.col("jaccard") * 1000).cast("bigint").alias("jaccard_milli"))
     )
 
@@ -221,9 +251,12 @@ def ngram_jaccard_pairs(
     join/agg — the same plan holds at 10^9 documents with AQE handling
     hot shingles.
     """
-    s = df.withColumn("_norm", normalize_text(F.col(text_col))).select(
-        F.col(id_col).alias("_id"), shingles_of_normalized(F.col("_norm"), k).alias("_sh")
-    )
+    from opentelemetry_collector_spark.functions.shingle_hash import shingle_hash_table
+
+    # hashed-shingle postings: bigint join keys shuffle ~5x smaller than the
+    # k-gram strings; 63-bit space keeps intersection counts exact in
+    # expectation (collision odds ~1e-13/pair — q25 oracle parity argument)
+    s = shingle_hash_table(df, id_col=id_col, text_col=text_col, k=k, with_sig=False)
     # feeds sizes + both posting sides (concurrent root stages): eager
     # persist so shingling runs once
     s = s.persist()
@@ -287,9 +320,13 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming, blocked by 16-bit chunks
     (a pair within distance d<=3 must agree on >=1 of 4 chunks — pigeonhole)."""
+    from opentelemetry_collector_spark.functions.shingle_hash import simhash_votes
+
+    # token hashes stay JVM (xxhash64); the 64 per-bit vote passes run
+    # vectorized in numpy (value-identical — see simhash_votes docstring)
     s = (
         df.withColumn("_th", token_hashes(F.col(text_col)))
-        .select(F.col(id_col).alias("_id"), simhash_from_token_hashes(F.col("_th"), bits).alias("_h"))
+        .select(F.col(id_col).alias("_id"), simhash_votes(F.col("_th")).alias("_h"))
     )
     # feeds both sides of the chunk-blocked self-join (concurrent root
     # stages): eager persist so each doc is hashed once
