@@ -56,11 +56,58 @@ class SinkSpec:
     partition_by: list[str] | None = None
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def _iceberg_partition_col(spec: str):
+    """'days(ts)' / 'bucket(16, conv_id)' / 'conv_id' -> partition Column.
+
+    The transforms the north_rule tables want: days(ts) for time pruning,
+    bucket(N, conv_id) so per-conversation reads and downstream co-located
+    joins skip the shuffle (Iceberg's hidden partitioning)."""
+    spec = spec.strip()
+    if spec.startswith("days(") and spec.endswith(")"):
+        return F.days(spec[5:-1].strip())
+    if spec.startswith("hours(") and spec.endswith(")"):
+        return F.hours(spec[6:-1].strip())
+    if spec.startswith("bucket(") and spec.endswith(")"):
+        n, col = spec[7:-1].split(",", 1)
+        return F.bucket(int(n), col.strip())
+    return F.col(spec)
+
+
 def write_sink(df: DataFrame, s: SinkSpec) -> None:
     """One idempotent sink write honoring the spec's physical options."""
     out = df.filter(s.predicate)
     if s.repartition_key:
         out = out.repartition(F.col(s.repartition_key))
+    if s.format == "iceberg":
+        # north_rule target: per-exporter Iceberg tables. `path` is a catalog
+        # table identifier (catalog.db.table). DataFrameWriterV2 lets Iceberg
+        # own commit atomicity — its snapshot id is the durable form of our
+        # parquet manifest analog (plans/checkpoint.py), and replace is the
+        # same idempotent overwrite contract.
+        if not iceberg_available(out.sparkSession):
+            raise RuntimeError(
+                "sink format 'iceberg' requires the iceberg-spark-runtime jar "
+                "and a configured catalog (spark.sql.catalog.<name>); "
+                "use format='parquet' otherwise"
+            )
+        writer = out.writeTo(s.path).using("iceberg")
+        if s.max_records_per_file:
+            writer = writer.tableProperty(
+                "write.target-file-size-bytes", str(s.max_records_per_file * 1024)
+            )
+        if s.partition_by:
+            writer = writer.partitionedBy(*[_iceberg_partition_col(p) for p in s.partition_by])
+        writer.createOrReplace()
+        return
     writer = out.write.mode("overwrite").format(s.format)
     if s.max_records_per_file:
         writer = writer.option("maxRecordsPerFile", s.max_records_per_file)
@@ -82,6 +129,12 @@ class PipelineSpec:
             raise ValueError(f"pipeline {self.name}: must have a source")
         if not self.sinks:
             raise ValueError(f"pipeline {self.name}: must have at least one exporter")
+
+
+def _read_sink(spark: SparkSession, s: SinkSpec) -> DataFrame:
+    if s.format == "iceberg":
+        return spark.table(s.path)
+    return spark.read.format(s.format).load(s.path)
 
 
 @dataclass
@@ -132,7 +185,7 @@ def run_pipeline(
     for s in spec.sinks:
         if manifest.committed(s.name, snapshot):
             resumed.append(s.name)
-            sink_rows[s.name] = spark.read.format(s.format).load(s.path).count()
+            sink_rows[s.name] = _read_sink(spark, s).count()
             metrics.exporter_sent(s.name, sink_rows[s.name])
             continue
         write_sink(df_processed, s)
@@ -143,7 +196,7 @@ def run_pipeline(
             n = sum(p.rows for p in parts)
         else:
             parts = []
-            n = spark.read.format(s.format).load(s.path).count()
+            n = _read_sink(spark, s).count()
         sink_rows[s.name] = n
         metrics.exporter_sent(s.name, n)
         # sinks-first, lineage, manifest-last commit order (SURVEY §7 risk 4)
