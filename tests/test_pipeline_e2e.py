@@ -127,3 +127,42 @@ def test_per_partition_lineage_recorded(spark, tmp_path):
         assert all(e["status"] == "committed" and e["file"] for e in sink_entries)
         # partition ids are dense from 0
         assert sorted(e["partition_id"] for e in sink_entries) == list(range(len(sink_entries)))
+
+
+def test_health_flips_ready_after_run(spark, tmp_path):
+    """healthcheck analog: unavailable before the run, ready after every sink
+    commits (healthcheckextension.go:83-88 Ready/Unavailable)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.plans.checkpoint import input_snapshot_id
+    from opentelemetry_collector_spark.plans.pipeline import (
+        PipelineSpec,
+        SinkSpec,
+        run_pipeline,
+    )
+    from opentelemetry_collector_spark.plans.status import (
+        READY,
+        UNAVAILABLE,
+        pipeline_health,
+        zpages_text,
+    )
+    from opentelemetry_collector_spark.sources.transcripts import synthesize
+
+    def source(s):
+        return synthesize(s, n_convs=4, mean_turns=3, seed=7)
+
+    spec = PipelineSpec(
+        name="p",
+        source=source,
+        sinks=[SinkSpec(name="all", predicate=F.lit(True), path=str(tmp_path / "all"))],
+    )
+    n = source(spark).count()
+    snapshot = input_snapshot_id("p", n)
+    base = str(tmp_path / "base")
+    before = pipeline_health(spec, base, snapshot)
+    assert before.status == UNAVAILABLE and before.pending_sinks == ["all"]
+    run_pipeline(spark, spec, base)
+    after = pipeline_health(spec, base, snapshot)
+    assert after.status == READY and after.committed_sinks == ["all"]
+    page = zpages_text({"p": spec})
+    assert "pipeline p:" in page and "exporter all: format=parquet" in page
