@@ -48,12 +48,17 @@ def _mix64(h: np.ndarray) -> np.ndarray:
 
 
 def _normalize(texts: pd.Series) -> pd.Series:
+    """Mirror dedup.normalize_text EXACTLY: Spark evaluates
+    regexp_replace(lower(trim(col)), '\\s+', ' ') — trim strips only the
+    SPACE char, applies before lower, and Java's default \\s is ASCII-only.
+    (Python .strip()/\\s are Unicode-wide — using them here diverged on
+    unicode inputs; pinned by the hypothesis parity test.)"""
     return (
         texts.astype("string")
         .fillna("")
+        .str.strip(" ")
         .str.lower()
-        .str.strip()
-        .str.replace(r"\s+", " ", regex=True)
+        .str.replace(r"[ \t\n\x0b\f\r]+", " ", regex=True)
     )
 
 
@@ -66,10 +71,12 @@ def _batch_shingle_hashes(
     plus per-doc distinct counts. hashes are uint64 (full width, pre-shift).
     """
     norm = _normalize(texts)
-    blobs = [s.encode("utf-8") for s in norm.tolist()]
-    lengths = np.array([len(b) for b in blobs], dtype=np.int64)
+    # UTF-32 code units => k-grams are CHAR k-grams exactly like Spark
+    # substr / DuckDB substr (byte k-grams would diverge on non-ASCII)
+    blobs = [s.encode("utf-32-le") for s in norm.tolist()]
+    lengths = np.array([len(b) // 4 for b in blobs], dtype=np.int64)
     n_docs = len(blobs)
-    buf = np.frombuffer(b"".join(blobs), dtype=np.uint8).astype(np.uint64)
+    buf = np.frombuffer(b"".join(blobs), dtype=np.uint32).astype(np.uint64)
     doc_starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
 
     long_mask = lengths >= k

@@ -71,14 +71,18 @@ def _iceberg_partition_col(spec: str):
     The transforms the north_rule tables want: days(ts) for time pruning,
     bucket(N, conv_id) so per-conversation reads and downstream co-located
     joins skip the shuffle (Iceberg's hidden partitioning)."""
+    try:  # Spark 4.x home for partition transforms
+        from pyspark.sql.functions import partitioning as PT
+    except ImportError:  # pragma: no cover - Spark 3.x fallback
+        PT = F
     spec = spec.strip()
     if spec.startswith("days(") and spec.endswith(")"):
-        return F.days(spec[5:-1].strip())
+        return PT.days(spec[5:-1].strip())
     if spec.startswith("hours(") and spec.endswith(")"):
-        return F.hours(spec[6:-1].strip())
+        return PT.hours(spec[6:-1].strip())
     if spec.startswith("bucket(") and spec.endswith(")"):
         n, col = spec[7:-1].split(",", 1)
-        return F.bucket(int(n), col.strip())
+        return PT.bucket(int(n), col.strip())
     return F.col(spec)
 
 

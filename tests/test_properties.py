@@ -98,3 +98,55 @@ def test_attribute_insert_idempotent_property(spark, keys, value):
     once = apply_actions(df, actions).collect()[0].attrs
     twice = apply_actions(apply_actions(df, actions), actions).collect()[0].attrs
     assert dict(once) == dict(twice)
+
+
+@given(texts=st.lists(text_st, min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_hashed_shingle_path_matches_catalyst_semantics(spark, texts):
+    """functions/shingle_hash (numpy rolling hash) must agree with the
+    Catalyst string-shingle reference path on hash-agnostic observables:
+    per-doc distinct-shingle count and pairwise exact Jaccard — across
+    unicode, whitespace runs, empties, and short (<k) docs."""
+    from opentelemetry_collector_spark.functions.shingle_hash import shingle_hash_table
+    from opentelemetry_collector_spark.operators.dedup import (
+        jaccard,
+        normalize_text,
+        shingles_of_normalized,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    cat = (
+        df.withColumn("_norm", normalize_text(F.col("text")))
+        .select(F.col("doc_id").alias("_id"), shingles_of_normalized(F.col("_norm"), 5).alias("_sh"))
+    )
+    fast = shingle_hash_table(df, "doc_id", "text", k=5, with_sig=False)
+
+    n_cat = {r._id: r.n for r in cat.select("_id", F.size("_sh").alias("n")).collect()}
+    n_fast = {r._id: r.n for r in fast.select("_id", F.size("_sh").alias("n")).collect()}
+    assert n_fast == n_cat
+
+    a_c, b_c = cat.alias("a"), cat.alias("b")
+    j_cat = {
+        (r.a, r.b): r.j
+        for r in a_c.join(b_c, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("a"),
+            F.col("b._id").alias("b"),
+            F.floor(jaccard(F.col("a._sh"), F.col("b._sh")) * 1000).alias("j"),
+        )
+        .collect()
+    }
+    a_f, b_f = fast.alias("a"), fast.alias("b")
+    j_fast = {
+        (r.a, r.b): r.j
+        for r in a_f.join(b_f, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("a"),
+            F.col("b._id").alias("b"),
+            F.floor(jaccard(F.col("a._sh"), F.col("b._sh")) * 1000).alias("j"),
+        )
+        .collect()
+    }
+    assert j_fast == j_cat
