@@ -135,6 +135,56 @@ class PipelineSpec:
             raise ValueError(f"pipeline {self.name}: must have at least one exporter")
 
 
+def is_permanent(exc: Exception) -> bool:
+    """Permanent-error classification (consumererror.Permanent analog,
+    queued_retry.go:241-263): config/schema/analysis errors never heal with
+    a retry; IO/transient runtime errors might."""
+    from pyspark.errors import AnalysisException, IllegalArgumentException
+
+    return isinstance(exc, (AnalysisException, IllegalArgumentException, ValueError, TypeError))
+
+
+def write_sink_with_retry(
+    df: DataFrame,
+    s: SinkSpec,
+    max_attempts: int = 3,
+    initial_backoff_s: float = 0.2,
+    backoff_cap_s: float = 30.0,
+) -> int:
+    """Exponential-backoff retry around one sink write; returns the number
+    of FAILED attempts (for the send_failed metric).
+
+    Mirrors the exporterhelper retry sender (queued_retry.go:90-98: 5 s
+    initial -> 30 s cap; :241-332 retry loop, permanent short-circuit).
+    Spark already retries tasks inside a job — this wraps whole-JOB failures
+    (driver-visible), which is the layer the Go retry operates at. The write
+    is overwrite-idempotent, so a retry replaces partial output."""
+    import time as _time
+
+    failed = 0
+    backoff = initial_backoff_s
+    while True:
+        try:
+            write_sink(df, s)
+            return failed
+        except Exception as exc:
+            failed += 1
+            if is_permanent(exc) or failed >= max_attempts:
+                raise
+            _time.sleep(min(backoff, backoff_cap_s))
+            backoff *= 2
+
+
+class SinkErrors(RuntimeError):
+    """Combination of per-sink failures (fanoutconsumer/consumer.go:48-56 —
+    one child's error must not short-circuit deliveries to its siblings)."""
+
+    def __init__(self, errors: dict[str, Exception]):
+        self.errors = errors
+        detail = "; ".join(f"{k}: {type(v).__name__}: {v}" for k, v in errors.items())
+        super().__init__(f"{len(errors)} sink(s) failed: {detail}")
+
+
 def _read_sink(spark: SparkSession, s: SinkSpec) -> DataFrame:
     if s.format == "iceberg":
         return spark.table(s.path)
@@ -155,9 +205,13 @@ def run_pipeline(
     base_path: str,
     run_id: str | None = None,
     input_rows: int | None = None,
+    max_attempts: int = 3,
+    raise_on_sink_error: bool = True,
 ) -> RunResult:
     """Execute: scan -> processors -> predicate fan-out -> idempotent sink
-    writes, with obsreport metrics and a resume-capable manifest."""
+    writes (exp-backoff retried), with obsreport metrics and a
+    resume-capable manifest. A failing sink does not block its siblings;
+    all failures raise combined as :class:`SinkErrors` at the end."""
     spec.validate()
     run_id = run_id or uuid.uuid4().hex[:12]
     metrics = MetricsCollector(run_id)
@@ -186,13 +240,23 @@ def run_pipeline(
     sink_rows: dict[str, int] = {}
     resumed: list[str] = []
 
+    sink_errors: dict[str, Exception] = {}
     for s in spec.sinks:
         if manifest.committed(s.name, snapshot):
             resumed.append(s.name)
             sink_rows[s.name] = _read_sink(spark, s).count()
             metrics.exporter_sent(s.name, sink_rows[s.name])
             continue
-        write_sink(df_processed, s)
+        try:
+            failed_attempts = write_sink_with_retry(df_processed, s, max_attempts=max_attempts)
+        except Exception as exc:
+            # error combination: siblings still get their deliveries
+            # (fanoutconsumer/consumer.go:48-56); this sink records a failed
+            # manifest entry + send_failed metric and stays resumable
+            sink_errors[s.name] = exc
+            metrics.exporter_sent(s.name, 0, failed=n_proc)
+            manifest.commit(ManifestEntry(run_id, s.name, snapshot, "failed", 0))
+            continue
         if s.format == "parquet":
             # per-partition lineage + counts straight from parquet footers
             # (no re-scan of the data)
@@ -202,7 +266,7 @@ def run_pipeline(
             parts = []
             n = _read_sink(spark, s).count()
         sink_rows[s.name] = n
-        metrics.exporter_sent(s.name, n)
+        metrics.exporter_sent(s.name, n, failed=failed_attempts * n_proc)
         # sinks-first, lineage, manifest-last commit order (SURVEY §7 risk 4)
         if parts:
             lineage.record(run_id, s.name, snapshot, parts)
@@ -211,4 +275,6 @@ def run_pipeline(
     df_processed.unpersist()
     mdf = metrics.to_df(spark)
     mdf.write.mode("append").parquet(f"{base_path}/metrics")
+    if sink_errors and raise_on_sink_error:
+        raise SinkErrors(sink_errors)
     return RunResult(run_id, sink_rows, mdf, resumed)

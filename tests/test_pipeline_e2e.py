@@ -166,3 +166,73 @@ def test_health_flips_ready_after_run(spark, tmp_path):
     assert after.status == READY and after.committed_sinks == ["all"]
     page = zpages_text({"p": spec})
     assert "pipeline p:" in page and "exporter all: format=parquet" in page
+
+
+def _mini_spec(tmp_path, two_sinks=False):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.plans.pipeline import PipelineSpec, SinkSpec
+    from opentelemetry_collector_spark.sources.transcripts import synthesize
+
+    sinks = [SinkSpec(name="a", predicate=F.lit(True), path=str(tmp_path / "a"))]
+    if two_sinks:
+        sinks.append(SinkSpec(name="b", predicate=F.lit(True), path=str(tmp_path / "b")))
+    return PipelineSpec(
+        name="p",
+        source=lambda s: synthesize(s, n_convs=3, mean_turns=3, seed=5),
+        sinks=sinks,
+    )
+
+
+def test_retry_recovers_from_transient_sink_failure(spark, tmp_path, monkeypatch):
+    """queued_retry.go:241-332 analog: transient failures retried with
+    backoff; the write is overwrite-idempotent so a retry replaces output."""
+    from opentelemetry_collector_spark.plans import pipeline as P
+
+    real = P.write_sink
+    calls = {"n": 0}
+
+    def flaky(df, s):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("transient io")
+        real(df, s)
+
+    monkeypatch.setattr(P, "write_sink", flaky)
+    res = P.run_pipeline(spark, _mini_spec(tmp_path), str(tmp_path / "base"))
+    assert calls["n"] == 3 and res.sink_rows["a"] > 0
+    failed = {
+        (r.sink): r.value
+        for r in res.metrics.filter("metric = 'send_failed_log_records'").collect()
+    }
+    assert failed["a"] > 0  # two failed attempts recorded
+
+
+def test_permanent_error_not_retried_and_combined(spark, tmp_path, monkeypatch):
+    """Permanent errors short-circuit the retry loop (consumererror.Permanent)
+    and combine without blocking sibling sinks (fanoutconsumer error
+    combination)."""
+    import pytest
+
+    from opentelemetry_collector_spark.plans import pipeline as P
+
+    real = P.write_sink
+    calls = {"a": 0, "b": 0}
+
+    def partial(df, s):
+        calls[s.name] += 1
+        if s.name == "a":
+            raise ValueError("bad schema")  # classified permanent
+        real(df, s)
+
+    monkeypatch.setattr(P, "write_sink", partial)
+    spec = _mini_spec(tmp_path, two_sinks=True)
+    with pytest.raises(P.SinkErrors, match="bad schema"):
+        P.run_pipeline(spark, spec, str(tmp_path / "base"))
+    assert calls == {"a": 1, "b": 1}  # no retry on permanent; sibling delivered
+    assert spark.read.parquet(str(tmp_path / "b")).count() > 0
+
+    # resume: fixed writer re-runs ONLY the failed sink
+    monkeypatch.setattr(P, "write_sink", real)
+    res = P.run_pipeline(spark, spec, str(tmp_path / "base"))
+    assert res.resumed_sinks == ["b"] and res.sink_rows["a"] > 0
