@@ -169,3 +169,28 @@ def resize(df: DataFrame, width: int, height: int, decode_stub: bool = True) -> 
             )
 
     return df.mapInPandas(gen, schema=out_schema)
+
+
+def feature_histogram(df: DataFrame, n_features: int = 8) -> DataFrame:
+    """Integer byte-histogram features, flattened to one row per bucket.
+
+    The oracle-checkable form of :func:`extract_features` (same decode-stub
+    feature definition, integer counts instead of normalized doubles so the
+    cross-engine value hash is exact). Output: (media_id, pos, cnt).
+    """
+    schema = "media_id long, pos int, cnt long"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, poss, cnts = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                a = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(a % n_features, minlength=n_features)
+                ids += [media_id] * n_features
+                poss += list(range(n_features))
+                cnts += hist.tolist()
+            yield pd.DataFrame({"media_id": ids, "pos": poss, "cnt": cnts})
+
+    return df.mapInPandas(gen, schema=schema)

@@ -765,6 +765,38 @@ FROM v GROUP BY status
 """
 
 
+def q35_media_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable multimodal feature path: the decode-stub byte
+    histogram of extract_features as exact integer counts per bucket
+    (documents text re-encoded as the opaque payload; ASCII corpus =>
+    byte value == ascii(char), which is what lets DuckDB replicate it)."""
+    from opentelemetry_collector_spark.operators.multimodal import (
+        feature_histogram,
+        wrap_binary,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "payload_bytes", F.encode(F.col("text"), "UTF-8")
+    )
+    media = wrap_binary(docs, "doc_id", "payload_bytes", modality="image", mime="application/octet-stream")
+    return feature_histogram(media, n_features=8)
+
+
+Q35_SQL = """
+WITH by_byte AS (
+  SELECT doc_id,
+         unnest([ascii(substr(text, i, 1)) % 8 for i in range(1, strlen(text) + 1)]) AS k
+  FROM documents
+),
+grid AS (SELECT doc_id, g.pos FROM (SELECT DISTINCT doc_id FROM documents)
+         CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS pos) g)
+SELECT CAST(grid.doc_id AS BIGINT) AS media_id, CAST(grid.pos AS INTEGER) AS pos,
+       CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+FROM grid LEFT JOIN (SELECT doc_id, k, count(*) AS cnt FROM by_byte GROUP BY doc_id, k) c
+  ON c.doc_id = grid.doc_id AND c.k = grid.pos
+"""
+
+
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
 
@@ -837,6 +869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_batch_split": q32_batch_split,
     "q33_histogram_merge": q33_histogram_merge,
     "q34_memory_limiter": q34_memory_limiter,
+    "q35_media_histogram": q35_media_histogram,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -875,6 +908,7 @@ ORACLES: dict[str, str] = {
     "q32_batch_split": Q32_SQL,
     "q33_histogram_merge": Q33_SQL,
     "q34_memory_limiter": Q34_SQL,
+    "q35_media_histogram": Q35_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
