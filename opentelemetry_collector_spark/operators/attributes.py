@@ -89,55 +89,127 @@ def _java_pattern(pattern: str) -> str:
 
 
 def _map_set(m: Column, key: str, value: Column) -> Column:
-    """Unconditional key set: drop existing key, concat the new entry.
-    Avoids duplicate-key errors under the default EXCEPTION dedup policy."""
+    """Unconditional single-key set: drop existing key, concat the new entry.
+    (Used by the span processor for its one-key-at-a-time rewrites; the
+    attributes action chain compiles per-key instead — see attrs_expr.)"""
     cleaned = F.map_filter(m, lambda k, _v: k != F.lit(key))
     return F.map_concat(cleaned, F.create_map(F.lit(key), value))
 
 
-def _apply_one(m: Column, a: Action) -> Column:
-    if a.action == DELETE:
-        return F.map_filter(m, lambda k, _v: k != F.lit(a.key))
+class _KeyState:
+    """Symbolic (value, present) pair for one attribute key while the ordered
+    action list is interpreted at PLAN TIME."""
 
-    if a.action == HASH:
-        has = F.map_contains_key(m, F.lit(a.key))
-        hashed = _HASH_FNS[a.algorithm](m[a.key])
-        return F.when(has, _map_set(m, a.key, hashed)).otherwise(m)
+    __slots__ = ("value", "present")
 
-    if a.action == EXTRACT:
-        jpat = _java_pattern(a.pattern)
-        src = m[a.key]
-        matched = src.isNotNull() & src.rlike(jpat)
-        out = m
-        for name, idx in re.compile(a.pattern).groupindex.items():
-            out = _map_set(out, name, F.regexp_extract(src, jpat, idx))
-        return F.when(matched, out).otherwise(m)
+    def __init__(self, value: Column, present: Column):
+        self.value = value
+        self.present = present
 
-    # insert / update / upsert share value resolution
-    if a.value is not None:
-        val: Column = F.lit(canonical_str(a.value))
-        resolvable = F.lit(True)
-    else:
-        val = m[a.from_attribute]
-        resolvable = F.map_contains_key(m, F.lit(a.from_attribute))
 
-    has = F.map_contains_key(m, F.lit(a.key))
-    if a.action == INSERT:
-        cond = resolvable & ~has
-    elif a.action == UPDATE:
-        cond = resolvable & has
-    else:  # UPSERT
-        cond = resolvable
-    return F.when(cond, _map_set(m, a.key, val)).otherwise(m)
+def _touched_keys(actions: list[Action]) -> list[str]:
+    keys: list[str] = []
+
+    def add(k: str) -> None:
+        if k not in keys:
+            keys.append(k)
+
+    for a in actions:
+        add(a.key)
+        if a.from_attribute:
+            add(a.from_attribute)
+        if a.action == EXTRACT:
+            for name in re.compile(a.pattern).groupindex:
+                add(name)
+    return keys
 
 
 def attrs_expr(actions: list[Action], attrs_col: str = "attrs") -> Column:
-    """Fold the ordered action list into one Column expression."""
+    """Compile the ordered action list into ONE map expression.
+
+    The naive formulation — fold ``when(cond, rebuild(m)).otherwise(m)`` per
+    action — duplicates the whole previous map expression ~4x per action, so
+    the tree grows exponentially with the action count (measured 19 s for a
+    6-action chain over 100k rows; this formulation runs it in <1 s).
+    Instead the chain is interpreted symbolically per TOUCHED KEY (all target
+    keys are static — attraction.go compiles its actions at build time the
+    same way): each key carries a linear (value, present) expression chain,
+    and the map is rebuilt once at the end — untouched entries pass through
+    a single map_filter, touched entries come from one map_from_entries.
+    """
     m = ensure_attrs(F.col(attrs_col))
     for a in actions:
         a.validate()
-        m = _apply_one(m, a)
-    return m
+
+    touched = _touched_keys(actions)
+    state: dict[str, _KeyState] = {
+        k: _KeyState(m[k], F.map_contains_key(m, F.lit(k))) for k in touched
+    }
+
+    for a in actions:
+        if a.action == DELETE:
+            state[a.key] = _KeyState(F.lit(None).cast("string"), F.lit(False))
+            continue
+        if a.action == HASH:
+            s = state[a.key]
+            hashed = _HASH_FNS[a.algorithm](s.value)
+            state[a.key] = _KeyState(F.when(s.present, hashed).otherwise(s.value), s.present)
+            continue
+        if a.action == EXTRACT:
+            jpat = _java_pattern(a.pattern)
+            src = state[a.key]
+            matched = src.present & src.value.isNotNull() & src.value.rlike(jpat)
+            # snapshot the source ONCE: groups may overwrite the source key
+            # itself, and all groups must extract from the pre-action value
+            src_val = src.value
+            for name, idx in re.compile(a.pattern).groupindex.items():
+                g = state[name]
+                ext = F.regexp_extract(src_val, jpat, idx)
+                state[name] = _KeyState(
+                    F.when(matched, ext).otherwise(g.value), g.present | matched
+                )
+            continue
+
+        # insert / update / upsert share value resolution
+        if a.value is not None:
+            val: Column = F.lit(canonical_str(a.value))
+            resolvable: Column = F.lit(True)
+        else:
+            src = state[a.from_attribute]
+            val, resolvable = src.value, src.present
+
+        tgt = state[a.key]
+        if a.action == INSERT:
+            cond = resolvable & ~tgt.present
+        elif a.action == UPDATE:
+            cond = resolvable & tgt.present
+        else:  # UPSERT
+            cond = resolvable
+        state[a.key] = _KeyState(
+            F.when(cond, val).otherwise(tgt.value), tgt.present | cond
+        )
+
+    untouched = F.map_filter(m, lambda k, _v: ~k.isin(*touched) if touched else F.lit(True))
+    if not touched:
+        return untouched
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("key"),
+                state[k].value.alias("value"),
+                F.coalesce(state[k].present, F.lit(False)).alias("p"),
+            )
+            for k in touched
+        ]
+    )
+    present_entries = F.filter(entries, lambda e: e.getField("p"))
+    touched_map = F.map_from_entries(
+        F.transform(
+            present_entries,
+            lambda e: F.struct(e.getField("key").alias("key"), e.getField("value").alias("value")),
+        )
+    )
+    return F.map_concat(untouched, touched_map)
 
 
 def apply_actions(

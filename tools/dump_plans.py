@@ -73,6 +73,19 @@ COMMENTARY = {
         "The naive all-pairs O(N^2) join is replaced by |shared-token| pairs only — the "
         "standard scalable set-similarity join shape.",
     ),
+    "q19_minhash_lsh": (
+        "MapInPandas ONCE (numpy shingle+signature kernel); codegen'd hash self-join on "
+        "(band, bucket) for candidates; ArrowEvalPython only on the verified pair batch.",
+        "Every per-element hot loop (shingling, 32 minhash passes, exact intersect) runs as "
+        "C kernels over Arrow batches; the only shuffles are the uniform bucket join and "
+        "candidate dedup — no interpreted Catalyst HOF survives on the 100 TB path.",
+    ),
+    "q34_memory_limiter": (
+        "Single hashpartitioning(conv_id) Exchange shared by the batch-bytes window and the "
+        "admission aggregate; byte estimate is a map-side JVM expression.",
+        "Admission control must not add its own shuffle: the per-batch sum rides the same "
+        "conv_id partitioning the downstream per-conversation aggregate already needs.",
+    ),
 }
 
 
