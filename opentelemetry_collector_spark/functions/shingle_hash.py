@@ -144,45 +144,34 @@ def simhash_votes(hashes_col):
 
     def _impl(series: pd.Series) -> pd.Series:
         n = len(series)
-        out = np.zeros(n, dtype=np.uint64)
-        null_mask = np.zeros(n, dtype=bool)
-        arrs, offsets, lens = [], [], []
-        pos = 0
-        for i, v in enumerate(series):
-            if v is None:
-                null_mask[i] = True
-                continue
-            a = np.asarray(v, dtype=np.int64)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        # null token arrays hash to 0 in the Catalyst reference (the fold
+        # starts at lit(0) and a null vote never sets a bit) — treat null
+        # exactly like an empty doc
+        arrs, lens = [], []
+        for v in series:
+            a = np.empty(0, dtype=np.int64) if v is None else np.asarray(v, dtype=np.int64)
             arrs.append(a)
-            offsets.append(pos)
             lens.append(a.size)
-            pos += a.size
-        if pos:
-            allh = np.concatenate(arrs).astype(np.uint64)
-            # (total_tokens, 64) vote matrix: +1 where bit set, -1 where not
-            bits = ((allh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
-            votes_all = 2 * bits - 1
-            # empty docs (len 0) need an explicit 0-vote row; reduceat repeats
-            # rows for zero-length segments, so guard by masking after
-            starts = np.array(offsets, dtype=np.int64)
-            lens_a = np.array(lens, dtype=np.int64)
-            nonempty = lens_a > 0
-            safe_starts = np.minimum(starts, max(pos - 1, 0))
-            votes = np.add.reduceat(votes_all, safe_starts, axis=0) if len(starts) else np.zeros((0, 64), np.int32)
-            # fix zero-length segments (reduceat returns the next segment's sum)
-            votes[~nonempty] = 0
-            packed = (
-                (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-            ).sum(axis=1, dtype=np.uint64)
-            j = 0
-            for i in range(n):
-                if not null_mask[i]:
-                    out[i] = packed[j]
-                    j += 1
-        signed = out.astype(np.int64)
-        result = pd.array(signed, dtype="Int64")
-        result[null_mask] = pd.NA
-        return pd.Series(result)
+        lens_a = np.array(lens, dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens_a)[:-1]))
+        allh = (np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)).astype(np.uint64)
+        # (total_tokens, 64) vote matrix: +1 where bit set, -1 where not;
+        # a sentinel all-zero row makes every reduceat start index valid —
+        # clipping starts instead would corrupt the PREVIOUS segment's
+        # boundary whenever a trailing doc is empty (pinned by
+        # test_simhash_votes_matches_catalyst_reference)
+        bits = ((allh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+        votes_all = np.vstack([2 * bits - 1, np.zeros((1, 64), dtype=np.int32)])
+        votes = np.add.reduceat(votes_all, starts, axis=0)
+        # zero-length mid segments: reduceat returns the row AT the index —
+        # mask them to 0 votes
+        votes[lens_a == 0] = 0
+        packed = (
+            (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        ).sum(axis=1, dtype=np.uint64)
+        return pd.Series(packed.astype(np.int64))
 
     return F.pandas_udf(_impl, "bigint")(hashes_col)
 

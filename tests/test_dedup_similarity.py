@@ -256,3 +256,30 @@ def test_multimodal_frame_bytes_and_resize(spark):
     with _pytest.raises(Exception) as ei:
         resize(media, 8, 4, decode_stub=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_simhash_votes_matches_catalyst_reference(spark):
+    """functions/shingle_hash.simhash_votes (numpy vote kernel) must be
+    value-identical to dedup.simhash_from_token_hashes (Catalyst reference):
+    same xxhash64 inputs, same vote>0 rule, same bit-63 sign wrap."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.functions.shingle_hash import simhash_votes
+    from opentelemetry_collector_spark.operators.dedup import (
+        simhash_from_token_hashes,
+        token_hashes,
+    )
+
+    rows = [(i, t) for i, t in enumerate(
+        ["a b c", "a b c d", "", "  ", "x " * 40, "unicode ß ẞ İ", None]
+    )]
+    df = spark.createDataFrame(rows, "id int, text string").withColumn(
+        "_th", token_hashes(F.col("text"))
+    )
+    out = df.select(
+        "id",
+        simhash_from_token_hashes(F.col("_th")).alias("ref"),
+        simhash_votes(F.col("_th")).alias("fast"),
+    ).collect()
+    for r in out:
+        assert r.ref == r.fast, (r.id, r.ref, r.fast)
