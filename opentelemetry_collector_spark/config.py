@@ -219,10 +219,13 @@ def _compile_processor(spark: SparkSession, cid: str, cfg: dict) -> Transform:
 
 def _compile_exporter(cid: str, cfg: dict, batch_max: int | None) -> SinkSpec:
     ctype = component_type(cid)
-    if ctype not in ("parquet", "json"):
+    if ctype not in ("parquet", "json", "iceberg"):
         raise ConfigError(f"exporter {cid}: unknown type '{ctype}'")
-    if "path" not in cfg:
-        raise ConfigError(f"exporter {cid}: path required")
+    if "path" not in cfg and "table" not in cfg:
+        raise ConfigError(f"exporter {cid}: path (or table, for iceberg) required")
+    if ctype == "iceberg" and "table" in cfg:
+        # iceberg sinks address a catalog table, not a filesystem path
+        cfg = {**cfg, "path": cfg["table"]}
     pred_spec = cfg.get("predicate")
     if pred_spec is None:
         predicate = F.lit(True)

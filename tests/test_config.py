@@ -300,3 +300,23 @@ def test_public_api_surface(spark):
     assert callable(pkg.run_config) and callable(pkg.compile_config)
     assert pkg.PipelineSpec and pkg.SinkSpec and callable(pkg.run_pipeline)
     assert pkg.__version__
+
+
+def test_iceberg_exporter_compiles_from_config(spark):
+    """Config-declared iceberg exporter compiles to an iceberg SinkSpec
+    addressed by catalog table (execution gated on the runtime jar)."""
+    from opentelemetry_collector_spark.config import compile_config
+
+    spec = {
+        "receivers": {"synthetic/a": {"n_convs": 2}},
+        "exporters": {"iceberg/out": {"table": "local.db.sink_a", "partition_by": ["days(ts)"]}},
+        "service": {
+            "pipelines": {
+                "logs": {"receivers": ["synthetic/a"], "exporters": ["iceberg/out"]}
+            }
+        },
+    }
+    svc = compile_config(spark, spec)
+    sink = svc.pipelines["logs"].sinks[0]
+    assert sink.format == "iceberg" and sink.path == "local.db.sink_a"
+    assert sink.partition_by == ["days(ts)"]
