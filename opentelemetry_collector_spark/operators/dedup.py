@@ -3,12 +3,18 @@
 - :func:`exact_dedup` — hash-groupBy on a normalized fingerprint. One shuffle
   on the fingerprint; survivor = min id (deterministic).
 - :func:`minhash_lsh_pairs` — near-dup candidate discovery: char-k-gram
-  shingles -> H minhashes (universal hashing over one xxhash64 base, all
-  JVM expressions) -> banding -> bucket self-join -> exact Jaccard verify.
-  The standard MinHash/LSH pipeline (Broder '97); at 100 TB the bucket join
-  is the only shuffle and its keys are (band_id, band_hash) which are
-  uniformly distributed by construction — no skew.
-- :func:`simhash` — 64-bit SimHash (Charikar '02) via bit-vote expressions;
+  shingle hashes + H minhashes in ONE Arrow-batched numpy pass
+  (functions/shingle_hash.py — Catalyst HOFs evaluate interpreted, measured
+  ~10x slower) -> banding (JVM xxhash64 over signature slices) -> codegen'd
+  (band, bucket) self-join -> exact Jaccard verify (numpy binary-search
+  intersect on the sorted hash arrays). The standard MinHash/LSH pipeline
+  (Broder '97); at 100 TB the bucket join is the only shuffle and its keys
+  are (band_id, band_hash) which are uniformly distributed by construction
+  — no skew. The Catalyst-expression forms (shingles/minhash_signature/
+  jaccard below) are kept as the reference semantics the numpy kernels are
+  property-tested against.
+- :func:`simhash` — 64-bit SimHash (Charikar '02); the pairs op computes the
+  bit votes vectorized (shingle_hash.simhash_votes, value-identical);
   near-dups have small hamming distance (bit_count(a XOR b)).
 - :func:`embedding_neardup_pairs` — cosine-threshold pairs over an embedding
   column; brute-force within an id window (baseline), LSH-bucketed variant
