@@ -154,11 +154,14 @@ def _compile_processor(spark: SparkSession, cid: str, cfg: dict) -> Transform:
         if not lookup_path:
             raise ConfigError(f"processor {cid}: lookup_path required")
         join_key = cfg.get("join_key", "conv_id")
+        # north_star: enrichment keyed on conv_id AND role — composite keys
+        # are a list; both forms broadcast the same way
+        join_keys = [join_key] if isinstance(join_key, str) else list(join_key)
         how = cfg.get("join_type", "left")
 
         def _enrich(df: DataFrame) -> DataFrame:
             dim = df.sparkSession.read.parquet(lookup_path)
-            return df.join(F.broadcast(dim), on=join_key, how=how)
+            return df.join(F.broadcast(dim), on=join_keys, how=how)
 
         return _enrich
     if ctype == "filter":

@@ -320,3 +320,40 @@ def test_iceberg_exporter_compiles_from_config(spark):
     sink = svc.pipelines["logs"].sinks[0]
     assert sink.format == "iceberg" and sink.path == "local.db.sink_a"
     assert sink.partition_by == ["days(ts)"]
+
+
+def test_resource_enrich_composite_key(spark, tmp_path):
+    """Broadcast enrichment keyed on (conv_id, role) — the north-star
+    composite-key form."""
+    from opentelemetry_collector_spark.config import run_config
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("c1", 0, "user", "hi", None), ("c1", 1, "assistant", "yo", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).write.parquet(src)
+    dim = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [("c1", "user", 3), ("c1", "assistant", 7)],
+        "conv_id string, role string, weight int",
+    ).write.parquet(dim)
+    out = str(tmp_path / "out")
+    spec = {
+        "receivers": {"transcripts/in": {"path": src}},
+        "processors": {
+            "resource": {"lookup_path": dim, "join_key": ["conv_id", "role"]}
+        },
+        "exporters": {"parquet/out": {"path": out}},
+        "service": {
+            "pipelines": {
+                "logs": {
+                    "receivers": ["transcripts/in"],
+                    "processors": ["resource"],
+                    "exporters": ["parquet/out"],
+                }
+            }
+        },
+    }
+    run_config(spark, spec, base_path=str(tmp_path / "base"))
+    got = {(r.conv_id, r.role): r.weight for r in spark.read.parquet(out).collect()}
+    assert got == {("c1", "user"): 3, ("c1", "assistant"): 7}
