@@ -797,6 +797,86 @@ FROM grid LEFT JOIN (SELECT doc_id, k, count(*) AS cnt FROM by_byte GROUP BY doc
 """
 
 
+def q36_trainprep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data preparation pipeline over documents:
+    quality gate (>=10 tokens, alpha ratio >= 0.6) -> exact dedup survivors
+    (min doc_id per fingerprint WITHIN the gated set) -> per-guessed-language
+    corpus stats (docs, whitespace tokens, BPE-ish tokens). Composes
+    quality_metrics + fingerprint + lang_guess + token counters into the
+    single filter->dedup->aggregate job a corpus build actually runs."""
+    from pyspark.sql import Window as W
+
+    from opentelemetry_collector_spark.operators.text import (
+        bpe_token_count,
+        fingerprint,
+        lang_guess,
+        quality_metrics,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_metrics(docs, "text").filter(
+        (F.col("n_tokens") >= 10) & (F.col("alpha_pm") >= 600)
+    )
+    q = q.withColumn("fp", fingerprint(F.col("text")))
+    w = W.partitionBy("fp")
+    q = q.withColumn("_survivor", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("_survivor")
+    )
+    return (
+        q.withColumn("lang_guess", lang_guess(F.col("text")))
+        .withColumn("bpe", bpe_token_count(F.col("text")))
+        .groupBy("lang_guess")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_ws_tokens"),
+            F.sum("bpe").cast("bigint").alias("total_bpe_tokens"),
+        )
+    )
+
+
+Q36_SQL = r"""
+WITH q AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_toks,
+    CASE WHEN length(text) > 0
+         THEN floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000.0 / length(text))
+         ELSE 0 END AS alpha_pm
+  FROM documents),
+gated AS (SELECT * FROM q WHERE n_toks >= 10 AND alpha_pm >= 600),
+surv AS (
+  SELECT *, min(doc_id) OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    ) AS survivor
+  FROM gated),
+kept AS (SELECT * FROM surv WHERE doc_id = survivor),
+langd AS (
+  SELECT n_toks, text,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        x -> list_contains(['the','and','of','is'], x))) AS h_en,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        x -> list_contains(['el','la','los','que','y'], x))) AS h_es,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        x -> list_contains(['le','la','les','et','est'], x))) AS h_fr
+  FROM kept),
+scored AS (
+  SELECT n_toks, text,
+    CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+         WHEN h_fr >= h_en AND h_fr >= h_es AND h_fr >= h_de THEN 'fr'
+         WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+         WHEN h_en >= h_de THEN 'en'
+         ELSE 'de' END AS lang_guess
+  FROM langd)
+SELECT lang_guess,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS total_ws_tokens,
+  CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_bpe_tokens
+FROM scored GROUP BY lang_guess
+"""
+
+
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
 
@@ -870,6 +950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_histogram_merge": q33_histogram_merge,
     "q34_memory_limiter": q34_memory_limiter,
     "q35_media_histogram": q35_media_histogram,
+    "q36_trainprep": q36_trainprep,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -909,6 +990,7 @@ ORACLES: dict[str, str] = {
     "q33_histogram_merge": Q33_SQL,
     "q34_memory_limiter": Q34_SQL,
     "q35_media_histogram": Q35_SQL,
+    "q36_trainprep": Q36_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
