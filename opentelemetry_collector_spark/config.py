@@ -130,6 +130,21 @@ def _compile_receiver(cid: str, cfg: dict) -> Callable[[SparkSession], DataFrame
             path = cfg["path"]
             return lambda spark: spark.read.parquet(path)
         raise ConfigError(f"receiver {cid}: needs one of sf_dir/events_path/path")
+    if ctype == "jsonl":
+        # file receiver over a JSON-lines landing zone (the fileexporter wire
+        # format read back, or a Kafka-topic dump): scan text -> unmarshal
+        from opentelemetry_collector_spark.sources.codecs import unmarshal
+
+        if "path" not in cfg:
+            raise ConfigError(f"receiver {cid}: path required")
+        path = cfg["path"]
+        encoding = cfg.get("encoding", "turn_json")
+
+        def _scan_jsonl(spark: SparkSession) -> DataFrame:
+            raw = spark.read.text(path).withColumnRenamed("value", "value")
+            return unmarshal(raw, encoding, col="value")
+
+        return _scan_jsonl
     if ctype == "synthetic":
         from opentelemetry_collector_spark.sources.transcripts import synthesize
 

@@ -231,3 +231,36 @@ def unmarshal(df: DataFrame, encoding: str, col: str = "value") -> DataFrame:
     if encoding not in UNMARSHALERS:
         raise ValueError(f"unknown encoding {encoding!r} (have {sorted(UNMARSHALERS)})")
     return UNMARSHALERS[encoding](df, col)
+
+
+def to_prometheus_text(
+    df: DataFrame,
+    metric_name: str,
+    value_col: str,
+    label_cols: list[str],
+    metric_type: str = "gauge",
+    help_text: str | None = None,
+) -> tuple[str, DataFrame]:
+    """Prometheus exposition text (the prometheusexporter wire format,
+    ``exporter/prometheusexporter/prometheus.go`` serving the accumulator's
+    snapshot): one ``name{labels} value`` line per series, plus the
+    # HELP / # TYPE header. Returns (header, lines_df) — the lines stay a
+    distributed DataFrame (a real scrape endpoint would stream them);
+    label values are escaped per the exposition format (backslash, quote,
+    newline).
+    """
+    def _escaped(c: str) -> Column:
+        v = F.coalesce(F.col(c).cast("string"), F.lit(""))
+        v = F.regexp_replace(v, r"\\", r"\\\\")
+        v = F.regexp_replace(v, '"', '\\\\"')
+        return F.regexp_replace(v, "\n", r"\\n")
+
+    pairs = [F.concat(F.lit(f'{name}="'), _escaped(name), F.lit('"')) for name in label_cols]
+    labels = F.concat(F.lit("{"), F.concat_ws(",", *pairs), F.lit("}")) if pairs else F.lit("")
+    line = F.concat(
+        F.lit(metric_name), labels, F.lit(" "), F.col(value_col).cast("double").cast("string")
+    )
+    header = (
+        f"# HELP {metric_name} {help_text or metric_name}\n# TYPE {metric_name} {metric_type}"
+    )
+    return header, df.select(line.alias("line"))

@@ -147,3 +147,43 @@ def test_partitioned_sink_layout(spark, tmp_path, small):
     # partition pruning: reading one role touches only its directory
     plan = back.filter(F.col("role") == "user")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(role" in plan
+
+
+def test_jsonl_receiver_roundtrips_file_exporter_output(spark, tmp_path):
+    """file exporter (JSON lines) -> jsonl receiver closes the loop: what one
+    pipeline exports, another ingests (fileexporter wire format)."""
+    from opentelemetry_collector_spark.config import compile_config
+    from opentelemetry_collector_spark.sources.codecs import to_turn_json
+    from opentelemetry_collector_spark.sources.transcripts import synthesize
+
+    t = synthesize(spark, n_convs=3, mean_turns=4, seed=11)
+    path = str(tmp_path / "landing")
+    to_turn_json(t).select("value").write.text(path)
+    spec = {
+        "receivers": {"jsonl/in": {"path": path, "encoding": "turn_json"}},
+        "exporters": {"parquet/out": {"path": str(tmp_path / "out")}},
+        "service": {"pipelines": {"logs": {"receivers": ["jsonl/in"], "exporters": ["parquet/out"]}}},
+    }
+    svc = compile_config(spark, spec)
+    got = svc.pipelines["logs"].source(spark)
+    assert got.count() == t.count()
+    a = {(r.conv_id, r.turn_idx, r.role, r.text) for r in t.collect()}
+    b = {(r.conv_id, r.turn_idx, r.role, r.text) for r in got.collect()}
+    assert a == b
+
+
+def test_prometheus_exposition_text(spark):
+    """Exposition format golden: header + escaped label lines."""
+    from opentelemetry_collector_spark.sources.codecs import to_prometheus_text
+
+    df = spark.createDataFrame(
+        [("api", 'we"ird\\', 3.0), ("web", "plain", 1.5)],
+        "channel string, tenant string, v double",
+    )
+    header, lines = to_prometheus_text(
+        df, "turns_total", "v", ["channel", "tenant"], metric_type="counter"
+    )
+    assert header == "# HELP turns_total turns_total\n# TYPE turns_total counter"
+    got = sorted(r.line for r in lines.collect())
+    assert got[0] == 'turns_total{channel="api",tenant="we\\"ird\\\\"} 3.0'
+    assert got[1] == 'turns_total{channel="web",tenant="plain"} 1.5'
