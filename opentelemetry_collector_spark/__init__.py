@@ -12,9 +12,12 @@ Public API — the stable surface a Collector user migrates onto:
 Operator modules (importable individually, all pure DataFrame->DataFrame):
 ``operators.parse`` ``operators.attributes`` ``operators.filters``
 ``operators.sample`` ``operators.span`` ``operators.batch``
-``operators.aggregate`` ``operators.dedup`` ``operators.similarity``
-``operators.text`` ``operators.multimodal``; ``streaming`` for the
-Structured Streaming path; ``sources.codecs`` for wire codecs.
+``operators.memory_limiter`` ``operators.aggregate`` ``operators.dedup``
+``operators.similarity`` ``operators.text`` ``operators.multimodal``;
+``streaming`` for the Structured Streaming path; ``sources.codecs`` for wire
+codecs; ``sources.hostmetrics`` for the scraper receivers; ``plans.status``
+for healthcheck/zpages; ``functions.shingle_hash`` for the vectorized
+dedup kernels.
 """
 
 from opentelemetry_collector_spark.session import build_session
