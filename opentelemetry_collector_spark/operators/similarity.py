@@ -205,3 +205,65 @@ def lsh_topk(
             F.floor(F.col("cos") * 1000).cast("bigint").alias("cos_milli"),
         )
     )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    nlist: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF inverted lists as a parquet table PARTITIONED BY
+    list_id — the build step of a real ANN serving path. Each corpus vector
+    lands in exactly one hive partition; probes then read nprobe/nlist of
+    the files (partition pruning), which is what makes IVF sublinear at
+    100 TB: the index is built once, every query batch scans only its lists."""
+    c = (
+        corpus.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"))
+        .withColumn("list_id", F.element_at(centroid_probe(F.col("nv"), dim, nlist, 1, seed), 1))
+    )
+    c.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a written IVF index: resolve the query batch's probe lists
+    (tiny driver action — the query set is small by definition), push them
+    as a LITERAL partition filter so the parquet scan statically prunes to
+    nprobe/nlist of the index files, then exact-cosine re-rank.
+
+    Same centroids as :func:`ivf_write_index` (seed-derived), so results are
+    identical to the in-memory :func:`ivf_topk` with the same parameters."""
+    q = (
+        queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("list_id", F.explode(centroid_probe(F.col("qv"), dim, nlist, nprobe, seed)))
+    )
+    q = q.persist()
+    probe_ids = sorted({r.list_id for r in q.select("list_id").distinct().collect()})
+    idx = spark.read.parquet(path).filter(F.col("list_id").isin(probe_ids))
+    cand = idx.join(F.broadcast(q), on="list_id").filter(F.col("nid") != F.col("qid"))
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.floor(F.col("cos") * 1000).cast("bigint").alias("cos_milli"),
+        )
+    )

@@ -283,3 +283,40 @@ def test_simhash_votes_matches_catalyst_reference(spark):
     ).collect()
     for r in out:
         assert r.ref == r.fast, (r.id, r.ref, r.fast)
+
+
+def test_ivf_written_index_prunes_partitions_and_matches_inmemory(spark, tmp_path):
+    """ivf_write_index/ivf_probe_index: the probe's parquet scan must
+    statically prune to the probed list_id partitions, and results must be
+    identical to the in-memory ivf_topk with the same seed/params."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.similarity import (
+        centroid_probe,
+        ivf_probe_index,
+        ivf_topk,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf")
+    ivf_write_index(emb, path, dim=64, nlist=8)
+
+    got = ivf_probe_index(spark, path, queries, dim=64, k=5, nlist=8, nprobe=2)
+    ref = ivf_topk(emb, queries, dim=64, k=5, nlist=8, nprobe=2)
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(got) == as_set(ref)
+
+    # partition pruning: scan must carry a list_id partition filter and read
+    # fewer partitions than nlist
+    q = queries.select(F.col("vec_id").alias("qid"), F.col("embedding"))
+    probed = {
+        r.list_id
+        for r in queries.select(
+            F.explode(centroid_probe(F.col("embedding").cast("array<double>"), 64, 8, 2)).alias("list_id")
+        ).collect()
+    }
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    assert len(probed) < 8
