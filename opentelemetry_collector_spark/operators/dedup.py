@@ -317,8 +317,14 @@ def simhash(col: Column, bits: int = 64) -> Column:
 def simhash_neardup_pairs(
     df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3, bits: int = 64
 ) -> DataFrame:
-    """Pairs with hamming(simhash) <= max_hamming, blocked by 16-bit chunks
-    (a pair within distance d<=3 must agree on >=1 of 4 chunks — pigeonhole)."""
+    """Pairs with hamming(simhash) <= max_hamming — EXACT (full recall).
+
+    Blocking: the 64 bits split into ``max_hamming + 1`` chunks; a pair
+    within distance d <= max_hamming differs in at most max_hamming chunks,
+    so by pigeonhole it AGREES on at least one chunk — candidate generation
+    via the (chunk, key) self-join therefore misses nothing, and the final
+    bit_count filter removes false positives. (A fixed 4-chunk split only
+    guarantees d <= 3; the chunk count must track the radius.)"""
     from opentelemetry_collector_spark.functions.shingle_hash import simhash_votes
 
     # token hashes stay JVM (xxhash64); the 64 per-bit vote passes run
@@ -331,6 +337,14 @@ def simhash_neardup_pairs(
     # stages): eager persist so each doc is hashed once
     s = s.persist()
     s.count()
+    n_chunks = max_hamming + 1
+    base_w, extra = divmod(bits, n_chunks)
+    offsets, widths, off = [], [], 0
+    for i in range(n_chunks):
+        w_i = base_w + (1 if i < extra else 0)
+        offsets.append(off)
+        widths.append(w_i)
+        off += w_i
     chunks = s.select(
         "_id",
         "_h",
@@ -339,9 +353,13 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("_h"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        # arithmetic shift sign-extends on the top chunk; the
+                        # width mask strips the extension
+                        F.shiftright(F.col("_h"), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("key"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),

@@ -320,3 +320,27 @@ def test_ivf_written_index_prunes_partitions_and_matches_inmemory(spark, tmp_pat
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan
     assert len(probed) < 8
+
+
+def test_simhash_blocking_has_full_recall(spark):
+    """Exhaustive recall check: operator pairs at radius d must EQUAL the
+    brute-force hamming<=d pair set (pigeonhole blocking with d+1 chunks)."""
+    from pyspark.sql import functions as F
+
+    docs = synthesize_docs_for_simhash = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j * 3) % 23}" for j in range(12))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    h = {r.doc_id: r.h & (2**64 - 1) for r in docs.withColumn("h", simhash(F.col("text"))).collect()}
+    for d in (3, 8):
+        brute = {
+            (a, b)
+            for a in h
+            for b in h
+            if a < b and bin(h[a] ^ h[b]).count("1") <= d
+        }
+        got = {
+            (r.a_id, r.b_id)
+            for r in simhash_neardup_pairs(docs, "doc_id", max_hamming=d).collect()
+        }
+        assert got == brute, (d, len(got), len(brute))
