@@ -877,6 +877,63 @@ FROM scored GROUP BY lang_guess
 """
 
 
+def q37_zipkin_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipkin v2 JSON codec gate (translator/trace/zipkinv2): derive the
+    transcripts-as-traces span frame, marshal every span to a Zipkin JSON
+    line, and parse it back with the reference translator's semantics (kind
+    mapping, status tags consumed with error override, self-parent drop,
+    tag->attr promotion). The oracle recomputes the final frame directly
+    from the transcripts in SQL, so the whole marshal->parse path — id
+    derivation, enum names on the wire, micros timestamps, tag plumbing —
+    is value-checked, not just the identity."""
+    from opentelemetry_collector_spark.sources.zipkin import (
+        parse_zipkin_json,
+        spans_from_transcripts,
+        to_zipkin_json,
+    )
+
+    t = from_events(spark, sf_dir)
+    back = parse_zipkin_json(to_zipkin_json(spans_from_transcripts(t)))
+    return back.select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "name",
+        "kind",
+        "status_code",
+        "status_message",
+        "service_name",
+        "ts",
+        "duration_us",
+        F.element_at(F.col("attrs"), "turn.idx").cast("int").alias("attr_turn_idx"),
+        F.element_at(F.col("attrs"), "tool").alias("attr_tool"),
+        F.cardinality(F.col("attrs")).cast("bigint").alias("n_attrs"),
+    )
+
+
+Q37_SQL = f"""{_PRELUDE}
+SELECT
+  md5(conv_id) AS trace_id,
+  substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16) AS span_id,
+  CASE WHEN turn_idx > 0
+       THEN substr(md5(conv_id || ':' || CAST(turn_idx - 1 AS VARCHAR)), 1, 16)
+  END AS parent_span_id,
+  coalesce(tool, role) AS name,
+  CASE role WHEN 'user' THEN 3 WHEN 'assistant' THEN 2
+            WHEN 'tool' THEN 5 WHEN 'system' THEN 1 ELSE 0 END AS kind,
+  CASE WHEN regexp_matches(text, 'error code=\\d+') THEN 2 ELSE 0 END AS status_code,
+  CASE WHEN regexp_matches(text, 'error code=\\d+')
+       THEN regexp_extract(text, 'error code=\\d+') ELSE '' END AS status_message,
+  role AS service_name,
+  ts,
+  CAST(length(text) * 1000 AS BIGINT) AS duration_us,
+  turn_idx AS attr_turn_idx,
+  tool AS attr_tool,
+  CAST(1 + CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_attrs
+FROM t
+"""
+
+
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
 
@@ -951,6 +1008,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_memory_limiter": q34_memory_limiter,
     "q35_media_histogram": q35_media_histogram,
     "q36_trainprep": q36_trainprep,
+    "q37_zipkin_roundtrip": q37_zipkin_roundtrip,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -991,6 +1049,7 @@ ORACLES: dict[str, str] = {
     "q34_memory_limiter": Q34_SQL,
     "q35_media_histogram": Q35_SQL,
     "q36_trainprep": Q36_SQL,
+    "q37_zipkin_roundtrip": Q37_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

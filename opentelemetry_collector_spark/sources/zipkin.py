@@ -1,0 +1,240 @@
+"""Zipkin v2 JSON span codec (the trace-translator class of the reference).
+
+The reference ships paired Zipkin v2 translators — pdata -> zipkin
+(``translator/trace/zipkinv2/from_translator.go``) and zipkin -> pdata
+(``translator/trace/zipkinv2/to_translator.go``) — fed by the Zipkin HTTP
+receiver (``receiver/zipkinreceiver/trace_receiver.go:89-180``). This module
+re-expresses that codec over the flattened span frame our transcript model
+uses (one row per span, SURVEY §1.3), entirely with JVM-side
+``to_json``/``from_json`` + map functions, so a landing zone of Zipkin JSON
+lines parses at scan speed with predicate pushdown on the post-parse columns.
+
+Reference semantics reproduced exactly (file:line cites):
+
+- **kind mapping** (``to_translator.go:185-204 zipkinKindToSpanKind``):
+  CLIENT->3, SERVER->2, PRODUCER->4, CONSUMER->5; when the zipkin kind is
+  absent, a ``span.kind == "internal"`` tag yields INTERNAL (1), consuming
+  the tag; anything else is UNSPECIFIED (0).
+- **internal marshal** (``from_translator.go:149-152``): SpanKindInternal
+  emits NO zipkin kind and the ``span.kind: internal`` tag instead.
+- **status tags** (``from_translator.go:160-166``, ``to_translator.go:166-183
+  populateSpanStatus``): marshal always writes ``status.code`` as the enum
+  NAME (STATUS_CODE_UNSET/OK/ERROR); ``status.message`` only when non-empty.
+  Parse maps the name back through ``statusCodeValue`` (:485-489), reads the
+  message ONLY when the code tag is present, then an ``error: "true"`` tag
+  forces code ERROR; all three tags are consumed (never promoted to attrs).
+- **self-parent dropped** (``to_translator.go:140-143``): parentId == id
+  yields no parent.
+- **tag promotion** (``to_translator.go:350-376 tagsToAttributeMap``):
+  remaining tags become span attributes, minus the non-span keys
+  (``to_translator.go:97-109 nonSpanAttributes``).
+- **service name** (``to_translator.go:378-396``): localEndpoint.serviceName
+  becomes the resource service name; absent -> ``OTLPResourceNoServiceName``
+  (``protospan_translation.go:42``).
+- **timestamps**: zipkin carries epoch MICROseconds (int) and duration in
+  micros; pdata nanos are derived exactly (``from_translator.go:142-148``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# pdata.SpanKind enum values (model/pdata/generated_trace.go SpanKind).
+SPAN_KIND_UNSPECIFIED = 0
+SPAN_KIND_INTERNAL = 1
+SPAN_KIND_SERVER = 2
+SPAN_KIND_CLIENT = 3
+SPAN_KIND_PRODUCER = 4
+SPAN_KIND_CONSUMER = 5
+
+# zipkin kind string <-> pdata kind int (to_translator.go:185-204).
+ZIPKIN_TO_KIND = {"CLIENT": 3, "SERVER": 2, "PRODUCER": 4, "CONSUMER": 5}
+KIND_TO_ZIPKIN = {v: k for k, v in ZIPKIN_TO_KIND.items()}
+
+# statusCodeValue (to_translator.go:485-489)
+STATUS_NAMES = {0: "STATUS_CODE_UNSET", 1: "STATUS_CODE_OK", 2: "STATUS_CODE_ERROR"}
+STATUS_VALUES = {v: k for k, v in STATUS_NAMES.items()}
+
+RESOURCE_NO_SERVICE_NAME = "OTLPResourceNoServiceName"  # protospan_translation.go:42
+
+# Tags the parser consumes into typed span fields (populateSpanStatus,
+# zipkinKindToSpanKind, TagW3CTraceState) or resource scope
+# (nonSpanAttributes, to_translator.go:97-109 — the subset meaningful in our
+# flattened model) — never promoted to span attributes.
+_CONSUMED_TAGS = [
+    "status.code",
+    "status.message",
+    "error",
+    "span.kind",
+    "w3c.tracestate",
+    "otlp.service.name.source",
+    "otel.library.name",
+    "otel.library.version",
+    "service.name",
+]
+
+_ZIPKIN_SCHEMA = (
+    "traceId string, id string, parentId string, kind string, name string,"
+    " timestamp bigint, duration bigint,"
+    " localEndpoint struct<serviceName: string>,"
+    " tags map<string,string>"
+)
+
+SPAN_FRAME_COLS = [
+    "trace_id",
+    "span_id",
+    "parent_span_id",
+    "name",
+    "kind",
+    "status_code",
+    "status_message",
+    "service_name",
+    "ts",
+    "duration_us",
+    "attrs",
+]
+
+
+def spans_from_transcripts(df: DataFrame) -> DataFrame:
+    """Derive the flattened span frame from transcript turns: one span per
+    turn, parented on the previous turn of the same conversation — the
+    transcripts-as-traces mapping of SURVEY §1.3 (conv == trace, turn ==
+    span). IDs are md5-derived (16-byte trace id = md5 hex of conv_id,
+    8-byte span id = first 16 hex chars), matching idutils' fixed-width ids
+    (``internal/idutils``) while staying engine-portable for the oracle.
+
+    All expressions are deterministic JVM builtins — no shuffle: the parent
+    id is recomputed from (conv_id, turn_idx-1), not looked up via a window.
+    """
+    idx_s = F.col("turn_idx").cast("string")
+    prev_s = (F.col("turn_idx") - 1).cast("string")
+    has_err = F.col("text").rlike(r"error code=\d+")
+    return df.select(
+        F.md5(F.col("conv_id")).alias("trace_id"),
+        F.substring(F.md5(F.concat(F.col("conv_id"), F.lit(":"), idx_s)), 1, 16).alias("span_id"),
+        F.when(
+            F.col("turn_idx") > 0,
+            F.substring(F.md5(F.concat(F.col("conv_id"), F.lit(":"), prev_s)), 1, 16),
+        ).alias("parent_span_id"),
+        F.coalesce(F.col("tool"), F.col("role")).alias("name"),
+        F.when(F.col("role") == "user", F.lit(SPAN_KIND_CLIENT))
+        .when(F.col("role") == "assistant", F.lit(SPAN_KIND_SERVER))
+        .when(F.col("role") == "tool", F.lit(SPAN_KIND_CONSUMER))
+        .when(F.col("role") == "system", F.lit(SPAN_KIND_INTERNAL))
+        .otherwise(F.lit(SPAN_KIND_UNSPECIFIED))
+        .alias("kind"),
+        F.when(has_err, F.lit(2)).otherwise(F.lit(0)).alias("status_code"),
+        F.when(has_err, F.regexp_extract(F.col("text"), r"error code=\d+", 0))
+        .otherwise(F.lit(""))
+        .alias("status_message"),
+        F.col("role").alias("service_name"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        (F.length("text") * 1000).cast("bigint").alias("duration_us"),
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(F.lit("turn.idx"), F.lit("tool")),
+                F.array(idx_s, F.col("tool")),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("attrs"),
+    )
+
+
+def _status_name(code: Column) -> Column:
+    out = F.lit(STATUS_NAMES[0])
+    for v, name in STATUS_NAMES.items():
+        if v:
+            out = F.when(code == v, F.lit(name)).otherwise(out)
+    return out
+
+
+def to_zipkin_json(df: DataFrame, out_col: str = "value") -> DataFrame:
+    """Marshal the span frame to Zipkin v2 JSON lines (one span object per
+    line; the HTTP receiver's array body is just these joined with commas).
+
+    Tag emission follows ``from_translator.go:140-166``: ``status.code`` is
+    always present (enum name), ``status.message`` only when non-empty,
+    SpanKindInternal drops the zipkin kind and adds ``span.kind: internal``,
+    and span attributes merge into the tag map. ``to_json`` omits nulls —
+    jsonpb omit-empty parity."""
+    kind_col = F.create_map(
+        *[x for v, z in KIND_TO_ZIPKIN.items() for x in (F.lit(v), F.lit(z))]
+    )[F.col("kind")]
+    status_tags = F.map_filter(
+        F.map_from_arrays(
+            F.array(F.lit("status.code"), F.lit("status.message"), F.lit("span.kind")),
+            F.array(
+                _status_name(F.col("status_code")),
+                F.when(F.col("status_message") != "", F.col("status_message")),
+                F.when(F.col("kind") == SPAN_KIND_INTERNAL, F.lit("internal")),
+            ),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    span = F.struct(
+        F.col("trace_id").alias("traceId"),
+        F.col("span_id").alias("id"),
+        F.col("parent_span_id").alias("parentId"),
+        kind_col.alias("kind"),
+        F.col("name").alias("name"),
+        F.unix_micros(F.col("ts")).alias("timestamp"),
+        F.col("duration_us").alias("duration"),
+        F.struct(F.col("service_name").alias("serviceName")).alias("localEndpoint"),
+        F.map_concat(F.coalesce(F.col("attrs"), F.create_map()), status_tags).alias("tags"),
+    )
+    return df.select(F.to_json(span).alias(out_col))
+
+
+def parse_zipkin_json(df: DataFrame, col: str = "value") -> DataFrame:
+    """Unmarshal Zipkin v2 JSON span lines to the flattened span frame with
+    the reference's exact semantics (``to_translator.go:133-204``):
+
+    - kind: zipkin kind string, else ``span.kind == internal`` tag -> 1,
+      else 0;
+    - status: ``status.code`` name -> enum; message read only when the code
+      tag exists; ``error: "true"`` forces ERROR; tags consumed;
+    - parentId == id dropped (:140-143);
+    - serviceName default ``OTLPResourceNoServiceName`` (:378-382);
+    - remaining tags -> ``attrs`` (non-span keys excluded, :97-109).
+
+    Malformed lines yield a null struct (PERMISSIVE ``from_json``) and flow
+    to the refused-records metric, like the receiver's 400 path."""
+    parsed = df.select(F.from_json(F.col(col), _ZIPKIN_SCHEMA).alias("z"))
+    tags = F.coalesce(F.col("z.tags"), F.create_map().cast("map<string,string>"))
+    status_tag = tags["status.code"]
+    code_from_tag = F.create_map(
+        *[x for name, v in STATUS_VALUES.items() for x in (F.lit(name), F.lit(v))]
+    )[status_tag]
+    status_code = F.when(
+        tags["error"] == "true", F.lit(2)
+    ).otherwise(F.coalesce(code_from_tag, F.lit(0)))
+    status_message = F.when(
+        status_tag.isNotNull(), F.coalesce(tags["status.message"], F.lit(""))
+    ).otherwise(F.lit(""))
+    kind_from_zipkin = F.create_map(
+        *[x for z, v in ZIPKIN_TO_KIND.items() for x in (F.lit(z), F.lit(v))]
+    )[F.col("z.kind")]
+    kind = F.coalesce(
+        kind_from_zipkin,
+        F.when(tags["span.kind"] == "internal", F.lit(SPAN_KIND_INTERNAL)),
+        F.lit(SPAN_KIND_UNSPECIFIED),
+    )
+    consumed = F.array(*[F.lit(k) for k in _CONSUMED_TAGS])
+    return parsed.select(
+        F.col("z.traceId").alias("trace_id"),
+        F.col("z.id").alias("span_id"),
+        F.when(F.col("z.parentId") != F.col("z.id"), F.col("z.parentId")).alias(
+            "parent_span_id"
+        ),
+        F.col("z.name").alias("name"),
+        kind.alias("kind"),
+        status_code.alias("status_code"),
+        status_message.alias("status_message"),
+        F.coalesce(F.col("z.localEndpoint.serviceName"), F.lit(RESOURCE_NO_SERVICE_NAME)).alias(
+            "service_name"
+        ),
+        F.timestamp_micros(F.col("z.timestamp")).alias("ts"),
+        F.col("z.duration").alias("duration_us"),
+        F.map_filter(tags, lambda k, v: ~F.array_contains(consumed, k)).alias("attrs"),
+    )
