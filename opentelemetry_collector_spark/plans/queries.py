@@ -934,6 +934,41 @@ FROM t
 """
 
 
+def q38_jaeger_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaeger JSON codec gate (translator/trace/jaeger): same span frame as
+    q37 but through the Jaeger wire — typed tag LIST (not zipkin's map),
+    span.kind as a lowercase OpenTracing tag, status.code int tag + error
+    bool tag, CHILD_OF reference as the parent. The oracle is the same
+    independent SQL derivation as q37: both codecs must reconstruct the
+    identical frame from their different wire formats."""
+    from opentelemetry_collector_spark.sources.jaeger import (
+        parse_jaeger_json,
+        to_jaeger_json,
+    )
+    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+
+    t = from_events(spark, sf_dir)
+    back = parse_jaeger_json(to_jaeger_json(spans_from_transcripts(t)))
+    return back.select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "name",
+        "kind",
+        "status_code",
+        "status_message",
+        "service_name",
+        "ts",
+        "duration_us",
+        F.element_at(F.col("attrs"), "turn.idx").cast("int").alias("attr_turn_idx"),
+        F.element_at(F.col("attrs"), "tool").alias("attr_tool"),
+        F.cardinality(F.col("attrs")).cast("bigint").alias("n_attrs"),
+    )
+
+
+Q38_SQL = Q37_SQL  # both codecs must reconstruct the identical span frame
+
+
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
 
@@ -1009,6 +1044,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_media_histogram": q35_media_histogram,
     "q36_trainprep": q36_trainprep,
     "q37_zipkin_roundtrip": q37_zipkin_roundtrip,
+    "q38_jaeger_roundtrip": q38_jaeger_roundtrip,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -1050,6 +1086,7 @@ ORACLES: dict[str, str] = {
     "q35_media_histogram": Q35_SQL,
     "q36_trainprep": Q36_SQL,
     "q37_zipkin_roundtrip": Q37_SQL,
+    "q38_jaeger_roundtrip": Q38_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -219,11 +219,29 @@ def parse_otlp_json(df: DataFrame, col: str = "value") -> DataFrame:
     )
 
 
-# Per-encoding dispatch (receiver/kafkareceiver/unmarshaler.go:defaultLogsUnmarshalers)
+# Per-encoding dispatch (receiver/kafkareceiver/unmarshaler.go registries).
+# Like the Go registry, the encoding decides the output model: the transcript
+# encodings yield the turn frame, the trace encodings (jaeger_json /
+# zipkin_json, receiver/kafkareceiver/unmarshaler.go:defaultTracesUnmarshalers)
+# yield the flattened span frame (sources/zipkin.py SPAN_FRAME_COLS).
+def _parse_zipkin(df: DataFrame, col: str = "value") -> DataFrame:
+    from opentelemetry_collector_spark.sources.zipkin import parse_zipkin_json
+
+    return parse_zipkin_json(df, col)
+
+
+def _parse_jaeger(df: DataFrame, col: str = "value") -> DataFrame:
+    from opentelemetry_collector_spark.sources.jaeger import parse_jaeger_json
+
+    return parse_jaeger_json(df, col)
+
+
 UNMARSHALERS: dict[str, Callable[[DataFrame, str], DataFrame]] = {
     "turn_json": parse_turn_json,
     "kv_text": parse_kv_text,
     "otlp_json": parse_otlp_json,
+    "zipkin_json": _parse_zipkin,
+    "jaeger_json": _parse_jaeger,
 }
 
 

@@ -108,7 +108,13 @@ def test_kv_text_encoding(spark):
 
 
 def test_unmarshaler_registry_dispatch(spark):
-    assert set(UNMARSHALERS) == {"turn_json", "kv_text", "otlp_json"}
+    assert set(UNMARSHALERS) == {
+        "turn_json",
+        "kv_text",
+        "otlp_json",
+        "zipkin_json",
+        "jaeger_json",
+    }
     with pytest.raises(ValueError, match="unknown encoding"):
         unmarshal(None, "jaeger_proto")
 
