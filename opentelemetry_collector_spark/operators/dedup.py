@@ -409,3 +409,128 @@ def embedding_neardup_pairs(
         F.col("b._id").alias("b_id"),
         F.floor(F.col("cos") * 1000).cast("bigint").alias("cos_milli"),
     )
+
+
+# --- cluster resolution: pairs -> components -> survivors -------------------
+#
+# The pair operators above (minhash_lsh_pairs / simhash_neardup_pairs /
+# ngram_jaccard_pairs / embedding_neardup_pairs) emit near-dup EDGES; an
+# actual dedup pass must resolve those edges into connected components and
+# keep one survivor per component (near-duplication is not transitive, but
+# cluster-and-keep-one is the standard policy for training corpora). The
+# reference collector has no graph surface at all — this is one of the
+# SURVEY §2.7 gaps the Spark side fills.
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    # For every node u: connect all strictly-larger neighbors to
+    # m = min(N(u) ∪ {u}). Operates on the bidirectional edge view.
+    bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = bidir.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least("_mn", F.col("u")).alias("_m"))
+    return (
+        bidir.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # Edges arrive oriented u > v. For every node u:
+    # m = min(N_small(u) ∪ {u}) = min(v); connect u and every other small
+    # neighbor to m.
+    mins = e.groupBy("u").agg(F.min("v").alias("_m"))
+    via = (
+        e.join(mins, "u")
+        .filter(F.col("v") != F.col("_m"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+    )
+    own = mins.select("u", F.col("_m").alias("v"))
+    return via.union(own).distinct()
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id", max_iter: int = 30
+) -> DataFrame:
+    """Resolve an undirected edge list into components: (id, component_id)
+    for every node that appears in ``pairs``; component_id = min node id.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): converges in O(log^2 n)
+    rounds on ANY graph (vs O(diameter) for naive label propagation, which
+    an adversarial near-dup chain makes linear). Each round is two
+    self-join+groupBy passes over the CURRENT edge set — which only
+    shrinks toward the star forest — and ``localCheckpoint`` truncates the
+    lineage so the plan stays flat across iterations (at real scale, swap
+    for a reliable ``checkpoint`` dir so executor loss can't lose the
+    iteration state). Convergence is detected by an order-independent
+    (count, bit_xor(xxhash64)) signature of the edge set going stable
+    (xor, not sum: never overflows under ANSI mode, and the edge set is
+    distinct so identical terms cannot self-cancel).
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = tuple(e.agg(F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))).first())
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # converged: e is a star forest (node -> component root)
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("component_id"))
+    roots = e.select(F.col("v").alias("id"), F.col("v").alias("component_id")).distinct()
+    return members.union(roots).distinct()
+
+
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str, a_col: str = "a_id", b_col: str = "b_id"
+) -> DataFrame:
+    """Per-document cluster map over the WHOLE corpus: (id_col,
+    component_id, n_members). Documents in no pair are singleton
+    components of themselves. The pair frame is tiny relative to the
+    corpus (it only holds near-dups), so the component map is broadcast
+    back onto the fact table — the 100 TB side is never shuffled."""
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col)
+    sizes = cc.groupBy("component_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    cmap = cc.join(sizes, "component_id").select("id", "component_id", "n_members")
+    return (
+        df.join(F.broadcast(cmap), df[id_col] == cmap["id"], "left")
+        .withColumn("component_id", F.coalesce(F.col("component_id"), F.col(id_col)))
+        .withColumn("n_members", F.coalesce(F.col("n_members"), F.lit(1).cast("bigint")))
+        .drop("id")
+    )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_col: Column | None = None,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Keep ONE row per near-dup cluster (plus every singleton).
+
+    Default policy: survivor = min id (deterministic, no extra shuffle —
+    the row whose id IS its component_id). With ``order_col``, survivor =
+    the cluster's best row under ``order_col`` descending (e.g. a quality
+    score), via a per-component window."""
+    clustered = dedup_clusters(df, pairs, id_col, a_col=a_col, b_col=b_col)
+    if order_col is None:
+        return clustered.filter(F.col(id_col) == F.col("component_id")).drop("n_members")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component_id").orderBy(order_col.desc(), F.col(id_col))
+    return (
+        clustered.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "n_members")
+    )

@@ -969,6 +969,55 @@ def q38_jaeger_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q38_SQL = Q37_SQL  # both codecs must reconstruct the identical span frame
 
 
+def q39_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution: the q25 exact-Jaccard pair list resolved into
+    connected components (alternating large-star/small-star, dedup.py) with
+    per-doc component id, cluster size, and the min-id survivor flag —
+    the step that turns near-dup PAIRS into an actual dedup decision.
+    Oracle: DuckDB recursive-CTE transitive closure over the same pairs
+    (min reachable id == component id)."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 1000)
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", k=5, threshold=0.2)
+    out = dedup_clusters(docs.select("doc_id"), pairs, "doc_id")
+    return out.select(
+        "doc_id",
+        "component_id",
+        "n_members",
+        (F.col("doc_id") == F.col("component_id")).alias("is_survivor"),
+    )
+
+
+Q39_SQL = r"""
+WITH RECURSIVE d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+           FROM documents WHERE doc_id < 1000),
+sh AS (SELECT doc_id,
+         list_distinct([substr(s, i, 5) for i in range(1, greatest(length(s) - 4, 1) + 1)]) AS sh
+       FROM d),
+p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        len(list_intersect(a.sh, b.sh)) AS i,
+        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+pr AS (SELECT a_id, b_id FROM p WHERE u > 0 AND i * 1.0 / u >= 0.2),
+e AS (SELECT a_id AS eu, b_id AS ev FROM pr UNION ALL SELECT b_id, a_id FROM pr),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM d
+    UNION
+    SELECT r.src, e.ev FROM reach r JOIN e ON r.dst = e.eu
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src),
+sizes AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM comp GROUP BY component_id)
+SELECT c.doc_id, c.component_id, s.n_members,
+       c.doc_id = c.component_id AS is_survivor
+FROM comp c JOIN sizes s USING (component_id)
+"""
+
+
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
 
@@ -1045,6 +1094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_trainprep": q36_trainprep,
     "q37_zipkin_roundtrip": q37_zipkin_roundtrip,
     "q38_jaeger_roundtrip": q38_jaeger_roundtrip,
+    "q39_dedup_clusters": q39_dedup_clusters,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -1087,6 +1137,7 @@ ORACLES: dict[str, str] = {
     "q36_trainprep": Q36_SQL,
     "q37_zipkin_roundtrip": Q37_SQL,
     "q38_jaeger_roundtrip": Q38_SQL,
+    "q39_dedup_clusters": Q39_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
