@@ -1018,6 +1018,44 @@ FROM comp c JOIN sizes s USING (component_id)
 """
 
 
+def q40_prom_scrape_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus receiver gate: the per-(conv,role) turn counter exported
+    as exposition text (to_prometheus_text) and scraped back through the
+    receiver-side parser (parse_prometheus_text — the textparse loop of
+    receiver/prometheusreceiver). Counter typing must survive the wire:
+    the # TYPE metadata line makes every sample a cumulative monotonic
+    sum, the metricsbuilder mapping."""
+    from opentelemetry_collector_spark.sources.codecs import (
+        parse_prometheus_text,
+        to_prometheus_text,
+    )
+
+    t = from_events(spark, sf_dir)
+    counts = t.groupBy("conv_id", "role").agg(F.count(F.lit(1)).alias("n"))
+    header, lines = to_prometheus_text(
+        counts, "otelcol_turns_total", "n", ["conv_id", "role"], metric_type="counter"
+    )
+    hdr = spark.createDataFrame([(h,) for h in header.split("\n")], "line string")
+    back = parse_prometheus_text(hdr.union(lines))
+    return back.select(
+        "metric",
+        F.element_at(F.col("labels"), "conv_id").alias("conv_id"),
+        F.element_at(F.col("labels"), "role").alias("role"),
+        F.floor("value").cast("bigint").alias("n_turns"),
+        "metric_type",
+        "kind",
+    )
+
+
+Q40_SQL = f"""{_PRELUDE}
+SELECT 'otelcol_turns_total' AS metric, conv_id, role,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       'counter' AS metric_type,
+       'sum_cumulative_monotonic' AS kind
+FROM t GROUP BY conv_id, role
+"""
+
+
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
 
@@ -1095,6 +1133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_zipkin_roundtrip": q37_zipkin_roundtrip,
     "q38_jaeger_roundtrip": q38_jaeger_roundtrip,
     "q39_dedup_clusters": q39_dedup_clusters,
+    "q40_prom_scrape_roundtrip": q40_prom_scrape_roundtrip,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -1138,6 +1177,7 @@ ORACLES: dict[str, str] = {
     "q37_zipkin_roundtrip": Q37_SQL,
     "q38_jaeger_roundtrip": Q38_SQL,
     "q39_dedup_clusters": Q39_SQL,
+    "q40_prom_scrape_roundtrip": Q40_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -282,3 +282,67 @@ def to_prometheus_text(
         f"# HELP {metric_name} {help_text or metric_name}\n# TYPE {metric_name} {metric_type}"
     )
     return header, df.select(line.alias("line"))
+
+
+def parse_prometheus_text(df: DataFrame, col: str = "line") -> DataFrame:
+    """Prometheus exposition-text parser — the scrape side of the
+    prometheusreceiver analog (the reference embeds the Prom scrape manager
+    and its textparse loop, ``receiver/prometheusreceiver/internal/
+    metricsbuilder.go``; here the scraped payload is a DataFrame of lines).
+
+    Emits one row per sample: ``(metric, labels map<string,string>, value
+    double, ts_ms nullable bigint, metric_type, kind)``. ``# TYPE``
+    metadata lines are joined (broadcast — metadata is tiny) onto their
+    samples; metrics without one default to ``untyped``, which the
+    reference's metric builder treats as a gauge, as does ``kind`` here
+    (counter -> cumulative monotonic sum, everything else -> gauge).
+    Label values are unescaped per the exposition format (backslash,
+    quote, ``\\n``) — the exact inverse of :func:`to_prometheus_text`.
+    All parsing is JVM regexp over columns; no Python in the loop.
+    """
+    line = F.trim(F.col(col))
+    meta = (
+        df.select(line.alias("_l"))
+        .filter(F.col("_l").rlike(r"^# TYPE\s"))
+        .select(
+            F.regexp_extract("_l", r"^# TYPE\s+(\S+)\s+(\S+)", 1).alias("metric"),
+            F.regexp_extract("_l", r"^# TYPE\s+(\S+)\s+(\S+)", 2).alias("metric_type"),
+        )
+        .distinct()
+    )
+    samples = df.select(line.alias("_l")).filter(
+        (F.length("_l") > 0) & ~F.col("_l").startswith("#")
+    )
+    name = F.regexp_extract("_l", r"^([a-zA-Z_:][a-zA-Z0-9_:]*)", 1)
+    blob = F.regexp_extract("_l", r"^[a-zA-Z_:][a-zA-Z0-9_:]*\{(.*)\}", 1)
+    # value/timestamp = everything after the name (and the greedy {...}
+    # label blob, so quoted label values may contain spaces and braces)
+    rest = F.split(F.trim(F.regexp_replace("_l", r"^[a-zA-Z_:][a-zA-Z0-9_:]*(\{.*\})?", "")), r"\s+")
+    pair_pat = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"'
+
+    def _unescaped(v):
+        # left-to-right escape processing via a sentinel for literal
+        # backslashes (plain replace-chains would corrupt "\\n")
+        v = F.regexp_replace(v, r"\\\\", "\x01")
+        v = F.regexp_replace(v, r"\\n", "\n")
+        v = F.regexp_replace(v, r'\\"', '"')
+        return F.regexp_replace(v, "\x01", r"\\")
+
+    parsed = samples.select(
+        name.alias("metric"),
+        F.map_from_arrays(
+            F.regexp_extract_all(blob, F.lit(pair_pat), 1),
+            F.transform(F.regexp_extract_all(blob, F.lit(pair_pat), 2), _unescaped),
+        ).alias("labels"),
+        F.try_element_at(rest, F.lit(1)).cast("double").alias("value"),
+        F.try_element_at(rest, F.lit(2)).cast("bigint").alias("ts_ms"),
+    )
+    out = parsed.join(F.broadcast(meta), "metric", "left").withColumn(
+        "metric_type", F.coalesce(F.col("metric_type"), F.lit("untyped"))
+    )
+    return out.withColumn(
+        "kind",
+        F.when(F.col("metric_type") == "counter", F.lit("sum_cumulative_monotonic")).otherwise(
+            F.lit("gauge")
+        ),
+    )

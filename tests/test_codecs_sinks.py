@@ -193,3 +193,46 @@ def test_prometheus_exposition_text(spark):
     got = sorted(r.line for r in lines.collect())
     assert got[0] == 'turns_total{channel="api",tenant="we\\"ird\\\\"} 3.0'
     assert got[1] == 'turns_total{channel="web",tenant="plain"} 1.5'
+
+
+def test_prometheus_parse_roundtrip_with_escapes(spark):
+    from opentelemetry_collector_spark.sources.codecs import (
+        parse_prometheus_text,
+        to_prometheus_text,
+    )
+
+    df = spark.createDataFrame(
+        [("a\\b", 'x"y', "l1\nl2", 3.0), ("plain", "v", "w", 7.5)],
+        ["la", "lb", "lc", "val"],
+    )
+    header, lines = to_prometheus_text(df, "m_total", "val", ["la", "lb", "lc"], "counter")
+    hdr = spark.createDataFrame([(h,) for h in header.split("\n")], "line string")
+    back = {
+        (r.labels["la"], r.labels["lb"], r.labels["lc"]): (r.value, r.metric_type, r.kind)
+        for r in parse_prometheus_text(hdr.union(lines)).collect()
+    }
+    # label escaping is byte-exact inverse; # TYPE metadata typed every sample
+    assert back == {
+        ("a\\b", 'x"y', "l1\nl2"): (3.0, "counter", "sum_cumulative_monotonic"),
+        ("plain", "v", "w"): (7.5, "counter", "sum_cumulative_monotonic"),
+    }
+
+
+def test_prometheus_parse_untyped_timestamp_and_comments(spark):
+    from opentelemetry_collector_spark.sources.codecs import parse_prometheus_text
+
+    raw = spark.createDataFrame(
+        [
+            ("# HELP up whether the target is up",),
+            ("up 1 1700000000123",),
+            ("",),
+            ('lag_seconds{q="a b",r="c}d"} 2.5',),  # spaces + brace inside quoted label
+        ],
+        "line string",
+    )
+    rows = {r.metric: r for r in parse_prometheus_text(raw).collect()}
+    assert set(rows) == {"up", "lag_seconds"}
+    assert rows["up"].labels == {} and rows["up"].ts_ms == 1700000000123
+    assert rows["up"].metric_type == "untyped" and rows["up"].kind == "gauge"
+    assert dict(rows["lag_seconds"].labels) == {"q": "a b", "r": "c}d"}
+    assert rows["lag_seconds"].value == 2.5 and rows["lag_seconds"].ts_ms is None
