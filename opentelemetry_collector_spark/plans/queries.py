@@ -1055,6 +1055,49 @@ SELECT 'otelcol_turns_total' AS metric, conv_id, role,
 FROM t GROUP BY conv_id, role
 """
 
+def q41_histogram_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram family through the Prometheus wire: per-role text-length
+    histogram exported as _bucket/_sum/_count exposition lines
+    (to_prometheus_histogram_text) and reassembled by the receiver-side
+    family grouper (scraped_histograms — metricsbuilder/metricfamily
+    analog). Output is one row per (role, bucket) with cumulative counts;
+    le is null on the +Inf bucket."""
+    from opentelemetry_collector_spark.sources.codecs import (
+        scraped_histograms,
+        to_prometheus_histogram_text,
+    )
+
+    t = from_events(spark, sf_dir)
+    lens = t.select("role", F.length("text").cast("double").alias("v"))
+    header, lines = to_prometheus_histogram_text(
+        lens, "turn_text_len", "v", ["role"], [20.0, 40.0, 80.0, 160.0]
+    )
+    hdr = spark.createDataFrame([(h,) for h in header.split("\n")], "line string")
+    out = scraped_histograms(hdr.union(lines))
+    return out.select(
+        "family",
+        F.element_at(F.col("labels"), "role").alias("role"),
+        F.floor("le").cast("bigint").alias("le"),
+        "cum_count",
+        "total_count",
+        F.floor("sum_value").cast("bigint").alias("sum_len"),
+    )
+
+
+Q41_SQL = f"""{_PRELUDE},
+lens AS (SELECT role, length(text) AS v FROM t),
+b AS (SELECT * FROM (VALUES (20),(40),(80),(160),(NULL)) AS bb(le)),
+per AS (SELECT role, CAST(sum(v) AS BIGINT) AS sum_len,
+               CAST(count(*) AS BIGINT) AS total_count
+        FROM lens GROUP BY role),
+cum AS (SELECT l.role, b.le,
+               CAST(count(CASE WHEN b.le IS NULL OR l.v <= b.le THEN 1 END) AS BIGINT) AS cum_count
+        FROM b CROSS JOIN lens l GROUP BY l.role, b.le)
+SELECT 'turn_text_len' AS family, c.role, CAST(c.le AS BIGINT) AS le,
+       c.cum_count, p.total_count, p.sum_len
+FROM cum c JOIN per p USING (role)
+"""
+
 
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
@@ -1134,6 +1177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_jaeger_roundtrip": q38_jaeger_roundtrip,
     "q39_dedup_clusters": q39_dedup_clusters,
     "q40_prom_scrape_roundtrip": q40_prom_scrape_roundtrip,
+    "q41_histogram_scrape": q41_histogram_scrape,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -1178,6 +1222,7 @@ ORACLES: dict[str, str] = {
     "q38_jaeger_roundtrip": Q38_SQL,
     "q39_dedup_clusters": Q39_SQL,
     "q40_prom_scrape_roundtrip": Q40_SQL,
+    "q41_histogram_scrape": Q41_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -346,3 +346,120 @@ def parse_prometheus_text(df: DataFrame, col: str = "line") -> DataFrame:
             F.lit("gauge")
         ),
     )
+
+
+def to_prometheus_histogram_text(
+    df: DataFrame,
+    metric_name: str,
+    value_col: str,
+    label_cols: list[str],
+    bounds: list[float],
+    help_text: str | None = None,
+) -> tuple[str, DataFrame]:
+    """Histogram family in exposition text: per label set, cumulative
+    ``name_bucket{...,le="b"}`` lines for each explicit bound plus
+    ``le="+Inf"``, and the ``name_sum`` / ``name_count`` series — the
+    shape the prometheusexporter serves for pdata Histogram points and
+    the prometheusreceiver's metric builder reassembles. One grouped
+    aggregate computes every bucket (map-side partial); the per-labelset
+    line fan-out is an explode of an already-tiny frame.
+    """
+    aggs = [
+        F.sum((F.col(value_col) <= F.lit(b)).cast("bigint")).alias(f"_le_{i}")
+        for i, b in enumerate(bounds)
+    ]
+    g = df.groupBy(*label_cols).agg(
+        *aggs,
+        F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+        F.sum(F.col(value_col).cast("double")).alias("_sum"),
+    )
+
+    def _esc(c: str) -> Column:
+        v = F.coalesce(F.col(c).cast("string"), F.lit(""))
+        v = F.regexp_replace(v, r"\\", r"\\\\")
+        v = F.regexp_replace(v, '"', '\\\\"')
+        return F.regexp_replace(v, "\n", r"\\n")
+
+    base_pairs = [F.concat(F.lit(f'{name}="'), _esc(name), F.lit('"')) for name in label_cols]
+
+    def _line(suffix: str, extra: Column | None, value: Column) -> Column:
+        pairs = base_pairs + ([extra] if extra is not None else [])
+        labels = (
+            F.concat(F.lit("{"), F.concat_ws(",", *pairs), F.lit("}")) if pairs else F.lit("")
+        )
+        return F.concat(F.lit(metric_name + suffix), labels, F.lit(" "), value.cast("string"))
+
+    lines = [
+        _line("_bucket", F.lit(f'le="{b}"'), F.col(f"_le_{i}").cast("double"))
+        for i, b in enumerate(bounds)
+    ]
+    lines.append(_line("_bucket", F.lit('le="+Inf"'), F.col("_cnt").cast("double")))
+    lines.append(_line("_sum", None, F.col("_sum")))
+    lines.append(_line("_count", None, F.col("_cnt").cast("double")))
+    header = (
+        f"# HELP {metric_name} {help_text or metric_name}\n# TYPE {metric_name} histogram"
+    )
+    return header, g.select(F.explode(F.array(*lines)).alias("line"))
+
+
+def scraped_histograms(df: DataFrame, col: str = "line") -> DataFrame:
+    """Reassemble scraped histogram families — the prometheusreceiver
+    metric-builder's job (``receiver/prometheusreceiver/internal/
+    metricsbuilder.go`` / ``metricfamily.go``): a ``# TYPE f histogram``
+    family owns the ``f_bucket`` / ``f_sum`` / ``f_count`` samples, whose
+    shared label set (minus ``le``) identifies one datapoint.
+
+    Returns one row per (family, labelset, bucket): ``(family, labels,
+    le double — +Inf as null, cum_count, total_count, sum_value)``.
+    The family registry is metadata (tiny) so it broadcast-joins onto the
+    sample stream; grouping shuffles on the canonical (family, sorted
+    labelset) key once.
+    """
+    line = F.trim(F.col(col))
+    fams = (
+        df.select(line.alias("_l"))
+        .filter(F.col("_l").rlike(r"^# TYPE\s+\S+\s+histogram\s*$"))
+        .select(F.regexp_extract("_l", r"^# TYPE\s+(\S+)", 1).alias("family"))
+        .distinct()
+    )
+    suffixed = fams.select(
+        "family",
+        F.explode(
+            F.array(
+                F.struct(F.concat("family", F.lit("_bucket")).alias("metric"), F.lit("bucket").alias("part")),
+                F.struct(F.concat("family", F.lit("_sum")).alias("metric"), F.lit("sum").alias("part")),
+                F.struct(F.concat("family", F.lit("_count")).alias("metric"), F.lit("count").alias("part")),
+            )
+        ).alias("_s"),
+    ).select("family", "_s.metric", "_s.part")
+    samples = parse_prometheus_text(df, col=col).join(F.broadcast(suffixed), "metric")
+    keyed = samples.select(
+        "family",
+        "part",
+        F.map_filter("labels", lambda k, _: k != "le").alias("labels"),
+        F.to_json(F.array_sort(F.map_entries(F.map_filter("labels", lambda k, _: k != "le")))).alias("_lk"),
+        F.when(F.element_at("labels", "le") != "+Inf", F.element_at("labels", "le").cast("double")).alias("le"),
+        "value",
+    )
+    per_set = keyed.groupBy("family", "_lk").agg(
+        F.first("labels").alias("labels"),
+        F.max(F.when(F.col("part") == "count", F.col("value"))).cast("bigint").alias("total_count"),
+        F.max(F.when(F.col("part") == "sum", F.col("value"))).alias("sum_value"),
+        F.collect_list(
+            F.when(F.col("part") == "bucket", F.struct("le", F.col("value").alias("cum")))
+        ).alias("_buckets"),
+    )
+    return per_set.select(
+        "family",
+        "labels",
+        F.explode("_buckets").alias("_b"),
+        "total_count",
+        "sum_value",
+    ).select(
+        "family",
+        "labels",
+        F.col("_b.le").alias("le"),
+        F.col("_b.cum").cast("bigint").alias("cum_count"),
+        "total_count",
+        "sum_value",
+    )

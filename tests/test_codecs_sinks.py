@@ -236,3 +236,53 @@ def test_prometheus_parse_untyped_timestamp_and_comments(spark):
     assert rows["up"].metric_type == "untyped" and rows["up"].kind == "gauge"
     assert dict(rows["lag_seconds"].labels) == {"q": "a b", "r": "c}d"}
     assert rows["lag_seconds"].value == 2.5 and rows["lag_seconds"].ts_ms is None
+
+
+def test_histogram_family_roundtrip(spark):
+    """Exposition histogram family: writer emits cumulative _bucket/_sum/
+    _count lines; the scrape-side family grouper reassembles datapoints
+    (le=null is the +Inf bucket)."""
+    from opentelemetry_collector_spark.sources.codecs import (
+        scraped_histograms,
+        to_prometheus_histogram_text,
+    )
+
+    df = spark.createDataFrame(
+        [("u", 1.0), ("u", 3.0), ("u", 12.0), ("a", 2.0)], ["role", "v"]
+    )
+    header, lines = to_prometheus_histogram_text(df, "h", "v", ["role"], [2.0, 5.0])
+    assert header.endswith("# TYPE h histogram")
+    wire = sorted(r.line for r in lines.collect())
+    assert 'h_bucket{role="u",le="2.0"} 1.0' in wire
+    assert 'h_bucket{role="u",le="+Inf"} 3.0' in wire
+    hdr = spark.createDataFrame([(h,) for h in header.split("\n")], "line string")
+    out = {
+        (r.labels["role"], r.le): (r.cum_count, r.total_count, r.sum_value)
+        for r in scraped_histograms(hdr.union(lines)).collect()
+    }
+    assert out == {
+        ("u", 2.0): (1, 3, 16.0),
+        ("u", 5.0): (2, 3, 16.0),
+        ("u", None): (3, 3, 16.0),
+        ("a", 2.0): (1, 1, 2.0),
+        ("a", 5.0): (1, 1, 2.0),
+        ("a", None): (1, 1, 2.0),
+    }
+
+
+def test_scraped_histograms_ignores_untyped_families(spark):
+    from opentelemetry_collector_spark.sources.codecs import scraped_histograms
+
+    raw = spark.createDataFrame(
+        [
+            ("# TYPE h histogram",),
+            ('h_bucket{le="1.0"} 2',),
+            ('h_bucket{le="+Inf"} 2',),
+            ("h_sum 1.5",),
+            ("h_count 2",),
+            ("other_bucket 9",),  # no histogram TYPE -> not a family member
+        ],
+        "line string",
+    )
+    out = scraped_histograms(raw)
+    assert {r.family for r in out.collect()} == {"h"}
