@@ -1,0 +1,73 @@
+"""Sequence packing: greedy chunking of ordered turns into context windows.
+
+A training pipeline over transcripts packs consecutive turns of a
+conversation into fixed-token-budget chunks (context windows) — the
+batching-for-transport idea of the reference's batch processor
+(``processor/batchprocessor/batch_processor.go:151-163`` closes a batch
+when the size threshold is reached) applied to token budgets instead of
+record counts, with the same invariant: packing changes GROUPING, never
+content or order.
+
+Greedy rule: walk turns in (conv_id, turn_idx) order; start a new chunk
+when adding the next turn would exceed ``budget`` (an oversized single
+turn still gets its own chunk — the splitLogs analog never drops data).
+The running total with reset is inherently sequential, so this is an
+``applyInPandas`` per conversation: groups are conversation-sized (tens
+of rows), the scan inside each group is a tight numpy loop over one Arrow
+batch, and the only shuffle is the groupBy(conv_id) the downstream
+per-conversation writes need anyway. At 100 TB the grouping key keeps
+every task independent; no global state, no driver involvement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Assign each row a ``chunk_id`` (0-based per conversation) by greedy
+    budget packing over ``token_col`` in ``order_col`` order."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    # fresh StructType — StructType.add would MUTATE df's cached schema
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("chunk_id", T.IntegerType())]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        toks = pdf[token_col].to_numpy()
+        chunks = np.empty(len(toks), dtype=np.int32)
+        acc, chunk = 0, 0
+        for i, t in enumerate(toks):
+            t = int(t)
+            if acc > 0 and acc + t > budget:
+                chunk += 1
+                acc = 0
+            acc += t
+            chunks[i] = chunk
+        pdf = pdf.assign(chunk_id=chunks)
+        return pdf[cols]
+
+    return df.groupBy(conv_col).applyInPandas(_pack, schema=out_schema)
+
+
+def chunk_stats(packed: DataFrame, token_col: str, conv_col: str = "conv_id") -> DataFrame:
+    """Per-chunk rollup: (conv, chunk_id, n_turns, chunk_tokens) — the
+    per-batch size accounting the batch processor reports
+    (``batch_send_size``, batchprocessor/metrics.go:28-50)."""
+    return packed.groupBy(conv_col, "chunk_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(token_col).cast("bigint").alias("chunk_tokens"),
+    )

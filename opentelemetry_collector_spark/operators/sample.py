@@ -68,3 +68,30 @@ def probabilistic_sample(
         p = F.col(priority_col).cast("double")
         keep = F.when(p == 0.0, F.lit(False)).when(p > 0.0, F.lit(True)).otherwise(keep)
     return df.filter(keep)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str,
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (training-mix
+    construction: equal per-language / per-source document budgets).
+
+    The keep-set is the k lowest ``md5(id)`` values inside each stratum —
+    a uniform, seed-free permutation that any engine reproduces exactly
+    (unlike rate-based sampling above, which matches the reference's
+    murmur3 bucket test but cannot hit an exact count). One shuffle on
+    the strata columns; ``row_number`` needs the per-stratum sort, but
+    a WindowGroupLimit (rank-limit pushdown) keeps only k rows per
+    stratum per map task before the exchange, so the shuffle carries
+    O(k * strata * tasks), not the corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

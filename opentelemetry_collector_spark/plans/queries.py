@@ -1098,6 +1098,66 @@ SELECT 'turn_text_len' AS family, c.role, CAST(c.le AS BIGINT) AS le,
 FROM cum c JOIN per p USING (role)
 """
 
+def q42_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing gate: greedy 120-token context-window chunking of
+    each conversation (operators/packing.py — the batch processor's
+    close-on-threshold rule applied to token budgets), reported as
+    per-chunk rollups. Oracle: a DuckDB recursive CTE walking each
+    conversation's turns carries the same (accumulator, chunk) state."""
+    from opentelemetry_collector_spark.operators.packing import chunk_stats, pack_sequences
+    from opentelemetry_collector_spark.operators.text import token_count
+
+    t = from_events(spark, sf_dir).withColumn("tok", token_count(F.col("text")))
+    packed = pack_sequences(t, budget=120, token_col="tok")
+    return chunk_stats(packed, token_col="tok")
+
+
+_Q42_TOK = r"""CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\s+')) END"""
+
+Q42_SQL = f"""{_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)},
+s AS (SELECT conv_id, turn_idx, {_Q42_TOK} AS tok,
+             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+      FROM t),
+rec AS (
+  SELECT conv_id, rn, tok, tok AS acc, 0 AS chunk FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.conv_id, s.rn, s.tok,
+         CASE WHEN r.acc + s.tok > 120 THEN s.tok ELSE r.acc + s.tok END,
+         CASE WHEN r.acc + s.tok > 120 THEN r.chunk + 1 ELSE r.chunk END
+  FROM rec r JOIN s ON s.conv_id = r.conv_id AND s.rn = r.rn + 1
+)
+SELECT conv_id, CAST(chunk AS INT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(tok) AS BIGINT) AS chunk_tokens
+FROM rec GROUP BY conv_id, chunk
+"""
+
+
+def q43_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k stratified sampling (training-mix budgets):
+    the 50 lowest-md5 turns per role. Seed-free and engine-reproducible —
+    Spark and DuckDB compute the identical md5 order, so the oracle is
+    the same window rank in SQL."""
+    from opentelemetry_collector_spark.operators.sample import stratified_sample
+
+    t = from_events(spark, sf_dir).withColumn(
+        "_sid", F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string"))
+    )
+    out = stratified_sample(t, ["role"], 50, "_sid")
+    return out.select("conv_id", "turn_idx", "role")
+
+
+Q43_SQL = f"""{_PRELUDE}
+SELECT conv_id, turn_idx, role FROM (
+  SELECT conv_id, turn_idx, role,
+         row_number() OVER (
+           PARTITION BY role
+           ORDER BY md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)),
+                    conv_id || ':' || CAST(turn_idx AS VARCHAR)) AS rn
+  FROM t) WHERE rn <= 50
+"""
+
 
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
@@ -1178,6 +1238,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_dedup_clusters": q39_dedup_clusters,
     "q40_prom_scrape_roundtrip": q40_prom_scrape_roundtrip,
     "q41_histogram_scrape": q41_histogram_scrape,
+    "q42_pack_sequences": q42_pack_sequences,
+    "q43_stratified_sample": q43_stratified_sample,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -1223,6 +1285,8 @@ ORACLES: dict[str, str] = {
     "q39_dedup_clusters": Q39_SQL,
     "q40_prom_scrape_roundtrip": Q40_SQL,
     "q41_histogram_scrape": Q41_SQL,
+    "q42_pack_sequences": Q42_SQL,
+    "q43_stratified_sample": Q43_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

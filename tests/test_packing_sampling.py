@@ -1,0 +1,63 @@
+"""Sequence packing + deterministic stratified sampling (training-data ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.packing import chunk_stats, pack_sequences
+from opentelemetry_collector_spark.operators.sample import stratified_sample
+
+
+def _turns(spark, toks, conv="c"):
+    return spark.createDataFrame(
+        [(conv, i, int(t)) for i, t in enumerate(toks)], "conv_id string, turn_idx int, tok long"
+    )
+
+
+def test_greedy_boundaries_golden(spark):
+    df = _turns(spark, [50, 50, 30, 120, 10])
+    got = {r.turn_idx: r.chunk_id for r in pack_sequences(df, 100, "tok").collect()}
+    # 50+50 fills chunk 0; 30 opens 1; oversized 120 gets its own chunk; 10 opens 3
+    assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_oversized_first_turn_keeps_chunk_zero(spark):
+    df = _turns(spark, [500, 1])
+    got = {r.turn_idx: r.chunk_id for r in pack_sequences(df, 100, "tok").collect()}
+    assert got == {0: 0, 1: 1}
+
+
+def test_packing_preserves_rows_and_respects_budget(spark, small):
+    from opentelemetry_collector_spark.operators.text import token_count
+
+    t = small.withColumn("tok", token_count(F.col("text")))
+    packed = pack_sequences(t, 120, "tok")
+    assert packed.count() == t.count()
+    a = {(r.conv_id, r.turn_idx, r.text) for r in t.collect()}
+    b = {(r.conv_id, r.turn_idx, r.text) for r in packed.collect()}
+    assert a == b  # grouping changed, content and order keys did not
+    stats = chunk_stats(packed, "tok").collect()
+    # multi-turn chunks never exceed the budget (singleton chunks may)
+    for r in stats:
+        assert r.n_turns == 1 or r.chunk_tokens <= 120
+    # chunk ids are dense from 0 per conversation
+    per_conv = {}
+    for r in stats:
+        per_conv.setdefault(r.conv_id, []).append(r.chunk_id)
+    for ids in per_conv.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark, small):
+    df = small.withColumn(
+        "_sid", F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string"))
+    )
+    out1 = stratified_sample(df, ["role"], 7, "_sid")
+    counts = {r.role: r.n for r in out1.groupBy("role").agg(F.count("*").alias("n")).collect()}
+    avail = {r.role: r.n for r in df.groupBy("role").agg(F.count("*").alias("n")).collect()}
+    for role, n in counts.items():
+        assert n == min(7, avail[role])
+    k1 = {(r.conv_id, r.turn_idx) for r in out1.collect()}
+    k2 = {(r.conv_id, r.turn_idx) for r in stratified_sample(df, ["role"], 7, "_sid").collect()}
+    assert k1 == k2  # seed-free determinism
+    assert k1 <= {(r.conv_id, r.turn_idx) for r in df.collect()}
