@@ -110,3 +110,40 @@ def test_no_rowwise_udf_usage_in_source_tree():
         if "F.udf(" in src or "@udf" in src or ".rdd.map" in src or "functions.udf(" in src:
             offenders.append(str(p))
     assert not offenders, f"row-wise Python found in: {offenders}"
+
+
+def test_stratified_sample_rank_limit_pushdown(spark):
+    """Exact-k stratified sampling must keep only k rows per stratum per
+    map task BEFORE the exchange (Partial WindowGroupLimit), so the
+    shuffle is O(k * strata * tasks), never the corpus."""
+    from opentelemetry_collector_spark.operators.sample import stratified_sample
+
+    df = spark.range(10000).select(
+        (F.col("id") % 5).cast("string").alias("role"), F.col("id").cast("string").alias("sid")
+    )
+    plan = _plan(stratified_sample(df, ["role"], 7, "sid"))
+    assert "WindowGroupLimit" in plan
+    partial_pos = plan.find("row_number(), 7, Partial")
+    exch_pos = plan.find("Exchange hashpartitioning(role")
+    assert partial_pos != -1 and exch_pos != -1
+    # plan prints top-down: the Partial limit appears BELOW (after) the
+    # exchange line, i.e. upstream of it in dataflow
+    assert partial_pos > exch_pos
+
+
+def test_pack_sequences_arrow_grouping_and_partial_rollup(spark, small):
+    """Packing is ONE corpus-carrying shuffle (groupBy conv_id into
+    FlatMapGroupsInPandas, Arrow path, no row-wise Python). The chunk
+    rollup's own exchange is partial-aggregated first, so it carries only
+    per-chunk rows (FlatMapGroupsInPandas reports no output partitioning,
+    so Catalyst cannot elide it — acceptable because partials compress it
+    to |chunks|)."""
+    from opentelemetry_collector_spark.operators.packing import chunk_stats, pack_sequences
+    from opentelemetry_collector_spark.operators.text import token_count
+
+    t = small.withColumn("tok", token_count(F.col("text")))
+    plan = _plan(chunk_stats(pack_sequences(t, 120, "tok"), "tok"))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 2
+    assert "partial_count" in plan and "partial_sum" in plan

@@ -86,6 +86,19 @@ COMMENTARY = {
         "Admission control must not add its own shuffle: the per-batch sum rides the same "
         "conv_id partitioning the downstream per-conversation aggregate already needs.",
     ),
+    "q42_pack_sequences": (
+        "ONE corpus-carrying Exchange on conv_id feeding FlatMapGroupsInPandas (the "
+        "sequential packing walk); the rollup's exchange is partial-aggregated first so "
+        "it carries only per-chunk rows.",
+        "Packing is per-conversation state: grouping once on conv_id makes every task "
+        "independent; the rollup shuffle compresses to |chunks| via map-side partials.",
+    ),
+    "q43_stratified_sample": (
+        "Partial WindowGroupLimit BEFORE the Exchange (rank-limit pushdown): each map task "
+        "keeps only k rows per stratum, so the shuffle carries O(k x strata x tasks).",
+        "Exact-k sampling over 100 TB must not shuffle the corpus: the partial group-limit "
+        "turns a global sort-rank into a tiny top-k merge.",
+    ),
 }
 
 
