@@ -1,0 +1,77 @@
+"""Benchmark decontamination: word n-gram overlap against a held-out eval set.
+
+The training-data-pipeline counterpart of the filter processor's
+include/exclude drop (``processor/filterprocessor/filter_processor.go:117-187``):
+instead of matching configured literals, the "exclude set" is every word
+n-gram that appears in an evaluation corpus, and a training document is
+flagged (or dropped) when any of its n-grams collides — the standard
+contamination check used before pretraining.
+
+Scale shape: eval benchmarks are small by construction, so their distinct
+gram set broadcasts; the training side is one explode + broadcast-hash
+semi-join + per-doc agg — linear in corpus size, no shuffle of the corpus
+text itself (only (id, gram-hit) pairs reach the agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.text import tokens
+
+
+def word_ngrams(col: Column, n: int = 5) -> Column:
+    """Overlapping word n-grams as joined strings ("w1 w2 ... wn")."""
+    w = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    # sequence(1, k) with k < 1 would count DOWN (step defaults to -1) —
+    # guard short docs to an empty array instead
+    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def eval_gram_set(eval_df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+    """Distinct n-grams of the eval corpus (the broadcast side)."""
+    return (
+        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per training doc: distinct-gram total, eval-colliding gram count,
+    overlap per-mille, and the contaminated flag (>=1 collision).
+
+    Grams are deduplicated per doc before the join so ``matched_grams`` is
+    "how many DISTINCT n-grams leak", invariant to in-doc repetition.
+    """
+    grams = train_df.select(
+        F.col(id_col), F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_gs")
+    )
+    totals = grams.select(id_col, F.size("_gs").alias("n_grams"))
+    posted = grams.select(id_col, F.explode("_gs").alias("gram"))
+    hits = (
+        posted.join(F.broadcast(eval_gram_set(eval_df, text_col, n)), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    out = totals.join(hits, id_col, "left").na.fill({"_m": 0})
+    return out.select(
+        F.col(id_col),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("_m").cast("bigint").alias("matched_grams"),
+        F.when(F.col("n_grams") > 0, F.floor(F.col("_m") * 1000.0 / F.col("n_grams")))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("overlap_pm"),
+        (F.col("_m") > 0).alias("contaminated"),
+    )

@@ -96,3 +96,86 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercased text
     (the cheap rolling-hash analog; exact-dup key)."""
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def word_bigrams(words: Column) -> Column:
+    """Adjacent word pairs as "a b" strings from an array<string>.
+
+    zip_with pads the shorter side with null and concat propagates it, so
+    the trailing (last-word, null) slot filters away — no length guard
+    needed, and a 0/1-word doc yields an empty array.
+    """
+    rest = F.slice(words, 2, F.greatest(F.size(words), F.lit(1)))
+    pairs = F.zip_with(words, rest, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(pairs, lambda p: p.isNotNull())
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction, duplicate-
+    bigram fraction, and the share of bigram mass taken by the single most
+    frequent bigram (per-mille ints for cross-engine hash safety).
+
+    Scale shape: word-level stats are per-row array ops (no shuffle); the
+    top-bigram count is explode -> two grouped aggregates, both with
+    map-side partials keyed by (doc, gram) then (doc) — the same plan at
+    10^9 docs, no per-doc quadratic work (an ``array_max(transform(...))``
+    formulation would be O(len^2) per doc).
+    """
+    words = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("_nw"),
+        F.size(F.array_distinct(words)).alias("_ndw"),
+        word_bigrams(words).alias("_bg"),
+    )
+    # explode_outer keeps 0/1-word docs (null gram row, zeroed in the aggs)
+    ex = base.select(id_col, "_nw", "_ndw", F.explode_outer("_bg").alias("_g"))
+    per_gram = ex.groupBy(id_col, "_nw", "_ndw", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    st = per_gram.groupBy(id_col, "_nw", "_ndw").agg(
+        F.max(F.when(F.col("_g").isNotNull(), F.col("_c")).otherwise(0)).alias("_maxc"),
+        F.sum(F.when(F.col("_g").isNotNull(), F.col("_c")).otherwise(0)).alias("_nbg"),
+        F.sum(F.when(F.col("_g").isNotNull(), 1).otherwise(0)).alias("_ndbg"),
+    )
+    return st.select(
+        F.col(id_col),
+        F.col("_nw").cast("bigint").alias("n_words"),
+        _per_mille(F.col("_nw") - F.col("_ndw"), F.col("_nw")).alias("dup_word_pm"),
+        _per_mille(F.col("_maxc"), F.col("_nbg")).alias("top_bigram_pm"),
+        _per_mille(F.col("_nbg") - F.col("_ndbg"), F.col("_nbg")).alias("dup_bigram_pm"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, id_col: str, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """Unigram-LM quality proxy, integer-exact: the share of a doc's tokens
+    drawn from the corpus's ``top_k`` most frequent tokens (ties broken by
+    token text, so the vocabulary is deterministic across engines).
+
+    Two passes over the token postings: (1) global frequency -> top-k via
+    TakeOrderedAndProject (no full sort materialized), (2) broadcast
+    semi-join of the tiny vocab against the postings + per-doc agg. A real
+    log-prob score would float-drift across engines; coverage per-mille is
+    hash-stable and orders docs the same way.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    vocab = (
+        toks.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("_t"))
+        .limit(top_k)
+        .select("_t")
+    )
+    hits = (
+        toks.join(F.broadcast(vocab), "_t")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_in"))
+    )
+    totals = df.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
+    out = totals.join(hits, id_col, "left").na.fill({"_in": 0})
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("_in").cast("bigint").alias("in_vocab"),
+        _per_mille(F.col("_in"), F.col("n_tokens")).alias("coverage_pm"),
+    )

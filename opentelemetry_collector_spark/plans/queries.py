@@ -1159,6 +1159,160 @@ SELECT conv_id, turn_idx, role FROM (
 """
 
 
+def q44_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (free-text analog of the attributes `hash` action,
+    attraction.go:242-243): emails/phones/SSNs/IPv4s found in a contact
+    blob are replaced by typed placeholders, with per-category counts.
+    The blob is built deterministically from `customer` in BOTH engines,
+    so each engine constructs identical input and redacts independently."""
+    from opentelemetry_collector_spark.operators.pii import redact_pii
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    text = F.concat(
+        F.lit("customer "), F.col("c_name"),
+        F.lit(" phone "),
+        (k % 90 + 10).cast("string"), F.lit("-"),
+        F.lpad((k % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad(((k * 7) % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" email "), F.lower(F.regexp_replace(F.col("c_name"), r"[^A-Za-z0-9]", ".")),
+        F.lit("@example.com ssn "),
+        (k % 900 + 100).cast("string"), F.lit("-"),
+        F.lpad((k % 90 + 10).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."), (k % 256).cast("string"), F.lit(".0."), (k % 100).cast("string"),
+    )
+    df = c.select(k.cast("bigint").alias("cust_id"), text.alias("text"))
+    out = redact_pii(df)
+    return out.select("cust_id", "n_email", "n_phone", "n_ssn", "n_ipv4", "redacted")
+
+
+Q44_SQL = r"""
+WITH src AS (
+  SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+         'customer ' || c_name || ' phone '
+         || CAST(c_custkey % 90 + 10 AS VARCHAR) || '-'
+         || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+         || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+         || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         || ' email '
+         || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g'))
+         || '@example.com ssn '
+         || CAST(c_custkey % 900 + 100 AS VARCHAR) || '-'
+         || lpad(CAST(c_custkey % 90 + 10 AS VARCHAR), 2, '0') || '-'
+         || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         || ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.' || CAST(c_custkey % 100 AS VARCHAR)
+         AS text
+  FROM customer)
+SELECT cust_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+FROM src
+"""
+
+
+# shared DuckDB fragment: whitespace tokenization matching operators/text.tokens
+_DOC_WORDS_SQL = r"""
+d AS (SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS w
+      FROM documents)
+"""
+
+
+def q45_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals over `documents`."""
+    from opentelemetry_collector_spark.operators.text import repetition_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_metrics(docs, "doc_id")
+
+
+Q45_SQL = f"""
+WITH {_DOC_WORDS_SQL},
+b AS (SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS ndw,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+                  ELSE []::VARCHAR[] END AS bg
+      FROM d),
+e AS (SELECT doc_id, unnest(bg) AS g FROM b),
+gc AS (SELECT doc_id, g, count(*) AS c FROM e GROUP BY doc_id, g),
+st AS (SELECT doc_id, max(c) AS maxc, sum(c) AS nbg, count(*) AS ndbg FROM gc GROUP BY doc_id)
+SELECT b.doc_id, CAST(nw AS BIGINT) AS n_words,
+  CASE WHEN nw > 0 THEN CAST(floor((nw - ndw) * 1000.0 / nw) AS BIGINT) ELSE 0 END AS dup_word_pm,
+  CASE WHEN coalesce(nbg, 0) > 0 THEN CAST(floor(maxc * 1000.0 / nbg) AS BIGINT) ELSE 0 END AS top_bigram_pm,
+  CASE WHEN coalesce(nbg, 0) > 0 THEN CAST(floor((nbg - ndbg) * 1000.0 / nbg) AS BIGINT) ELSE 0 END AS dup_bigram_pm
+FROM b LEFT JOIN st USING (doc_id)
+"""
+
+
+def q46_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: docs with doc_id % 50 == 0 act as the
+    held-out benchmark; every other doc reports how many of its distinct
+    word 5-grams collide with the benchmark's gram set."""
+    from opentelemetry_collector_spark.operators.contamination import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    out = decontaminate(tr, ev, "doc_id", n=5)
+    return out.select(
+        "doc_id", "n_grams", "matched_grams", "overlap_pm",
+        F.when(F.col("contaminated"), 1).otherwise(0).cast("bigint").alias("contaminated"),
+    )
+
+
+Q46_SQL = f"""
+WITH {_DOC_WORDS_SQL},
+g AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 5
+                  THEN list_transform(generate_series(1, len(w)-4), i -> array_to_string(w[i:i+4], ' '))
+                  ELSE []::VARCHAR[] END) AS gs
+      FROM d),
+ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, len(gs) AS n_grams, gs FROM g WHERE doc_id % 50 <> 0),
+pe AS (SELECT doc_id, unnest(gs) AS gram FROM tr),
+hit AS (SELECT pe.doc_id, count(*) AS m FROM pe JOIN ev USING (gram) GROUP BY pe.doc_id)
+SELECT tr.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(coalesce(m, 0) AS BIGINT) AS matched_grams,
+  CASE WHEN n_grams > 0 THEN CAST(floor(coalesce(m, 0) * 1000.0 / n_grams) AS BIGINT) ELSE 0 END AS overlap_pm,
+  CAST(CASE WHEN coalesce(m, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM tr LEFT JOIN hit USING (doc_id)
+"""
+
+
+def q47_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy: share of each doc's tokens inside the
+    corpus top-100 vocabulary (deterministic count-then-token ordering)."""
+    from opentelemetry_collector_spark.operators.text import vocab_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_coverage(docs, "doc_id", top_k=100)
+
+
+Q47_SQL = f"""
+WITH {_DOC_WORDS_SQL},
+tk AS (SELECT doc_id, unnest(w) AS t FROM d),
+vocab AS (SELECT t FROM (SELECT t, count(*) AS c FROM tk GROUP BY t ORDER BY c DESC, t LIMIT 100)),
+hits AS (SELECT doc_id, count(*) AS iv FROM tk JOIN vocab USING (t) GROUP BY doc_id),
+tot AS (SELECT doc_id, len(w) AS n_tokens FROM d)
+SELECT tot.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(coalesce(iv, 0) AS BIGINT) AS in_vocab,
+  CASE WHEN n_tokens > 0 THEN CAST(floor(coalesce(iv, 0) * 1000.0 / n_tokens) AS BIGINT) ELSE 0 END AS coverage_pm
+FROM tot LEFT JOIN hits USING (doc_id)
+"""
+
+
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
 
@@ -1240,6 +1394,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_histogram_scrape": q41_histogram_scrape,
     "q42_pack_sequences": q42_pack_sequences,
     "q43_stratified_sample": q43_stratified_sample,
+    "q44_pii_redact": q44_pii_redact,
+    "q45_repetition": q45_repetition,
+    "q46_decontaminate": q46_decontaminate,
+    "q47_vocab_coverage": q47_vocab_coverage,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -1287,6 +1445,10 @@ ORACLES: dict[str, str] = {
     "q41_histogram_scrape": Q41_SQL,
     "q42_pack_sequences": Q42_SQL,
     "q43_stratified_sample": Q43_SQL,
+    "q44_pii_redact": Q44_SQL,
+    "q45_repetition": Q45_SQL,
+    "q46_decontaminate": Q46_SQL,
+    "q47_vocab_coverage": Q47_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

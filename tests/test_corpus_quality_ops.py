@@ -1,0 +1,155 @@
+"""Golden tests for the corpus-quality operators added for training-data
+prep: PII redaction, repetition metrics, decontamination, vocab coverage.
+
+Each golden value is hand-computed; the DuckDB oracle (q44-q47) covers the
+cross-engine agreement, these pin the absolute semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_all_categories(spark):
+    from opentelemetry_collector_spark.operators.pii import redact_pii
+
+    df = _docs(
+        spark,
+        [
+            (1, "mail bob.smith+x@corp.example.org call 25-989-741-2988 ssn 123-45-6789 host 192.168.0.1"),
+            (2, "nothing sensitive here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["redacted"] == "mail [EMAIL] call [PHONE] ssn [SSN] host [IP]"
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ssn"], out[1]["n_ipv4"]) == (1, 1, 1, 1)
+    assert out[2]["redacted"] == "nothing sensitive here"
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ssn"], out[2]["n_ipv4"]) == (0, 0, 0, 0)
+
+
+def test_redact_pii_counts_against_original_text(spark):
+    # two emails; the placeholder itself must not be re-matched downstream
+    from opentelemetry_collector_spark.operators.pii import redact_pii
+
+    df = _docs(spark, [(1, "a@b.co and c@d.io")])
+    r = redact_pii(df).collect()[0]
+    assert r["n_email"] == 2
+    assert r["redacted"] == "[EMAIL] and [EMAIL]"
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_metrics_golden(spark):
+    from opentelemetry_collector_spark.operators.text import repetition_metrics
+
+    df = _docs(
+        spark,
+        [
+            (1, "a a a a"),          # 4 words, 1 distinct; bigrams: 3x "a a"
+            (2, "w x y z"),           # all unique; 3 distinct bigrams
+            (3, "solo"),              # 1 word, no bigrams
+            (4, ""),                  # empty
+        ],
+    )
+    out = {r["doc_id"]: r for r in repetition_metrics(df, "doc_id").collect()}
+    assert (out[1]["n_words"], out[1]["dup_word_pm"]) == (4, 750)
+    assert out[1]["top_bigram_pm"] == 1000
+    assert out[1]["dup_bigram_pm"] == 666  # (3-1)*1000/3 floored
+    assert (out[2]["dup_word_pm"], out[2]["top_bigram_pm"], out[2]["dup_bigram_pm"]) == (0, 333, 0)
+    assert (out[3]["n_words"], out[3]["top_bigram_pm"]) == (1, 0)
+    assert (out[4]["n_words"], out[4]["dup_word_pm"]) == (0, 0)
+
+
+def test_repetition_keeps_every_doc(spark):
+    from opentelemetry_collector_spark.operators.text import repetition_metrics
+
+    df = _docs(spark, [(i, t) for i, t in enumerate(["", "x", "x y", "x x"])])
+    assert repetition_metrics(df, "doc_id").count() == 4
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_word_ngrams_boundaries(spark):
+    from opentelemetry_collector_spark.operators.contamination import word_ngrams
+
+    df = _docs(spark, [(1, "a b c d e f"), (2, "a b c d"), (3, "")])
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", word_ngrams(F.col("text"), 5).alias("g")).collect()
+    }
+    assert out[1] == ["a b c d e", "b c d e f"]
+    assert out[2] == []  # shorter than n
+    assert out[3] == []
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from opentelemetry_collector_spark.operators.contamination import decontaminate
+
+    ev = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    tr = _docs(
+        spark,
+        [
+            (1, "prefix the quick brown fox jumps suffix words here"),  # leaks 1 gram
+            (2, "completely unrelated training text with enough words"),
+            (3, "too short"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in decontaminate(tr, ev, "doc_id", n=5).collect()}
+    assert out[1]["matched_grams"] == 1 and out[1]["contaminated"] is True
+    assert out[2]["matched_grams"] == 0 and out[2]["contaminated"] is False
+    assert out[3]["n_grams"] == 0 and out[3]["contaminated"] is False
+
+
+def test_decontaminate_counts_distinct_grams_only(spark):
+    # the leaking 5-gram appears twice in the train doc but counts once
+    from opentelemetry_collector_spark.operators.contamination import decontaminate
+
+    ev = _docs(spark, [(100, "e1 e2 e3 e4 e5")])
+    tr = _docs(spark, [(1, "e1 e2 e3 e4 e5 x e1 e2 e3 e4 e5")])
+    r = decontaminate(tr, ev, "doc_id", n=5).collect()[0]
+    assert r["matched_grams"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Vocab coverage
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_golden(spark):
+    from opentelemetry_collector_spark.operators.text import vocab_coverage
+
+    df = _docs(
+        spark,
+        [
+            (1, "hot hot hot warm"),
+            (2, "hot warm cold rare1 rare2 rare3"),
+        ],
+    )
+    # top-2 vocab by (count desc, token asc): hot(4), warm(2)
+    out = {r["doc_id"]: r for r in vocab_coverage(df, "doc_id", top_k=2).collect()}
+    assert (out[1]["n_tokens"], out[1]["in_vocab"], out[1]["coverage_pm"]) == (4, 4, 1000)
+    assert (out[2]["n_tokens"], out[2]["in_vocab"], out[2]["coverage_pm"]) == (6, 2, 333)
+
+
+def test_vocab_tiebreak_is_deterministic(spark):
+    from opentelemetry_collector_spark.operators.text import vocab_coverage
+
+    # all counts equal -> vocab must be the lexicographically first top_k
+    df = _docs(spark, [(1, "b a d c")])
+    out = vocab_coverage(df, "doc_id", top_k=2).collect()[0]
+    assert out["in_vocab"] == 2  # {a, b}
