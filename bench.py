@@ -67,11 +67,21 @@ def run_default() -> None:
             lambda it: it, "id long"
         ).write.format("noop").mode("overwrite").save()
 
+        # best-of-2 per query: this shared VM shows up to 7% neighbor steal
+        # (see BENCH/BASELINE.md) which swung identical single-shot runs 2x;
+        # min across two runs is the same noise-robust estimator the scaling
+        # mode already documents. clearCache() keeps run 2 honest: operators
+        # with an internal .persist() (LSH/jaccard/simhash) would otherwise
+        # be served run 1's cache via the plan-matching CacheManager.
         per_query: dict[str, float] = {}
         for name in HEADLINE:
-            t0 = time.perf_counter()
-            _force(QUERIES[name](spark, sf_dir))
-            per_query[name] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                _force(QUERIES[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            per_query[name] = round(best, 4)
 
         e2e = per_query["q00_pipeline_e2e"]
         sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -1,0 +1,193 @@
+"""Load the reference Collector's OWN processor configs.
+
+The reference wires processors from YAML (``config/configloader/config.go``);
+its per-processor testdata fixtures (e.g.
+``processor/attributesprocessor/testdata/config.yaml``,
+``processor/filterprocessor/testdata/config_strict.yaml``) are the public
+contract for what a user's config looks like. This module translates those
+exact shapes onto our engine so a Collector user's attributes/filter blocks
+run unchanged:
+
+- action lists (``key``/``action``/``value``/``from_attribute``/``pattern``,
+  ``processor/processorhelper/attraction.go:87-112``) map 1:1 onto
+  :class:`~opentelemetry_collector_spark.operators.attributes.Action` — the
+  field names are identical, including the validation failures (an extract
+  pattern with an unnamed group is rejected here exactly as
+  ``attraction.go:193-199`` rejects it);
+- ``include``/``exclude`` match-properties
+  (``internal/processor/filterconfig/config.go:70-136``) map onto
+  :class:`~opentelemetry_collector_spark.operators.filters.MatchProperties`:
+
+  ========================  =============================================
+  reference field           our flattened-frame equivalent
+  ========================  =============================================
+  ``services``              filterset over the ``service_name`` column
+                            (the resource service-name analog our span
+                            frames carry, ``sources/zipkin.py``)
+  ``span_names`` /          filterset over the record-name column
+  ``log_names``             (``name`` by default)
+  ``metric_names``          filterset over the ``metric`` column
+  ``attributes``            entry list -> attrs-map matchers (absent
+                            ``value`` = key-must-exist,
+                            ``attributematcher.go:96-100``)
+  ``resources``             entry list -> matchers over the resource map
+                            column (``filterspan.go:107-116``)
+  ``libraries``             matchers over the ``otel.library.name`` /
+                            ``otel.library.version`` attr keys — the same
+                            flattening the reference's own zipkin
+                            translator applies to the instrumentation
+                            library (``zipkinv2/to_translator.go``); an
+                            absent version matches any version
+                            (``filtermatcher.go`` library rules), a
+                            present one (incl. blank) must equal the
+                            stored value
+  ========================  =============================================
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from opentelemetry_collector_spark.operators.attributes import Action
+from opentelemetry_collector_spark.operators.filters import MatchProperties
+
+LIBRARY_NAME_KEY = "otel.library.name"
+LIBRARY_VERSION_KEY = "otel.library.version"
+
+_MATCH_FIELDS = {
+    "match_type",
+    "services",
+    "span_names",
+    "log_names",
+    "metric_names",
+    "attributes",
+    "resources",
+    "libraries",
+    # accepted-and-ignored knobs of the Go regexp filterset (an LRU result
+    # cache — Catalyst evaluates rlike vectorized, nothing to cache)
+    "regexp",
+}
+
+
+def actions_from_reference(raw: list[dict[str, Any]]) -> list[Action]:
+    """A reference ``actions:`` list -> validated Action objects."""
+    out = []
+    for i, a in enumerate(raw):
+        if "key" not in a or not a["key"]:
+            raise ValueError(f'missing required field "key" at the {i}-th action')
+        act = Action(
+            key=a["key"],
+            action=str(a.get("action", "")).lower(),
+            value=a.get("value"),
+            from_attribute=a.get("from_attribute"),
+            pattern=a.get("pattern"),
+        )
+        act.validate()
+        out.append(act)
+    return out
+
+
+def _entry_list_to_dict(entries: list[dict[str, Any]]) -> dict[str, Any]:
+    """[{key: k, value: v?}, ...] -> {k: v-or-None} (None = must exist)."""
+    return {e["key"]: e.get("value") for e in entries}
+
+
+def match_properties_from_reference(
+    spec: dict[str, Any],
+    *,
+    service_col: str = "service_name",
+    name_col: str = "name",
+    metric_col: str = "metric",
+    attrs_col: str = "attrs",
+    resource_col: str = "resource",
+) -> MatchProperties:
+    """A reference include/exclude block -> MatchProperties."""
+    unknown = set(spec) - _MATCH_FIELDS
+    if unknown:
+        raise ValueError(f"unknown match-properties fields: {sorted(unknown)}")
+
+    columns: dict[str, list[str]] = {}
+    if spec.get("services"):
+        columns[service_col] = list(spec["services"])
+    names = list(spec.get("span_names") or []) + list(spec.get("log_names") or [])
+    if names:
+        columns[name_col] = names
+    if spec.get("metric_names"):
+        columns[metric_col] = list(spec["metric_names"])
+
+    attributes = _entry_list_to_dict(spec.get("attributes") or [])
+    for lib in spec.get("libraries") or []:
+        attributes[LIBRARY_NAME_KEY] = lib["name"]
+        if lib.get("version") is not None:
+            attributes[LIBRARY_VERSION_KEY] = lib["version"]
+
+    return MatchProperties(
+        match_type=spec.get("match_type", "strict"),
+        columns=columns,
+        attributes=attributes,
+        attrs_col=attrs_col,
+        resources=_entry_list_to_dict(spec.get("resources") or []),
+        resource_col=resource_col,
+    )
+
+
+def compile_reference_processor(name: str, cfg: dict[str, Any], **cols: str) -> dict[str, Any]:
+    """One ``attributes/x`` or ``filter/x`` block -> engine objects.
+
+    Returns ``{"kind": "attributes"|"filter", "actions": [...] | None,
+    "include": MatchProperties | None, "exclude": ...}`` ready for
+    :func:`operators.attributes.apply_actions` /
+    :func:`operators.filters.filter_records`. The filter processor's
+    per-signal nesting (``metrics:``/``logs:``/``spans:``) is unwrapped.
+    """
+    kind = name.split("/", 1)[0]
+    if kind == "attributes":
+        return {
+            "kind": kind,
+            "actions": actions_from_reference(cfg.get("actions") or []),
+            "include": (
+                match_properties_from_reference(cfg["include"], **cols) if "include" in cfg else None
+            ),
+            "exclude": (
+                match_properties_from_reference(cfg["exclude"], **cols) if "exclude" in cfg else None
+            ),
+        }
+    if kind == "filter":
+        # filter processor nests specs per signal (filterprocessor/config.go)
+        inner = next((cfg[s] for s in ("metrics", "logs", "spans", "traces") if s in cfg), cfg)
+        return {
+            "kind": kind,
+            "actions": None,
+            "include": (
+                match_properties_from_reference(inner["include"], **cols)
+                if "include" in inner
+                else None
+            ),
+            "exclude": (
+                match_properties_from_reference(inner["exclude"], **cols)
+                if "exclude" in inner
+                else None
+            ),
+        }
+    raise ValueError(f"unsupported reference processor type: {kind}")
+
+
+def load_reference_processors(path: str, **cols: str) -> dict[str, dict[str, Any]]:
+    """Parse a reference config YAML; compile every processors: block.
+
+    Returns name -> compiled dict for blocks that build, name ->
+    ``{"error": str}`` for blocks the reference itself would reject at
+    NewAttrProc time (its testdata deliberately includes such examples —
+    parity means rejecting them too).
+    """
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    out: dict[str, dict[str, Any]] = {}
+    for name, cfg in (doc.get("processors") or {}).items():
+        try:
+            out[name] = compile_reference_processor(name, cfg or {}, **cols)
+        except (ValueError, KeyError, TypeError) as e:  # mirror Go build errors
+            out[name] = {"error": str(e)}
+    return out

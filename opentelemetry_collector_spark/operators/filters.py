@@ -63,6 +63,10 @@ class MatchProperties:
         record-name / service-name analog for transcript turns.
     attributes: dynamic-payload matchers over the `attrs` map column;
         value None means "key must exist" (attributematcher.go:96-100).
+    resources: the same matcher semantics applied to a resource-level map
+        column — filterspan matches resource attributes with the identical
+        attributesMatcher, just against Resource().Attributes()
+        (``internal/processor/filterspan/filterspan.go:107-116``).
     match_type: strict|regexp, applies to columns and string attr values.
     """
 
@@ -70,13 +74,13 @@ class MatchProperties:
     columns: dict[str, list[str]] = field(default_factory=dict)
     attributes: dict[str, object | None] = field(default_factory=dict)
     attrs_col: str = "attrs"
+    resources: dict[str, object | None] = field(default_factory=dict)
+    resource_col: str = "resource"
 
-    def predicate(self) -> Column:
+    def _map_matchers(self, col_name: str, spec: dict[str, object | None]) -> list[Column]:
         preds: list[Column] = []
-        for name, values in self.columns.items():
-            preds.append(filterset_predicate(F.col(name), values, self.match_type))
-        for key, value in self.attributes.items():
-            m = F.col(self.attrs_col)
+        for key, value in spec.items():
+            m = F.col(col_name)
             has = F.coalesce(F.map_contains_key(m, F.lit(key)), F.lit(False))
             if value is None:
                 preds.append(has)
@@ -84,6 +88,14 @@ class MatchProperties:
                 preds.append(has & m[key].rlike(value))
             else:
                 preds.append(has & (m[key] == F.lit(canonical_str(value))))
+        return preds
+
+    def predicate(self) -> Column:
+        preds: list[Column] = []
+        for name, values in self.columns.items():
+            preds.append(filterset_predicate(F.col(name), values, self.match_type))
+        preds += self._map_matchers(self.attrs_col, self.attributes)
+        preds += self._map_matchers(self.resource_col, self.resources)
         if not preds:
             return F.lit(True)
         out = preds[0]

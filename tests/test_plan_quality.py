@@ -131,6 +131,53 @@ def test_stratified_sample_rank_limit_pushdown(spark):
     assert partial_pos > exch_pos
 
 
+def test_pii_redact_single_codegen_projection(spark, tiny):
+    """All four count regexes + the replace chain must stay ONE JVM
+    projection: no shuffle, no Python — redaction is a per-row rewrite of
+    the corpus hot loop."""
+    from opentelemetry_collector_spark.operators.pii import redact_pii
+
+    plan = _plan(redact_pii(tiny))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_metrics_partial_aggs_no_python(spark, small):
+    """Bigram stats must be the explode -> two-level aggregate shape (every
+    Exchange fed by a partial HashAggregate), never a per-doc quadratic
+    HOF; word stats ride the same projection."""
+    from opentelemetry_collector_spark.operators.text import repetition_metrics
+
+    plan = _plan(repetition_metrics(small.withColumnRenamed("conv_id", "doc_id"), "doc_id"))
+    assert "Generate explode" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, small):
+    """The eval gram set must broadcast: the corpus-side probe is a
+    BroadcastHashJoin, so the training text is never shuffled to match."""
+    from opentelemetry_collector_spark.operators.contamination import decontaminate
+
+    docs = small.withColumnRenamed("conv_id", "doc_id")
+    ev = docs.limit(5)
+    plan = _plan(decontaminate(docs, ev, "doc_id", n=3))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_coverage_topk_heap_and_broadcast_probe(spark, small):
+    """Top-k vocabulary must come from TakeOrderedAndProject (per-task
+    heaps of k, never a global sort) and the coverage probe must broadcast
+    the k-row vocab against the token postings."""
+    from opentelemetry_collector_spark.operators.text import vocab_coverage
+
+    plan = _plan(vocab_coverage(small.withColumnRenamed("conv_id", "doc_id"), "doc_id", top_k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
 def test_pack_sequences_arrow_grouping_and_partial_rollup(spark, small):
     """Packing is ONE corpus-carrying shuffle (groupBy conv_id into
     FlatMapGroupsInPandas, Arrow path, no row-wise Python). The chunk

@@ -1,0 +1,199 @@
+"""The reference's OWN testdata configs load and run on this engine.
+
+Fixtures used (public reference repo, read-only):
+- ``processor/attributesprocessor/testdata/config.yaml`` — every processor
+  block compiles to Action/MatchProperties objects; the expected-span
+  behavior asserted below is transcribed from that file's OWN comments
+  (Span1..Span4 examples for ``attributes/excludemulti`` and
+  ``attributes/selectiveprocessing``).
+- ``processor/filterprocessor/testdata/config_strict.yaml`` /
+  ``config_regexp.yaml`` — filter blocks incl. the per-signal nesting and
+  the regexp cache knobs (accepted, ignored).
+
+The one block the reference itself rejects at build time
+(``attributes/regex_insert`` — its extract pattern has an unnamed group,
+``attraction.go:193-199``) must fail here too, for the same reason.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.config_compat import load_reference_processors
+
+REF = "/root/reference"
+ATTR_CFG = f"{REF}/processor/attributesprocessor/testdata/config.yaml"
+FILT_STRICT = f"{REF}/processor/filterprocessor/testdata/config_strict.yaml"
+FILT_REGEXP = f"{REF}/processor/filterprocessor/testdata/config_regexp.yaml"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference repo not mounted"
+)
+
+
+def _spans(spark, rows):
+    """(service, attrs-dict) rows -> a spans-shaped frame with a resource map.
+
+    Attr values are canonically stringified (bool -> "true"/"false", the
+    strconv forms of coerce.canonical_str) — the frame shape our
+    unmarshalers produce."""
+    from opentelemetry_collector_spark.functions.coerce import canonical_str
+
+    data = [
+        (
+            f"span{i}",
+            svc,
+            {k: canonical_str(v) for k, v in attrs.items()},
+            resource or {},
+        )
+        for i, (svc, attrs, resource) in enumerate(rows, start=1)
+    ]
+    return spark.createDataFrame(
+        data, "name string, service_name string, attrs map<string,string>, resource map<string,string>"
+    )
+
+
+def test_every_attributes_block_compiles_except_the_invalid_one():
+    procs = load_reference_processors(ATTR_CFG)
+    errors = {n: c["error"] for n, c in procs.items() if "error" in c}
+    # the reference's NewAttrProc rejects exactly this block (unnamed group)
+    assert set(errors) == {"attributes/regex_insert"}
+    assert "named" in errors["attributes/regex_insert"]
+    # and builds all the others
+    assert {"attributes/insert", "attributes/update", "attributes/upsert",
+            "attributes/delete", "attributes/hash", "attributes/excludemulti",
+            "attributes/excluderesources", "attributes/excludelibrary",
+            "attributes/includeservices", "attributes/selectiveprocessing"} <= set(procs)
+
+
+def test_excludemulti_runs_the_files_own_span_examples(spark):
+    """config.yaml's comments define Span1..4 and say 1+2 are excluded,
+    3+4 processed (credit_card/duplicate_key deleted)."""
+    from opentelemetry_collector_spark.operators.attributes import apply_actions
+
+    p = load_reference_processors(ATTR_CFG)["attributes/excludemulti"]
+    df = _spans(
+        spark,
+        [
+            ("svcB", {"env": "dev", "test_request": 123, "credit_card": 1234}, None),
+            ("svcA", {"env": "dev", "test_request": False}, None),
+            ("svcB", {"env": 1, "test_request": "dev", "credit_card": 1234}, None),
+            ("svcC", {"env": "dev", "test_request": False}, None),
+        ],
+    )
+    out = apply_actions(df, p["actions"], include=p["include"], exclude=p["exclude"])
+    got = {r["name"]: r["attrs"] for r in out.collect()}
+    assert "credit_card" in got["span1"]  # excluded -> untouched
+    assert "test_request" in got["span2"]
+    assert "credit_card" not in got["span3"]  # processed -> deleted
+    assert got["span4"] == {"env": "dev"} or "credit_card" not in got["span4"]
+
+
+def test_selectiveprocessing_include_then_exclude(spark):
+    """The file's Span2 (svcA, redact_trace=true) is processed; Span3
+    (svcB, redact_trace=false) is excluded; Span4 (svcC) misses include.
+
+    Known, documented deviation: the file's Span1 carries redact_trace as
+    the STRING "false" and the reference's typed strict matcher therefore
+    does NOT exclude it — our attrs map is map<string,string> (SURVEY
+    §1.3: variant payloads canonically stringified, the same coercion the
+    reference applies for regexp matching, attributematcher.go:116-129),
+    so the bool/string distinction is flattened and Span1 would be
+    excluded here. Configs relying on cross-type strict mismatch must
+    encode the type in the value instead.
+    """
+    from opentelemetry_collector_spark.operators.attributes import apply_actions
+
+    p = load_reference_processors(ATTR_CFG)["attributes/selectiveprocessing"]
+    df = _spans(
+        spark,
+        [
+            ("svcA", {"env": "staging", "test_request": False, "credit_card": 7,
+                      "redact_trace": True}, None),
+            ("svcB", {"env": "production", "test_request": True, "credit_card": 1234,
+                      "redact_trace": False}, None),
+            ("svcC", {"env": "dev", "test_request": False, "credit_card": 9}, None),
+        ],
+    )
+    out = apply_actions(df, p["actions"], include=p["include"], exclude=p["exclude"])
+    got = {r["service_name"]: r["attrs"] for r in out.collect()}
+    assert "credit_card" not in got["svcA"]  # Span2: include hit, exclude miss
+    assert "credit_card" in got["svcB"]  # Span3: exclude hit -> untouched
+    assert "credit_card" in got["svcC"]  # Span4: include miss -> untouched
+
+
+def test_excluderesources_matches_resource_map(spark):
+    from opentelemetry_collector_spark.operators.attributes import apply_actions
+
+    p = load_reference_processors(ATTR_CFG)["attributes/excluderesources"]
+    df = _spans(
+        spark,
+        [
+            ("svcA", {"credit_card": 1}, {"host.type": "n1-standard-1"}),
+            ("svcA", {"credit_card": 1}, {"host.type": "e2-small"}),
+        ],
+    )
+    out = apply_actions(df, p["actions"], include=p["include"], exclude=p["exclude"])
+    got = [r["attrs"] for r in out.orderBy("name").collect()]
+    assert "credit_card" in got[0]  # resource matched exclude -> untouched
+    assert "credit_card" not in got[1]
+
+
+def test_excludelibrary_matches_flattened_library_attrs(spark):
+    from opentelemetry_collector_spark.config_compat import (
+        LIBRARY_NAME_KEY,
+        LIBRARY_VERSION_KEY,
+    )
+    from opentelemetry_collector_spark.operators.attributes import apply_actions
+
+    p = load_reference_processors(ATTR_CFG)["attributes/excludelibrary"]
+    assert p["exclude"].attributes[LIBRARY_NAME_KEY] == "mongo-java-driver"
+    assert p["exclude"].attributes[LIBRARY_VERSION_KEY] == "3.8.0"
+    df = _spans(
+        spark,
+        [
+            ("s", {"credit_card": 1, LIBRARY_NAME_KEY: "mongo-java-driver",
+                   LIBRARY_VERSION_KEY: "3.8.0"}, None),
+            ("s", {"credit_card": 1, LIBRARY_NAME_KEY: "mongo-java-driver",
+                   LIBRARY_VERSION_KEY: "3.9.0"}, None),
+        ],
+    )
+    out = apply_actions(df, p["actions"], include=p["include"], exclude=p["exclude"])
+    got = [r["attrs"] for r in out.orderBy("name").collect()]
+    assert "credit_card" in got[0]  # exact library match -> excluded
+    assert "credit_card" not in got[1]
+
+
+def test_filter_strict_includeexclude_passes_only_hello_world_slash(spark):
+    """config_strict.yaml's own comment: 'would only allow metrics named
+    hello/world to pass through'."""
+    from opentelemetry_collector_spark.operators.filters import filter_records
+
+    p = load_reference_processors(FILT_STRICT)["filter/includeexclude"]
+    df = spark.createDataFrame(
+        [("hello_world",), ("hello/world",), ("other",)], "metric string"
+    ).withColumn("attrs", F.create_map().cast("map<string,string>"))
+    out = filter_records(df, include=p["include"], exclude=p["exclude"])
+    assert [r["metric"] for r in out.collect()] == ["hello/world"]
+
+
+def test_filter_regexp_blocks_compile_and_find_anywhere(spark):
+    """config_regexp.yaml: cache knobs accepted-and-ignored; unanchored
+    matching per the golden table (filter_processor_test.go:111-127)."""
+    from opentelemetry_collector_spark.operators.filters import filter_records
+
+    procs = load_reference_processors(FILT_REGEXP)
+    assert not any("error" in c for c in procs.values()), procs
+    p = procs["filter/unlimitedcache"]
+    df = spark.createDataFrame(
+        [("prefix/test/match",), ("prefixprefix/test/match",), ("no-match",)],
+        "metric string",
+    ).withColumn("attrs", F.create_map().cast("map<string,string>"))
+    out = filter_records(df, include=p["include"], exclude=p["exclude"])
+    assert sorted(r["metric"] for r in out.collect()) == [
+        "prefix/test/match",
+        "prefixprefix/test/match",  # find-anywhere, NOT anchored
+    ]

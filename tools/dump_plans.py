@@ -93,6 +93,37 @@ COMMENTARY = {
         "Packing is per-conversation state: grouping once on conv_id makes every task "
         "independent; the rollup shuffle compresses to |chunks| via map-side partials.",
     ),
+    "q44_pii_redact": (
+        "ONE Project over the scan: all four category counts (regexp_extract_all/size) and "
+        "the nested regexp_replace chain are JVM expressions in a single WholeStageCodegen; "
+        "no Exchange, no Python.",
+        "Redaction is a per-row rewrite of the corpus hot loop — any shuffle or Python "
+        "worker here would be a per-byte tax on 100 TB; a codegen projection scales with "
+        "input splits only.",
+    ),
+    "q45_repetition": (
+        "Word-level stats are per-row array expressions; the bigram stats are explode -> "
+        "HashAggregate(partial) on (doc, gram) -> Exchange -> final -> partial per-doc "
+        "rollup — every Exchange is preceded by a partial aggregate.",
+        "The naive per-doc HOF formulation is O(len^2) per document; the explode/agg shape "
+        "shuffles only distinct (doc, gram) counts and stays skew-free because grams are "
+        "already doc-scoped keys.",
+    ),
+    "q46_decontaminate": (
+        "The eval-set gram list is aggregated then BROADCAST; the postings-side probe is a "
+        "BroadcastHashJoin on gram — the training corpus is never shuffled for the match.",
+        "The benchmark side is tiny by construction (eval suites are MBs, the corpus is "
+        "100 TB); broadcasting its distinct grams makes decontamination a map-side "
+        "semi-join over corpus splits.",
+    ),
+    "q47_vocab_coverage": (
+        "Top-k vocabulary via TakeOrderedAndProject (never a full global sort); the "
+        "coverage probe is a BroadcastHashJoin of the k-row vocab against the token "
+        "postings, then a partial-aggregated per-doc count.",
+        "A total sort of the global term-frequency table would shuffle |vocabulary| rows; "
+        "TakeOrderedAndProject keeps per-task heaps of k and merges k-row results, and the "
+        "broadcast probe adds zero corpus shuffle.",
+    ),
     "q43_stratified_sample": (
         "Partial WindowGroupLimit BEFORE the Exchange (rank-limit pushdown): each map task "
         "keeps only k rows per stratum, so the shuffle carries O(k x strata x tasks).",
