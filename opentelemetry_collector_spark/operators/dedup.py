@@ -167,9 +167,12 @@ def minhash_lsh_pairs(
     # (numpy rolling hash; Catalyst HOFs are interpreted — see
     # functions/shingle_hash.py for the measured 10x)
     from opentelemetry_collector_spark.functions.shingle_hash import shingle_hash_table
+    from opentelemetry_collector_spark.session import spread
 
+    # narrow scans (one small file) would serialize the shingle+minhash
+    # kernel on one core — no-op when the scan is already wide
     base = shingle_hash_table(
-        df, id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes, seed=seed
+        spread(df), id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes, seed=seed
     )
     # the signature table feeds three plan branches (candidate generation +
     # the two verification re-joins). Those branches are all ROOT stages of
@@ -255,7 +258,9 @@ def ngram_jaccard_pairs(
     # hashed-shingle postings: bigint join keys shuffle ~5x smaller than the
     # k-gram strings; 63-bit space keeps intersection counts exact in
     # expectation (collision odds ~1e-13/pair — q25 oracle parity argument)
-    s = shingle_hash_table(df, id_col=id_col, text_col=text_col, k=k, with_sig=False)
+    from opentelemetry_collector_spark.session import spread
+
+    s = shingle_hash_table(spread(df), id_col=id_col, text_col=text_col, k=k, with_sig=False)
     # feeds sizes + both posting sides (concurrent root stages): eager
     # persist so shingling runs once
     s = s.persist()
@@ -326,11 +331,14 @@ def simhash_neardup_pairs(
     bit_count filter removes false positives. (A fixed 4-chunk split only
     guarantees d <= 3; the chunk count must track the radius.)"""
     from opentelemetry_collector_spark.functions.shingle_hash import simhash_votes
+    from opentelemetry_collector_spark.session import spread
 
     # token hashes stay JVM (xxhash64); the 64 per-bit vote passes run
-    # vectorized in numpy (value-identical — see simhash_votes docstring)
+    # vectorized in numpy (value-identical — see simhash_votes docstring).
+    # spread: a single-split scan serializes this stage on one core
+    # (measured 8.1 s -> 1.7 s at local[32] on sf0.1)
     s = (
-        df.withColumn("_th", token_hashes(F.col(text_col)))
+        spread(df).withColumn("_th", token_hashes(F.col(text_col)))
         .select(F.col(id_col).alias("_id"), simhash_votes(F.col("_th")).alias("_h"))
     )
     # feeds both sides of the chunk-blocked self-join (concurrent root
@@ -365,20 +373,27 @@ def simhash_neardup_pairs(
         ).alias("c"),
     ).select("_id", "_h", "c.chunk", "c.key")
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    ham = F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
+    # verify BEFORE deduplicating: hamming is a pure map-side bit_count on
+    # the join output, while dropDuplicates is a shuffle — filtering first
+    # means the dedup exchange carries only true pairs (x their <=n_chunks
+    # co-bucket copies) instead of every bucket collision. At radius 8 the
+    # 7-bit chunk keys are dense (128 buckets), so raw candidates dominate
+    # verified pairs by orders of magnitude at scale.
+    return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"),
-                F.col("a._h").alias("ha"), F.col("b._h").alias("hb"))
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a._id").alias("a_id"),
+            F.col("b._id").alias("b_id"),
+            ham.cast("int").alias("hamming"),
+        )
         .dropDuplicates(["a_id", "b_id"])
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
     )
 
 

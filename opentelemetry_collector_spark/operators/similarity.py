@@ -56,7 +56,11 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, rank, cos_milli).
     """
-    c = corpus.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"))
+    from opentelemetry_collector_spark.session import spread
+
+    # the corpus x queries scoring is the hot loop — a single-split scan
+    # would run it on one core (no-op when the scan is already wide)
+    c = spread(corpus).select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"))
     q = queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
     scored = (
         c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
@@ -143,8 +147,10 @@ def ivf_topk(
     no dedup step is needed. At scale the corpus side is written partitioned
     by ``list_id`` once and every query batch prunes to nprobe/nlist of it.
     """
+    from opentelemetry_collector_spark.session import spread
+
     c = (
-        corpus.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"))
+        spread(corpus).select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"))
         .withColumn("list_id", F.element_at(centroid_probe(F.col("nv"), dim, nlist, 1, seed), 1))
     )
     q = (
@@ -182,7 +188,9 @@ def lsh_topk(
     Recall grows with n_tables (each table is an independent chance for a
     true neighbor to collide); cost stays ~N*n_tables bucket rows.
     """
-    c = corpus.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"))
+    from opentelemetry_collector_spark.session import spread
+
+    c = spread(corpus).select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"))
     q = queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
     cand = None
     for t in range(n_tables):

@@ -42,3 +42,24 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread(df, target: int | None = None):
+    """Raise a DataFrame's partition count to cluster parallelism before a
+    CPU-heavy per-row stage (shingling, minhash/simhash kernels, Arrow
+    UDFs).
+
+    A small or single-file parquet scan yields one split, which serializes
+    the whole kernel on one core (measured 8.1 s -> 1.7 s on the sf0.1
+    simhash stage at local[32]). At real scale the scan already provides
+    thousands of splits, so this is a strict no-op there — the repartition
+    shuffle is only paid exactly when the input is too narrow to occupy
+    the cluster.
+    """
+    if df.isStreaming:  # micro-batch sizing is the trigger's job
+        return df
+    sc = df.sparkSession.sparkContext
+    tgt = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= tgt:
+        return df
+    return df.repartition(tgt)
