@@ -969,6 +969,42 @@ def q38_jaeger_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q38_SQL = Q37_SQL  # both codecs must reconstruct the identical span frame
 
 
+def q48_oc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenCensus JSON codec gate (translator/internaldata): the q37/q38
+    span frame through the OC wire — typed attribute union
+    ({stringValue:{value}} structs), SERVER/CLIENT as the kind field with
+    consumer/internal riding the consumed span.kind attr
+    (oc_to_traces.go:246-285), status code 0-vs-nonzero mapping, node
+    serviceInfo as the service name. Same independent SQL oracle: all
+    three trace codecs must reconstruct the identical frame."""
+    from opentelemetry_collector_spark.sources.opencensus import (
+        parse_oc_json,
+        to_oc_json,
+    )
+    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+
+    t = from_events(spark, sf_dir)
+    back = parse_oc_json(to_oc_json(spans_from_transcripts(t)))
+    return back.select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "name",
+        "kind",
+        "status_code",
+        "status_message",
+        "service_name",
+        "ts",
+        "duration_us",
+        F.element_at(F.col("attrs"), "turn.idx").cast("int").alias("attr_turn_idx"),
+        F.element_at(F.col("attrs"), "tool").alias("attr_tool"),
+        F.cardinality(F.col("attrs")).cast("bigint").alias("n_attrs"),
+    )
+
+
+Q48_SQL = Q37_SQL
+
+
 def q39_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster resolution: the q25 exact-Jaccard pair list resolved into
     connected components (alternating large-star/small-star, dedup.py) with
@@ -1389,6 +1425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_trainprep": q36_trainprep,
     "q37_zipkin_roundtrip": q37_zipkin_roundtrip,
     "q38_jaeger_roundtrip": q38_jaeger_roundtrip,
+    "q48_oc_roundtrip": q48_oc_roundtrip,
     "q39_dedup_clusters": q39_dedup_clusters,
     "q40_prom_scrape_roundtrip": q40_prom_scrape_roundtrip,
     "q41_histogram_scrape": q41_histogram_scrape,
@@ -1440,6 +1477,7 @@ ORACLES: dict[str, str] = {
     "q36_trainprep": Q36_SQL,
     "q37_zipkin_roundtrip": Q37_SQL,
     "q38_jaeger_roundtrip": Q38_SQL,
+    "q48_oc_roundtrip": Q48_SQL,
     "q39_dedup_clusters": Q39_SQL,
     "q40_prom_scrape_roundtrip": Q40_SQL,
     "q41_histogram_scrape": Q41_SQL,

@@ -1,0 +1,310 @@
+"""OpenCensus JSON span codec — the third trace-translator pair.
+
+The reference translates OC agent batches (node + resource + spans) to pdata
+in ``translator/internaldata/oc_to_traces.go`` / ``oc_to_resource.go`` and
+back in ``traces_to_oc.go``; the OpenCensus receiver/exporter are thin
+network wrappers around these. This module re-expresses the pair over the
+flattened span frame (``sources/zipkin.py SPAN_FRAME_COLS`` + a ``resource``
+map column) with JVM ``from_json``/``to_json`` + higher-order functions only.
+
+Wire shape: one OC batch per JSON line —
+``{node: {identifier, libraryInfo, serviceInfo, attributes},
+resource: {type, labels}, spans: [...]}`` with proto-JSON field names;
+span attributes are the OC typed union
+``{attributeMap: {k: {stringValue: {value}|intValue|boolValue|doubleValue}}}``.
+
+Reference semantics reproduced (file:line cites):
+
+- **batch fan-out** (``oc_to_traces.go:47-119``): spans with a nil
+  ``resource`` share the batch node+resource; a span-level resource
+  OVERRIDES the batch resource but the node still applies
+  (``ocSpanToResourceSpans`` passes node + ocSpan.Resource). Flattened:
+  explode spans, per-span resource map = node-attrs + (span.resource or
+  batch resource).
+- **node/resource -> attrs** (``oc_to_resource.go:105-140``):
+  serviceInfo.name -> ``service.name``; identifier.startTimestamp ->
+  ``opencensus.starttime`` (RFC3339Nano); hostName -> ``host.name``; pid ->
+  ``process.pid``; libraryInfo core/exporter version ->
+  ``telemetry.sdk.version`` / ``opencensus.exporterversion``; language enum
+  -> ``telemetry.sdk.language``; resource labels copied (``cloud.zone`` ->
+  ``cloud.availability_zone``); resource type -> ``opencensus.resourcetype``.
+- **typed attribute union** (``oc_to_traces.go:225-247``): string/int/bool/
+  double branches -> canonical strings in our attrs map; an empty union ->
+  ``<Unknown OpenCensus attribute value type>``.
+- **kind** (``oc_to_traces.go:246-285``): SERVER/CLIENT are first-class;
+  UNSPECIFIED falls back to a ``span.kind`` attr but ONLY the
+  consumer/producer/internal values map (and are consumed) — "client"/
+  "server" strings hit the default arm, leave UNSPECIFIED and KEEP the
+  attr. Marshal (``traces_to_oc.go:236-250, 163-181``): SERVER/CLIENT to
+  the field, consumer/producer/internal to the attr, unspecified neither.
+- **status** (``oc_to_traces.go:169-195``): nil status -> code stays unset
+  AND a ``status.code`` attr is NOT consumed; OC code 0 (OK) -> UNSET,
+  anything else -> ERROR; a ``status.code`` attr (int) then overrides the
+  code and is consumed. Marshal (``traces_to_oc.go:370-387``): UNSET ->
+  OC OK without attr, OTLP OK -> OC OK + ``status.code``=1 attr (the
+  distinguishing mark), ERROR -> OC code 2; message always carried.
+- **sameProcessAsParentSpan** (``oc_to_traces.go:380-386``): wrapped bool ->
+  ``opencensus.same_process_as_parent_span`` attr ("true"/"false").
+
+Not carried by the flattened frame (as with the zipkin/jaeger modules):
+tracestate entries, events/links (the frame is the transcript-turn span
+analog; events would explode 1:N).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.sources.zipkin import (
+    RESOURCE_NO_SERVICE_NAME,
+    SPAN_KIND_UNSPECIFIED,
+)
+
+UNKNOWN_OC_VALUE = "<Unknown OpenCensus attribute value type>"
+
+# occommon.LibraryInfo_Language enum -> telemetry.sdk.language values
+# (oc_to_resource.go:39-53)
+OC_LANGUAGES = {
+    1: "cpp", 2: "dotnet", 3: "erlang", 4: "go", 5: "java",
+    6: "nodejs", 7: "php", 8: "python", 9: "ruby", 10: "webjs",
+}
+
+_ATTR_VAL = (
+    "struct<stringValue: struct<value: string>, intValue: string,"
+    " boolValue: boolean, doubleValue: double>"
+)
+_OC_SCHEMA = (
+    "node struct<"
+    " identifier: struct<hostName: string, pid: bigint, startTimestamp: string>,"
+    " libraryInfo: struct<language: int, exporterVersion: string, coreLibraryVersion: string>,"
+    " serviceInfo: struct<name: string>,"
+    " attributes: map<string,string>>,"
+    "resource struct<type: string, labels: map<string,string>>,"
+    "spans array<struct<"
+    " traceId: string, spanId: string, parentSpanId: string,"
+    " name: struct<value: string>, kind: string,"
+    " startTime: timestamp, endTime: timestamp,"
+    f" attributes: struct<attributeMap: map<string,{_ATTR_VAL}>, droppedAttributesCount: int>,"
+    " status: struct<code: int, message: string>,"
+    " sameProcessAsParentSpan: boolean,"
+    " resource: struct<type: string, labels: map<string,string>>>>"
+)
+
+
+def _oc_attr_to_string(v: Column) -> Column:
+    """The typed-union stringify of oc_to_traces.go:225-247 (int64 travels
+    as a string in proto-JSON; bool/double canonicalized like coerce.py)."""
+    return F.coalesce(
+        v["stringValue"]["value"],
+        v["intValue"],
+        F.when(v["boolValue"].isNotNull(), F.when(v["boolValue"], "true").otherwise("false")),
+        # %g-style double: integral values print bare (canonical_str parity)
+        F.when(
+            v["doubleValue"].isNotNull(),
+            F.when(
+                v["doubleValue"] == v["doubleValue"].cast("bigint").cast("double"),
+                F.concat(v["doubleValue"].cast("bigint").cast("string"), F.lit(".0")),
+            ).otherwise(v["doubleValue"].cast("string")),
+        ),
+        F.lit(UNKNOWN_OC_VALUE),
+    )
+
+
+def _node_resource_attrs(node: Column, resource: Column) -> Column:
+    """node+resource -> resource attr map (oc_to_resource.go:105-140).
+    map_concat with later-wins overlay via map_from_entries of the union."""
+    lang_map = F.create_map(
+        *[x for code, s in OC_LANGUAGES.items() for x in (F.lit(code), F.lit(s))]
+    )
+    specials = F.filter(
+        F.array(
+            F.struct(F.lit("service.name").alias("key"),
+                     node["serviceInfo"]["name"].alias("value")),
+            F.struct(F.lit("opencensus.starttime").alias("key"),
+                     node["identifier"]["startTimestamp"].alias("value")),
+            F.struct(F.lit("host.name").alias("key"),
+                     node["identifier"]["hostName"].alias("value")),
+            F.struct(F.lit("process.pid").alias("key"),
+                     F.when(node["identifier"]["pid"] != 0,
+                            node["identifier"]["pid"].cast("string")).alias("value")),
+            F.struct(F.lit("telemetry.sdk.version").alias("key"),
+                     node["libraryInfo"]["coreLibraryVersion"].alias("value")),
+            F.struct(F.lit("opencensus.exporterversion").alias("key"),
+                     node["libraryInfo"]["exporterVersion"].alias("value")),
+            F.struct(F.lit("telemetry.sdk.language").alias("key"),
+                     lang_map[node["libraryInfo"]["language"]].alias("value")),
+            F.struct(F.lit("opencensus.resourcetype").alias("key"),
+                     F.when(resource["type"] != "", resource["type"]).alias("value")),
+        ),
+        lambda e: e["value"].isNotNull() & (e["value"] != ""),
+    )
+    # resource labels with the cloud.zone rename (oc_to_resource.go:128-133)
+    labels = F.transform(
+        F.map_entries(F.coalesce(resource["labels"], F.create_map())),
+        lambda e: F.struct(
+            F.when(e["key"] == "cloud.zone", F.lit("cloud.availability_zone"))
+            .otherwise(e["key"])
+            .alias("key"),
+            e["value"].alias("value"),
+        ),
+    )
+    node_attrs = F.map_entries(F.coalesce(node["attributes"], F.create_map()))
+    # Go precedence: node attrs Inserted, specials Upserted OVER them,
+    # labels Inserted only-if-absent (oc_to_resource.go:87-139) — i.e.
+    # first-wins over [specials, node attrs, labels]. A fold keeps the
+    # first value per key (the entry list is ~a dozen items per row).
+    entries = F.concat(specials, node_attrs, labels)
+    return F.aggregate(
+        entries,
+        F.create_map().cast("map<string,string>"),
+        lambda acc, e: F.when(F.map_contains_key(acc, e["key"]), acc).otherwise(
+            F.map_concat(acc, F.create_map(e["key"], e["value"]))
+        ),
+    )
+
+
+def parse_oc_json(df: DataFrame, col: str = "value") -> DataFrame:
+    """Unmarshal OC-batch JSON lines to the flattened span frame (+ a
+    ``resource`` map column). One line = one batch; spans explode with the
+    batch resource applied per oc_to_traces.go:47-119."""
+    parsed = df.select(F.from_json(F.col(col), _OC_SCHEMA).alias("b"))
+    sp = parsed.select(
+        F.col("b.node").alias("node"),
+        F.col("b.resource").alias("bres"),
+        F.explode(F.coalesce(
+            F.col("b.spans"),
+            F.array().cast(
+                # explode over an empty typed array keeps node-only batches out
+                parsed.select(F.col("b.spans").alias("s")).schema["s"].dataType.simpleString()
+            ),
+        )).alias("s"),
+    )
+    amap = F.coalesce(
+        F.col("s.attributes.attributeMap"),
+        F.create_map().cast(f"map<string,{_ATTR_VAL}>"),
+    )
+    attrs = F.map_from_entries(
+        F.transform(
+            F.map_entries(amap),
+            lambda e: F.struct(e["key"].alias("key"), _oc_attr_to_string(e["value"]).alias("value")),
+        )
+    )
+    kind_field = F.when(F.col("s.kind") == "SERVER", 2).when(F.col("s.kind") == "CLIENT", 3)
+    kind_attr_val = amap["span.kind"]["stringValue"]["value"]
+    kind_from_attr = (
+        F.when(kind_attr_val == "consumer", 5)
+        .when(kind_attr_val == "producer", 4)
+        .when(kind_attr_val == "internal", 1)
+    )
+    kind = F.coalesce(kind_field, kind_from_attr, F.lit(SPAN_KIND_UNSPECIFIED))
+    # the span.kind attr is consumed ONLY when the fallback actually mapped
+    consume_kind = kind_field.isNull() & kind_from_attr.isNotNull()
+
+    has_status = F.col("s.status").isNotNull()
+    oc_code = F.coalesce(F.col("s.status.code"), F.lit(0))
+    code_attr = amap["status.code"]["intValue"].cast("int")
+    status_code = F.when(
+        has_status, F.coalesce(code_attr, F.when(oc_code == 0, 0).otherwise(2))
+    ).otherwise(F.lit(0))
+    consume_code = has_status & code_attr.isNotNull()
+
+    spaps = F.col("s.sameProcessAsParentSpan")
+    attrs = F.when(
+        spaps.isNotNull(),
+        F.map_concat(
+            F.map_filter(attrs, lambda k, _v: k != "opencensus.same_process_as_parent_span"),
+            F.create_map(
+                F.lit("opencensus.same_process_as_parent_span"),
+                F.when(spaps, "true").otherwise("false"),
+            ),
+        ),
+    ).otherwise(attrs)
+    attrs = F.map_filter(
+        attrs,
+        lambda k, _v: ~(
+            ((k == "span.kind") & consume_kind) | ((k == "status.code") & consume_code)
+        ),
+    )
+
+    res = _node_resource_attrs(F.col("node"), F.coalesce(F.col("s.resource"), F.col("bres")))
+    return sp.select(
+        F.col("s.traceId").alias("trace_id"),
+        F.col("s.spanId").alias("span_id"),
+        F.when(F.col("s.parentSpanId") != "", F.col("s.parentSpanId")).alias("parent_span_id"),
+        F.coalesce(F.col("s.name.value"), F.lit("")).alias("name"),
+        kind.cast("int").alias("kind"),
+        status_code.cast("int").alias("status_code"),
+        F.when(has_status, F.coalesce(F.col("s.status.message"), F.lit("")))
+        .otherwise(F.lit(""))
+        .alias("status_message"),
+        F.coalesce(res["service.name"], F.lit(RESOURCE_NO_SERVICE_NAME)).alias("service_name"),
+        F.col("s.startTime").alias("ts"),
+        (
+            (F.unix_micros(F.col("s.endTime")) - F.unix_micros(F.col("s.startTime")))
+        ).alias("duration_us"),
+        attrs.alias("attrs"),
+        res.alias("resource"),
+    )
+
+
+def to_oc_json(df: DataFrame, out_col: str = "value") -> DataFrame:
+    """Marshal the span frame to one single-span OC batch per line
+    (traces_to_oc.go semantics; node carried only via resource-map keys).
+
+    kind: SERVER/CLIENT -> the field; consumer/producer/internal -> the
+    ``span.kind`` attr (:163-181, :236-250). status: UNSET -> OC OK, OTLP
+    OK never occurs in this frame (parse maps OC OK -> UNSET), ERROR -> 2.
+    """
+    typed = F.transform(
+        F.map_entries(F.coalesce(F.col("attrs"), F.create_map())),
+        lambda e: F.struct(
+            e["key"].alias("key"),
+            F.struct(F.struct(e["value"].alias("value")).alias("stringValue")).alias("value"),
+        ),
+    )
+    kind_attr = (
+        F.when(F.col("kind") == 5, "consumer")
+        .when(F.col("kind") == 4, "producer")
+        .when(F.col("kind") == 1, "internal")
+    )
+    typed = F.concat(
+        typed,
+        F.filter(
+            F.array(
+                F.struct(
+                    F.lit("span.kind").alias("key"),
+                    F.struct(F.struct(kind_attr.alias("value")).alias("stringValue")).alias("value"),
+                )
+            ),
+            lambda e: e["value"]["stringValue"]["value"].isNotNull(),
+        ),
+    )
+    span = F.struct(
+        F.col("trace_id").alias("traceId"),
+        F.col("span_id").alias("spanId"),
+        F.coalesce(F.col("parent_span_id"), F.lit("")).alias("parentSpanId"),
+        F.struct(F.col("name").alias("value")).alias("name"),
+        F.when(F.col("kind") == 2, "SERVER")
+        .when(F.col("kind") == 3, "CLIENT")
+        .otherwise("SPAN_KIND_UNSPECIFIED")
+        .alias("kind"),
+        F.col("ts").alias("startTime"),
+        F.timestamp_micros(F.unix_micros(F.col("ts")) + F.col("duration_us")).alias("endTime"),
+        F.struct(F.map_from_entries(typed).alias("attributeMap")).alias("attributes"),
+        F.struct(
+            F.when(F.col("status_code") == 2, 2).otherwise(0).alias("code"),
+            F.col("status_message").alias("message"),
+        ).alias("status"),
+    )
+    batch = F.struct(
+        F.struct(
+            F.struct(
+                F.when(
+                    F.col("service_name") != RESOURCE_NO_SERVICE_NAME, F.col("service_name")
+                ).alias("name")
+            ).alias("serviceInfo")
+        ).alias("node"),
+        F.array(span).alias("spans"),
+    )
+    return df.select(F.to_json(batch, {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}).alias(out_col))

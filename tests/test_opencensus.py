@@ -1,0 +1,188 @@
+"""OpenCensus codec goldens (translator/internaldata/oc_to_traces.go,
+oc_to_resource.go, traces_to_oc.go)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.sources.opencensus import (
+    UNKNOWN_OC_VALUE,
+    parse_oc_json,
+    to_oc_json,
+)
+
+
+def _parse(spark, batches):
+    df = spark.createDataFrame([(json.dumps(b),) for b in batches], "value string")
+    return parse_oc_json(df).collect()
+
+
+FULL_NODE = {
+    "identifier": {"hostName": "host-1", "pid": 4242, "startTimestamp": "2026-01-02T03:04:05.000000006Z"},
+    "libraryInfo": {"language": 4, "exporterVersion": "v1.2", "coreLibraryVersion": "v0.9"},
+    "serviceInfo": {"name": "svcA"},
+    "attributes": {"a": "node-a", "host.name": "from-node-attr"},
+}
+
+SPAN = {
+    "traceId": "0102030405060708090a0b0c0d0e0f10",
+    "spanId": "0102030405060708",
+    "parentSpanId": "1112131415161718",
+    "name": {"value": "op-1"},
+    "kind": "SERVER",
+    "startTime": "2026-01-02T03:04:05.000000Z",
+    "endTime": "2026-01-02T03:04:05.250000Z",
+    "attributes": {"attributeMap": {"k": {"stringValue": {"value": "v"}}}},
+    "status": {"code": 0, "message": ""},
+}
+
+
+def test_node_resource_mapping_and_precedence(spark):
+    """oc_to_resource.go:87-139: specials upsert over node attrs; labels
+    insert only-if-absent; cloud.zone renamed; pid/type/language mapped."""
+    b = {
+        "node": FULL_NODE,
+        "resource": {"type": "container", "labels": {"cloud.zone": "us-east1-a", "a": "label-a"}},
+        "spans": [SPAN],
+    }
+    (r,) = _parse(spark, [b])
+    res = r["resource"]
+    assert res["service.name"] == "svcA"
+    assert res["host.name"] == "host-1"  # special beats node attr
+    assert res["process.pid"] == "4242"
+    assert res["telemetry.sdk.language"] == "go"
+    assert res["telemetry.sdk.version"] == "v0.9"
+    assert res["opencensus.exporterversion"] == "v1.2"
+    assert res["opencensus.starttime"] == "2026-01-02T03:04:05.000000006Z"
+    assert res["opencensus.resourcetype"] == "container"
+    assert res["cloud.availability_zone"] == "us-east1-a"
+    assert res["a"] == "node-a"  # node attr wins over label (label is Insert)
+    assert r["service_name"] == "svcA"
+    assert r["kind"] == 2 and r["duration_us"] == 250000
+
+
+def test_typed_attribute_union_stringify(spark):
+    b = {
+        "node": None,
+        "resource": None,
+        "spans": [
+            {
+                **SPAN,
+                "attributes": {
+                    "attributeMap": {
+                        "s": {"stringValue": {"value": "x"}},
+                        "i": {"intValue": "42"},
+                        "bt": {"boolValue": True},
+                        "bf": {"boolValue": False},
+                        "d": {"doubleValue": 2.5},
+                        "di": {"doubleValue": 3.0},
+                        "empty": {},
+                    }
+                },
+            }
+        ],
+    }
+    (r,) = _parse(spark, [b])
+    a = r["attrs"]
+    assert a["s"] == "x" and a["i"] == "42"
+    assert a["bt"] == "true" and a["bf"] == "false"
+    assert a["d"] == "2.5" and a["di"] == "3.0"
+    assert a["empty"] == UNKNOWN_OC_VALUE
+
+
+@pytest.mark.parametrize(
+    "kind_field,kind_attr,want_kind,attr_kept",
+    [
+        ("SERVER", None, 2, False),
+        ("CLIENT", "consumer", 3, True),  # field wins, attr untouched
+        ("SPAN_KIND_UNSPECIFIED", "consumer", 5, False),  # mapped + consumed
+        ("SPAN_KIND_UNSPECIFIED", "producer", 4, False),
+        ("SPAN_KIND_UNSPECIFIED", "internal", 1, False),
+        # "server" hits the default arm: UNSPECIFIED, attr KEPT
+        ("SPAN_KIND_UNSPECIFIED", "server", 0, True),
+        ("SPAN_KIND_UNSPECIFIED", None, 0, False),
+    ],
+)
+def test_kind_fallback_table(spark, kind_field, kind_attr, want_kind, attr_kept):
+    """oc_to_traces.go:246-285 — the span.kind attr maps only
+    consumer/producer/internal and is consumed only when it mapped."""
+    amap = {}
+    if kind_attr is not None:
+        amap["span.kind"] = {"stringValue": {"value": kind_attr}}
+    b = {"node": None, "resource": None,
+         "spans": [{**SPAN, "kind": kind_field, "attributes": {"attributeMap": amap}}]}
+    (r,) = _parse(spark, [b])
+    assert r["kind"] == want_kind
+    assert ("span.kind" in (r["attrs"] or {})) == attr_kept
+
+
+def test_status_mapping_and_code_attr_override(spark):
+    """oc_to_traces.go:169-195: OC 0 -> UNSET, else ERROR; status.code attr
+    overrides AND is consumed — but only when a status is present."""
+    rows = _parse(
+        spark,
+        [
+            {"node": None, "resource": None,
+             "spans": [{**SPAN, "status": {"code": 0, "message": "fine"}}]},
+            {"node": None, "resource": None,
+             "spans": [{**SPAN, "status": {"code": 5, "message": "boom"}}]},
+            {"node": None, "resource": None,
+             "spans": [{**SPAN, "status": {"code": 5, "message": "m"},
+                        "attributes": {"attributeMap": {"status.code": {"intValue": "1"}}}}]},
+            {"node": None, "resource": None,
+             "spans": [{**SPAN, "status": None,
+                        "attributes": {"attributeMap": {"status.code": {"intValue": "1"}}}}]},
+        ],
+    )
+    assert (rows[0]["status_code"], rows[0]["status_message"]) == (0, "fine")
+    assert (rows[1]["status_code"], rows[1]["status_message"]) == (2, "boom")
+    assert rows[2]["status_code"] == 1 and "status.code" not in rows[2]["attrs"]
+    # nil status: attr NOT applied, NOT consumed (early return :170-172)
+    assert rows[3]["status_code"] == 0 and rows[3]["attrs"]["status.code"] == "1"
+
+
+def test_same_process_and_span_resource_override(spark):
+    b = {
+        "node": FULL_NODE,
+        "resource": {"type": "batch-res", "labels": {"batch": "yes"}},
+        "spans": [
+            {**SPAN, "sameProcessAsParentSpan": False},
+            {**SPAN, "spanId": "0202030405060708",
+             "resource": {"type": "own-res", "labels": {"own": "yes"}}},
+        ],
+    }
+    r1, r2 = sorted(_parse(spark, [b]), key=lambda r: r["span_id"])
+    assert r1["attrs"]["opencensus.same_process_as_parent_span"] == "false"
+    assert r1["resource"]["opencensus.resourcetype"] == "batch-res"
+    assert r1["resource"]["batch"] == "yes"
+    # span-level resource replaces the batch resource, node still applies
+    assert r2["resource"]["opencensus.resourcetype"] == "own-res"
+    assert r2["resource"]["own"] == "yes" and "batch" not in r2["resource"]
+    assert r2["resource"]["service.name"] == "svcA"
+
+
+def test_roundtrip_through_wire(spark):
+    """frame -> to_oc_json -> parse_oc_json preserves the frame columns
+    (traces_to_oc.go marshal composed with its inverse)."""
+    b = {
+        "node": {"serviceInfo": {"name": "svcR"}},
+        "resource": None,
+        "spans": [
+            {**SPAN, "kind": "SPAN_KIND_UNSPECIFIED",
+             "attributes": {"attributeMap": {"span.kind": {"stringValue": {"value": "producer"}},
+                                             "k": {"stringValue": {"value": "v"}}}},
+             "status": {"code": 9, "message": "err"}},
+        ],
+    }
+    df = spark.createDataFrame([(json.dumps(b),)], "value string")
+    frame = parse_oc_json(df)
+    back = parse_oc_json(to_oc_json(frame))
+    cols = ["trace_id", "span_id", "parent_span_id", "name", "kind",
+            "status_code", "status_message", "service_name", "ts",
+            "duration_us", "attrs"]
+    a = frame.select(cols).collect()
+    c = back.select(cols).collect()
+    assert a == c
