@@ -123,7 +123,16 @@ def jaccard(a: Column, b: Column) -> Column:
 def sorted_intersect_size(a: Column, b: Column) -> Column:
     """|A ∩ B| for pairs of SORTED distinct int64 arrays (Arrow-batched C
     binary search; the vectorized replacement for interpreted
-    array_intersect — UDF created lazily so module import needs no session)."""
+    array_intersect — UDF created lazily so module import needs no session).
+
+    Shape note (measured): the per-pair loop stays — each iteration is one
+    C searchsorted over a ~300-element sorted array (~14 us including loop
+    overhead). A "fully vectorized" whole-batch formulation (flatten to a
+    (pair, value) table, one lexsort, count adjacent dups) is 38x SLOWER
+    at 10k pairs x 300 elems: the O(N log N) sort of the 6M-element
+    flattened batch dwarfs 10k binary-search passes that exploit the
+    arrays' existing sortedness.
+    """
 
     def _impl(aa, bb):
         import numpy as np
