@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.session import spread
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -105,7 +107,7 @@ def extract_features(
                 }
             )
 
-    return df.mapInPandas(gen, schema=schema)
+    return spread(df).mapInPandas(gen, schema=schema)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
@@ -168,7 +170,7 @@ def resize(df: DataFrame, width: int, height: int, decode_stub: bool = True) -> 
                 {"media_id": pdf["media_id"], "payload": payloads, "meta": metas}
             )
 
-    return df.mapInPandas(gen, schema=out_schema)
+    return spread(df).mapInPandas(gen, schema=out_schema)
 
 
 def feature_histogram(df: DataFrame, n_features: int = 8) -> DataFrame:
@@ -193,4 +195,4 @@ def feature_histogram(df: DataFrame, n_features: int = 8) -> DataFrame:
                 cnts += hist.tolist()
             yield pd.DataFrame({"media_id": ids, "pos": poss, "cnt": cnts})
 
-    return df.mapInPandas(gen, schema=schema)
+    return spread(df).mapInPandas(gen, schema=schema)
