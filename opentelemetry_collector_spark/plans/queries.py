@@ -1005,6 +1005,50 @@ def q48_oc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q48_SQL = Q37_SQL
 
 
+def q49_oc_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenCensus METRICS codec gate (translator/internaldata/
+    oc_to_metrics.go): a scalar datapoint frame derived from `events`
+    (metric = event_type, one user label, integer-valued double) is
+    marshaled to OC metric-batch JSON lines and parsed back — descriptor
+    type mapping, labelKeys/labelValues pairing, proto-JSON int64-as-string
+    and wrapped timestamps all sit on the wire path. The oracle recomputes
+    the frame directly from `events`, so the roundtrip must be lossless."""
+    from opentelemetry_collector_spark.sources.opencensus import (
+        parse_oc_metrics_json,
+        to_oc_metrics_json,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        F.col("event_type").alias("metric"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("labels"),
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+        F.col("ts"),
+        F.when(F.col("event_type") == "click", "sum_cumulative_monotonic")
+        .otherwise("gauge")
+        .alias("kind"),
+    )
+    back = parse_oc_metrics_json(to_oc_metrics_json(src))
+    return back.select(
+        "metric",
+        "kind",
+        F.element_at(F.col("labels"), "user").cast("bigint").alias("user_id"),
+        F.col("value").cast("bigint").alias("value_cents"),
+        "ts",
+    )
+
+
+Q49_SQL = """
+SELECT event_type AS metric,
+       CASE WHEN event_type = 'click' THEN 'sum_cumulative_monotonic'
+            ELSE 'gauge' END AS kind,
+       user_id,
+       CAST(floor(value * 100) AS BIGINT) AS value_cents,
+       ts
+FROM events
+"""
+
+
 def q39_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster resolution: the q25 exact-Jaccard pair list resolved into
     connected components (alternating large-star/small-star, dedup.py) with
@@ -1426,6 +1470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_zipkin_roundtrip": q37_zipkin_roundtrip,
     "q38_jaeger_roundtrip": q38_jaeger_roundtrip,
     "q48_oc_roundtrip": q48_oc_roundtrip,
+    "q49_oc_metrics_roundtrip": q49_oc_metrics_roundtrip,
     "q39_dedup_clusters": q39_dedup_clusters,
     "q40_prom_scrape_roundtrip": q40_prom_scrape_roundtrip,
     "q41_histogram_scrape": q41_histogram_scrape,
@@ -1478,6 +1523,7 @@ ORACLES: dict[str, str] = {
     "q37_zipkin_roundtrip": Q37_SQL,
     "q38_jaeger_roundtrip": Q38_SQL,
     "q48_oc_roundtrip": Q48_SQL,
+    "q49_oc_metrics_roundtrip": Q49_SQL,
     "q39_dedup_clusters": Q39_SQL,
     "q40_prom_scrape_roundtrip": Q40_SQL,
     "q41_histogram_scrape": Q41_SQL,

@@ -307,4 +307,175 @@ def to_oc_json(df: DataFrame, out_col: str = "value") -> DataFrame:
         ).alias("node"),
         F.array(span).alias("spans"),
     )
-    return df.select(F.to_json(batch, {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}).alias(out_col))
+    return df.select(F.to_json(batch, {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+                   # NTZ frames (parquet timestamp_ntz) use the separate option
+                   "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"}).alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# metrics signal (translator/internaldata/oc_to_metrics.go / metrics_to_oc.go)
+# ---------------------------------------------------------------------------
+
+# MetricDescriptor_Type enum -> our datapoint-frame `kind`
+# (descriptorTypeToMetrics, oc_to_metrics.go:170-202: cumulative scalars are
+# MONOTONIC cumulative sums; distribution -> cumulative histogram; summary
+# has no temporality)
+OC_METRIC_KIND = {
+    "GAUGE_INT64": "gauge",
+    "GAUGE_DOUBLE": "gauge",
+    "CUMULATIVE_INT64": "sum_cumulative_monotonic",
+    "CUMULATIVE_DOUBLE": "sum_cumulative_monotonic",
+    "CUMULATIVE_DISTRIBUTION": "histogram_cumulative",
+    "SUMMARY": "summary",
+}
+
+_OC_METRICS_SCHEMA = (
+    "node struct<"
+    " identifier: struct<hostName: string, pid: bigint, startTimestamp: string>,"
+    " libraryInfo: struct<language: int, exporterVersion: string, coreLibraryVersion: string>,"
+    " serviceInfo: struct<name: string>,"
+    " attributes: map<string,string>>,"
+    "resource struct<type: string, labels: map<string,string>>,"
+    "metrics array<struct<"
+    " metricDescriptor: struct<name: string, description: string, unit: string,"
+    "   type: string, labelKeys: array<struct<key: string>>>,"
+    " timeseries: array<struct<"
+    "   startTimestamp: timestamp,"
+    "   labelValues: array<struct<value: string, hasValue: boolean>>,"
+    "   points: array<struct<"
+    "     timestamp: timestamp, int64Value: string, doubleValue: double,"
+    "     distributionValue: struct<count: string, sum: double,"
+    "       bucketOptions: struct<explicit: struct<bounds: array<double>>>,"
+    "       buckets: array<struct<count: string>>>,"
+    "     summaryValue: struct<count: struct<value: string>, sum: struct<value: double>,"
+    "       snapshot: struct<percentileValues: array<struct<percentile: double, value: double>>>>"
+    "   >>>>>>"
+)
+
+
+def parse_oc_metrics_json(df: DataFrame, col: str = "value") -> DataFrame:
+    """Unmarshal OC metrics-batch JSON lines to one row per datapoint.
+
+    Output frame: ``(metric, description, unit, kind, labels, start_ts, ts,
+    value, bucket_counts, explicit_bounds, h_sum, h_count, quantiles,
+    resource)`` — scalar points carry ``value`` (int64Value wins over
+    doubleValue, matching the typed fill of oc_to_metrics.go:243-297);
+    distributions carry the histogram columns (:299-330, :362-375);
+    summaries carry ``quantiles`` + h_sum/h_count from the wrapped values
+    (:331-360). Label maps pair ``labelKeys[i]`` with ``labelValues[i]``
+    over the SHORTER of the two lists and skip entries with
+    ``hasValue=false`` (fillLabelsMap, :221-241). Unknown descriptor types
+    -> kind null (MetricDataTypeNone, :201) with the row kept for the
+    refused-records taxonomy.
+    """
+    parsed = df.select(F.from_json(F.col(col), _OC_METRICS_SCHEMA).alias("b"))
+    m = parsed.select(
+        F.col("b.node").alias("node"),
+        F.col("b.resource").alias("bres"),
+        F.explode("b.metrics").alias("m"),
+    )
+    kind_map = F.create_map(
+        *[x for t, k in OC_METRIC_KIND.items() for x in (F.lit(t), F.lit(k))]
+    )
+    keys = F.transform(
+        F.coalesce(F.col("m.metricDescriptor.labelKeys"),
+                   F.array().cast("array<struct<key:string>>")),
+        lambda e: e["key"],
+    )
+    ts_ = m.select(
+        F.col("m.metricDescriptor.name").alias("metric"),
+        F.coalesce(F.col("m.metricDescriptor.description"), F.lit("")).alias("description"),
+        F.coalesce(F.col("m.metricDescriptor.unit"), F.lit("")).alias("unit"),
+        kind_map[F.col("m.metricDescriptor.type")].alias("kind"),
+        keys.alias("_keys"),
+        F.col("node").alias("node"),
+        F.col("bres").alias("bres"),
+        F.explode("m.timeseries").alias("t"),
+    )
+    # min(len(keys), len(values)) pairing with hasValue gating; the paired
+    # slices go through map_from_arrays (null values allowed) and the
+    # hasValue=false entries are dropped by map_filter — struct-building
+    # inside HOF lambdas loses field aliases, so no entry structs here
+    n_pairs = F.greatest(F.least(F.size("_keys"), F.size("t.labelValues")), F.lit(0))
+    ks = F.slice(F.col("_keys"), 1, n_pairs)
+    vs = F.transform(
+        F.slice(F.col("t.labelValues"), 1, n_pairs),
+        lambda v: F.when(v["hasValue"], v["value"]),
+    )
+    labels = F.map_filter(F.map_from_arrays(ks, vs), lambda _k, v: v.isNotNull())
+    pt = ts_.select(
+        "metric", "description", "unit", "kind",
+        labels.alias("labels"),
+        F.col("t.startTimestamp").alias("start_ts"),
+        F.col("node").alias("node"),
+        F.col("bres").alias("bres"),
+        F.explode("t.points").alias("p"),
+    )
+    dist = F.col("p.distributionValue")
+    summ = F.col("p.summaryValue")
+    res = _node_resource_attrs(F.col("node"), F.col("bres"))
+    return pt.select(
+        "metric", "description", "unit", "kind", "labels", "start_ts",
+        F.col("p.timestamp").alias("ts"),
+        F.coalesce(
+            F.col("p.int64Value").cast("double"), F.col("p.doubleValue")
+        ).alias("value"),
+        F.when(
+            dist.isNotNull(),
+            F.transform(F.coalesce(dist["buckets"],
+                                   F.array().cast("array<struct<count:string>>")),
+                        lambda b: F.coalesce(b["count"].cast("bigint"), F.lit(0))),
+        ).alias("bucket_counts"),
+        F.when(dist.isNotNull(), dist["bucketOptions"]["explicit"]["bounds"]).alias(
+            "explicit_bounds"
+        ),
+        F.coalesce(dist["sum"], summ["sum"]["value"]).alias("h_sum"),
+        F.coalesce(dist["count"].cast("bigint"), summ["count"]["value"].cast("bigint")).alias(
+            "h_count"
+        ),
+        F.when(summ.isNotNull(), summ["snapshot"]["percentileValues"]).alias("quantiles"),
+        res.alias("resource"),
+    )
+
+
+def to_oc_metrics_json(df: DataFrame, out_col: str = "value") -> DataFrame:
+    """Marshal a scalar datapoint frame ``(metric, labels, value, ts[,
+    start_ts, kind, service_name])`` to one single-point OC batch per line
+    (metrics_to_oc.go scalar path). Gauges emit GAUGE_DOUBLE; cumulative
+    monotonic sums emit CUMULATIVE_DOUBLE; label keys are emitted sorted so
+    the descriptor's key order is deterministic, every value hasValue=true.
+    """
+    kind = F.coalesce(F.col("kind") if "kind" in df.columns else F.lit(None), F.lit("gauge"))
+    entries = F.array_sort(F.map_entries(F.coalesce(F.col("labels"), F.create_map())))
+    desc = F.struct(
+        F.col("metric").alias("name"),
+        F.when(kind == "gauge", "GAUGE_DOUBLE")
+        .otherwise("CUMULATIVE_DOUBLE")
+        .alias("type"),
+        F.transform(entries, lambda e: F.struct(e["key"].alias("key"))).alias("labelKeys"),
+    )
+    series = F.struct(
+        (F.col("start_ts") if "start_ts" in df.columns else F.col("ts")).alias("startTimestamp"),
+        F.transform(
+            entries,
+            lambda e: F.struct(e["value"].alias("value"), F.lit(True).alias("hasValue")),
+        ).alias("labelValues"),
+        F.array(
+            F.struct(F.col("ts").alias("timestamp"),
+                     F.col("value").cast("double").alias("doubleValue"))
+        ).alias("points"),
+    )
+    batch = F.struct(
+        F.struct(
+            F.struct(
+                (F.col("service_name") if "service_name" in df.columns else F.lit(None).cast("string")).alias("name")
+            ).alias("serviceInfo")
+        ).alias("node"),
+        F.array(F.struct(desc.alias("metricDescriptor"),
+                         F.array(series).alias("timeseries"))).alias("metrics"),
+    )
+    return df.select(
+        F.to_json(batch, {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+                   # NTZ frames (parquet timestamp_ntz) use the separate option
+                   "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"}).alias(out_col)
+    )

@@ -186,3 +186,127 @@ def test_roundtrip_through_wire(spark):
     a = frame.select(cols).collect()
     c = back.select(cols).collect()
     assert a == c
+
+
+# ---------------------------------------------------------------------------
+# metrics signal
+# ---------------------------------------------------------------------------
+
+
+def _parse_metrics(spark, batches):
+    from opentelemetry_collector_spark.sources.opencensus import parse_oc_metrics_json
+
+    df = spark.createDataFrame([(json.dumps(b),) for b in batches], "value string")
+    return parse_oc_metrics_json(df).collect()
+
+
+def test_oc_metrics_scalar_kinds_and_labels(spark):
+    """descriptorTypeToMetrics kind table + fillLabelsMap semantics
+    (min-length pairing, hasValue gating, oc_to_metrics.go:170-241)."""
+    b = {
+        "node": {"serviceInfo": {"name": "svcM"}},
+        "resource": None,
+        "metrics": [
+            {
+                "metricDescriptor": {
+                    "name": "req_count", "description": "d", "unit": "1",
+                    "type": "CUMULATIVE_INT64",
+                    "labelKeys": [{"key": "k1"}, {"key": "k2"}, {"key": "k3"}],
+                },
+                "timeseries": [
+                    {
+                        "startTimestamp": "2026-01-02T00:00:00Z",
+                        # only two values for three keys; second has hasValue=false
+                        "labelValues": [{"value": "v1", "hasValue": True},
+                                        {"value": "ignored", "hasValue": False}],
+                        "points": [{"timestamp": "2026-01-02T00:00:05Z", "int64Value": "7"}],
+                    }
+                ],
+            },
+            {
+                "metricDescriptor": {"name": "temp", "type": "GAUGE_DOUBLE", "labelKeys": []},
+                "timeseries": [
+                    {"startTimestamp": "2026-01-02T00:00:00Z", "labelValues": [],
+                     "points": [{"timestamp": "2026-01-02T00:00:06Z", "doubleValue": 21.5}]}
+                ],
+            },
+        ],
+    }
+    rows = {r["metric"]: r for r in _parse_metrics(spark, [b])}
+    rc = rows["req_count"]
+    assert rc["kind"] == "sum_cumulative_monotonic"
+    assert rc["value"] == 7.0
+    assert rc["labels"] == {"k1": "v1"}  # k2 hasValue=false, k3 unpaired
+    assert rc["resource"]["service.name"] == "svcM"
+    assert rows["temp"]["kind"] == "gauge" and rows["temp"]["value"] == 21.5
+
+
+def test_oc_metrics_distribution_and_summary(spark):
+    b = {
+        "node": None, "resource": None,
+        "metrics": [
+            {
+                "metricDescriptor": {"name": "lat", "type": "CUMULATIVE_DISTRIBUTION",
+                                     "labelKeys": []},
+                "timeseries": [{
+                    "startTimestamp": "2026-01-02T00:00:00Z", "labelValues": [],
+                    "points": [{
+                        "timestamp": "2026-01-02T00:00:05Z",
+                        "distributionValue": {
+                            "count": "10", "sum": 42.5,
+                            "bucketOptions": {"explicit": {"bounds": [1.0, 5.0]}},
+                            "buckets": [{"count": "3"}, {"count": "5"}, {"count": "2"}],
+                        },
+                    }],
+                }],
+            },
+            {
+                "metricDescriptor": {"name": "gc", "type": "SUMMARY", "labelKeys": []},
+                "timeseries": [{
+                    "startTimestamp": "2026-01-02T00:00:00Z", "labelValues": [],
+                    "points": [{
+                        "timestamp": "2026-01-02T00:00:06Z",
+                        "summaryValue": {
+                            "count": {"value": "4"}, "sum": {"value": 9.0},
+                            "snapshot": {"percentileValues": [
+                                {"percentile": 50.0, "value": 2.0},
+                                {"percentile": 99.0, "value": 5.0},
+                            ]},
+                        },
+                    }],
+                }],
+            },
+        ],
+    }
+    rows = {r["metric"]: r for r in _parse_metrics(spark, [b])}
+    lat = rows["lat"]
+    assert lat["kind"] == "histogram_cumulative"
+    assert lat["bucket_counts"] == [3, 5, 2]
+    assert lat["explicit_bounds"] == [1.0, 5.0]
+    assert lat["h_sum"] == 42.5 and lat["h_count"] == 10
+    gc = rows["gc"]
+    assert gc["kind"] == "summary"
+    assert gc["h_sum"] == 9.0 and gc["h_count"] == 4
+    assert [(q["percentile"], q["value"]) for q in gc["quantiles"]] == [(50.0, 2.0), (99.0, 5.0)]
+
+
+def test_oc_metrics_roundtrip_scalar(spark):
+    """scalar frame -> to_oc_metrics_json -> parse_oc_metrics_json."""
+    from opentelemetry_collector_spark.sources.opencensus import (
+        parse_oc_metrics_json,
+        to_oc_metrics_json,
+    )
+
+    src = spark.createDataFrame(
+        [
+            ("m1", {"a": "1", "b": "2"}, 3.5, "gauge"),
+            ("m2", {}, 7.0, "sum_cumulative_monotonic"),
+        ],
+        "metric string, labels map<string,string>, value double, kind string",
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-02 03:04:05")))
+    back = parse_oc_metrics_json(to_oc_metrics_json(src))
+    got = {r["metric"]: r for r in back.collect()}
+    assert got["m1"]["kind"] == "gauge" and got["m1"]["value"] == 3.5
+    assert got["m1"]["labels"] == {"a": "1", "b": "2"}
+    assert got["m2"]["kind"] == "sum_cumulative_monotonic" and got["m2"]["value"] == 7.0
+    assert got["m1"]["ts"] == got["m1"]["start_ts"]
