@@ -463,3 +463,39 @@ def scraped_histograms(df: DataFrame, col: str = "line") -> DataFrame:
         "total_count",
         "sum_value",
     )
+
+
+def to_otlp_text(df: DataFrame, out_col: str = "line") -> DataFrame:
+    """The logging exporter's debug dump (``internal/otlptext/logs.go:25-55``,
+    ``databuffer.go:212-218``): one human-readable block per LogRecord.
+
+    Field lines follow logLogRecord exactly — ``Timestamp:`` prints the
+    pdata uint64 UNIX nanos (Go %s of pdata.Timestamp), ``ShortName:`` the
+    record name, ``Body:`` the text payload, and each attribute renders as
+    ``     -> key: STRING(value)`` (attributeValueToString; our attrs map
+    is all-string by construction). ``LogRecord #k`` numbers records inside
+    their batch — here the deterministic in-conversation index
+    (``turn_idx``), since the batch boundary is the conversation. Attribute
+    order is key-sorted (the Go map Range order is insertion order of the
+    builder; sorting is the deterministic analog, same choice the golden
+    tests make via Sort()). Pure JVM projection — this is a debug sink, but
+    it must not become a Python tax when enabled on a wide pipeline.
+    """
+    attrs = F.coalesce(F.col("attrs"), F.create_map().cast("map<string,string>"))
+    attr_lines = F.transform(
+        F.array_sort(F.map_entries(attrs)),
+        lambda e: F.concat(F.lit("     -> "), e["key"], F.lit(": STRING("), e["value"], F.lit(")")),
+    )
+    block = F.concat_ws(
+        "\n",
+        F.concat(F.lit("LogRecord #"), F.col("turn_idx").cast("string")),
+        F.concat(F.lit("Timestamp: "), (F.unix_micros(F.col("ts")) * 1000).cast("string")),
+        F.concat(F.lit("Severity: "), F.coalesce(F.col("role"), F.lit(""))),
+        F.concat(F.lit("ShortName: "), F.coalesce(F.col("tool"), F.col("role"))),
+        F.concat(F.lit("Body: "), F.col("text")),
+        F.when(
+            F.size(attrs) > 0,
+            F.concat(F.lit("Attributes:\n"), F.array_join(attr_lines, "\n")),
+        ),
+    )
+    return df.select(F.col("conv_id"), F.col("turn_idx"), block.alias(out_col))

@@ -286,3 +286,37 @@ def test_scraped_histograms_ignores_untyped_families(spark):
     )
     out = scraped_histograms(raw)
     assert {r.family for r in out.collect()} == {"h"}
+
+
+def test_otlp_text_debug_dump_golden(spark):
+    """logging exporter debug dump (internal/otlptext/logs.go:25-55,
+    databuffer.go:212-218): field lines, nanos timestamp, STRING() attr
+    rendering, Attributes block omitted when the map is empty."""
+    from opentelemetry_collector_spark.sources.codecs import to_otlp_text
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hello", None, "2024-01-01 00:00:01", {"b": "2", "a": "1"}),
+            ("c1", 1, "assistant", "hi", "search", "2024-01-01 00:00:02", {}),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string,"
+        " ts string, attrs map<string,string>",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    lines = {r["turn_idx"]: r["line"] for r in to_otlp_text(df).collect()}
+    assert lines[0] == (
+        "LogRecord #0\n"
+        "Timestamp: 1704067201000000000\n"
+        "Severity: user\n"
+        "ShortName: user\n"
+        "Body: hello\n"
+        "Attributes:\n"
+        "     -> a: STRING(1)\n"
+        "     -> b: STRING(2)"
+    )
+    assert lines[1] == (
+        "LogRecord #1\n"
+        "Timestamp: 1704067202000000000\n"
+        "Severity: assistant\n"
+        "ShortName: search\n"
+        "Body: hi"
+    )
