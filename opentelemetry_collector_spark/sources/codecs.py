@@ -236,12 +236,28 @@ def _parse_jaeger(df: DataFrame, col: str = "value") -> DataFrame:
     return parse_jaeger_json(df, col)
 
 
+def _parse_oc(df: DataFrame, col: str = "value") -> DataFrame:
+    from opentelemetry_collector_spark.sources.opencensus import parse_oc_json
+
+    return parse_oc_json(df, col)
+
+
+def _parse_oc_metrics(df: DataFrame, col: str = "value") -> DataFrame:
+    from opentelemetry_collector_spark.sources.opencensus import parse_oc_metrics_json
+
+    return parse_oc_metrics_json(df, col)
+
+
 UNMARSHALERS: dict[str, Callable[[DataFrame, str], DataFrame]] = {
     "turn_json": parse_turn_json,
     "kv_text": parse_kv_text,
     "otlp_json": parse_otlp_json,
     "zipkin_json": _parse_zipkin,
     "jaeger_json": _parse_jaeger,
+    # the OC receiver's two signals (the Kafka registry itself has no OC
+    # encoding in the reference; these serve the jsonl/file receiver path)
+    "oc_json": _parse_oc,
+    "oc_metrics_json": _parse_oc_metrics,
 }
 
 

@@ -114,6 +114,8 @@ def test_unmarshaler_registry_dispatch(spark):
         "otlp_json",
         "zipkin_json",
         "jaeger_json",
+        "oc_json",
+        "oc_metrics_json",
     }
     with pytest.raises(ValueError, match="unknown encoding"):
         unmarshal(None, "jaeger_proto")
@@ -320,3 +322,31 @@ def test_otlp_text_debug_dump_golden(spark):
         "ShortName: search\n"
         "Body: hi"
     )
+
+
+def test_oc_encodings_dispatch_through_registry(spark):
+    """oc_json / oc_metrics_json unmarshal via the registry like any Kafka
+    encoding (jsonl/file receiver path)."""
+    import json
+
+    from opentelemetry_collector_spark.sources.codecs import unmarshal
+
+    span_line = json.dumps({
+        "node": {"serviceInfo": {"name": "s"}}, "resource": None,
+        "spans": [{"traceId": "t1", "spanId": "s1", "name": {"value": "op"},
+                   "kind": "SERVER", "startTime": "2026-01-01T00:00:00Z",
+                   "endTime": "2026-01-01T00:00:01Z"}],
+    })
+    metric_line = json.dumps({
+        "node": None, "resource": None,
+        "metrics": [{"metricDescriptor": {"name": "m", "type": "GAUGE_DOUBLE",
+                                          "labelKeys": []},
+                     "timeseries": [{"startTimestamp": "2026-01-01T00:00:00Z",
+                                     "labelValues": [],
+                                     "points": [{"timestamp": "2026-01-01T00:00:01Z",
+                                                 "doubleValue": 1.5}]}]}],
+    })
+    spans = unmarshal(spark.createDataFrame([(span_line,)], "value string"), "oc_json")
+    mets = unmarshal(spark.createDataFrame([(metric_line,)], "value string"), "oc_metrics_json")
+    assert spans.first()["kind"] == 2
+    assert mets.first()["value"] == 1.5
