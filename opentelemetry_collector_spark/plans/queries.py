@@ -1393,6 +1393,56 @@ FROM tot LEFT JOIN hits USING (doc_id)
 """
 
 
+def q50_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication marking over `documents`: per doc, the
+    characters covered by any 40-char substring occurring more than once
+    in the corpus (anchor-gram formulation; interval union via the
+    gaps-and-islands window). The oracle recomputes with the substring
+    text itself as the gram key, so the 63-bit hashing must be
+    collision-clean at this scale."""
+    from opentelemetry_collector_spark.operators.substring import duplicated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_spans(docs, "doc_id", min_len=40)
+
+
+Q50_SQL = """
+WITH d AS (SELECT doc_id, text, length(text) AS n_chars FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, n_chars - 39)) AS pos
+  FROM d WHERE n_chars >= 40),
+gg AS (
+  SELECT g.doc_id, pos, pos + 39 AS e, substr(d.text, pos, 40) AS gram
+  FROM g JOIN d USING (doc_id)),
+dup AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) > 1),
+hits AS (SELECT doc_id, pos, e FROM gg JOIN dup USING (gram)),
+marked AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY pos, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new
+  FROM hits),
+sid AS (
+  SELECT doc_id, pos, e,
+         sum(new) OVER (PARTITION BY doc_id ORDER BY pos, e) AS s_id
+  FROM marked),
+spans AS (SELECT doc_id, s_id, min(pos) AS s, max(e) AS e FROM sid GROUP BY doc_id, s_id),
+per_doc AS (
+  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id)
+SELECT d.doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       coalesce(dup_chars, 0) AS dup_chars,
+       CASE WHEN n_chars > 0
+            THEN CAST(floor(coalesce(dup_chars, 0) * 1000.0 / n_chars) AS BIGINT)
+            ELSE 0 END AS dup_pm,
+       coalesce(n_spans, 0) AS n_spans
+FROM d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
 
@@ -1480,6 +1530,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_repetition": q45_repetition,
     "q46_decontaminate": q46_decontaminate,
     "q47_vocab_coverage": q47_vocab_coverage,
+    "q50_exact_substring": q50_exact_substring,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -1533,6 +1584,7 @@ ORACLES: dict[str, str] = {
     "q45_repetition": Q45_SQL,
     "q46_decontaminate": Q46_SQL,
     "q47_vocab_coverage": Q47_SQL,
+    "q50_exact_substring": Q50_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
