@@ -42,6 +42,12 @@ HEADLINE = [
     "q30_ann_ivf",
     "q33_histogram_merge",
     "q34_memory_limiter",
+    # corpus-quality suite (documents table)
+    "q44_pii_redact",
+    "q45_repetition",
+    "q46_decontaminate",
+    "q47_vocab_coverage",
+    "q50_exact_substring",
 ]
 
 

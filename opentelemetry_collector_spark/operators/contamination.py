@@ -54,7 +54,11 @@ def decontaminate(
     Grams are deduplicated per doc before the join so ``matched_grams`` is
     "how many DISTINCT n-grams leak", invariant to in-doc repetition.
     """
-    grams = train_df.select(
+    from opentelemetry_collector_spark.session import spread
+
+    # the n-gram transform is per-row array work over the whole corpus — a
+    # single-split scan would serialize it on one core (no-op on wide scans)
+    grams = spread(train_df).select(
         F.col(id_col), F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_gs")
     )
     totals = grams.select(id_col, F.size("_gs").alias("n_grams"))

@@ -124,6 +124,14 @@ COMMENTARY = {
         "TakeOrderedAndProject keeps per-task heaps of k and merges k-row results, and the "
         "broadcast probe adds zero corpus shuffle.",
     ),
+    "q50_exact_substring": (
+        "L-gram postings shuffle HASHED bigint keys (never text); the duplicated-gram "
+        "count has a map-side partial; the interval union is ONE per-doc Window after a "
+        "single hashpartitioning(doc_id) exchange.",
+        "Exact-substring dedup's linear anchor blow-up is inherent — what must not happen "
+        "is shuffling raw text or a per-doc quadratic merge; hashed postings + the "
+        "gaps-and-islands window keep both shuffles bounded by |anchors| and |hits|.",
+    ),
     "q43_stratified_sample": (
         "Partial WindowGroupLimit BEFORE the Exchange (rank-limit pushdown): each map task "
         "keeps only k rows per stratum, so the shuffle carries O(k x strata x tasks).",
