@@ -67,10 +67,27 @@ def run_default() -> None:
         n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         # warm up JVM/codegen once so per-query numbers measure the plan
         _force(QUERIES["q06_route_counts"](spark, sf_dir))
-        # ... and the Python/Arrow worker pool (one no-op mapInPandas task per
-        # core), so pandas-UDF queries measure the plan, not interpreter forks
+        # ... and the Python/Arrow worker pool (one task per core), so
+        # pandas-UDF queries measure the plan, not interpreter forks. The
+        # warmup task also runs a small numpy workout: on this VM the FIRST
+        # large-array numpy ops in a fresh process run 2-6x slower than
+        # steady state (allocator + frequency ramp), and Spark reuses
+        # workers, so exercising the kernels once here keeps per-query
+        # numbers measuring the plan rather than 32 cold interpreters.
+        def _workout(batches):
+            import numpy as np
+
+            rng = np.random.default_rng(0)
+            n = 200_000
+            x = np.arange(n, dtype=np.uint64)
+            idx = rng.integers(0, n, n)
+            for _ in range(3):
+                x = x * np.uint64(1099511628211) + x[idx]
+            np.lexsort((x, idx))
+            yield from batches
+
         spark.range(0, 1024, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
-            lambda it: it, "id long"
+            _workout, "id long"
         ).write.format("noop").mode("overwrite").save()
 
         # best-of-2 per query: this shared VM shows up to 7% neighbor steal

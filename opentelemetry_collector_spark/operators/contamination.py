@@ -33,10 +33,23 @@ def word_ngrams(col: Column, n: int = 5) -> Column:
     return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def hashed_word_ngrams(col: Column, n: int = 5) -> Column:
+    """Overlapping word n-grams as 64-bit hashes (xxhash64 over the token
+    slice — no per-gram string materialization). Both sides of the
+    contamination join use this, so only 8-byte keys ever leave the scan;
+    63-bit collisions are negligible at any realistic gram cardinality."""
+    w = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+        lambda i: F.xxhash64(F.slice(w, i, n)),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<bigint>"))
+
+
 def eval_gram_set(eval_df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
-    """Distinct n-grams of the eval corpus (the broadcast side)."""
+    """Distinct hashed n-grams of the eval corpus (the broadcast side)."""
     return (
-        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        eval_df.select(F.explode(hashed_word_ngrams(F.col(text_col), n)).alias("gram"))
         .distinct()
     )
 
@@ -57,23 +70,29 @@ def decontaminate(
     from opentelemetry_collector_spark.session import spread
 
     # the n-gram transform is per-row array work over the whole corpus — a
-    # single-split scan would serialize it on one core (no-op on wide scans)
-    grams = spread(train_df).select(
-        F.col(id_col), F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_gs")
+    # single-split scan would serialize it on one core (no-op on wide scans).
+    # explode_outer keeps zero-gram (short) docs as a single null-gram row so
+    # they survive to the output with n_grams = 0.
+    posted = spread(train_df).select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(hashed_word_ngrams(F.col(text_col), n))
+        ).alias("gram"),
     )
-    totals = grams.select(id_col, F.size("_gs").alias("n_grams"))
-    posted = grams.select(id_col, F.explode("_gs").alias("gram"))
-    hits = (
-        posted.join(F.broadcast(eval_gram_set(eval_df, text_col, n)), "gram")
+    ev = eval_gram_set(eval_df, text_col, n).withColumn("_hit", F.lit(1))
+    out = (
+        posted.join(F.broadcast(ev), "gram", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_m"))
+        .agg(
+            F.count("gram").alias("_n"),
+            F.count("_hit").alias("_m"),
+        )
     )
-    out = totals.join(hits, id_col, "left").na.fill({"_m": 0})
     return out.select(
         F.col(id_col),
-        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("_n").cast("bigint").alias("n_grams"),
         F.col("_m").cast("bigint").alias("matched_grams"),
-        F.when(F.col("n_grams") > 0, F.floor(F.col("_m") * 1000.0 / F.col("n_grams")))
+        F.when(F.col("_n") > 0, F.floor(F.col("_m") * 1000.0 / F.col("_n")))
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("overlap_pm"),

@@ -48,9 +48,10 @@ def test_short_docs_and_exact_length(spark):
     assert got[2]["dup_pm"] == 1000
 
 
-def test_plan_is_jvm_with_bounded_window(spark):
+def test_plan_shape_single_kernel_and_windows(spark):
     df = spark.createDataFrame([(1, "x" * 60), (2, "y" * 60)], "doc_id bigint, text string")
     plan = duplicated_spans(df, "doc_id", min_len=10)._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "Window" in plan  # the per-doc islands pass
-    assert plan.count("HashAggregate") >= 4  # partial+final gram count & rollups
+    assert "BatchEvalPython" not in plan  # no per-row Python anywhere
+    assert plan.count("MapInPandas") == 1  # the anchor kernel runs ONCE
+    assert "Window" in plan  # the gram-count pass and the per-doc islands pass
+    assert plan.count("HashAggregate") >= 2  # span/doc rollups (partial+final)
