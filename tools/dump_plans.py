@@ -125,12 +125,15 @@ COMMENTARY = {
         "broadcast probe adds zero corpus shuffle.",
     ),
     "q50_exact_substring": (
-        "L-gram postings shuffle HASHED bigint keys (never text); the duplicated-gram "
-        "count has a map-side partial; the interval union is ONE per-doc Window after a "
-        "single hashpartitioning(doc_id) exchange.",
+        "ONE MapInPandas (the numpy rolling-window anchor kernel) emits hashed bigint "
+        "L-gram postings (never text); the duplicated-gram test is a count window over "
+        "the gram key so the kernel output is computed and shuffled once; the interval "
+        "union is ONE per-doc Window after a single hashpartitioning(doc_id) exchange.",
         "Exact-substring dedup's linear anchor blow-up is inherent — what must not happen "
-        "is shuffling raw text or a per-doc quadratic merge; hashed postings + the "
-        "gaps-and-islands window keep both shuffles bounded by |anchors| and |hits|.",
+        "is per-anchor interpreted work (the Catalyst HOF form was quadratic per doc via "
+        "UTF8String.substring), shuffling raw text, or recomputing the anchor pass for a "
+        "join probe; the C kernel + count-window keep the hot loop single-pass and the "
+        "shuffles bounded by |anchors| and |hits|.",
     ),
     "q43_stratified_sample": (
         "Partial WindowGroupLimit BEFORE the Exchange (rank-limit pushdown): each map task "
