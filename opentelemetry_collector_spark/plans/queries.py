@@ -1479,6 +1479,109 @@ def q22_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+def q51_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each assistant turn enriched with the most recent
+    STRICTLY preceding user turn in the same conversation (which prompt
+    produced this response). Union-and-window formulation — one
+    hashpartitioning(conv_id) exchange, no range-join explosion."""
+    from opentelemetry_collector_spark.operators.asof import asof_join
+
+    t = from_events(spark, sf_dir)
+    left = t.filter(F.col("role") == "assistant").select("conv_id", "turn_idx")
+    right = t.filter(F.col("role") == "user").select(
+        "conv_id",
+        "turn_idx",
+        F.col("turn_idx").alias("prompt_idx"),
+        F.col("text").alias("prompt_text"),
+    )
+    out = asof_join(
+        left, right, keys=["conv_id"], order_col="turn_idx",
+        payload_cols=["prompt_idx", "prompt_text"], strict=True,
+    )
+    return out.select("conv_id", "turn_idx", "prompt_idx", "prompt_text")
+
+
+Q51_SQL = f"""{_PRELUDE}
+SELECT l.conv_id, l.turn_idx, r.turn_idx AS prompt_idx, r.text AS prompt_text
+FROM (SELECT conv_id, turn_idx FROM t WHERE role = 'assistant') l
+ASOF LEFT JOIN (SELECT conv_id, turn_idx, text FROM t WHERE role = 'user') r
+  ON l.conv_id = r.conv_id AND l.turn_idx > r.turn_idx
+"""
+
+
+def q52_route_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical sink totals: the routed fan-out counts of q06 with
+    per-sink/role, per-sink, and grand-total rows in ONE pass
+    (``rollup`` = grouping sets; map-side partials keep the shuffle at
+    |sinks x roles| rows per task regardless of input size)."""
+    t = from_events(spark, sf_dir)
+    tagged = route_tagged(t, _routes())
+    return (
+        tagged.rollup("sink", "role")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_turns"))
+        .select(
+            F.coalesce(F.col("sink"), F.lit("(all)")).alias("sink"),
+            F.coalesce(F.col("role"), F.lit("(all)")).alias("role"),
+            "n_turns",
+        )
+    )
+
+
+Q52_SQL = f"""{_PRELUDE},
+routed AS (
+  SELECT 'sink_tools' AS sink, role FROM t WHERE {_ROUTES_SQL['sink_tools']}
+  UNION ALL SELECT 'sink_errors', role FROM t WHERE {_ROUTES_SQL['sink_errors']}
+  UNION ALL SELECT 'sink_user', role FROM t WHERE {_ROUTES_SQL['sink_user']}
+)
+SELECT coalesce(sink, '(all)') AS sink, coalesce(role, '(all)') AS role,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM routed GROUP BY ROLLUP (sink, role)
+"""
+
+
+def q53_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p75 user->assistant response latency per tenant: the q23
+    lead-window pairs, broadcast-enriched with conversation metadata, then
+    grouped EXACT percentiles (dyadic probabilities 0.5/0.75 interpolate
+    exactly in binary floating point, so the integer-millis floor matches
+    DuckDB's quantile_cont bit-for-bit)."""
+    from pyspark.sql import Window as W
+
+    t = from_events(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    x = t.withColumn("nrole", F.lead("role").over(w)).withColumn("nts", F.lead("ts").over(w))
+    # integer microseconds (unix_timestamp would truncate sub-second parts;
+    # unix_micros rejects TIMESTAMP_NTZ, so cast through the session-UTC zone)
+    us = lambda c: F.unix_micros(F.to_utc_timestamp(c, "UTC"))  # noqa: E731
+    pairs = x.filter((F.col("role") == "user") & (F.col("nrole") == "assistant")).select(
+        "conv_id", (us("nts") - us("ts")).alias("latency_us"),
+    )
+    j = pairs.join(F.broadcast(conv_meta(spark, sf_dir).select("conv_id", "tenant")), "conv_id")
+    return j.groupBy("tenant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_responses"),
+        F.floor(F.percentile("latency_us", 0.5) / 1000).cast("bigint").alias("p50_ms"),
+        F.floor(F.percentile("latency_us", 0.75) / 1000).cast("bigint").alias("p75_ms"),
+    )
+
+
+Q53_SQL = f"""{_PRELUDE},
+x AS (
+  SELECT conv_id, role, ts,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nrole,
+         lead(ts)   OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nts
+  FROM t),
+pairs AS (
+  SELECT conv_id, epoch_us(nts) - epoch_us(ts) AS latency_us
+  FROM x WHERE role = 'user' AND nrole = 'assistant')
+SELECT m.tenant,
+       CAST(count(*) AS BIGINT) AS n_responses,
+       CAST(floor(quantile_cont(latency_us, 0.5) / 1000) AS BIGINT) AS p50_ms,
+       CAST(floor(quantile_cont(latency_us, 0.75) / 1000) AS BIGINT) AS p75_ms
+FROM pairs JOIN m USING (conv_id)
+GROUP BY m.tenant
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1531,6 +1634,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_decontaminate": q46_decontaminate,
     "q47_vocab_coverage": q47_vocab_coverage,
     "q50_exact_substring": q50_exact_substring,
+    "q51_asof_enrich": q51_asof_enrich,
+    "q52_route_rollup": q52_route_rollup,
+    "q53_latency_quantiles": q53_latency_quantiles,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -1585,6 +1691,9 @@ ORACLES: dict[str, str] = {
     "q46_decontaminate": Q46_SQL,
     "q47_vocab_coverage": Q47_SQL,
     "q50_exact_substring": Q50_SQL,
+    "q51_asof_enrich": Q51_SQL,
+    "q52_route_rollup": Q52_SQL,
+    "q53_latency_quantiles": Q53_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
