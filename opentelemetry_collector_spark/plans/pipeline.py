@@ -54,6 +54,13 @@ class SinkSpec:
     repartition_key: str | None = None
     # hive-style partitioned layout (partition pruning for sink readers)
     partition_by: list[str] | None = None
+    # bucketed layout (SURVEY §7 scale machinery: pre-partitioning so every
+    # downstream groupBy/join on the key reads co-located buckets and skips
+    # its Exchange entirely — the parquet analog of the Iceberg
+    # `bucket(N, conv_id)` transform above). Requires saveAsTable: the sink's
+    # `name` becomes the table identifier and `path` its external location.
+    bucket_by: tuple[int, str] | None = None
+    bucket_sort: list[str] | None = None
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -117,7 +124,43 @@ def write_sink(df: DataFrame, s: SinkSpec) -> None:
         writer = writer.option("maxRecordsPerFile", s.max_records_per_file)
     if s.partition_by:
         writer = writer.partitionBy(*s.partition_by)
+    if s.bucket_by:
+        n, key = s.bucket_by
+        writer = writer.bucketBy(n, key)
+        if s.bucket_sort:
+            writer = writer.sortBy(*s.bucket_sort)
+        # bucketBy requires a table (file names carry bucket ids); external
+        # location keeps the data addressable outside the session catalog —
+        # re-attach in a later session with register_bucketed()
+        writer.option("path", s.path).saveAsTable(s.name)
+        return
     writer.save(s.path)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    schema_ddl: str,
+    buckets: int,
+    key: str,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Re-attach an existing bucketed parquet location in a fresh session.
+
+    Bucket membership is encoded in the file names, but the *spec* (bucket
+    count/column) lives in the catalog — a plain ``read.parquet`` of the same
+    files loses the co-location guarantee and re-shuffles. This recreates the
+    table definition over the existing location (no data rewrite).
+    """
+    sorted_by = f"SORTED BY ({', '.join(sort_cols)})" if sort_cols else ""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({key}) {sorted_by} INTO {buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return spark.table(table)
 
 
 @dataclass

@@ -36,6 +36,9 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # managed-table default location (bucketed sinks are external tables;
+        # this only keeps the empty warehouse dir out of the repo checkout)
+        .config("spark.sql.warehouse.dir", "/tmp/otelcol-spark-warehouse")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
