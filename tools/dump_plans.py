@@ -141,6 +141,31 @@ COMMENTARY = {
         "Exact-k sampling over 100 TB must not shuffle the corpus: the partial group-limit "
         "turns a global sort-rank into a tiny top-k merge.",
     ),
+    "q51_asof_enrich": (
+        "NO Join operator anywhere: the as-of enrich is union + ONE "
+        "hashpartitioning(conv_id) Window (last(payload, ignorenulls) over the side-tagged "
+        "sort).",
+        "A range-condition join Catalyst can only plan as BroadcastNestedLoop explodes to "
+        "O(|L| x |R|) comparisons per key; the union+window form is linear in rows and "
+        "pays exactly one key shuffle regardless of how many right rows precede each left "
+        "row.",
+    ),
+    "q52_route_rollup": (
+        "ONE FileScan feeding a single Expand -> HashAggregate(partial) -> Exchange -> "
+        "final: all three rollup levels (sink x role, sink, total) computed in one pass.",
+        "Hierarchical totals as separate jobs would rescan 100 TB per level; grouping sets "
+        "expand each row to its grouping combinations map-side, so the shuffle still "
+        "carries only |groups| partial rows per task.",
+    ),
+    "q53_latency_quantiles": (
+        "Exact percentiles ride the SAME plan shape as any grouped agg: lead() window on "
+        "hashpartitioning(conv_id), broadcast meta join, then partial+final HashAggregate "
+        "on tenant.",
+        "Exact grouped percentiles need the group's values together but NOT globally "
+        "sorted: the percentile buffer aggregates within each tenant partition, so the "
+        "shuffle is |pairs|, never a global sort; dyadic probabilities keep the "
+        "interpolation bit-exact across engines.",
+    ),
 }
 
 
