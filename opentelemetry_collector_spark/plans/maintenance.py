@@ -1,0 +1,118 @@
+"""Sink maintenance: small-file compaction and partition retention.
+
+The streaming fan-out (streaming/stream.py run_stream_pipeline) appends one
+partition per epoch; a long-running ingest accumulates thousands of tiny
+parquet files, and scan cost at 100 TB is dominated by file-open overhead
+long before bytes. The reference collector never faces this (its file
+exporter appends to ONE file forever, exporter/fileexporter/file_exporter.go:
+30-80); table maintenance is the cost the at-rest representation introduces,
+so it ships as a first-class operator here.
+
+Design constraints (the same contract as the epoch writer):
+
+- **per-partition idempotence** — compaction rewrites a partition with
+  dynamic partition overwrite, the exact mechanism the epoch writer already
+  relies on for replay safety: a crashed/repeated compaction converges;
+- **touch only fragmented partitions** — partitions at or under the file
+  budget are not rewritten (their files, and hence any downstream
+  mtime/etag-based caches, stay byte-identical);
+- **partition-pruned read** — the rewrite job reads ONLY the fragmented
+  partitions (IN-list filter on the partition column -> static pruning), so
+  compaction cost scales with fragmentation, not table size.
+
+On an object store / Iceberg sink the same operator is metadata-native
+(`rewrite_data_files` + `expire_snapshots`); the filesystem walk below is
+the local-parquet binding of the identical policy.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PartitionStat:
+    value: str  # raw partition value (directory suffix, unescaped)
+    n_files: int
+    bytes: int
+
+
+def _list_partitions(path: str, partition_col: str) -> list[PartitionStat]:
+    out: list[PartitionStat] = []
+    prefix = f"{partition_col}="
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if not (name.startswith(prefix) and os.path.isdir(full)):
+            continue
+        files = [
+            f for f in os.listdir(full)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        size = sum(os.path.getsize(os.path.join(full, f)) for f in files)
+        out.append(PartitionStat(name[len(prefix):], len(files), size))
+    return out
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    max_files_per_partition: int = 1,
+    max_records_per_file: int | None = None,
+) -> dict[str, int]:
+    """Rewrite every partition holding more than ``max_files_per_partition``
+    files; returns ``{partitions_compacted, files_before, files_after}``.
+
+    Idempotent and safe to repeat: a second run finds nothing fragmented.
+    """
+    stats = _list_partitions(path, partition_col)
+    fragmented = [s for s in stats if s.n_files > max_files_per_partition]
+    if not fragmented:
+        return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+
+    values = [s.value for s in fragmented]
+    df = spark.read.parquet(path)
+    # the partition column comes back typed from directory inference — cast
+    # the IN-list probe to string so raw directory values compare cleanly
+    sel = df.filter(F.col(partition_col).cast("string").isin(values))
+    writer = (
+        sel.repartition(len(values), F.col(partition_col))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(partition_col).parquet(path)
+
+    after = {s.value: s for s in _list_partitions(path, partition_col)}
+    return {
+        "partitions_compacted": len(values),
+        "files_before": sum(s.n_files for s in fragmented),
+        "files_after": sum(after[v].n_files for v in values if v in after),
+    }
+
+
+def expire_partitions(
+    path: str,
+    partition_col: str,
+    keep_from: str,
+) -> list[str]:
+    """Drop partitions whose (string-ordered) value sorts BELOW ``keep_from``
+    — epoch/date retention for append-forever streaming sinks. Returns the
+    dropped partition values. Metadata-only on Iceberg (expire_snapshots /
+    DROP PARTITION); a directory delete on the local binding.
+
+    String ordering matches value ordering for zero-padded epochs and
+    ISO dates; pad numeric epochs at write time or pass a padded cutoff.
+    """
+    dropped: list[str] = []
+    for s in _list_partitions(path, partition_col):
+        if s.value < keep_from:
+            shutil.rmtree(os.path.join(path, f"{partition_col}={s.value}"))
+            dropped.append(s.value)
+    return dropped
