@@ -505,11 +505,123 @@ carry per-key state; leave pure-rollup inputs on plain splits.
     print(json.dumps(results), flush=True)
 
 
+def run_streaming(rows_millions: float = 160.0, files_per_trigger: int = 32) -> None:
+    """Streaming-ingest throughput (the closest analog of the reference's
+    OWN baseline, which is a PUSH pipeline measured at items/sec): the same
+    parse->enrich->route pipeline as the scaling flagship, run as Structured
+    Streaming micro-batches over the identical synthesized input, with REAL
+    per-epoch fan-out writes to three sinks. Writes BENCH/STREAMING.md."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.parse import extract_columns
+    from opentelemetry_collector_spark.plans.queries import ERR_PAT, TOOL_CALL_PAT, _routes
+    from opentelemetry_collector_spark.session import build_session
+    from opentelemetry_collector_spark.sources.transcripts import (
+        synthesize_conv_meta,
+        synthesize_distributed,
+    )
+    from opentelemetry_collector_spark.streaming.stream import run_stream_pipeline
+
+    n_rows_target = int(rows_millions * 1_000_000)
+    turns_per_conv = 2000
+    tmp = os.path.join(tempfile.gettempdir(), f"otelcol_scaling_{int(rows_millions*1000)}k")
+    dim_tmp = tmp + "_dim"
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        spark = build_session(master="local[*]", app_name="otelcol-streaming-gen")
+        synthesize_distributed(
+            spark, n_rows_target, turns_per_conv=turns_per_conv, num_partitions=256
+        ).write.mode("overwrite").parquet(tmp)
+        synthesize_conv_meta(spark, max(64, n_rows_target // turns_per_conv)).coalesce(
+            4
+        ).write.mode("overwrite").parquet(dim_tmp)
+        spark.stop()
+
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetDataset(tmp).read(columns=["turn_idx"]).num_rows
+    n_files = len([f for f in os.listdir(tmp) if f.endswith(".parquet")])
+
+    work = tempfile.mkdtemp(prefix="otelcol_streaming_run_")
+    spark = build_session(master="local[16]", app_name="otelcol-streaming-bench")
+    try:
+        dim = spark.read.parquet(dim_tmp)  # static side of the stream-static join
+
+        processors = [
+            lambda df: extract_columns(df, "text", TOOL_CALL_PAT),
+            lambda df: extract_columns(df, "text", ERR_PAT),
+            lambda df: df.join(F.broadcast(dim), on="conv_id", how="left"),
+        ]
+        t0 = time.perf_counter()
+        q = run_stream_pipeline(
+            spark,
+            input_path=tmp,
+            base_path=os.path.join(work, "sinks"),
+            processors=processors,
+            routes=_routes(),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            available_now=True,
+            max_files_per_trigger=files_per_trigger,
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        n_epochs = len(q.recentProgress)
+        sink_rows = {
+            r.name: spark.read.parquet(os.path.join(work, "sinks", r.name)).count()
+            for r in _routes()
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+
+    tput = round(n_rows / wall, 1)
+    results = {
+        "input_turns": n_rows,
+        "micro_batches": n_epochs,
+        "wall_sec": round(wall, 2),
+        "turns_per_sec": tput,
+        "sink_rows": sink_rows,
+    }
+    md = f"""# BENCH/STREAMING.md — streaming-ingest throughput
+
+The reference's published baseline IS a streaming number: 10k items/sec
+sustained through its push pipeline (`testbed/tests/results/BASELINE.md:8-11`).
+This measures our Structured Streaming form of the same flagship pipeline —
+file-source receiver -> 2 regex extract processors -> broadcast stream-static
+enrich join -> 3-sink routed fan-out with REAL per-epoch idempotent parquet
+writes (`streaming/stream.py run_stream_pipeline`) — over the identical
+{n_rows:,}-turn synthesized input as the batch scaling run, local[16],
+{files_per_trigger} files/trigger ({n_files} input files -> {n_epochs} micro-batches).
+
+| metric | value |
+|---|---|
+| input turns | {n_rows:,} |
+| micro-batches | {n_epochs} |
+| wall | {results['wall_sec']} s |
+| throughput | {tput:,.0f} turns/sec |
+| sink rows | {sink_rows} |
+
+vs the reference's 10,000 items/sec single-process push baseline, and vs our
+own batch form of the same pipeline ({'{:,.0f}'.format(9252025)} turns/sec at
+local[16], BENCH/BASELINE.md — batch is faster because it skips per-epoch
+sink commits and checkpoint writes; the streaming form buys replay-safe
+exactly-once sinks and bounded-state late-data semantics the Go collector
+does not have).
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "STREAMING.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(results), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--bucketing", action="store_true")
+    ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--n-low", type=int, default=4)
     ap.add_argument("--n-high", type=int, default=16)
     ap.add_argument("--rows-millions", type=float, default=160.0)
@@ -520,5 +632,7 @@ if __name__ == "__main__":
         run_skew(min(args.rows_millions, 40.0))
     elif args.bucketing:
         run_bucketing(min(args.rows_millions, 40.0))
+    elif args.streaming:
+        run_streaming(args.rows_millions)
     else:
         run_default()

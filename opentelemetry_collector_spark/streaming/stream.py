@@ -104,6 +104,7 @@ def run_stream_pipeline(
     routes: list[Route],
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """readStream -> processor chain -> per-epoch idempotent fan-out writes.
 
@@ -112,7 +113,7 @@ def run_stream_pipeline(
     epoch (failure/restart redelivery — the queued_retry.go:241-332 analog)
     overwrites its own partition, so sinks stay exactly-once downstream of
     Spark's at-least-once epoch replay."""
-    df = read_transcript_stream(spark, input_path)
+    df = read_transcript_stream(spark, input_path, max_files_per_trigger)
     for p in processors:
         df = p(df)
 
