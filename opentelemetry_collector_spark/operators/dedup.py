@@ -162,12 +162,28 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
+    verify_strategy: str = "auto",
+    broadcast_verify_limit: int = 256 << 20,
 ) -> DataFrame:
     """Near-duplicate pairs (a_id < b_id, jaccard >= threshold).
 
     banding: rows_per_band = num_hashes // bands; docs sharing ANY band
     bucket become candidates; candidates are verified with EXACT shingle
     Jaccard (no false positives leave this operator).
+
+    verify_strategy — how candidate pairs get their shingle arrays back:
+
+    - ``"shuffle"``: two joins re-attach the arrays per pair (the 100 TB
+      shape: partition-parallel, nothing driver-sized);
+    - ``"broadcast"``: collect the (id -> sorted shingles) map once and
+      verify pairs in a single Arrow pass with local lookups — the two
+      array-carrying joins disappear (measured: the attach joins shipped
+      ~2x corpus bytes per run at sf0.1);
+    - ``"auto"``: broadcast when the estimated map size (row count from the
+      already-materialized signature count x mean shingle bytes) fits
+      ``broadcast_verify_limit``, else shuffle — the same size-based switch
+      AQE applies to joins, made explicit because the estimate needs the
+      eager persist's row count.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -192,7 +208,12 @@ def minhash_lsh_pairs(
     # corpora write them to a table instead (and the persist cost itself is
     # one linear scan).
     base = base.persist()
-    base.count()
+    # the materializing action doubles as the size estimate for the verify
+    # strategy switch (mean shingle bytes x docs)
+    _stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("_sh")).alias("sh")
+    ).first()
+    n_docs, total_shingles = _stats["n"] or 0, _stats["sh"] or 0
 
     # the banded self-join carries ONLY (id, band, bucket) — shingle arrays
     # are re-attached after dedup of candidate pairs, so the 8x band
@@ -229,19 +250,62 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    sh = base.select("_id", "_sh")
-    verified = (
-        cand.join(sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh")), "a_id")
-        .join(sh.select(F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh")), "b_id")
-    )
-    # exact verify: array_intersect is an interpreted expression — on a
-    # pair-dense corpus (sf0.1: 184k candidates x ~300 shingles) it was 15 s
-    # of the 24 s total. The _sh arrays arrive SORTED from shingle_hash_table,
-    # so a numpy merge in one Arrow batch pass does the same count in C.
-    inter = sorted_intersect_size(F.col("a_sh"), F.col("b_sh"))
-    verified = verified.withColumn(
-        "jaccard", inter / (F.size("a_sh") + F.size("b_sh") - inter)
-    )
+    strategy = verify_strategy
+    if strategy == "auto":
+        est_bytes = total_shingles * 8 + n_docs * 64
+        strategy = "broadcast" if est_bytes <= broadcast_verify_limit else "shuffle"
+
+    if strategy == "broadcast":
+        # the whole (id -> sorted shingles) map fits comfortably in executor
+        # memory: verify every candidate pair in ONE Arrow pass with local
+        # lookups instead of two array-carrying joins (which shipped ~2x
+        # corpus bytes through the shuffle at sf0.1). Same switch AQE makes
+        # for joins, explicit here because the row count comes from the
+        # eager persist above.
+        import numpy as np
+
+        pdf_map = base.select("_id", "_sh").toPandas()
+        bc = df.sparkSession.sparkContext.broadcast(
+            dict(zip(pdf_map["_id"], (np.asarray(v, dtype=np.int64) for v in pdf_map["_sh"])))
+        )
+        id_type = cand.schema["a_id"].dataType.simpleString()
+
+        def _verify(batches):
+            import pandas as pd
+
+            m = bc.value
+            for pdf in batches:
+                a_ids, b_ids = pdf["a_id"].values, pdf["b_id"].values
+                jac = np.empty(len(pdf), dtype=np.float64)
+                for i in range(len(pdf)):
+                    xa, ya = m[a_ids[i]], m[b_ids[i]]
+                    if xa.size == 0 or ya.size == 0:
+                        jac[i] = 0.0
+                        continue
+                    idx = np.searchsorted(ya, xa)
+                    idx[idx == ya.size] = ya.size - 1
+                    inter = int(np.count_nonzero(ya[idx] == xa))
+                    jac[i] = inter / (xa.size + ya.size - inter)
+                yield pd.DataFrame({"a_id": a_ids, "b_id": b_ids, "jaccard": jac})
+
+        verified = cand.mapInPandas(
+            _verify, f"a_id {id_type}, b_id {id_type}, jaccard double"
+        )
+    else:
+        sh = base.select("_id", "_sh")
+        verified = (
+            cand.join(sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh")), "a_id")
+            .join(sh.select(F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh")), "b_id")
+        )
+        # exact verify: array_intersect is an interpreted expression — on a
+        # pair-dense corpus (sf0.1: 184k candidates x ~300 shingles) it was
+        # 15 s of the 24 s total. The _sh arrays arrive SORTED from
+        # shingle_hash_table, so a numpy merge in one Arrow batch pass does
+        # the same count in C.
+        inter = sorted_intersect_size(F.col("a_sh"), F.col("b_sh"))
+        verified = verified.withColumn(
+            "jaccard", inter / (F.size("a_sh") + F.size("b_sh") - inter)
+        )
     return (
         verified.filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.floor(F.col("jaccard") * 1000).cast("bigint").alias("jaccard_milli"))

@@ -65,6 +65,17 @@ def test_minhash_matches_exact_jaccard_on_found_pairs(spark):
         assert exact[k] == v  # verify stage reports EXACT jaccard
 
 
+def test_lsh_verify_strategies_agree(spark):
+    # the broadcast fast path and the at-scale shuffle path must be the
+    # same operator: identical pair sets AND identical exact jaccards
+    kw = dict(id_col="doc_id", threshold=0.5)
+    bc = {(r.a_id, r.b_id): r.jaccard_milli
+          for r in minhash_lsh_pairs(_docs(spark), verify_strategy="broadcast", **kw).collect()}
+    sh = {(r.a_id, r.b_id): r.jaccard_milli
+          for r in minhash_lsh_pairs(_docs(spark), verify_strategy="shuffle", **kw).collect()}
+    assert bc == sh and bc
+
+
 def test_lsh_no_false_negatives_at_high_threshold(spark):
     # with 32 hashes / 8 bands, P(candidate | j>=0.8) ~ 1 - (1-0.8^4)^8 > 0.99
     exact = {(r.a_id, r.b_id) for r in ngram_jaccard_pairs(_docs(spark), "doc_id", threshold=0.8).collect()}

@@ -74,11 +74,15 @@ COMMENTARY = {
         "standard scalable set-similarity join shape.",
     ),
     "q19_minhash_lsh": (
-        "MapInPandas ONCE (numpy shingle+signature kernel); codegen'd hash self-join on "
-        "(band, bucket) for candidates; ArrowEvalPython only on the verified pair batch.",
+        "MapInPandas for the shingle+signature kernel; codegen'd hash self-join on "
+        "(band, bucket) for candidates; verify is a second MapInPandas over the bare "
+        "(a_id, b_id) pairs against the broadcast shingle map (auto strategy — the "
+        "array-carrying attach joins only appear when the map outgrows the broadcast "
+        "limit, the same size switch AQE applies to joins).",
         "Every per-element hot loop (shingling, 32 minhash passes, exact intersect) runs as "
         "C kernels over Arrow batches; the only shuffles are the uniform bucket join and "
-        "candidate dedup — no interpreted Catalyst HOF survives on the 100 TB path.",
+        "candidate dedup — no interpreted Catalyst HOF survives on the 100 TB path, and "
+        "the at-scale shuffle-verify variant is parity-tested against this one.",
     ),
     "q34_memory_limiter": (
         "Single hashpartitioning(conv_id) Exchange shared by the batch-bytes window and the "
