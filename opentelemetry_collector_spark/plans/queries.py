@@ -1582,6 +1582,55 @@ GROUP BY m.tenant
 """
 
 
+def q54_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each conversation into sessions at
+    >30-minute inactivity gaps (the batch twin of the streaming
+    session_window aggregate, q27's module). Gaps-and-islands: lag + one
+    cumulative sum over the SAME hashpartitioning(conv_id) the turn-index
+    derivation already needs — no extra exchange at scale."""
+    from pyspark.sql import Window as W
+
+    t = from_events(spark, sf_dir)
+    us = lambda c: F.unix_micros(F.to_utc_timestamp(c, "UTC"))  # noqa: E731
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    gap_us = 30 * 60 * 1_000_000
+    x = t.withColumn(
+        "_new",
+        F.when(
+            (us(F.col("ts")) - us(F.lag("ts").over(w))) > gap_us, 1
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("_new").over(w))
+    return (
+        x.groupBy("conv_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.floor((F.max(us(F.col("ts"))) - F.min(us(F.col("ts")))) / 1000)
+            .cast("bigint")
+            .alias("duration_ms"),
+        )
+        .select("conv_id", F.col("session_id").cast("bigint").alias("session_id"),
+                "n_turns", "duration_ms")
+    )
+
+
+Q54_SQL = f"""{_PRELUDE},
+x AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+s AS (
+  SELECT conv_id, ts,
+         sum(new) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x)
+SELECT conv_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000) AS BIGINT) AS duration_ms
+FROM s GROUP BY conv_id, session_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1637,6 +1686,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_asof_enrich": q51_asof_enrich,
     "q52_route_rollup": q52_route_rollup,
     "q53_latency_quantiles": q53_latency_quantiles,
+    "q54_sessionize": q54_sessionize,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -1694,6 +1744,7 @@ ORACLES: dict[str, str] = {
     "q51_asof_enrich": Q51_SQL,
     "q52_route_rollup": Q52_SQL,
     "q53_latency_quantiles": Q53_SQL,
+    "q54_sessionize": Q54_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
