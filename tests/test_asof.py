@@ -50,6 +50,59 @@ def test_payload_columns_come_from_the_same_right_row(spark):
     assert got[("c1", 4)] == ("b", None)
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_row = st.tuples(
+    st.sampled_from(["k1", "k2", "k3"]),  # key
+    st.integers(0, 50),  # order value
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    left_rows=st.lists(_row, min_size=1, max_size=15),
+    right_rows=st.lists(_row, min_size=0, max_size=15, unique=True),
+    strict=st.booleans(),
+)
+def test_asof_matches_pandas_merge_asof(spark, left_rows, right_rows, strict):
+    """Independent oracle: pandas.merge_asof(direction='backward') with
+    allow_exact_matches = not strict, per key."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k string, t int, lid int"
+    )
+    right = spark.createDataFrame(
+        [(k, t, f"v{k}@{t}") for k, t in right_rows], "k string, t int, v string"
+    )
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, keys=["k"], order_col="t", payload_cols=["v"], strict=strict
+        ).collect()
+    }
+
+    lp = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(left_rows)], columns=["k", "t", "lid"])
+    rp = pd.DataFrame([(k, t, f"v{k}@{t}") for k, t in right_rows], columns=["k", "t", "v"]).astype(
+        {"k": "object", "t": "int64", "v": "object"}
+    )
+    exp_df = pd.merge_asof(
+        lp.sort_values("t", kind="stable"),
+        rp.sort_values("t", kind="stable"),
+        on="t",
+        by="k",
+        direction="backward",
+        allow_exact_matches=not strict,
+    )
+    exp = {int(r.lid): (None if pd.isna(r.v) else r.v) for r in exp_df.itertuples()}
+    assert got == exp
+
+
 def test_plan_has_no_join_and_one_key_exchange(spark):
     left, right = _frames(spark)
     out = asof_join(left, right, keys=["k"], order_col="t", payload_cols=["v"])
