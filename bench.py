@@ -48,6 +48,11 @@ HEADLINE = [
     "q46_decontaminate",
     "q47_vocab_coverage",
     "q50_exact_substring",
+    # analytic extensions (transcripts table)
+    "q51_asof_enrich",
+    "q52_route_rollup",
+    "q53_latency_quantiles",
+    "q54_sessionize",
 ]
 
 

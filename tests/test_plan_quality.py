@@ -194,3 +194,35 @@ def test_pack_sequences_arrow_grouping_and_partial_rollup(spark, small):
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange") == 2
     assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_asof_enrich_no_join_single_window_exchange(spark, small):
+    """The as-of enrich must never plan a join: union + ONE
+    hashpartitioning(conv_id) window over the side-tagged sort."""
+    from opentelemetry_collector_spark.operators.asof import asof_join
+
+    left = small.filter(F.col("role") == "assistant").select("conv_id", "turn_idx")
+    right = small.filter(F.col("role") == "user").select(
+        "conv_id", "turn_idx",
+        F.col("turn_idx").alias("prompt_idx"), F.col("text").alias("prompt_text"),
+    )
+    plan = _plan(asof_join(left, right, ["conv_id"], "turn_idx",
+                           ["prompt_idx", "prompt_text"]))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(conv_id" in plan
+
+
+def test_rollup_single_scan_expand_partial_agg(spark, small):
+    """All rollup levels in one pass: one Expand feeding a partial
+    HashAggregate before the single exchange — never one job per level."""
+    from opentelemetry_collector_spark.plans.queries import _routes
+    from opentelemetry_collector_spark.plans.route import route_tagged
+
+    tagged = route_tagged(small, _routes())
+    plan = _plan(
+        tagged.rollup("sink", "role").agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
