@@ -99,19 +99,125 @@ def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 16, seed: in
     return _sig(vec_col)
 
 
-def centroid_probe(vec_col: Column, dim: int, nlist: int, nprobe: int, seed: int = 42) -> Column:
-    """IVF coarse quantizer: the ``nprobe`` nearest of ``nlist`` deterministic
-    unit centroids (seeded Gaussian), as an array<int> of list ids.
-
-    One numpy matmul + argpartition per Arrow batch — no per-row Python.
-    Centroids are derived from the seed alone, so corpus assignment and query
-    probing agree across jobs without a training step or a shared model file
-    (at real scale a k-means refinement would replace the seeded draw; the
-    contract — deterministic vec->list assignment — is the same).
-    """
+def _seed_centroids(dim: int, nlist: int, seed: int) -> np.ndarray:
+    """Deterministic unit centroids (seeded Gaussian) — the untrained
+    fallback AND the k-means init."""
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((nlist, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents
+
+
+def _kmeanspp_init(X: np.ndarray, nlist: int, seed: int) -> np.ndarray:
+    """k-means++ D^2 seeding on a (normalized) sample matrix — plain Lloyd
+    from a random init collapses well-separated clusters into shared lists
+    (a centroid that never wins any point is never pulled apart)."""
+    rng = np.random.default_rng(seed)
+    idx = [int(rng.integers(len(X)))]
+    d2 = np.maximum(1.0 - X @ X[idx[0]], 0.0)
+    for _ in range(1, nlist):
+        total = d2.sum()
+        probs = d2 / total if total > 0 else np.full(len(X), 1.0 / len(X))
+        nxt = int(rng.choice(len(X), p=probs))
+        idx.append(nxt)
+        d2 = np.minimum(d2, np.maximum(1.0 - X @ X[nxt], 0.0))
+    return X[idx].copy()
+
+
+def train_centroids(
+    df: DataFrame,
+    dim: int,
+    nlist: int,
+    iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    init_sample: int = 4096,
+) -> np.ndarray:
+    """Spherical k-means for the IVF coarse quantizer (k-means++ init on a
+    deterministic sample, then distributed Lloyd iterations).
+
+    Scale shape: the init reads a content-hash-ordered top-``init_sample``
+    (a per-task heap merge, never a corpus sort); each Lloyd iteration is
+    ONE scan with a mapInPandas kernel that assigns every vector (numpy
+    matmul argmax) and emits per-TASK partial (list_id, sum_vec, count)
+    rows — the map-side combine done by hand, so the data returned to the
+    driver is O(nlist x dim x tasks) regardless of corpus size, and there
+    is no shuffle at all. Empty lists keep their previous centroid; rows
+    are re-normalized (cosine geometry). Returns a (nlist, dim) numpy array
+    to pass as ``centroids=`` to the probe/index functions — the "shared
+    model file" of a real deployment.
+    """
+    from opentelemetry_collector_spark.session import spread
+
+    src = spread(df).select(as_double(F.col(vec_col)).alias("_v"))
+    sample = (
+        src.withColumn("_h", F.xxhash64("_v")).orderBy("_h").limit(init_sample).toPandas()
+    )
+    if len(sample) >= nlist:
+        X = np.vstack(sample["_v"].to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        C = _kmeanspp_init(X, nlist, seed)
+    else:
+        C = _seed_centroids(dim, nlist, seed)
+    for _ in range(iters):
+        bc = df.sparkSession.sparkContext.broadcast(C)
+
+        def _partials(batches):
+            cents = bc.value
+            sums = np.zeros((nlist, dim), dtype=np.float64)
+            counts = np.zeros(nlist, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+                mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                lids = np.argmax(mn @ cents.T, axis=1)
+                np.add.at(sums, lids, mn)
+                counts += np.bincount(lids, minlength=nlist)
+            yield pd.DataFrame(
+                {"lid": np.arange(nlist), "s": list(sums), "n": counts}
+            )
+
+        rows = src.mapInPandas(
+            _partials, "lid int, s array<double>, n bigint"
+        ).toPandas()
+        sums = np.zeros((nlist, dim))
+        counts = np.zeros(nlist)
+        for r in rows.itertuples():
+            sums[r.lid] += np.asarray(r.s)
+            counts[r.lid] += r.n
+        nxt = C.copy()
+        nonempty = counts > 0
+        nxt[nonempty] = sums[nonempty] / counts[nonempty, None]
+        nxt /= np.maximum(np.linalg.norm(nxt, axis=1, keepdims=True), 1e-12)
+        C = nxt
+        bc.destroy()
+    return C
+
+
+def centroid_probe(
+    vec_col: Column,
+    dim: int,
+    nlist: int,
+    nprobe: int,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> Column:
+    """IVF coarse quantizer: the ``nprobe`` nearest of ``nlist`` unit
+    centroids, as an array<int> of list ids.
+
+    One numpy matmul + argpartition per Arrow batch — no per-row Python.
+    Default centroids are derived from the seed alone, so corpus assignment
+    and query probing agree across jobs without a training step or a shared
+    model file; pass ``centroids=`` (e.g. from :func:`train_centroids`) for
+    the k-means-refined quantizer — the contract (deterministic vec->list
+    assignment, both sides using the same matrix) is identical.
+    """
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    else:
+        cents = _seed_centroids(dim, nlist, seed)
     nprobe = min(nprobe, nlist)
 
     @pandas_udf("array<int>")
@@ -138,6 +244,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """IVF-flat approximate top-k (exact when ``nprobe == nlist``).
 
@@ -151,11 +258,11 @@ def ivf_topk(
 
     c = (
         spread(corpus).select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"))
-        .withColumn("list_id", F.element_at(centroid_probe(F.col("nv"), dim, nlist, 1, seed), 1))
+        .withColumn("list_id", F.element_at(centroid_probe(F.col("nv"), dim, nlist, 1, seed, centroids), 1))
     )
     q = (
         queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
-        .withColumn("list_id", F.explode(centroid_probe(F.col("qv"), dim, nlist, nprobe, seed)))
+        .withColumn("list_id", F.explode(centroid_probe(F.col("qv"), dim, nlist, nprobe, seed, centroids)))
     )
     cand = c.join(F.broadcast(q), on="list_id").filter(F.col("nid") != F.col("qid"))
     scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("nv")))
@@ -223,6 +330,7 @@ def ivf_write_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> None:
     """Materialize the IVF inverted lists as a parquet table PARTITIONED BY
     list_id — the build step of a real ANN serving path. Each corpus vector
@@ -231,7 +339,7 @@ def ivf_write_index(
     100 TB: the index is built once, every query batch scans only its lists."""
     c = (
         corpus.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"))
-        .withColumn("list_id", F.element_at(centroid_probe(F.col("nv"), dim, nlist, 1, seed), 1))
+        .withColumn("list_id", F.element_at(centroid_probe(F.col("nv"), dim, nlist, 1, seed, centroids), 1))
     )
     c.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
@@ -247,6 +355,7 @@ def ivf_probe_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Probe a written IVF index: resolve the query batch's probe lists
     (tiny driver action — the query set is small by definition), push them
@@ -257,7 +366,7 @@ def ivf_probe_index(
     identical to the in-memory :func:`ivf_topk` with the same parameters."""
     q = (
         queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
-        .withColumn("list_id", F.explode(centroid_probe(F.col("qv"), dim, nlist, nprobe, seed)))
+        .withColumn("list_id", F.explode(centroid_probe(F.col("qv"), dim, nlist, nprobe, seed, centroids)))
     )
     q = q.persist()
     probe_ids = sorted({r.list_id for r in q.select("list_id").distinct().collect()})

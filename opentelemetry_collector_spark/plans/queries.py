@@ -1631,6 +1631,28 @@ FROM s GROUP BY conv_id, session_id
 """
 
 
+def q55_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer (distributed spherical k-means,
+    k-means++ init) at nprobe == nlist — brute-force-exact under any
+    quantizer, so the whole train->assign->probe->re-rank path is value-
+    checked against the exact SQL oracle; recall gains at nprobe < nlist
+    are pinned in pytest (test_train_centroids_*)."""
+    from opentelemetry_collector_spark.operators.similarity import (
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_centroids(emb, dim=64, nlist=8, iters=3, seed=42)
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10, nlist=8, nprobe=8,
+        centroids=cents,
+    )
+
+
+Q55_SQL = Q16_SQL
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1687,6 +1709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_route_rollup": q52_route_rollup,
     "q53_latency_quantiles": q53_latency_quantiles,
     "q54_sessionize": q54_sessionize,
+    "q55_ann_ivf_trained": q55_ann_ivf_trained,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -1745,6 +1768,7 @@ ORACLES: dict[str, str] = {
     "q52_route_rollup": Q52_SQL,
     "q53_latency_quantiles": Q53_SQL,
     "q54_sessionize": Q54_SQL,
+    "q55_ann_ivf_trained": Q55_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -168,6 +168,82 @@ def test_ivf_partial_probe_recall(spark):
     assert (0, 1) in approx  # planted near-dup shares the query's own list
 
 
+def _clustered_emb(spark, n_clusters=6, per_cluster=40, dim=16, seed=7):
+    """Well-separated planted clusters: cluster means far apart, tight noise."""
+    rng = np.random.default_rng(seed)
+    means = rng.standard_normal((n_clusters, dim)) * 10
+    rows = []
+    for c in range(n_clusters):
+        pts = means[c] + rng.standard_normal((per_cluster, dim)) * 0.1
+        for j, p in enumerate(pts):
+            rows.append((c * per_cluster + j, [float(x) for x in p]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), n_clusters, per_cluster
+
+
+def test_train_centroids_recovers_planted_clusters(spark):
+    from opentelemetry_collector_spark.operators.similarity import (
+        centroid_probe,
+        train_centroids,
+    )
+
+    emb, k, per = _clustered_emb(spark)
+    C = train_centroids(emb, dim=16, nlist=k, iters=8, seed=11)
+    assert C.shape == (k, 16)
+    lids = emb.select(
+        (F.col("vec_id") / per).cast("int").alias("truth"),
+        F.element_at(
+            centroid_probe(F.transform("embedding", lambda x: x.cast("double")), 16, k, 1, centroids=C), 1
+        ).alias("lid"),
+    ).collect()
+    # every planted cluster must map to exactly one list, injectively
+    # (trained spherical k-means on well-separated clusters is exact)
+    mapping = {}
+    for r in lids:
+        mapping.setdefault(r.truth, set()).add(r.lid)
+    assert all(len(v) == 1 for v in mapping.values())
+    assert len({next(iter(v)) for v in mapping.values()}) == k
+
+
+def test_train_centroids_deterministic_and_improves_ivf_recall(spark):
+    from opentelemetry_collector_spark.operators.similarity import train_centroids
+
+    emb, k, _ = _clustered_emb(spark)
+    C1 = train_centroids(emb, dim=16, nlist=k, iters=3, seed=11)
+    C2 = train_centroids(emb, dim=16, nlist=k, iters=3, seed=11)
+    assert np.array_equal(C1, C2)  # same seed + data -> same model
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, dim=16, k=5, nlist=k, nprobe=1, centroids=C1).collect()
+    }
+    untrained = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, dim=16, k=5, nlist=k, nprobe=1).collect()
+    }
+    r_trained = len(exact & trained) / len(exact)
+    r_untrained = len(exact & untrained) / len(exact)
+    # nprobe=1 on clustered data: the trained quantizer puts each query's
+    # whole cluster in its probed list (perfect recall); random hyper-
+    # sphere centroids split clusters
+    assert r_trained == 1.0
+    assert r_trained >= r_untrained
+
+
+def test_ivf_trained_full_probe_equals_exact(spark):
+    from opentelemetry_collector_spark.operators.similarity import train_centroids
+
+    emb = _emb(spark, n=120)
+    q = emb.filter(F.col("vec_id") < 5)
+    C = train_centroids(emb, dim=16, nlist=8, iters=2, seed=5)
+    exact = {(r.query_id, r.neighbor_id, r.rank) for r in cosine_topk(emb, q, k=5).collect()}
+    ivf = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(emb, q, dim=16, k=5, nlist=8, nprobe=8, centroids=C).collect()
+    }
+    assert ivf == exact  # full probe is brute force under ANY quantizer
+
+
 def test_ivf_corpus_assignment_is_single_list(spark):
     from opentelemetry_collector_spark.operators.similarity import centroid_probe
 
