@@ -1653,6 +1653,53 @@ def q55_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q55_SQL = Q16_SQL
 
 
+def q56_language_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition gate: language-balanced training mix = lang-ID (q14's
+    operator) feeding exact-k stratified sampling (q43's operator) — the
+    standard 'equal docs per language' corpus budget, in one plan. The
+    stratum column being DERIVED (not stored) changes nothing about the
+    rank-limit pushdown: the partial WindowGroupLimit still caps each map
+    task at k rows per language."""
+    from opentelemetry_collector_spark.operators.sample import stratified_sample
+    from opentelemetry_collector_spark.operators.text import lang_guess
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "lang_guess", lang_guess(F.col("text"))
+    ).withColumn("_sid", F.col("doc_id").cast("string"))
+    out = stratified_sample(docs, ["lang_guess"], 25, "_sid")
+    return out.select("doc_id", "lang_guess")
+
+
+Q56_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS h_en,
+    len(list_filter(toks, x -> list_contains(['el','la','los','que','y'], x))) AS h_es,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))) AS h_fr
+  FROM h),
+g AS (
+  SELECT doc_id,
+    CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+         WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
+         WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+         WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+         ELSE 'de' END AS lang_guess
+  FROM s)
+SELECT doc_id, lang_guess FROM (
+  SELECT doc_id, lang_guess,
+         row_number() OVER (
+           PARTITION BY lang_guess
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
+  FROM g) WHERE rn <= 25
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1710,6 +1757,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_latency_quantiles": q53_latency_quantiles,
     "q54_sessionize": q54_sessionize,
     "q55_ann_ivf_trained": q55_ann_ivf_trained,
+    "q56_language_balanced_sample": q56_language_balanced_sample,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -1769,6 +1817,7 @@ ORACLES: dict[str, str] = {
     "q53_latency_quantiles": Q53_SQL,
     "q54_sessionize": Q54_SQL,
     "q55_ann_ivf_trained": Q55_SQL,
+    "q56_language_balanced_sample": Q56_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
