@@ -346,6 +346,22 @@ def run_skew(rows_millions: float, hot_frac: float = 0.25, buckets: int = 32) ->
     def join_job(df, dim):
         _force(df.join(dim, "conv_id").groupBy("tenant").agg(F.count(F.lit(1)).alias("n")))
 
+    def window_plain(df, dim):
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("conv_id").orderBy("ts", "turn_idx")
+        _force(df.select("conv_id", "turn_idx", F.row_number().over(w).alias("rn")))
+
+    def window_bucketed(df, dim):
+        from opentelemetry_collector_spark.operators.aggregate import bucketed_row_number
+
+        out = bucketed_row_number(
+            df.select("conv_id", "turn_idx", "ts"),
+            ["conv_id"], ["ts", "turn_idx"],
+            F.date_trunc("hour", F.col("ts")),
+        )
+        _force(out.select("conv_id", "turn_idx", "rn"))
+
     no_bcast = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
     results = {
         "distinct_unsalted_sec": timed(distinct_job(None)),
@@ -356,6 +372,8 @@ def run_skew(rows_millions: float, hot_frac: float = 0.25, buckets: int = 32) ->
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32m",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
         }),
+        "window_plain_sec": timed(window_plain),
+        "window_bucketed_sec": timed(window_bucketed),
     }
 
     md = f"""# BENCH/SKEW.md — hot-conversation skew measurements
@@ -370,20 +388,32 @@ best of 2 after warm-up.
 | distinct-text per conv, value-hash salted two-phase ({buckets} buckets) | {results['distinct_salted_sec']} |
 | fact⋈dim sort-merge join, AQE skew-join OFF | {results['smj_join_aqe_skew_off_sec']} |
 | fact⋈dim sort-merge join, AQE skew-join ON | {results['smj_join_aqe_skew_on_sec']} |
+| row_number over (conv_id), plain window | {results['window_plain_sec']} |
+| row_number over (conv_id), hour-bucketed two-phase (`bucketed_row_number`) | {results['window_bucketed_sec']} |
 
-Honest read of the numbers: at this scale the four variants are within
-noise of each other — a {hot_frac:.0%}-hot key does NOT produce a straggler
-here, because (a) Spark plans countDistinct as an expand over (key, value),
-so the hot key's distinct set is already hash-spread across reducers at the
-partial stage, and (b) the join's wall time is dominated by the 16-way scan
-+ shuffle-write of the fact side, with the hot reduce partition still far
-smaller than executor memory. The mitigation knobs matter in the regime
-where the hot partition approaches executor memory (the 100 TB case: a
-conversation with 10^8+ turns): `aggregate.distinct_count_salted` (exact —
-value-hash buckets partition each key's value space; parity-tested in
-tests/test_batch_route.py) bounds any single reducer's group, and the AQE
-skew-join configs shown above split oversized join partitions at runtime.
-Keeping both paths measured here guards against regressions in either.
+Honest read of the numbers: at this scale the distinct/join variants are
+within noise of each other — a {hot_frac:.0%}-hot key does NOT produce a
+straggler there, because (a) Spark plans countDistinct as an expand over
+(key, value), so the hot key's distinct set is already hash-spread across
+reducers at the partial stage, and (b) the join's wall time is dominated by
+the 16-way scan + shuffle-write of the fact side, with the hot reduce
+partition still far smaller than executor memory. The mitigation knobs
+matter in the regime where the hot partition approaches executor memory
+(the 100 TB case: a conversation with 10^8+ turns):
+`aggregate.distinct_count_salted` (exact — value-hash buckets partition
+each key's value space; parity-tested in tests/test_batch_route.py) bounds
+any single reducer's group, and the AQE skew-join configs shown above split
+oversized join partitions at runtime.
+
+The WINDOW rows are where single-key skew genuinely bites even at this
+scale: a plain per-conv row_number sorts the whole hot conversation
+({hot_frac:.0%} of all rows) on ONE task, while
+`aggregate.bucketed_row_number` (exact two-phase: local number within
+(conv, hour bucket) + broadcast cumulative offsets; parity-tested in
+tests/test_skew_window.py) spreads it across the hot conv's buckets. The
+turn-index derivation of a real transcripts ingest IS this window — at
+10^8-turn conversations the plain form is a stage-killing straggler and
+the bucketed form is the deploy-time default (DEPLOY.md).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as f:

@@ -19,7 +19,7 @@ distinct sub-key cardinality); AQE skew-join handles the join side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -182,3 +182,47 @@ def distinct_count_salted(
         F.countDistinct(value_col).alias("_dc")
     )
     return partial.groupBy(*key_cols).agg(F.sum("_dc").alias("distinct_count"))
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    bucket: Column,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Skew-proof per-key sequence numbering (exact two-phase row_number).
+
+    A plain ``row_number() over (partition by key order by ...)`` sorts ONE
+    task per key — a conversation with 10^8 turns serializes the whole
+    stage (SURVEY §7 risk 3; the turn-index derivation itself is this
+    window). Sharding fix: ``bucket`` must be a monotone function of the
+    order (e.g. ``F.date_trunc('day', ts)`` or ``turn_idx div N``) so
+    bucket boundaries respect the global order; then
+
+    1. local row_number within (key, bucket) — the hot key's work spreads
+       over its buckets;
+    2. per-(key, bucket) counts -> cumulative offsets per key (a tiny
+       |keys x buckets| frame, broadcast back);
+    3. global number = offset + local number. Exact, because ties can only
+       occur inside one bucket (the bucket is a function of the order
+       columns).
+
+    With a constant bucket this degenerates to the plain window; with B
+    buckets the largest sort task shrinks by ~B.
+    """
+    b = df.withColumn("_bk", bucket)
+    w_local = Window.partitionBy(*key_cols, "_bk").orderBy(*order_cols)
+    local = b.withColumn("_lrn", F.row_number().over(w_local))
+    counts = b.groupBy(*key_cols, "_bk").agg(F.count(F.lit(1)).alias("_n"))
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_cum), F.lit(0))).drop("_n")
+    return (
+        local.join(F.broadcast(offsets), [*key_cols, "_bk"])
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("int"))
+        .drop("_bk", "_lrn", "_off")
+    )
