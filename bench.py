@@ -651,12 +651,172 @@ does not have).
     print(json.dumps(results), flush=True)
 
 
+def run_dedup_scale(n_docs: int = 200_000, n_planted: int = 10_000) -> None:
+    """Dedup stress at 210k docs (reproducible form of BENCH/DEDUP_SCALE.md):
+    deterministic 60-word vocabulary salads (25 words/doc — sized by offline
+    simulation so the corpus's baseline shingle-jaccard ~0.10 admits ~30M
+    LSH candidates, the heavy-but-feasible regime; 40 words/doc pushed
+    baseline similarity to ~0.15 and >100M candidates, where the verify
+    stage OOMs by construction) generated executor-side from xxhash64(id),
+    with n_planted one-word-swapped near-duplicates (char-shingle jaccard
+    ~0.87). Measures exact dedup, minhash, simhash; writes
+    BENCH/DEDUP_SCALE.md + dedup_scale.json."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash_neardup_pairs,
+    )
+    from opentelemetry_collector_spark.session import build_session
+
+    tmp = os.path.join(tempfile.gettempdir(), f"otelcol_dedup_scale2_{n_docs}")
+    # -XX:UseAVX=2: this box's JVM segfaulted in the avx3 arraycopy stub
+    # under the heavy verify shuffle (hs_err: jbyte_disjoint_arraycopy_avx3)
+    spark = build_session(
+        app_name="otelcol-dedup-scale",
+        shuffle_partitions=128,  # the candidate dedup carries ~30M pairs
+        extra_conf={"spark.driver.extraJavaOptions": "-XX:UseAVX=2"},
+    )
+    try:
+        words = [
+            "alpha", "bridge", "candle", "dolphin", "ember", "falcon", "garden",
+            "harbor", "island", "jungle", "kernel", "lantern", "meadow", "nectar",
+            "orbit", "prism", "quartz", "river", "summit", "tundra", "umbra",
+            "valley", "willow", "xenon", "yonder", "zephyr", "anchor", "basalt",
+            "cipher", "drift", "echo", "fable", "glacier", "hollow", "ivory",
+            "jasper", "krill", "lumen", "mosaic", "noble", "onyx", "pebble",
+            "quiver", "raven", "sable", "thicket", "ursa", "vapor", "walnut",
+            "xylem", "yeast", "zinc", "amber", "birch", "cedar", "dune",
+            "elm", "fern", "grove", "heath",
+        ]
+        assert len(words) == 60
+        vocab = F.array(*[F.lit(w) for w in words])
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+
+            def words_of(idc):
+                return F.transform(
+                    F.sequence(F.lit(0), F.lit(24)),
+                    lambda j: F.element_at(vocab, (F.pmod(F.xxhash64(idc, j), 60) + 1).cast("int")),
+                )
+
+            base = spark.range(0, n_docs, 1, 64).select(
+                F.col("id").alias("doc_id"), F.concat_ws(" ", words_of(F.col("id"))).alias("text")
+            )
+            k = spark.range(0, n_planted, 1, 8)
+            src_id = F.col("id") * 20
+            # cast to INT so xxhash64(src_id, p) hashes identically to the
+            # int-typed sequence index used in words_of (int64 input hashes
+            # differently and the "swap" silently becomes a no-op ~1/60 of
+            # the time — caught by the distinct-fingerprint invariant)
+            p = F.pmod(F.xxhash64(F.col("id"), F.lit(999)), 25).cast("int")
+            orig_idx = F.pmod(F.xxhash64(src_id, p), 60)
+            new_idx = F.pmod(orig_idx + 1 + F.pmod(F.xxhash64(F.col("id"), F.lit(777)), 59), 60)
+            swapped = F.transform(
+                words_of(src_id),
+                lambda w, i: F.when(
+                    i == p, F.element_at(vocab, (new_idx + 1).cast("int"))
+                ).otherwise(w),
+            )
+            dups = k.select(
+                (F.col("id") + n_docs).alias("doc_id"), F.concat_ws(" ", swapped).alias("text")
+            )
+            base.unionByName(dups).write.mode("overwrite").parquet(tmp)
+
+        docs = spark.read.parquet(tmp)
+        results: dict = {"n_docs": n_docs + n_planted, "n_planted": n_planted}
+
+        t0 = time.perf_counter()
+        n_distinct = exact_dedup(docs, "doc_id").count()
+        results["exact_dedup"] = {"sec": round(time.perf_counter() - t0, 1), "distinct": n_distinct}
+
+        planted = F.col("b_id") >= n_docs
+        hit = (F.col("b_id") - n_docs) * 20 == F.col("a_id")
+        t0 = time.perf_counter()
+        pairs = minhash_lsh_pairs(docs, id_col="doc_id", threshold=0.5)
+        agg = pairs.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(planted & hit, 1).otherwise(0)).alias("recalled"),
+        ).first()
+        results["minhash"] = {
+            "sec": round(time.perf_counter() - t0, 1),
+            "pairs": agg["total"],
+            "planted_recalled": agg["recalled"],
+        }
+
+        t0 = time.perf_counter()
+        sh = simhash_neardup_pairs(docs, id_col="doc_id", max_hamming=3).count()
+        results["simhash_h3"] = {"sec": round(time.perf_counter() - t0, 1), "pairs": sh}
+    finally:
+        spark.stop()
+
+    mm = results["minhash"]
+    md = f"""# BENCH/DEDUP_SCALE.md — dedup operators at 210k documents
+
+Reproducible stress (`python bench.py --dedup-scale`): a deterministic
+{n_docs + n_planted:,}-doc corpus (60-word vocabulary salads, 25 words/doc,
+generated executor-side from xxhash64(id) — no driver data), with
+{n_planted:,} planted near-duplicates (one word swapped, char-shingle
+jaccard ~0.87 vs the source doc). local[32], one JVM. Raw numbers in
+`dedup_scale.json`. Corpus sizing is itself a measured decision: at 40
+words/doc the 60-word vocabulary pushes baseline pair similarity to ~0.15
+and the 8x4 banding admits >100M candidates — the verify stage is then
+memory-infeasible BY CONSTRUCTION on one box (and genuinely output-heavy on
+any box); 25 words/doc holds baseline jaccard at ~0.10 (~30M candidates),
+the heavy-but-feasible regime.
+
+| operator | wall sec | result |
+|---|---|---|
+| exact_dedup (fingerprint groupBy) | {results['exact_dedup']['sec']} | {results['exact_dedup']['distinct']:,} distinct fingerprints (no exact dups, as constructed) |
+| minhash_lsh_pairs (k=5, H=32, 8 bands, threshold 0.5) | {mm['sec']} | {mm['pairs']:,} pairs, {mm['planted_recalled']:,}/{n_planted:,} planted recalled |
+| simhash_neardup_pairs (max hamming 3, guaranteed-recall blocking) | {results['simhash_h3']['sec']} | {results['simhash_h3']['pairs']:,} pairs (planted swaps whose simhash moved <= 3 bits) |
+
+Reading the numbers:
+
+- **exact dedup is shuffle-bound and trivially scalable** — one groupBy on
+  the md5 fingerprint, linear in cores and splits.
+- **minhash wall time is candidate-verification-bound on this corpus**: a
+  60-word vocabulary makes random doc pairs share many character 5-grams,
+  so the 8x4 banding (s* ~ 0.59) admits ~30M candidates that exact
+  verification then rejects (the no-false-positive contract). Planted
+  recall below 100% is the banding curve, not a bug: at j~0.87 the miss
+  probability is (1-0.87^4)^8 ~ 1e-3, so a handful of the 10,000 planted
+  pairs fall outside the candidate set — raise bands (or lower rows/band)
+  to buy recall with candidate volume. The verify strategy is the auto
+  switch: this corpus sits at the broadcast limit boundary (~240 MB shingle
+  map); the 40-words/doc variant (>100M candidates, ~450 MB map) was
+  measured to over-commit memory under BOTH strategies, which is the
+  corpus shape where dedup must shard by band round instead — noted in the
+  operator docstring. On natural corpora with lower baseline similarity the
+  same configuration admits ~0 non-dup candidates (sf0.1: 184k candidates,
+  ~4 s end-to-end).
+- **simhash radius vs density**: guaranteed recall at radius d needs d+1
+  blocking chunks (pigeonhole); at d=8 on this vocabulary-clustered corpus
+  the candidate set is output-bound (>1.7M true pairs within radius 8) —
+  multi-index hashing (Norouzi et al.) is the documented next step for
+  large radii; radius <= 3 (the standard near-dup setting) needs none of
+  that.
+- **at 100 TB**: every stage is a uniform-key shuffle (band buckets are
+  hash values) or an Arrow-batched map (signatures, verification); nothing
+  is driver-bound, and the signature table would be written once and reused
+  across the band joins instead of persisted in memory.
+"""
+    with open(os.path.join(REPO, "BENCH", "DEDUP_SCALE.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "dedup_scale.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--bucketing", action="store_true")
     ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--dedup-scale", action="store_true")
     ap.add_argument("--n-low", type=int, default=4)
     ap.add_argument("--n-high", type=int, default=16)
     ap.add_argument("--rows-millions", type=float, default=160.0)
@@ -669,5 +829,7 @@ if __name__ == "__main__":
         run_bucketing(min(args.rows_millions, 40.0))
     elif args.streaming:
         run_streaming(args.rows_millions)
+    elif args.dedup_scale:
+        run_dedup_scale()
     else:
         run_default()

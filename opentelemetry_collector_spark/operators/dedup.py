@@ -199,11 +199,12 @@ def minhash_lsh_pairs(
     base = shingle_hash_table(
         spread(df), id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes, seed=seed
     )
-    # the signature table feeds three plan branches (candidate generation +
-    # the two verification re-joins). Those branches are all ROOT stages of
-    # the final job, so Spark schedules them concurrently and each would
-    # recompute the shingling before the lazy cache fills — persist must be
-    # EAGER here (measured 25s -> 13s on sf0.1). This is the canonical
+    # the signature table feeds multiple plan branches (both sides of the
+    # banded self-join, plus — under shuffle verify — the two array
+    # re-attach joins). Those branches are all ROOT stages of the final
+    # job, so Spark schedules them concurrently and each would recompute
+    # the shingling before the lazy cache fills — persist must be EAGER
+    # here (measured 25s -> 13s on sf0.1). This is the canonical
     # "materialize the signatures" step of every LSH pipeline; for 100 TB
     # corpora write them to a table instead (and the persist cost itself is
     # one linear scan).
