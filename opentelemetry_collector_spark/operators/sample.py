@@ -70,6 +70,107 @@ def probabilistic_sample(
     return df.filter(keep)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    stratum_col: str,
+    budgets: dict[str, int],
+    id_col: str,
+    token_col: str,
+) -> DataFrame:
+    """Exact per-stratum token-budget mix (domain mixing): within each
+    stratum, documents are taken in md5(id) order while the running token
+    total stays within that stratum's budget (hard cap — a document is kept
+    iff the cumulative token count *including it* is <= the budget). Strata
+    absent from ``budgets`` are dropped.
+
+    This is the training-mix construction step ("40 GT web, 5 GT code, ...")
+    the reference has no analog for. Deterministic and seed-free: any engine
+    reproduces the identical keep-set from the identical table.
+
+    Scale: ONE hashpartitioning(stratum) exchange feeding a cumulative-sum
+    window. Unlike :func:`stratified_sample` there is no rank-limit pushdown
+    for a running *sum*, so each stratum's rows all shuffle to one task —
+    right for dozens-to-thousands of domains, wrong for huge budgets over
+    few strata; there, use :func:`token_budget_rate_sample`, which never
+    sorts the corpus.
+    """
+    from pyspark.sql import Window
+
+    b = F.create_map(
+        *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))]
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_budget", b[F.col(stratum_col)])
+        .filter(F.col("_budget").isNotNull())
+        .withColumn("_cum", F.sum(F.col(token_col).cast("bigint")).over(w))
+        .filter(F.col("_cum") <= F.col("_budget"))
+        .drop("_budget", "_cum")
+    )
+
+
+_HEX13_SCALE = float(16**13)  # 52-bit md5 prefix -> exact double fraction
+
+
+def md5_fraction(col: Column) -> Column:
+    """Uniform deterministic fraction in [0, 1): the first 13 hex chars of
+    md5 (52 bits, exactly representable in a double) over 16^13. Both Spark
+    (``conv(substring(md5(x),1,13),16,10)``) and DuckDB
+    (``('0x' || substring(md5(x),1,13))::ubigint``) compute the identical
+    value, so rate-based keeps are oracle-checkable bit-for-bit."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("double") / F.lit(_HEX13_SCALE)
+    )
+
+
+def token_budget_rate_sample(
+    df: DataFrame,
+    stratum_col: str,
+    budgets: dict[str, int],
+    id_col: str,
+    token_col: str,
+) -> DataFrame:
+    """Scalable domain mixing: hit each stratum's token budget *in
+    expectation* with zero corpus sort. Pass 1 aggregates per-stratum token
+    totals (map-side partials, |strata| rows); the keep-rate
+    ``min(1, budget/total)`` is broadcast back and a document is kept iff
+    ``md5_fraction(id) < rate``. Both passes are embarrassingly parallel —
+    the only corpus-side work is a projection + broadcast-join filter, so
+    this is the 100 TB path (the exact window variant shuffles whole strata
+    to single tasks).
+
+    Deterministic: same table -> same keep-set, any engine (md5 prefix
+    fraction, no RNG). Error vs the exact variant is O(1/sqrt(docs per
+    stratum)) on the token total.
+    """
+    totals = (
+        df.groupBy(stratum_col)
+        .agg(F.sum(F.col(token_col).cast("bigint")).alias("_total"))
+    )
+    b = F.create_map(
+        *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))]
+    )
+    # NULL budget (stratum not in the mix) must DROP the stratum — filter
+    # before least(), which skips NULL operands rather than propagating them
+    raw = b[F.col(stratum_col)].cast("double") / F.col("_total")
+    rates = (
+        totals.select(F.col(stratum_col).alias("_stratum"), raw.alias("_raw"))
+        .filter(F.col("_raw").isNotNull())
+        .select("_stratum", F.least(F.lit(1.0), F.col("_raw")).alias("_rate"))
+    )
+    return (
+        df.join(
+            F.broadcast(rates), df[stratum_col] == rates["_stratum"], "inner"
+        )
+        .filter(md5_fraction(F.col(id_col).cast("string")) < F.col("_rate"))
+        .drop("_stratum", "_rate")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

@@ -1700,6 +1700,71 @@ SELECT doc_id, lang_guess FROM (
 """
 
 
+_MIX_BUDGETS = {"src0": 700, "src1": 5000, "src2": 300, "src3": 1100}
+_MIX_BUDGETS_SQL = ", ".join(f"('{k}', {v})" for k, v in _MIX_BUDGETS.items())
+_TOK_SQL = r"""
+tok AS (SELECT doc_id, source,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+FROM documents),
+b AS (SELECT * FROM (VALUES %s) AS b(source, budget))
+""" % _MIX_BUDGETS_SQL
+
+
+def q57_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture construction (exact): per-source token budgets filled
+    in md5(doc_id) order — the "N tokens of web, M of code" training-mix
+    step. Hard cap: a doc is kept iff the running total including it fits;
+    sources without a budget are dropped. Budgets span partial keeps
+    (src0/src2/src3) and an over-provisioned full keep (src1)."""
+    from opentelemetry_collector_spark.operators.sample import token_budget_sample
+    from opentelemetry_collector_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    out = token_budget_sample(docs, "source", _MIX_BUDGETS, "doc_id", "n_tokens")
+    return out.select("doc_id", "source", "n_tokens")
+
+
+Q57_SQL = f"""WITH {_TOK_SQL},
+c AS (SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+        sum(t.n_tokens) OVER (
+          PARTITION BY t.source
+          ORDER BY md5(CAST(t.doc_id AS VARCHAR)), CAST(t.doc_id AS VARCHAR)
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tok t JOIN b USING (source))
+SELECT doc_id, source, n_tokens FROM c WHERE cum <= budget
+"""
+
+
+def q58_token_budget_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture construction (scale path): per-source keep-rate =
+    min(1, budget / token total) from one aggregate pass, then a broadcast
+    filter keeps docs with md5_fraction(doc_id) < rate — no corpus sort, so
+    it survives few-strata/huge-budget shapes the exact window variant
+    cannot. Value-checked: the md5 52-bit prefix fraction is engine-exact."""
+    from opentelemetry_collector_spark.operators.sample import token_budget_rate_sample
+    from opentelemetry_collector_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    out = token_budget_rate_sample(docs, "source", _MIX_BUDGETS, "doc_id", "n_tokens")
+    return out.select("doc_id", "source", "n_tokens")
+
+
+Q58_SQL = f"""WITH {_TOK_SQL},
+tot AS (SELECT source, sum(n_tokens) AS total FROM tok GROUP BY source),
+r AS (SELECT tot.source, least(1.0, CAST(b.budget AS DOUBLE) / tot.total) AS rate
+      FROM tot JOIN b USING (source))
+SELECT t.doc_id, t.source, t.n_tokens
+FROM tok t JOIN r USING (source)
+WHERE ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 13))::UBIGINT
+      / 4503599627370496.0 < r.rate
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1758,6 +1823,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_sessionize": q54_sessionize,
     "q55_ann_ivf_trained": q55_ann_ivf_trained,
     "q56_language_balanced_sample": q56_language_balanced_sample,
+    "q57_token_budget_mix": q57_token_budget_mix,
+    "q58_token_budget_rate": q58_token_budget_rate,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -1818,6 +1885,8 @@ ORACLES: dict[str, str] = {
     "q54_sessionize": Q54_SQL,
     "q55_ann_ivf_trained": Q55_SQL,
     "q56_language_balanced_sample": Q56_SQL,
+    "q57_token_budget_mix": Q57_SQL,
+    "q58_token_budget_rate": Q58_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -61,3 +61,66 @@ def test_stratified_sample_exact_counts_and_determinism(spark, small):
     k2 = {(r.conv_id, r.turn_idx) for r in stratified_sample(df, ["role"], 7, "_sid").collect()}
     assert k1 == k2  # seed-free determinism
     assert k1 <= {(r.conv_id, r.turn_idx) for r in df.collect()}
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, tok long")
+
+
+def test_token_budget_sample_hard_cap_and_dropped_strata(spark):
+    from opentelemetry_collector_spark.operators.sample import token_budget_sample
+
+    rows = [(i, "a", 10) for i in range(10)] + [(100 + i, "b", 10) for i in range(4)]
+    rows += [(200, "c", 5)]  # stratum without a budget -> dropped
+    df = _docs(spark, rows)
+    out = token_budget_sample(df, "source", {"a": 35, "b": 1000}, "doc_id", "tok")
+    got = out.groupBy("source").agg(F.count("*").alias("n"), F.sum("tok").alias("t")).collect()
+    d = {r.source: (r.n, r.t) for r in got}
+    # hard cap: 3 docs of 10 tokens fit in 35, the 4th would cross
+    assert d["a"] == (3, 30)
+    assert d["b"] == (4, 40)  # over-provisioned budget keeps everything
+    assert "c" not in d
+
+
+def test_token_budget_sample_deterministic_and_prefix_stable(spark):
+    from opentelemetry_collector_spark.operators.sample import token_budget_sample
+
+    rows = [(i, "a", 7) for i in range(30)]
+    df = _docs(spark, rows)
+    small = {r.doc_id for r in token_budget_sample(df, "source", {"a": 70}, "doc_id", "tok").collect()}
+    big = {r.doc_id for r in token_budget_sample(df, "source", {"a": 140}, "doc_id", "tok").collect()}
+    assert len(small) == 10 and len(big) == 20
+    # growing a budget only ADDS documents (md5 order is a fixed permutation)
+    assert small < big
+
+
+def test_token_budget_rate_sample_caps_drops_and_scales(spark):
+    from opentelemetry_collector_spark.operators.sample import token_budget_rate_sample
+
+    rows = [(i, "a", 10) for i in range(40)] + [(100 + i, "b", 10) for i in range(5)]
+    rows += [(300, "z", 99)]
+    df = _docs(spark, rows)
+    out = token_budget_rate_sample(
+        df, "source", {"a": 200, "b": 10_000}, "doc_id", "tok"
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, set()).add(r.doc_id)
+    # rate cap: over-provisioned stratum keeps ALL docs (rate clamped to 1)
+    assert by["b"] == {100 + i for i in range(5)}
+    assert "z" not in by  # no budget -> dropped, never rate-1 leaked
+    # a's keep-rate is 0.5 in expectation; exact count is hash-determined
+    n_a = len(by["a"])
+    assert 0 < n_a < 40
+    again = token_budget_rate_sample(df, "source", {"a": 200, "b": 10_000}, "doc_id", "tok")
+    assert {r.doc_id for r in again.collect() if r.source == "a"} == by["a"]
+
+
+def test_token_budget_rate_plan_is_broadcast_no_corpus_sort(spark):
+    from opentelemetry_collector_spark.operators.sample import token_budget_rate_sample
+
+    df = _docs(spark, [(i, f"s{i % 3}", 10) for i in range(60)])
+    out = token_budget_rate_sample(df, "source", {"s0": 100, "s1": 100}, "doc_id", "tok")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan
