@@ -48,6 +48,9 @@ HEADLINE = [
     "q46_decontaminate",
     "q47_vocab_coverage",
     "q50_exact_substring",
+    # training-mix construction (documents table)
+    "q57_token_budget_mix",
+    "q58_token_budget_rate",
     # analytic extensions (transcripts table)
     "q51_asof_enrich",
     "q52_route_rollup",

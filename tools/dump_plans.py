@@ -161,6 +161,15 @@ COMMENTARY = {
         "expand each row to its grouping combinations map-side, so the shuffle still "
         "carries only |groups| partial rows per task.",
     ),
+    "q58_token_budget_rate": (
+        "Two passes, zero corpus sort: HashAggregate(partial) -> Exchange(|strata| rows) "
+        "for the token totals, then the keep-rate map comes back as a BroadcastHashJoin "
+        "and the md5-prefix fraction filter is a codegen projection — no Window, no "
+        "SortMergeJoin.",
+        "Domain mixing at 100 TB cannot afford the exact variant's per-stratum cumulative "
+        "sort (whole strata on single tasks); the rate form touches the corpus twice as "
+        "embarrassingly-parallel scans and shuffles only per-stratum totals.",
+    ),
     "q53_latency_quantiles": (
         "Exact percentiles ride the SAME plan shape as any grouped agg: lead() window on "
         "hashpartitioning(conv_id), broadcast meta join, then partial+final HashAggregate "
