@@ -51,6 +51,7 @@ HEADLINE = [
     # training-mix construction (documents table)
     "q57_token_budget_mix",
     "q58_token_budget_rate",
+    "q59_importance_mass",
     # analytic extensions (transcripts table)
     "q51_asof_enrich",
     "q52_route_rollup",

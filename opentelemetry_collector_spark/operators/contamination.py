@@ -54,6 +54,78 @@ def eval_gram_set(eval_df: DataFrame, text_col: str = "text", n: int = 5) -> Dat
     )
 
 
+def importance_mass(
+    train_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """DSIR-style n-gram importance evidence (data selection via importance
+    resampling, Xie et al. 2023, arXiv:2302.03169): score raw documents by
+    how much their n-gram occurrence mass concentrates in a small TARGET
+    corpus relative to the raw corpus itself — the hashed-ngram feature
+    space of the paper, with the log-ratio replaced by an integer-exact
+    proxy so any engine reproduces every score bit-for-bit (libm logs
+    differ in the last ulp across engines). Per document:
+
+      n_grams   = size of the word n-gram MULTISET (repeats count)
+      tgt_mass  = sum over gram occurrences of that gram's occurrence
+                  count in the target corpus
+      raw_mass  = same against the raw corpus (always >= n_grams)
+      score_ppm = (tgt_mass * 1_000_000) DIV raw_mass  (0 for empty docs)
+
+    score_ppm rises with p_target(doc)/p_raw(doc) under occurrence-frequency
+    unigram LMs over n-grams; downstream selection keeps top-k by score or
+    rate-samples proportional to it.
+
+    Scale shape: the target corpus is small by construction, so its gram
+    counts broadcast; the raw corpus is scanned twice (gram postings and the
+    partial-aggregated gram-count table), both embarrassingly parallel, and
+    the count table joins back to the postings gram-to-gram on 8-byte hashed
+    keys — here AQE broadcasts it, at corpus scale it degrades to the
+    co-partitioned shuffle join both sides already hash on. The per-doc
+    rollup partial-aggregates before its shuffle; raw text never shuffles
+    (a persist() of the postings frame trades the second scan for cache at
+    real scale if the scan dominates).
+    """
+    from opentelemetry_collector_spark.session import spread
+
+    posted = spread(train_df).select(
+        F.col(id_col),
+        F.explode_outer(hashed_word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    raw_counts = (
+        posted.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count("*").alias("_rc"))
+    )
+    tgt_counts = (
+        target_df.select(F.explode(hashed_word_ngrams(F.col(text_col), n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("_tc"))
+    )
+    rolled = (
+        posted.join(F.broadcast(tgt_counts), "gram", "left")
+        .join(raw_counts, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("gram").alias("_n"),
+            F.sum(F.coalesce(F.col("_tc"), F.lit(0))).alias("_t"),
+            F.sum(F.coalesce(F.col("_rc"), F.lit(0))).alias("_r"),
+        )
+    )
+    return rolled.select(
+        F.col(id_col),
+        F.col("_n").cast("bigint").alias("n_grams"),
+        F.col("_t").cast("bigint").alias("tgt_mass"),
+        F.col("_r").cast("bigint").alias("raw_mass"),
+        F.when(
+            F.col("_r") > 0, F.expr("CAST(_t * 1000000 AS BIGINT) DIV _r")
+        ).otherwise(F.lit(0)).cast("bigint").alias("score_ppm"),
+    )
+
+
 def decontaminate(
     train_df: DataFrame,
     eval_df: DataFrame,

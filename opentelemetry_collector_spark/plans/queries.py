@@ -1765,6 +1765,46 @@ WHERE ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 13))::UBIGINT
 """
 
 
+def q59_importance_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring: docs with doc_id % 50 == 0 act as the
+    target (quality) corpus; every other doc reports its word-bigram mass
+    in the target vs the raw corpus and the integer-exact score_ppm ratio.
+    The selection step downstream is q43/q57's samplers over score_ppm."""
+    from opentelemetry_collector_spark.operators.contamination import importance_mass
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = docs.filter(F.col("doc_id") % 50 == 0)
+    raw = docs.filter(F.col("doc_id") % 50 != 0)
+    return importance_mass(raw, tgt, "doc_id", n=2)
+
+
+Q59_SQL = f"""
+WITH {_DOC_WORDS_SQL},
+g AS (SELECT doc_id,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(generate_series(1, len(w)-1), i -> array_to_string(w[i:i+1], ' '))
+                  ELSE []::VARCHAR[] END AS gs
+      FROM d),
+tgt AS (SELECT gram, count(*) AS tc
+        FROM (SELECT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0) GROUP BY 1),
+raw AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 50 <> 0),
+rc AS (SELECT gram, count(*) AS rc FROM raw GROUP BY 1),
+m AS (SELECT raw.doc_id,
+             count(*) AS n_grams,
+             sum(coalesce(tgt.tc, 0)) AS t,
+             sum(rc.rc) AS r
+      FROM raw LEFT JOIN tgt USING (gram) JOIN rc USING (gram)
+      GROUP BY raw.doc_id),
+base AS (SELECT doc_id FROM g WHERE doc_id % 50 <> 0)
+SELECT base.doc_id,
+  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(t, 0) AS BIGINT) AS tgt_mass,
+  CAST(coalesce(r, 0) AS BIGINT) AS raw_mass,
+  CAST(CASE WHEN coalesce(r, 0) > 0 THEN (t * 1000000) // r ELSE 0 END AS BIGINT) AS score_ppm
+FROM base LEFT JOIN m USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1825,6 +1865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_language_balanced_sample": q56_language_balanced_sample,
     "q57_token_budget_mix": q57_token_budget_mix,
     "q58_token_budget_rate": q58_token_budget_rate,
+    "q59_importance_mass": q59_importance_mass,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -1887,6 +1928,7 @@ ORACLES: dict[str, str] = {
     "q56_language_balanced_sample": Q56_SQL,
     "q57_token_budget_mix": Q57_SQL,
     "q58_token_budget_rate": Q58_SQL,
+    "q59_importance_mass": Q59_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -153,3 +153,41 @@ def test_vocab_tiebreak_is_deterministic(spark):
     df = _docs(spark, [(1, "b a d c")])
     out = vocab_coverage(df, "doc_id", top_k=2).collect()[0]
     assert out["in_vocab"] == 2  # {a, b}
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance mass
+# ---------------------------------------------------------------------------
+
+
+def test_importance_mass_hand_computed(spark):
+    from opentelemetry_collector_spark.operators.contamination import importance_mass
+
+    # bigrams — target: {"a b": 1, "b c": 1}; raw corpus grams:
+    #   doc1 "a b c"   -> [a b, b c]
+    #   doc2 "a b a b" -> [a b, b a, a b]
+    #   doc3 "x y"     -> [x y]
+    raw = _docs(spark, [(1, "a b c"), (2, "a b a b"), (3, "x y")])
+    tgt = _docs(spark, [(100, "a b c")])
+    out = {r.doc_id: r for r in importance_mass(raw, tgt, "doc_id", n=2).collect()}
+    # raw gram counts: "a b"->3, "b c"->1, "b a"->1, "x y"->1
+    assert (out[1].n_grams, out[1].tgt_mass, out[1].raw_mass) == (2, 2, 4)
+    assert out[1].score_ppm == 2 * 1_000_000 // 4
+    # multiset semantics: doc2's repeated "a b" counts twice in both masses
+    assert (out[2].n_grams, out[2].tgt_mass, out[2].raw_mass) == (3, 2, 7)
+    assert out[2].score_ppm == 2 * 1_000_000 // 7
+    # target-disjoint doc scores 0 but keeps its raw mass
+    assert (out[3].n_grams, out[3].tgt_mass, out[3].raw_mass) == (1, 0, 1)
+    assert out[3].score_ppm == 0
+
+
+def test_importance_mass_keeps_empty_and_short_docs(spark):
+    from opentelemetry_collector_spark.operators.contamination import importance_mass
+
+    raw = _docs(spark, [(1, ""), (2, "single"), (3, "a b")])
+    tgt = _docs(spark, [(100, "a b")])
+    out = {r.doc_id: r for r in importance_mass(raw, tgt, "doc_id", n=2).collect()}
+    assert set(out) == {1, 2, 3}
+    for d in (1, 2):  # zero bigrams -> all-zero evidence, not a dropped row
+        assert (out[d].n_grams, out[d].tgt_mass, out[d].raw_mass, out[d].score_ppm) == (0, 0, 0, 0)
+    assert out[3].score_ppm == 1_000_000  # its only gram is pure target mass
