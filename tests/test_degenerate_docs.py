@@ -28,6 +28,11 @@ DOC_QUERIES = [
     "q47_vocab_coverage",
     "q50_exact_substring",
     "q56_language_balanced_sample",
+    # q57/q58: no budget covers source "weird" -> must drop-all, not crash;
+    # q59: every fixture doc_id is a multiple of 50 -> all-target/empty-raw
+    "q57_token_budget_mix",
+    "q58_token_budget_rate",
+    "q59_importance_mass",
 ]
 
 WEIRD_TEXTS = [
