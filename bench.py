@@ -52,6 +52,8 @@ HEADLINE = [
     "q57_token_budget_mix",
     "q58_token_budget_rate",
     "q59_importance_mass",
+    "q60_chunk_documents",
+    "q61_incremental_dedup",
     # analytic extensions (transcripts table)
     "q51_asof_enrich",
     "q52_route_rollup",

@@ -623,3 +623,28 @@ def dedup_survivors(
         .filter(F.col("_rk") == 1)
         .drop("_rk", "n_members")
     )
+
+
+def exact_dedup_against(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingestion dedup: drop new documents whose fingerprint
+    (md5 of whitespace-normalized lowercased text, the q12 exact-dup key)
+    already exists in a previously-ingested corpus — LEFT ANTI join against
+    the seen side's distinct fingerprints. Within-batch duplicates are a
+    separate concern (:func:`exact_dedup` keeps one per fingerprint).
+
+    Scale shape: the seen side reduces to distinct 16-byte fingerprints
+    before the join (partial-aggregated); AQE broadcasts it when it fits
+    and falls back to a hash join co-partitioned on the fingerprint when it
+    does not — the new corpus text itself is never shuffled, only
+    (row, fingerprint) through the anti probe.
+    """
+    seen = seen_df.select(fingerprint(F.col(text_col)).alias("_fp")).distinct()
+    return (
+        new_df.withColumn("_fp", fingerprint(F.col(text_col)))
+        .join(seen, "_fp", "left_anti")
+        .drop("_fp")
+    )

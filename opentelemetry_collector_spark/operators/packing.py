@@ -71,3 +71,44 @@ def chunk_stats(packed: DataFrame, token_col: str, conv_col: str = "conv_id") ->
         F.count(F.lit(1)).cast("bigint").alias("n_turns"),
         F.sum(token_col).cast("bigint").alias("chunk_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-window token chunking with overlap — the context-window
+    preprocessing step for pretraining/RAG corpora (the per-document
+    counterpart of :func:`pack_sequences`, which packs across turns).
+
+    A document's whitespace tokens become chunks of ``window`` tokens whose
+    starts advance by ``window - overlap``; the tail chunk may be shorter;
+    zero-token documents yield no chunks. Output:
+    ``(id, chunk_idx, chunk_text, n_tokens)``.
+
+    Scale shape: tokens/sequence/slice are JVM expressions inside one
+    Generate over the scan — no shuffle, no Python; output size is
+    len/(window-overlap) rows per doc, linear in the corpus.
+    """
+    if not 0 <= overlap < window:
+        raise ValueError("require 0 <= overlap < window")
+    from opentelemetry_collector_spark.operators.text import tokens
+
+    step = window - overlap
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    starts = F.when(
+        F.size("_w") > 0, F.sequence(F.lit(1), F.size("_w"), F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = base.select(
+        F.col(id_col), F.col("_w"), F.posexplode(starts).alias("chunk_idx", "_s")
+    )
+    piece = F.slice(F.col("_w"), F.col("_s"), window)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+    )

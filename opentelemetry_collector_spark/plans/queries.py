@@ -1805,6 +1805,55 @@ FROM base LEFT JOIN m USING (doc_id)
 """
 
 
+def q60_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document split into 32-token windows
+    overlapping by 8 (starts every 24 tokens, shorter tail kept) — all JVM
+    array expressions in one Generate over the scan."""
+    from opentelemetry_collector_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, window=32, overlap=8)
+
+
+Q60_SQL = f"""
+WITH {_DOC_WORDS_SQL},
+s AS (SELECT doc_id, w,
+             CASE WHEN len(w) > 0 THEN generate_series(1, len(w), 24)
+                  ELSE []::BIGINT[] END AS starts
+      FROM d),
+e AS (SELECT doc_id, w, unnest(starts) AS st,
+             generate_subscripts(starts, 1) - 1 AS chunk_idx
+      FROM s)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(w[st:st+31], ' ') AS chunk_text,
+       CAST(len(w[st:st+31]) AS BIGINT) AS n_tokens
+FROM e
+"""
+
+
+def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: docs with doc_id % 10 < 3 are the
+    already-ingested corpus; the rest is the new batch, which drops any doc
+    whose exact fingerprint already exists on the seen side (anti join on
+    the q12 fingerprint key)."""
+    from opentelemetry_collector_spark.operators.dedup import exact_dedup_against
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = docs.filter(F.col("doc_id") % 10 < 3)
+    new = docs.filter(F.col("doc_id") % 10 >= 3)
+    return exact_dedup_against(new, seen).select("doc_id", "source", "n_chars")
+
+
+Q61_SQL = r"""
+WITH fp AS (SELECT doc_id, source, n_chars,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+            FROM documents),
+seen AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 < 3)
+SELECT doc_id, source, n_chars
+FROM fp WHERE doc_id % 10 >= 3 AND f NOT IN (SELECT f FROM seen)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1866,6 +1915,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_token_budget_mix": q57_token_budget_mix,
     "q58_token_budget_rate": q58_token_budget_rate,
     "q59_importance_mass": q59_importance_mass,
+    "q60_chunk_documents": q60_chunk_documents,
+    "q61_incremental_dedup": q61_incremental_dedup,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -1929,6 +1980,8 @@ ORACLES: dict[str, str] = {
     "q57_token_budget_mix": Q57_SQL,
     "q58_token_budget_rate": Q58_SQL,
     "q59_importance_mass": Q59_SQL,
+    "q60_chunk_documents": Q60_SQL,
+    "q61_incremental_dedup": Q61_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

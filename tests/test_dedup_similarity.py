@@ -431,3 +431,22 @@ def test_simhash_blocking_has_full_recall(spark):
             for r in simhash_neardup_pairs(docs, "doc_id", max_hamming=d).collect()
         }
         assert got == brute, (d, len(got), len(brute))
+
+
+def test_exact_dedup_against_drops_only_cross_corpus_dups(spark):
+    from opentelemetry_collector_spark.operators.dedup import exact_dedup_against
+
+    seen = spark.createDataFrame(
+        [(1, "The quick   brown fox"), (2, "unrelated seen doc")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox"),   # normalized dup of seen doc 1
+            (11, "a genuinely new doc"),
+            (12, "a genuinely new doc"),   # within-batch dup: KEPT (not this op's job)
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in exact_dedup_against(new, seen).collect()}
+    assert kept == {11, 12}

@@ -33,6 +33,8 @@ DOC_QUERIES = [
     "q57_token_budget_mix",
     "q58_token_budget_rate",
     "q59_importance_mass",
+    "q60_chunk_documents",
+    "q61_incremental_dedup",
 ]
 
 WEIRD_TEXTS = [

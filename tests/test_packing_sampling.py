@@ -124,3 +124,43 @@ def test_token_budget_rate_plan_is_broadcast_no_corpus_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan and "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from opentelemetry_collector_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, "a b"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, window=4, overlap=1)
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens) for r in out.collect()}
+    # starts advance by window-overlap=3: 1,4,7,10
+    assert got[(1, 0)] == ("t1 t2 t3 t4", 4)
+    assert got[(1, 1)] == ("t4 t5 t6 t7", 4)
+    assert got[(1, 2)] == ("t7 t8 t9 t10", 4)
+    assert got[(1, 3)] == ("t10", 1)  # shorter tail kept
+    assert got[(2, 0)] == ("a b", 2)  # sub-window doc -> one chunk
+    # empty / null docs yield no chunks
+    assert all(k[0] not in (3, 4) for k in got)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=4, overlap=-1)
+
+
+def test_chunk_documents_plan_is_single_generate_no_shuffle(spark):
+    from opentelemetry_collector_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = chunk_documents(docs, 3, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan
+    assert "Exchange" not in plan and "Python" not in plan
