@@ -54,6 +54,7 @@ HEADLINE = [
     "q59_importance_mass",
     "q60_chunk_documents",
     "q61_incremental_dedup",
+    "q62_selection_pipeline",
     # analytic extensions (transcripts table)
     "q51_asof_enrich",
     "q52_route_rollup",

@@ -1854,6 +1854,78 @@ FROM fp WHERE doc_id % 10 >= 3 AND f NOT IN (SELECT f FROM seen)
 """
 
 
+def q62_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone data-selection pipeline in ONE plan: DSIR importance scores
+    against the target corpus (q59) -> top-10 docs per source by score
+    (rank-limit pushdown caps the shuffle) -> 32-token chunking (q60) ->
+    per-source selection stats. The oracle derives chunk counts in closed
+    form (ceil(len/32)) instead of materializing chunks — two independent
+    derivations must agree."""
+    from pyspark.sql import Window as W
+
+    from opentelemetry_collector_spark.operators.contamination import importance_mass
+    from opentelemetry_collector_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = docs.filter(F.col("doc_id") % 50 == 0)
+    raw = docs.filter(F.col("doc_id") % 50 != 0)
+    scored = importance_mass(raw, tgt, "doc_id", n=2).join(
+        raw.select("doc_id", "source", "text"), "doc_id"
+    )
+    w = W.partitionBy("source").orderBy(F.col("score_ppm").desc(), "doc_id")
+    selected = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 10)
+        .drop("_rk")
+    )
+    chunks = chunk_documents(selected, window=32, overlap=0)
+    stats = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_nc"), F.sum("n_tokens").alias("_tt")
+    )
+    return (
+        selected.join(stats, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_nc"), F.lit(0))).cast("bigint").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("_tt"), F.lit(0))).cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+Q62_SQL = f"""
+WITH {_DOC_WORDS_SQL},
+g AS (SELECT doc_id,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(generate_series(1, len(w)-1), i -> array_to_string(w[i:i+1], ' '))
+                  ELSE []::VARCHAR[] END AS gs
+      FROM d),
+tgt AS (SELECT gram, count(*) AS tc
+        FROM (SELECT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0) GROUP BY 1),
+raw AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 50 <> 0),
+rc AS (SELECT gram, count(*) AS rc FROM raw GROUP BY 1),
+m AS (SELECT raw.doc_id,
+             sum(coalesce(tgt.tc, 0)) AS t,
+             sum(rc.rc) AS r
+      FROM raw LEFT JOIN tgt USING (gram) JOIN rc USING (gram)
+      GROUP BY raw.doc_id),
+sc AS (SELECT d.doc_id, doc.source, len(d.w) AS n_toks,
+              CAST(CASE WHEN coalesce(m.r, 0) > 0 THEN (m.t * 1000000) // m.r
+                        ELSE 0 END AS BIGINT) AS score_ppm
+       FROM d JOIN documents doc USING (doc_id) LEFT JOIN m USING (doc_id)
+       WHERE d.doc_id % 50 <> 0),
+sel AS (SELECT * FROM (
+          SELECT sc.*, row_number() OVER (
+            PARTITION BY source ORDER BY score_ppm DESC, doc_id) AS rk
+          FROM sc) WHERE rk <= 10)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN n_toks > 0 THEN (n_toks + 31) // 32 ELSE 0 END) AS BIGINT) AS n_chunks,
+  CAST(sum(n_toks) AS BIGINT) AS total_tokens
+FROM sel GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1917,6 +1989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_importance_mass": q59_importance_mass,
     "q60_chunk_documents": q60_chunk_documents,
     "q61_incremental_dedup": q61_incremental_dedup,
+    "q62_selection_pipeline": q62_selection_pipeline,
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
@@ -1982,6 +2055,7 @@ ORACLES: dict[str, str] = {
     "q59_importance_mass": Q59_SQL,
     "q60_chunk_documents": Q60_SQL,
     "q61_incremental_dedup": Q61_SQL,
+    "q62_selection_pipeline": Q62_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -35,6 +35,7 @@ DOC_QUERIES = [
     "q59_importance_mass",
     "q60_chunk_documents",
     "q61_incremental_dedup",
+    "q62_selection_pipeline",
 ]
 
 WEIRD_TEXTS = [
