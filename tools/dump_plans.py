@@ -170,6 +170,16 @@ COMMENTARY = {
         "sort (whole strata on single tasks); the rate form touches the corpus twice as "
         "embarrassingly-parallel scans and shuffles only per-stratum totals.",
     ),
+    "q62_selection_pipeline": (
+        "The whole selection chain is one DAG: gram-count aggregates partial-aggregate "
+        "before their exchanges, the score join runs gram-to-gram, the per-source top-k "
+        "carries a partial WindowGroupLimit BEFORE its exchange, and chunking is a "
+        "Generate with no shuffle of its own.",
+        "A corpus build that materializes intermediate tables between score/select/chunk "
+        "rescans the data once per stage; the composed plan reads the corpus a bounded "
+        "number of times and every shuffle it pays is either |grams| partials or k-per-"
+        "stratum rows.",
+    ),
     "q53_latency_quantiles": (
         "Exact percentiles ride the SAME plan shape as any grouped agg: lead() window on "
         "hashpartitioning(conv_id), broadcast meta join, then partial+final HashAggregate "
