@@ -120,8 +120,11 @@ def importance_mass(
         F.col("_n").cast("bigint").alias("n_grams"),
         F.col("_t").cast("bigint").alias("tgt_mass"),
         F.col("_r").cast("bigint").alias("raw_mass"),
+        # decimal(38,0) intermediate: bigint _t * 1e6 would ANSI-overflow
+        # past tgt_mass ~9.2e12, which a 100 TB corpus can reach; DuckDB's
+        # sum() is int128 already, so this keeps the engines bit-identical
         F.when(
-            F.col("_r") > 0, F.expr("CAST(_t * 1000000 AS BIGINT) DIV _r")
+            F.col("_r") > 0, F.expr("CAST(_t AS DECIMAL(38,0)) * 1000000 DIV _r")
         ).otherwise(F.lit(0)).cast("bigint").alias("score_ppm"),
     )
 

@@ -154,13 +154,18 @@ def token_budget_rate_sample(
     b = F.create_map(
         *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))]
     )
-    # NULL budget (stratum not in the mix) must DROP the stratum — filter
-    # before least(), which skips NULL operands rather than propagating them
-    raw = b[F.col(stratum_col)].cast("double") / F.col("_total")
+    # NULL budget (stratum not in the mix) must DROP the stratum — gate on
+    # the budget itself, not on least(), which skips NULL operands rather
+    # than propagating them. A zero-token stratum divides by zero (ANSI
+    # error, not NULL) — keep it whole instead, matching the exact
+    # variant's hard cap (a cumulative sum of 0 never exceeds any budget).
+    budget = b[F.col(stratum_col)].cast("double")
+    rate = F.when(
+        F.col("_total") > 0, F.least(F.lit(1.0), budget / F.col("_total"))
+    ).otherwise(F.lit(1.0))
     rates = (
-        totals.select(F.col(stratum_col).alias("_stratum"), raw.alias("_raw"))
-        .filter(F.col("_raw").isNotNull())
-        .select("_stratum", F.least(F.lit(1.0), F.col("_raw")).alias("_rate"))
+        totals.filter(budget.isNotNull())
+        .select(F.col(stratum_col).alias("_stratum"), rate.alias("_rate"))
     )
     return (
         df.join(

@@ -1702,11 +1702,11 @@ SELECT doc_id, lang_guess FROM (
 
 _MIX_BUDGETS = {"src0": 700, "src1": 5000, "src2": 300, "src3": 1100}
 _MIX_BUDGETS_SQL = ", ".join(f"('{k}', {v})" for k, v in _MIX_BUDGETS.items())
-_TOK_SQL = r"""
-tok AS (SELECT doc_id, source,
-  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
-FROM documents),
+# token counts ride the shared _DOC_WORDS_SQL tokenizer (one oracle-side
+# tokenizer for the whole documents family — never a second copy to drift)
+_TOK_SQL = """
+tok AS (SELECT d.doc_id, doc.source, CAST(len(d.w) AS BIGINT) AS n_tokens
+        FROM d JOIN documents doc USING (doc_id)),
 b AS (SELECT * FROM (VALUES %s) AS b(source, budget))
 """ % _MIX_BUDGETS_SQL
 
@@ -1727,7 +1727,7 @@ def q57_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens")
 
 
-Q57_SQL = f"""WITH {_TOK_SQL},
+Q57_SQL = f"""WITH {_DOC_WORDS_SQL}, {_TOK_SQL},
 c AS (SELECT t.doc_id, t.source, t.n_tokens, b.budget,
         sum(t.n_tokens) OVER (
           PARTITION BY t.source
@@ -1754,9 +1754,12 @@ def q58_token_budget_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens")
 
 
-Q58_SQL = f"""WITH {_TOK_SQL},
+Q58_SQL = f"""WITH {_DOC_WORDS_SQL}, {_TOK_SQL},
 tot AS (SELECT source, sum(n_tokens) AS total FROM tok GROUP BY source),
-r AS (SELECT tot.source, least(1.0, CAST(b.budget AS DOUBLE) / tot.total) AS rate
+r AS (SELECT tot.source,
+             CASE WHEN tot.total > 0
+                  THEN least(1.0, CAST(b.budget AS DOUBLE) / tot.total)
+                  ELSE 1.0 END AS rate
       FROM tot JOIN b USING (source))
 SELECT t.doc_id, t.source, t.n_tokens
 FROM tok t JOIN r USING (source)
@@ -1800,7 +1803,7 @@ SELECT base.doc_id,
   CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
   CAST(coalesce(t, 0) AS BIGINT) AS tgt_mass,
   CAST(coalesce(r, 0) AS BIGINT) AS raw_mass,
-  CAST(CASE WHEN coalesce(r, 0) > 0 THEN (t * 1000000) // r ELSE 0 END AS BIGINT) AS score_ppm
+  CAST(CASE WHEN coalesce(r, 0) > 0 THEN (CAST(t AS HUGEINT) * 1000000) // r ELSE 0 END AS BIGINT) AS score_ppm
 FROM base LEFT JOIN m USING (doc_id)
 """
 
@@ -1850,8 +1853,14 @@ WITH fp AS (SELECT doc_id, source, n_chars,
             FROM documents),
 seen AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 < 3)
 SELECT doc_id, source, n_chars
-FROM fp WHERE doc_id % 10 >= 3 AND f NOT IN (SELECT f FROM seen)
+FROM fp
+WHERE doc_id % 10 >= 3
+  AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.f = fp.f)
 """
+# Q61 uses NOT EXISTS, never NOT IN: md5(NULL) = NULL on a NULL-text doc
+# would make NOT IN return zero rows corpus-wide, while the engine's LEFT
+# ANTI join (null never equal) keeps NULL-fingerprint docs — as NOT EXISTS
+# does.
 
 
 def q62_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1910,7 +1919,7 @@ m AS (SELECT raw.doc_id,
       FROM raw LEFT JOIN tgt USING (gram) JOIN rc USING (gram)
       GROUP BY raw.doc_id),
 sc AS (SELECT d.doc_id, doc.source, len(d.w) AS n_toks,
-              CAST(CASE WHEN coalesce(m.r, 0) > 0 THEN (m.t * 1000000) // m.r
+              CAST(CASE WHEN coalesce(m.r, 0) > 0 THEN (CAST(m.t AS HUGEINT) * 1000000) // m.r
                         ELSE 0 END AS BIGINT) AS score_ppm
        FROM d JOIN documents doc USING (doc_id) LEFT JOIN m USING (doc_id)
        WHERE d.doc_id % 50 <> 0),

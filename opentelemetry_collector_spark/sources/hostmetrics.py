@@ -299,11 +299,13 @@ def scrape_processes(
             continue
         base = os.path.join(proc_root, entry)
         try:
-            with open(os.path.join(base, "comm")) as f:
-                name = f.read().strip()
             exe = os.readlink(os.path.join(base, "exe"))
         except OSError:
             continue  # process_scraper.go:118-123 — no executable, skip
+        # name from the exe path, NOT /proc/<pid>/comm: the kernel truncates
+        # comm to 15 chars, which would silently break strict filtersets on
+        # longer executable names
+        name = os.path.basename(exe)
         if not keep(name):
             continue
         resource = {

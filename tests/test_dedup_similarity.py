@@ -450,3 +450,19 @@ def test_exact_dedup_against_drops_only_cross_corpus_dups(spark):
     )
     kept = {r.doc_id for r in exact_dedup_against(new, seen).collect()}
     assert kept == {11, 12}
+
+
+def test_exact_dedup_against_null_text_rows(spark):
+    from opentelemetry_collector_spark.operators.dedup import exact_dedup_against
+
+    seen = spark.createDataFrame(
+        [(1, None), (2, "known doc")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, None), (11, "known doc"), (12, "fresh")], "doc_id long, text string"
+    )
+    # NULL fingerprints never join: NULL-text new docs are kept even when
+    # the seen side also contains NULL text (the anti-join's null-never-
+    # equal rule, which the q61 oracle mirrors with NOT EXISTS)
+    kept = {r.doc_id for r in exact_dedup_against(new, seen).collect()}
+    assert kept == {10, 12}

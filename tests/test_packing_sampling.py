@@ -164,3 +164,17 @@ def test_chunk_documents_plan_is_single_generate_no_shuffle(spark):
     plan = chunk_documents(docs, 3, 1)._jdf.queryExecution().executedPlan().toString()
     assert "Generate" in plan
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_token_budget_rate_keeps_zero_token_stratum_whole(spark):
+    from opentelemetry_collector_spark.operators.sample import token_budget_rate_sample
+
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "a", 0), (3, "b", 10)],
+        "doc_id long, source string, tok long",
+    )
+    # an all-empty budgeted stratum must survive whole (rate 1), matching
+    # the exact variant's hard cap — and must not divide by zero
+    out = token_budget_rate_sample(df, "source", {"a": 100, "b": 100}, "doc_id", "tok")
+    kept = {r.doc_id for r in out.collect()}
+    assert {1, 2} <= kept
