@@ -150,3 +150,82 @@ def test_hashed_shingle_path_matches_catalyst_semantics(spark, texts):
         .collect()
     }
     assert j_fast == j_cat
+
+
+@given(
+    toks=st.lists(st.integers(0, 50), min_size=0, max_size=60),
+    window=st.integers(2, 12),
+    overlap_frac=st.integers(0, 100),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_reconstructs_original_property(spark, toks, window, overlap_frac):
+    """Dropping each later chunk's first `overlap` tokens and concatenating
+    must reproduce the document's token stream exactly."""
+    from opentelemetry_collector_spark.operators.packing import chunk_documents
+
+    overlap = (window - 1) * overlap_frac // 100
+    words = [f"w{t}" for t in toks]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    chunks = sorted(
+        (r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, window, overlap).collect()
+    )
+    rebuilt: list[str] = []
+    for idx, text, n in chunks:
+        part = text.split(" ") if text else []
+        assert len(part) == n <= window
+        rebuilt += part if idx == 0 else part[overlap:]
+    assert rebuilt == words
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 30)),
+        min_size=1,
+        max_size=30,
+    ),
+    budget=st.integers(0, 200),
+)
+@settings(**SETTINGS)
+def test_token_budget_sample_is_maximal_prefix_property(spark, rows, budget):
+    """Per stratum: kept tokens never exceed the budget, and the keep-set is
+    the MAXIMAL md5-ordered prefix (the first dropped doc would overflow)."""
+    from opentelemetry_collector_spark.operators.sample import token_budget_sample
+
+    data = [(i, src, tok) for i, (src, tok) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, source string, tok long")
+    budgets = {"a": budget, "b": budget}
+    kept = {r.doc_id for r in token_budget_sample(df, "source", budgets, "doc_id", "tok").collect()}
+    for src in ("a", "b", "c"):
+        order = sorted(
+            (r for r in data if r[1] == src),
+            key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest(),
+        )
+        cum, expect = 0, set()
+        for doc_id, _, tok in order:
+            cum += tok
+            if src not in budgets or cum > budgets[src]:
+                break
+            expect.add(doc_id)
+        assert {d for d in kept if data[d][1] == src} == expect
+
+
+@given(texts=st.lists(text_st, min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_importance_mass_invariants_property(spark, texts):
+    """raw_mass >= n_grams (every gram occurs at least once in the raw
+    corpus — itself), tgt_mass <= raw_mass * |target dups| bound via
+    score <= 1e6 * max target count, and empty docs report zeros."""
+    from opentelemetry_collector_spark.operators.contamination import importance_mass
+
+    raw = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    tgt = spark.createDataFrame([(100, texts[0])], "doc_id long, text string")
+    out = importance_mass(raw, tgt, "doc_id", n=2).collect()
+    assert {r.doc_id for r in out} == set(range(len(texts)))
+    for r in out:
+        assert r.raw_mass >= r.n_grams
+        assert r.tgt_mass >= 0
+        if r.n_grams == 0:
+            assert (r.tgt_mass, r.raw_mass, r.score_ppm) == (0, 0, 0)
+        if r.raw_mass > 0:
+            assert r.score_ppm == r.tgt_mass * 1_000_000 // r.raw_mass
