@@ -64,10 +64,50 @@ class ConfigError(ValueError):
     """Invalid pipeline config (the configloader/validation error analog)."""
 
 
-def load_config(source: dict | str) -> dict:
-    """Accept a dict, a YAML string, or a path to a YAML file."""
+# Go os.Expand name grammar (configloader/config.go:521-533): ${name},
+# $$ -> literal $, $IDENT (letter/underscore then word chars), or a
+# single shell-special char ($1, $?, ... -> looked up as a 1-char name,
+# normally unset -> "")
+_ENV_RE = __import__("re").compile(
+    r"\$(?:(\$)|\{([^}]*)\}|([A-Za-z_]\w*)|([*#@!?\-0-9]))"
+)
+
+
+def expand_env(s: str, env=None) -> str:
+    """Environment-variable substitution with the reference's exact escape
+    rules (``configloader/config.go:521-533``): ``$FOO``/``${FOO}`` replace
+    with the env value (unset -> empty string), ``$$FOO`` -> literal
+    ``$FOO``, ``$$$FOO`` -> ``$`` + substituted FOO."""
+    env = os.environ if env is None else env
+
+    def sub(m):
+        if m.group(1):
+            return "$"
+        name = next(g for g in m.groups()[1:] if g is not None)
+        return env.get(name, "")
+
+    return _ENV_RE.sub(sub, s)
+
+
+def _expand_config(obj, env=None):
+    """Recursive expansion over every string VALUE in the loaded config map
+    (the expandStringValues walk, ``configloader/config.go:455-474``)."""
+    if isinstance(obj, str):
+        return expand_env(obj, env)
+    if isinstance(obj, list):
+        return [_expand_config(v, env) for v in obj]
+    if isinstance(obj, dict):
+        return {k: _expand_config(v, env) for k, v in obj.items()}
+    return obj
+
+
+def load_config(source: dict | str, env=None) -> dict:
+    """Accept a dict, a YAML string, or a path to a YAML file. String values
+    get env-var expansion exactly like the reference's config loader (which
+    expands the loaded map regardless of which parser provider produced
+    it); pass ``env={}`` to disable lookups."""
     if isinstance(source, dict):
-        return source
+        return _expand_config(source, env)
     text = source
     if isinstance(source, str) and os.path.exists(source):
         with open(source) as f:
@@ -82,7 +122,7 @@ def load_config(source: dict | str) -> dict:
         cfg = json.loads(text)
     if not isinstance(cfg, dict):
         raise ConfigError("config must be a mapping")
-    return cfg
+    return _expand_config(cfg, env)
 
 
 def component_type(component_id: str) -> str:

@@ -357,3 +357,43 @@ def test_resource_enrich_composite_key(spark, tmp_path):
     run_config(spark, spec, base_path=str(tmp_path / "base"))
     got = {(r.conv_id, r.role): r.weight for r in spark.read.parquet(out).collect()}
     assert got == {("c1", "user"): 3, ("c1", "assistant"): 7}
+
+
+def test_env_expansion_matches_reference_escape_table():
+    """The configloader's $/$$ table (config_test.go:305-320): $FOO
+    substitutes, $$FOO escapes to a literal $FOO, $$$FOO is an escaped $
+    followed by the substituted var, $$$$ is two escaped dollars."""
+    from opentelemetry_collector_spark.config import expand_env
+
+    env = {"FOO": "bar", "RECV": "v3"}
+    assert expand_env("$FOO", env) == "bar"
+    assert expand_env("${FOO}", env) == "bar"
+    assert expand_env("$$FOO", env) == "$FOO"
+    assert expand_env("$$$FOO", env) == "$bar"
+    assert expand_env("$$$$", env) == "$$"
+    assert expand_env("some$FOO/path", env) == "somebar/path"
+    assert expand_env("$MISSING", env) == ""  # unset -> empty, like os.Getenv
+    assert expand_env("$$RECV", env) == "$RECV"
+
+
+def test_load_config_expands_nested_string_values(tmp_path):
+    import os
+
+    from opentelemetry_collector_spark.config import load_config
+
+    os.environ["OTELCOL_SPARK_TEST_PATH"] = str(tmp_path / "sink")
+    try:
+        cfg = load_config(
+            {
+                "receivers": {"transcripts": {"sf_dir": "$OTELCOL_SPARK_TEST_PATH"}},
+                "exporters": {
+                    "parquet": {"path": "${OTELCOL_SPARK_TEST_PATH}/out", "opts": ["$$keep"]}
+                },
+                "service": {"pipelines": {}},
+            }
+        )
+    finally:
+        del os.environ["OTELCOL_SPARK_TEST_PATH"]
+    assert cfg["receivers"]["transcripts"]["sf_dir"] == str(tmp_path / "sink")
+    assert cfg["exporters"]["parquet"]["path"] == str(tmp_path / "sink") + "/out"
+    assert cfg["exporters"]["parquet"]["opts"] == ["$keep"]  # $$ escape survives lists
