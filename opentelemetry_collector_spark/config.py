@@ -125,6 +125,40 @@ def load_config(source: dict | str, env=None) -> dict:
     return _expand_config(cfg, env)
 
 
+def apply_set_overrides(cfg: dict, sets: list[str]) -> dict:
+    """``--set a.b.c=value`` command-line overrides layered over the loaded
+    config (the setflag parser provider, ``service/parserprovider/
+    setflag.go:25-60``: properties-format pairs merged into the map at the
+    "."-delimited path). Values parse as YAML scalars — the analog of
+    viper's weak typing that turns ``=100`` into an int — and go through
+    the same env-var expansion as file values. Returns a new dict; the
+    input is not mutated."""
+    import copy
+
+    out = copy.deepcopy(cfg)
+    for prop in sets:
+        prop = prop.strip()
+        key, sep, raw = prop.partition("=")
+        if not sep or not key.strip():
+            raise ConfigError(f"--set must be key=value, got {prop!r} (setflag.go)")
+        try:
+            import yaml
+
+            value = yaml.safe_load(raw.strip()) if raw.strip() else ""
+        except ImportError:  # pragma: no cover
+            value = raw.strip()
+        node = out
+        parts = [p for p in key.strip().split(".") if p]
+        for p in parts[:-1]:
+            nxt = node.get(p)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[p] = nxt
+            node = nxt
+        node[parts[-1]] = _expand_config(value)
+    return out
+
+
 def component_type(component_id: str) -> str:
     """``type[/name]`` -> ``type`` (config.go:142-168 id parsing)."""
     return component_id.split("/", 1)[0].strip()

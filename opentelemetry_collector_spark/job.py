@@ -29,14 +29,26 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--base-path", required=True, help="output root: sinks, metrics, manifest")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--master", default=None, help="override master (local runs); omit under spark-submit")
+    ap.add_argument(
+        "--set",
+        dest="sets",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="dotted-path config override, repeatable (the reference's --set flag)",
+    )
     args = ap.parse_args(argv)
 
-    from opentelemetry_collector_spark.config import run_config
+    from opentelemetry_collector_spark.config import apply_set_overrides, load_config, run_config
     from opentelemetry_collector_spark.session import build_session
+
+    cfg = load_config(args.config)
+    if args.sets:
+        cfg = apply_set_overrides(cfg, args.sets)
 
     spark = build_session(master=args.master) if args.master else build_session(master=None)
     try:
-        results = run_config(spark, args.config, args.base_path, run_id=args.run_id)
+        results = run_config(spark, cfg, args.base_path, run_id=args.run_id)
         summary = {
             p: {"run_id": r.run_id, "sink_rows": r.sink_rows, "resumed": r.resumed_sinks}
             for p, r in results.items()

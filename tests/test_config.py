@@ -248,6 +248,9 @@ service:
             str(tmp_path / "run"),
             "--master",
             "local[2]",
+            # the reference's --set flag: overrides layer over the file
+            "--set",
+            f"exporters.parquet/all.path={tmp_path}/out_override",
         ],
         cwd=repo,
         capture_output=True,
@@ -260,7 +263,10 @@ service:
 
     expected = synthesize(spark, 12, 4, 7).count()
     assert summary["logs"]["sink_rows"]["parquet_all"] == expected
-    assert spark.read.parquet(str(tmp_path / "out_all")).count() == expected
+    assert spark.read.parquet(str(tmp_path / "out_override")).count() == expected
+    import os.path
+
+    assert not os.path.exists(str(tmp_path / "out_all"))  # file value was overridden
 
 
 def test_multi_pipeline_service(spark, tmp_path):
@@ -397,3 +403,37 @@ def test_load_config_expands_nested_string_values(tmp_path):
     assert cfg["receivers"]["transcripts"]["sf_dir"] == str(tmp_path / "sink")
     assert cfg["exporters"]["parquet"]["path"] == str(tmp_path / "sink") + "/out"
     assert cfg["exporters"]["parquet"]["opts"] == ["$keep"]  # $$ escape survives lists
+
+
+def test_set_overrides_layer_over_config():
+    """setflag semantics: dotted-path properties merged into the loaded map,
+    YAML-scalar value coercion, later flags win, input not mutated."""
+    import pytest
+
+    from opentelemetry_collector_spark.config import ConfigError, apply_set_overrides
+
+    base = {"processors": {"batch": {"send_batch_max_size": 10}}, "service": {}}
+    out = apply_set_overrides(
+        base,
+        [
+            "processors.batch.send_batch_max_size=250",
+            "processors.probabilistic_sampler.sampling_percentage=12.5",
+            "exporters.parquet.path=/tmp/x",
+            "processors.batch.send_batch_max_size=300",  # last one wins
+        ],
+    )
+    assert out["processors"]["batch"]["send_batch_max_size"] == 300
+    assert out["processors"]["probabilistic_sampler"]["sampling_percentage"] == 12.5
+    assert out["exporters"]["parquet"]["path"] == "/tmp/x"
+    assert base["processors"]["batch"]["send_batch_max_size"] == 10  # untouched
+    with pytest.raises(ConfigError):
+        apply_set_overrides(base, ["no-equals-sign"])
+
+
+def test_set_override_values_get_env_expansion(monkeypatch):
+    from opentelemetry_collector_spark.config import apply_set_overrides
+
+    monkeypatch.setenv("OTELCOL_SET_TEST", "expanded")
+    out = apply_set_overrides({}, ["a.b=$OTELCOL_SET_TEST", "a.c=$$literal"])
+    assert out["a"]["b"] == "expanded"
+    assert out["a"]["c"] == "$literal"
