@@ -40,6 +40,7 @@ HEADLINE = [
     "q24_grok_pack",
     "q25_ngram_jaccard",
     "q30_ann_ivf",
+    "q63_ann_pq",
     "q33_histogram_merge",
     "q34_memory_limiter",
     # corpus-quality suite (documents table)

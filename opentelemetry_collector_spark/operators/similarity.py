@@ -384,3 +384,214 @@ def ivf_probe_index(
             F.floor(F.col("cos") * 1000).cast("bigint").alias("cos_milli"),
         )
     )
+
+
+# --- product quantization: the memory-bound scale path ----------------------
+#
+# IVF prunes WORK (fewer candidates); PQ prunes BYTES: a dim-D float vector
+# becomes m uint8 codes (D*4 bytes -> m bytes, e.g. 64 floats -> 8 bytes),
+# which is what makes a 100 TB embedding table servable from executor
+# memory. Inner-product PQ over L2-normalized vectors: per-subspace
+# codebooks quantize the vector, a query scores candidates via an
+# asymmetric-distance lookup table (LUT) of subspace dot products —
+# Jegou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011. No reference counterpart (SURVEY §2.7 Spark-side surface).
+
+
+def train_pq(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    init_sample: int = 4096,
+) -> np.ndarray:
+    """Train per-subspace PQ codebooks; returns (m, ksub, dim/m) numpy.
+
+    Same distribution contract as :func:`train_centroids`: k-means++ init
+    per subspace on one content-hash-ordered sample, then Lloyd iterations
+    where ONE mapInPandas scan assigns every vector in ALL m subspaces and
+    emits per-task partial (subspace, code, sum, count) rows — O(m x ksub x
+    dsub x tasks) back to the driver per iteration, zero shuffles.
+    """
+    from opentelemetry_collector_spark.session import spread
+
+    if dim % m:
+        raise ValueError(f"dim {dim} must divide into m={m} subspaces")
+    dsub = dim // m
+    src = spread(df).select(as_double(F.col(vec_col)).alias("_v"))
+    sample = (
+        src.withColumn("_h", F.xxhash64("_v")).orderBy("_h").limit(init_sample).toPandas()
+    )
+    if len(sample):
+        X = np.vstack(sample["_v"].to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    else:  # empty corpus: every subspace falls to the seeded-random branch
+        X = np.zeros((0, dim))
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        if len(S) >= ksub:
+            # k-means++ D^2 seeding in plain L2 (subvectors are not unit)
+            idx = [int(rng.integers(len(S)))]
+            d2 = ((S - S[idx[0]]) ** 2).sum(axis=1)
+            for _ in range(1, ksub):
+                tot = d2.sum()
+                p = d2 / tot if tot > 0 else np.full(len(S), 1.0 / len(S))
+                nxt = int(rng.choice(len(S), p=p))
+                idx.append(nxt)
+                d2 = np.minimum(d2, ((S - S[nxt]) ** 2).sum(axis=1))
+            books[j] = S[idx]
+        else:
+            books[j] = rng.standard_normal((ksub, dsub)) / np.sqrt(dim)
+
+    for _ in range(iters):
+        bc = df.sparkSession.sparkContext.broadcast(books)
+
+        def _partials(batches):
+            B = bc.value
+            sums = np.zeros((m, ksub, dsub))
+            counts = np.zeros((m, ksub), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+                V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+                for j in range(m):
+                    S = V[:, j * dsub : (j + 1) * dsub]
+                    # ||s-c||^2 argmin == argmax(s.c - ||c||^2/2)
+                    scores = S @ B[j].T - 0.5 * (B[j] ** 2).sum(axis=1)
+                    code = np.argmax(scores, axis=1)
+                    np.add.at(sums[j], code, S)
+                    counts[j] += np.bincount(code, minlength=ksub)
+            out = pd.DataFrame(
+                {
+                    "j": np.repeat(np.arange(m), ksub),
+                    "c": np.tile(np.arange(ksub), m),
+                    "s": [v for j in range(m) for v in sums[j]],
+                    "n": counts.reshape(-1),
+                }
+            )
+            yield out
+
+        rows = src.mapInPandas(_partials, "j int, c int, s array<double>, n bigint").toPandas()
+        sums = np.zeros((m, ksub, dsub))
+        counts = np.zeros((m, ksub))
+        for r in rows.itertuples():
+            sums[r.j, r.c] += np.asarray(r.s)
+            counts[r.j, r.c] += r.n
+        nxt = books.copy()
+        ne = counts > 0
+        nxt[ne] = sums[ne] / counts[ne][:, None]
+        books = nxt
+        bc.destroy()
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_code array<int>) — each L2-normalized vector's per-subspace
+    nearest-codeword indices. One numpy pass per Arrow batch; at scale this
+    table is what gets persisted (m bytes/vector), not the floats."""
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+
+    @pandas_udf("array<int>")
+    def _enc(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        V = np.vstack(s.to_numpy()).astype(np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(V), m), dtype=np.int32)
+        for j in range(m):
+            S = V[:, j * dsub : (j + 1) * dsub]
+            scores = S @ B[j].T - 0.5 * (B[j] ** 2).sum(axis=1)
+            codes[:, j] = np.argmax(scores, axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col).alias("nid"), _enc(as_double(F.col(vec_col))).alias("pq_code"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance: queries (small, collected
+    to a broadcast LUT tensor) score the ENCODED corpus — bytes, not floats
+    — with per-batch numpy gathers, emitting only each task's local top-k;
+    the global WindowGroupLimit merge then sees O(k x queries x tasks) rows.
+
+    Scale shape: the corpus-side input is the m-byte code table (32x
+    smaller than float32 vectors at dim 64 / m 8); no join, no shuffle of
+    vectors — one mapInPandas over codes plus the k-row-per-query merge.
+    """
+    from opentelemetry_collector_spark.session import spread
+
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+    enc = encoded if encoded is not None else pq_encode(spread(corpus), B, id_col, vec_col)
+
+    qp = (
+        queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
+        .toPandas()
+        .sort_values("qid")
+    )
+    if not len(qp):  # no queries: empty result with the output schema
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, approx_milli bigint"
+        )
+    qids = qp["qid"].to_numpy()
+    Q = np.vstack(qp["qv"].to_numpy()).astype(np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # LUT[q, j, c] = q_subvec_j . codeword_jc  => approx dot = sum_j LUT[q, j, code_j]
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), B)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, lut))
+
+    def _score(batches):
+        ids, L = bc.value
+        nq = len(ids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.vstack(pdf["pq_code"].to_numpy()).astype(np.int64)  # (n, m)
+            nid = pdf["nid"].to_numpy()
+            S = np.zeros((nq, len(C)))
+            for j in range(m):
+                S += L[:, j, C[:, j]]
+            top = min(k, len(C))
+            for qi in range(nq):
+                # local top-k only: order by (-score, nid) for determinism
+                order = np.lexsort((nid, -S[qi]))[:top]
+                sel = order[nid[order] != ids[qi]]
+                yield pd.DataFrame(
+                    {
+                        "qid": ids[qi],
+                        "nid": nid[sel],
+                        "score": S[qi][sel],
+                    }
+                )
+
+    scored = enc.mapInPandas(_score, "qid long, nid long, score double")
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.floor(F.col("score") * 1000).cast("bigint").alias("approx_milli"),
+        )
+    )

@@ -1935,6 +1935,20 @@ FROM sel GROUP BY source
 """
 
 
+def q63_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): train 8x16 codebooks,
+    encode the corpus to 8-byte codes, serve top-k by broadcast LUT scoring
+    over the code table — the memory-bound scale path (float32 dim-64
+    vectors compress 32x). Deliberately oracle-less like q21: asymmetric-
+    distance scores are not SQL-expressible; recall and the lossless
+    special case are pinned in pytest (test_pq_*)."""
+    from opentelemetry_collector_spark.operators.similarity import pq_topk, train_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq(emb, dim=64, m=8, ksub=16, iters=3, seed=42)
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 5), books, k=10)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2002,6 +2016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_minhash_lsh": q19_minhash_lsh,
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
+    "q63_ann_pq": q63_ann_pq,
     "q22_media_features": q22_media_features,
 }
 

@@ -466,3 +466,74 @@ def test_exact_dedup_against_null_text_rows(spark):
     # equal rule, which the q61 oracle mirrors with NOT EXISTS)
     kept = {r.doc_id for r in exact_dedup_against(new, seen).collect()}
     assert kept == {10, 12}
+
+
+# --- product quantization ---------------------------------------------------
+
+
+def _codeword_emb(spark, m=4, dsub=4, n=64, seed=9):
+    """Vectors whose subvectors are drawn from a small codeword set, so a
+    large-enough PQ codebook encodes them LOSSLESSLY."""
+    rng = np.random.default_rng(seed)
+    words = rng.standard_normal((m, 4, dsub))  # 4 codewords per subspace
+    # unit-norm codewords => every composed vector has norm sqrt(m), so
+    # L2-normalization maps each subspace onto exactly 4 distinct subvectors
+    # (a vector-specific norm would smear them and break losslessness)
+    words /= np.linalg.norm(words, axis=2, keepdims=True)
+    rows = []
+    for i in range(n):
+        v = np.concatenate([words[j][rng.integers(4)] for j in range(m)])
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_lossless_when_codebook_covers_subvectors(spark):
+    from opentelemetry_collector_spark.operators.similarity import (
+        pq_topk,
+        train_pq,
+    )
+
+    emb = _codeword_emb(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    # ksub=16 >> 4 distinct subvectors per subspace: training converges to
+    # the exact codewords (scaled by normalization), so approx == exact
+    B = train_pq(emb, dim=16, m=4, ksub=16, iters=8, seed=5)
+    exact = {(r.query_id, r.neighbor_id, r.rank) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id, r.rank) for r in pq_topk(emb, q, B, k=5).collect()}
+    assert approx == exact
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    from opentelemetry_collector_spark.operators.similarity import pq_encode, train_pq
+
+    emb = _emb(spark, n=60)
+    B1 = train_pq(emb, dim=16, m=4, ksub=8, iters=3, seed=7)
+    B2 = train_pq(emb, dim=16, m=4, ksub=8, iters=3, seed=7)
+    assert B1.shape == (4, 8, 4)
+    assert np.array_equal(B1, B2)
+    codes = {r.nid: r.pq_code for r in pq_encode(emb, B1).collect()}
+    assert len(codes) == 60
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in codes.values())
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    from opentelemetry_collector_spark.operators.similarity import pq_topk, train_pq
+
+    emb = _emb(spark, n=200)
+    q = emb.filter(F.col("vec_id") < 5)
+    B = train_pq(emb, dim=16, m=8, ksub=16, iters=5, seed=7)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in pq_topk(emb, q, B, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # 8x16 codes on random gaussians; >> chance (5/199)
+    assert (0, 1) in approx  # the planted near-dup survives quantization
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.operators.similarity import train_pq
+
+    emb = _emb(spark, n=20)
+    with pytest.raises(ValueError):
+        train_pq(emb, dim=16, m=5)
