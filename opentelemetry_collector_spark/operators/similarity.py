@@ -38,7 +38,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero vector has no direction, so its cosine is NULL
+    # (under ANSI a plain divide would kill the whole job on one bad row —
+    # at corpus scale a zero embedding WILL occur); NULL then fails every
+    # `>= threshold` predicate and sorts after real scores in the top-k
+    # windows, so downstream operators degrade per-row, never per-job.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def as_double(vec: Column) -> Column:
@@ -65,6 +70,7 @@ def cosine_topk(
     scored = (
         c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
         .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+        .filter(F.col("cos").isNotNull())  # zero vectors: no defined rank
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
@@ -265,7 +271,9 @@ def ivf_topk(
         .withColumn("list_id", F.explode(centroid_probe(F.col("qv"), dim, nlist, nprobe, seed, centroids)))
     )
     cand = c.join(F.broadcast(q), on="list_id").filter(F.col("nid") != F.col("qid"))
-    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("nv"))).filter(
+        F.col("cos").isNotNull()
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -308,7 +316,9 @@ def lsh_topk(
         )
         cand = j if cand is None else cand.unionByName(j)
     cand = cand.dropDuplicates(["qid", "nid"])
-    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("nv"))).filter(
+        F.col("cos").isNotNull()
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -372,7 +382,9 @@ def ivf_probe_index(
     probe_ids = sorted({r.list_id for r in q.select("list_id").distinct().collect()})
     idx = spark.read.parquet(path).filter(F.col("list_id").isin(probe_ids))
     cand = idx.join(F.broadcast(q), on="list_id").filter(F.col("nid") != F.col("qid"))
-    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("nv"))).filter(
+        F.col("cos").isNotNull()
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
