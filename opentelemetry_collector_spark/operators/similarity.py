@@ -512,7 +512,12 @@ def pq_encode(
     """(id, pq_code array<int>) — each L2-normalized vector's per-subspace
     nearest-codeword indices. One numpy pass per Arrow batch; at scale this
     table is what gets persisted (m bytes/vector), not the floats."""
-    B = np.asarray(codebooks, dtype=np.float64)
+    enc = _pq_code_udf(np.asarray(codebooks, dtype=np.float64))
+    return df.select(F.col(id_col).alias("nid"), enc(as_double(F.col(vec_col))).alias("pq_code"))
+
+
+def _pq_code_udf(B: np.ndarray):
+    """Arrow-batched encoder: L2-normalize, per-subspace nearest codeword."""
     m, ksub, dsub = B.shape
 
     @pandas_udf("array<int>")
@@ -528,7 +533,43 @@ def pq_encode(
             codes[:, j] = np.argmax(scores, axis=1)
         return pd.Series(list(codes))
 
-    return df.select(F.col(id_col).alias("nid"), _enc(as_double(F.col(vec_col))).alias("pq_code"))
+    return _enc
+
+
+def _pq_query_tensors(queries: DataFrame, B: np.ndarray, id_col: str, vec_col: str):
+    """Driver-side query prep shared by the PQ servers: sorted ids, the
+    normalized query matrix, and the (q, m, ksub) dot-product LUT tensor."""
+    m, ksub, dsub = B.shape
+    qp = (
+        queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
+        .toPandas()
+        .sort_values("qid")
+    )
+    if not len(qp):
+        return None
+    qids = qp["qid"].to_numpy()
+    Q = np.vstack(qp["qv"].to_numpy()).astype(np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), B)
+    return qids, Q, lut
+
+
+def _pq_merge(scored: DataFrame, k: int) -> DataFrame:
+    """Global top-k merge over per-task local winners (WindowGroupLimit)."""
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.floor(F.col("score") * 1000).cast("bigint").alias("approx_milli"),
+        )
+    )
+
+
+_PQ_EMPTY_SCHEMA = "query_id long, neighbor_id long, rank int, approx_milli bigint"
 
 
 def pq_topk(
@@ -552,23 +593,12 @@ def pq_topk(
     from opentelemetry_collector_spark.session import spread
 
     B = np.asarray(codebooks, dtype=np.float64)
-    m, ksub, dsub = B.shape
+    m = B.shape[0]
     enc = encoded if encoded is not None else pq_encode(spread(corpus), B, id_col, vec_col)
-
-    qp = (
-        queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
-        .toPandas()
-        .sort_values("qid")
-    )
-    if not len(qp):  # no queries: empty result with the output schema
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, approx_milli bigint"
-        )
-    qids = qp["qid"].to_numpy()
-    Q = np.vstack(qp["qv"].to_numpy()).astype(np.float64)
-    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    # LUT[q, j, c] = q_subvec_j . codeword_jc  => approx dot = sum_j LUT[q, j, code_j]
-    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), B)
+    prep = _pq_query_tensors(queries, B, id_col, vec_col)
+    if prep is None:  # no queries: empty result with the output schema
+        return corpus.sparkSession.createDataFrame([], _PQ_EMPTY_SCHEMA)
+    qids, _, lut = prep
     bc = corpus.sparkSession.sparkContext.broadcast((qids, lut))
 
     def _score(batches):
@@ -588,22 +618,83 @@ def pq_topk(
                 order = np.lexsort((nid, -S[qi]))[:top]
                 sel = order[nid[order] != ids[qi]]
                 yield pd.DataFrame(
-                    {
-                        "qid": ids[qi],
-                        "nid": nid[sel],
-                        "score": S[qi][sel],
-                    }
+                    {"qid": ids[qi], "nid": nid[sel], "score": S[qi][sel]}
                 )
 
-    scored = enc.mapInPandas(_score, "qid long, nid long, score double")
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            F.col("rank").cast("int").alias("rank"),
-            F.floor(F.col("score") * 1000).cast("bigint").alias("approx_milli"),
-        )
+    return _pq_merge(enc.mapInPandas(_score, "qid long, nid long, score double"), k)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF candidate pruning composed with PQ byte scoring — the standard
+    billion-scale serving shape (FAISS IVFPQ): the corpus reduces ONCE to
+    (id, list_id, m-byte code) rows (assignment and encoding in the same
+    pass over the floats); each query probes its ``nprobe`` nearest lists
+    and LUT-scores only those lists' codes. With ``nprobe == nlist`` the
+    result equals :func:`pq_topk` exactly (pruning removes nothing).
+
+    Scale shape: serving touches bytes only; the per-batch probe-list mask
+    here stands in for the static partition pruning a list_id-partitioned
+    written code table gives (ivf_write_index's layout applied to the code
+    table instead of floats).
+    """
+    from opentelemetry_collector_spark.session import spread
+
+    B = np.asarray(codebooks, dtype=np.float64)
+    m = B.shape[0]
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    else:
+        cents = _seed_centroids(dim, nlist, seed)
+    nprobe = min(nprobe, nlist)
+
+    src = spread(corpus).select(
+        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("_v")
     )
+    enc = src.select(
+        "nid",
+        F.element_at(centroid_probe(F.col("_v"), dim, nlist, 1, seed, cents), 1).alias("list_id"),
+        _pq_code_udf(B)(F.col("_v")).alias("pq_code"),
+    )
+    prep = _pq_query_tensors(queries, B, id_col, vec_col)
+    if prep is None:
+        return corpus.sparkSession.createDataFrame([], _PQ_EMPTY_SCHEMA)
+    qids, Q, lut = prep
+    # probe lists with the same stable-argsort math as centroid_probe
+    probes = np.argsort(-(Q @ cents.T), kind="stable", axis=1)[:, :nprobe]
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, lut, probes))
+
+    def _score(batches):
+        ids, L, P = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.vstack(pdf["pq_code"].to_numpy()).astype(np.int64)
+            nid = pdf["nid"].to_numpy()
+            lid = pdf["list_id"].to_numpy()
+            for qi in range(len(ids)):
+                mask = np.isin(lid, P[qi]) & (nid != ids[qi])
+                if not mask.any():
+                    continue
+                Cq, nq_ids = C[mask], nid[mask]
+                S = np.zeros(len(Cq))
+                for j in range(m):
+                    S += L[qi, j, Cq[:, j]]
+                order = np.lexsort((nq_ids, -S))[: min(k, len(Cq))]
+                yield pd.DataFrame(
+                    {"qid": ids[qi], "nid": nq_ids[order], "score": S[order]}
+                )
+
+    return _pq_merge(enc.mapInPandas(_score, "qid long, nid long, score double"), k)

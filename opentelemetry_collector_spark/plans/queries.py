@@ -1949,6 +1949,27 @@ def q63_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, emb.filter(F.col("vec_id") < 5), books, k=10)
 
 
+def q64_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (the FAISS-IVFPQ serving shape): trained coarse
+    quantizer prunes to nprobe/nlist of the corpus, PQ codes score the
+    survivors — assignment + encoding in one pass over the floats, serving
+    touches bytes only. Rows-only like q63; the nprobe==nlist equality with
+    flat PQ and the cluster-membership contract are pinned in pytest."""
+    from opentelemetry_collector_spark.operators.similarity import (
+        ivf_pq_topk,
+        train_centroids,
+        train_pq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_centroids(emb, dim=64, nlist=8, iters=3, seed=42)
+    books = train_pq(emb, dim=64, m=8, ksub=16, iters=3, seed=42)
+    return ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64, codebooks=books,
+        k=10, nlist=8, nprobe=2, centroids=cents,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2017,6 +2038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_simhash_neardup": q20_simhash_neardup,
     "q21_ann_lsh": q21_ann_lsh,
     "q63_ann_pq": q63_ann_pq,
+    "q64_ann_ivf_pq": q64_ann_ivf_pq,
     "q22_media_features": q22_media_features,
 }
 

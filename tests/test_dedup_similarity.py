@@ -537,3 +537,49 @@ def test_pq_rejects_indivisible_dim(spark):
     emb = _emb(spark, n=20)
     with pytest.raises(ValueError):
         train_pq(emb, dim=16, m=5)
+
+
+def test_ivf_pq_full_probe_equals_pq(spark):
+    from opentelemetry_collector_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+        train_pq,
+    )
+
+    emb = _emb(spark, n=120)
+    q = emb.filter(F.col("vec_id") < 4)
+    B = train_pq(emb, dim=16, m=4, ksub=16, iters=3, seed=7)
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_pq_topk(emb, q, dim=16, codebooks=B, k=5, nlist=8, nprobe=8).collect()
+    }
+    flat = {(r.query_id, r.neighbor_id, r.rank) for r in pq_topk(emb, q, B, k=5).collect()}
+    assert full == flat  # nprobe == nlist prunes nothing
+
+
+def test_ivf_pq_partial_probe_recall_with_trained_quantizer(spark):
+    from opentelemetry_collector_spark.operators.similarity import (
+        ivf_pq_topk,
+        train_centroids,
+        train_pq,
+    )
+
+    emb, kclusters, per = _clustered_emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    C = train_centroids(emb, dim=16, nlist=kclusters, iters=5, seed=11)
+    B = train_pq(emb, dim=16, m=4, ksub=16, iters=5, seed=7)
+    got = ivf_pq_topk(
+        emb, q, dim=16, codebooks=B, k=5, nlist=kclusters, nprobe=1, centroids=C
+    ).collect()
+    # Inside one tight cluster every cosine is ~identical, so "same top-5
+    # pair set as exact" is unresolvable for ANY quantizer (flat PQ scores
+    # the same) — the contract that IS testable: nprobe=1 with a trained
+    # quantizer returns k neighbors and every one belongs to the query's
+    # own planted cluster.
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, nids in by_q.items():
+        assert len(nids) == 5
+        assert all(n // per == qid // per for n in nids), (qid, nids)
