@@ -65,7 +65,11 @@ def probabilistic_sample(
     """
     keep = keep_by_hash(F.md5(F.col(id_col).cast("string")), percentage, hash_seed)
     if priority_col is not None:
-        p = F.col(priority_col).cast("double")
+        # try_cast, not cast: the reference DEFERS to the hash decision when
+        # a string priority fails strconv.ParseFloat
+        # (probabilisticsampler.go:141-148); an ANSI cast would instead kill
+        # the job on the first malformed attribute
+        p = F.col(priority_col).try_cast("double")
         keep = F.when(p == 0.0, F.lit(False)).when(p > 0.0, F.lit(True)).otherwise(keep)
     return df.filter(keep)
 

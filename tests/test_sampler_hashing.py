@@ -107,3 +107,22 @@ def test_sha1_typed_bytes_layout(spark):
     assert row.hd == hashlib.sha1(struct.pack("<d", 3.14159)).hexdigest()
     assert row.hb == hashlib.sha1(b"\x01").hexdigest()
     assert row.hs == hashlib.sha1("héllo".encode()).hexdigest()
+
+
+def test_sampler_string_priority_parse_and_defer(spark):
+    """String priorities follow strconv.ParseFloat semantics
+    (probabilisticsampler.go:141-148): parseable strings act like numbers,
+    UNPARSEABLE strings defer to the hash decision — they must neither
+    drop the row nor crash the job (ANSI cast would throw)."""
+    from opentelemetry_collector_spark.operators.sample import probabilistic_sample
+
+    df = spark.createDataFrame(
+        [("a", "0"), ("b", "1.5"), ("c", "not-a-number"), ("d", ""), ("e", None)],
+        "conv_id string, priority string",
+    )
+    got = {r.conv_id for r in probabilistic_sample(df, 100.0, priority_col="priority").collect()}
+    assert "a" not in got          # "0" parses -> drop
+    assert "b" in got              # "1.5" parses -> keep
+    assert {"c", "d", "e"} <= got  # unparseable/empty/null -> defer; 100% hash keeps
+    got0 = {r.conv_id for r in probabilistic_sample(df, 0.0, priority_col="priority").collect()}
+    assert got0 == {"b"}           # at 0% only the explicit keep survives
