@@ -350,8 +350,11 @@ def parse_prometheus_text(df: DataFrame, col: str = "line") -> DataFrame:
             F.regexp_extract_all(blob, F.lit(pair_pat), 1),
             F.transform(F.regexp_extract_all(blob, F.lit(pair_pat), 2), _unescaped),
         ).alias("labels"),
-        F.try_element_at(rest, F.lit(1)).cast("double").alias("value"),
-        F.try_element_at(rest, F.lit(2)).cast("bigint").alias("ts_ms"),
+        # try_cast: textparse rejects a malformed SAMPLE, never the scrape —
+        # a junk value/timestamp token becomes a NULL field on that row
+        # (an ANSI cast would abort the whole job); +Inf/-Inf/NaN parse fine
+        F.try_element_at(rest, F.lit(1)).try_cast("double").alias("value"),
+        F.try_element_at(rest, F.lit(2)).try_cast("bigint").alias("ts_ms"),
     )
     out = parsed.join(F.broadcast(meta), "metric", "left").withColumn(
         "metric_type", F.coalesce(F.col("metric_type"), F.lit("untyped"))
@@ -454,7 +457,10 @@ def scraped_histograms(df: DataFrame, col: str = "line") -> DataFrame:
         "part",
         F.map_filter("labels", lambda k, _: k != "le").alias("labels"),
         F.to_json(F.array_sort(F.map_entries(F.map_filter("labels", lambda k, _: k != "le")))).alias("_lk"),
-        F.when(F.element_at("labels", "le") != "+Inf", F.element_at("labels", "le").cast("double")).alias("le"),
+        F.when(
+            F.element_at("labels", "le") != "+Inf",
+            F.element_at("labels", "le").try_cast("double"),  # junk le -> NULL row, not a dead job
+        ).alias("le"),
         "value",
     )
     per_set = keyed.groupBy("family", "_lk").agg(

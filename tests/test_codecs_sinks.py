@@ -350,3 +350,25 @@ def test_oc_encodings_dispatch_through_registry(spark):
     mets = unmarshal(spark.createDataFrame([(metric_line,)], "value string"), "oc_metrics_json")
     assert spans.first()["kind"] == 2
     assert mets.first()["value"] == 1.5
+
+
+def test_prometheus_parse_refuses_malformed_sample_not_job(spark):
+    """textparse semantics: a junk value/timestamp token invalidates that
+    SAMPLE (NULL fields), never the scrape — and +Inf/NaN values parse."""
+    from opentelemetry_collector_spark.sources.codecs import parse_prometheus_text
+
+    lines = [
+        "# TYPE good counter",
+        "good 1.5",
+        "bad_value not-a-number",
+        "bad_ts 2.0 not-a-ts",
+        'inf_gauge{q="0.5"} +Inf',
+        "nan_gauge NaN",
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    rows = {r.metric: r for r in parse_prometheus_text(df).collect()}
+    assert rows["good"].value == 1.5
+    assert rows["bad_value"].value is None        # refused sample, job alive
+    assert rows["bad_ts"].value == 2.0 and rows["bad_ts"].ts_ms is None
+    assert rows["inf_gauge"].value == float("inf")
+    assert rows["nan_gauge"].value != rows["nan_gauge"].value  # NaN
