@@ -203,7 +203,9 @@ def parse_oc_json(df: DataFrame, col: str = "value") -> DataFrame:
 
     has_status = F.col("s.status").isNotNull()
     oc_code = F.coalesce(F.col("s.status.code"), F.lit(0))
-    code_attr = amap["status.code"]["intValue"].cast("int")
+    # try_cast: jsonpb int64 travels as a string — an unparseable producer
+    # value must drop THIS override (status falls back), not the job
+    code_attr = amap["status.code"]["intValue"].try_cast("int")
     status_code = F.when(
         has_status, F.coalesce(code_attr, F.when(oc_code == 0, 0).otherwise(2))
     ).otherwise(F.lit(0))
@@ -418,19 +420,19 @@ def parse_oc_metrics_json(df: DataFrame, col: str = "value") -> DataFrame:
         "metric", "description", "unit", "kind", "labels", "start_ts",
         F.col("p.timestamp").alias("ts"),
         F.coalesce(
-            F.col("p.int64Value").cast("double"), F.col("p.doubleValue")
+            F.col("p.int64Value").try_cast("double"), F.col("p.doubleValue")
         ).alias("value"),
         F.when(
             dist.isNotNull(),
             F.transform(F.coalesce(dist["buckets"],
                                    F.array().cast("array<struct<count:string>>")),
-                        lambda b: F.coalesce(b["count"].cast("bigint"), F.lit(0))),
+                        lambda b: F.coalesce(b["count"].try_cast("bigint"), F.lit(0))),
         ).alias("bucket_counts"),
         F.when(dist.isNotNull(), dist["bucketOptions"]["explicit"]["bounds"]).alias(
             "explicit_bounds"
         ),
         F.coalesce(dist["sum"], summ["sum"]["value"]).alias("h_sum"),
-        F.coalesce(dist["count"].cast("bigint"), summ["count"]["value"].cast("bigint")).alias(
+        F.coalesce(dist["count"].try_cast("bigint"), summ["count"]["value"].try_cast("bigint")).alias(
             "h_count"
         ),
         F.when(summ.isNotNull(), summ["snapshot"]["percentileValues"]).alias("quantiles"),

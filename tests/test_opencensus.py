@@ -310,3 +310,42 @@ def test_oc_metrics_roundtrip_scalar(spark):
     assert got["m1"]["labels"] == {"a": "1", "b": "2"}
     assert got["m2"]["kind"] == "sum_cumulative_monotonic" and got["m2"]["value"] == 7.0
     assert got["m1"]["ts"] == got["m1"]["start_ts"]
+
+
+def test_oc_unparseable_int64_strings_degrade_per_row(spark):
+    """jsonpb int64 fields travel as strings; a producer emitting junk in
+    one of them must lose that override/point only — never the job."""
+    import json
+
+    from opentelemetry_collector_spark.sources.opencensus import (
+        parse_oc_json,
+        parse_oc_metrics_json,
+    )
+
+    span = {
+        "node": {"serviceInfo": {"name": "svc"}},
+        "spans": [{
+            "traceId": "0" * 32, "spanId": "1" * 16,
+            "name": {"value": "op"},
+            "status": {"code": 5, "message": "m"},
+            "attributes": {"attributeMap": {
+                "status.code": {"intValue": "not-an-int"},
+            }},
+        }],
+    }
+    df = spark.createDataFrame([(json.dumps(span),)], "value string")
+    row = parse_oc_json(df).collect()[0]
+    assert row.status_code == 2  # junk override dropped -> nonzero oc code -> 2
+
+    metric = {
+        "node": {"serviceInfo": {"name": "svc"}},
+        "metrics": [{
+            "metricDescriptor": {"name": "m", "type": "CUMULATIVE_INT64"},
+            "timeseries": [{
+                "points": [{"timestamp": "2026-01-01T00:00:00Z", "int64Value": "junk"}],
+            }],
+        }],
+    }
+    mdf = spark.createDataFrame([(json.dumps(metric),)], "value string")
+    mrow = parse_oc_metrics_json(mdf).collect()[0]
+    assert mrow.value is None  # refused point, surviving scan
