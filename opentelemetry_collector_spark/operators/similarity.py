@@ -698,3 +698,99 @@ def ivf_pq_topk(
                 )
 
     return _pq_merge(enc.mapInPandas(_score, "qid long, nid long, score double"), k)
+
+
+def pq_write_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    codebooks: np.ndarray,
+    nlist: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> None:
+    """Materialize the IVF-PQ index: (id, pq_code) rows PARTITIONED BY
+    list_id — the byte-sized build artifact of the billion-scale serving
+    path. The floats are read exactly once (assignment + encoding in one
+    projection) and never stored: at dim 64 / m 8 the written index is ~32x
+    smaller than the raw embedding table, which is what lets every probe's
+    working set live in page cache."""
+    B = np.asarray(codebooks, dtype=np.float64)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    else:
+        cents = _seed_centroids(dim, nlist, seed)
+    src = corpus.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("_v"))
+    enc = src.select(
+        "nid",
+        F.element_at(centroid_probe(F.col("_v"), dim, nlist, 1, seed, cents), 1).alias("list_id"),
+        _pq_code_udf(B)(F.col("_v")).alias("pq_code"),
+    )
+    enc.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def pq_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    dim: int,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Serve approximate top-k from a written IVF-PQ index: the query
+    batch's probe lists become a LITERAL partition filter (static pruning to
+    nprobe/nlist of the code files), then the broadcast LUT tensor scores
+    the surviving bytes with per-task local top-k before the global merge.
+    Same centroids/codebooks as :func:`pq_write_index`, so results equal
+    the in-memory :func:`ivf_pq_topk` with identical parameters."""
+    B = np.asarray(codebooks, dtype=np.float64)
+    m = B.shape[0]
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    else:
+        cents = _seed_centroids(dim, nlist, seed)
+    nprobe = min(nprobe, nlist)
+    prep = _pq_query_tensors(queries, B, id_col, vec_col)
+    if prep is None:
+        return spark.createDataFrame([], _PQ_EMPTY_SCHEMA)
+    qids, Q, lut = prep
+    probes = np.argsort(-(Q @ cents.T), kind="stable", axis=1)[:, :nprobe]
+    probe_ids = sorted({int(x) for x in probes.reshape(-1)})
+    idx = spark.read.parquet(path).filter(F.col("list_id").isin(probe_ids))
+    bc = spark.sparkContext.broadcast((qids, lut, probes))
+
+    def _score(batches):
+        ids, L, P = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.vstack(pdf["pq_code"].to_numpy()).astype(np.int64)
+            nid = pdf["nid"].to_numpy()
+            lid = pdf["list_id"].to_numpy()
+            for qi in range(len(ids)):
+                mask = np.isin(lid, P[qi]) & (nid != ids[qi])
+                if not mask.any():
+                    continue
+                Cq, nq_ids = C[mask], nid[mask]
+                S = np.zeros(len(Cq))
+                for j in range(m):
+                    S += L[qi, j, Cq[:, j]]
+                order = np.lexsort((nq_ids, -S))[: min(k, len(Cq))]
+                yield pd.DataFrame(
+                    {"qid": ids[qi], "nid": nq_ids[order], "score": S[order]}
+                )
+
+    scored = idx.select("nid", "list_id", "pq_code").mapInPandas(
+        _score, "qid long, nid long, score double"
+    )
+    return _pq_merge(scored, k)

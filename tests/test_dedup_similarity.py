@@ -583,3 +583,27 @@ def test_ivf_pq_partial_probe_recall_with_trained_quantizer(spark):
     for qid, nids in by_q.items():
         assert len(nids) == 5
         assert all(n // per == qid // per for n in nids), (qid, nids)
+
+
+def test_pq_written_index_prunes_partitions_and_matches_inmemory(spark, tmp_path):
+    from opentelemetry_collector_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_probe_index,
+        pq_write_index,
+        train_pq,
+    )
+
+    emb = _emb(spark, n=150)
+    q = emb.filter(F.col("vec_id") < 4)
+    B = train_pq(emb, dim=16, m=4, ksub=16, iters=3, seed=7)
+    path = str(tmp_path / "pq_index")
+    pq_write_index(emb, path, dim=16, codebooks=B, nlist=8, seed=42)
+    served = pq_probe_index(spark, path, q, dim=16, codebooks=B, k=5, nlist=8, nprobe=3, seed=42)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "list_id" in plan  # static pruning
+    mem = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_pq_topk(emb, q, dim=16, codebooks=B, k=5, nlist=8, nprobe=3, seed=42).collect()
+    }
+    disk = {(r.query_id, r.neighbor_id, r.rank) for r in served.collect()}
+    assert disk == mem  # the written path is the same operator
