@@ -40,6 +40,7 @@ exporters:
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
@@ -65,25 +66,27 @@ class ConfigError(ValueError):
 
 
 # Go os.Expand name grammar (configloader/config.go:521-533): ${name},
-# $$ -> literal $, $IDENT (letter/underscore then word chars), or a
-# single shell-special char ($1, $?, ... -> looked up as a 1-char name,
-# normally unset -> "")
-_ENV_RE = __import__("re").compile(
-    r"\$(?:(\$)|\{([^}]*)\}|([A-Za-z_]\w*)|([*#@!?\-0-9]))"
-)
+# $$ -> literal $, $IDENT (letter/underscore then word chars), a single
+# shell-special char ($1, $?, ... -> looked up as a 1-char name, normally
+# unset -> ""), or an UNTERMINATED "${" (bad syntax: os.Expand eats the
+# two characters and emits nothing — the trailing alternative below)
+_ENV_RE = re.compile(r"\$(?:(\$)|\{([^}]*)\}|([A-Za-z_]\w*)|([*#@!?\-0-9])|(\{))")
 
 
 def expand_env(s: str, env=None) -> str:
     """Environment-variable substitution with the reference's exact escape
     rules (``configloader/config.go:521-533``): ``$FOO``/``${FOO}`` replace
     with the env value (unset -> empty string), ``$$FOO`` -> literal
-    ``$FOO``, ``$$$FOO`` -> ``$`` + substituted FOO."""
+    ``$FOO``, ``$$$FOO`` -> ``$`` + substituted FOO; an unterminated
+    ``${`` is consumed silently (os.Expand's bad-syntax rule)."""
     env = os.environ if env is None else env
 
     def sub(m):
         if m.group(1):
             return "$"
-        name = next(g for g in m.groups()[1:] if g is not None)
+        if m.group(5) is not None:  # unterminated "${"
+            return ""
+        name = next(g for g in m.groups()[1:4] if g is not None)
         return env.get(name, "")
 
     return _ENV_RE.sub(sub, s)
@@ -101,13 +104,16 @@ def _expand_config(obj, env=None):
     return obj
 
 
-def load_config(source: dict | str, env=None) -> dict:
+def load_config(source: dict | str, env=None, expand: bool = True) -> dict:
     """Accept a dict, a YAML string, or a path to a YAML file. String values
     get env-var expansion exactly like the reference's config loader (which
-    expands the loaded map regardless of which parser provider produced
-    it); pass ``env={}`` to disable lookups."""
+    expands the loaded map ONCE regardless of which parser provider produced
+    it); pass ``env={}`` to disable lookups, or ``expand=False`` to parse
+    without expanding (the CLI does this so --set overrides can merge in
+    BEFORE the single expansion pass — expanding twice would re-interpret
+    the $$ escapes and mangle values that legitimately contain ``$``)."""
     if isinstance(source, dict):
-        return _expand_config(source, env)
+        return _expand_config(source, env) if expand else source
     text = source
     if isinstance(source, str) and os.path.exists(source):
         with open(source) as f:
@@ -122,7 +128,7 @@ def load_config(source: dict | str, env=None) -> dict:
         cfg = json.loads(text)
     if not isinstance(cfg, dict):
         raise ConfigError("config must be a mapping")
-    return _expand_config(cfg, env)
+    return _expand_config(cfg, env) if expand else cfg
 
 
 def apply_set_overrides(cfg: dict, sets: list[str]) -> dict:
@@ -130,9 +136,10 @@ def apply_set_overrides(cfg: dict, sets: list[str]) -> dict:
     config (the setflag parser provider, ``service/parserprovider/
     setflag.go:25-60``: properties-format pairs merged into the map at the
     "."-delimited path). Values parse as YAML scalars — the analog of
-    viper's weak typing that turns ``=100`` into an int — and go through
-    the same env-var expansion as file values. Returns a new dict; the
-    input is not mutated."""
+    viper's weak typing that turns ``=100`` into an int. Overrides merge
+    into the RAW (pre-expansion) map; env-var expansion happens exactly
+    once, at load time, for file values and --set values alike. Returns a
+    new dict; the input is not mutated."""
     import copy
 
     out = copy.deepcopy(cfg)
@@ -144,7 +151,10 @@ def apply_set_overrides(cfg: dict, sets: list[str]) -> dict:
         try:
             import yaml
 
-            value = yaml.safe_load(raw.strip()) if raw.strip() else ""
+            try:
+                value = yaml.safe_load(raw.strip()) if raw.strip() else ""
+            except yaml.YAMLError as e:
+                raise ConfigError(f"--set {key.strip()}: unparseable value {raw!r}: {e}") from e
         except ImportError:  # pragma: no cover
             value = raw.strip()
         node = out
@@ -155,7 +165,7 @@ def apply_set_overrides(cfg: dict, sets: list[str]) -> dict:
                 nxt = {}
                 node[p] = nxt
             node = nxt
-        node[parts[-1]] = _expand_config(value)
+        node[parts[-1]] = value
     return out
 
 

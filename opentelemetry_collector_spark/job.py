@@ -42,7 +42,10 @@ def main(argv: list[str] | None = None) -> int:
     from opentelemetry_collector_spark.config import apply_set_overrides, load_config, run_config
     from opentelemetry_collector_spark.session import build_session
 
-    cfg = load_config(args.config)
+    # load RAW (expand=False): run_config's own load applies the single
+    # env-expansion pass over file values and --set values together —
+    # expanding here too would re-interpret $$ escapes (double expansion)
+    cfg = load_config(args.config, expand=False)
     if args.sets:
         cfg = apply_set_overrides(cfg, args.sets)
 

@@ -516,8 +516,21 @@ def pq_encode(
     return df.select(F.col(id_col).alias("nid"), enc(as_double(F.col(vec_col))).alias("pq_code"))
 
 
+def _resolve_centroids(
+    dim: int, nlist: int, seed: int, centroids: np.ndarray | None
+) -> np.ndarray:
+    """Shared coarse-quantizer resolve: trained matrix (re-normalized) or
+    the seed-derived fallback — every IVF/PQ entry point must agree."""
+    if centroids is None:
+        return _seed_centroids(dim, nlist, seed)
+    cents = np.asarray(centroids, dtype=np.float64)
+    return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+
 def _pq_code_udf(B: np.ndarray):
-    """Arrow-batched encoder: L2-normalize, per-subspace nearest codeword."""
+    """Arrow-batched encoder: L2-normalize, per-subspace nearest codeword.
+    A zero vector has no direction (the cosine()-NULL contract), so it
+    encodes to NULL rather than an arbitrary min-norm codeword."""
     m, ksub, dsub = B.shape
 
     @pandas_udf("array<int>")
@@ -525,33 +538,73 @@ def _pq_code_udf(B: np.ndarray):
         if len(s) == 0:
             return pd.Series([], dtype=object)
         V = np.vstack(s.to_numpy()).astype(np.float64)
-        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        V = V / np.maximum(norms, 1e-12)
         codes = np.empty((len(V), m), dtype=np.int32)
         for j in range(m):
             S = V[:, j * dsub : (j + 1) * dsub]
             scores = S @ B[j].T - 0.5 * (B[j] ** 2).sum(axis=1)
             codes[:, j] = np.argmax(scores, axis=1)
-        return pd.Series(list(codes))
+        out = [c if nz else None for c, nz in zip(codes, norms[:, 0] > 0.0)]
+        return pd.Series(out, dtype=object)
 
     return _enc
 
 
 def _pq_query_tensors(queries: DataFrame, B: np.ndarray, id_col: str, vec_col: str):
     """Driver-side query prep shared by the PQ servers: sorted ids, the
-    normalized query matrix, and the (q, m, ksub) dot-product LUT tensor."""
+    normalized query matrix, and the (q, m, ksub) dot-product LUT tensor.
+    Zero-norm queries are dropped (no direction -> no defined neighbors,
+    matching cosine_topk, which ranks nothing for them)."""
     m, ksub, dsub = B.shape
     qp = (
         queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
         .toPandas()
         .sort_values("qid")
     )
+    if len(qp):
+        mat = np.vstack(qp["qv"].to_numpy()).astype(np.float64)
+        keep = np.linalg.norm(mat, axis=1) > 0.0
+        qp, mat = qp[keep], mat[keep]
     if not len(qp):
         return None
     qids = qp["qid"].to_numpy()
-    Q = np.vstack(qp["qv"].to_numpy()).astype(np.float64)
-    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    Q = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), B)
     return qids, Q, lut
+
+
+def _pq_scorer(qids: np.ndarray, lut: np.ndarray, k: int, probes: np.ndarray | None):
+    """The ONE mapInPandas scoring kernel behind all three PQ servers:
+    per query, mask self and (when probing) non-probed lists BEFORE the
+    local top-k truncation — truncate-then-filter would silently drop the
+    true k-th neighbor whenever self lands in a batch's local winners."""
+    m = lut.shape[1]
+
+    def _score(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["pq_code"].notna()]
+            if not len(pdf):
+                continue
+            C = np.vstack(pdf["pq_code"].to_numpy()).astype(np.int64)
+            nid = pdf["nid"].to_numpy()
+            lid = pdf["list_id"].to_numpy() if probes is not None else None
+            for qi in range(len(qids)):
+                mask = nid != qids[qi]
+                if probes is not None:
+                    mask &= np.isin(lid, probes[qi])
+                if not mask.any():
+                    continue
+                Cq, nq_ids = C[mask], nid[mask]
+                S = np.zeros(len(Cq))
+                for j in range(m):
+                    S += lut[qi, j, Cq[:, j]]
+                order = np.lexsort((nq_ids, -S))[: min(k, len(Cq))]
+                yield pd.DataFrame(
+                    {"qid": qids[qi], "nid": nq_ids[order], "score": S[order]}
+                )
+
+    return _score
 
 
 def _pq_merge(scored: DataFrame, k: int) -> DataFrame:
@@ -570,6 +623,7 @@ def _pq_merge(scored: DataFrame, k: int) -> DataFrame:
 
 
 _PQ_EMPTY_SCHEMA = "query_id long, neighbor_id long, rank int, approx_milli bigint"
+_PQ_SCORED_SCHEMA = "qid long, nid long, score double"
 
 
 def pq_topk(
@@ -593,35 +647,13 @@ def pq_topk(
     from opentelemetry_collector_spark.session import spread
 
     B = np.asarray(codebooks, dtype=np.float64)
-    m = B.shape[0]
     enc = encoded if encoded is not None else pq_encode(spread(corpus), B, id_col, vec_col)
     prep = _pq_query_tensors(queries, B, id_col, vec_col)
-    if prep is None:  # no queries: empty result with the output schema
+    if prep is None:  # no (directed) queries: empty result, output schema
         return corpus.sparkSession.createDataFrame([], _PQ_EMPTY_SCHEMA)
     qids, _, lut = prep
-    bc = corpus.sparkSession.sparkContext.broadcast((qids, lut))
-
-    def _score(batches):
-        ids, L = bc.value
-        nq = len(ids)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            C = np.vstack(pdf["pq_code"].to_numpy()).astype(np.int64)  # (n, m)
-            nid = pdf["nid"].to_numpy()
-            S = np.zeros((nq, len(C)))
-            for j in range(m):
-                S += L[:, j, C[:, j]]
-            top = min(k, len(C))
-            for qi in range(nq):
-                # local top-k only: order by (-score, nid) for determinism
-                order = np.lexsort((nid, -S[qi]))[:top]
-                sel = order[nid[order] != ids[qi]]
-                yield pd.DataFrame(
-                    {"qid": ids[qi], "nid": nid[sel], "score": S[qi][sel]}
-                )
-
-    return _pq_merge(enc.mapInPandas(_score, "qid long, nid long, score double"), k)
+    score = _pq_scorer(qids, lut, k, probes=None)
+    return _pq_merge(enc.mapInPandas(score, _PQ_SCORED_SCHEMA), k)
 
 
 def ivf_pq_topk(
@@ -646,20 +678,13 @@ def ivf_pq_topk(
 
     Scale shape: serving touches bytes only; the per-batch probe-list mask
     here stands in for the static partition pruning a list_id-partitioned
-    written code table gives (ivf_write_index's layout applied to the code
-    table instead of floats).
+    written code table gives (:func:`pq_probe_index`).
     """
     from opentelemetry_collector_spark.session import spread
 
     B = np.asarray(codebooks, dtype=np.float64)
-    m = B.shape[0]
-    if centroids is not None:
-        cents = np.asarray(centroids, dtype=np.float64)
-        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    else:
-        cents = _seed_centroids(dim, nlist, seed)
+    cents = _resolve_centroids(dim, nlist, seed, centroids)
     nprobe = min(nprobe, nlist)
-
     src = spread(corpus).select(
         F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("_v")
     )
@@ -674,30 +699,8 @@ def ivf_pq_topk(
     qids, Q, lut = prep
     # probe lists with the same stable-argsort math as centroid_probe
     probes = np.argsort(-(Q @ cents.T), kind="stable", axis=1)[:, :nprobe]
-    bc = corpus.sparkSession.sparkContext.broadcast((qids, lut, probes))
-
-    def _score(batches):
-        ids, L, P = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            C = np.vstack(pdf["pq_code"].to_numpy()).astype(np.int64)
-            nid = pdf["nid"].to_numpy()
-            lid = pdf["list_id"].to_numpy()
-            for qi in range(len(ids)):
-                mask = np.isin(lid, P[qi]) & (nid != ids[qi])
-                if not mask.any():
-                    continue
-                Cq, nq_ids = C[mask], nid[mask]
-                S = np.zeros(len(Cq))
-                for j in range(m):
-                    S += L[qi, j, Cq[:, j]]
-                order = np.lexsort((nq_ids, -S))[: min(k, len(Cq))]
-                yield pd.DataFrame(
-                    {"qid": ids[qi], "nid": nq_ids[order], "score": S[order]}
-                )
-
-    return _pq_merge(enc.mapInPandas(_score, "qid long, nid long, score double"), k)
+    score = _pq_scorer(qids, lut, k, probes)
+    return _pq_merge(enc.mapInPandas(score, _PQ_SCORED_SCHEMA), k)
 
 
 def pq_write_index(
@@ -718,11 +721,7 @@ def pq_write_index(
     smaller than the raw embedding table, which is what lets every probe's
     working set live in page cache."""
     B = np.asarray(codebooks, dtype=np.float64)
-    if centroids is not None:
-        cents = np.asarray(centroids, dtype=np.float64)
-        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    else:
-        cents = _seed_centroids(dim, nlist, seed)
+    cents = _resolve_centroids(dim, nlist, seed, centroids)
     src = corpus.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("_v"))
     enc = src.select(
         "nid",
@@ -753,12 +752,7 @@ def pq_probe_index(
     Same centroids/codebooks as :func:`pq_write_index`, so results equal
     the in-memory :func:`ivf_pq_topk` with identical parameters."""
     B = np.asarray(codebooks, dtype=np.float64)
-    m = B.shape[0]
-    if centroids is not None:
-        cents = np.asarray(centroids, dtype=np.float64)
-        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    else:
-        cents = _seed_centroids(dim, nlist, seed)
+    cents = _resolve_centroids(dim, nlist, seed, centroids)
     nprobe = min(nprobe, nlist)
     prep = _pq_query_tensors(queries, B, id_col, vec_col)
     if prep is None:
@@ -767,30 +761,6 @@ def pq_probe_index(
     probes = np.argsort(-(Q @ cents.T), kind="stable", axis=1)[:, :nprobe]
     probe_ids = sorted({int(x) for x in probes.reshape(-1)})
     idx = spark.read.parquet(path).filter(F.col("list_id").isin(probe_ids))
-    bc = spark.sparkContext.broadcast((qids, lut, probes))
-
-    def _score(batches):
-        ids, L, P = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            C = np.vstack(pdf["pq_code"].to_numpy()).astype(np.int64)
-            nid = pdf["nid"].to_numpy()
-            lid = pdf["list_id"].to_numpy()
-            for qi in range(len(ids)):
-                mask = np.isin(lid, P[qi]) & (nid != ids[qi])
-                if not mask.any():
-                    continue
-                Cq, nq_ids = C[mask], nid[mask]
-                S = np.zeros(len(Cq))
-                for j in range(m):
-                    S += L[qi, j, Cq[:, j]]
-                order = np.lexsort((nq_ids, -S))[: min(k, len(Cq))]
-                yield pd.DataFrame(
-                    {"qid": ids[qi], "nid": nq_ids[order], "score": S[order]}
-                )
-
-    scored = idx.select("nid", "list_id", "pq_code").mapInPandas(
-        _score, "qid long, nid long, score double"
-    )
+    score = _pq_scorer(qids, lut, k, probes)
+    scored = idx.select("nid", "list_id", "pq_code").mapInPandas(score, _PQ_SCORED_SCHEMA)
     return _pq_merge(scored, k)

@@ -452,17 +452,25 @@ def scraped_histograms(df: DataFrame, col: str = "line") -> DataFrame:
         ).alias("_s"),
     ).select("family", "_s.metric", "_s.part")
     samples = parse_prometheus_text(df, col=col).join(F.broadcast(suffixed), "metric")
+    le_raw = F.element_at("labels", "le")
     keyed = samples.select(
         "family",
         "part",
         F.map_filter("labels", lambda k, _: k != "le").alias("labels"),
         F.to_json(F.array_sort(F.map_entries(F.map_filter("labels", lambda k, _: k != "le")))).alias("_lk"),
-        F.when(
-            F.element_at("labels", "le") != "+Inf",
-            F.element_at("labels", "le").try_cast("double"),  # junk le -> NULL row, not a dead job
-        ).alias("le"),
+        F.when(le_raw != "+Inf", le_raw.try_cast("double")).alias("le"),
+        le_raw.alias("_le_raw"),
         "value",
-    )
+    ).filter(
+        # a bucket whose le fails to parse is REFUSED (metricsbuilder skips
+        # the sample) — it must not alias onto the le=NULL (+Inf) encoding
+        ~(
+            (F.col("part") == "bucket")
+            & F.col("_le_raw").isNotNull()
+            & (F.col("_le_raw") != "+Inf")
+            & F.col("le").isNull()
+        )
+    ).drop("_le_raw")
     per_set = keyed.groupBy("family", "_lk").agg(
         F.first("labels").alias("labels"),
         F.max(F.when(F.col("part") == "count", F.col("value"))).cast("bigint").alias("total_count"),

@@ -372,3 +372,25 @@ def test_prometheus_parse_refuses_malformed_sample_not_job(spark):
     assert rows["bad_ts"].value == 2.0 and rows["bad_ts"].ts_ms is None
     assert rows["inf_gauge"].value == float("inf")
     assert rows["nan_gauge"].value != rows["nan_gauge"].value  # NaN
+
+
+def test_scraped_histograms_refuse_junk_le_bucket(spark):
+    """A bucket with an unparseable le is skipped (metricsbuilder), never
+    aliased onto the le=NULL (+Inf) encoding."""
+    from opentelemetry_collector_spark.sources.codecs import scraped_histograms
+
+    lines = [
+        "# TYPE h histogram",
+        'h_bucket{le="0.5"} 3',
+        'h_bucket{le="junk"} 5',
+        'h_bucket{le="+Inf"} 9',
+        "h_sum 12.5",
+        "h_count 9",
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    rows = scraped_histograms(df).collect()
+    buckets = sorted(
+        ((r.le, r.cum_count) for r in rows), key=lambda x: (x[0] is None, x[0])
+    )
+    assert buckets == [(0.5, 3), (None, 9)]  # junk bucket gone, +Inf intact
+    assert all(r.total_count == 9 for r in rows)

@@ -430,10 +430,26 @@ def test_set_overrides_layer_over_config():
         apply_set_overrides(base, ["no-equals-sign"])
 
 
-def test_set_override_values_get_env_expansion(monkeypatch):
-    from opentelemetry_collector_spark.config import apply_set_overrides
+def test_env_expansion_happens_exactly_once_through_the_cli_path(monkeypatch):
+    """The CLI composition (raw load -> --set merge -> run-time load) must
+    expand ONCE: a second pass would re-interpret $$ escapes ("$$FOO" ->
+    "$FOO" -> value of FOO) and mangle values that legitimately contain $."""
+    import pytest
+
+    from opentelemetry_collector_spark.config import (
+        ConfigError,
+        apply_set_overrides,
+        load_config,
+    )
 
     monkeypatch.setenv("OTELCOL_SET_TEST", "expanded")
-    out = apply_set_overrides({}, ["a.b=$OTELCOL_SET_TEST", "a.c=$$literal"])
-    assert out["a"]["b"] == "expanded"
-    assert out["a"]["c"] == "$literal"
+    raw = load_config("a:\n  keep: $$OTELCOL_SET_TEST\n", expand=False)
+    assert raw["a"]["keep"] == "$$OTELCOL_SET_TEST"  # raw load leaves escapes
+    merged = apply_set_overrides(raw, ["a.b=$OTELCOL_SET_TEST", "a.c=$$literal"])
+    assert merged["a"]["b"] == "$OTELCOL_SET_TEST"  # --set values stay raw too
+    final = load_config(merged)  # the single expansion pass (run_config's)
+    assert final["a"]["b"] == "expanded"
+    assert final["a"]["c"] == "$literal"
+    assert final["a"]["keep"] == "$OTELCOL_SET_TEST"  # escape survives intact
+    with pytest.raises(ConfigError):  # junk YAML -> the clean error contract
+        apply_set_overrides({}, ["a.b=[unclosed"])

@@ -607,3 +607,47 @@ def test_pq_written_index_prunes_partitions_and_matches_inmemory(spark, tmp_path
     }
     disk = {(r.query_id, r.neighbor_id, r.rank) for r in served.collect()}
     assert disk == mem  # the written path is the same operator
+
+
+def test_pq_zero_vectors_follow_the_cosine_null_contract(spark):
+    """A zero CORPUS vector encodes to NULL (never an arbitrary codeword)
+    and cannot surface as a neighbor; a zero QUERY ranks nothing — the same
+    per-row degradation cosine_topk applies."""
+    from opentelemetry_collector_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+        train_pq,
+    )
+
+    emb = _emb(spark, n=40)
+    dead = spark.createDataFrame(
+        [(900, [0.0] * 16)], "vec_id long, embedding array<float>"
+    )
+    corpus = emb.unionByName(dead)
+    B = train_pq(emb, dim=16, m=4, ksub=8, iters=2, seed=7)
+    codes = {r.nid: r.pq_code for r in pq_encode(corpus, B).collect()}
+    assert codes[900] is None and codes[0] is not None
+    q = corpus.filter(F.col("vec_id").isin(0, 900))
+    out = pq_topk(corpus, q, B, k=5).collect()
+    assert {r.query_id for r in out} == {0}          # zero query ranks nothing
+    assert all(r.neighbor_id != 900 for r in out)    # zero vector never a neighbor
+    out2 = ivf_pq_topk(corpus, q, dim=16, codebooks=B, k=5, nlist=4, nprobe=4).collect()
+    assert {r.query_id for r in out2} == {0}
+    assert all(r.neighbor_id != 900 for r in out2)
+
+
+def test_pq_topk_self_excluded_before_local_truncation(spark):
+    """Self must be masked BEFORE the per-batch top-k cut: with the whole
+    corpus in one partition and k == corpus-1, every query still gets k
+    neighbors (truncate-then-filter would return k-1)."""
+    from opentelemetry_collector_spark.operators.similarity import pq_topk, train_pq
+
+    emb = _emb(spark, n=12).coalesce(1)
+    B = train_pq(emb, dim=16, m=4, ksub=16, iters=4, seed=5)
+    out = pq_topk(emb, emb.filter(F.col("vec_id") < 3), B, k=11).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for qid, nids in per_q.items():
+        assert len(nids) == 11 and qid not in nids

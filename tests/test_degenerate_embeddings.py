@@ -47,8 +47,9 @@ def weird_emb_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", ANN_QUERIES)
 def test_ann_query_survives_degenerate_vectors(spark, weird_emb_dir, name):
     out = QUERIES[name](spark, weird_emb_dir)
+    # collect() IS the no-crash check; rank density below is the value check
     rows = out.collect()
-    assert len(rows) >= 0
+    assert out.columns, name
     if name in ("q16_ann_topk", "q30_ann_ivf", "q55_ann_ivf_trained", "q63_ann_pq"):
         # the duplicate pair must surface as some query's top hit set member
         # and ranks must stay dense per query

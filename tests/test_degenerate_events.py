@@ -83,5 +83,8 @@ def weird_events_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", EVENT_QUERIES)
 def test_event_query_survives_degenerate_rows(spark, weird_events_dir, name):
     out = QUERIES[name](spark, weird_events_dir)
+    # collect() IS the check (no ANSI abort on any degenerate row); the
+    # schema must also stay stable for the driver contract
     rows = out.collect()
-    assert len(rows) >= 0
+    assert out.columns, name
+    del rows
