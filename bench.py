@@ -41,6 +41,7 @@ HEADLINE = [
     "q25_ngram_jaccard",
     "q30_ann_ivf",
     "q63_ann_pq",
+    "q65_semantic_dedup",
     "q33_histogram_merge",
     "q34_memory_limiter",
     # corpus-quality suite (documents table)

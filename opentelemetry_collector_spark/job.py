@@ -3,11 +3,14 @@
 The reference's binary is `otelcol --config config.yaml`
 (``service/collector.go:134-139`` cobra CLI); ours is
 
-    spark-submit --py-files otelcol_spark.zip -m opentelemetry_collector_spark.job \
+    zip -r otelcol_spark.zip opentelemetry_collector_spark
+    spark-submit --master <cluster> --py-files otelcol_spark.zip submit_job.py \
         --config pipeline.yaml --base-path s3://bucket/runs/2026-08-17 \
-        [--run-id RUN] [--master local[8]]
+        [--run-id RUN]
 
-or locally: ``python -m opentelemetry_collector_spark.job --config ...``.
+(spark-submit takes a script file, not ``-m`` — ``submit_job.py`` at the
+repo root is that file) or locally:
+``python -m opentelemetry_collector_spark.job --config ... --master local[8]``.
 
 On a cluster, omit --master and let spark-submit supply the session; the
 same config then runs unchanged at N or 4N executors (the two-cluster-size

@@ -226,3 +226,46 @@ def bucketed_row_number(
         .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("int"))
         .drop("_bk", "_lrn", "_off")
     )
+
+
+def sketch_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str | Column,
+    distinct_col: str,
+    lg_k: int = 12,
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level distinct-count rollup on mergeable HLL sketches (Apache
+    DataSketches via ``hll_sketch_agg``): sketch once per fine bucket, merge
+    partials upward with ``hll_union_agg`` — never rescan the input for a
+    coarser level.
+
+    The reference's Prometheus accumulator recomputes every aggregation
+    level from raw points per scrape (``exporter/prometheusexporter/
+    accumulator.go:65-132``, feasible only because its state is one
+    process's worth); at 10^12 turns a per-(day, role) distinct-conv count
+    that must ALSO roll up to per-role totals cannot afford a second scan —
+    HLL registers max-merge, so the merged estimate is invariant to HOW the
+    rows were bucketed (day buckets vs any hash bucketing: identical result,
+    asserted in tests/test_sketch_rollup.py). Estimates may differ from a
+    never-unioned direct sketch by ±1: DataSketches answers direct sketches
+    with the HIP estimator and union results with the composite estimator.
+
+    Returns ``(fine, coarse)``: fine = per (key_cols + bucket) rows with a
+    binary ``sketch`` column (storable as a parquet rollup table — the
+    hypertable continuous-aggregate pattern) and an ``approx_distinct``
+    estimate; coarse = per key_cols rows whose estimate came only from
+    merging fine sketches.
+    """
+    bucket = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    fine = (
+        df.groupBy(*key_cols, bucket.alias("bucket"))
+        .agg(F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias("sketch"))
+        .withColumn("approx_distinct", F.hll_sketch_estimate("sketch"))
+    )
+    coarse = (
+        fine.groupBy(*key_cols)
+        .agg(F.hll_union_agg("sketch").alias("sketch"), F.count(F.lit(1)).alias("n_buckets"))
+        .withColumn("approx_distinct", F.hll_sketch_estimate("sketch"))
+    )
+    return fine, coarse

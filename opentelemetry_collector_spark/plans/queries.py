@@ -1970,6 +1970,70 @@ def q64_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-shaped (Abbas et al. 2023): embedding-cosine
+    near-dup pairs (the q17 operator) resolved into connected components
+    (the q39 machinery) with a deterministic min-id survivor per cluster —
+    the embedding-space analog of the lexical dedup capstones. At scale the
+    pair stage swaps for the LSH/IVF bucketed join (q21/q30); the component
+    resolution and survivor policy are unchanged. Oracle: DuckDB
+    recursive-CTE transitive closure over the identical cosine pair set."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        dedup_clusters,
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 400)
+    pairs = embedding_neardup_pairs(emb, threshold=0.30, max_id=400)
+    out = dedup_clusters(emb.select("vec_id"), pairs, "vec_id")
+    return out.select(
+        "vec_id",
+        "component_id",
+        "n_members",
+        (F.col("vec_id") == F.col("component_id")).alias("is_survivor"),
+    )
+
+
+def q66_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct rollup (operators/aggregate.sketch_rollup):
+    per-(day, role) HLL conv sketches merged upward to per-role totals via
+    hll_union_agg — the second level never rescans the input. Rows-only:
+    Spark's DataSketches HLL and DuckDB's HLL give different estimates by
+    construction; the partition-invariance identity (merging day buckets ==
+    merging any hash bucketing of the same rows) and the <5% error bound vs
+    exact distinct are pinned in tests/test_sketch_rollup.py."""
+    from opentelemetry_collector_spark.operators.aggregate import sketch_rollup
+
+    t = from_events(spark, sf_dir)
+    _fine, coarse = sketch_rollup(t, ["role"], F.to_date("ts"), "conv_id")
+    return coarse.select(
+        "role",
+        F.col("n_buckets").cast("bigint").alias("n_days"),
+        F.col("approx_distinct").cast("bigint").alias("approx_convs"),
+    )
+
+
+Q65_SQL = """
+WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings WHERE vec_id < 400),
+pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.v, b.v) >= 0.30),
+e AS (SELECT a_id AS eu, b_id AS ev FROM pr UNION ALL SELECT b_id, a_id FROM pr),
+reach(src, dst) AS (
+    SELECT vec_id, vec_id FROM e0
+    UNION
+    SELECT r.src, e.ev FROM reach r JOIN e ON r.dst = e.eu
+),
+comp AS (SELECT src AS vec_id, MIN(dst) AS component_id FROM reach GROUP BY src),
+sizes AS (SELECT component_id, COUNT(*) AS n_members
+          FROM comp GROUP BY component_id)
+SELECT c.vec_id, c.component_id, s.n_members,
+       c.vec_id = c.component_id AS is_survivor
+FROM comp c JOIN sizes s USING (component_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2040,6 +2104,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_ann_pq": q63_ann_pq,
     "q64_ann_ivf_pq": q64_ann_ivf_pq,
     "q22_media_features": q22_media_features,
+    "q65_semantic_dedup": q65_semantic_dedup,
+    "q66_sketch_rollup": q66_sketch_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2102,6 +2168,7 @@ ORACLES: dict[str, str] = {
     "q60_chunk_documents": Q60_SQL,
     "q61_incremental_dedup": Q61_SQL,
     "q62_selection_pipeline": Q62_SQL,
+    "q65_semantic_dedup": Q65_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -19,23 +19,35 @@ def build_session(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
-    if shuffle_partitions is None:
-        # local[N] → N-ish shuffle partitions; a cluster job would size this
-        # to 2-3x total cores and rely on AQE coalescing.
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = cpus if n == "*" else int(n)
+    # Under spark-submit (PythonRunner exports PYSPARK_GATEWAY_PORT into the
+    # driver process) the master and any --conf arrive via the JVM-side
+    # properties; forcing local[N] or our local defaults here would silently
+    # override the cluster submit line. In that case set NOTHING the submit
+    # line owns — master, shuffle partitions, driver memory — and only layer
+    # semantics configs (UTC, Arrow) that correctness depends on.
+    under_submit = master is None and os.environ.get("PYSPARK_GATEWAY_PORT") is not None
+    builder = SparkSession.builder.appName(app_name)
+    if not under_submit:
+        master = master or f"local[{cpus}]"
+        if shuffle_partitions is None:
+            # local[N] → N-ish shuffle partitions; a cluster job would size
+            # this to 2-3x total cores (submit --conf) and rely on AQE.
+            n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+            shuffle_partitions = int(n) if n.isdigit() else cpus
+        builder = (
+            builder.master(master)
+            .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        )
+    elif shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # managed-table default location (bucketed sinks are external tables;
         # this only keeps the empty warehouse dir out of the repo checkout)
         .config("spark.sql.warehouse.dir", "/tmp/otelcol-spark-warehouse")

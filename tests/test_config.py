@@ -269,6 +269,85 @@ service:
     assert not os.path.exists(str(tmp_path / "out_all"))  # file value was overridden
 
 
+def test_spark_submit_py_files(spark, tmp_path):
+    """Real `spark-submit --py-files` deployment (the north_rule's run mode):
+    the package must import from the zip ALONE (no repo on sys.path, cwd is
+    an empty dir), the master must come from the submit line — build_session
+    must not clobber it with local[SPARK_GRAFT_CPUS] — and the job must
+    commit its sinks and print the summary line."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import zipfile
+
+    spark_submit = shutil.which("spark-submit") or (
+        os.path.join(os.environ["SPARK_HOME"], "bin", "spark-submit")
+        if os.environ.get("SPARK_HOME")
+        else None
+    )
+    if not spark_submit or not os.path.exists(spark_submit):
+        import pytest
+
+        pytest.skip("no spark-submit on PATH")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "opentelemetry_collector_spark")
+    zpath = str(tmp_path / "otelcol_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo))
+    shutil.copy(os.path.join(repo, "submit_job.py"), str(tmp_path / "submit_job.py"))
+
+    cfg = tmp_path / "p.yaml"
+    cfg.write_text(
+        f"""
+receivers:
+  synthetic: {{n_convs: 12, mean_turns: 4, seed: 7}}
+exporters:
+  parquet/all:
+    path: {tmp_path}/out_all
+service:
+  pipelines:
+    logs:
+      receivers: [synthetic]
+      exporters: [parquet/all]
+"""
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master",
+            "local[2]",
+            "--conf",
+            "spark.ui.enabled=false",
+            "--py-files",
+            zpath,
+            str(tmp_path / "submit_job.py"),
+            "--config",
+            str(cfg),
+            "--base-path",
+            str(tmp_path / "run"),
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (proc.stdout[-1000:], proc.stderr[-3000:])
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    from opentelemetry_collector_spark.sources.transcripts import synthesize
+
+    expected = synthesize(spark, 12, 4, 7).count()
+    assert summary["logs"]["sink_rows"]["parquet_all"] == expected
+    assert spark.read.parquet(f"{tmp_path}/out_all").count() == expected
+
+
 def test_multi_pipeline_service(spark, tmp_path):
     """service.pipelines with two pipelines sharing one receiver (the
     receiver fan-in to N pipelines shape, receivers_builder.go:161-233)."""
