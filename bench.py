@@ -926,6 +926,122 @@ Reading the numbers:
     print(json.dumps(results), flush=True)
 
 
+def run_sketch_scale(rows_millions: float = 160.0) -> None:
+    """Distinct-count accounting at rollup scale: exact countDistinct vs the
+    mergeable HLL rollup (operators/aggregate.sketch_rollup) on the cached
+    160M-turn scaling fixture, counting HIGH-cardinality keys (distinct
+    turns = conv_id#turn_idx, 160M distinct) per role.
+
+    Three measurements, the third being the one that matters at 10^12 turns:
+    1. exact  — groupBy(role).countDistinct(key): Spark expands to a
+       two-phase distinct, but the shuffle must carry every distinct key
+       (here: all 160M rows). Cost grows with |distinct|.
+    2. sketch build — per-(role, day) hll_sketch_agg partials written as a
+       parquet rollup table; shuffle carries 4KB registers per bucket.
+    3. merge only — answering the per-role total FROM the rollup table via
+       hll_union_agg, never rescanning the input. This is the continuous-
+       aggregate pattern: new days append new sketch rows; every coarser
+       level is a register merge.
+
+    Writes BENCH/SKETCH.md + sketch_scale.json.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.aggregate import sketch_rollup
+    from opentelemetry_collector_spark.session import build_session
+
+    src = os.path.join(
+        tempfile.gettempdir(), f"otelcol_scaling_{int(rows_millions*1000)}k"
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        print(
+            json.dumps({"error": f"run `bench.py --scaling` first to build {src}"}),
+            flush=True,
+        )
+        return
+    rollup_tmp = os.path.join(tempfile.gettempdir(), "otelcol_sketch_rollup")
+    spark = build_session(app_name="otelcol-sketch-scale")
+    try:
+        df = spark.read.parquet(src).select(
+            "role",
+            F.to_date("ts").alias("day"),
+            F.concat_ws("#", "conv_id", "turn_idx").alias("key"),
+        )
+        # warm the scan cache state once so both paths read warm
+        df.write.format("noop").mode("overwrite").save()
+
+        t0 = time.perf_counter()
+        exact = {
+            r["role"]: r["n"]
+            for r in df.groupBy("role").agg(F.countDistinct("key").alias("n")).collect()
+        }
+        exact_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        fine, _ = sketch_rollup(df, ["role"], "day", "key")
+        fine.write.mode("overwrite").parquet(rollup_tmp)
+        build_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        approx = {
+            r["role"]: r["est"]
+            for r in spark.read.parquet(rollup_tmp)
+            .groupBy("role")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+            .collect()
+        }
+        merge_sec = time.perf_counter() - t0
+
+        max_err = max(abs(approx[k] - exact[k]) / exact[k] for k in exact)
+        n_rows = df.count()
+        results = {
+            "input_turns": n_rows,
+            "distinct_keys_total": int(sum(exact.values())),
+            "exact_sec": round(exact_sec, 3),
+            "sketch_build_write_sec": round(build_sec, 3),
+            "merge_from_rollup_sec": round(merge_sec, 3),
+            "max_relative_error": round(max_err, 5),
+            "rollup_rows": spark.read.parquet(rollup_tmp).count(),
+        }
+    finally:
+        spark.stop()
+
+    md = f"""# BENCH/SKETCH.md — mergeable HLL rollup vs exact distinct
+
+`python bench.py --sketch-scale` on the cached {results['input_turns']:,}-turn
+scaling fixture (deterministic, seed 42), counting distinct turn keys
+(`conv_id#turn_idx` — cardinality == row count, the adversarial case for
+exact distinct) per role, with per-(role, day) sketch partials as the
+rollup table (`operators/aggregate.sketch_rollup`, lg_k=12).
+
+| measurement | wall sec |
+|---|---|
+| exact `countDistinct` (shuffle carries every distinct key) | {results['exact_sec']} |
+| sketch build + write rollup table ({results['rollup_rows']} sketch rows) | {results['sketch_build_write_sec']} |
+| per-role total FROM the rollup table (register merge, no input rescan) | {results['merge_from_rollup_sec']} |
+
+Max relative error vs exact: **{results['max_relative_error']:.4f}**
+(HLL lg_k=12 ⇒ ~1.6% RSE).
+
+**Why at scale:** exact distinct must shuffle |distinct| rows — at 10^12
+distinct turns that is the whole table, every time any rollup level is
+asked. The sketch path pays one scan to build per-bucket registers
+(constant 4 KB per (key, bucket)), and every coarser level or later re-ask
+is a merge over the rollup table — {results['merge_from_rollup_sec']} s here
+vs {results['exact_sec']} s, a gap that widens linearly with input. Register
+merges are partition-invariant (asserted in tests/test_sketch_rollup.py),
+so incremental daily appends compose exactly like the one-shot build.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SKETCH.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "sketch_scale.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -934,6 +1050,7 @@ if __name__ == "__main__":
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--dedup-scale", action="store_true")
     ap.add_argument("--mix-scale", action="store_true")
+    ap.add_argument("--sketch-scale", action="store_true")
     ap.add_argument("--n-low", type=int, default=4)
     ap.add_argument("--n-high", type=int, default=16)
     ap.add_argument("--rows-millions", type=float, default=160.0)
@@ -950,5 +1067,7 @@ if __name__ == "__main__":
         run_dedup_scale()
     elif args.mix_scale:
         run_mix_scale()
+    elif args.sketch_scale:
+        run_sketch_scale(args.rows_millions)
     else:
         run_default()
