@@ -145,6 +145,116 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str = "text") -> Da
     )
 
 
+# reason bits for gopher_filter (a doc can fail several rules at once; the
+# bitmask keeps the full diagnosis in one bigint instead of N boolean columns)
+GOPHER_REASONS = {
+    "word_count": 1,        # n_words outside [min_words, max_words]
+    "mean_word_len": 2,     # mean token length outside the pm band
+    "stopwords": 4,         # fewer than min_stopword_hits stopword tokens
+    "alpha": 8,             # alphabetic-char share below min_alpha_pm
+    "dup_words": 16,        # duplicate-word share above max_dup_word_pm
+}
+
+
+def gopher_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_words: int = 15,
+    max_words: int = 90,
+    min_mean_word_len_pm: int = 4000,
+    max_mean_word_len_pm: int = 5000,
+    min_stopword_hits: int = 2,
+    min_alpha_pm: int = 810,
+    max_dup_word_pm: int = 600,
+) -> DataFrame:
+    """Gopher-style keep/drop decision (Rae et al. 2021 §A1.1): the rule
+    bounds composed over per-row word statistics, emitting ``keep`` plus a
+    ``reasons`` bitmask (GOPHER_REASONS) naming every violated rule.
+
+    Every signal is a per-row array/regex expression — the whole filter is
+    one map stage (no shuffle, no Python), so at 10^12 docs it rides the
+    scan for free and Catalyst pushes any downstream ``keep = 1`` predicate
+    into this projection. Thresholds are per-mille ints (floor semantics)
+    so the DuckDB oracle agrees bit-for-bit.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    nw = F.size(toks)
+    ndw = F.size(F.array_distinct(toks))
+    mtl_pm = _per_mille(F.length(F.regexp_replace(c, r"\s+", "")), nw)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(s) for s in EN_STOPWORDS]), F.lower(t)))
+    )
+    alpha_pm = _per_mille(F.length(F.regexp_replace(c, r"[^A-Za-z]", "")), F.length(c))
+    dup_pm = _per_mille(nw - ndw, nw)
+    reasons = (
+        F.when((nw < min_words) | (nw > max_words), GOPHER_REASONS["word_count"]).otherwise(0)
+        + F.when(
+            (mtl_pm < min_mean_word_len_pm) | (mtl_pm > max_mean_word_len_pm),
+            GOPHER_REASONS["mean_word_len"],
+        ).otherwise(0)
+        + F.when(stop_hits < min_stopword_hits, GOPHER_REASONS["stopwords"]).otherwise(0)
+        + F.when(alpha_pm < min_alpha_pm, GOPHER_REASONS["alpha"]).otherwise(0)
+        + F.when(dup_pm > max_dup_word_pm, GOPHER_REASONS["dup_words"]).otherwise(0)
+    )
+    return df.select(
+        F.col(id_col),
+        nw.cast("bigint").alias("n_words"),
+        reasons.cast("bigint").alias("reasons"),
+        F.when(reasons == 0, 1).otherwise(0).cast("bigint").alias("keep"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str = "text",
+    top_k: int = 5,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-``top_k`` terms per group by tf-idf — the standard "what
+    characterizes this domain" feature for corpus mixing/selection reports.
+
+    Integer-exact scoring so cross-engine hashes match: idf is
+    ``floor(N * 1000 / doc_freq)`` (corpus-global document frequency) and
+    ``score = tf_in_group * idf_pm`` — a float ``log`` idf would drift
+    between engines; the per-mille reciprocal orders terms the same way for
+    ranking purposes. Ties break on term text ascending.
+
+    Scale shape: one explode -> two grouped aggs (tf keyed by (group, term),
+    doc_freq by term after a (term, doc) distinct), a shuffle join on term,
+    then the per-group top-k via row_number over hashpartitioning(group) —
+    the window state per group is vocabulary-bounded, never corpus-bounded.
+    ``n_docs`` defaults to a parquet-metadata count (one cheap action).
+    """
+    from pyspark.sql import Window
+
+    if n_docs is None:
+        n_docs = df.count()
+    toks = df.select(F.col(group_col), F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = (
+        toks.select("term", id_col)
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    scored = tf.join(docfreq, "term").select(
+        F.col(group_col),
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("doc_freq").cast("bigint").alias("doc_freq"),
+        (F.col("tf") * F.floor(F.lit(n_docs) * 1000.0 / F.col("doc_freq"))).cast("bigint").alias("score"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 def vocab_coverage(
     df: DataFrame, id_col: str, text_col: str = "text", top_k: int = 100
 ) -> DataFrame:

@@ -2034,6 +2034,74 @@ FROM comp c JOIN sizes s USING (component_id)
 """
 
 
+def q67_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule keep/drop decision (operators/text.gopher_filter): the
+    rule-bound composition of the q13/q45 signals into the actual corpus
+    filter, with a reasons bitmask naming every violated rule. Pure map
+    stage — no shuffle — so the filter rides the scan at any scale."""
+    from opentelemetry_collector_spark.operators.text import gopher_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_filter(docs, "doc_id")
+
+
+Q67_SQL = rf"""
+WITH {_DOC_WORDS_SQL.strip().rstrip()},
+s AS (SELECT d.doc_id, len(w) AS nw, len(list_distinct(w)) AS ndw,
+  CASE WHEN len(w) > 0
+       THEN floor(length(regexp_replace(text, '\s+', '', 'g')) * 1000.0 / len(w))
+       ELSE 0 END AS mtl_pm,
+  len(list_filter(w, x -> list_contains(
+      ['the','a','an','and','of','to','in','is','it','for'], lower(x)))) AS stop_hits,
+  CASE WHEN length(text) > 0
+       THEN floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000.0 / length(text))
+       ELSE 0 END AS alpha_pm,
+  CASE WHEN len(w) > 0 THEN floor((len(w) - len(list_distinct(w))) * 1000.0 / len(w))
+       ELSE 0 END AS dup_pm
+FROM d JOIN documents USING (doc_id)),
+r AS (SELECT doc_id, nw,
+  (CASE WHEN nw < 15 OR nw > 90 THEN 1 ELSE 0 END
+   + CASE WHEN mtl_pm < 4000 OR mtl_pm > 5000 THEN 2 ELSE 0 END
+   + CASE WHEN stop_hits < 2 THEN 4 ELSE 0 END
+   + CASE WHEN alpha_pm < 810 THEN 8 ELSE 0 END
+   + CASE WHEN dup_pm > 600 THEN 16 ELSE 0 END) AS reasons
+FROM s)
+SELECT doc_id, CAST(nw AS BIGINT) AS n_words, CAST(reasons AS BIGINT) AS reasons,
+       CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM r
+"""
+
+
+def q68_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 terms by integer-exact tf-idf
+    (operators/text.tfidf_top_terms) — the domain-characterization feature
+    for mixing/selection reports. Score = tf_in_source *
+    floor(N_docs*1000/doc_freq); ties break on term text so ranking is
+    deterministic across engines."""
+    from opentelemetry_collector_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, "source", "doc_id", top_k=5)
+
+
+Q68_SQL = rf"""
+WITH {_DOC_WORDS_SQL.strip().rstrip()},
+t AS (SELECT d.doc_id, source, unnest(w) AS term
+      FROM d JOIN documents USING (doc_id)),
+tf AS (SELECT source, term, count(*) AS tf FROM t GROUP BY source, term),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM t GROUP BY term),
+n AS (SELECT count(*) AS nd FROM documents),
+sc AS (SELECT source, term, CAST(tf AS BIGINT) AS tf,
+              CAST(doc_freq AS BIGINT) AS doc_freq,
+              CAST(tf * floor(nd * 1000.0 / doc_freq) AS BIGINT) AS score
+       FROM tf JOIN dfq USING (term) CROSS JOIN n),
+rk AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS rank
+       FROM sc)
+SELECT term, source, tf, doc_freq, score, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2106,6 +2174,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_media_features": q22_media_features,
     "q65_semantic_dedup": q65_semantic_dedup,
     "q66_sketch_rollup": q66_sketch_rollup,
+    "q67_gopher_filter": q67_gopher_filter,
+    "q68_tfidf_top_terms": q68_tfidf_top_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -2169,6 +2239,8 @@ ORACLES: dict[str, str] = {
     "q61_incremental_dedup": Q61_SQL,
     "q62_selection_pipeline": Q62_SQL,
     "q65_semantic_dedup": Q65_SQL,
+    "q67_gopher_filter": Q67_SQL,
+    "q68_tfidf_top_terms": Q68_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -191,3 +191,62 @@ def test_importance_mass_keeps_empty_and_short_docs(spark):
     for d in (1, 2):  # zero bigrams -> all-zero evidence, not a dropped row
         assert (out[d].n_grams, out[d].tgt_mass, out[d].raw_mass, out[d].score_ppm) == (0, 0, 0, 0)
     assert out[3].score_ppm == 1_000_000  # its only gram is pure target mass
+
+
+# ---------------------------------------------------------------------------
+# Gopher filter decision
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_filter_golden(spark):
+    from opentelemetry_collector_spark.operators.text import GOPHER_REASONS, gopher_filter
+
+    clean = "the and " + " ".join(f"wor{c}d" for c in "abcdefghijklmn")  # 16 words, all rules pass
+    df = _docs(
+        spark,
+        [
+            (1, clean),
+            (2, "a b"),                                   # short + tiny words + 1 stopword + low alpha
+            (3, " ".join(["alpha"] * 16) + " the and"),   # 18 words, 3 distinct -> dup rule only
+        ],
+    )
+    out = {r["doc_id"]: r for r in gopher_filter(df, "doc_id").collect()}
+    assert (out[1]["reasons"], out[1]["keep"], out[1]["n_words"]) == (0, 1, 16)
+    assert out[2]["reasons"] == (
+        GOPHER_REASONS["word_count"]
+        + GOPHER_REASONS["mean_word_len"]
+        + GOPHER_REASONS["stopwords"]
+        + GOPHER_REASONS["alpha"]
+    )
+    assert out[2]["keep"] == 0
+    assert (out[3]["reasons"], out[3]["keep"]) == (GOPHER_REASONS["dup_words"], 0)
+
+
+def test_gopher_filter_is_shuffle_free(spark):
+    from opentelemetry_collector_spark.operators.text import gopher_filter
+
+    df = _docs(spark, [(1, "x y z")])
+    plan = gopher_filter(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map stage: the filter rides the scan
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms per group
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_top_terms_golden(spark):
+    from opentelemetry_collector_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "srcA", "x x y"), (2, "srcA", "x z"), (3, "srcB", "y y z"), (4, "srcB", "w")],
+        "doc_id bigint, source string, text string",
+    )
+    out = tfidf_top_terms(df, "source", "doc_id", top_k=2).collect()
+    got = {(r["source"], r["rank"]): (r["term"], r["tf"], r["doc_freq"], r["score"]) for r in out}
+    # N=4; doc_freq x/y/z=2 (idf_pm 2000), w=1 (idf_pm 4000)
+    assert got[("srcA", 1)] == ("x", 3, 2, 6000)
+    assert got[("srcA", 2)] == ("y", 1, 2, 2000)  # y beats z on the term tiebreak
+    assert got[("srcB", 1)] == ("w", 1, 1, 4000)  # w beats y on the tiebreak at 4000
+    assert got[("srcB", 2)] == ("y", 2, 2, 4000)
+    assert len(out) == 4

@@ -36,6 +36,8 @@ DOC_QUERIES = [
     "q60_chunk_documents",
     "q61_incremental_dedup",
     "q62_selection_pipeline",
+    "q67_gopher_filter",
+    "q68_tfidf_top_terms",
 ]
 
 WEIRD_TEXTS = [
@@ -78,5 +80,5 @@ def test_doc_query_survives_degenerate_text(spark, weird_sf_dir, name):
     # per-doc ops must not silently drop the degenerate rows
     if name in {"q13_text_quality", "q14_lang_id", "q15_token_count",
                 "q44_pii_redact", "q45_repetition", "q47_vocab_coverage",
-                "q50_exact_substring"}:
+                "q50_exact_substring", "q67_gopher_filter"}:
         assert n >= len(WEIRD_TEXTS)
