@@ -226,3 +226,17 @@ def test_rollup_single_scan_expand_partial_agg(spark, small):
     assert "Expand" in plan
     assert plan.count("Exchange") == 1
     assert "partial_count" in plan
+
+
+def test_tfidf_rank_limit_pushdown_and_broadcast_docfreq(spark):
+    """q68: each map task keeps only k terms per source BEFORE the exchange
+    (Partial WindowGroupLimit), and the corpus-global doc_freq side attaches
+    as a broadcast join — postings are never shuffled for the ranking."""
+    from opentelemetry_collector_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(tfidf_top_terms(docs, "source", "doc_id", top_k=5))
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan

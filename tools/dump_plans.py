@@ -180,6 +180,23 @@ COMMENTARY = {
         "number of times and every shuffle it pays is either |grams| partials or k-per-"
         "stratum rows.",
     ),
+    "q67_gopher_filter": (
+        "ONE Project over the scan — every rule bound (word count, mean word length, "
+        "stopword hits, alpha share, dup-word share) is a JVM array/regex expression in a "
+        "single WholeStageCodegen; no Exchange, no Python.",
+        "The keep/drop decision is evaluated once per document of the corpus — as a pure "
+        "map stage it rides the scan at 100 TB, and Catalyst pushes a downstream keep=1 "
+        "predicate straight into this projection so dropped docs never leave the task.",
+    ),
+    "q68_tfidf_top_terms": (
+        "Partial WindowGroupLimit BEFORE the Exchange on source (rank-limit pushdown: each "
+        "map task keeps only k terms per source); doc_freq side comes back as a "
+        "BroadcastHashJoin on term; both token aggregates partial-aggregate before their "
+        "exchanges.",
+        "tf-idf over a 100 TB corpus shuffles only vocabulary-bounded aggregates — never "
+        "postings — and the per-source ranking ships k rows per task instead of the whole "
+        "per-source term table; integer per-mille idf keeps the ranking engine-exact.",
+    ),
     "q53_latency_quantiles": (
         "Exact percentiles ride the SAME plan shape as any grouped agg: lead() window on "
         "hashpartitioning(conv_id), broadcast meta join, then partial+final HashAggregate "
