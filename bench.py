@@ -50,6 +50,8 @@ HEADLINE = [
     "q46_decontaminate",
     "q47_vocab_coverage",
     "q50_exact_substring",
+    "q67_gopher_filter",
+    "q68_tfidf_top_terms",
     # training-mix construction (documents table)
     "q57_token_budget_mix",
     "q58_token_budget_rate",
