@@ -997,9 +997,10 @@ def run_sketch_scale(rows_millions: float = 160.0) -> None:
         merge_sec = time.perf_counter() - t0
 
         max_err = max(abs(approx[k] - exact[k]) / exact[k] for k in exact)
-        n_rows = df.count()
+        # key cardinality == row count by construction (conv_id#turn_idx is
+        # unique), so the exact pass already measured the row count
         results = {
-            "input_turns": n_rows,
+            "input_turns": int(sum(exact.values())),
             "distinct_keys_total": int(sum(exact.values())),
             "exact_sec": round(exact_sec, 3),
             "sketch_build_write_sec": round(build_sec, 3),

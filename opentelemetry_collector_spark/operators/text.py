@@ -27,6 +27,14 @@ def tokens(col: Column) -> Column:
     )
 
 
+def stopword_hits(toks: Column) -> Column:
+    """Count of tokens whose lowercase form is an EN_STOPWORDS member —
+    the shared building block for quality_metrics / gopher_filter (and the
+    semantics the Q13/Q67 oracles hardcode)."""
+    arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col)).cast("bigint")
 
@@ -47,9 +55,7 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(c).cast("bigint")
     alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
     punct = F.length(c) - F.length(F.regexp_replace(c, _PUNCT_CLASS, ""))
-    stop_hits = F.size(
-        F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(s) for s in EN_STOPWORDS]), F.lower(t)))
-    )
+    stop_hits = stopword_hits(toks)
     n_toks = F.size(toks)
     return df.withColumns(
         {
@@ -160,17 +166,25 @@ def gopher_filter(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
-    min_words: int = 15,
-    max_words: int = 90,
-    min_mean_word_len_pm: int = 4000,
-    max_mean_word_len_pm: int = 5000,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_pm: int = 3000,
+    max_mean_word_len_pm: int = 10_000,
     min_stopword_hits: int = 2,
-    min_alpha_pm: int = 810,
-    max_dup_word_pm: int = 600,
+    min_alpha_pm: int = 600,
+    max_dup_word_pm: int = 700,
 ) -> DataFrame:
-    """Gopher-style keep/drop decision (Rae et al. 2021 §A1.1): the rule
-    bounds composed over per-row word statistics, emitting ``keep`` plus a
-    ``reasons`` bitmask (GOPHER_REASONS) naming every violated rule.
+    """Gopher-style keep/drop decision: rule bounds composed over per-row
+    word statistics, emitting ``keep`` plus a ``reasons`` bitmask
+    (GOPHER_REASONS) naming every violated rule.
+
+    Defaults follow Rae et al. 2021 §A1.1 where our signals map directly —
+    word count in [50, 100k], mean word length in [3, 10] chars, >= 2
+    stopword hits; the alpha-share and dup-word bounds are looser analogs
+    of the paper's per-WORD alpha-character and dup-line rules (we measure
+    per-char alpha share and word-level repetition), so callers targeting a
+    specific corpus should tune those two per corpus (q67 passes
+    fixture-ranged thresholds explicitly).
 
     Every signal is a per-row array/regex expression — the whole filter is
     one map stage (no shuffle, no Python), so at 10^12 docs it rides the
@@ -183,9 +197,7 @@ def gopher_filter(
     nw = F.size(toks)
     ndw = F.size(F.array_distinct(toks))
     mtl_pm = _per_mille(F.length(F.regexp_replace(c, r"\s+", "")), nw)
-    stop_hits = F.size(
-        F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(s) for s in EN_STOPWORDS]), F.lower(t)))
-    )
+    stop_hits = stopword_hits(toks)
     alpha_pm = _per_mille(F.length(F.regexp_replace(c, r"[^A-Za-z]", "")), F.length(c))
     dup_pm = _per_mille(nw - ndw, nw)
     reasons = (
@@ -221,32 +233,44 @@ def tfidf_top_terms(
     ``floor(N * 1000 / doc_freq)`` (corpus-global document frequency) and
     ``score = tf_in_group * idf_pm`` — a float ``log`` idf would drift
     between engines; the per-mille reciprocal orders terms the same way for
-    ranking purposes. Ties break on term text ascending.
+    ranking purposes. Ties break on term text ascending. The multiply is
+    ``try_multiply``: a singleton term in a huge corpus can push
+    tf * idf_pm past int64, and under ANSI mode a plain ``*`` would kill
+    the job on that one row — overflowed scores become NULL and sort last
+    (the repo-wide per-row-junk policy; exactness holds for every score
+    that fits int64, which is the entire ranking regime that matters).
 
-    Scale shape: one explode -> two grouped aggs (tf keyed by (group, term),
-    doc_freq by term after a (term, doc) distinct), a shuffle join on term,
-    then the per-group top-k via row_number over hashpartitioning(group) —
-    the window state per group is vocabulary-bounded, never corpus-bounded.
-    ``n_docs`` defaults to a parquet-metadata count (one cheap action).
+    Scale shape: ONE corpus scan+explode feeding a persisted
+    (term, doc, group) postings aggregate; tf and doc_freq are then two
+    grouped aggs over that vocabulary-x-docs-bounded intermediate (never
+    the corpus again), a shuffle join on term, and the per-group top-k via
+    row_number over hashpartitioning(group) with partial rank-limit
+    pushdown. ``n_docs`` defaults to a ``df.count()`` Spark job executed
+    eagerly at plan-build time — pass it explicitly to avoid that action
+    (e.g. from parquet footer metadata).
     """
     from pyspark.sql import Window
 
     if n_docs is None:
         n_docs = df.count()
     toks = df.select(F.col(group_col), F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-    tf = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = (
-        toks.select("term", id_col)
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
-    )
+    # one corpus pass: per-(term, doc) occurrence counts (doc identity kept
+    # for doc_freq, counts kept for tf). Persist + eager count: tf and
+    # doc_freq are sibling ROOT branches of the final job, and a lazy cache
+    # would let both recompute the corpus explode before it fills.
+    postings = toks.groupBy("term", id_col, group_col).agg(F.count(F.lit(1)).alias("_c")).persist()
+    postings.count()
+    tf = postings.groupBy(group_col, "term").agg(F.sum("_c").alias("tf"))
+    docfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     scored = tf.join(docfreq, "term").select(
         F.col(group_col),
         "term",
         F.col("tf").cast("bigint").alias("tf"),
         F.col("doc_freq").cast("bigint").alias("doc_freq"),
-        (F.col("tf") * F.floor(F.lit(n_docs) * 1000.0 / F.col("doc_freq"))).cast("bigint").alias("score"),
+        F.try_multiply(
+            F.col("tf").cast("bigint"),
+            F.floor(F.lit(n_docs) * 1000.0 / F.col("doc_freq")).cast("bigint"),
+        ).alias("score"),
     )
     w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("term"))
     return (

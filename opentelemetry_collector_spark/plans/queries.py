@@ -2042,11 +2042,23 @@ def q67_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators.text import gopher_filter
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return gopher_filter(docs, "doc_id")
+    # thresholds tuned to the synthetic fixture's stat ranges (10-99 words,
+    # mtl 3.7-5.3, alpha 794-854 pm) so every rule fires on some rows;
+    # real-corpus callers use the operator's Rae-et-al defaults
+    return gopher_filter(
+        docs,
+        "doc_id",
+        min_words=15,
+        max_words=90,
+        min_mean_word_len_pm=4000,
+        max_mean_word_len_pm=5000,
+        min_alpha_pm=810,
+        max_dup_word_pm=600,
+    )
 
 
 Q67_SQL = rf"""
-WITH {_DOC_WORDS_SQL.strip().rstrip()},
+WITH {_DOC_WORDS_SQL},
 s AS (SELECT d.doc_id, len(w) AS nw, len(list_distinct(w)) AS ndw,
   CASE WHEN len(w) > 0
        THEN floor(length(regexp_replace(text, '\s+', '', 'g')) * 1000.0 / len(w))
@@ -2085,7 +2097,7 @@ def q68_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q68_SQL = rf"""
-WITH {_DOC_WORDS_SQL.strip().rstrip()},
+WITH {_DOC_WORDS_SQL},
 t AS (SELECT d.doc_id, source, unnest(w) AS term
       FROM d JOIN documents USING (doc_id)),
 tf AS (SELECT source, term, count(*) AS tf FROM t GROUP BY source, term),

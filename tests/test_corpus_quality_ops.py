@@ -210,7 +210,15 @@ def test_gopher_filter_golden(spark):
             (3, " ".join(["alpha"] * 16) + " the and"),   # 18 words, 3 distinct -> dup rule only
         ],
     )
-    out = {r["doc_id"]: r for r in gopher_filter(df, "doc_id").collect()}
+    out = {
+        r["doc_id"]: r
+        for r in gopher_filter(
+            df, "doc_id",
+            min_words=15, max_words=90,
+            min_mean_word_len_pm=4000, max_mean_word_len_pm=5000,
+            min_alpha_pm=810, max_dup_word_pm=600,
+        ).collect()
+    }
     assert (out[1]["reasons"], out[1]["keep"], out[1]["n_words"]) == (0, 1, 16)
     assert out[2]["reasons"] == (
         GOPHER_REASONS["word_count"]
@@ -220,6 +228,21 @@ def test_gopher_filter_golden(spark):
     )
     assert out[2]["keep"] == 0
     assert (out[3]["reasons"], out[3]["keep"]) == (GOPHER_REASONS["dup_words"], 0)
+
+
+def test_gopher_filter_default_bounds_are_gopher_paper_bounds(spark):
+    # Rae et al. 2021 §A1.1: 50-100k words, mean word length 3-10 chars.
+    # A normal 60-word English-ish doc passes the DEFAULTS; a 30-word doc
+    # fails only the word-count rule.
+    from opentelemetry_collector_spark.operators.text import GOPHER_REASONS, gopher_filter
+
+    suffix = lambda i: chr(97 + i // 26) + chr(97 + i % 26)  # noqa: E731 — all-alpha words
+    body = "the and of it is " + " ".join(f"word{suffix(i)}" for i in range(55))  # 60 words
+    short = "the and of it is " + " ".join(f"word{suffix(i)}" for i in range(25))  # 30 words
+    df = _docs(spark, [(1, body), (2, short)])
+    out = {r["doc_id"]: r for r in gopher_filter(df, "doc_id").collect()}
+    assert (out[1]["reasons"], out[1]["keep"]) == (0, 1)
+    assert (out[2]["reasons"], out[2]["keep"]) == (GOPHER_REASONS["word_count"], 0)
 
 
 def test_gopher_filter_is_shuffle_free(spark):

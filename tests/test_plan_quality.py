@@ -238,5 +238,7 @@ def test_tfidf_rank_limit_pushdown_and_broadcast_docfreq(spark):
     plan = _plan(tfidf_top_terms(docs, "source", "doc_id", top_k=5))
     assert "WindowGroupLimit" in plan and "Partial" in plan
     assert "BroadcastHashJoin" in plan
-    assert "partial_count" in plan
     assert "BatchEvalPython" not in plan
+    # the corpus scan+explode runs ONCE: both tf and doc_freq branches read
+    # the persisted postings aggregate, not the parquet scan
+    assert "InMemoryTableScan" in plan

@@ -189,13 +189,17 @@ COMMENTARY = {
         "predicate straight into this projection so dropped docs never leave the task.",
     ),
     "q68_tfidf_top_terms": (
-        "Partial WindowGroupLimit BEFORE the Exchange on source (rank-limit pushdown: each "
-        "map task keeps only k terms per source); doc_freq side comes back as a "
-        "BroadcastHashJoin on term; both token aggregates partial-aggregate before their "
-        "exchanges.",
-        "tf-idf over a 100 TB corpus shuffles only vocabulary-bounded aggregates — never "
-        "postings — and the per-source ranking ships k rows per task instead of the whole "
-        "per-source term table; integer per-mille idf keeps the ranking engine-exact.",
+        "ONE corpus scan+explode into a persisted (term, doc, group) postings aggregate "
+        "(both tf and doc_freq branches read the InMemoryTableScan, never the corpus "
+        "again); partial WindowGroupLimit BEFORE the Exchange on source (rank-limit "
+        "pushdown: each map task keeps only k terms per source); doc_freq side comes back "
+        "as a BroadcastHashJoin on term; every aggregate partial-aggregates before its "
+        "exchange; the score multiply is try_multiply (overflow -> NULL ranks last, never "
+        "an ANSI job kill).",
+        "tf-idf over a 100 TB corpus pays the scan+explode once and shuffles only "
+        "vocabulary-bounded aggregates — never postings — and the per-source ranking "
+        "ships k rows per task instead of the whole per-source term table; integer "
+        "per-mille idf keeps the ranking engine-exact wherever it fits int64.",
     ),
     "q53_latency_quantiles": (
         "Exact percentiles ride the SAME plan shape as any grouped agg: lead() window on "
