@@ -47,7 +47,10 @@ def pack_sequences(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")
-        toks = pdf[token_col].to_numpy()
+        # NULL token counts arrive as NaN (pandas upcasts nullable ints to
+        # float64); pack them at zero cost instead of int(nan)-crashing the
+        # job — per-row degradation, same policy as the samplers' try_cast
+        toks = pd.to_numeric(pdf[token_col], errors="coerce").fillna(0).to_numpy()
         chunks = np.empty(len(toks), dtype=np.int32)
         acc, chunk = 0, 0
         for i, t in enumerate(toks):
@@ -86,12 +89,16 @@ def chunk_documents(
 
     A document's whitespace tokens become chunks of ``window`` tokens whose
     starts advance by ``window - overlap``; the tail chunk may be shorter;
-    zero-token documents yield no chunks. Output:
+    zero-token documents yield no chunks. Chunking STOPS at the first chunk
+    that reaches the document end — with overlap > 0, naively advancing
+    starts to ``len`` would emit tail chunks wholly contained in the
+    previous chunk (duplicate training text for every doc whose length puts
+    a late start inside the prior window). Output:
     ``(id, chunk_idx, chunk_text, n_tokens)``.
 
     Scale shape: tokens/sequence/slice are JVM expressions inside one
     Generate over the scan — no shuffle, no Python; output size is
-    len/(window-overlap) rows per doc, linear in the corpus.
+    ~len/(window-overlap) rows per doc, linear in the corpus.
     """
     if not 0 <= overlap < window:
         raise ValueError("require 0 <= overlap < window")
@@ -99,8 +106,16 @@ def chunk_documents(
 
     step = window - overlap
     base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    n = F.size("_w")
+    # chunks needed to cover the doc: 1 + ceil((len - window) / step) once
+    # len exceeds one window (closed form; magnitudes are document lengths,
+    # so the double division is exact)
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(window)) / F.lit(step))
+    )
     starts = F.when(
-        F.size("_w") > 0, F.sequence(F.lit(1), F.size("_w"), F.lit(step))
+        n > 0,
+        F.sequence(F.lit(1), F.lit(1) + (n_chunks.cast("int") - 1) * F.lit(step), F.lit(step)),
     ).otherwise(F.array().cast("array<int>"))
     exploded = base.select(
         F.col(id_col), F.col("_w"), F.posexplode(starts).alias("chunk_idx", "_s")

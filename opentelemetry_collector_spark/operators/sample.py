@@ -42,11 +42,17 @@ def keep_by_hash(id_hex_col: Column, percentage: float, hash_seed: int = 0) -> C
 
     @pandas_udf("boolean")
     def _keep(s: pd.Series) -> pd.Series:
-        if len(s) == 0:
-            return pd.Series([], dtype="boolean")
-        words = hex16_to_u32x4(s.to_numpy(dtype=object))
-        h = murmur3_32_x4(words, hash_seed)
-        return pd.Series((h & np.uint32(_BITMASK)) < np.uint32(threshold))
+        # a NULL id has no hash decision: emit NULL (the filter drops the
+        # row) instead of letting hex16_to_u32x4 join None into the digest
+        # string and kill the whole job — per-row degradation, same policy
+        # as the try_cast on priority below
+        out = pd.Series([None] * len(s), dtype="boolean")
+        mask = s.notna()
+        if mask.any():
+            words = hex16_to_u32x4(s[mask].to_numpy(dtype=object))
+            h = murmur3_32_x4(words, hash_seed)
+            out[mask.to_numpy()] = (h & np.uint32(_BITMASK)) < np.uint32(threshold)
+        return out
 
     return _keep(id_hex_col)
 
@@ -111,7 +117,14 @@ def token_budget_sample(
     return (
         df.withColumn("_budget", b[F.col(stratum_col)])
         .filter(F.col("_budget").isNotNull())
-        .withColumn("_cum", F.sum(F.col(token_col).cast("bigint")).over(w))
+        # coalesce-to-0: a NULL token count must not poison the running sum
+        # (every later row in the stratum would inherit NULL and be
+        # dropped), nor depend on hash position — a costless row is kept
+        # whenever the budget is still open, deterministically
+        .withColumn(
+            "_cum",
+            F.sum(F.coalesce(F.col(token_col).try_cast("bigint"), F.lit(0))).over(w),
+        )
         .filter(F.col("_cum") <= F.col("_budget"))
         .drop("_budget", "_cum")
     )

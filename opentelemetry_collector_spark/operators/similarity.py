@@ -50,6 +50,24 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _cos_merge(scored: DataFrame, k: int) -> DataFrame:
+    """Shared exact-cosine top-k merge: rank candidates per query, keep k,
+    emit the (query_id, neighbor_id, rank, cos_milli) output contract every
+    cosine server (brute force, LSH, IVF, written-index probe) shares —
+    one place to change the rounding/tie-break, four call sites."""
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.floor(F.col("cos") * 1000).cast("bigint").alias("cos_milli"),
+        )
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -72,17 +90,7 @@ def cosine_topk(
         .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
         .filter(F.col("cos").isNotNull())  # zero vectors: no defined rank
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            F.col("rank").cast("int").alias("rank"),
-            F.floor(F.col("cos") * 1000).cast("bigint").alias("cos_milli"),
-        )
-    )
+    return _cos_merge(scored, k)
 
 
 def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
@@ -95,12 +103,18 @@ def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 16, seed: in
 
     @pandas_udf("long")
     def _sig(s: pd.Series) -> pd.Series:
-        if len(s) == 0:
-            return pd.Series([], dtype="int64")
-        m = np.vstack(s.to_numpy())  # (batch, dim)
-        bits = (m @ planes) > 0  # (batch, n_planes)
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series(bits @ weights)
+        # NULL embeddings get a NULL bucket (a NULL join key never matches,
+        # so the row silently leaves the candidate set — per-row
+        # degradation, per the cosine()-NULL contract; np.vstack on a None
+        # element would kill the whole job instead)
+        out = pd.Series([None] * len(s), dtype="Int64")
+        mask = s.notna()
+        if mask.any():
+            m = np.vstack(s[mask].to_numpy())  # (batch, dim)
+            bits = (m @ planes) > 0  # (batch, n_planes)
+            weights = (1 << np.arange(n_planes)).astype(np.int64)
+            out[mask.to_numpy()] = bits @ weights
+        return out
 
     return _sig(vec_col)
 
@@ -155,7 +169,11 @@ def train_centroids(
     """
     from opentelemetry_collector_spark.session import spread
 
-    src = spread(df).select(as_double(F.col(vec_col)).alias("_v"))
+    # NULL embeddings carry no training signal; filtering here keeps the
+    # numpy kernels (vstack) per-row-safe on junk rows
+    src = spread(df).select(as_double(F.col(vec_col)).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
     sample = (
         src.withColumn("_h", F.xxhash64("_v")).orderBy("_h").limit(init_sample).toPandas()
     )
@@ -228,14 +246,23 @@ def centroid_probe(
 
     @pandas_udf("array<int>")
     def _probe(s: pd.Series) -> pd.Series:
-        if len(s) == 0:
-            return pd.Series([], dtype=object)
-        m = np.vstack(s.to_numpy()).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ cents.T  # (batch, nlist)
-        # full argsort only over nlist (small); stable order for determinism
-        idx = np.argsort(-sims, kind="stable", axis=1)[:, :nprobe]
-        return pd.Series([row.astype("int32") for row in idx])
+        # NULL embeddings probe nothing (NULL list array): element_at ->
+        # NULL list_id never joins; explode drops the query row — per-row
+        # degradation instead of a np.vstack job kill
+        out = pd.Series([None] * len(s), dtype=object)
+        mask = s.notna()
+        if mask.any():
+            m = np.vstack(s[mask].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ cents.T  # (batch, nlist)
+            # full argsort only over nlist (small); stable order for determinism
+            idx = np.argsort(-sims, kind="stable", axis=1)[:, :nprobe]
+            # positional fill with plain lists: a boolean-mask assign of a
+            # list of arrays trips pandas putmask, and iat squeezes a
+            # length-1 ndarray to a scalar (breaking the array<int> column)
+            for p, row in zip(np.flatnonzero(mask.to_numpy()), idx):
+                out.iat[p] = [int(x) for x in row]
+        return out
 
     return _probe(vec_col)
 
@@ -274,17 +301,7 @@ def ivf_topk(
     scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("nv"))).filter(
         F.col("cos").isNotNull()
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            F.col("rank").cast("int").alias("rank"),
-            F.floor(F.col("cos") * 1000).cast("bigint").alias("cos_milli"),
-        )
-    )
+    return _cos_merge(scored, k)
 
 
 def lsh_topk(
@@ -305,6 +322,8 @@ def lsh_topk(
     """
     from opentelemetry_collector_spark.session import spread
 
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
     c = spread(corpus).select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"))
     q = queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
     cand = None
@@ -319,17 +338,7 @@ def lsh_topk(
     scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("nv"))).filter(
         F.col("cos").isNotNull()
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            F.col("rank").cast("int").alias("rank"),
-            F.floor(F.col("cos") * 1000).cast("bigint").alias("cos_milli"),
-        )
-    )
+    return _cos_merge(scored, k)
 
 
 def ivf_write_index(
@@ -347,8 +356,12 @@ def ivf_write_index(
     lands in exactly one hive partition; probes then read nprobe/nlist of
     the files (partition pruning), which is what makes IVF sublinear at
     100 TB: the index is built once, every query batch scans only its lists."""
+    from opentelemetry_collector_spark.session import spread
+
+    # spread: the assignment matmul is the build's hot loop — a single-file
+    # scan would run it (and write every list) from one task
     c = (
-        corpus.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"))
+        spread(corpus).select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"))
         .withColumn("list_id", F.element_at(centroid_probe(F.col("nv"), dim, nlist, 1, seed, centroids), 1))
     )
     c.write.mode("overwrite").partitionBy("list_id").parquet(path)
@@ -378,24 +391,16 @@ def ivf_probe_index(
         queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
         .withColumn("list_id", F.explode(centroid_probe(F.col("qv"), dim, nlist, nprobe, seed, centroids)))
     )
-    q = q.persist()
+    # the probe-list resolve recomputes the (tiny by definition) query frame
+    # once rather than persisting it — a persist here has no second heavy
+    # use and would pin block-manager storage for the session lifetime
     probe_ids = sorted({r.list_id for r in q.select("list_id").distinct().collect()})
     idx = spark.read.parquet(path).filter(F.col("list_id").isin(probe_ids))
     cand = idx.join(F.broadcast(q), on="list_id").filter(F.col("nid") != F.col("qid"))
     scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("nv"))).filter(
         F.col("cos").isNotNull()
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            F.col("rank").cast("int").alias("rank"),
-            F.floor(F.col("cos") * 1000).cast("bigint").alias("cos_milli"),
-        )
-    )
+    return _cos_merge(scored, k)
 
 
 # --- product quantization: the memory-bound scale path ----------------------
@@ -433,7 +438,10 @@ def train_pq(
     if dim % m:
         raise ValueError(f"dim {dim} must divide into m={m} subspaces")
     dsub = dim // m
-    src = spread(df).select(as_double(F.col(vec_col)).alias("_v"))
+    # NULL-filter for the same per-row-safety reason as train_centroids
+    src = spread(df).select(as_double(F.col(vec_col)).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
     sample = (
         src.withColumn("_h", F.xxhash64("_v")).orderBy("_h").limit(init_sample).toPandas()
     )
@@ -535,9 +543,14 @@ def _pq_code_udf(B: np.ndarray):
 
     @pandas_udf("array<int>")
     def _enc(s: pd.Series) -> pd.Series:
-        if len(s) == 0:
-            return pd.Series([], dtype=object)
-        V = np.vstack(s.to_numpy()).astype(np.float64)
+        # NULL embeddings encode to NULL like zero vectors do (the scorer
+        # already drops NULL codes per row); vstack on a None would kill
+        # the whole encode job
+        out = pd.Series([None] * len(s), dtype=object)
+        mask = s.notna()
+        if not mask.any():
+            return out
+        V = np.vstack(s[mask].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(V, axis=1, keepdims=True)
         V = V / np.maximum(norms, 1e-12)
         codes = np.empty((len(V), m), dtype=np.int32)
@@ -545,8 +558,11 @@ def _pq_code_udf(B: np.ndarray):
             S = V[:, j * dsub : (j + 1) * dsub]
             scores = S @ B[j].T - 0.5 * (B[j] ** 2).sum(axis=1)
             codes[:, j] = np.argmax(scores, axis=1)
-        out = [c if nz else None for c, nz in zip(codes, norms[:, 0] > 0.0)]
-        return pd.Series(out, dtype=object)
+        # positional fill with plain lists (see centroid_probe: mask assign
+        # and raw-ndarray iat both misbehave)
+        for p, c, nz in zip(np.flatnonzero(mask.to_numpy()), codes, norms[:, 0] > 0.0):
+            out.iat[p] = [int(x) for x in c] if nz else None
+        return out
 
     return _enc
 
@@ -622,8 +638,14 @@ def _pq_merge(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-_PQ_EMPTY_SCHEMA = "query_id long, neighbor_id long, rank int, approx_milli bigint"
-_PQ_SCORED_SCHEMA = "qid long, nid long, score double"
+def _pq_schemas(id_dtype: str) -> tuple[str, str]:
+    """(scored, empty-result) schemas with the caller's id type preserved —
+    hardcoding `long` would ArrowTypeError any string-id corpus that every
+    non-PQ top-k accepts."""
+    return (
+        f"qid {id_dtype}, nid {id_dtype}, score double",
+        f"query_id {id_dtype}, neighbor_id {id_dtype}, rank int, approx_milli bigint",
+    )
 
 
 def pq_topk(
@@ -647,13 +669,14 @@ def pq_topk(
     from opentelemetry_collector_spark.session import spread
 
     B = np.asarray(codebooks, dtype=np.float64)
+    scored_schema, empty_schema = _pq_schemas(dict(queries.dtypes)[id_col])
     enc = encoded if encoded is not None else pq_encode(spread(corpus), B, id_col, vec_col)
     prep = _pq_query_tensors(queries, B, id_col, vec_col)
     if prep is None:  # no (directed) queries: empty result, output schema
-        return corpus.sparkSession.createDataFrame([], _PQ_EMPTY_SCHEMA)
+        return corpus.sparkSession.createDataFrame([], empty_schema)
     qids, _, lut = prep
     score = _pq_scorer(qids, lut, k, probes=None)
-    return _pq_merge(enc.mapInPandas(score, _PQ_SCORED_SCHEMA), k)
+    return _pq_merge(enc.mapInPandas(score, scored_schema), k)
 
 
 def ivf_pq_topk(
@@ -693,14 +716,15 @@ def ivf_pq_topk(
         F.element_at(centroid_probe(F.col("_v"), dim, nlist, 1, seed, cents), 1).alias("list_id"),
         _pq_code_udf(B)(F.col("_v")).alias("pq_code"),
     )
+    scored_schema, empty_schema = _pq_schemas(dict(queries.dtypes)[id_col])
     prep = _pq_query_tensors(queries, B, id_col, vec_col)
     if prep is None:
-        return corpus.sparkSession.createDataFrame([], _PQ_EMPTY_SCHEMA)
+        return corpus.sparkSession.createDataFrame([], empty_schema)
     qids, Q, lut = prep
     # probe lists with the same stable-argsort math as centroid_probe
     probes = np.argsort(-(Q @ cents.T), kind="stable", axis=1)[:, :nprobe]
     score = _pq_scorer(qids, lut, k, probes)
-    return _pq_merge(enc.mapInPandas(score, _PQ_SCORED_SCHEMA), k)
+    return _pq_merge(enc.mapInPandas(score, scored_schema), k)
 
 
 def pq_write_index(
@@ -720,9 +744,12 @@ def pq_write_index(
     projection) and never stored: at dim 64 / m 8 the written index is ~32x
     smaller than the raw embedding table, which is what lets every probe's
     working set live in page cache."""
+    from opentelemetry_collector_spark.session import spread
+
     B = np.asarray(codebooks, dtype=np.float64)
     cents = _resolve_centroids(dim, nlist, seed, centroids)
-    src = corpus.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("_v"))
+    # spread for the same single-task-build reason as ivf_write_index
+    src = spread(corpus).select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("_v"))
     enc = src.select(
         "nid",
         F.element_at(centroid_probe(F.col("_v"), dim, nlist, 1, seed, cents), 1).alias("list_id"),
@@ -754,13 +781,14 @@ def pq_probe_index(
     B = np.asarray(codebooks, dtype=np.float64)
     cents = _resolve_centroids(dim, nlist, seed, centroids)
     nprobe = min(nprobe, nlist)
+    scored_schema, empty_schema = _pq_schemas(dict(queries.dtypes)[id_col])
     prep = _pq_query_tensors(queries, B, id_col, vec_col)
     if prep is None:
-        return spark.createDataFrame([], _PQ_EMPTY_SCHEMA)
+        return spark.createDataFrame([], empty_schema)
     qids, Q, lut = prep
     probes = np.argsort(-(Q @ cents.T), kind="stable", axis=1)[:, :nprobe]
     probe_ids = sorted({int(x) for x in probes.reshape(-1)})
     idx = spark.read.parquet(path).filter(F.col("list_id").isin(probe_ids))
     score = _pq_scorer(qids, lut, k, probes)
-    scored = idx.select("nid", "list_id", "pq_code").mapInPandas(score, _PQ_SCORED_SCHEMA)
+    scored = idx.select("nid", "list_id", "pq_code").mapInPandas(score, scored_schema)
     return _pq_merge(scored, k)

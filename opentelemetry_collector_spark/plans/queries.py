@@ -1821,8 +1821,12 @@ def q60_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q60_SQL = f"""
 WITH {_DOC_WORDS_SQL},
 s AS (SELECT doc_id, w,
-             CASE WHEN len(w) > 0 THEN generate_series(1, len(w), 24)
-                  ELSE []::BIGINT[] END AS starts
+             CASE WHEN len(w) = 0 THEN []::BIGINT[]
+                  WHEN len(w) <= 32 THEN [1]::BIGINT[]
+                  ELSE generate_series(
+                         1,
+                         1 + 24 * CAST(ceil((len(w) - 32) / 24.0) AS BIGINT),
+                         24) END AS starts
       FROM d),
 e AS (SELECT doc_id, w, unnest(starts) AS st,
              generate_subscripts(starts, 1) - 1 AS chunk_idx

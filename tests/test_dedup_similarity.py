@@ -651,3 +651,55 @@ def test_pq_topk_self_excluded_before_local_truncation(spark):
         per_q.setdefault(r.query_id, set()).add(r.neighbor_id)
     for qid, nids in per_q.items():
         assert len(nids) == 11 and qid not in nids
+
+
+def test_null_embeddings_degrade_per_row_in_every_ann_path(spark):
+    """One NULL embedding must drop only itself from the candidate set —
+    never kill the job (the cosine()-NULL contract extended to the numpy
+    kernels: LSH buckets, IVF probes, PQ codes, k-means training)."""
+    from opentelemetry_collector_spark.operators.similarity import (
+        ivf_topk, lsh_topk, pq_topk, train_centroids, train_pq,
+    )
+
+    emb = _emb(spark, n=40)
+    with_null = emb.union(
+        spark.createDataFrame([(999, None)], "vec_id long, embedding array<float>")
+    )
+    q = with_null.filter(F.col("vec_id") < 3)
+    for out in (
+        lsh_topk(with_null, q, dim=16, k=3, n_planes=6, n_tables=2),
+        ivf_topk(with_null, q, dim=16, k=3, nlist=4, nprobe=4),
+        pq_topk(with_null, q, train_pq(with_null, dim=16, m=4, ksub=8, iters=1), k=3),
+    ):
+        rows = out.collect()
+        assert rows, "null row emptied the result set"
+        assert all(r.neighbor_id != 999 and r.query_id != 999 for r in rows)
+    C = train_centroids(with_null, dim=16, nlist=4, iters=1)
+    assert C.shape == (4, 16) and np.isfinite(C).all()
+
+
+def test_pq_topk_preserves_string_ids(spark):
+    """PQ servers must accept any id type the non-PQ top-k paths accept."""
+    from opentelemetry_collector_spark.operators.similarity import pq_topk, train_pq
+
+    num = _emb(spark, n=30)
+    emb = num.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    q = emb.filter(F.col("vec_id").isin("doc-0", "doc-1"))
+    out = pq_topk(emb, q, train_pq(emb, dim=16, m=4, ksub=8, iters=1), k=3)
+    rows = out.collect()
+    assert rows and out.schema["query_id"].dataType.simpleString() == "string"
+    # the planted near-dup pair (0, 1) must still find each other by name
+    assert any(r.query_id == "doc-0" and r.neighbor_id == "doc-1" and r.rank == 1 for r in rows)
+
+
+def test_lsh_topk_rejects_nonpositive_tables(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.operators.similarity import lsh_topk
+
+    emb = _emb(spark, n=4)
+    with pytest.raises(ValueError, match="n_tables"):
+        lsh_topk(emb, emb, dim=16, n_tables=0)

@@ -17,6 +17,7 @@ ANN_QUERIES = [
     "q30_ann_ivf",
     "q55_ann_ivf_trained",
     "q63_ann_pq",
+    "q64_ann_ivf_pq",
 ]
 
 
@@ -34,6 +35,7 @@ def weird_emb_dir(spark, tmp_path_factory):
     rows.append((101, [1e-30] * dim, 1))                    # denormal-ish
     rows.append((102, [1e30, -1e30] * (dim // 2), 2))       # huge mixed signs
     rows.append((103, rows[0][1], 3))                       # exact duplicate of 0
+    rows.append((104, None, 0))                             # NULL embedding (junk row)
     spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").coalesce(
         1
     ).write.parquet(str(dst / "embeddings.parquet"))

@@ -130,17 +130,27 @@ def test_chunk_documents_boundaries_and_overlap(spark):
     from opentelemetry_collector_spark.operators.packing import chunk_documents
 
     docs = spark.createDataFrame(
-        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, "a b"), (3, ""), (4, None)],
+        [
+            (1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+            (2, "a b"),
+            (3, ""),
+            (4, None),
+            (5, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11"),
+        ],
         "doc_id long, text string",
     )
     out = chunk_documents(docs, window=4, overlap=1)
     got = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens) for r in out.collect()}
-    # starts advance by window-overlap=3: 1,4,7,10
+    # starts advance by window-overlap=3, stopping at the first chunk that
+    # reaches the document end: 1,4,7 for a 10-token doc (a start at 10
+    # would re-emit only t10, which chunk 2 already carries)
     assert got[(1, 0)] == ("t1 t2 t3 t4", 4)
     assert got[(1, 1)] == ("t4 t5 t6 t7", 4)
     assert got[(1, 2)] == ("t7 t8 t9 t10", 4)
-    assert got[(1, 3)] == ("t10", 1)  # shorter tail kept
+    assert (1, 3) not in got  # fully-contained tail is NOT duplicated
     assert got[(2, 0)] == ("a b", 2)  # sub-window doc -> one chunk
+    # an 11-token doc DOES need the 4th chunk: it carries the new token u11
+    assert got[(5, 3)] == ("u10 u11", 2)
     # empty / null docs yield no chunks
     assert all(k[0] not in (3, 4) for k in got)
 
@@ -178,3 +188,46 @@ def test_token_budget_rate_keeps_zero_token_stratum_whole(spark):
     out = token_budget_rate_sample(df, "source", {"a": 100, "b": 100}, "doc_id", "tok")
     kept = {r.doc_id for r in out.collect()}
     assert {1, 2} <= kept
+
+
+def test_pack_sequences_null_token_count_packs_at_zero_cost(spark):
+    from opentelemetry_collector_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [("c1", 0, 5), ("c1", 1, None), ("c1", 2, 5)],
+        "conv_id string, turn_idx int, tok int",
+    )
+    out = {r.turn_idx: r.chunk_id for r in pack_sequences(df, budget=10, token_col="tok").collect()}
+    # the NULL row costs 0: all three turns fit the 10-token budget
+    assert out == {0: 0, 1: 0, 2: 0}
+
+
+def test_probabilistic_sample_null_id_drops_row_not_job(spark):
+    from opentelemetry_collector_spark.operators.sample import probabilistic_sample
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), ("c",)], "conv_id string"
+    )
+    kept = probabilistic_sample(df, 100.0).collect()
+    # 100% sampling keeps every IDENTIFIED row; the NULL id has no hash
+    # decision and is dropped per-row (not a job kill)
+    assert sorted(r.conv_id for r in kept) == ["a", "b", "c"]
+
+
+def test_token_budget_sample_null_tokens_deterministic_zero_cost(spark):
+    from opentelemetry_collector_spark.operators.sample import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(1, "s", None), (2, "s", 6), (3, "s", None), (4, "s", 6)],
+        "doc_id long, source string, tok int",
+    )
+    out = token_budget_sample(df, "source", {"s": 10}, "doc_id", "tok")
+    kept = {r.doc_id for r in out.collect()}
+    # NULL tokens cost 0 and no longer poison the running sum (pre-fix, a
+    # leading NULL nulled every later row's cumsum). md5 order here is
+    # 1(null,cum 0), 4(cum 6), 2(cum 12: over), 3(null but budget already
+    # crossed): the hard-cap rule applies uniformly, so the keep-set is
+    # deterministic — not hash-position-dependent NULL propagation
+    assert kept == {1, 4}
+    # determinism: identical keep-set on re-evaluation
+    assert {r.doc_id for r in out.collect()} == kept
