@@ -23,7 +23,25 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, fields
+
+
+def _read_jsonl(path: str) -> list[dict]:
+    """Crash-tolerant JSONL read: a process dying mid-append (the exact
+    failure these logs exist to survive) leaves a torn FINAL line — skip it
+    so resume keeps working. A torn line anywhere ELSE is real corruption
+    and still raises."""
+    with open(path) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    out: list[dict] = []
+    for i, line in enumerate(lines):
+        try:
+            out.append(json.loads(line))
+        except json.JSONDecodeError:
+            if i == len(lines) - 1:
+                continue
+            raise
+    return out
 
 
 @dataclass
@@ -43,14 +61,22 @@ class CheckpointManifest:
     def load(self) -> list[ManifestEntry]:
         if not os.path.exists(self.path):
             return []
-        with open(self.path) as f:
-            return [ManifestEntry(**json.loads(line)) for line in f if line.strip()]
+        # unknown keys are dropped so a manifest written by a NEWER build
+        # (extra fields) still resumes on this one
+        known = {f.name for f in fields(ManifestEntry)}
+        return [
+            ManifestEntry(**{k: v for k, v in d.items() if k in known})
+            for d in _read_jsonl(self.path)
+        ]
 
-    def committed(self, stage: str, input_snapshot: str) -> bool:
-        return any(
-            e.stage == stage and e.input_snapshot == input_snapshot and e.status == "committed"
-            for e in self.load()
-        )
+    def committed(self, stage: str, input_snapshot: str) -> ManifestEntry | None:
+        """The committed entry for (stage, snapshot), or None. Latest line
+        wins (a failed attempt followed by a committed rerun)."""
+        hit = None
+        for e in self.load():
+            if e.stage == stage and e.input_snapshot == input_snapshot and e.status == "committed":
+                hit = e
+        return hit
 
     def commit(self, entry: ManifestEntry) -> None:
         os.makedirs(self.base_path, exist_ok=True)
@@ -115,5 +141,4 @@ class LineageLog:
     def load(self) -> list[dict]:
         if not os.path.exists(self.path):
             return []
-        with open(self.path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+        return _read_jsonl(self.path)

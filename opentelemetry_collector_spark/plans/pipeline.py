@@ -64,9 +64,17 @@ class SinkSpec:
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True when the Iceberg Spark runtime is on the classpath."""
+    """True when the Iceberg Spark runtime is on the classpath.
+
+    On a Spark Connect session there is no driver-side ``_jvm`` to probe —
+    report available and let the write surface the server's own error if
+    the runtime is genuinely missing (refusing here would block Connect
+    users whose server classpath is fine)."""
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is None:
+        return True
     try:
-        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
         return True
     except Exception:
         return False
@@ -110,13 +118,23 @@ def write_sink(df: DataFrame, s: SinkSpec) -> None:
                 "and a configured catalog (spark.sql.catalog.<name>); "
                 "use format='parquet' otherwise"
             )
-        writer = out.writeTo(s.path).using("iceberg")
-        if s.max_records_per_file:
-            writer = writer.tableProperty(
-                "write.target-file-size-bytes", str(s.max_records_per_file * 1024)
+        # max_records_per_file is NOT mapped: Iceberg sizes files in BYTES
+        # (write.target-file-size-bytes table property, set by the table
+        # owner) — converting a record count with an assumed record width
+        # would silently mean different things per format
+        if s.bucket_sort:
+            raise NotImplementedError(
+                "bucket_sort for iceberg sinks: sort order is a table-level "
+                "DDL (ALTER TABLE ... WRITE ORDERED BY), not a writer option"
             )
-        if s.partition_by:
-            writer = writer.partitionedBy(*[_iceberg_partition_col(p) for p in s.partition_by])
+        writer = out.writeTo(s.path).using("iceberg")
+        part_cols = [_iceberg_partition_col(p) for p in (s.partition_by or [])]
+        if s.bucket_by:
+            # the co-location contract maps to Iceberg's bucket transform
+            n, key = s.bucket_by
+            part_cols.append(_iceberg_partition_col(f"bucket({n}, {key})"))
+        if part_cols:
+            writer = writer.partitionedBy(*part_cols)
         writer.createOrReplace()
         return
     writer = out.write.mode("overwrite").format(s.format)
@@ -234,6 +252,19 @@ def _read_sink(spark: SparkSession, s: SinkSpec) -> DataFrame:
     return spark.read.format(s.format).load(s.path)
 
 
+def pipeline_snapshot(name: str, df: DataFrame, n_in: int) -> str:
+    """The resume key: pipeline name + the scanned FILE SET + row count
+    (the checkpoint contract: "identifies the exact input"). Re-pointing
+    the receiver at a different dataset of coincidentally equal size must
+    NOT resume against the old manifest. Health probes compute the same id
+    to ask "is the CURRENT input fully committed"."""
+    import hashlib
+
+    files = sorted(df.inputFiles())
+    file_fp = hashlib.md5("\n".join(files).encode()).hexdigest()[:12] if files else "inline"
+    return input_snapshot_id(f"{name}:{file_fp}", n_in)
+
+
 @dataclass
 class RunResult:
     run_id: str
@@ -260,24 +291,20 @@ def run_pipeline(
     metrics = MetricsCollector(run_id)
 
     df = spec.source(spark)
+    df_processed = df
+    for p in spec.processors:
+        df_processed = p(df_processed)
     # cache when fanning to many sinks (the receiver fan-in reuse analog,
     # receivers_builder.go:161-233 — one scan feeds all pipelines)
     if len(spec.sinks) > 1:
-        df_processed = df
-        for p in spec.processors:
-            df_processed = p(df_processed)
         df_processed = df_processed.persist()
-    else:
-        df_processed = df
-        for p in spec.processors:
-            df_processed = p(df_processed)
 
     n_in = input_rows if input_rows is not None else df.count()
     metrics.receiver_accepted(n_in)
     n_proc = df_processed.count()
     metrics.processor_counts("processors/chain", n_in, n_proc)
 
-    snapshot = input_snapshot_id(spec.name, n_in)
+    snapshot = pipeline_snapshot(spec.name, df, n_in)
     manifest = CheckpointManifest(base_path)
     lineage = LineageLog(base_path)
     sink_rows: dict[str, int] = {}
@@ -285,10 +312,13 @@ def run_pipeline(
 
     sink_errors: dict[str, Exception] = {}
     for s in spec.sinks:
-        if manifest.committed(s.name, snapshot):
+        prior = manifest.committed(s.name, snapshot)
+        if prior:
             resumed.append(s.name)
-            sink_rows[s.name] = _read_sink(spark, s).count()
-            metrics.exporter_sent(s.name, sink_rows[s.name])
+            # the manifest already carries the committed row count — no
+            # rescan of sinks we are skipping
+            sink_rows[s.name] = prior.rows
+            metrics.exporter_sent(s.name, prior.rows)
             continue
         try:
             failed_attempts = write_sink_with_retry(df_processed, s, max_attempts=max_attempts)
@@ -301,10 +331,18 @@ def run_pipeline(
             manifest.commit(ManifestEntry(run_id, s.name, snapshot, "failed", 0))
             continue
         if s.format == "parquet":
-            # per-partition lineage + counts straight from parquet footers
-            # (no re-scan of the data)
-            parts = partition_lineage(s.path)
-            n = sum(p.rows for p in parts)
+            try:
+                # per-partition lineage + counts straight from parquet
+                # footers (no re-scan of the data)
+                parts = partition_lineage(s.path)
+                n = sum(p.rows for p in parts)
+            except Exception:
+                # driver-local pyarrow can't read every filesystem Spark can
+                # write (s3a://, hdfs:// without libhdfs) — a lineage read
+                # failure after a SUCCESSFUL write must not crash the run or
+                # skip sibling sinks; fall back to a Spark-side count
+                parts = []
+                n = _read_sink(spark, s).count()
         else:
             parts = []
             n = _read_sink(spark, s).count()

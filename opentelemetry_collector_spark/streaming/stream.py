@@ -155,12 +155,30 @@ def dedup_redelivered(
 
     Arrow-batched per group — no per-row Python.
     """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    out_schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
-    state_schema = "seen array<int>"
+    return df.groupBy("conv_id").applyInPandasWithState(
+        _dedup_state_fn(timeout_minutes),
+        outputStructType=TRANSCRIPTS_SCHEMA,
+        stateStructType="seen array<int>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
 
-    def fn(key, pdfs, state: GroupState):
+
+def _dedup_state_fn(timeout_minutes: int):
+    """The per-group state handler behind :func:`dedup_redelivered`,
+    module-level so the timeout branch is unit-testable without a running
+    stream (a GroupState expiry cannot be forced synchronously)."""
+    out_cols = TRANSCRIPTS_SCHEMA.fieldNames()  # one source of truth
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            # expiry invocation (no data): DROP the conversation's state —
+            # updating + re-arming here would resurrect every closed
+            # conversation forever and grow the store monotonically
+            state.remove()
+            return
         seen = set(state.get[0]) if state.exists else set()
         for pdf in pdfs:
             fresh = pdf[~pdf["turn_idx"].isin(seen)]
@@ -168,14 +186,8 @@ def dedup_redelivered(
             fresh = fresh.drop_duplicates(subset=["turn_idx"])
             seen.update(int(t) for t in fresh["turn_idx"])
             if len(fresh):
-                yield fresh[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+                yield fresh[out_cols]
         state.update((sorted(seen),))
         state.setTimeoutDuration(timeout_minutes * 60 * 1000)
 
-    return df.groupBy("conv_id").applyInPandasWithState(
-        fn,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
-    )
+    return fn

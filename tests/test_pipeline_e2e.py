@@ -156,8 +156,10 @@ def test_health_flips_ready_after_run(spark, tmp_path):
         source=source,
         sinks=[SinkSpec(name="all", predicate=F.lit(True), path=str(tmp_path / "all"))],
     )
-    n = source(spark).count()
-    snapshot = input_snapshot_id("p", n)
+    from opentelemetry_collector_spark.plans.pipeline import pipeline_snapshot
+
+    df = source(spark)
+    snapshot = pipeline_snapshot("p", df, df.count())
     base = str(tmp_path / "base")
     before = pipeline_health(spec, base, snapshot)
     assert before.status == UNAVAILABLE and before.pending_sinks == ["all"]
@@ -236,3 +238,50 @@ def test_permanent_error_not_retried_and_combined(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(P, "write_sink", real)
     res = P.run_pipeline(spark, spec, str(tmp_path / "base"))
     assert res.resumed_sinks == ["b"] and res.sink_rows["a"] > 0
+
+
+def test_manifest_tolerates_torn_trailing_line(tmp_path):
+    """A crash mid-append leaves a partial JSON line; load()/resume must
+    skip it (torn NON-trailing lines are real corruption and still raise)."""
+    import json
+
+    import pytest
+
+    from opentelemetry_collector_spark.plans.checkpoint import (
+        CheckpointManifest,
+        ManifestEntry,
+    )
+
+    m = CheckpointManifest(str(tmp_path))
+    m.commit(ManifestEntry("r1", "sink_a", "snap@rows=5", "committed", 5))
+    # forward-compat: unknown fields from a newer build are dropped
+    with open(m.path, "a") as f:
+        f.write(json.dumps({"run_id": "r3", "stage": "sink_b", "input_snapshot": "s",
+                            "status": "committed", "rows": 1, "new_field": True}) + "\n")
+    assert m.committed("sink_b", "s").rows == 1
+    with open(m.path, "a") as f:
+        f.write('{"run_id": "r2", "stage": "si')  # torn trailing append
+    assert [e.stage for e in m.load()] == ["sink_a", "sink_b"]
+    assert m.committed("sink_a", "snap@rows=5").rows == 5
+    # torn line in the MIDDLE is corruption
+    with open(m.path) as f:
+        lines = f.read().splitlines()
+    lines.insert(0, '{"torn')
+    with open(m.path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with pytest.raises(json.JSONDecodeError):
+        m.load()
+
+
+def test_snapshot_distinguishes_different_inputs_same_rowcount(spark, tmp_path):
+    """Re-pointing the receiver at a different dataset with the same row
+    count must NOT resume against the old manifest entry."""
+    from opentelemetry_collector_spark.plans.pipeline import pipeline_snapshot
+
+    a = tmp_path / "a.parquet"
+    b = tmp_path / "b.parquet"
+    spark.range(5).write.parquet(str(a))
+    spark.range(5).write.parquet(str(b))
+    da, db = spark.read.parquet(str(a)), spark.read.parquet(str(b))
+    assert pipeline_snapshot("p", da, 5) != pipeline_snapshot("p", db, 5)
+    assert pipeline_snapshot("p", da, 5) == pipeline_snapshot("p", da, 5)

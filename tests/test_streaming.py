@@ -157,3 +157,31 @@ def test_stateful_dedup_redelivered(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r.conv_id, r.turn_idx) for r in spark.sql("select * from dedup_out").collect())
     assert got == [("A", i) for i in range(8)]  # each turn exactly once
+
+
+def test_dedup_state_timeout_removes_state_not_resurrects():
+    """The expiry invocation must DROP a closed conversation's state —
+    pre-fix it update()d and re-armed the timer, growing the state store
+    monotonically with total conversations ever seen."""
+    from opentelemetry_collector_spark.streaming.stream import _dedup_state_fn
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        get = ([1, 2],)
+
+        def __init__(self):
+            self.removed = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, *_):
+            raise AssertionError("timed-out state must be removed, not updated")
+
+        def setTimeoutDuration(self, *_):
+            raise AssertionError("timed-out state must not re-arm its timer")
+
+    st = FakeState()
+    out = list(_dedup_state_fn(60)(("c1",), iter([]), st) or [])
+    assert out == [] and st.removed
