@@ -49,13 +49,13 @@ def accumulate_last(
     df: DataFrame,
     keys: list[str],
     ts_col: str = "ts",
-    value_col: str = "value",
     tiebreak: list[str] | None = None,
     as_of=None,
     expiration_seconds: int | None = None,
 ) -> DataFrame:
-    """Latest value per signature (accumulator.go:353-384 keeps the sample
-    with the newest timestamp and drops older/stale ones).
+    """Latest ROW per signature (accumulator.go:353-384 keeps the sample
+    with the newest timestamp and drops older/stale ones). Whole rows are
+    kept, so there is no value-column parameter to pick.
 
     Deterministic under ties via explicit tiebreak ordering (the reference
     processes serially so last-write-wins; a parallel engine must order).
@@ -102,10 +102,13 @@ def bucket_index(value, bounds: list[float]):
     (bounds[i-1], bounds[i]]; the final bucket holds values > bounds[-1]
     (``model/pdata/metrics.go`` Histogram/IntHistogram explicit_bounds).
     Index = number of bounds strictly below the value. Pure JVM expression.
+    A NULL value has no bucket and yields NULL (without the guard the
+    filter predicate is NULL for every bound, silently mapping junk
+    samples into bucket 0).
     """
     v = F.col(value) if isinstance(value, str) else value
     barr = F.array(*[F.lit(float(b)) for b in bounds])
-    return F.size(F.filter(barr, lambda b: v > b))
+    return F.when(v.isNotNull(), F.size(F.filter(barr, lambda b: v > b)))
 
 
 def histogram_merge(
@@ -127,22 +130,31 @@ def histogram_merge(
     — no single hot reducer even for a dominant series; map-side partial
     aggregation compresses each task to |keys|*B rows before the shuffle.
     """
+    # posexplode_OUTER: a datapoint with NULL/empty bucket_counts still has
+    # meaningful scalars — plain posexplode would emit zero rows for it and
+    # silently drop its h_sum/h_count from the merge
     exploded = df.select(
         *keys,
         F.col(sum_col),
         F.col(count_col),
-        F.posexplode(F.col(counts_col)).alias("_pos", "_c"),
+        F.posexplode_outer(F.col(counts_col)).alias("_pos", "_c"),
     )
     per_bucket = exploded.groupBy(*keys, "_pos").agg(
         F.sum("_c").alias("_bsum"),
-        # carry the scalar pair through bucket 0 only, so the final regroup
-        # does not double-count them
-        F.sum(F.when(F.col("_pos") == 0, F.col(sum_col))).alias("_s0"),
-        F.sum(F.when(F.col("_pos") == 0, F.col(count_col))).alias("_n0"),
+        # carry the scalar pair through exactly one group per row: bucket 0
+        # for normal datapoints, the NULL-pos group for degenerate ones
+        F.sum(F.when(F.col("_pos").isNull() | (F.col("_pos") == 0), F.col(sum_col))).alias("_s0"),
+        F.sum(F.when(F.col("_pos").isNull() | (F.col("_pos") == 0), F.col(count_col))).alias("_n0"),
     )
     return per_bucket.groupBy(*keys).agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_bsum")))),
+            # collect_list skips NULL elements, so the NULL-pos scalar
+            # carrier never lands in the rebuilt counts array
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_pos").isNotNull(), F.struct(F.col("_pos"), F.col("_bsum")))
+                )
+            ),
             lambda s: s["_bsum"],
         ).alias(counts_col),
         F.sum("_s0").alias(sum_col),
@@ -223,7 +235,9 @@ def bucketed_row_number(
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_cum), F.lit(0))).drop("_n")
     return (
         local.join(F.broadcast(offsets), [*key_cols, "_bk"])
-        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("int"))
+        # bigint: the whole point is keys with billions of rows — an int
+        # cast would ANSI-overflow at 2^31 rows per key
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("bigint"))
         .drop("_bk", "_lrn", "_off")
     )
 

@@ -64,7 +64,11 @@ def asof_join(
     payload_cols = list(payload_cols)
     left_rank, right_rank = (0, 1) if strict else (1, 0)
     pay_struct = F.struct(*[F.col(c) for c in payload_cols])
-    r = right.select(
+    # a right row with a NULL order value precedes nothing: ASOF semantics
+    # (and the DuckDB oracle) never match it, but the window's nulls-first
+    # ascending sort would otherwise hand its payload to every left row
+    # before the first real right row
+    r = right.filter(F.col(order_col).isNotNull()).select(
         *keys,
         F.col(order_col),
         F.lit(right_rank).alias(_SRC),

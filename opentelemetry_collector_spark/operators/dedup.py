@@ -36,15 +36,26 @@ _MERSENNE = (1 << 31) - 1
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """One row per distinct normalized text: (fingerprint, survivor id,
-    n_copies). Survivor = min(id) for determinism."""
-    return (
-        df.withColumn("fp", fingerprint(F.col(text_col)))
+    n_copies). Survivor = min(id) for determinism.
+
+    NULL text has no fingerprint and never matches anything (the same
+    NULL-equi-join semantics as :func:`exact_dedup_against`): each NULL-text
+    row is its own singleton, not a member of one giant NULL cluster."""
+    fp = df.withColumn("fp", fingerprint(F.col(text_col)))
+    grouped = (
+        fp.filter(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("survivor_id"),
             F.count(F.lit(1)).cast("bigint").alias("n_copies"),
         )
     )
+    singletons = fp.filter(F.col("fp").isNull()).select(
+        "fp",
+        F.col(id_col).alias("survivor_id"),
+        F.lit(1).cast("bigint").alias("n_copies"),
+    )
+    return grouped.unionByName(singletons)
 
 
 def normalize_text(col: Column) -> Column:
@@ -184,6 +195,12 @@ def minhash_lsh_pairs(
       ``broadcast_verify_limit``, else shuffle — the same size-based switch
       AQE applies to joins, made explicit because the estimate needs the
       eager persist's row count.
+
+    Cache contract (this and the other pair operators): the signature table
+    stays persisted after the call — the returned frame depends on it
+    lazily, so the operator cannot unpersist it. Long-lived drivers calling
+    repeatedly should ``spark.catalog.clearCache()`` between rounds (or
+    consume + checkpoint the result); a one-shot dedup job never notices.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -436,9 +453,11 @@ def simhash_neardup_pairs(
                     F.struct(
                         F.lit(i).alias("chunk"),
                         # arithmetic shift sign-extends on the top chunk; the
-                        # width mask strips the extension
+                        # width mask strips the extension. A full-64-bit
+                        # chunk (max_hamming=0) masks with -1 (all bits set):
+                        # lit(2^64-1) would overflow LongType
                         F.shiftright(F.col("_h"), offsets[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .bitwiseAND(F.lit(-1 if widths[i] == 64 else (1 << widths[i]) - 1))
                         .alias("key"),
                     )
                     for i in range(n_chunks)
@@ -589,12 +608,16 @@ def dedup_clusters(
     back onto the fact table — the 100 TB side is never shuffled."""
     cc = connected_components(pairs, a_col=a_col, b_col=b_col)
     sizes = cc.groupBy("component_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
-    cmap = cc.join(sizes, "component_id").select("id", "component_id", "n_members")
+    # reserved internal name: joining a bare 'id' would be ambiguous when
+    # id_col == 'id' and would drop a caller's own 'id' column otherwise
+    cmap = cc.join(sizes, "component_id").select(
+        F.col("id").alias("__cc_id"), "component_id", "n_members"
+    )
     return (
-        df.join(F.broadcast(cmap), df[id_col] == cmap["id"], "left")
+        df.join(F.broadcast(cmap), df[id_col] == cmap["__cc_id"], "left")
         .withColumn("component_id", F.coalesce(F.col("component_id"), F.col(id_col)))
         .withColumn("n_members", F.coalesce(F.col("n_members"), F.lit(1).cast("bigint")))
-        .drop("id")
+        .drop("__cc_id")
     )
 
 
@@ -617,12 +640,18 @@ def dedup_survivors(
         return clustered.filter(F.col(id_col) == F.col("component_id")).drop("n_members")
     from pyspark.sql import Window
 
+    # only MULTI-member clusters need ranking — windowing the whole corpus
+    # would shuffle+sort the 100 TB side to pick rank 1 among singletons
+    # that are rank 1 by construction; the near-dup fraction is tiny
+    singles = clustered.filter(F.col("n_members") == 1).drop("n_members")
+    multi = clustered.filter(F.col("n_members") > 1)
     w = Window.partitionBy("component_id").orderBy(order_col.desc(), F.col(id_col))
-    return (
-        clustered.withColumn("_rk", F.row_number().over(w))
+    best = (
+        multi.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .drop("_rk", "n_members")
     )
+    return singles.unionByName(best)
 
 
 def exact_dedup_against(

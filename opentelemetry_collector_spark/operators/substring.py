@@ -47,7 +47,7 @@ _FNV_PRIME = np.uint64(1099511628211)
 
 
 def _batch_gram_positions(
-    ids: pd.Series, texts: pd.Series, min_len: int
+    texts: pd.Series, min_len: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All L-gram anchors of one Arrow batch: (doc idx repeats, 1-based char
     pos, mixed 64-bit window hash). The window hash is the shingle_hash
@@ -86,7 +86,7 @@ def _gram_positions_df(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rep, pos, g = _batch_gram_positions(pdf[id_col], pdf[text_col], min_len)
+            rep, pos, g = _batch_gram_positions(pdf[text_col], min_len)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].values[rep], "pos": pos, "g": g}
             )

@@ -110,3 +110,19 @@ def test_plan_has_no_join_and_one_key_exchange(spark):
     assert "Join" not in plan  # union+window, never a range join
     assert "Window" in plan
     assert plan.count("Exchange") == 1  # one hashpartitioning(k) shuffle
+
+
+def test_asof_null_order_right_rows_never_match(spark):
+    """A right row with a NULL order value precedes nothing (DuckDB ASOF
+    parity): pre-fix it sorted nulls-first and leaked its payload into
+    every left row before the first real right row."""
+    from opentelemetry_collector_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("c1", 1), ("c1", 5)], "conv_id string, t int")
+    right = spark.createDataFrame(
+        [("c1", None, "junk"), ("c1", 3, "real")],
+        "conv_id string, t int, payload string",
+    )
+    out = {r.t: r.payload for r in
+           asof_join(left, right, ["conv_id"], "t", ["payload"]).collect()}
+    assert out == {1: None, 5: "real"}

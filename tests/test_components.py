@@ -103,3 +103,62 @@ def test_survivors_min_id_and_quality_policy(spark):
     assert {r.doc_id for r in by_min.collect()} == {0, 7}
     by_q = dedup_survivors(docs, pairs, "doc_id", order_col=F.col("quality"))
     assert {r.doc_id for r in by_q.collect()} == {1, 7}
+
+
+def test_exact_dedup_null_texts_are_singletons(spark):
+    """NULL text has no fingerprint: each junk row is its own singleton,
+    never one giant 'duplicate' cluster (matching exact_dedup_against's
+    NULL-equi-join semantics)."""
+    from opentelemetry_collector_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = exact_dedup(df, "doc_id").collect()
+    real = [r for r in rows if r.fp is not None]
+    nulls = sorted(r.survivor_id for r in rows if r.fp is None)
+    assert len(real) == 1 and real[0].survivor_id == 1 and real[0].n_copies == 2
+    assert nulls == [3, 4] and all(r.n_copies == 1 for r in rows if r.fp is None)
+
+
+def test_dedup_clusters_handles_id_named_id_and_preserves_other_id(spark):
+    from opentelemetry_collector_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    # id_col literally named 'id' must not be ambiguous
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    got = {r.id: r.component_id for r in dedup_clusters(docs, pairs, "id").collect()}
+    assert got == {1: 1, 2: 1, 3: 3}
+    # an unrelated column named 'id' must survive the join
+    docs2 = spark.createDataFrame([(1, 100), (2, 200)], "doc_id long, id long")
+    out = dedup_clusters(docs2, pairs, "doc_id")
+    assert "id" in out.columns
+    assert {r.doc_id: r.id for r in out.collect()} == {1: 100, 2: 200}
+
+
+def test_simhash_max_hamming_zero_is_exact_signature_match(spark):
+    from opentelemetry_collector_spark.operators.dedup import simhash_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon"),
+         (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    pairs = simhash_neardup_pairs(df, "doc_id", max_hamming=0)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert (1, 2) in got and all(p == (1, 2) for p in got)
+
+
+def test_dedup_survivors_quality_windows_only_multimember_clusters(spark):
+    from opentelemetry_collector_spark.operators.dedup import dedup_survivors
+
+    pairs = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 1.0)], "doc_id long, quality double"
+    )
+    out = dedup_survivors(docs, pairs, "doc_id", order_col=F.col("quality"))
+    assert {r.doc_id for r in out.collect()} == {2, 3}  # best of cluster + singleton
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window only sees the multi-member slice; singletons bypass it
+    assert "Window" in plan
