@@ -64,6 +64,11 @@ class Action:
         elif self.action in (DELETE, HASH):
             if self.value is not None or self.from_attribute is not None or self.pattern:
                 raise ValueError(f"{self.action} '{self.key}': no value/from_attribute/pattern")
+            if self.action == HASH and self.algorithm not in _HASH_FNS:
+                raise ValueError(
+                    f"hash '{self.key}': unknown algorithm {self.algorithm!r} "
+                    f"(supported: {sorted(_HASH_FNS)})"
+                )
         elif self.action == EXTRACT:
             if not self.pattern:
                 raise ValueError(f"extract '{self.key}': pattern required")

@@ -40,8 +40,12 @@ def filterset_predicate(col: Column, values: list[str], match_type: str = STRICT
     """OR-membership of `col` in `values` under strict/regexp semantics."""
     if not values:
         return F.lit(False)
+    # coalesce: a NULL column yields SQL NULL from isin/rlike, and NULL is
+    # three-valued poison downstream — an exclude spec composed as
+    # `include & ~NULL` would DROP rows it never matched. A NULL column is
+    # "not matched" (False), exactly like a missing attribute key.
     if match_type == STRICT:
-        return col.isin(list(values))
+        return F.coalesce(col.isin(list(values)), F.lit(False))
     if match_type == REGEXP:
         # find-anywhere alternation: regexpfilterset.go:79 COMMENTS that
         # patterns are "automatically anchored" but the code compiles them
@@ -50,7 +54,7 @@ def filterset_predicate(col: Column, values: list[str], match_type: str = STRICT
         # matching prefix/.*) pins the unanchored behavior, and Spark rlike
         # has the same find-anywhere semantics. Callers anchor explicitly.
         alt = "|".join(f"(?:{p})" for p in values)
-        return col.rlike(alt)
+        return F.coalesce(col.rlike(alt), F.lit(False))
     raise ValueError(f"unknown match_type {match_type}")
 
 
@@ -101,7 +105,9 @@ class MatchProperties:
         out = preds[0]
         for p in preds[1:]:
             out = out & p
-        return out
+        # a NULL map VALUE makes `m[key] == lit` NULL; matched-or-not must
+        # be two-valued or ~predicate() in match_predicate drops rows
+        return F.coalesce(out, F.lit(False))
 
 
 def match_predicate(
@@ -130,6 +136,11 @@ def filter_records(
 # ---------------------------------------------------------------------------
 # expr mini-language (internal/processor/filterexpr/matcher.go:24-62)
 # ---------------------------------------------------------------------------
+
+def _unquote(tok: str) -> str:
+    """Strip quotes and unescape a STRING token (shared by _cmp/_primary)."""
+    return tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<op>\(|\)|==|!=|=~|&&|\|\||!)"
@@ -216,7 +227,7 @@ class _ExprParser:
                 kind, tok = self._eat()
                 if kind != "str":
                     raise ValueError("expr: =~ requires a string pattern on the right")
-                return left.rlike(tok[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
+                return left.rlike(_unquote(tok))
             right = self._primary()
             if op == "==":
                 return left == right
@@ -234,11 +245,12 @@ class _ExprParser:
             return col
         if kind == "str":
             self._eat()
-            return F.lit(tok[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
+            return F.lit(_unquote(tok))
         if kind == "ident":
             self._eat()
             if tok in ("Name", "MetricName"):
-                return F.col(self.name_col)
+                # env.MetricName is a Go string (zero value ""), never nil
+                return F.coalesce(F.col(self.name_col).cast("string"), F.lit(""))
             if tok in ("Attr", "Label", "HasAttr", "HasLabel"):
                 self._eat("(")
                 skind, s = self._eat()
@@ -252,9 +264,13 @@ class _ExprParser:
                     return F.coalesce(
                         F.map_contains_key(F.col(self.attrs_col), F.lit(key)), F.lit(False)
                     )
+                # the reference's Label(k) env fn returns "" for a MISSING
+                # key (matcher.go:159-162: `v, _ := labelsMap.Get(k)` — Go
+                # zero value), so Attr("k") != "v" KEEPS rows without the
+                # key; a bare NULL here would silently drop them
                 if key in self.attr_cols:
-                    return F.col(self.attr_cols[key])
-                return F.col(self.attrs_col)[key]
+                    return F.coalesce(F.col(self.attr_cols[key]).cast("string"), F.lit(""))
+                return F.coalesce(F.col(self.attrs_col)[key], F.lit(""))
             raise ValueError(f"expr: unknown identifier {tok!r}")
         raise ValueError(f"expr: unexpected token {tok!r}")
 

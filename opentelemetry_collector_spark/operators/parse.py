@@ -60,12 +60,19 @@ def grok_pack(
 ) -> DataFrame:
     """Apply a pack of named-group patterns first-match-wins, vectorized.
 
-    All groups across all patterns become output columns; for each row the
-    first pattern that matches supplies its groups, later patterns fill only
-    still-null columns (sequential-rule semantics like the span processor's
-    rule list, ``processor/spanprocessor/span.go:158-221``).
+    All groups across all patterns become output columns; each ROW is
+    handled by the first pattern that matches it — that pattern supplies
+    ALL its groups (unmatched optional groups stay NULL) and later patterns
+    never touch the row. This is the grok-pack contract: one log shape per
+    line, tried in declaration order. (A per-COLUMN fill would let a later
+    pattern backfill holes in a row an earlier pattern already claimed.)
     """
+    if not patterns:
+        raise ValueError("grok_pack: patterns must be non-empty")
     compiled = [re.compile(p) for p in patterns]
+    for p, c in zip(patterns, compiled):
+        if not c.groupindex:
+            raise ValueError(f"grok_pack: pattern has no named groups: {p!r}")
     names: list[str] = []
     for c in compiled:
         for n in c.groupindex:
@@ -78,16 +85,17 @@ def grok_pack(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             s = pdf[src_col].astype("string")
-            acc: dict[str, pd.Series] = {}
+            acc = {n: pd.Series([None] * len(s), dtype=object, index=s.index) for n in names}
+            remaining = s.notna()
             for c in compiled:
-                ext = s.str.extract(c)  # vectorized per-pattern
-                for n in c.groupindex:
-                    if n in acc:
-                        acc[n] = acc[n].fillna(ext[n])
-                    else:
-                        acc[n] = ext[n]
+                m = remaining & s.str.contains(c, na=False)
+                if m.any():
+                    ext = s[m].str.extract(c)  # vectorized per-pattern
+                    for n in c.groupindex:
+                        acc[n][m] = ext[n].astype(object).where(ext[n].notna(), None)
+                    remaining &= ~m
             for n in names:
-                pdf[prefix + n] = acc[n].astype(object).where(acc[n].notna(), None)
+                pdf[prefix + n] = acc[n]
             yield pdf
 
     return df.mapInPandas(gen, schema=schema)

@@ -44,19 +44,78 @@ class _Segmented:
     group-substring placeholder rewrite (span.go:191-205) can be done with a
     single JVM regexp_replace using backreferences for the segments."""
 
-    java_pattern: str  # all segments wrapped in groups
-    replacement: str  # $i backrefs for segments, {name} for named groups
+    java_pattern: str  # all segments wrapped in groups (unanchored; for rlike/extract)
+    first_pattern: str  # '(?s)^(.*?)' + java_pattern — rewrites the FIRST occurrence only
+    first_replacement: str  # $1 prefix + shifted $i backrefs + {name} placeholders
     group_names: list[str]
     group_index: dict[str, int]  # name -> group index in java_pattern
+
+
+def _count_caps(text: str) -> int:
+    """Capture groups inside a regex fragment: unescaped '(' not followed
+    by '?' and not inside a character class. Needed to keep segment group
+    numbering correct when a named group's BODY nests its own groups."""
+    n, i, caps, in_class = len(text), 0, 0, False
+    while i < n:
+        c = text[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(" and not text.startswith("(?", i):
+            caps += 1
+        i += 1
+    return caps
+
+
+def _check_segment_safe(text: str, pattern: str) -> None:
+    """Reject inter-group fragments the segment-wrapping rewrite cannot
+    represent: wrapping ``pre`` as ``(pre)`` changes the meaning of a
+    TOP-LEVEL alternation (``(?P<a>x)|(?P<b>y)`` would become the
+    concatenation ``(x)(|)(y)``) and of a quantifier that applies to the
+    PRECEDING named group (``(?P<g>\\d+)?`` would emit the invalid ``(?)``).
+    Raising at build time replaces what would otherwise be a silently-
+    never-matching or crashing pattern."""
+    if text and text[0] in "?*+{":
+        raise ValueError(
+            f"to_attributes: quantifier {text[0]!r} directly after a named group "
+            f"is not supported (pattern {pattern!r}) — quantified groups have no "
+            "single substring to rewrite"
+        )
+    n, i, depth, in_class = len(text), 0, 0, False
+    while i < n:
+        c = text[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "|" and depth == 0:
+            raise ValueError(
+                f"to_attributes: top-level alternation is not supported "
+                f"(pattern {pattern!r}) — put the '|' inside a group"
+            )
+        i += 1
 
 
 def _segment(pattern: str) -> _Segmented:
     """Wrap inter-group regex segments in their own groups.
 
-    ``pre(?P<g>body)post`` -> ``(pre)((?:body))(post)`` with replacement
-    ``$1{g}$3``. Supports multiple named groups and nested parens inside
-    group bodies; segments themselves must not contain capture groups
-    (the reference requires all groups named — attraction.go:193-199).
+    ``pre(?P<g>body)post`` -> ``(pre)(body)(post)`` with replacement
+    ``$1{g}$3``. Group numbering accounts for capture groups nested inside
+    any fragment; unsupported shapes (top-level alternation, a quantifier
+    applying to a named group) raise at build time (_check_segment_safe).
     """
     toks: list[tuple[str, str | None]] = []  # (regex_text, group_name|None)
     i, seg_start = 0, 0
@@ -97,6 +156,7 @@ def _segment(pattern: str) -> _Segmented:
     for text, name in toks:
         g += 1
         if name is None:
+            _check_segment_safe(text, pattern)
             parts.append(f"({text})")
             repl.append(f"${g}")
         else:
@@ -104,7 +164,16 @@ def _segment(pattern: str) -> _Segmented:
             repl.append("{" + name + "}")
             names.append(name)
             gidx[name] = g
-    return _Segmented("".join(parts), "".join(repl), names, gidx)
+        # groups nested INSIDE this fragment occupy the next indices
+        g += _count_caps(text)
+    java = "".join(parts)
+    # first-occurrence rewrite: anchor a lazy prefix as group 1 and shift
+    # every backreference by one — span.go uses FindStringSubmatchIndex
+    # (first match), while a bare regexp_replace rewrites EVERY occurrence
+    first_repl = "$1" + "".join(
+        f"${int(r[1:]) + 1}" if r.startswith("$") else r for r in repl
+    )
+    return _Segmented(java, "(?s)^(.*?)" + java, first_repl, names, gidx)
 
 
 def to_attributes(
@@ -122,22 +191,36 @@ def to_attributes(
     """
     if attrs_col not in df.columns:
         df = df.withColumn(attrs_col, ensure_attrs(F.lit(None).cast("map<string,string>")))
-    name: Column = F.col(name_col)
-    attrs: Column = ensure_attrs(F.col(attrs_col))
-    consumed: Column = F.lit(False)
+    # one withColumns PER RULE (simultaneous name+attrs update, so each
+    # rule's extraction sees the name as of the PREVIOUS rule, sequential
+    # like span.go). Rule n's expressions reference the materialized column
+    # from rule n-1 — linear plan growth; folding everything into one
+    # expression would embed the prior name ~4x per rule (the O(3^n)
+    # blowup attrs_expr's docstring measures and avoids).
+    consumed_col = "_tam_consumed"
+    if break_after_match:
+        df = df.withColumn(consumed_col, F.lit(False))
     for p in patterns:
         seg = _segment(p)
         re.compile(p)  # validate in the source dialect too
-        hit = name.rlike(seg.java_pattern) & ~consumed
+        name: Column = F.col(name_col)
+        attrs: Column = ensure_attrs(F.col(attrs_col))
+        hit = name.rlike(seg.java_pattern)
+        if break_after_match:
+            hit = hit & ~F.col(consumed_col)
         new_attrs = attrs
         for gname in seg.group_names:
             new_attrs = _map_set(
                 new_attrs, gname, F.regexp_extract(name, seg.java_pattern, seg.group_index[gname])
             )
-        new_name = F.regexp_replace(name, seg.java_pattern, seg.replacement)
-        attrs = F.when(hit, new_attrs).otherwise(attrs)
-        name = F.when(hit, new_name).otherwise(name)
+        # first occurrence only (span.go FindStringSubmatchIndex); the
+        # anchored lazy-prefix pattern can match at most once
+        new_name = F.regexp_replace(name, seg.first_pattern, seg.first_replacement)
+        updates = {
+            name_col: F.when(hit, new_name).otherwise(name),
+            attrs_col: F.when(hit, new_attrs).otherwise(attrs),
+        }
         if break_after_match:
-            consumed = consumed | hit
-    # single projection: both expressions must see the ORIGINAL name column
-    return df.withColumns({name_col: name, attrs_col: attrs})
+            updates[consumed_col] = F.col(consumed_col) | hit
+        df = df.withColumns(updates)
+    return df.drop(consumed_col) if break_after_match else df

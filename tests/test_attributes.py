@@ -143,3 +143,12 @@ def test_bool_and_numeric_literals_canonicalized(spark):
         ],
     ).collect()[0].attrs
     assert dict(out) == {"b": "true", "i": "42", "f": "1.5"}
+
+
+def test_hash_action_rejects_unknown_algorithm():
+    import pytest
+
+    from opentelemetry_collector_spark.operators.attributes import Action
+
+    with pytest.raises(ValueError, match="algorithm"):
+        Action(key="k", action="hash", algorithm="sha512").validate()

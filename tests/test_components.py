@@ -162,3 +162,29 @@ def test_dedup_survivors_quality_windows_only_multimember_clusters(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the window only sees the multi-member slice; singletons bypass it
     assert "Window" in plan
+
+
+def test_grok_pack_row_level_first_match_wins(spark):
+    """A row claimed by pattern 1 keeps pattern 1's groups ONLY — an empty
+    optional group must stay NULL, not be backfilled by a later pattern
+    (the per-column fill bug)."""
+    from opentelemetry_collector_spark.operators.parse import grok_pack
+
+    df = spark.createDataFrame([(1, "x"), (2, "abc")], "id long, text string")
+    out = {r.id: (r.a, r.b) for r in grok_pack(
+        df, "text", [r"(?P<a>\d+)?(?P<b>x)", r"(?P<a>[a-z]+)"]
+    ).collect()}
+    assert out[1] == (None, "x")    # pattern 1 matched; its optional a stays NULL
+    assert out[2] == ("abc", None)  # pattern 2 handles the row pattern 1 missed
+
+
+def test_grok_pack_validates_patterns(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.operators.parse import grok_pack
+
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        grok_pack(df, "text", [])
+    with pytest.raises(ValueError, match="named groups"):
+        grok_pack(df, "text", [r"\d+"])

@@ -52,10 +52,17 @@ def test_attrs_map_fallback(df):
     assert _ids(df, expr_predicate('HasLabel("k")', name_col="role")) == {"c1", "c3"}
 
 
-def test_neq_on_missing_is_false_not_null(df):
-    # c1 has tool=NULL: `Attr("tool") != "calc"` must DROP it, not keep
+def test_neq_on_missing_reads_empty_string_like_reference_env(df):
+    # the reference env's Label(k) returns "" for a missing key
+    # (filterexpr/matcher.go:159-162: `v, _ := labelsMap.Get(k)`), so
+    # `Attr("tool") != "calc"` evaluates "" != "calc" = true and KEEPS the
+    # NULL-tool row c1 — a bare NULL comparison would silently drop it
     p = expr_predicate('Attr("tool") != "calc"', name_col="role", attr_cols={"tool": "tool"})
-    assert _ids(df, p) == {"c3"}
+    ids = _ids(df, p)
+    assert "c3" in ids and "c1" in ids
+    # and == against "" matches ONLY missing/empty values
+    p2 = expr_predicate('Attr("tool") == ""', name_col="role", attr_cols={"tool": "tool"})
+    assert "c1" in _ids(df, p2)
 
 
 def test_metricname_alias(df):

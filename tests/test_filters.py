@@ -117,3 +117,26 @@ def test_no_specs_matches_everything(spark):
 def test_unknown_match_type_raises():
     with pytest.raises(ValueError):
         filterset_predicate(F.col("x"), ["a"], "fuzzy")
+
+
+def test_exclude_spec_keeps_null_column_rows(spark):
+    """Three-valued-logic hole: role=NULL made the exclude predicate NULL
+    (not False), and `include & ~NULL` silently DROPPED rows the exclude
+    never matched — the reference keeps them (a missing/NULL value does
+    not match any filterset)."""
+    from opentelemetry_collector_spark.operators.filters import (
+        MatchProperties,
+        filter_records,
+    )
+
+    df = spark.createDataFrame(
+        [("c1", None), ("c2", "assistant"), ("c3", "user")],
+        "conv_id string, role string",
+    )
+    out = filter_records(df, exclude=MatchProperties(columns={"role": ["assistant"]}))
+    assert {r.conv_id for r in out.collect()} == {"c1", "c3"}
+    # regexp flavor, same hole
+    out2 = filter_records(
+        df, exclude=MatchProperties(columns={"role": ["^assi"]}, match_type="regexp")
+    )
+    assert {r.conv_id for r in out2.collect()} == {"c1", "c3"}

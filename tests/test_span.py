@@ -56,3 +56,42 @@ def test_to_attributes_no_match_passthrough(spark):
     out = to_attributes(df, patterns=[r"X(?P<x>\d)"], name_col="name").collect()[0]
     assert out.name == "untouched"
     assert dict(out.attrs or {}) == {}
+
+
+def test_to_attributes_rewrites_first_occurrence_only(spark):
+    # span.go uses FindStringSubmatchIndex: only the FIRST match is
+    # rewritten; a bare regexp_replace would produce "a{id}b{id}" while the
+    # stored attr (first match) said id=1 — name and attrs must agree
+    df = spark.createDataFrame([("a1b2",)], "name string")
+    out = to_attributes(df, patterns=[r"(?P<id>\d+)"], name_col="name").collect()[0]
+    assert out.name == "a{id}b2"
+    assert dict(out.attrs) == {"id": "1"}
+
+
+def test_to_attributes_nested_group_in_segment_extracts_correct_value(spark):
+    # an unnamed capture group before the named one used to shift the
+    # group index silently, storing 'a' instead of the digits
+    df = spark.createDataFrame([("xa42y",)], "name string")
+    out = to_attributes(df, patterns=[r"(a|b)(?P<g>\d+)"], name_col="name").collect()[0]
+    assert dict(out.attrs) == {"g": "42"}
+    assert out.name == "xa{g}y"
+
+
+def test_to_attributes_nested_group_inside_named_body(spark):
+    df = spark.createDataFrame([("id=abc123",)], "name string")
+    out = to_attributes(df, patterns=[r"id=(?P<v>(abc|def)\d+)"], name_col="name").collect()[0]
+    assert dict(out.attrs) == {"v": "abc123"}
+    assert out.name == "id={v}"
+
+
+def test_to_attributes_rejects_unsupported_shapes(spark):
+    import pytest
+
+    df = spark.createDataFrame([("x",)], "name string")
+    # top-level alternation: segment wrapping would turn it into a
+    # concatenation that never matches
+    with pytest.raises(ValueError, match="alternation"):
+        to_attributes(df, patterns=[r"(?P<a>x)|(?P<b>y)"], name_col="name")
+    # quantifier applying to the named group: no single substring to rewrite
+    with pytest.raises(ValueError, match="quantifier"):
+        to_attributes(df, patterns=[r"(?P<g>\d+)?end"], name_col="name")
