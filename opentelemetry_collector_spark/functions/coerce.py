@@ -26,12 +26,6 @@ def canonical_str(value: object) -> str:
     return str(value)
 
 
-def canonical_col(col: Column) -> Column:
-    """Column-side canonical stringify (cheap cast; booleans lowercased by
-    Spark already as true/false)."""
-    return col.cast("string")
-
-
 def empty_attrs() -> Column:
     """Typed empty map<string,string> literal."""
     return F.from_json(F.lit("{}"), "map<string,string>")

@@ -37,11 +37,12 @@ def sha1_typed(col: Column, dtype: str) -> Column:
         # IEEE-754 bits little-endian (hasher.go:55-57)
         return F.sha1(_int64_le_bytes(_double_bits(col.cast("double"))))
     if dtype == "bool":
-        # single byte 1/0 (hasher.go:68-74)
+        # single byte 1/0 (hasher.go:68-74); NULL propagates like every
+        # other dtype — a bare otherwise() would hash NULL as false,
+        # conflating absent and false attributes under dedup/matching
+        b = col.cast("boolean")
         return F.sha1(
-            F.when(col.cast("boolean"), F.lit(bytearray(b"\x01"))).otherwise(
-                F.lit(bytearray(b"\x00"))
-            )
+            F.when(b, F.lit(bytearray(b"\x01"))).when(~b, F.lit(bytearray(b"\x00")))
         )
     raise ValueError(f"unsupported dtype {dtype}")
 
@@ -70,8 +71,19 @@ def _double_bits(col: Column) -> Column:
     # UDF (batch-level numpy view, not per-row Python).
     @pandas_udf("long")
     def _bits(s: pd.Series) -> pd.Series:
-        a = s.to_numpy(dtype=np.float64)
-        return pd.Series(a.view(np.int64))
+        # to_numpy(float64) silently turns NULL into NaN — mask first so
+        # NULL propagates (the string/int paths return NULL); also collapse
+        # every NaN payload to the canonical quiet NaN, which is what
+        # java.lang.Double.doubleToLongBits does (a raw .view would keep
+        # payload bits and diverge)
+        mask = s.notna().to_numpy()
+        # copy: Arrow-backed to_numpy can hand back a read-only view
+        a = np.array(s.to_numpy(dtype=np.float64, na_value=np.nan))
+        a[np.isnan(a)] = np.float64(np.nan)  # canonical quiet NaN bits
+        bits = a.view(np.int64)
+        out = pd.Series(bits, dtype="Int64")
+        out[~mask] = None
+        return out
 
     return _bits(col)
 
@@ -114,7 +126,11 @@ def hex16_to_u32x4(hexes: "np.ndarray") -> np.ndarray:
     """Vectorized 32-hex-char strings -> (N,4) little-endian uint32 words."""
     joined = "".join(hexes.tolist())
     chars = np.frombuffer(joined.encode("ascii"), dtype=np.uint8).reshape(-1, 32)
-    nib = np.where(chars >= 97, chars - 87, chars - 48).astype(np.uint8)  # a-f / 0-9
+    # a-f (97+), A-F (65+), 0-9 — uppercase hex (F.hex() output, Go-style
+    # trace ids) must decode too, not silently corrupt
+    nib = np.where(
+        chars >= 97, chars - 87, np.where(chars >= 65, chars - 55, chars - 48)
+    ).astype(np.uint8)
     byts = (nib[:, 0::2] << 4 | nib[:, 1::2]).astype(np.uint8)  # (N,16)
     return byts.view("<u4").reshape(-1, 4)
 

@@ -30,6 +30,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _FNV_PRIME = np.uint64(1099511628211)
 _MERSENNE_U = np.uint64((1 << 31) - 1)
@@ -204,10 +205,21 @@ def shingle_hash_table(
             offsets = np.concatenate(([0], np.cumsum(n_per_doc)[:-1]))
             signed = (h >> np.uint64(1)).astype(np.int64)  # 63-bit, non-negative
             sh_lists = np.split(signed, np.cumsum(n_per_doc)[:-1])
-            out = {"_id": pdf[id_col].to_numpy(), "_sh": [a.tolist() for a in sh_lists]}
+            # NULL text has NULL shingles (the Catalyst reference path:
+            # shingles_of_normalized(normalize_text(NULL)) is NULL, so the
+            # row never pairs) — the fillna('') in _normalize would
+            # otherwise make every NULL doc an exact dup of every '' doc
+            null_mask = pdf[text_col].isna().to_numpy()
+            shs = [None if null_mask[i] else a.tolist() for i, a in enumerate(sh_lists)]
+            out = {"_id": pdf[id_col].to_numpy(), "_sh": shs}
             if with_sig:
                 sig = _signatures(h, offsets, params)
-                out["_sig"] = [row.tolist() for row in sig]
+                out["_sig"] = [
+                    None if null_mask[i] else row.tolist() for i, row in enumerate(sig)
+                ]
             yield pd.DataFrame(out)
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    out_df = df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    # drop NULL-shingle rows HERE so every consumer (banding, verify,
+    # inverted-index join) sees only real documents
+    return out_df.filter(F.col("_sh").isNotNull())

@@ -82,13 +82,16 @@ def parse_kv_text(df: DataFrame, col: str = "value") -> DataFrame:
         return F.regexp_extract(F.col(col), rf"(?:^|\s){key}=(\S*)", 1)
 
     nonempty = lambda c: F.when(c != "", c)  # noqa: E731
+    # try_cast: one junk token ('turn_idx=abc', 'ts=garbage') must refuse
+    # the FIELD, not ANSI-kill the batch — same contract as
+    # parse_prometheus_text and the sampler's priority cast
     return df.select(
         nonempty(kv("conv_id")).alias("conv_id"),
-        nonempty(kv("turn_idx")).cast("int").alias("turn_idx"),
+        nonempty(kv("turn_idx")).try_cast("int").alias("turn_idx"),
         nonempty(kv("role")).alias("role"),
         nonempty(F.regexp_replace(kv("text"), "_", " ")).alias("text"),
         nonempty(kv("tool")).alias("tool"),
-        nonempty(kv("ts")).cast("timestamp").alias("ts"),
+        nonempty(kv("ts")).try_cast("timestamp").alias("ts"),
     )
 
 
@@ -194,28 +197,45 @@ def parse_otlp_json(df: DataFrame, col: str = "value") -> DataFrame:
     undoes the pdata nesting (model/pdata/logs.go:43-97), then attribute
     list -> typed columns. All JVM-side: from_json + explode + map_from_entries.
     """
+    def _attr_map(entries, value_fn):
+        # a malformed envelope can carry NULL or DUPLICATE attribute keys:
+        # map_from_entries would throw (default dedup policy EXCEPTION) and
+        # kill the whole scan. Keep the FIRST occurrence — pdata
+        # AttributeMap.Get returns the first match (model/pdata/common.go) —
+        # and drop null-key entries, so junk degrades per-record.
+        clean = F.filter(
+            entries,
+            # eqNullSafe: a null-key entry in the prefix must read "not a
+            # duplicate" (False), not poison the exists() to NULL and drop
+            # every later entry
+            lambda kv, i: kv["key"].isNotNull()
+            & ~F.exists(F.slice(entries, F.lit(1), i), lambda prev: prev["key"].eqNullSafe(kv["key"])),
+        )
+        return F.map_from_entries(F.transform(clean, value_fn))
+
     parsed = df.select(F.from_json(F.col(col), _OTLP_SCHEMA).alias("env"))
     rl = parsed.select(F.explode("env.resourceLogs").alias("rl"))
     ill = rl.select(
-        F.map_from_entries(
-            F.transform("rl.resource.attributes", lambda kv: F.struct(kv["key"], kv["value"]["stringValue"]))
+        _attr_map(
+            F.col("rl.resource.attributes"),
+            lambda kv: F.struct(kv["key"], kv["value"]["stringValue"]),
         ).alias("res_attrs"),
         F.explode("rl.instrumentationLibraryLogs").alias("ill"),
     )
     recs = ill.select("res_attrs", F.explode("ill.logRecords").alias("r"))
-    attrs = F.map_from_entries(
-        F.transform(
-            "r.attributes",
-            lambda kv: F.struct(kv["key"], F.coalesce(kv["value"]["stringValue"], kv["value"]["intValue"])),
-        )
+    attrs = _attr_map(
+        F.col("r.attributes"),
+        lambda kv: F.struct(kv["key"], F.coalesce(kv["value"]["stringValue"], kv["value"]["intValue"])),
     )
+    # try_cast: jsonpb int64 strings are producer-controlled — junk refuses
+    # the field, never the job
     return recs.select(
         F.col("res_attrs")["conv.id"].alias("conv_id"),
-        attrs["turn.idx"].cast("int").alias("turn_idx"),
+        attrs["turn.idx"].try_cast("int").alias("turn_idx"),
         attrs["role"].alias("role"),
         F.col("r.body.stringValue").alias("text"),
         attrs["tool"].alias("tool"),
-        F.timestamp_micros(F.expr("CAST(r.timeUnixNano AS BIGINT) div 1000")).alias("ts"),
+        F.timestamp_micros(F.expr("TRY_CAST(r.timeUnixNano AS BIGINT) div 1000")).alias("ts"),
     )
 
 
@@ -383,6 +403,10 @@ def to_prometheus_histogram_text(
     aggregate computes every bucket (map-side partial); the per-labelset
     line fan-out is an explode of an already-tiny frame.
     """
+    # refuse junk observations per-row: a NULL value would land in _count
+    # and +Inf but in no finite bucket (internally inconsistent histogram),
+    # and one NaN would poison _sum for the whole labelset
+    df = df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double")))
     aggs = [
         F.sum((F.col(value_col) <= F.lit(b)).cast("bigint")).alias(f"_le_{i}")
         for i, b in enumerate(bounds)
@@ -473,7 +497,9 @@ def scraped_histograms(df: DataFrame, col: str = "line") -> DataFrame:
     ).drop("_le_raw")
     per_set = keyed.groupBy("family", "_lk").agg(
         F.first("labels").alias("labels"),
-        F.max(F.when(F.col("part") == "count", F.col("value"))).cast("bigint").alias("total_count"),
+        # try_cast: a scraped count of 1e300 is junk — refuse the value,
+        # never ANSI-overflow the job
+        F.max(F.when(F.col("part") == "count", F.col("value"))).try_cast("bigint").alias("total_count"),
         F.max(F.when(F.col("part") == "sum", F.col("value"))).alias("sum_value"),
         F.collect_list(
             F.when(F.col("part") == "bucket", F.struct("le", F.col("value").alias("cum")))
@@ -489,7 +515,7 @@ def scraped_histograms(df: DataFrame, col: str = "line") -> DataFrame:
         "family",
         "labels",
         F.col("_b.le").alias("le"),
-        F.col("_b.cum").cast("bigint").alias("cum_count"),
+        F.col("_b.cum").try_cast("bigint").alias("cum_count"),
         "total_count",
         "sum_value",
     )
@@ -516,13 +542,20 @@ def to_otlp_text(df: DataFrame, out_col: str = "line") -> DataFrame:
         F.array_sort(F.map_entries(attrs)),
         lambda e: F.concat(F.lit("     -> "), e["key"], F.lit(": STRING("), e["value"], F.lit(")")),
     )
+    # every value coalesces to "" — the Go dump always prints the field
+    # LABEL (databuffer.go writes `label: value` unconditionally); a bare
+    # concat would propagate NULL and concat_ws would then DROP the whole
+    # line, truncating the block for junk rows
+    def _field(label: str, val: Column) -> Column:
+        return F.concat(F.lit(label), F.coalesce(val.cast("string"), F.lit("")))
+
     block = F.concat_ws(
         "\n",
-        F.concat(F.lit("LogRecord #"), F.col("turn_idx").cast("string")),
-        F.concat(F.lit("Timestamp: "), (F.unix_micros(F.col("ts")) * 1000).cast("string")),
-        F.concat(F.lit("Severity: "), F.coalesce(F.col("role"), F.lit(""))),
-        F.concat(F.lit("ShortName: "), F.coalesce(F.col("tool"), F.col("role"))),
-        F.concat(F.lit("Body: "), F.col("text")),
+        _field("LogRecord #", F.col("turn_idx")),
+        _field("Timestamp: ", F.unix_micros(F.col("ts")) * 1000),
+        _field("Severity: ", F.col("role")),
+        _field("ShortName: ", F.coalesce(F.col("tool"), F.col("role"))),
+        _field("Body: ", F.col("text")),
         F.when(
             F.size(attrs) > 0,
             F.concat(F.lit("Attributes:\n"), F.array_join(attr_lines, "\n")),

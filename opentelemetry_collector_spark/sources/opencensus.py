@@ -99,12 +99,15 @@ def _oc_attr_to_string(v: Column) -> Column:
         v["stringValue"]["value"],
         v["intValue"],
         F.when(v["boolValue"].isNotNull(), F.when(v["boolValue"], "true").otherwise("false")),
-        # %g-style double: integral values print bare (canonical_str parity)
+        # doubles stringify like Go strconv.FormatFloat(f,'f',-1,64): the
+        # SHORTEST form, so integral values print BARE ("3", not "3.0") —
+        # anything else breaks canonical_str matching (coerce.py) against
+        # config literals (protospan_translation.go:73)
         F.when(
             v["doubleValue"].isNotNull(),
             F.when(
-                v["doubleValue"] == v["doubleValue"].cast("bigint").cast("double"),
-                F.concat(v["doubleValue"].cast("bigint").cast("string"), F.lit(".0")),
+                v["doubleValue"] == v["doubleValue"].try_cast("bigint").cast("double"),
+                v["doubleValue"].try_cast("bigint").cast("string"),
             ).otherwise(v["doubleValue"].cast("string")),
         ),
         F.lit(UNKNOWN_OC_VALUE),

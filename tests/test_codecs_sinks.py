@@ -394,3 +394,71 @@ def test_scraped_histograms_refuse_junk_le_bucket(spark):
     )
     assert buckets == [(0.5, 3), (None, 9)]  # junk bucket gone, +Inf intact
     assert all(r.total_count == 9 for r in rows)
+
+
+def test_parse_kv_text_junk_tokens_refuse_fields_not_job(spark):
+    from opentelemetry_collector_spark.sources.codecs import parse_kv_text
+
+    df = spark.createDataFrame(
+        [("conv_id=c1 turn_idx=abc role=user ts=garbage",),
+         ("conv_id=c2 turn_idx=3 role=user ts=2026-01-02T03:04:05",)],
+        "value string",
+    )
+    rows = {r.conv_id: r for r in parse_kv_text(df).collect()}
+    assert rows["c1"].turn_idx is None and rows["c1"].ts is None  # refused fields
+    assert rows["c2"].turn_idx == 3 and rows["c2"].ts is not None
+
+
+def test_parse_otlp_json_duplicate_and_null_attr_keys_degrade_per_record(spark):
+    """map_from_entries throws on duplicate/null keys (EXCEPTION policy) —
+    the codec must keep the FIRST occurrence (pdata AttributeMap.Get
+    semantics) and drop null-key entries instead of killing the scan."""
+    import json
+
+    from opentelemetry_collector_spark.sources.codecs import parse_otlp_json
+
+    env = {"resourceLogs": [{
+        "resource": {"attributes": [{"key": "conv.id", "value": {"stringValue": "c9"}}]},
+        "instrumentationLibraryLogs": [{"logRecords": [{
+            "timeUnixNano": "not-a-number",
+            "body": {"stringValue": "hello"},
+            "attributes": [
+                {"key": "role", "value": {"stringValue": "user"}},
+                {"key": "role", "value": {"stringValue": "assistant"}},
+                {"value": {"stringValue": "orphan"}},
+                {"key": "turn.idx", "value": {"intValue": "7"}},
+            ],
+        }]}],
+    }]}
+    df = spark.createDataFrame([(json.dumps(env),)], "value string")
+    (r,) = parse_otlp_json(df).collect()
+    assert r.conv_id == "c9" and r.text == "hello"
+    assert r.role == "user"       # first occurrence wins
+    assert r.turn_idx == 7
+    assert r.ts is None           # junk timeUnixNano refused per-field
+
+
+def test_prometheus_histogram_refuses_null_and_nan_observations(spark):
+    from opentelemetry_collector_spark.sources.codecs import to_prometheus_histogram_text
+
+    df = spark.createDataFrame(
+        [("a", 0.5), ("a", 2.0), ("a", None), ("a", float("nan"))],
+        "svc string, v double",
+    )
+    _, lines = to_prometheus_histogram_text(df, "lat", "v", ["svc"], bounds=[1.0])
+    got = {l.line.split(" ")[0].split("{")[0]: l.line.rsplit(" ", 1)[1] for l in lines.collect()}
+    # 2 real observations: count=2, +Inf=2, sum=2.5 — internally consistent
+    assert got["lat_count"] == "2.0" and got["lat_sum"] == "2.5"
+
+
+def test_otlp_text_always_prints_field_labels(spark):
+    from opentelemetry_collector_spark.sources.codecs import to_otlp_text
+
+    df = spark.createDataFrame(
+        [("c1", 0, None, None, None, None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, attrs map<string,string>",
+    )
+    (r,) = to_otlp_text(df).collect()
+    for label in ("LogRecord #", "Timestamp: ", "Severity: ", "ShortName: ", "Body: "):
+        assert label in r.line, f"missing {label!r} line for a junk row"

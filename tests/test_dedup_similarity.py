@@ -703,3 +703,19 @@ def test_lsh_topk_rejects_nonpositive_tables(spark):
     emb = _emb(spark, n=4)
     with pytest.raises(ValueError, match="n_tables"):
         lsh_topk(emb, emb, dim=16, n_tables=0)
+
+
+def test_null_text_never_pairs_with_empty_text(spark):
+    """The Arrow shingle kernel used to fillna('') NULL text, making every
+    NULL doc a jaccard-1 duplicate of every ''-text doc — the Catalyst
+    reference path (normalize->shingles of NULL = NULL) never pairs them."""
+    from opentelemetry_collector_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, None), (4, "real words here enough to shingle"),
+         (5, "real words here enough to shingle")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.a_id, r.b_id) for r in minhash_lsh_pairs(df, "doc_id", threshold=0.5).collect()}
+    assert (1, 2) not in pairs and (1, 3) not in pairs
+    assert (4, 5) in pairs  # real duplicates still found

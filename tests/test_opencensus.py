@@ -89,7 +89,10 @@ def test_typed_attribute_union_stringify(spark):
     a = r["attrs"]
     assert a["s"] == "x" and a["i"] == "42"
     assert a["bt"] == "true" and a["bf"] == "false"
-    assert a["d"] == "2.5" and a["di"] == "3.0"
+    # integral doubles print BARE like Go strconv.FormatFloat(3.0,'f',-1,64)
+    # = "3" (protospan_translation.go:73) — "3.0" would never match a
+    # canonical_str(3.0) config literal
+    assert a["d"] == "2.5" and a["di"] == "3"
     assert a["empty"] == UNKNOWN_OC_VALUE
 
 

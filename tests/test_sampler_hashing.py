@@ -126,3 +126,33 @@ def test_sampler_string_priority_parse_and_defer(spark):
     assert {"c", "d", "e"} <= got  # unparseable/empty/null -> defer; 100% hash keeps
     got0 = {r.conv_id for r in probabilistic_sample(df, 0.0, priority_col="priority").collect()}
     assert got0 == {"b"}           # at 0% only the explicit keep survives
+
+
+def test_sha1_typed_null_propagates_for_every_dtype(spark):
+    """NULL must hash to NULL for all dtypes — the bool path used to hash
+    NULL as false (0x00) and the double path as the NaN bit pattern,
+    conflating absent with real values."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.functions.hashing import sha1_typed
+
+    df = spark.createDataFrame(
+        [(None, None, None, None)], "s string, i long, d double, b boolean"
+    )
+    (r,) = df.select(
+        sha1_typed(F.col("s"), "string").alias("hs"),
+        sha1_typed(F.col("i"), "int").alias("hi"),
+        sha1_typed(F.col("d"), "double").alias("hd"),
+        sha1_typed(F.col("b"), "bool").alias("hb"),
+    ).collect()
+    assert (r.hs, r.hi, r.hd, r.hb) == (None, None, None, None)
+
+
+def test_hex16_decodes_uppercase_hex():
+    import numpy as np
+
+    from opentelemetry_collector_spark.functions.hashing import hex16_to_u32x4
+
+    lo = hex16_to_u32x4(np.array(["00112233445566778899aabbccddeeff"], dtype=object))
+    up = hex16_to_u32x4(np.array(["00112233445566778899AABBCCDDEEFF"], dtype=object))
+    assert (lo == up).all()
