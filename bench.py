@@ -64,6 +64,10 @@ HEADLINE = [
     "q52_route_rollup",
     "q53_latency_quantiles",
     "q54_sessionize",
+    # pipeline hygiene (transcripts table)
+    "q69_integrity_audit",
+    "q70_log_dedup",
+    "q71_rate_limit",
 ]
 
 

@@ -1,0 +1,201 @@
+"""Pipeline-hygiene processors: integrity audit, repeated-line dedup, rate limit.
+
+The reference collector trusts its receivers to deliver well-formed,
+in-order batches — its only defenses are the per-component obsreport
+counters (internal/obsreportconfig/obsmetrics/obs_processor.go:24-77) and
+sampled logging on hot error paths (exporter/exporterhelper/
+queued_retry.go:110-127). A batch pipeline over 10^12 stored turns cannot
+assume that: late/replayed writers corrupt turn ordering, retry storms
+duplicate log lines, and hot producers flood a key. These three operators
+are the batch analogs of the hygiene stages a production log pipeline runs
+between parse and route:
+
+- :func:`integrity_audit` — per-conversation data-quality flags (duplicate
+  / missing / NULL ``turn_idx``, role echo, timestamp regression). It
+  turns the north_rule's stable ``(conv_id, turn_idx)`` ordering invariant
+  from an assumption into a measurable, routable signal.
+- :func:`log_dedup` — suppress repeated identical lines per key and emit
+  the first occurrence plus a repeat count (the contrib logdedup-processor
+  contract; the reference core's closest relative is its sampled error
+  logging above).
+- :func:`rate_limit` — keep at most ``k`` records per (key, time-window):
+  quota head-sampling, complementing the probabilistic sampler's hash
+  sampling (processor/probabilisticsamplerprocessor/
+  probabilisticsampler.go:72-102) when a *deterministic per-key cap* is
+  wanted instead of a corpus-wide rate.
+
+Scale notes (the reason each op is shaped the way it is):
+
+- All three shuffle exactly once, on the conversation key (plus fingerprint
+  / window bucket), i.e. the same ``hashpartitioning(conv_id)`` the
+  aggregate stage already uses — a pipeline composing them can reuse one
+  partitioning across stages.
+- ``log_dedup`` is a groupBy, NOT a window over the raw stream: partial
+  aggregation collapses duplicate lines map-side, so a retry storm that
+  duplicates a line 10^6 times ships ONE partial row per task through the
+  shuffle — exactly why the processor exists at 10^12 rows.
+- ``rate_limit`` filters ``row_number() <= k`` with nothing else in the
+  window, so Spark rewrites it to a Partial WindowGroupLimit: each map
+  task forwards at most k rows per (key, window) and the shuffle is
+  O(k · keys · windows), never the corpus.
+
+Per-row junk policy (repo-wide): NULL keys/timestamps degrade per-row,
+never per-job — NULL ``turn_idx`` is counted in its own audit column, and
+NULL ``ts`` rows form their own rate-limit bucket per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["integrity_audit", "log_dedup", "rate_limit"]
+
+#: audit columns that must all be zero for a conversation to be ``clean``
+AUDIT_FLAGS = ("n_dup_idx", "n_gaps", "n_null_idx", "n_role_echo", "n_ts_regress")
+
+
+def _bigint(c: Column) -> Column:
+    return c.cast("bigint")
+
+
+def integrity_audit(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key data-quality audit of the stable-ordering invariant.
+
+    Emits one row per ``key_col`` with::
+
+        n_turns       rows seen
+        n_dup_idx     non-NULL ``idx_col`` values claimed by >1 row
+        n_gaps        missing positions in [min(idx), max(idx)]
+        n_null_idx    rows whose ``idx_col`` is NULL (per-row junk, counted
+                      separately so it never poisons the dup/gap math)
+        n_role_echo   rows whose role equals the previous row's role under
+                      the total order (idx, ts, role)
+        n_ts_regress  rows whose ts is EARLIER than the previous row's ts
+                      under that order (replayed / backdated writers)
+        clean         1 iff every flag above is 0
+
+    The lag pass and the aggregate share one
+    ``hashpartitioning(key_col)`` exchange: the window partitions by the
+    key, and the groupBy on the same key reuses that partitioning (no
+    second shuffle). The order (idx, ts, role) is total on any input whose
+    (idx, ts) ties share a role — and on inputs with full duplicate rows
+    the lag comparisons are tie-invariant anyway — so the flags are
+    deterministic, which the DuckDB oracle (q69) relies on.
+    """
+    order = [F.col(idx_col).asc_nulls_first(), ts_col, role_col]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    echo = (F.col(role_col) == F.lag(role_col).over(w)).cast("int")
+    regress = (F.col(ts_col) < F.lag(ts_col).over(w)).cast("int")
+    staged = df.select(key_col, idx_col, role_col, ts_col).select(
+        key_col,
+        idx_col,
+        echo.alias("_echo"),
+        regress.alias("_regress"),
+    )
+    idx = F.col(idx_col)
+    n_distinct = F.countDistinct(idx)
+    out = staged.groupBy(key_col).agg(
+        _bigint(F.count(F.lit(1))).alias("n_turns"),
+        _bigint(F.count(idx) - n_distinct).alias("n_dup_idx"),
+        _bigint(
+            F.coalesce(F.max(idx) - F.min(idx) + 1 - n_distinct, F.lit(0))
+        ).alias("n_gaps"),
+        _bigint(F.count(F.lit(1)) - F.count(idx)).alias("n_null_idx"),
+        _bigint(F.coalesce(F.sum("_echo"), F.lit(0))).alias("n_role_echo"),
+        _bigint(F.coalesce(F.sum("_regress"), F.lit(0))).alias("n_ts_regress"),
+    )
+    clean = F.lit(1)
+    for flag in AUDIT_FLAGS:
+        clean = clean.bitwiseAND(F.when(F.col(flag) == 0, 1).otherwise(0))
+    return out.select("*", _bigint(clean).alias("clean"))
+
+
+def log_dedup(
+    df: DataFrame,
+    keys: Sequence[str] = ("conv_id",),
+    text_col: str = "text",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Suppress repeated identical lines per key; emit first occurrence + count.
+
+    Output: one row per (keys, distinct ``text_col``) carrying the FIRST
+    occurrence's (idx, ts, role) under the total order (idx, ts, role),
+    the text and its md5 fingerprint, ``n_occurrences``, and ``last_idx``
+    (the final position the line was seen at — the logdedup processor's
+    "last observed" timestamp analog).
+
+    Grouping is on ``md5(text)`` alongside the key so the shuffle hashes a
+    16-byte digest, not arbitrary-length text, and partial aggregation
+    collapses duplicates map-side (a 10^6-line retry storm ships one
+    partial row per task). The first occurrence rides the aggregate as
+    ``min(struct(idx, ts, role, text))`` — no join-back, no window over
+    the raw stream; text is constant within a group, so carrying it in the
+    struct is free and exact.
+    """
+    fp = F.md5(F.col(text_col)).alias("text_fp")
+    first = F.min(F.struct(idx_col, ts_col, role_col, text_col)).alias("_first")
+    grouped = df.groupBy(*keys, fp).agg(
+        first,
+        _bigint(F.count(F.lit(1))).alias("n_occurrences"),
+        F.max(idx_col).alias("last_idx"),
+    )
+    return grouped.select(
+        *keys,
+        F.col(f"_first.{idx_col}").alias(idx_col),
+        F.col(f"_first.{ts_col}").alias(ts_col),
+        F.col(f"_first.{role_col}").alias(role_col),
+        F.col(f"_first.{text_col}").alias(text_col),
+        "text_fp",
+        "n_occurrences",
+        "last_idx",
+    )
+
+
+def rate_limit(
+    df: DataFrame,
+    keys: Sequence[str] = ("conv_id",),
+    ts_col: str = "ts",
+    max_per_window: int = 1000,
+    window: str = "hour",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Keep at most ``max_per_window`` rows per (keys, ``window`` of ts).
+
+    The survivors are the FIRST ``k`` rows of each (key, window bucket)
+    under the total order (ts, idx, role) — a deterministic per-key quota,
+    not a probabilistic rate. ``window`` is any ``date_trunc`` unit
+    (``minute``/``hour``/``day``/...). Output keeps the input columns plus
+    ``window_start`` (the truncated bucket timestamp).
+
+    The ``row_number() <= k`` filter is the ONLY consumer of the window,
+    so Spark plans a Partial WindowGroupLimit upstream of the exchange:
+    each map task emits at most k rows per bucket and the shuffle carries
+    O(k · keys · buckets) rows regardless of input size (asserted in
+    tests/test_hygiene.py). NULL ``ts`` rows truncate to a NULL bucket and
+    are quota'd among themselves per key — junk rows are bounded, never
+    job-fatal.
+
+    ``max_per_window`` must be >= 1 (a 0-quota "drop everything" is a
+    filter, not a limiter — refuse it loudly rather than planning a
+    degenerate window).
+    """
+    if max_per_window < 1:
+        raise ValueError(f"max_per_window must be >= 1, got {max_per_window}")
+    bucket = F.date_trunc(window, F.col(ts_col))
+    w = Window.partitionBy(*[F.col(k) for k in keys], bucket).orderBy(
+        F.col(ts_col).asc_nulls_first(), idx_col, role_col
+    )
+    ranked = df.select("*", bucket.alias("window_start"), F.row_number().over(w).alias("_rn"))
+    return ranked.filter(F.col("_rn") <= max_per_window).drop("_rn")

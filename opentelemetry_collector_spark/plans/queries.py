@@ -2118,6 +2118,103 @@ FROM rk WHERE rank <= 5
 """
 
 
+def q69_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation data-quality audit (operators/hygiene.integrity_audit)
+    of the north_rule's stable (conv_id, turn_idx) ordering invariant, run
+    over a deterministically perturbed frame so every flag fires: turns at
+    turn_idx % 97 == 13 are dropped (gaps) and turns at turn_idx % 101 == 7
+    are replayed 100 days earlier (dup idx + role echo + ts regression).
+    Both engines derive the perturbation independently."""
+    from opentelemetry_collector_spark.operators.hygiene import integrity_audit
+
+    t = from_events(spark, sf_dir).select("conv_id", "turn_idx", "role", "ts")
+    gapped = t.filter(F.col("turn_idx") % 97 != 13)
+    replayed = t.filter(F.col("turn_idx") % 101 == 7).withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 100 DAYS")
+    )
+    return integrity_audit(gapped.unionAll(replayed))
+
+
+Q69_SQL = f"""{_PRELUDE},
+f AS (
+  SELECT conv_id, turn_idx, role, ts FROM t WHERE turn_idx % 97 <> 13
+  UNION ALL
+  SELECT conv_id, turn_idx, role, ts - INTERVAL 100 DAY AS ts
+  FROM t WHERE turn_idx % 101 = 7),
+x AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN role = lag(role) OVER w THEN 1 END AS echo,
+         CASE WHEN ts < lag(ts) OVER w THEN 1 END AS regress
+  FROM f WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts, role))
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(count(turn_idx) - count(DISTINCT turn_idx) AS BIGINT) AS n_dup_idx,
+  CAST(coalesce(max(turn_idx) - min(turn_idx) + 1 - count(DISTINCT turn_idx), 0) AS BIGINT) AS n_gaps,
+  CAST(count(*) - count(turn_idx) AS BIGINT) AS n_null_idx,
+  CAST(coalesce(sum(echo), 0) AS BIGINT) AS n_role_echo,
+  CAST(coalesce(sum(regress), 0) AS BIGINT) AS n_ts_regress,
+  CAST(CASE WHEN count(turn_idx) = count(DISTINCT turn_idx)
+             AND max(turn_idx) - min(turn_idx) + 1 = count(DISTINCT turn_idx)
+             AND count(*) = count(turn_idx)
+             AND coalesce(sum(echo), 0) = 0
+             AND coalesce(sum(regress), 0) = 0
+        THEN 1 ELSE 0 END AS BIGINT) AS clean
+FROM x GROUP BY conv_id
+"""
+
+
+def q70_log_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-line suppression per conversation
+    (operators/hygiene.log_dedup): one surviving row per distinct line
+    carrying the first occurrence's (turn_idx, ts, role), the md5
+    fingerprint, the repeat count, and the last position seen — the
+    logdedup-processor emit contract. Spark aggregates
+    min(struct(...)) map-side; the oracle derives the same survivors
+    independently via a row_number window."""
+    from opentelemetry_collector_spark.operators.hygiene import log_dedup
+
+    t = from_events(spark, sf_dir)
+    return log_dedup(t)
+
+
+Q70_SQL = f"""{_PRELUDE},
+g AS (
+  SELECT conv_id, turn_idx, ts, role, text,
+         md5(text) AS text_fp,
+         row_number() OVER (PARTITION BY conv_id, text
+                            ORDER BY turn_idx, ts, role) AS rn,
+         count(*) OVER (PARTITION BY conv_id, text) AS n,
+         max(turn_idx) OVER (PARTITION BY conv_id, text) AS last_i
+  FROM t)
+SELECT conv_id, turn_idx, ts, role, text, text_fp,
+       CAST(n AS BIGINT) AS n_occurrences,
+       CAST(last_i AS INTEGER) AS last_idx
+FROM g WHERE rn = 1
+"""
+
+
+def q71_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key quota (operators/hygiene.rate_limit): at most
+    1 turn per conversation per day, survivors = first row of each (conv,
+    day) bucket under (ts, turn_idx, role). The row_number <= k filter
+    plans as a Partial WindowGroupLimit, so each map task ships at most k
+    rows per bucket (plan asserted in tests/test_hygiene.py)."""
+    from opentelemetry_collector_spark.operators.hygiene import rate_limit
+
+    t = from_events(spark, sf_dir).select("conv_id", "turn_idx", "role", "ts")
+    return rate_limit(t, max_per_window=1, window="day")
+
+
+Q71_SQL = f"""{_PRELUDE},
+r AS (
+  SELECT conv_id, turn_idx, role, ts, date_trunc('day', ts) AS window_start,
+         row_number() OVER (PARTITION BY conv_id, date_trunc('day', ts)
+                            ORDER BY ts, turn_idx, role) AS rn
+  FROM t)
+SELECT conv_id, turn_idx, role, ts, window_start FROM r WHERE rn <= 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2192,6 +2289,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_sketch_rollup": q66_sketch_rollup,
     "q67_gopher_filter": q67_gopher_filter,
     "q68_tfidf_top_terms": q68_tfidf_top_terms,
+    "q69_integrity_audit": q69_integrity_audit,
+    "q70_log_dedup": q70_log_dedup,
+    "q71_rate_limit": q71_rate_limit,
 }
 
 ORACLES: dict[str, str] = {
@@ -2257,6 +2357,9 @@ ORACLES: dict[str, str] = {
     "q65_semantic_dedup": Q65_SQL,
     "q67_gopher_filter": Q67_SQL,
     "q68_tfidf_top_terms": Q68_SQL,
+    "q69_integrity_audit": Q69_SQL,
+    "q70_log_dedup": Q70_SQL,
+    "q71_rate_limit": Q71_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
