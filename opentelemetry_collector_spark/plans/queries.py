@@ -2215,6 +2215,39 @@ SELECT conv_id, turn_idx, role, ts, window_start FROM r WHERE rn <= 1
 """
 
 
+def q72_otlp_trace_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP-JSON TRACES envelope gate (sources/otlp_trace.py): the same
+    span frame as q37/q38/q48 marshaled through the reference's jsonpb
+    trace wire (resourceSpans -> instrumentationLibrarySpans -> spans, hex
+    ids with ""-empty parent, enum-name kinds, nanos-as-strings,
+    non-nullable status with the deprecated-code shim) and parsed back.
+    Oracle: the q37 independent SQL derivation — all four trace codecs
+    must reconstruct the identical frame from four different wires."""
+    from opentelemetry_collector_spark.sources.otlp_trace import (
+        parse_otlp_traces_json,
+        to_otlp_traces_json,
+    )
+    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+
+    t = from_events(spark, sf_dir)
+    back = parse_otlp_traces_json(to_otlp_traces_json(spans_from_transcripts(t)))
+    return back.select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "name",
+        "kind",
+        "status_code",
+        "status_message",
+        "service_name",
+        "ts",
+        "duration_us",
+        F.element_at(F.col("attrs"), "turn.idx").cast("int").alias("attr_turn_idx"),
+        F.element_at(F.col("attrs"), "tool").alias("attr_tool"),
+        F.cardinality(F.col("attrs")).cast("bigint").alias("n_attrs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2292,6 +2325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_integrity_audit": q69_integrity_audit,
     "q70_log_dedup": q70_log_dedup,
     "q71_rate_limit": q71_rate_limit,
+    "q72_otlp_trace_roundtrip": q72_otlp_trace_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -2360,6 +2394,7 @@ ORACLES: dict[str, str] = {
     "q69_integrity_audit": Q69_SQL,
     "q70_log_dedup": Q70_SQL,
     "q71_rate_limit": Q71_SQL,
+    "q72_otlp_trace_roundtrip": Q37_SQL,  # same frame, fourth wire
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
