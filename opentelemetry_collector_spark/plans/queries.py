@@ -2248,6 +2248,38 @@ def q72_otlp_trace_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_otlp_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP-JSON METRICS envelope gate (sources/otlp_metric.py): the same
+    scalar datapoint frame as q49 marshaled through the v0.5 metrics wire
+    (resourceMetrics nesting, per-value-type oneof members, flat
+    StringKeyValue labels, float64 omit-empty, non-nullable resource) and
+    parsed back. Oracle: the q49 independent SQL derivation — OC and OTLP
+    wires must reconstruct the identical frame."""
+    from opentelemetry_collector_spark.sources.otlp_metric import (
+        parse_otlp_metrics_json,
+        to_otlp_metrics_json,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        F.col("event_type").alias("metric"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("labels"),
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+        F.col("ts"),
+        F.when(F.col("event_type") == "click", "sum_cumulative_monotonic")
+        .otherwise("gauge")
+        .alias("kind"),
+    )
+    back = parse_otlp_metrics_json(to_otlp_metrics_json(src))
+    return back.select(
+        "metric",
+        "kind",
+        F.element_at(F.col("labels"), "user").cast("bigint").alias("user_id"),
+        F.col("value").cast("bigint").alias("value_cents"),
+        "ts",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2326,6 +2358,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_log_dedup": q70_log_dedup,
     "q71_rate_limit": q71_rate_limit,
     "q72_otlp_trace_roundtrip": q72_otlp_trace_roundtrip,
+    "q73_otlp_metrics_roundtrip": q73_otlp_metrics_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -2395,6 +2428,7 @@ ORACLES: dict[str, str] = {
     "q70_log_dedup": Q70_SQL,
     "q71_rate_limit": Q71_SQL,
     "q72_otlp_trace_roundtrip": Q37_SQL,  # same frame, fourth wire
+    "q73_otlp_metrics_roundtrip": Q49_SQL,  # same frame, second metrics wire
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

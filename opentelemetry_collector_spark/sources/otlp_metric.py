@@ -1,0 +1,223 @@
+"""OTLP-JSON metrics envelope codec: the resourceMetrics nesting.
+
+Third member of the OTLP-JSON codec family (logs: codecs.to_otlp_json,
+traces: otlp_trace.py) — the reference marshals all three signals through
+one jsonpb marshaler (model/otlp/json_marshaler.go:31-34,55-58). This is
+the v0.5-era metrics proto the reference vendors
+(model/internal/data/protogen/metrics/v1/metrics.pb.go): the `data` oneof
+is per-VALUE-TYPE (intGauge/doubleGauge/intSum/doubleSum/...), datapoint
+labels are flat StringKeyValue pairs (not typed attributes), and:
+
+- the oneof renders as exactly one camelCase member ("doubleGauge":{...})
+  — absent members never appear (jsonpb oneof);
+- fixed64 nanos are strings, zero omitted; startTimeUnixNano stays
+  unspecified (omitted) for our scalar frame, like the OC translator's
+  gauge path (translator/internaldata/oc_to_metrics.go);
+- `value` is a float64 with omit-empty (metrics.pb.go:1008-1009): a 0.0
+  datapoint ships with NO value member and must read back as 0.0;
+- DoubleSum carries aggregationTemporality as the enum NAME and
+  isMonotonic only when true (metrics.pb.go:662-669);
+- ResourceMetrics.Resource is non-nullable (metrics.pb.go:127
+  `json:"resource"`): an empty resource still marshals as "resource":{}.
+
+Wire-format note: Spark's to_json renders integral doubles as "123.0"
+where Go's encoding/json emits "123" — byte-different, value-identical;
+the parse side (both ours and jsonpb) accepts either, and the roundtrip
+is value-checked by q73 against the q49 oracle derivation.
+
+Input/output frame is the OC metrics codec's scalar shape (metric string,
+labels map<string,string>, value double, ts timestamp, kind in
+{"gauge", "sum_cumulative_monotonic"}), so the two wires are
+interchangeable ends of the same pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from opentelemetry_collector_spark.sources.codecs import _LIB_NAME
+
+__all__ = ["to_otlp_metrics_json", "parse_otlp_metrics_json"]
+
+_TEMPORALITY_CUMULATIVE = "AGGREGATION_TEMPORALITY_CUMULATIVE"
+
+
+def to_otlp_metrics_json(df: DataFrame, out_col: str = "value") -> DataFrame:
+    """Marshal the scalar datapoint frame to one OTLP-JSON envelope per
+    (metric, kind) — one Metric message carrying all its datapoints, the
+    grouping the OTLP exporter hands to a push in practice. Single
+    groupBy shuffle; datapoints array_sort'ed on (time, labels, value) so
+    marshal is deterministic at any parallelism. Pure JVM projection.
+    """
+    nanos = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    labels = F.array_sort(
+        F.transform(
+            F.map_entries(F.col("labels")),
+            lambda kv: F.struct(kv["key"].alias("key"), kv["value"].alias("value")),
+        )
+    )
+    dp = F.struct(
+        # _ord leads for array_sort; labels serialized for a total order
+        F.struct(nanos.alias("n"), F.to_json(labels).alias("l"), F.col("value").alias("v")).alias(
+            "_ord"
+        ),
+        F.when(F.size(labels) > 0, labels).alias("labels"),
+        F.when(nanos != 0, nanos.cast("string")).alias("timeUnixNano"),
+        # float64 omit-empty: a 0.0 value ships with no member at all
+        F.when(F.col("value") != 0.0, F.col("value")).alias("value"),
+    )
+    grouped = df.groupBy("metric", "kind").agg(
+        F.array_sort(F.collect_list(dp)).alias("dps")
+    )
+    dps = F.transform(F.col("dps"), lambda d: d.dropFields("_ord"))
+    metric = F.struct(
+        F.col("metric").alias("name"),
+        F.when(F.col("kind") == "gauge", F.struct(dps.alias("dataPoints"))).alias("doubleGauge"),
+        F.when(
+            F.col("kind") == "sum_cumulative_monotonic",
+            F.struct(
+                dps.alias("dataPoints"),
+                F.lit(_TEMPORALITY_CUMULATIVE).alias("aggregationTemporality"),
+                F.lit(True).alias("isMonotonic"),
+            ),
+        ).alias("doubleSum"),
+    )
+    envelope = F.struct(
+        F.array(
+            F.struct(
+                # non-nullable Resource: "resource":{} even when empty
+                F.struct(
+                    F.lit(None)
+                    .cast("array<struct<key:string,value:struct<stringValue:string>>>")
+                    .alias("attributes")
+                ).alias("resource"),
+                F.array(
+                    F.struct(
+                        F.struct(F.lit(_LIB_NAME).alias("name")).alias("instrumentationLibrary"),
+                        F.array(metric).alias("metrics"),
+                    )
+                ).alias("instrumentationLibraryMetrics"),
+            )
+        ).alias("resourceMetrics")
+    )
+    return grouped.select(F.to_json(envelope).alias(out_col))
+
+
+_LABEL_SCHEMA = StructType(
+    [StructField("key", StringType()), StructField("value", StringType())]
+)
+
+_DP_SCHEMA = StructType(
+    [
+        StructField("labels", ArrayType(_LABEL_SCHEMA)),
+        StructField("startTimeUnixNano", StringType()),
+        StructField("timeUnixNano", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+_METRIC_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("doubleGauge", StructType([StructField("dataPoints", ArrayType(_DP_SCHEMA))])),
+        StructField(
+            "doubleSum",
+            StructType(
+                [
+                    StructField("dataPoints", ArrayType(_DP_SCHEMA)),
+                    StructField("aggregationTemporality", StringType()),
+                    StructField("isMonotonic", BooleanType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_METRICS_SCHEMA = StructType(
+    [
+        StructField(
+            "resourceMetrics",
+            ArrayType(
+                StructType(
+                    [
+                        StructField(
+                            "instrumentationLibraryMetrics",
+                            ArrayType(
+                                StructType(
+                                    [
+                                        StructField(
+                                            "instrumentationLibrary",
+                                            StructType([StructField("name", StringType())]),
+                                        ),
+                                        StructField("metrics", ArrayType(_METRIC_SCHEMA)),
+                                    ]
+                                )
+                            ),
+                        )
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def _label_map(entries: Column) -> Column:
+    """StringKeyValue list -> map, first occurrence wins, null keys dropped
+    (pdata StringMap semantics; same junk policy as the logs/trace parsers)."""
+    clean = F.filter(
+        F.coalesce(entries, F.array().cast(ArrayType(_LABEL_SCHEMA))),
+        lambda kv, i: kv["key"].isNotNull()
+        & ~F.exists(F.slice(entries, F.lit(1), i), lambda prev: prev["key"].eqNullSafe(kv["key"])),
+    )
+    return F.map_from_entries(F.transform(clean, lambda kv: F.struct(kv["key"], kv["value"])))
+
+
+def parse_otlp_metrics_json(df: DataFrame, col: str = "value") -> DataFrame:
+    """Unmarshal OTLP-JSON metric envelopes back to the scalar frame:
+    resourceMetrics -> instrumentationLibraryMetrics -> metrics ->
+    dataPoints explode, oneof member decides the kind. Junk degrades
+    per-row: unparseable envelopes vanish, non-numeric nanos become a NULL
+    ts, a missing value member reads back as the omitted 0.0, and a
+    metric with no recognized oneof member yields a NULL kind.
+    """
+    parsed = df.select(F.from_json(F.col(col), _METRICS_SCHEMA).alias("env"))
+    rm = parsed.select(F.explode("env.resourceMetrics").alias("rm"))
+    ilm = rm.select(F.explode("rm.instrumentationLibraryMetrics").alias("ilm"))
+    m = ilm.select(F.explode("ilm.metrics").alias("m"))
+    is_gauge = F.col("m.doubleGauge").isNotNull()
+    is_mono_sum = (
+        F.col("m.doubleSum").isNotNull()
+        & (F.col("m.doubleSum.aggregationTemporality") == _TEMPORALITY_CUMULATIVE)
+        & F.col("m.doubleSum.isMonotonic")
+    )
+    kind = (
+        F.when(is_gauge, F.lit("gauge"))
+        .when(is_mono_sum, F.lit("sum_cumulative_monotonic"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    dps = F.coalesce(F.col("m.doubleGauge.dataPoints"), F.col("m.doubleSum.dataPoints"))
+    rows = m.select(
+        F.col("m.name").alias("metric"),
+        kind.alias("kind"),
+        F.explode(dps).alias("dp"),
+    )
+    # decimal, not bigint: int64 nanos exceed double's 53-bit mantissa
+    # (same fix as otlp_trace.parse_otlp_traces_json)
+    t = F.col("dp.timeUnixNano").try_cast("decimal(20,0)")
+    return rows.select(
+        "metric",
+        "kind",
+        _label_map(F.col("dp.labels")).alias("labels"),
+        F.coalesce(F.col("dp.value"), F.lit(0.0)).alias("value"),
+        F.timestamp_micros(F.floor(t / 1000).cast("bigint")).alias("ts"),
+    )

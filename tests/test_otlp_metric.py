@@ -1,0 +1,117 @@
+"""OTLP-JSON metrics envelope codec (sources/otlp_metric.py).
+
+Wire-shape goldens for the v0.5-era metrics proto jsonpb rules (oneof
+member per value type, flat StringKeyValue labels, float64 omit-empty,
+non-nullable resource), then the frame roundtrip and junk paths.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.sources.otlp_metric import (
+    parse_otlp_metrics_json,
+    to_otlp_metrics_json,
+)
+
+FRAME_COLS = "metric string, labels map<string,string>, value double, ts timestamp, kind string"
+T0 = dt.datetime(2024, 1, 1, 9, 0, 0, 123456)
+T0_NANOS = 1_704_099_600_123_456_000
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, FRAME_COLS)
+
+
+def _only_metric(env):
+    rms = env["resourceMetrics"]
+    assert len(rms) == 1
+    return rms[0]["instrumentationLibraryMetrics"][0]["metrics"][0]
+
+
+def test_gauge_wire_shape_golden(spark):
+    rows = [("cpu", {"b": "2", "a": "1"}, 0.5, T0, "gauge")]
+    env = json.loads(to_otlp_metrics_json(_frame(spark, rows)).collect()[0]["value"])
+    # non-nullable Resource: empty but present
+    assert env["resourceMetrics"][0]["resource"] == {}
+    m = _only_metric(env)
+    assert m["name"] == "cpu"
+    assert "doubleSum" not in m  # oneof: exactly one member
+    dp = m["doubleGauge"]["dataPoints"][0]
+    # labels sorted by key; flat key/value pairs (not typed attributes)
+    assert dp["labels"] == [{"key": "a", "value": "1"}, {"key": "b", "value": "2"}]
+    assert dp["timeUnixNano"] == str(T0_NANOS)
+    assert dp["value"] == 0.5
+    assert "startTimeUnixNano" not in dp
+
+
+def test_sum_member_and_zero_value_omitted(spark):
+    rows = [("clicks", {"u": "7"}, 0.0, T0, "sum_cumulative_monotonic")]
+    env = json.loads(to_otlp_metrics_json(_frame(spark, rows)).collect()[0]["value"])
+    m = _only_metric(env)
+    assert "doubleGauge" not in m
+    s = m["doubleSum"]
+    assert s["aggregationTemporality"] == "AGGREGATION_TEMPORALITY_CUMULATIVE"
+    assert s["isMonotonic"] is True
+    # float64 omit-empty: the 0.0 point ships without a value member...
+    assert "value" not in s["dataPoints"][0]
+    # ...and reads back as 0.0
+    back = parse_otlp_metrics_json(to_otlp_metrics_json(_frame(spark, rows))).collect()[0]
+    assert back["value"] == 0.0 and back["kind"] == "sum_cumulative_monotonic"
+
+
+def test_roundtrip_equals_frame(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = ev.select(
+        F.col("event_type").alias("metric"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("labels"),
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+        F.col("ts"),
+        F.when(F.col("event_type") == "click", "sum_cumulative_monotonic")
+        .otherwise("gauge")
+        .alias("kind"),
+    )
+    back = parse_otlp_metrics_json(to_otlp_metrics_json(src))
+    cols = ["metric", "kind", "value", "ts"]
+    a = sorted(map(tuple, src.select(*cols, F.element_at("labels", "user")).collect()))
+    b = sorted(map(tuple, back.select(*cols, F.element_at("labels", "user")).collect()))
+    assert a == b
+
+
+def test_junk_degrades_per_row(spark):
+    bad = spark.createDataFrame(
+        [
+            ("{ not json",),
+            ('{"resourceMetrics":[{"instrumentationLibraryMetrics":[{"metrics":['
+             '{"name":"m1","doubleSum":{"dataPoints":[{"timeUnixNano":"junk",'
+             '"labels":[{"key":null,"value":"x"},{"key":"k","value":"a"},'
+             '{"key":"k","value":"b"}]}],"aggregationTemporality":'
+             '"AGGREGATION_TEMPORALITY_DELTA"}},'
+             '{"name":"m2","intGauge":{"dataPoints":[{"timeUnixNano":"1"}]}}'
+             "]}]}]}",),
+        ],
+        "value string",
+    )
+    rows = {r["metric"]: r for r in parse_otlp_metrics_json(bad).collect()}
+    # non-monotonic-cumulative sum -> kind NULL (we only speak the frame's
+    # two kinds); junk nanos -> NULL ts; dup labels keep first, null key dropped
+    m1 = rows["m1"]
+    assert m1["kind"] is None and m1["ts"] is None and m1["value"] == 0.0
+    assert m1["labels"] == {"k": "a"}
+    # unknown oneof member (intGauge not in frame vocabulary) -> no datapoints
+    assert "m2" not in rows
+
+
+def test_marshal_is_pure_jvm_single_exchange(spark):
+    rows = [("cpu", {"a": "1"}, 1.0, T0, "gauge")] * 4
+    plan = (
+        to_otlp_metrics_json(_frame(spark, rows))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
