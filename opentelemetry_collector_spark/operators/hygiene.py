@@ -89,7 +89,9 @@ def integrity_audit(
     second shuffle). The order (idx, ts, role) is total on any input whose
     (idx, ts) ties share a role — and on inputs with full duplicate rows
     the lag comparisons are tie-invariant anyway — so the flags are
-    deterministic, which the DuckDB oracle (q69) relies on.
+    deterministic, which the DuckDB oracle (q69) relies on. NULL values
+    order FIRST on every sort key (Spark's ascending default); the oracle
+    spells NULLS FIRST explicitly because DuckDB defaults to NULLS LAST.
     """
     order = [F.col(idx_col).asc_nulls_first(), ts_col, role_col]
     w = Window.partitionBy(key_col).orderBy(*order)
@@ -141,7 +143,10 @@ def log_dedup(
     partial row per task). The first occurrence rides the aggregate as
     ``min(struct(idx, ts, role, text))`` — no join-back, no window over
     the raw stream; text is constant within a group, so carrying it in the
-    struct is free and exact.
+    struct is free and exact. Spark's struct ordering treats a NULL field
+    as SMALLEST, so a NULL-idx junk row wins "first occurrence" over any
+    indexed row; the oracle's row_number window pins the same order with
+    explicit NULLS FIRST (DuckDB defaults to NULLS LAST).
     """
     fp = F.md5(F.col(text_col)).alias("text_fp")
     first = F.min(F.struct(idx_col, ts_col, role_col, text_col)).alias("_first")

@@ -2145,7 +2145,8 @@ x AS (
   SELECT conv_id, turn_idx,
          CASE WHEN role = lag(role) OVER w THEN 1 END AS echo,
          CASE WHEN ts < lag(ts) OVER w THEN 1 END AS regress
-  FROM f WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts, role))
+  FROM f WINDOW w AS (PARTITION BY conv_id
+                      ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST, role NULLS FIRST))
 SELECT conv_id,
   CAST(count(*) AS BIGINT) AS n_turns,
   CAST(count(turn_idx) - count(DISTINCT turn_idx) AS BIGINT) AS n_dup_idx,
@@ -2182,7 +2183,8 @@ g AS (
   SELECT conv_id, turn_idx, ts, role, text,
          md5(text) AS text_fp,
          row_number() OVER (PARTITION BY conv_id, text
-                            ORDER BY turn_idx, ts, role) AS rn,
+                            ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST,
+                                     role NULLS FIRST) AS rn,
          count(*) OVER (PARTITION BY conv_id, text) AS n,
          max(turn_idx) OVER (PARTITION BY conv_id, text) AS last_i
   FROM t)

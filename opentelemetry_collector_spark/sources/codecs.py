@@ -46,9 +46,7 @@ def to_turn_json(df: DataFrame, out_col: str = "value") -> DataFrame:
     dropped by to_json, mirroring jsonpb's omit-empty."""
     wire = F.struct(
         *[F.col(c) for c in TURN_COLS if c != "ts"],
-        # cast handles TIMESTAMP_NTZ inputs; the session is pinned UTC so
-        # NTZ -> instant is the identity
-        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("time_unix_nano"),
+        _nanos(F.col("ts")).alias("time_unix_nano"),
     )
     return df.select(F.to_json(wire).alias(out_col))
 
@@ -126,6 +124,37 @@ _OTLP_SCHEMA = (
 _LIB_NAME = "otelcol-spark/transcripts"
 
 
+def _nanos(ts: Column) -> Column:
+    """unix nanos from a timestamp column, overflow-safe: timestamps past
+    2262-04-11 (int64 nano limit) degrade to NULL (field omitted on the
+    wire) instead of an ANSI ArithmeticException killing the job — one
+    backdated/garbage far-future row in a 10^12-row corpus must never
+    abort the marshal. The cast handles TIMESTAMP_NTZ inputs; the session
+    is pinned UTC so NTZ -> instant is the identity."""
+    return F.try_multiply(F.unix_micros(ts.cast("timestamp")), F.lit(1000))
+
+
+def kv_first_occurrence(entries: Column) -> Column:
+    """First-occurrence, null-key-safe dedup of a KeyValue list.
+
+    A malformed envelope can carry NULL or DUPLICATE attribute keys:
+    map_from_entries would throw (default dedup policy EXCEPTION) and kill
+    the whole scan. Keep the FIRST occurrence — pdata AttributeMap.Get
+    returns the first match (model/pdata/common.go) — and drop null-key
+    entries, so junk degrades per-record. eqNullSafe: a null-key entry in
+    the prefix must read "not a duplicate" (False), not poison the
+    exists() to NULL and drop every later entry. Shared by the logs,
+    traces, and metrics envelope parsers so the junk policy is
+    single-sourced."""
+    return F.filter(
+        entries,
+        lambda kv, i: kv["key"].isNotNull()
+        & ~F.exists(
+            F.slice(entries, F.lit(1), i), lambda prev: prev["key"].eqNullSafe(kv["key"])
+        ),
+    )
+
+
 def _kv_str(key: str, val: Column) -> Column:
     return F.struct(
         F.lit(key).alias("key"),
@@ -157,7 +186,7 @@ def to_otlp_json(df: DataFrame, out_col: str = "value") -> DataFrame:
     # stable (conv_id, turn_idx) ordering invariant); dropped after the sort.
     rec = F.struct(
         F.col("turn_idx").alias("_ord"),
-        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string").alias("timeUnixNano"),
+        _nanos(F.col("ts")).cast("string").alias("timeUnixNano"),
         F.struct(F.col("text").alias("stringValue")).alias("body"),
         # omit-empty: null tool contributes no attribute entry (jsonpb parity)
         F.filter(
@@ -198,20 +227,9 @@ def parse_otlp_json(df: DataFrame, col: str = "value") -> DataFrame:
     list -> typed columns. All JVM-side: from_json + explode + map_from_entries.
     """
     def _attr_map(entries, value_fn):
-        # a malformed envelope can carry NULL or DUPLICATE attribute keys:
-        # map_from_entries would throw (default dedup policy EXCEPTION) and
-        # kill the whole scan. Keep the FIRST occurrence — pdata
-        # AttributeMap.Get returns the first match (model/pdata/common.go) —
-        # and drop null-key entries, so junk degrades per-record.
-        clean = F.filter(
-            entries,
-            # eqNullSafe: a null-key entry in the prefix must read "not a
-            # duplicate" (False), not poison the exists() to NULL and drop
-            # every later entry
-            lambda kv, i: kv["key"].isNotNull()
-            & ~F.exists(F.slice(entries, F.lit(1), i), lambda prev: prev["key"].eqNullSafe(kv["key"])),
-        )
-        return F.map_from_entries(F.transform(clean, value_fn))
+        # first-occurrence + null-key-drop junk policy, single-sourced in
+        # kv_first_occurrence (shared with the traces/metrics parsers)
+        return F.map_from_entries(F.transform(kv_first_occurrence(entries), value_fn))
 
     parsed = df.select(F.from_json(F.col(col), _OTLP_SCHEMA).alias("env"))
     rl = parsed.select(F.explode("env.resourceLogs").alias("rl"))

@@ -10,7 +10,9 @@ labels are flat StringKeyValue pairs (not typed attributes), and:
 
 - the oneof renders as exactly one camelCase member ("doubleGauge":{...})
   — absent members never appear (jsonpb oneof);
-- fixed64 nanos are strings, zero omitted; startTimeUnixNano stays
+- fixed64 nanos are strings; like the logs envelope, epoch-0 ships as
+  an explicit "0" (deviation from jsonpb zero-omission so NULL ts and
+  epoch-0 stay distinguishable on roundtrip); startTimeUnixNano stays
   unspecified (omitted) for our scalar frame, like the OC translator's
   gauge path (translator/internaldata/oc_to_metrics.go);
 - `value` is a float64 with omit-empty (metrics.pb.go:1008-1009): a 0.0
@@ -44,7 +46,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from opentelemetry_collector_spark.sources.codecs import _LIB_NAME
+from opentelemetry_collector_spark.sources.codecs import _LIB_NAME, _nanos, kv_first_occurrence
 
 __all__ = ["to_otlp_metrics_json", "parse_otlp_metrics_json"]
 
@@ -58,7 +60,7 @@ def to_otlp_metrics_json(df: DataFrame, out_col: str = "value") -> DataFrame:
     groupBy shuffle; datapoints array_sort'ed on (time, labels, value) so
     marshal is deterministic at any parallelism. Pure JVM projection.
     """
-    nanos = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    nanos = _nanos(F.col("ts"))
     labels = F.array_sort(
         F.transform(
             F.map_entries(F.col("labels")),
@@ -71,7 +73,9 @@ def to_otlp_metrics_json(df: DataFrame, out_col: str = "value") -> DataFrame:
             "_ord"
         ),
         F.when(F.size(labels) > 0, labels).alias("labels"),
-        F.when(nanos != 0, nanos.cast("string")).alias("timeUnixNano"),
+        # like the logs envelope, epoch-0 ships as "0" (NULL ts stays
+        # omitted -> NULL) so the two stay distinguishable on roundtrip
+        nanos.cast("string").alias("timeUnixNano"),
         # float64 omit-empty: a 0.0 value ships with no member at all
         F.when(F.col("value") != 0.0, F.col("value")).alias("value"),
     )
@@ -173,12 +177,9 @@ _METRICS_SCHEMA = StructType(
 
 def _label_map(entries: Column) -> Column:
     """StringKeyValue list -> map, first occurrence wins, null keys dropped
-    (pdata StringMap semantics; same junk policy as the logs/trace parsers)."""
-    clean = F.filter(
-        F.coalesce(entries, F.array().cast(ArrayType(_LABEL_SCHEMA))),
-        lambda kv, i: kv["key"].isNotNull()
-        & ~F.exists(F.slice(entries, F.lit(1), i), lambda prev: prev["key"].eqNullSafe(kv["key"])),
-    )
+    (pdata StringMap semantics; codecs.kv_first_occurrence, the junk policy
+    shared with the logs/trace parsers)."""
+    clean = kv_first_occurrence(F.coalesce(entries, F.array().cast(ArrayType(_LABEL_SCHEMA))))
     return F.map_from_entries(F.transform(clean, lambda kv: F.struct(kv["key"], kv["value"])))
 
 
@@ -187,8 +188,11 @@ def parse_otlp_metrics_json(df: DataFrame, col: str = "value") -> DataFrame:
     resourceMetrics -> instrumentationLibraryMetrics -> metrics ->
     dataPoints explode, oneof member decides the kind. Junk degrades
     per-row: unparseable envelopes vanish, non-numeric nanos become a NULL
-    ts, a missing value member reads back as the omitted 0.0, and a
-    metric with no recognized oneof member yields a NULL kind.
+    ts, a missing value member reads back as the omitted 0.0. A metric
+    with NO recognized oneof member is dropped entirely (its dataPoints
+    are unreadable, so explode emits nothing); only a recognized member
+    with unrecognized semantics (e.g. a DELTA or non-monotonic doubleSum)
+    yields rows with a NULL kind.
     """
     parsed = df.select(F.from_json(F.col(col), _METRICS_SCHEMA).alias("env"))
     rm = parsed.select(F.explode("env.resourceMetrics").alias("rm"))

@@ -47,7 +47,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from opentelemetry_collector_spark.sources.codecs import _LIB_NAME
+from opentelemetry_collector_spark.sources.codecs import _LIB_NAME, _nanos, kv_first_occurrence
 
 __all__ = ["to_otlp_traces_json", "parse_otlp_traces_json"]
 
@@ -89,8 +89,10 @@ def to_otlp_traces_json(df: DataFrame, out_col: str = "value") -> DataFrame:
     parent_span_id (null for root), name, kind int, status_code int,
     status_message, service_name, ts, duration_us, attrs map<str,str>.
     """
-    nanos = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
-    end_nanos = nanos + F.col("duration_us") * 1000
+    nanos = _nanos(F.col("ts"))
+    # try_*: junk durations / far-future spans degrade to an omitted field
+    # per-row, never an ANSI overflow aborting the marshal
+    end_nanos = F.try_add(nanos, F.try_multiply(F.col("duration_us"), F.lit(1000)))
     is_err = F.col("status_code") == 2
     # typed attribute list from the string map: turn.idx is an INT attr
     # (jaeger/oc translators carry it typed), everything else a string;
@@ -114,9 +116,12 @@ def to_otlp_traces_json(df: DataFrame, out_col: str = "value") -> DataFrame:
         F.coalesce(F.col("parent_span_id"), F.lit("")).alias("parentSpanId"),
         F.col("name").alias("name"),
         _enum_name(F.col("kind"), _KIND_NAMES).alias("kind"),
-        # fixed64 -> string; zero omitted (a null ts yields null -> omitted)
-        F.when(nanos != 0, nanos.cast("string")).alias("startTimeUnixNano"),
-        F.when(end_nanos != 0, end_nanos.cast("string")).alias("endTimeUnixNano"),
+        # fixed64 -> string; like the logs envelope, epoch-0 ships as "0"
+        # (a deliberate deviation from jsonpb's zero-omission so NULL ts
+        # [omitted -> NULL] and epoch-0 ts ["0" -> 0] stay distinguishable
+        # on roundtrip; jsonpb's unmarshaler accepts the explicit "0")
+        nanos.cast("string").alias("startTimeUnixNano"),
+        end_nanos.cast("string").alias("endTimeUnixNano"),
         F.when(F.size(attr_list) > 0, attr_list).alias("attributes"),
         F.struct(
             F.when(is_err, F.lit(_DEPRECATED_ERROR)).alias("deprecatedCode"),
@@ -231,7 +236,10 @@ def _first_attr(entries: Column, key: str) -> Column:
     returns the first match, model/pdata/common.go) — null-safe on junk
     envelopes with null entries or null keys."""
     hits = F.filter(entries, lambda kv: kv["key"].eqNullSafe(key))
-    return F.element_at(hits, 1)["value"]
+    # F.get (0-based) is NULL on an empty list; element_at(hits, 1) throws
+    # INVALID_ARRAY_INDEX under ANSI when the key is absent, killing the
+    # scan on one junk envelope
+    return F.get(hits, 0)["value"]
 
 
 def parse_otlp_traces_json(df: DataFrame, col: str = "value") -> DataFrame:
@@ -257,15 +265,10 @@ def parse_otlp_traces_json(df: DataFrame, col: str = "value") -> DataFrame:
     # off; decimal division is exact
     start = F.col("s.startTimeUnixNano").try_cast("decimal(20,0)")
     end = F.col("s.endTimeUnixNano").try_cast("decimal(20,0)")
-    # first-occurrence, null-key-safe attr map (same junk policy as
-    # codecs.parse_otlp_json); intValue and stringValue both land as strings
-    entries = F.filter(
-        F.coalesce(F.col("s.attributes"), F.array().cast(ArrayType(_KV_SCHEMA))),
-        lambda kv, i: kv["key"].isNotNull()
-        & ~F.exists(
-            F.slice(F.col("s.attributes"), F.lit(1), i),
-            lambda prev: prev["key"].eqNullSafe(kv["key"]),
-        ),
+    # first-occurrence, null-key-safe attr map (codecs.kv_first_occurrence,
+    # shared junk policy); intValue and stringValue both land as strings
+    entries = kv_first_occurrence(
+        F.coalesce(F.col("s.attributes"), F.array().cast(ArrayType(_KV_SCHEMA)))
     )
     attrs = F.map_from_entries(
         F.transform(

@@ -177,3 +177,53 @@ def test_rate_limit_partial_window_group_limit(spark, small):
     # printed top-down: the Partial limit sits BELOW the exchange, i.e.
     # upstream in dataflow — each map task ships at most k rows per bucket
     assert partial_pos != -1 and exch_pos != -1 and partial_pos > exch_pos
+
+
+def test_null_idx_junk_matches_duckdb_oracle_ordering(spark):
+    """NULL-idx junk rows order FIRST in both engines (regression: the q69/
+    q70 oracle SQL defaulted to DuckDB's NULLS LAST, diverging from Spark's
+    nulls-first windows and struct-min exactly on the junk class the
+    operators advertise handling)."""
+    import duckdb
+
+    rows = [
+        # nulls-first order visits (NULL, 0, 1): no echo, one ts regression
+        # (row idx=0 is earlier than the NULL row before it). NULLS LAST
+        # would instead see echo=1, regress=0 — the exact divergence the
+        # oracle previously had.
+        ("c", 0, "user", "dup line", _ts(9, 0)),
+        ("c", 1, "assistant", "x", _ts(9, 1)),
+        ("c", None, "assistant", "dup line", _ts(9, 2)),
+    ]
+    df = spark.createDataFrame(rows, TURN_COLS)
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+
+    audit = integrity_audit(df).collect()[0]
+    oracle = con.execute(
+        """
+        WITH x AS (
+          SELECT role, ts,
+                 CASE WHEN role = lag(role) OVER w THEN 1 END AS echo,
+                 CASE WHEN ts < lag(ts) OVER w THEN 1 END AS regress
+          FROM t WINDOW w AS (PARTITION BY conv_id
+            ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST, role NULLS FIRST))
+        SELECT coalesce(sum(echo), 0), coalesce(sum(regress), 0) FROM x
+        """
+    ).fetchone()
+    assert (audit["n_role_echo"], audit["n_ts_regress"]) == oracle
+    assert audit["n_null_idx"] == 1
+
+    dedup = {r["text"]: r for r in log_dedup(df).collect()}
+    survivor = con.execute(
+        """
+        SELECT turn_idx, role FROM (
+          SELECT turn_idx, role, row_number() OVER (
+            PARTITION BY conv_id, text
+            ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST, role NULLS FIRST) rn
+          FROM t WHERE text = 'dup line') WHERE rn = 1
+        """
+    ).fetchone()
+    # Spark min(struct) treats the NULL idx as smallest -> same survivor
+    assert (dedup["dup line"]["turn_idx"], dedup["dup line"]["role"]) == survivor
+    assert survivor[0] is None and dedup["dup line"]["n_occurrences"] == 2

@@ -105,6 +105,25 @@ def test_junk_degrades_per_row(spark):
     assert "m2" not in rows
 
 
+def test_far_future_and_epoch_zero_timestamps(spark):
+    # regression: unix_micros(ts) * 1000 overflowed bigint under ANSI past
+    # the 2262 int64-nano limit, aborting the marshal on one junk row; and
+    # epoch-0 was omitted on the wire, roundtripping to NULL instead of 0
+    epoch = dt.datetime(1970, 1, 1)
+    rows = [
+        ("far", {}, 1.0, dt.datetime(2300, 1, 1), "gauge"),
+        ("zero", {}, 2.0, epoch, "gauge"),
+        ("none", {}, 3.0, None, "gauge"),
+    ]
+    back = {
+        r["metric"]: r
+        for r in parse_otlp_metrics_json(to_otlp_metrics_json(_frame(spark, rows))).collect()
+    }
+    assert back["far"]["ts"] is None and back["far"]["value"] == 1.0
+    assert back["zero"]["ts"] == epoch  # "0" on the wire, not omitted
+    assert back["none"]["ts"] is None
+
+
 def test_marshal_is_pure_jvm_single_exchange(spark):
     rows = [("cpu", {"a": "1"}, 1.0, T0, "gauge")] * 4
     plan = (

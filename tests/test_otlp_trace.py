@@ -163,6 +163,59 @@ def test_junk_degrades_per_row(spark):
     assert r["attrs"] == {"k": "a"}
 
 
+def test_resource_without_service_name_parses_null_not_crash(spark):
+    # regression: element_at(hits, 1) threw INVALID_ARRAY_INDEX under ANSI
+    # when resource attributes exist but carry no service.name
+    wire = spark.createDataFrame(
+        [
+            ('{"resourceSpans":[{"resource":{"attributes":['
+             '{"key":"host.name","value":{"stringValue":"h1"}}]},'
+             '"instrumentationLibrarySpans":[{"spans":['
+             '{"traceId":"t1","spanId":"s1","startTimeUnixNano":"1000",'
+             '"endTimeUnixNano":"2000"}]}]}]}',),
+        ],
+        "value string",
+    )
+    rows = parse_otlp_traces_json(wire).collect()
+    assert len(rows) == 1 and rows[0]["service_name"] is None
+
+
+def test_far_future_ts_degrades_per_row_not_per_job(spark):
+    # regression: unix_micros(ts) * 1000 overflowed bigint under ANSI for
+    # timestamps past the 2262 int64-nano limit, aborting the whole marshal
+    rows = [
+        ("f1" * 16, "aa" * 8, None, "ok", 3, 0, "", "user", T0, 10, {"turn.idx": "0"}),
+        ("f2" * 16, "bb" * 8, None, "far", 3, 0, "", "user",
+         dt.datetime(2300, 1, 1), 10, {"turn.idx": "0"}),
+    ]
+    out = {
+        json.loads(r["value"])["resourceSpans"][0]["instrumentationLibrarySpans"][0][
+            "spans"
+        ][0]["name"]: json.loads(r["value"])["resourceSpans"][0][
+            "instrumentationLibrarySpans"
+        ][0]["spans"][0]
+        for r in to_otlp_traces_json(_frame(spark, rows)).collect()
+    }
+    assert out["ok"]["startTimeUnixNano"] == str(T0_NANOS)
+    assert "startTimeUnixNano" not in out["far"]  # degraded field, kept row
+
+
+def test_epoch_zero_and_null_ts_stay_distinguishable_on_roundtrip(spark):
+    epoch = dt.datetime(1970, 1, 1)
+    rows = [
+        ("f1" * 16, "aa" * 8, None, "zero", 3, 0, "", "user", epoch, 0, {"turn.idx": "0"}),
+        ("f2" * 16, "bb" * 8, None, "none", 3, 0, "", "user", None, None, {"turn.idx": "0"}),
+    ]
+    back = {
+        r["name"]: r
+        for r in parse_otlp_traces_json(to_otlp_traces_json(_frame(spark, rows))).collect()
+    }
+    # epoch-0 ships as "0" (logs-envelope parity) and reads back as epoch-0;
+    # NULL ts stays omitted and reads back NULL
+    assert back["zero"]["ts"] == epoch and back["zero"]["duration_us"] == 0
+    assert back["none"]["ts"] is None and back["none"]["duration_us"] is None
+
+
 def test_marshal_is_pure_jvm(spark, tiny):
     plan = (
         to_otlp_traces_json(spans_from_transcripts(tiny))
