@@ -52,6 +52,8 @@ HEADLINE = [
     "q50_exact_substring",
     "q67_gopher_filter",
     "q68_tfidf_top_terms",
+    "q74_c4_clean",
+    "q75_boilerplate_lines",
     # training-mix construction (documents table)
     "q57_token_budget_mix",
     "q58_token_budget_rate",

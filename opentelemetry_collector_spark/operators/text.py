@@ -313,3 +313,115 @@ def vocab_coverage(
         F.col("_in").cast("bigint").alias("in_vocab"),
         _per_mille(F.col("_in"), F.col("n_tokens")).alias("coverage_pm"),
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    blocklist: tuple[str, ...] = ("lorem ipsum",),
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2), the classic
+    line-level corpus filter:
+
+    - keep only lines that end in terminal punctuation ``[.!?"]``, carry at
+      least ``min_words_per_line`` words, and do not mention "javascript";
+    - drop the whole page when it contains ``{`` or any (lowercased)
+      ``blocklist`` phrase, or when fewer than ``min_sentences`` sentence
+      terminals survive in the cleaned text.
+
+    Emits ``n_lines / n_kept_lines / n_sentences / keep / clean_text`` so
+    callers can either filter on ``keep`` or audit the rule pressure.
+
+    Scale shape: every signal is a per-row array/regex expression — one
+    codegen'd map stage, no shuffle, no Python — so at 10^12 docs the
+    filter rides the scan and a downstream ``keep = 1`` predicate is
+    pushed into this projection by Catalyst. A NULL page degrades to
+    NULL stats with ``keep = 0``, never an error (per-row junk policy).
+
+    Reference relative: the filterprocessor's include/exclude gating
+    (processor/filterprocessor/filter_processor.go) decides per-RECORD;
+    this is the same decision extended inside the record to per-LINE, the
+    shape web-corpus prep needs. Dialect note: the terminal-punct class,
+    ``contains`` and ``translate`` behave identically in Java regex /
+    DuckDB RE2 on this ASCII surface (oracle q74).
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.rtrim(l).rlike('[.!?"]$')
+        & (F.size(tokens(l)) >= min_words_per_line)
+        & ~F.contains(F.lower(l), F.lit("javascript")),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = (F.length(clean) - F.length(F.translate(clean, ".!?", ""))).cast("bigint")
+    page_bad = c.contains("{")
+    for phrase in blocklist:
+        page_bad = page_bad | F.lower(c).contains(phrase.lower())
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        F.when(~page_bad & (n_sent >= min_sentences), 1).otherwise(0).cast("bigint").alias("keep"),
+        clean.alias("clean_text"),
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame, id_col: str, text_col: str = "text", min_docs: int = 2
+) -> DataFrame:
+    """Cross-corpus boilerplate line removal (the CCNet / RefinedWeb
+    pattern): a line whose normalized form appears in at least ``min_docs``
+    DISTINCT documents (headers, footers, cookie banners) is deleted from
+    every document; remaining lines are reassembled in original order.
+
+    Scale shape: line identity is ``md5(lower(trim(line)))`` so only
+    16-byte keys ride the counting shuffle, never text. The boilerplate
+    set (count-distinct >= min_docs) is tiny relative to the corpus —
+    repeated lines only — so the LEFT ANTI join back onto the exploded
+    lines is AQE-broadcastable; reassembly is ONE groupBy with
+    ``array_sort(collect_list(struct(pos, line)))`` (bounded by document
+    size, no window over the corpus). Documents whose every line was
+    boilerplate drop out of the anti-join and are restored with empty
+    clean_text by the final left join against the doc spine (which also
+    carries NULL-text junk rows through as ``n_lines`` NULL / 0 kept).
+
+    Reference relative: the logdedup/suppression analog of
+    operators/hygiene.log_dedup, but CROSS-document and destructive —
+    dedup keyed on content across the corpus instead of within a
+    conversation. Oracle q75.
+    """
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line")
+    )
+    keyed = lines.withColumn("_k", F.md5(F.lower(F.trim("_line"))))
+    boiler = (
+        keyed.groupBy("_k")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_k")
+    )
+    rebuilt = (
+        keyed.join(boiler, "_k", "left_anti")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_line"))).alias("_ls"))
+        .select(
+            F.col(id_col),
+            F.size("_ls").cast("bigint").alias("n_kept_lines"),
+            F.array_join(F.transform("_ls", lambda s: s["_line"]), "\n").alias("clean_text"),
+        )
+    )
+    spine = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), "\n")).cast("bigint").alias("n_lines")
+    )
+    out = spine.join(rebuilt, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.coalesce("n_kept_lines", F.lit(0)).cast("bigint").alias("n_kept_lines"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -2282,6 +2282,140 @@ def q73_otlp_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c4_pages(sf_dir: str, spark: SparkSession) -> DataFrame:
+    """Deterministic multi-line 'web pages' derived from the (single-line)
+    documents fixture, built identically in both engines so the q74/q75
+    cleaning oracles exercise every rule: words re-wrapped into 8-word
+    lines, every third line left without terminal punctuation, and doc_id-
+    keyed junk injected ('javascript' on line 0 at %11, a page-level '{'
+    at %13, a 'lorem ipsum.' line at %17)."""
+    from opentelemetry_collector_spark.operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = tokens(F.col("text"))
+    n_lines = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    lines = F.when(F.size(words) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+                F.when(i % 3 != 2, F.lit(".")).otherwise(F.lit("")),
+                F.when((i == 0) & (F.col("doc_id") % 11 == 0), F.lit(" javascript.")).otherwise(
+                    F.lit("")
+                ),
+            ),
+        )
+    )
+    page = F.concat(
+        F.array_join(lines, "\n"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" {")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("\nlorem ipsum.")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", page.alias("page"))
+
+
+# the SQL twin of _c4_pages (DuckDB list slicing is 1-based inclusive, so
+# w[i*8+1 : i*8+8] is exactly Spark's slice(words, i*8+1, 8))
+_C4_PAGES_SQL = r"""
+d AS (SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS w
+      FROM documents),
+p AS (SELECT doc_id,
+  CASE WHEN len(w) = 0 THEN '' ELSE
+    array_to_string(list_transform(range(0, CAST(ceil(len(w)/8.0) AS INT)), i ->
+      array_to_string(w[i*8+1 : i*8+8], ' ')
+      || CASE WHEN i % 3 <> 2 THEN '.' ELSE '' END
+      || CASE WHEN i = 0 AND doc_id % 11 = 0 THEN ' javascript.' ELSE '' END
+    ), chr(10))
+  END
+  || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END
+  || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum.' ELSE '' END AS page
+FROM d)
+"""
+
+
+def q74_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style page cleaning (operators/text.c4_clean, Raffel et al. 2020
+    §2.2): terminal-punctuation + min-words + javascript line rules, curly
+    brace / lorem-ipsum / min-sentences page rules, over deterministically
+    derived multi-line pages (every rule fires on some doc_id). Pure map
+    stage — the whole filter rides the scan."""
+    from opentelemetry_collector_spark.operators.text import c4_clean
+
+    return c4_clean(_c4_pages(sf_dir, spark), "doc_id", "page")
+
+
+Q74_SQL = rf"""
+WITH {_C4_PAGES_SQL},
+c AS (SELECT doc_id, page, string_split(page, chr(10)) AS ls FROM p),
+k AS (SELECT doc_id, page, len(ls) AS n_lines,
+  list_filter(ls, l -> regexp_matches(rtrim(l), '[.!?"]$')
+      AND (CASE WHEN trim(l) = '' THEN 0
+                ELSE len(string_split_regex(trim(l), '\s+')) END) >= 5
+      AND NOT contains(lower(l), 'javascript')) AS kept
+FROM c),
+f AS (SELECT doc_id, n_lines, len(kept) AS n_kept_lines,
+  -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+  (contains(page, '{{') OR contains(lower(page), 'lorem ipsum')) AS page_bad
+FROM k),
+s AS (SELECT *, length(clean_text) - length(translate(clean_text, '.!?', '')) AS n_sent FROM f)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+       CAST(n_sent AS BIGINT) AS n_sentences,
+       CAST(CASE WHEN NOT page_bad AND n_sent >= 3 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       clean_text
+FROM s
+"""
+
+
+def q75_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate removal (operators/text.
+    remove_boilerplate_lines): header/footer lines injected on doc_id
+    parity appear in hundreds of docs and are deleted everywhere; each
+    doc's own single-line body survives unless the fixture planted it as
+    an exact dup in >= 5 docs (both engines derive that identically)."""
+    from opentelemetry_collector_spark.operators.text import remove_boilerplate_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    page = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("subscribe to our newsletter today\n")).otherwise(
+            F.lit("")
+        ),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("\ncopyright acme corp all rights reserved")
+        ).otherwise(F.lit("")),
+    )
+    return remove_boilerplate_lines(
+        docs.select("doc_id", page.alias("page")), "doc_id", "page", min_docs=5
+    )
+
+
+Q75_SQL = r"""
+WITH p AS (SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today' || chr(10) ELSE '' END
+  || text
+  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'copyright acme corp all rights reserved' ELSE '' END
+  AS page
+FROM documents),
+ls AS (SELECT doc_id, string_split(page, chr(10)) AS arr FROM p),
+l AS (SELECT doc_id, unnest(arr) AS line, unnest(range(1, len(arr) + 1)) AS pos FROM ls),
+k AS (SELECT doc_id, pos, line, md5(lower(trim(line))) AS k FROM l),
+b AS (SELECT k FROM k GROUP BY k HAVING count(DISTINCT doc_id) >= 5),
+kept AS (SELECT doc_id, pos, line FROM k ANTI JOIN b USING (k)),
+r AS (SELECT doc_id, count(*) AS n_kept_lines,
+        array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text
+      FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(arr) AS n_lines FROM ls)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(coalesce(n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+       coalesce(clean_text, '') AS clean_text
+FROM tot LEFT JOIN r USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2361,6 +2495,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_rate_limit": q71_rate_limit,
     "q72_otlp_trace_roundtrip": q72_otlp_trace_roundtrip,
     "q73_otlp_metrics_roundtrip": q73_otlp_metrics_roundtrip,
+    "q74_c4_clean": q74_c4_clean,
+    "q75_boilerplate_lines": q75_boilerplate_lines,
 }
 
 ORACLES: dict[str, str] = {
@@ -2431,6 +2567,8 @@ ORACLES: dict[str, str] = {
     "q71_rate_limit": Q71_SQL,
     "q72_otlp_trace_roundtrip": Q37_SQL,  # same frame, fourth wire
     "q73_otlp_metrics_roundtrip": Q49_SQL,  # same frame, second metrics wire
+    "q74_c4_clean": Q74_SQL,
+    "q75_boilerplate_lines": Q75_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

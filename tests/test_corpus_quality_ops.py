@@ -273,3 +273,112 @@ def test_tfidf_top_terms_golden(spark):
     assert got[("srcB", 1)] == ("w", 1, 1, 4000)  # w beats y on the tiebreak at 4000
     assert got[("srcB", 2)] == ("y", 2, 2, 4000)
     assert len(out) == 4
+
+
+# ---------------------------------------------------------------------------
+# C4-style page cleaning
+# ---------------------------------------------------------------------------
+
+
+def test_c4_clean_line_rules(spark):
+    from opentelemetry_collector_spark.operators.text import c4_clean
+
+    page = (
+        "this line has five words here.\n"
+        "short line.\n"                          # < 5 words -> dropped
+        "this line has no terminal punct\n"      # no [.!?"] -> dropped
+        "please enable JavaScript to view this.\n"  # javascript -> dropped
+        "another good line with many words!\n"
+        "a third good line also has words."
+    )
+    df = _docs(spark, [(1, page)])
+    r = c4_clean(df, "doc_id").collect()[0]
+    assert (r["n_lines"], r["n_kept_lines"], r["n_sentences"], r["keep"]) == (6, 3, 3, 1)
+    assert r["clean_text"] == (
+        "this line has five words here.\n"
+        "another good line with many words!\n"
+        "a third good line also has words."
+    )
+
+
+def test_c4_clean_page_rules(spark):
+    from opentelemetry_collector_spark.operators.text import c4_clean
+
+    good = "\n".join(["this perfectly fine line has words."] * 3)
+    df = _docs(
+        spark,
+        [
+            (1, good),
+            (2, good + "\nconfig = { brace }"),       # curly brace -> page dropped
+            (3, good + "\nLorem Ipsum dolor sit."),    # blocklist (case-folded) -> dropped
+            (4, "only two good lines here today.\nand this is the second one."),  # < 3 sentences
+            (5, None),                                 # junk degrades per row
+        ],
+    )
+    out = {r["doc_id"]: r for r in c4_clean(df, "doc_id").collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["keep"] == 0 and out[2]["n_kept_lines"] == 3
+    assert out[3]["keep"] == 0
+    assert out[4]["keep"] == 0 and out[4]["n_sentences"] == 2
+    assert out[5]["keep"] == 0 and out[5]["clean_text"] is None
+
+
+def test_c4_clean_is_shuffle_free(spark):
+    from opentelemetry_collector_spark.operators.text import c4_clean
+
+    plan = c4_clean(_docs(spark, [(1, "x.")]), "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus boilerplate line removal
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_lines_removed_everywhere(spark):
+    from opentelemetry_collector_spark.operators.text import remove_boilerplate_lines
+
+    df = _docs(
+        spark,
+        [
+            (1, "header line\nunique body one\nfooter line"),
+            (2, "header line\nunique body two\nfooter line"),
+            # case/whitespace variants collapse to the same normalized key
+            (3, "  HEADER LINE \nunique body three"),
+            # all-boilerplate doc survives with empty text, not a lost row
+            (4, "header line\nfooter line"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(df, "doc_id", min_docs=2).collect()}
+    assert out[1]["clean_text"] == "unique body one"
+    assert out[2]["clean_text"] == "unique body two"
+    assert out[3]["clean_text"] == "unique body three"
+    assert (out[4]["n_lines"], out[4]["n_kept_lines"], out[4]["clean_text"]) == (2, 0, "")
+
+
+def test_boilerplate_preserves_order_and_within_doc_repeats(spark):
+    from opentelemetry_collector_spark.operators.text import remove_boilerplate_lines
+
+    # "echo echo" repeats WITHIN doc 1 only -> 1 distinct doc -> kept twice;
+    # "header line" spans both docs -> removed; order of survivors stable
+    df = _docs(
+        spark,
+        [
+            (1, "echo echo\nheader line\nmiddle body\necho echo"),
+            (2, "header line\nother body"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(df, "doc_id", min_docs=2).collect()}
+    assert out[1]["clean_text"] == "echo echo\nmiddle body\necho echo"
+    assert out[2]["clean_text"] == "other body"
+
+
+def test_boilerplate_no_window_over_corpus(spark):
+    from opentelemetry_collector_spark.operators.text import remove_boilerplate_lines
+
+    df = _docs(spark, [(1, "a\nb"), (2, "a\nc")])
+    plan = (
+        remove_boilerplate_lines(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    )
+    # reassembly is a grouped collect_list, never a corpus-wide Window sort
+    assert "Window" not in plan

@@ -38,6 +38,8 @@ DOC_QUERIES = [
     "q62_selection_pipeline",
     "q67_gopher_filter",
     "q68_tfidf_top_terms",
+    "q74_c4_clean",
+    "q75_boilerplate_lines",
 ]
 
 WEIRD_TEXTS = [
