@@ -25,8 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
-from opentelemetry_collector_spark.operators.similarity import cosine
 from opentelemetry_collector_spark.operators.text import fingerprint
 
 # 2^31-1 (Mersenne prime): after pmod-reduction of the 64-bit base hash,
@@ -502,15 +502,26 @@ def embedding_neardup_pairs(
     max_id bounds the O(n^2) window for testing; the production path is the
     LSH-bucketed join in operators/similarity.py.
     """
+    from opentelemetry_collector_spark.operators.similarity import dot, norm
+    from opentelemetry_collector_spark.session import spread
+
     e = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     if max_id is not None:
         e = e.filter(F.col("_id") < max_id)
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(b, F.col("a._id") < F.col("b._id")).withColumn(
-        "cos", cosine(F.col("a._v"), F.col("b._v"))
+    # norm once per ROW before the join, not once per PAIR after it — the
+    # O(n^2) stage then does one dot per pair instead of three
+    e = e.withColumn("_n", norm(F.col("_v")))
+    # the O(n^2) cosine scoring is the hot loop and the filtered scan often
+    # lands in ONE split — spread the streamed side so the nested-loop join
+    # fans across every core (same trick as similarity.cosine_topk)
+    a, b = spread(e).alias("a"), e.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a._id") < F.col("b._id")).withColumn(
+        # same NULL-on-zero-vector semantics as similarity.cosine
+        "cos",
+        F.try_divide(dot(F.col("a._v"), F.col("b._v")), F.col("a._n") * F.col("b._n")),
     )
     return pairs.filter(F.col("cos") >= threshold).select(
         F.col("a._id").alias("a_id"),
@@ -559,7 +570,11 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id", max_iter: int = 30
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 30,
+    driver_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Resolve an undirected edge list into components: (id, component_id)
     for every node that appears in ``pairs``; component_id = min node id.
@@ -576,6 +591,19 @@ def connected_components(
     (count, bit_xor(xxhash64)) signature of the edge set going stable
     (xor, not sum: never overflows under ANSI mode, and the edge set is
     distinct so identical terms cannot self-cancel).
+
+    AQE-style size switch: the near-dup edge set is usually TINY relative
+    to the corpus (it only holds duplicate pairs), while each distributed
+    round below costs two shuffle passes plus a signature job — pure
+    fixed overhead when the edges fit on the driver. A single
+    ``limit(threshold+1).collect()`` probe decides: at or under
+    ``driver_edge_threshold`` edges (~32 MB at 16 B/edge for the default)
+    the probe has ALREADY collected the edge set, and an exact union-find
+    with union-by-min produces the identical (id, min-id component) map —
+    Python tuple/str comparison and Spark's least/greatest agree (UTF-8
+    byte order preserves code-point order). Above the threshold the probe
+    is discarded and the distributed loop runs unchanged; pass
+    ``driver_edge_threshold=0`` to force it (tests do).
     """
     e = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -583,6 +611,31 @@ def connected_components(
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
     )
+    if driver_edge_threshold > 0:
+        probe = e.limit(driver_edge_threshold + 1).collect()
+        if len(probe) <= driver_edge_threshold:
+            parent: dict = {}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for row in probe:
+                u, v = row[0], row[1]
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union-by-min: every set's root stays its minimum id
+                    parent[max(ru, rv)] = min(ru, rv)
+            id_type = e.schema["u"].dataType
+            schema = StructType(
+                [StructField("id", id_type), StructField("component_id", id_type)]
+            )
+            rows = [(x, find(x)) for x in parent]
+            return pairs.sparkSession.createDataFrame(rows, schema)
     prev_sig = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)

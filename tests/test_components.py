@@ -60,7 +60,7 @@ def test_long_path_converges_in_bounded_rounds(spark):
     # 200-node path: diameter 199 — naive min-propagation needs ~200
     # rounds; large-star/small-star must finish well inside max_iter=15.
     edges = [(i, i + 1) for i in range(199)]
-    got = _cc_map(spark, edges, max_iter=15)
+    got = _cc_map(spark, edges, max_iter=15, driver_edge_threshold=0)
     assert set(got.values()) == {0} and len(got) == 200
 
 
@@ -76,7 +76,10 @@ def test_empty_and_self_edges(spark):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_random_graph_matches_union_find(spark, seed):
+# threshold 0 = distributed large-star/small-star, default = driver
+# union-find fast path: both must match the reference union-find exactly
+@pytest.mark.parametrize("threshold", [0, 2_000_000])
+def test_random_graph_matches_union_find(spark, seed, threshold):
     rng = random.Random(seed)
     nodes = list(range(120))
     edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
@@ -84,7 +87,28 @@ def test_random_graph_matches_union_find(spark, seed):
     uf = _UnionFind()
     for a, b in edges:
         uf.union(a, b)
-    assert _cc_map(spark, edges) == uf.components()
+    assert _cc_map(spark, edges, driver_edge_threshold=threshold) == uf.components()
+
+
+def test_driver_path_matches_distributed_on_string_ids(spark):
+    # UTF-8 byte order == code-point order: the driver fast path's Python
+    # min() must pick the same component roots as Spark's least()
+    edges = [("doc-b", "doc-a"), ("doc-a", "Zeta"), ("é2", "é1"), ("x", "x")]
+    df = spark.createDataFrame(edges, "a_id string, b_id string")
+    fast = {r.id: r.component_id for r in connected_components(df).collect()}
+    dist = {
+        r.id: r.component_id
+        for r in connected_components(df, driver_edge_threshold=0).collect()
+    }
+    assert fast == dist == {"doc-b": "Zeta", "doc-a": "Zeta", "Zeta": "Zeta", "é2": "é1", "é1": "é1"}
+
+
+def test_driver_threshold_boundary_falls_back_to_distributed(spark):
+    # 3 distinct edges with threshold 2: the probe collects 3 rows (> 2)
+    # and must discard them — the distributed loop still gets it right
+    edges = [(0, 1), (1, 2), (10, 11)]
+    got = _cc_map(spark, edges, driver_edge_threshold=2)
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
 
 
 def test_dedup_clusters_includes_singletons(spark):
