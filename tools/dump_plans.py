@@ -201,6 +201,26 @@ COMMENTARY = {
         "ships k rows per task instead of the whole per-source term table; integer "
         "per-mille idf keeps the ranking engine-exact wherever it fits int64.",
     ),
+    "q74_c4_clean": (
+        "ONE Project over the scan — line splitting, the per-line terminal-punct/"
+        "min-words/javascript filters, the page-level curly/lorem-ipsum/min-sentences "
+        "rules, and the clean-text reassembly are all JVM array/regex expressions in a "
+        "single WholeStageCodegen; no Exchange, no Python.",
+        "C4 cleaning is the first pass of every web-corpus build: as a pure map stage it "
+        "rides the 100 TB scan for free, and a downstream keep=1 predicate is pushed "
+        "into the projection so rejected pages never leave the task.",
+    ),
+    "q75_boilerplate_lines": (
+        "Line table explodes once; the repeated-line detector is a partial-aggregated "
+        "count-distinct on 16-byte md5 keys (text never rides that shuffle); the "
+        "boilerplate set comes back as a LEFT ANTI join (AQE-broadcastable — it only "
+        "holds repeated lines); reassembly is ONE grouped collect_list, no Window over "
+        "the corpus.",
+        "Cross-corpus boilerplate removal at 100 TB lives or dies on what the shuffles "
+        "carry: hashing lines to fixed-width keys bounds the counting exchange at "
+        "16 B/line, and the anti-join's build side is the tiny repeated-line set, so the "
+        "corpus-sized line table is never shuffled twice.",
+    ),
     "q53_latency_quantiles": (
         "Exact percentiles ride the SAME plan shape as any grouped agg: lead() window on "
         "hashpartitioning(conv_id), broadcast meta join, then partial+final HashAggregate "
