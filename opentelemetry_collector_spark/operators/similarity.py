@@ -792,3 +792,51 @@ def pq_probe_index(
     score = _pq_scorer(qids, lut, k, probes)
     scored = idx.select("nid", "list_id", "pq_code").mapInPandas(score, scored_schema)
     return _pq_merge(scored, k)
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str | None = None,
+    cent_vec_col: str | None = None,
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid by cosine —
+    the cluster-assignment step of SemDeDup-style pipelines (Abbas et al.
+    2023 cluster their corpus before deduping within clusters) and the
+    input to cluster-balance mixing reports. Unlike :func:`centroid_probe`
+    (trained numpy centroids, IVF serving), the centroids here are an
+    EXPLICIT DataFrame of rows — e.g. curated anchor documents — so the
+    whole assignment stays declarative and oracle-checkable.
+
+    Output: (id_col, cluster_id, cos_milli). Deterministic tie-break:
+    highest cosine, then smallest centroid id (any orderable id type —
+    the argmax is ``min(struct(-cos, cid))``, a map-side partial agg, not
+    a corpus-wide window). Vectors with no defined cosine against any
+    centroid (zero/NULL vectors) are dropped, per the repo's per-row junk
+    policy.
+
+    Scale shape: the centroid frame is tiny and broadcast; the corpus is
+    scanned once, scored k times per row map-side, and the argmax
+    partial-aggregates before the single groupBy exchange on id.
+    """
+    cent_id = cent_id_col or id_col
+    cent_vec = cent_vec_col or vec_col
+    c = centroids.select(
+        F.col(cent_id).alias("_cid"), as_double(F.col(cent_vec)).alias("_cv")
+    )
+    v = corpus.select(F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_vv"))
+    scored = (
+        v.join(F.broadcast(c))
+        .withColumn("_cos", cosine(F.col("_vv"), F.col("_cv")))
+        .filter(F.col("_cos").isNotNull() & ~F.isnan(F.col("_cos")))
+    )
+    best = scored.groupBy("_vid").agg(
+        F.min(F.struct((-F.col("_cos")).alias("_nc"), F.col("_cid"))).alias("_b")
+    )
+    return best.select(
+        F.col("_vid").alias(id_col),
+        F.col("_b._cid").alias("cluster_id"),
+        F.floor(-F.col("_b._nc") * 1000).cast("bigint").alias("cos_milli"),
+    )

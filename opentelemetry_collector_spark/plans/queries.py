@@ -2282,6 +2282,87 @@ def q73_otlp_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q77_otlp_histogram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP-JSON doubleHistogram envelope gate (sources/otlp_metric.py
+    to/parse_otlp_histograms_json): the q33 per-(conv, role) explicit-bounds
+    datapoints marshaled through the v0.5 histogram wire (fixed64 count and
+    bucketCounts as strings with omit-zero, float64 sum omit-empty,
+    cumulative temporality) and parsed back, then merged per role — byte
+    loss on the wire would corrupt the merge. Oracle: the q33 independent
+    SQL derivation."""
+    from opentelemetry_collector_spark.operators.aggregate import bucket_index, histogram_merge
+    from opentelemetry_collector_spark.sources.otlp_metric import (
+        parse_otlp_histograms_json,
+        to_otlp_histograms_json,
+    )
+
+    t = from_events(spark, sf_dir)
+    lv = F.length(F.col("text")).cast("double")
+    per_row = t.select("conv_id", "role", lv.alias("lv"), bucket_index(lv, _HIST_BOUNDS).alias("_pos"))
+    nb = len(_HIST_BOUNDS) + 1
+    dp = per_row.groupBy("conv_id", "role").agg(
+        F.array(
+            *[F.sum(F.when(F.col("_pos") == i, 1).otherwise(0)).cast("bigint") for i in range(nb)]
+        ).alias("bucket_counts"),
+        F.sum("lv").alias("h_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("h_count"),
+    )
+    frame = dp.select(
+        F.col("role").alias("metric"),
+        F.create_map(F.lit("conv"), F.col("conv_id")).alias("labels"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "bucket_counts",
+        F.array(*[F.lit(b) for b in _HIST_BOUNDS]).alias("explicit_bounds"),
+        "h_sum",
+        "h_count",
+    )
+    back = parse_otlp_histograms_json(to_otlp_histograms_json(frame))
+    merged = histogram_merge(back.withColumnRenamed("metric", "role"), ["role"])
+    return merged.select(
+        "role",
+        F.col("h_sum").cast("bigint").alias("h_sum"),
+        F.col("h_count").cast("bigint").alias("h_count"),
+        F.posexplode("bucket_counts").alias("pos", "bucket_count"),
+    ).select(
+        "role",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("bucket_count").cast("bigint").alias("bucket_count"),
+        "h_sum",
+        "h_count",
+    )
+
+
+def q76_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balance mixing report (operators/similarity.assign_clusters):
+    every embedding assigned to its nearest of 8 anchor centroids (the 8
+    lowest vec_ids, deterministic in both engines) by cosine with a
+    smallest-centroid tie-break, rolled up to per-cluster membership and
+    exact integer cosine mass — the corpus-shape report cluster-based
+    mixing and SemDeDup-style per-cluster dedup start from."""
+    from opentelemetry_collector_spark.operators.similarity import assign_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned = assign_clusters(emb, emb.filter(F.col("vec_id") < 8))
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("cos_milli").cast("bigint").alias("sum_cos_milli"),
+    )
+
+
+Q76_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+s AS (SELECT e.vec_id, cid, list_cosine_similarity(e.v, cv) AS cos
+      FROM e CROSS JOIN c),
+r AS (SELECT vec_id, cid, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
+      FROM s WHERE cos IS NOT NULL AND NOT isnan(cos))
+SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CAST(floor(cos * 1000) AS BIGINT)) AS BIGINT) AS sum_cos_milli
+FROM r WHERE rk = 1 GROUP BY cid
+"""
+
+
 def _c4_pages(sf_dir: str, spark: SparkSession) -> DataFrame:
     """Deterministic multi-line 'web pages' derived from the (single-line)
     documents fixture, built identically in both engines so the q74/q75
@@ -2497,6 +2578,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_otlp_metrics_roundtrip": q73_otlp_metrics_roundtrip,
     "q74_c4_clean": q74_c4_clean,
     "q75_boilerplate_lines": q75_boilerplate_lines,
+    "q76_cluster_balance": q76_cluster_balance,
+    "q77_otlp_histogram_roundtrip": q77_otlp_histogram_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -2569,6 +2652,8 @@ ORACLES: dict[str, str] = {
     "q73_otlp_metrics_roundtrip": Q49_SQL,  # same frame, second metrics wire
     "q74_c4_clean": Q74_SQL,
     "q75_boilerplate_lines": Q75_SQL,
+    "q76_cluster_balance": Q76_SQL,
+    "q77_otlp_histogram_roundtrip": Q33_SQL,  # same frame, histogram wire between
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -48,7 +48,12 @@ from pyspark.sql.types import (
 
 from opentelemetry_collector_spark.sources.codecs import _LIB_NAME, _nanos, kv_first_occurrence
 
-__all__ = ["to_otlp_metrics_json", "parse_otlp_metrics_json"]
+__all__ = [
+    "to_otlp_metrics_json",
+    "parse_otlp_metrics_json",
+    "to_otlp_histograms_json",
+    "parse_otlp_histograms_json",
+]
 
 _TEMPORALITY_CUMULATIVE = "AGGREGATION_TEMPORALITY_CUMULATIVE"
 
@@ -224,4 +229,188 @@ def parse_otlp_metrics_json(df: DataFrame, col: str = "value") -> DataFrame:
         _label_map(F.col("dp.labels")).alias("labels"),
         F.coalesce(F.col("dp.value"), F.lit(0.0)).alias("value"),
         F.timestamp_micros(F.floor(t / 1000).cast("bigint")).alias("ts"),
+    )
+
+
+# --- DoubleHistogram member (metrics.pb.go:1237-1280) -----------------------
+#
+# The fourth oneof member our pipelines produce (aggregate.bucket_index +
+# histogram_merge build exactly this datapoint): explicit-bounds histograms.
+# jsonpb rules on top of the scalar codec's:
+# - count and each bucketCounts element are fixed64 -> STRINGS; count 0 is
+#   omitted (reads back 0), empty/absent bucketCounts are indistinguishable
+#   on the wire (jsonpb omits empty repeated fields) and read back NULL —
+#   histogram_merge's posexplode_outer already treats NULL counts as
+#   "scalars only", so the asymmetry is benign downstream;
+# - sum is float64 omit-empty like `value` (0.0 ships memberless);
+# - explicitBounds is []float64, omitted when empty;
+# - startTimeUnixNano stays unspecified like the scalar path.
+
+_HIST_FRAME_COLS = [
+    "metric",
+    "labels",
+    "ts",
+    "bucket_counts",
+    "explicit_bounds",
+    "h_sum",
+    "h_count",
+]
+
+
+def to_otlp_histograms_json(df: DataFrame, out_col: str = "value") -> DataFrame:
+    """Marshal the histogram datapoint frame (metric, labels
+    map<string,string>, ts, bucket_counts array<bigint>, explicit_bounds
+    array<double>, h_sum, h_count) to one OTLP-JSON envelope per metric —
+    the doubleHistogram oneof member, cumulative temporality. Single
+    groupBy shuffle; datapoints array_sort'ed on (time, labels, count,
+    sum, counts-json) so marshal is deterministic at any parallelism.
+    Pure JVM projection."""
+    nanos = _nanos(F.col("ts"))
+    labels = F.array_sort(
+        F.transform(
+            F.map_entries(F.col("labels")),
+            lambda kv: F.struct(kv["key"].alias("key"), kv["value"].alias("value")),
+        )
+    )
+    counts_str = F.transform(F.col("bucket_counts"), lambda c: c.cast("string"))
+    dp = F.struct(
+        F.struct(
+            nanos.alias("n"),
+            F.to_json(labels).alias("l"),
+            F.col("h_count").alias("c"),
+            F.col("h_sum").alias("s"),
+            F.to_json(counts_str).alias("b"),
+        ).alias("_ord"),
+        F.when(F.size(labels) > 0, labels).alias("labels"),
+        nanos.cast("string").alias("timeUnixNano"),
+        # fixed64 omit-zero: count 0 ships memberless and reads back 0
+        F.when(F.col("h_count") != 0, F.col("h_count").cast("string")).alias("count"),
+        F.when(F.col("h_sum") != 0.0, F.col("h_sum")).alias("sum"),
+        F.when(F.size(counts_str) > 0, counts_str).alias("bucketCounts"),
+        F.when(F.size(F.col("explicit_bounds")) > 0, F.col("explicit_bounds")).alias(
+            "explicitBounds"
+        ),
+    )
+    grouped = df.groupBy("metric").agg(F.array_sort(F.collect_list(dp)).alias("dps"))
+    dps = F.transform(F.col("dps"), lambda d: d.dropFields("_ord"))
+    metric = F.struct(
+        F.col("metric").alias("name"),
+        F.struct(
+            dps.alias("dataPoints"),
+            F.lit(_TEMPORALITY_CUMULATIVE).alias("aggregationTemporality"),
+        ).alias("doubleHistogram"),
+    )
+    envelope = F.struct(
+        F.array(
+            F.struct(
+                F.struct(
+                    F.lit(None)
+                    .cast("array<struct<key:string,value:struct<stringValue:string>>>")
+                    .alias("attributes")
+                ).alias("resource"),
+                F.array(
+                    F.struct(
+                        F.struct(F.lit(_LIB_NAME).alias("name")).alias("instrumentationLibrary"),
+                        F.array(metric).alias("metrics"),
+                    )
+                ).alias("instrumentationLibraryMetrics"),
+            )
+        ).alias("resourceMetrics")
+    )
+    return grouped.select(F.to_json(envelope).alias(out_col))
+
+
+_HDP_SCHEMA = StructType(
+    [
+        StructField("labels", ArrayType(_LABEL_SCHEMA)),
+        StructField("startTimeUnixNano", StringType()),
+        StructField("timeUnixNano", StringType()),
+        StructField("count", StringType()),
+        StructField("sum", DoubleType()),
+        StructField("bucketCounts", ArrayType(StringType())),
+        StructField("explicitBounds", ArrayType(DoubleType())),
+    ]
+)
+
+_HIST_SCHEMA = StructType(
+    [
+        StructField(
+            "resourceMetrics",
+            ArrayType(
+                StructType(
+                    [
+                        StructField(
+                            "instrumentationLibraryMetrics",
+                            ArrayType(
+                                StructType(
+                                    [
+                                        StructField(
+                                            "metrics",
+                                            ArrayType(
+                                                StructType(
+                                                    [
+                                                        StructField("name", StringType()),
+                                                        StructField(
+                                                            "doubleHistogram",
+                                                            StructType(
+                                                                [
+                                                                    StructField(
+                                                                        "dataPoints",
+                                                                        ArrayType(_HDP_SCHEMA),
+                                                                    ),
+                                                                    StructField(
+                                                                        "aggregationTemporality",
+                                                                        StringType(),
+                                                                    ),
+                                                                ]
+                                                            ),
+                                                        ),
+                                                    ]
+                                                )
+                                            ),
+                                        )
+                                    ]
+                                )
+                            ),
+                        )
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def parse_otlp_histograms_json(df: DataFrame, col: str = "value") -> DataFrame:
+    """Unmarshal doubleHistogram envelopes back to the histogram frame
+    (plus the raw ``temporality`` enum name so callers can gate on
+    CUMULATIVE like the doubleSum path). Junk degrades per-row:
+    unparseable envelopes vanish, metrics without a doubleHistogram member
+    explode to nothing, a non-numeric count or bucket element try_casts to
+    NULL (the omitted count reads back 0), and NULL/omitted bucketCounts
+    stay NULL — histogram_merge's posexplode_outer treats those datapoints
+    as scalar-only, which is what an empty repeated field means."""
+    parsed = df.select(F.from_json(F.col(col), _HIST_SCHEMA).alias("env"))
+    rm = parsed.select(F.explode("env.resourceMetrics").alias("rm"))
+    ilm = rm.select(F.explode("rm.instrumentationLibraryMetrics").alias("ilm"))
+    m = ilm.select(F.explode("ilm.metrics").alias("m")).filter(
+        F.col("m.doubleHistogram").isNotNull()
+    )
+    rows = m.select(
+        F.col("m.name").alias("metric"),
+        F.col("m.doubleHistogram.aggregationTemporality").alias("temporality"),
+        F.explode("m.doubleHistogram.dataPoints").alias("dp"),
+    )
+    t = F.col("dp.timeUnixNano").try_cast("decimal(20,0)")
+    return rows.select(
+        "metric",
+        "temporality",
+        _label_map(F.col("dp.labels")).alias("labels"),
+        F.timestamp_micros(F.floor(t / 1000).cast("bigint")).alias("ts"),
+        F.transform(F.col("dp.bucketCounts"), lambda c: c.try_cast("bigint")).alias(
+            "bucket_counts"
+        ),
+        F.col("dp.explicitBounds").alias("explicit_bounds"),
+        F.coalesce(F.col("dp.sum"), F.lit(0.0)).alias("h_sum"),
+        F.coalesce(F.col("dp.count").try_cast("bigint"), F.lit(0)).alias("h_count"),
     )

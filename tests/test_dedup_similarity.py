@@ -719,3 +719,40 @@ def test_null_text_never_pairs_with_empty_text(spark):
     pairs = {(r.a_id, r.b_id) for r in minhash_lsh_pairs(df, "doc_id", threshold=0.5).collect()}
     assert (1, 2) not in pairs and (1, 3) not in pairs
     assert (4, 5) in pairs  # real duplicates still found
+
+
+def test_assign_clusters_nearest_and_tiebreak(spark):
+    from opentelemetry_collector_spark.operators.similarity import assign_clusters
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0])],  # 2 duplicates 0
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [2.0, 0.1]),   # nearest x-axis: tie between 0 and 2 -> 0
+            (11, [0.1, 3.0]),   # nearest y-axis -> 1
+            (12, [0.0, 0.0]),   # zero vector: no defined cosine -> dropped
+            (13, None),         # NULL vector -> dropped
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: (r.cluster_id, r.cos_milli) for r in assign_clusters(corpus, cents).collect()}
+    assert set(got) == {10, 11}
+    assert got[10][0] == 0 and got[11][0] == 1
+    assert got[10][1] > 990 and got[11][1] > 990
+
+
+def test_assign_clusters_broadcasts_centroids_no_window(spark):
+    from opentelemetry_collector_spark.operators.similarity import assign_clusters
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "vec_id long, embedding array<float>"
+    )
+    out = assign_clusters(emb, emb.filter("vec_id < 3"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # centroid side broadcast (corpus never shuffled for the join); the
+    # argmax is a grouped partial agg, never a corpus-wide Window
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert out.count() == 20

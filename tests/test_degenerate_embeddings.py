@@ -18,6 +18,7 @@ ANN_QUERIES = [
     "q55_ann_ivf_trained",
     "q63_ann_pq",
     "q64_ann_ivf_pq",
+    "q76_cluster_balance",
 ]
 
 

@@ -40,6 +40,7 @@ EVENT_QUERIES = [
     "q52_route_rollup",
     "q53_latency_quantiles",
     "q54_sessionize",
+    "q77_otlp_histogram_roundtrip",
 ]
 
 

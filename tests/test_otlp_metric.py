@@ -134,3 +134,94 @@ def test_marshal_is_pure_jvm_single_exchange(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- doubleHistogram member --------------------------------------------------
+
+HIST_COLS = (
+    "metric string, labels map<string,string>, ts timestamp, "
+    "bucket_counts array<bigint>, explicit_bounds array<double>, "
+    "h_sum double, h_count bigint"
+)
+
+
+def _hframe(spark, rows):
+    return spark.createDataFrame(rows, HIST_COLS)
+
+
+def test_histogram_wire_shape_golden(spark):
+    from opentelemetry_collector_spark.sources.otlp_metric import to_otlp_histograms_json
+
+    rows = [("lat", {"svc": "a"}, T0, [1, 2, 4], [0.5, 1.0], 3.25, 7)]
+    env = json.loads(to_otlp_histograms_json(_hframe(spark, rows)).collect()[0]["value"])
+    assert env["resourceMetrics"][0]["resource"] == {}
+    m = _only_metric(env)
+    assert m["name"] == "lat" and set(m) == {"name", "doubleHistogram"}
+    h = m["doubleHistogram"]
+    assert h["aggregationTemporality"] == "AGGREGATION_TEMPORALITY_CUMULATIVE"
+    (dp,) = h["dataPoints"]
+    # fixed64 -> strings (count, bucketCounts, nanos); float64 sum a number
+    assert dp["count"] == "7"
+    assert dp["bucketCounts"] == ["1", "2", "4"]
+    assert dp["timeUnixNano"] == str(T0_NANOS)
+    assert dp["sum"] == 3.25
+    assert dp["explicitBounds"] == [0.5, 1.0]
+    assert dp["labels"] == [{"key": "svc", "value": "a"}]
+
+
+def test_histogram_omit_empty_rules(spark):
+    from opentelemetry_collector_spark.sources.otlp_metric import to_otlp_histograms_json
+
+    # zero count, zero sum, empty counts/bounds/labels, NULL ts: everything
+    # optional vanishes from the wire (jsonpb omit-empty)
+    rows = [("lat", {}, None, [], [], 0.0, 0)]
+    env = json.loads(to_otlp_histograms_json(_hframe(spark, rows)).collect()[0]["value"])
+    (dp,) = _only_metric(env)["doubleHistogram"]["dataPoints"]
+    assert dp == {}
+
+
+def test_histogram_roundtrip_and_omitted_reads_back_zero(spark):
+    from opentelemetry_collector_spark.sources.otlp_metric import (
+        parse_otlp_histograms_json,
+        to_otlp_histograms_json,
+    )
+
+    rows = [
+        ("lat", {"svc": "a"}, T0, [1, 0, 2], [0.5, 1.0], 3.25, 3),
+        ("lat", {}, None, [], [], 0.0, 0),
+    ]
+    back = parse_otlp_histograms_json(to_otlp_histograms_json(_hframe(spark, rows)))
+    got = {r["h_count"]: r for r in back.collect()}
+    full = got[3]
+    assert full["metric"] == "lat" and full["temporality"].endswith("CUMULATIVE")
+    assert full["labels"] == {"svc": "a"} and full["ts"] == T0
+    assert full["bucket_counts"] == [1, 0, 2] and full["explicit_bounds"] == [0.5, 1.0]
+    assert full["h_sum"] == 3.25
+    empty = got[0]
+    # omitted count/sum read back as the proto zero values; empty repeated
+    # fields are indistinguishable from absent -> NULL
+    assert empty["h_sum"] == 0.0 and empty["h_count"] == 0
+    assert empty["bucket_counts"] is None and empty["explicit_bounds"] is None
+    assert empty["labels"] == {} and empty["ts"] is None
+
+
+def test_histogram_junk_degrades_per_row(spark):
+    from opentelemetry_collector_spark.sources.otlp_metric import parse_otlp_histograms_json
+
+    wires = [
+        ("not json",),
+        ('{"resourceMetrics":[{"instrumentationLibraryMetrics":[{"metrics":['
+         '{"name":"nohist","doubleGauge":{"dataPoints":[{"value":1}]}}]}]}]}',),
+        ('{"resourceMetrics":[{"instrumentationLibraryMetrics":[{"metrics":['
+         '{"name":"bad","doubleHistogram":{"dataPoints":[{"count":"NaNish",'
+         '"bucketCounts":["1","junk","3"],"timeUnixNano":"zzz"}],'
+         '"aggregationTemporality":"AGGREGATION_TEMPORALITY_DELTA"}}]}]}]}',),
+    ]
+    rows = parse_otlp_histograms_json(spark.createDataFrame(wires, "value string")).collect()
+    # junk envelope vanishes; gauge-only metric explodes to nothing; the bad
+    # histogram survives with per-field NULL degradation + raw temporality
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["metric"] == "bad" and r["temporality"].endswith("DELTA")
+    assert r["h_count"] == 0 and r["ts"] is None
+    assert r["bucket_counts"] == [1, None, 3]

@@ -221,6 +221,16 @@ COMMENTARY = {
         "16 B/line, and the anti-join's build side is the tiny repeated-line set, so the "
         "corpus-sized line table is never shuffled twice.",
     ),
+    "q76_cluster_balance": (
+        "Centroid side is a BroadcastNestedLoopJoin build (8 rows); the per-vector "
+        "cosine argmax is min(struct(-cos, cid)) — a grouped PARTIAL aggregate before "
+        "the single exchange on vec id — and the cluster rollup partial-aggregates "
+        "again; no Window anywhere.",
+        "Cluster assignment over 10^9 embeddings is a map-side scan when the centroid "
+        "frame broadcasts: each task scores k cosines per row and ships one "
+        "(vec, best) pair; a row_number-over-vec formulation would shuffle the "
+        "corpus x k scored rows instead.",
+    ),
     "q53_latency_quantiles": (
         "Exact percentiles ride the SAME plan shape as any grouped agg: lead() window on "
         "hashpartitioning(conv_id), broadcast meta join, then partial+final HashAggregate "
