@@ -2332,6 +2332,118 @@ def q77_otlp_histogram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q78_otlp_int_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP-JSON intGauge/intSum envelope gate (sources/otlp_metric.py
+    to/parse_otlp_int_metrics_json): the q49 scalar frame with the value
+    typed as int64 — the v0.5 model's integer members, whose datapoint
+    value rides as a jsonpb STRING with omit-zero so counters stay exact
+    beyond double's 53-bit mantissa (metrics.pb.go:889-914). Oracle: the
+    q49 independent SQL derivation — third metrics wire, same frame."""
+    from opentelemetry_collector_spark.sources.otlp_metric import (
+        parse_otlp_int_metrics_json,
+        to_otlp_int_metrics_json,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        F.col("event_type").alias("metric"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("labels"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("value"),
+        F.col("ts"),
+        F.when(F.col("event_type") == "click", "sum_cumulative_monotonic")
+        .otherwise("gauge")
+        .alias("kind"),
+    )
+    back = parse_otlp_int_metrics_json(to_otlp_int_metrics_json(src))
+    return back.select(
+        "metric",
+        "kind",
+        F.element_at(F.col("labels"), "user").cast("bigint").alias("user_id"),
+        F.col("value").alias("value_cents"),
+        "ts",
+    )
+
+
+def q79_otlp_summary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP-JSON doubleSummary envelope gate (sources/otlp_metric.py
+    to/parse_otlp_summaries_json): per-(event_type, user bucket) summary
+    datapoints — count, integer-cents sum, and exact quantiles at
+    {0, 0.5, 1} — through the quantileValues wire (count fixed64-string
+    omit-zero, sum/quantile/value float64 omit-empty). Quantile math stays
+    engine-exact: dyadic 0.5 over integers interpolates to halves, doubled
+    back to integers after the roundtrip (the q53 technique). Oracle
+    recomputes the summary straight from `events`, so byte loss anywhere
+    on the wire (an omitted 0-quantile that fails to read back, a count
+    that drops precision) breaks the value hash."""
+    from opentelemetry_collector_spark.sources.otlp_metric import (
+        parse_otlp_summaries_json,
+        to_otlp_summaries_json,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        F.col("event_type").alias("metric"),
+        (F.col("user_id") % 50).cast("int").alias("bucket"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dp = src.groupBy("metric", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("h_count"),
+        F.sum("cents").cast("double").alias("h_sum"),
+        (F.min("cents") * 2).cast("double").alias("_v0"),
+        (F.percentile("cents", 0.5) * 2).alias("_v50"),
+        (F.max("cents") * 2).cast("double").alias("_v100"),
+    )
+    frame = dp.select(
+        "metric",
+        F.create_map(F.lit("bucket"), F.col("bucket").cast("string")).alias("labels"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "h_sum",
+        "h_count",
+        F.array(
+            F.struct(F.lit(0.0).alias("quantile"), F.col("_v0").alias("value")),
+            F.struct(F.lit(0.5).alias("quantile"), F.col("_v50").alias("value")),
+            F.struct(F.lit(1.0).alias("quantile"), F.col("_v100").alias("value")),
+        ).alias("quantiles"),
+    )
+    back = parse_otlp_summaries_json(to_otlp_summaries_json(frame))
+    return back.select(
+        "metric",
+        F.element_at(F.col("labels"), "bucket").cast("int").alias("bucket"),
+        "h_count",
+        F.col("h_sum").cast("bigint").alias("h_sum_cents"),
+        F.explode("quantiles").alias("q"),
+    ).select(
+        "metric",
+        "bucket",
+        "h_count",
+        "h_sum_cents",
+        F.col("q.quantile").alias("quantile"),
+        F.col("q.value").cast("bigint").alias("qv_x2"),
+    )
+
+
+Q79_SQL = """
+WITH src AS (
+  SELECT event_type AS metric,
+         CAST(user_id % 50 AS INT) AS bucket,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events),
+g AS (
+  SELECT metric, bucket,
+         CAST(count(*) AS BIGINT) AS h_count,
+         CAST(sum(cents) AS BIGINT) AS h_sum_cents,
+         CAST(min(cents) * 2 AS BIGINT) AS v0,
+         CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS v50,
+         CAST(max(cents) * 2 AS BIGINT) AS v100
+  FROM src GROUP BY metric, bucket)
+SELECT metric, bucket, h_count, h_sum_cents, 0.0 AS quantile, v0 AS qv_x2 FROM g
+UNION ALL
+SELECT metric, bucket, h_count, h_sum_cents, 0.5 AS quantile, v50 AS qv_x2 FROM g
+UNION ALL
+SELECT metric, bucket, h_count, h_sum_cents, 1.0 AS quantile, v100 AS qv_x2 FROM g
+"""
+
+
 def q76_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balance mixing report (operators/similarity.assign_clusters):
     every embedding assigned to its nearest of 8 anchor centroids (the 8
@@ -2580,6 +2692,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_boilerplate_lines": q75_boilerplate_lines,
     "q76_cluster_balance": q76_cluster_balance,
     "q77_otlp_histogram_roundtrip": q77_otlp_histogram_roundtrip,
+    "q78_otlp_int_metrics_roundtrip": q78_otlp_int_metrics_roundtrip,
+    "q79_otlp_summary_roundtrip": q79_otlp_summary_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -2654,6 +2768,8 @@ ORACLES: dict[str, str] = {
     "q75_boilerplate_lines": Q75_SQL,
     "q76_cluster_balance": Q76_SQL,
     "q77_otlp_histogram_roundtrip": Q33_SQL,  # same frame, histogram wire between
+    "q78_otlp_int_metrics_roundtrip": Q49_SQL,  # same frame, int members wire
+    "q79_otlp_summary_roundtrip": Q79_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -51,11 +51,50 @@ from opentelemetry_collector_spark.sources.codecs import _LIB_NAME, _nanos, kv_f
 __all__ = [
     "to_otlp_metrics_json",
     "parse_otlp_metrics_json",
+    "to_otlp_int_metrics_json",
+    "parse_otlp_int_metrics_json",
     "to_otlp_histograms_json",
     "parse_otlp_histograms_json",
+    "to_otlp_summaries_json",
+    "parse_otlp_summaries_json",
 ]
 
 _TEMPORALITY_CUMULATIVE = "AGGREGATION_TEMPORALITY_CUMULATIVE"
+
+
+def _envelope(metric: Column) -> Column:
+    """One resourceMetrics envelope around a single Metric message: empty
+    non-nullable resource ("resource":{}, metrics.pb.go:127), one
+    instrumentationLibraryMetrics entry carrying our library name — the
+    shared outer nesting of every metrics marshaler here."""
+    return F.struct(
+        F.array(
+            F.struct(
+                F.struct(
+                    F.lit(None)
+                    .cast("array<struct<key:string,value:struct<stringValue:string>>>")
+                    .alias("attributes")
+                ).alias("resource"),
+                F.array(
+                    F.struct(
+                        F.struct(F.lit(_LIB_NAME).alias("name")).alias("instrumentationLibrary"),
+                        F.array(metric).alias("metrics"),
+                    )
+                ).alias("instrumentationLibraryMetrics"),
+            )
+        ).alias("resourceMetrics")
+    )
+
+
+def _sorted_labels() -> Column:
+    """labels map -> array_sort'ed StringKeyValue structs (flat v0.5 labels,
+    not typed attributes)."""
+    return F.array_sort(
+        F.transform(
+            F.map_entries(F.col("labels")),
+            lambda kv: F.struct(kv["key"].alias("key"), kv["value"].alias("value")),
+        )
+    )
 
 
 def to_otlp_metrics_json(df: DataFrame, out_col: str = "value") -> DataFrame:
@@ -66,12 +105,7 @@ def to_otlp_metrics_json(df: DataFrame, out_col: str = "value") -> DataFrame:
     marshal is deterministic at any parallelism. Pure JVM projection.
     """
     nanos = _nanos(F.col("ts"))
-    labels = F.array_sort(
-        F.transform(
-            F.map_entries(F.col("labels")),
-            lambda kv: F.struct(kv["key"].alias("key"), kv["value"].alias("value")),
-        )
-    )
+    labels = _sorted_labels()
     dp = F.struct(
         # _ord leads for array_sort; labels serialized for a total order
         F.struct(nanos.alias("n"), F.to_json(labels).alias("l"), F.col("value").alias("v")).alias(
@@ -100,25 +134,7 @@ def to_otlp_metrics_json(df: DataFrame, out_col: str = "value") -> DataFrame:
             ),
         ).alias("doubleSum"),
     )
-    envelope = F.struct(
-        F.array(
-            F.struct(
-                # non-nullable Resource: "resource":{} even when empty
-                F.struct(
-                    F.lit(None)
-                    .cast("array<struct<key:string,value:struct<stringValue:string>>>")
-                    .alias("attributes")
-                ).alias("resource"),
-                F.array(
-                    F.struct(
-                        F.struct(F.lit(_LIB_NAME).alias("name")).alias("instrumentationLibrary"),
-                        F.array(metric).alias("metrics"),
-                    )
-                ).alias("instrumentationLibraryMetrics"),
-            )
-        ).alias("resourceMetrics")
-    )
-    return grouped.select(F.to_json(envelope).alias(out_col))
+    return grouped.select(F.to_json(_envelope(metric)).alias(out_col))
 
 
 _LABEL_SCHEMA = StructType(
@@ -266,12 +282,7 @@ def to_otlp_histograms_json(df: DataFrame, out_col: str = "value") -> DataFrame:
     sum, counts-json) so marshal is deterministic at any parallelism.
     Pure JVM projection."""
     nanos = _nanos(F.col("ts"))
-    labels = F.array_sort(
-        F.transform(
-            F.map_entries(F.col("labels")),
-            lambda kv: F.struct(kv["key"].alias("key"), kv["value"].alias("value")),
-        )
-    )
+    labels = _sorted_labels()
     counts_str = F.transform(F.col("bucket_counts"), lambda c: c.cast("string"))
     dp = F.struct(
         F.struct(
@@ -300,24 +311,7 @@ def to_otlp_histograms_json(df: DataFrame, out_col: str = "value") -> DataFrame:
             F.lit(_TEMPORALITY_CUMULATIVE).alias("aggregationTemporality"),
         ).alias("doubleHistogram"),
     )
-    envelope = F.struct(
-        F.array(
-            F.struct(
-                F.struct(
-                    F.lit(None)
-                    .cast("array<struct<key:string,value:struct<stringValue:string>>>")
-                    .alias("attributes")
-                ).alias("resource"),
-                F.array(
-                    F.struct(
-                        F.struct(F.lit(_LIB_NAME).alias("name")).alias("instrumentationLibrary"),
-                        F.array(metric).alias("metrics"),
-                    )
-                ).alias("instrumentationLibraryMetrics"),
-            )
-        ).alias("resourceMetrics")
-    )
-    return grouped.select(F.to_json(envelope).alias(out_col))
+    return grouped.select(F.to_json(_envelope(metric)).alias(out_col))
 
 
 _HDP_SCHEMA = StructType(
@@ -413,4 +407,290 @@ def parse_otlp_histograms_json(df: DataFrame, col: str = "value") -> DataFrame:
         F.col("dp.explicitBounds").alias("explicit_bounds"),
         F.coalesce(F.col("dp.sum"), F.lit(0.0)).alias("h_sum"),
         F.coalesce(F.col("dp.count").try_cast("bigint"), F.lit(0)).alias("h_count"),
+    )
+
+
+# --- IntGauge / IntSum members (metrics.pb.go:498-604, IntDataPoint :889-914)
+#
+# The v0.5 data model types the VALUE into the oneof member: integer scalars
+# travel as intGauge/intSum whose IntDataPoint.value is an sfixed64 int64 —
+# jsonpb renders every 64-bit integer as a STRING, and omit-empty drops a 0
+# (reads back 0). This keeps int64 counters exact beyond double's 53-bit
+# mantissa, which is the entire reason the int members exist
+# (model/pdata/metrics.go:129-141 keeps IntGauge/IntSum distinct pdata types).
+
+
+def to_otlp_int_metrics_json(df: DataFrame, out_col: str = "value") -> DataFrame:
+    """Marshal the INTEGER scalar datapoint frame (metric, labels
+    map<string,string>, value bigint, ts, kind in {"gauge",
+    "sum_cumulative_monotonic"}) to one OTLP-JSON envelope per
+    (metric, kind) — the intGauge/intSum oneof members. Same single-shuffle
+    deterministic marshal as the double codec; value rides as a jsonpb
+    int64 string with omit-zero. Pure JVM projection."""
+    nanos = _nanos(F.col("ts"))
+    labels = _sorted_labels()
+    dp = F.struct(
+        F.struct(nanos.alias("n"), F.to_json(labels).alias("l"), F.col("value").alias("v")).alias(
+            "_ord"
+        ),
+        F.when(F.size(labels) > 0, labels).alias("labels"),
+        nanos.cast("string").alias("timeUnixNano"),
+        # sfixed64 int64 -> jsonpb STRING; omit-zero ships 0 memberless
+        F.when(F.col("value") != 0, F.col("value").cast("string")).alias("value"),
+    )
+    grouped = df.groupBy("metric", "kind").agg(
+        F.array_sort(F.collect_list(dp)).alias("dps")
+    )
+    dps = F.transform(F.col("dps"), lambda d: d.dropFields("_ord"))
+    metric = F.struct(
+        F.col("metric").alias("name"),
+        F.when(F.col("kind") == "gauge", F.struct(dps.alias("dataPoints"))).alias("intGauge"),
+        F.when(
+            F.col("kind") == "sum_cumulative_monotonic",
+            F.struct(
+                dps.alias("dataPoints"),
+                F.lit(_TEMPORALITY_CUMULATIVE).alias("aggregationTemporality"),
+                F.lit(True).alias("isMonotonic"),
+            ),
+        ).alias("intSum"),
+    )
+    return grouped.select(F.to_json(_envelope(metric)).alias(out_col))
+
+
+_IDP_SCHEMA = StructType(
+    [
+        StructField("labels", ArrayType(_LABEL_SCHEMA)),
+        StructField("startTimeUnixNano", StringType()),
+        StructField("timeUnixNano", StringType()),
+        StructField("value", StringType()),
+    ]
+)
+
+_INT_METRIC_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("intGauge", StructType([StructField("dataPoints", ArrayType(_IDP_SCHEMA))])),
+        StructField(
+            "intSum",
+            StructType(
+                [
+                    StructField("dataPoints", ArrayType(_IDP_SCHEMA)),
+                    StructField("aggregationTemporality", StringType()),
+                    StructField("isMonotonic", BooleanType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_INT_METRICS_SCHEMA = StructType(
+    [
+        StructField(
+            "resourceMetrics",
+            ArrayType(
+                StructType(
+                    [
+                        StructField(
+                            "instrumentationLibraryMetrics",
+                            ArrayType(
+                                StructType(
+                                    [StructField("metrics", ArrayType(_INT_METRIC_SCHEMA))]
+                                )
+                            ),
+                        )
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def parse_otlp_int_metrics_json(df: DataFrame, col: str = "value") -> DataFrame:
+    """Unmarshal intGauge/intSum envelopes back to the integer scalar frame.
+    Junk degrades per-row like the double parser: unparseable envelopes
+    vanish, metrics with neither int member explode to nothing, a
+    non-numeric value string try_casts to NULL (distinguishable from the
+    omitted 0, which reads back 0), non-numeric nanos -> NULL ts, and a
+    DELTA or non-monotonic intSum keeps its rows with a NULL kind."""
+    parsed = df.select(F.from_json(F.col(col), _INT_METRICS_SCHEMA).alias("env"))
+    rm = parsed.select(F.explode("env.resourceMetrics").alias("rm"))
+    ilm = rm.select(F.explode("rm.instrumentationLibraryMetrics").alias("ilm"))
+    m = ilm.select(F.explode("ilm.metrics").alias("m"))
+    is_gauge = F.col("m.intGauge").isNotNull()
+    is_mono_sum = (
+        F.col("m.intSum").isNotNull()
+        & (F.col("m.intSum.aggregationTemporality") == _TEMPORALITY_CUMULATIVE)
+        & F.col("m.intSum.isMonotonic")
+    )
+    kind = (
+        F.when(is_gauge, F.lit("gauge"))
+        .when(is_mono_sum, F.lit("sum_cumulative_monotonic"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    dps = F.coalesce(F.col("m.intGauge.dataPoints"), F.col("m.intSum.dataPoints"))
+    rows = m.select(
+        F.col("m.name").alias("metric"),
+        kind.alias("kind"),
+        F.explode(dps).alias("dp"),
+    )
+    t = F.col("dp.timeUnixNano").try_cast("decimal(20,0)")
+    return rows.select(
+        "metric",
+        "kind",
+        _label_map(F.col("dp.labels")).alias("labels"),
+        F.when(F.col("dp.value").isNull(), F.lit(0))
+        .otherwise(F.col("dp.value").try_cast("bigint"))
+        .alias("value"),
+        F.timestamp_micros(F.floor(t / 1000).cast("bigint")).alias("ts"),
+    )
+
+
+# --- DoubleSummary member (metrics.pb.go:843-844, datapoint :1385-1413,
+#     ValueAtQuantile :1499-1504) ---------------------------------------------
+#
+# The last oneof member: pre-aggregated quantile summaries. Datapoint wire
+# rules on top of the scalar codec's: count is fixed64 -> STRING omit-zero,
+# sum is float64 omit-empty, quantileValues is a repeated
+# {quantile, value} (both float64 omit-empty — a 0.0 quantile, i.e. the
+# minimum, legitimately ships memberless and reads back 0.0), omitted
+# entirely when empty. Quantiles live in [0,1] in this model; the OC wire's
+# percentiles are /100 on translation (oc_to_metrics.go:386), which is the
+# caller's job, not this codec's.
+
+
+def to_otlp_summaries_json(df: DataFrame, out_col: str = "value") -> DataFrame:
+    """Marshal the summary datapoint frame (metric, labels
+    map<string,string>, ts, h_sum double, h_count bigint, quantiles
+    array<struct<quantile:double,value:double>>) to one OTLP-JSON envelope
+    per metric — the doubleSummary oneof member. Single groupBy shuffle;
+    datapoints array_sort'ed on (time, labels, count, sum, quantiles-json)
+    so marshal is deterministic at any parallelism. Pure JVM projection."""
+    nanos = _nanos(F.col("ts"))
+    labels = _sorted_labels()
+    qvs = F.transform(
+        F.col("quantiles"),
+        lambda q: F.struct(
+            F.when(q["quantile"] != 0.0, q["quantile"]).alias("quantile"),
+            F.when(q["value"] != 0.0, q["value"]).alias("value"),
+        ),
+    )
+    dp = F.struct(
+        F.struct(
+            nanos.alias("n"),
+            F.to_json(labels).alias("l"),
+            F.col("h_count").alias("c"),
+            F.col("h_sum").alias("s"),
+            F.to_json(F.col("quantiles")).alias("q"),
+        ).alias("_ord"),
+        F.when(F.size(labels) > 0, labels).alias("labels"),
+        nanos.cast("string").alias("timeUnixNano"),
+        F.when(F.col("h_count") != 0, F.col("h_count").cast("string")).alias("count"),
+        F.when(F.col("h_sum") != 0.0, F.col("h_sum")).alias("sum"),
+        F.when(F.size(qvs) > 0, qvs).alias("quantileValues"),
+    )
+    grouped = df.groupBy("metric").agg(F.array_sort(F.collect_list(dp)).alias("dps"))
+    dps = F.transform(F.col("dps"), lambda d: d.dropFields("_ord"))
+    metric = F.struct(
+        F.col("metric").alias("name"),
+        F.struct(dps.alias("dataPoints")).alias("doubleSummary"),
+    )
+    return grouped.select(F.to_json(_envelope(metric)).alias(out_col))
+
+
+_QV_SCHEMA = StructType(
+    [StructField("quantile", DoubleType()), StructField("value", DoubleType())]
+)
+
+_SDP_SCHEMA = StructType(
+    [
+        StructField("labels", ArrayType(_LABEL_SCHEMA)),
+        StructField("startTimeUnixNano", StringType()),
+        StructField("timeUnixNano", StringType()),
+        StructField("count", StringType()),
+        StructField("sum", DoubleType()),
+        StructField("quantileValues", ArrayType(_QV_SCHEMA)),
+    ]
+)
+
+_SUMMARY_SCHEMA = StructType(
+    [
+        StructField(
+            "resourceMetrics",
+            ArrayType(
+                StructType(
+                    [
+                        StructField(
+                            "instrumentationLibraryMetrics",
+                            ArrayType(
+                                StructType(
+                                    [
+                                        StructField(
+                                            "metrics",
+                                            ArrayType(
+                                                StructType(
+                                                    [
+                                                        StructField("name", StringType()),
+                                                        StructField(
+                                                            "doubleSummary",
+                                                            StructType(
+                                                                [
+                                                                    StructField(
+                                                                        "dataPoints",
+                                                                        ArrayType(_SDP_SCHEMA),
+                                                                    )
+                                                                ]
+                                                            ),
+                                                        ),
+                                                    ]
+                                                )
+                                            ),
+                                        )
+                                    ]
+                                )
+                            ),
+                        )
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def parse_otlp_summaries_json(df: DataFrame, col: str = "value") -> DataFrame:
+    """Unmarshal doubleSummary envelopes back to the summary frame. Junk
+    degrades per-row: unparseable envelopes vanish, metrics without a
+    doubleSummary member explode to nothing, a non-numeric count try_casts
+    to NULL (the omitted count reads back 0), omitted sum reads back 0.0,
+    and each quantileValues element's omitted members read back 0.0 while
+    an absent/empty list stays NULL (jsonpb can't tell empty from absent)."""
+    parsed = df.select(F.from_json(F.col(col), _SUMMARY_SCHEMA).alias("env"))
+    rm = parsed.select(F.explode("env.resourceMetrics").alias("rm"))
+    ilm = rm.select(F.explode("rm.instrumentationLibraryMetrics").alias("ilm"))
+    m = ilm.select(F.explode("ilm.metrics").alias("m")).filter(
+        F.col("m.doubleSummary").isNotNull()
+    )
+    rows = m.select(
+        F.col("m.name").alias("metric"),
+        F.explode("m.doubleSummary.dataPoints").alias("dp"),
+    )
+    t = F.col("dp.timeUnixNano").try_cast("decimal(20,0)")
+    qvs = F.transform(
+        F.col("dp.quantileValues"),
+        lambda q: F.struct(
+            F.coalesce(q["quantile"], F.lit(0.0)).alias("quantile"),
+            F.coalesce(q["value"], F.lit(0.0)).alias("value"),
+        ),
+    )
+    return rows.select(
+        "metric",
+        _label_map(F.col("dp.labels")).alias("labels"),
+        F.timestamp_micros(F.floor(t / 1000).cast("bigint")).alias("ts"),
+        F.coalesce(F.col("dp.sum"), F.lit(0.0)).alias("h_sum"),
+        # omitted count reads back 0; a PRESENT non-numeric one stays NULL
+        F.when(F.col("dp.count").isNull(), F.lit(0))
+        .otherwise(F.col("dp.count").try_cast("bigint"))
+        .alias("h_count"),
+        qvs.alias("quantiles"),
     )

@@ -225,3 +225,143 @@ def test_histogram_junk_degrades_per_row(spark):
     assert r["metric"] == "bad" and r["temporality"].endswith("DELTA")
     assert r["h_count"] == 0 and r["ts"] is None
     assert r["bucket_counts"] == [1, None, 3]
+
+
+# --- intGauge / intSum members ----------------------------------------------
+
+from opentelemetry_collector_spark.sources.otlp_metric import (  # noqa: E402
+    parse_otlp_int_metrics_json,
+    parse_otlp_summaries_json,
+    to_otlp_int_metrics_json,
+    to_otlp_summaries_json,
+)
+
+INT_FRAME_COLS = (
+    "metric string, labels map<string,string>, value bigint, ts timestamp, kind string"
+)
+
+
+def _int_frame(spark, rows):
+    return spark.createDataFrame(rows, INT_FRAME_COLS)
+
+
+def test_int_gauge_wire_value_is_string(spark):
+    # int64 beyond double's 53-bit mantissa must survive exactly
+    big = (1 << 60) + 1
+    rows = [("mem", {"host": "a"}, big, T0, "gauge")]
+    env = json.loads(to_otlp_int_metrics_json(_int_frame(spark, rows)).collect()[0]["value"])
+    m = _only_metric(env)
+    assert "intSum" not in m and "doubleGauge" not in m
+    dp = m["intGauge"]["dataPoints"][0]
+    # jsonpb renders 64-bit ints as STRINGS
+    assert dp["value"] == str(big)
+    back = parse_otlp_int_metrics_json(
+        to_otlp_int_metrics_json(_int_frame(spark, rows))
+    ).collect()[0]
+    assert back["value"] == big and back["kind"] == "gauge"
+
+
+def test_int_sum_zero_value_omitted_reads_back_zero(spark):
+    rows = [("clicks", {"u": "7"}, 0, T0, "sum_cumulative_monotonic")]
+    env = json.loads(to_otlp_int_metrics_json(_int_frame(spark, rows)).collect()[0]["value"])
+    m = _only_metric(env)
+    s = m["intSum"]
+    assert s["aggregationTemporality"] == "AGGREGATION_TEMPORALITY_CUMULATIVE"
+    assert s["isMonotonic"] is True
+    assert "value" not in s["dataPoints"][0]
+    back = parse_otlp_int_metrics_json(
+        to_otlp_int_metrics_json(_int_frame(spark, rows))
+    ).collect()[0]
+    assert back["value"] == 0 and back["kind"] == "sum_cumulative_monotonic"
+
+
+def test_int_junk_degrades_per_row(spark):
+    rows = [
+        ("not json at all",),
+        ('{"resourceMetrics":[{"instrumentationLibraryMetrics":[{"metrics":['
+         '{"name":"m","intGauge":{"dataPoints":[{"value":"junk","timeUnixNano":"nope"}]}},'
+         '{"name":"delta","intSum":{"dataPoints":[{"value":"5"}],'
+         '"aggregationTemporality":"AGGREGATION_TEMPORALITY_DELTA","isMonotonic":true}},'
+         '{"name":"nomember"}]}]}]}',),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = parse_otlp_int_metrics_json(df).collect()
+    by_name = {r["metric"]: r for r in out}
+    # junk value string -> NULL (distinguishable from omitted-0); junk nanos -> NULL ts
+    assert by_name["m"]["value"] is None and by_name["m"]["ts"] is None
+    # DELTA sum keeps rows with NULL kind
+    assert by_name["delta"]["kind"] is None and by_name["delta"]["value"] == 5
+    # metric with no recognized member explodes to nothing
+    assert "nomember" not in by_name and len(out) == 2
+
+
+# --- doubleSummary member ---------------------------------------------------
+
+SUMMARY_FRAME_COLS = (
+    "metric string, labels map<string,string>, ts timestamp, h_sum double,"
+    " h_count bigint, quantiles array<struct<quantile:double,value:double>>"
+)
+
+
+def _summary_frame(spark, rows):
+    return spark.createDataFrame(rows, SUMMARY_FRAME_COLS)
+
+
+def test_summary_wire_shape_golden(spark):
+    rows = [("lat", {"svc": "api"}, T0, 12.5, 4, [(0.0, 1.0), (0.5, 3.0), (1.0, 7.5)])]
+    env = json.loads(to_otlp_summaries_json(_summary_frame(spark, rows)).collect()[0]["value"])
+    m = _only_metric(env)
+    assert set(m.keys()) == {"name", "doubleSummary"}
+    dp = m["doubleSummary"]["dataPoints"][0]
+    assert dp["count"] == "4"  # fixed64 -> string
+    assert dp["sum"] == 12.5
+    qvs = dp["quantileValues"]
+    # float64 omit-empty inside each pair: the 0.0 quantile ships memberless
+    assert "quantile" not in qvs[0] and qvs[0]["value"] == 1.0
+    assert qvs[1] == {"quantile": 0.5, "value": 3.0}
+    assert qvs[2] == {"quantile": 1.0, "value": 7.5}
+
+
+def test_summary_omit_rules_and_roundtrip(spark):
+    rows = [
+        ("empty", {}, None, 0.0, 0, []),
+        ("lat", {"svc": "api"}, T0, 12.5, 4, [(0.0, 0.0), (0.5, 3.0)]),
+    ]
+    outs = {
+        json.loads(r["value"])["resourceMetrics"][0]["instrumentationLibraryMetrics"][0][
+            "metrics"
+        ][0]["name"]: json.loads(r["value"])
+        for r in to_otlp_summaries_json(_summary_frame(spark, rows)).collect()
+    }
+    dp0 = _only_metric(outs["empty"])["doubleSummary"]["dataPoints"][0]
+    # count 0, sum 0.0, empty quantileValues: all omitted
+    assert "count" not in dp0 and "sum" not in dp0 and "quantileValues" not in dp0
+    assert "timeUnixNano" not in dp0 and "labels" not in dp0
+    back = {
+        r["metric"]: r
+        for r in parse_otlp_summaries_json(
+            to_otlp_summaries_json(_summary_frame(spark, rows))
+        ).collect()
+    }
+    assert back["empty"]["h_count"] == 0 and back["empty"]["h_sum"] == 0.0
+    assert back["empty"]["ts"] is None and back["empty"]["quantiles"] is None
+    got = [(q["quantile"], q["value"]) for q in back["lat"]["quantiles"]]
+    # the omitted 0.0 quantile AND its 0.0 value read back as 0.0
+    assert got == [(0.0, 0.0), (0.5, 3.0)]
+    assert back["lat"]["h_sum"] == 12.5 and back["lat"]["h_count"] == 4
+
+
+def test_summary_junk_degrades_per_row(spark):
+    rows = [
+        ('{"resourceMetrics":[{"instrumentationLibraryMetrics":[{"metrics":['
+         '{"name":"s","doubleSummary":{"dataPoints":[{"count":"junk","timeUnixNano":"x"}]}},'
+         '{"name":"nomember"}]}]}]}',),
+        ("{broken",),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = parse_otlp_summaries_json(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["metric"] == "s"
+    # junk count -> NULL (not the omitted-0 path), junk nanos -> NULL ts
+    assert r["h_count"] is None and r["ts"] is None and r["h_sum"] == 0.0
