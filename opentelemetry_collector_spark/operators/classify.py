@@ -1,0 +1,84 @@
+"""Linear text-classifier inference: quality scoring with a broadcast vocab.
+
+The fastText-shaped op (Joulin et al. 2016, "Bag of Tricks for Efficient
+Text Classification", arXiv:1607.01759): a trained quality classifier is,
+at inference time, a bag-of-words dot product against a weight vector plus
+a bias — exactly the shape large-scale corpus pipelines run over every
+document to gate pretraining data (e.g. the CCNet/LLaMA "looks like a
+reference page" filter). Training happens offline; this operator is the
+100 TB-scale inference pass.
+
+Reference relative: the expr-language filter (`internal/processor/
+filterexpr/matcher.go:24-62`) is a per-record boolean VM over attribute
+lookups; this generalizes the lookup table to a learned vocabulary and the
+boolean to a signed score, but keeps the same execution shape — a
+broadcast map applied per record, then a threshold.
+
+Weights are INTEGER per-mille (weight_pm) so every engine reproduces every
+score bit-for-bit — float dot products are order-dependent, integer sums
+are not. A deliberate non-feature: no mean/length normalization inside the
+operator. Integral division of SIGNED sums truncates toward zero in Spark
+(`div`) but floors in DuckDB (`//`), so a mean-normalized score cannot be
+engine-exact without picking a side; callers who want length control put
+n_tokens in the decision rule instead (keep iff score_pm >= thr * n_tokens
+stays in exact integers).
+
+Scale shape: the vocabulary broadcasts by construction (a fastText-style
+vocab is ~10^5-10^6 rows — megabytes); the corpus side is one explode ->
+broadcast-hash join -> per-doc partial-aggregated sum. Raw text never
+shuffles; only (id, weight) pairs reach the agg, and the per-doc groupBy
+partial-aggregates map-side. Identical to the decontaminate/importance_mass
+topology, so everything measured about those plans carries over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.text import tokens
+
+__all__ = ["linear_score"]
+
+
+def linear_score(
+    df: DataFrame,
+    weights_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bias_pm: int = 0,
+    threshold_pm: int = 0,
+) -> DataFrame:
+    """Score each document with a linear bag-of-words classifier.
+
+    ``weights_df`` is ``(term string, weight_pm bigint)`` — one row per
+    vocabulary term, integer per-mille weight, broadcast to every task.
+    Out-of-vocabulary tokens contribute 0. Token MULTISET semantics:
+    a term appearing k times contributes k * weight_pm (the BoW count
+    features of the paper, not set membership).
+
+    Returns one row per input row: ``(id_col, n_tokens bigint, hits
+    bigint, score_pm bigint, keep boolean)`` with
+    ``score_pm = bias_pm + sum(weight_pm over token occurrences)`` and
+    ``keep = score_pm >= threshold_pm``. Empty/NULL-text docs score the
+    bare bias (n_tokens 0) — they are rows, not dropped, so the keep flag
+    is a complete routing decision for the fan-out writer.
+    """
+    posted = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens(F.col(text_col))).alias("term"),
+    )
+    joined = posted.join(F.broadcast(weights_df), "term", "left")
+    rolled = joined.groupBy(id_col).agg(
+        F.count("term").alias("_n"),
+        F.count("weight_pm").alias("_hits"),
+        F.sum(F.coalesce(F.col("weight_pm"), F.lit(0))).alias("_w"),
+    )
+    score = F.coalesce(F.col("_w"), F.lit(0)) + F.lit(bias_pm)
+    return rolled.select(
+        F.col(id_col),
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        F.col("_hits").cast("bigint").alias("hits"),
+        score.cast("bigint").alias("score_pm"),
+        (score >= F.lit(threshold_pm)).alias("keep"),
+    )

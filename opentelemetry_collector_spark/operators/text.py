@@ -425,3 +425,45 @@ def remove_boilerplate_lines(
         F.coalesce("n_kept_lines", F.lit(0)).cast("bigint").alias("n_kept_lines"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def unicode_normalize(col: Column, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (NFC by default) — the encoding
+    cleanup every multilingual corpus pipeline runs before hashing or
+    deduplicating text: visually-identical strings with different
+    codepoint sequences (e + COMBINING ACUTE vs precomposed é) must
+    fingerprint identically, or every dedup/boilerplate op upstream
+    under-merges.
+
+    There is no JVM builtin for this, so it is the sanctioned slow path:
+    a scalar pandas_udf over Arrow batches, `pd.Series.str.normalize`
+    (ICU-equivalent NFC/NFD/NFKC/NFKD from Python's unicodedata) — never
+    per-row Python. NULLs pass through. DuckDB's nfc_normalize() is the
+    NFC oracle twin, so the whole path stays value-checkable cross-engine.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):  # pragma: no cover - executes on workers
+        return s.str.normalize(form)
+
+    return _norm(col)
+
+
+def encoding_metrics(col: Column) -> Column:
+    """Mojibake/encoding-damage evidence as a pure-JVM struct:
+    ``repl_chars`` counts U+FFFD REPLACEMENT CHARACTER occurrences (the
+    scar a lossy decode leaves), ``mojibake_marks`` counts the classic
+    UTF-8-read-as-Latin-1 lead sequences ("Ã", "â€", "Â"), and ``ctrl``
+    counts C0 control characters other than tab/newline/CR. All integers,
+    so thresholding composes with gopher_filter/c4_clean and oracles
+    compare exactly."""
+    return F.struct(
+        F.regexp_count(col, F.lit("�")).cast("bigint").alias("repl_chars"),
+        F.regexp_count(col, F.lit("Ã|â€|Â")).cast("bigint").alias(
+            "mojibake_marks"
+        ),
+        F.regexp_count(col, F.lit(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")).cast("bigint").alias("ctrl"),
+    )

@@ -2444,6 +2444,108 @@ SELECT metric, bucket, h_count, h_sum_cents, 1.0 AS quantile, v100 AS qv_x2 FROM
 """
 
 
+def q80_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality-classifier inference (operators/classify.py
+    linear_score): every document scored by a broadcast integer-weight
+    vocabulary — explode -> broadcast-hash join -> partial-aggregated
+    per-doc sum, the decontaminate topology with signed weights and a
+    threshold decision. The vocab here is a literal stand-in for a trained
+    model's top features; the operator takes any (term, weight_pm) frame.
+    Oracle: the identical VALUES vocab LEFT-JOINed in DuckDB — all-integer
+    math, so scores match bit-for-bit."""
+    from opentelemetry_collector_spark.operators.classify import linear_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = spark.createDataFrame(_CLS_VOCAB, "term string, weight_pm bigint")
+    out = linear_score(
+        docs, weights, id_col="doc_id", text_col="text", bias_pm=-20, threshold_pm=0
+    )
+    return out.select("doc_id", "n_tokens", "hits", "score_pm", "keep")
+
+
+_CLS_VOCAB = [
+    ("the", 10),
+    ("and", 8),
+    ("of", 6),
+    ("to", 5),
+    ("a", 4),
+    ("data", 50),
+    ("model", 60),
+    ("learning", 70),
+    ("error", -100),
+    ("click", -50),
+    ("lorem", -500),
+    ("ipsum", -500),
+]
+
+_CLS_VOCAB_SQL = ", ".join(f"('{t}', {w})" for t, w in _CLS_VOCAB)
+
+Q80_SQL = f"""
+WITH w(term, weight_pm) AS (VALUES {_CLS_VOCAB_SQL}),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents WHERE len(trim(text)) > 0),
+r AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(w.term) AS BIGINT) AS hits,
+         CAST(coalesce(sum(w.weight_pm), 0) AS BIGINT) AS sw
+  FROM tok t LEFT JOIN w USING (term) GROUP BY t.doc_id)
+SELECT d.doc_id,
+       coalesce(r.n_tokens, 0) AS n_tokens,
+       coalesce(r.hits, 0) AS hits,
+       CAST(coalesce(r.sw, 0) - 20 AS BIGINT) AS score_pm,
+       coalesce(r.sw, 0) - 20 >= 0 AS keep
+FROM documents d LEFT JOIN r USING (doc_id)
+"""
+
+
+def q81_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + encoding-damage metrics (operators/
+    text.py unicode_normalize / encoding_metrics): each document gets a
+    deterministic damaged suffix (decomposed e+COMBINING ACUTE, U+FFFD,
+    and a UTF-8-as-Latin-1 "Ã©"), is NFC-normalized through the
+    Arrow-vectorized pandas path, and reports the md5 of the normalized
+    text plus the pure-JVM mojibake counters. Oracle: DuckDB's own
+    nfc_normalize over the identically-built string — two independent
+    normalizer implementations must agree byte-for-byte."""
+    from opentelemetry_collector_spark.operators.text import (
+        encoding_metrics,
+        unicode_normalize,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t2 = F.concat(F.col("text"), F.lit(" cafe\u0301 \uFFFD \u00c3\u00a9"))
+    x = docs.select(F.col("doc_id"), t2.alias("t2"), unicode_normalize(t2).alias("nt"))
+    em = encoding_metrics(F.col("t2"))
+    return x.select(
+        "doc_id",
+        (F.col("t2") != F.col("nt")).alias("changed"),
+        F.md5(F.col("nt")).alias("norm_md5"),
+        (F.length("t2") - F.length("nt")).cast("bigint").alias("len_delta"),
+        em["repl_chars"].alias("repl_chars"),
+        em["mojibake_marks"].alias("mojibake_marks"),
+        em["ctrl"].alias("ctrl"),
+    )
+
+
+Q81_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         text || ' cafe' || chr(769) || ' ' || chr(65533) || ' ' || chr(195) || chr(169) AS t2
+  FROM documents),
+n AS (SELECT doc_id, t2, nfc_normalize(t2) AS nt FROM d)
+SELECT doc_id,
+       t2 <> nt AS changed,
+       md5(nt) AS norm_md5,
+       CAST(len(t2) - len(nt) AS BIGINT) AS len_delta,
+       CAST(len(regexp_extract_all(t2, chr(65533))) AS BIGINT) AS repl_chars,
+       CAST(len(regexp_extract_all(t2, 'Ã|â€|Â')) AS BIGINT) AS mojibake_marks,
+       CAST(len(regexp_extract_all(t2, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS BIGINT) AS ctrl
+FROM n
+"""
+
+
 def q76_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balance mixing report (operators/similarity.assign_clusters):
     every embedding assigned to its nearest of 8 anchor centroids (the 8
@@ -2694,6 +2796,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_otlp_histogram_roundtrip": q77_otlp_histogram_roundtrip,
     "q78_otlp_int_metrics_roundtrip": q78_otlp_int_metrics_roundtrip,
     "q79_otlp_summary_roundtrip": q79_otlp_summary_roundtrip,
+    "q80_linear_classifier": q80_linear_classifier,
+    "q81_unicode_normalize": q81_unicode_normalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -2770,6 +2874,8 @@ ORACLES: dict[str, str] = {
     "q77_otlp_histogram_roundtrip": Q33_SQL,  # same frame, histogram wire between
     "q78_otlp_int_metrics_roundtrip": Q49_SQL,  # same frame, int members wire
     "q79_otlp_summary_roundtrip": Q79_SQL,
+    "q80_linear_classifier": Q80_SQL,
+    "q81_unicode_normalize": Q81_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -382,3 +382,106 @@ def test_boilerplate_no_window_over_corpus(spark):
     )
     # reassembly is a grouped collect_list, never a corpus-wide Window sort
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# linear classifier inference (classify.linear_score)
+# ---------------------------------------------------------------------------
+
+
+def _weights(spark):
+    rows = [("good", 100), ("bad", -300), ("the", 10)]
+    return spark.createDataFrame(rows, "term string, weight_pm bigint")
+
+
+def test_linear_score_multiset_and_oov(spark):
+    from opentelemetry_collector_spark.operators.classify import linear_score
+
+    df = _docs(
+        spark,
+        [
+            (1, "good good the zzz"),  # 2*100 + 10 + 0 = 210
+            (2, "bad"),  # -300
+            (3, "unknown words only"),
+            (4, ""),  # empty: bare bias
+            (5, None),  # NULL text: bare bias
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in linear_score(
+            df, _weights(spark), "doc_id", bias_pm=-5, threshold_pm=0
+        ).collect()
+    }
+    assert (out[1]["n_tokens"], out[1]["hits"], out[1]["score_pm"], out[1]["keep"]) == (
+        4, 3, 205, True,
+    )
+    assert (out[2]["score_pm"], out[2]["keep"]) == (-305, False)
+    assert (out[3]["n_tokens"], out[3]["hits"], out[3]["score_pm"]) == (3, 0, -5)
+    # empty and NULL text score the bare bias and STAY as rows
+    assert (out[4]["n_tokens"], out[4]["score_pm"], out[4]["keep"]) == (0, -5, False)
+    assert (out[5]["n_tokens"], out[5]["score_pm"]) == (0, -5)
+    assert len(out) == 5
+
+
+def test_linear_score_threshold_and_plan(spark):
+    from opentelemetry_collector_spark.operators.classify import linear_score
+
+    df = _docs(spark, [(1, "good"), (2, "the")])
+    out = linear_score(df, _weights(spark), "doc_id", bias_pm=0, threshold_pm=50)
+    got = {r["doc_id"]: r["keep"] for r in out.collect()}
+    assert got == {1: True, 2: False}  # 100 >= 50, 10 < 50
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # vocab joins broadcast; no sort-merge of the corpus against the vocab
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization + encoding metrics (text.unicode_normalize)
+# ---------------------------------------------------------------------------
+
+
+def test_unicode_normalize_nfc_golden(spark):
+    from opentelemetry_collector_spark.operators.text import unicode_normalize
+
+    decomposed = "café"  # e + COMBINING ACUTE
+    precomposed = "café"
+    df = _docs(spark, [(1, decomposed), (2, precomposed), (3, None)])
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", unicode_normalize(F.col("text")).alias("n")).collect()
+    }
+    assert out[1] == precomposed  # NFC folds the combining pair
+    assert out[2] == precomposed  # already-NFC text is untouched
+    assert out[3] is None  # NULL passes through
+
+
+def test_unicode_normalize_nfd_and_bad_form(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_spark.operators.text import unicode_normalize
+
+    df = _docs(spark, [(1, "café")])
+    out = df.select(unicode_normalize(F.col("text"), "NFD").alias("n")).collect()
+    assert out[0]["n"] == "café"
+    with _pytest.raises(ValueError):
+        unicode_normalize(F.col("text"), "NFX")
+
+
+def test_encoding_metrics_counts(spark):
+    from opentelemetry_collector_spark.operators.text import encoding_metrics
+
+    df = _docs(
+        spark,
+        [
+            (1, "ok �� then Ã© and â€™ plus \x07"),
+            (2, "clean text\twith tab\nand newline"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["m"]
+        for r in df.select("doc_id", encoding_metrics(F.col("text")).alias("m")).collect()
+    }
+    assert (out[1]["repl_chars"], out[1]["mojibake_marks"], out[1]["ctrl"]) == (2, 2, 1)
+    # tab/newline/CR are NOT control damage
+    assert (out[2]["repl_chars"], out[2]["mojibake_marks"], out[2]["ctrl"]) == (0, 0, 0)
