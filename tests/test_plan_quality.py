@@ -242,3 +242,37 @@ def test_tfidf_rank_limit_pushdown_and_broadcast_docfreq(spark):
     # the corpus scan+explode runs ONCE: both tf and doc_freq branches read
     # the persisted postings aggregate, not the parquet scan
     assert "InMemoryTableScan" in plan
+
+
+def test_linear_score_broadcast_vocab_partial_agg(spark, small):
+    """Classifier inference must probe the vocab via BroadcastHashJoin
+    (never shuffle the corpus to meet the vocabulary) and partial-aggregate
+    the per-doc sum before its single exchange — the shuffle carries one
+    row per doc, independent of token count."""
+    from opentelemetry_collector_spark.operators.classify import linear_score
+
+    w = spark.createDataFrame([("the", 10), ("a", -5)], "term string, weight_pm bigint")
+    plan = _plan(linear_score(small.withColumnRenamed("conv_id", "doc_id"), w, "doc_id"))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    partial = plan.find("HashAggregate(keys=[doc_id")
+    exch = plan.find("Exchange hashpartitioning(doc_id")
+    assert partial != -1 and exch != -1
+    # top-down print: the partial agg appears below (upstream of) the exchange
+    assert plan.find("HashAggregate", exch) != -1
+
+
+def test_unicode_normalize_single_arrow_stage_no_exchange(spark, tiny):
+    """NFC normalization is the sanctioned Arrow path: exactly ONE
+    ArrowEvalPython over the scan, never row-wise BatchEvalPython, and no
+    shuffle — the encoding pass rides the scan."""
+    from opentelemetry_collector_spark.operators.text import encoding_metrics, unicode_normalize
+
+    q = tiny.select(
+        unicode_normalize(F.col("text")).alias("nt"),
+        encoding_metrics(F.col("text")).alias("m"),
+    )
+    plan = _plan(q)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan

@@ -231,6 +231,24 @@ COMMENTARY = {
         "(vec, best) pair; a row_number-over-vec formulation would shuffle the "
         "corpus x k scored rows instead.",
     ),
+    "q80_linear_classifier": (
+        "Vocab side is a BroadcastHashJoin build (never a SortMergeJoin of the corpus "
+        "against the vocabulary); the per-doc signed sum partial-aggregates before the "
+        "single exchange on doc id; token explode and the threshold decision stay in "
+        "WholeStageCodegen.",
+        "Classifier inference over 100 TB is a map-side pass when the vocab broadcasts "
+        "(a fastText vocab is megabytes): each task ships one (doc, sum) pair per "
+        "document, so the shuffle is |docs|, independent of token count.",
+    ),
+    "q81_unicode_normalize": (
+        "Exactly ONE ArrowEvalPython (the sanctioned pandas_udf normalization stage) "
+        "over the scan — never BatchEvalPython; the mojibake counters and md5 are JVM "
+        "expressions in the surrounding projections; no Exchange at all.",
+        "Encoding cleanup is a pure per-row map: as an Arrow-batched stage it rides the "
+        "scan with zero shuffle, and everything around the one unavoidable Python hop "
+        "stays in codegen so the hop's cost is the normalization itself, not "
+        "serialization of extra columns.",
+    ),
     "q53_latency_quantiles": (
         "Exact percentiles ride the SAME plan shape as any grouped agg: lead() window on "
         "hashpartitioning(conv_id), broadcast meta join, then partial+final HashAggregate "
