@@ -40,6 +40,8 @@ DOC_QUERIES = [
     "q68_tfidf_top_terms",
     "q74_c4_clean",
     "q75_boilerplate_lines",
+    "q80_linear_classifier",
+    "q81_unicode_normalize",
 ]
 
 WEIRD_TEXTS = [
@@ -82,5 +84,6 @@ def test_doc_query_survives_degenerate_text(spark, weird_sf_dir, name):
     # per-doc ops must not silently drop the degenerate rows
     if name in {"q13_text_quality", "q14_lang_id", "q15_token_count",
                 "q44_pii_redact", "q45_repetition", "q47_vocab_coverage",
-                "q50_exact_substring", "q67_gopher_filter"}:
+                "q50_exact_substring", "q67_gopher_filter",
+                "q80_linear_classifier", "q81_unicode_normalize"}:
         assert n >= len(WEIRD_TEXTS)
