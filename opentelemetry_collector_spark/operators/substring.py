@@ -96,6 +96,23 @@ def _gram_positions_df(
     )
 
 
+def _merge_spans(hits: DataFrame, id_col: str) -> DataFrame:
+    """(id, pos, end) windows -> maximal merged (id, s, e) spans via the
+    classic gaps-and-islands window: a window starts a new span when its
+    pos exceeds the running max end of everything before it (per doc,
+    position order). Adjacent spans (gap 0) merge too."""
+    w = Window.partitionBy(id_col).orderBy("pos", "end")
+    prev_max_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = hits.withColumn(
+        "_new", F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1).otherwise(0)
+    )
+    return (
+        marked.withColumn("_sid", F.sum("_new").over(w))
+        .groupBy(id_col, "_sid")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+    )
+
+
 def duplicated_spans(
     df: DataFrame, id_col: str, text_col: str = "text", min_len: int = 40
 ) -> DataFrame:
@@ -121,18 +138,7 @@ def duplicated_spans(
         .filter(F.col("_c") > 1)
         .select(id_col, "pos", (F.col("pos") + min_len - 1).alias("end"))
     )
-    # gaps-and-islands: a window starts a new span when its pos exceeds the
-    # running max end of everything before it (per doc, position order)
-    w = Window.partitionBy(id_col).orderBy("pos", "end")
-    prev_max_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    marked = hits.withColumn(
-        "_new", F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1).otherwise(0)
-    )
-    spans = (
-        marked.withColumn("_sid", F.sum("_new").over(w))
-        .groupBy(id_col, "_sid")
-        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
-    )
+    spans = _merge_spans(hits, id_col)
     per_doc = spans.groupBy(id_col).agg(
         F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars"),
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
@@ -148,4 +154,82 @@ def duplicated_spans(
         .cast("bigint")
         .alias("dup_pm"),
         F.col("n_spans"),
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str = "text", min_len: int = 40
+) -> DataFrame:
+    """Destructive exact-substring dedup: CUT every duplicated span except
+    its first corpus occurrence (the ExactSubstr policy of Lee et al. 2022,
+    arXiv:2107.06499 — one copy of the duplicated text survives, every
+    other occurrence is excised). ``duplicated_spans`` is the audit form;
+    this is the transform corpora actually ship through.
+
+    "First occurrence" is the gram's minimum (id, pos) — a total order both
+    engines reproduce, so the decision is deterministic at any parallelism.
+    A document may keep one span and lose another; a doc that holds a
+    gram's only first occurrence keeps those characters even when later
+    grams of the same doc are cut.
+
+    Output: one row per input doc — ``(id, cleaned string, n_chars bigint,
+    removed_chars bigint, n_cuts bigint)``; ``cleaned`` is the original
+    text with the cut spans spliced out (empty string when everything was
+    a repeat). NULL text stays NULL (n_chars 0).
+
+    Scale shape: the anchor kernel + ONE shuffle of hashed (id, pos, g)
+    rows for the two same-partition windows (occurrence count + first-
+    occurrence rank share the gram-key exchange), one doc-keyed span merge
+    (bounded by text length), then the splice — per-doc span arrays are
+    small, so the interpreted HOF aggregate touches dozens of elements,
+    never the corpus. Raw text rides only the final doc-keyed join.
+    """
+    from opentelemetry_collector_spark.session import spread
+
+    base = spread(df)
+    pos = _gram_positions_df(base, id_col, text_col, min_len)
+    w_g = Window.partitionBy("g")
+    w_rank = Window.partitionBy("g").orderBy(id_col, "pos")
+    hits = (
+        pos.withColumn("_c", F.count(F.lit(1)).over(w_g))
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .filter((F.col("_c") > 1) & (F.col("_rn") > 1))
+        .select(id_col, "pos", (F.col("pos") + min_len - 1).alias("end"))
+    )
+    spans = _merge_spans(hits, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("e")))).alias("_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("removed_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cuts"),
+    )
+    joined = df.join(per_doc, id_col, "left")
+    text = F.col(text_col)
+    n = F.coalesce(F.length(text), F.lit(0))
+    spans_arr = F.coalesce(
+        F.col("_spans"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    # splice: fold the sorted spans with a (text-so-far, cursor) accumulator
+    # appending the kept segment before each cut, then the tail after the
+    # last one. Merged spans guarantee non-negative segment lengths; the
+    # greatest() guards are belt-and-braces for degenerate inputs.
+    cleaned = F.aggregate(
+        spans_arr,
+        F.struct(F.lit("").alias("t"), F.lit(0).alias("c")),
+        lambda acc, sp: F.struct(
+            F.concat(
+                acc["t"],
+                text.substr(acc["c"] + 1, F.greatest(sp["s"] - 1 - acc["c"], F.lit(0))),
+            ).alias("t"),
+            sp["e"].alias("c"),
+        ),
+        lambda acc: F.concat(
+            acc["t"], text.substr(acc["c"] + 1, F.greatest(n - acc["c"], F.lit(0)))
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        cleaned.alias("cleaned"),
+        n.cast("bigint").alias("n_chars"),
+        F.coalesce(F.col("removed_chars"), F.lit(0)).alias("removed_chars"),
+        F.coalesce(F.col("n_cuts"), F.lit(0)).alias("n_cuts"),
     )

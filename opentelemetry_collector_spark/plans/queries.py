@@ -1443,6 +1443,73 @@ FROM d LEFT JOIN per_doc USING (doc_id)
 """
 
 
+def q82_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destructive exact-substring dedup (operators/substring.py
+    remove_duplicated_spans, ExactSubstr of Lee et al. 2022): every
+    duplicated 40-gram span is cut except its first corpus occurrence
+    (minimum (doc_id, pos) — a total order both engines reproduce), and
+    the document text is spliced back together around the cuts. Oracle:
+    full recomputation on the substring text itself, with the cleaned
+    string rebuilt via lag-derived kept segments — the output compares the
+    actual spliced TEXT, not just counts, so an off-by-one anywhere in the
+    cut logic fails the hash."""
+    from opentelemetry_collector_spark.operators.substring import remove_duplicated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicated_spans(docs, "doc_id", min_len=40)
+
+
+Q82_SQL = """
+WITH d AS (SELECT doc_id, text, length(text) AS n_chars FROM documents),
+g AS (
+  SELECT doc_id, unnest(generate_series(1, n_chars - 39)) AS pos
+  FROM d WHERE n_chars >= 40),
+gg AS (
+  SELECT g.doc_id, pos, pos + 39 AS e, substr(d.text, pos, 40) AS gram
+  FROM g JOIN d USING (doc_id)),
+rk AS (
+  SELECT doc_id, pos, e,
+         count(*) OVER (PARTITION BY gram) AS c,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM gg),
+hits AS (SELECT doc_id, pos, e FROM rk WHERE c > 1 AND rn > 1),
+marked AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY pos, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new
+  FROM hits),
+sid AS (
+  SELECT doc_id, pos, e,
+         sum(new) OVER (PARTITION BY doc_id ORDER BY pos, e) AS s_id
+  FROM marked),
+spans AS (SELECT doc_id, s_id, min(pos) AS s, max(e) AS e FROM sid GROUP BY doc_id, s_id),
+segs AS (
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS b,
+         s - 1 AS f
+  FROM spans
+  UNION ALL
+  SELECT sp.doc_id, max(sp.e) + 1 AS b, d.n_chars AS f
+  FROM spans sp JOIN d USING (doc_id) GROUP BY sp.doc_id, d.n_chars),
+cl AS (
+  SELECT s.doc_id,
+         string_agg(substr(d.text, s.b, greatest(s.f - s.b + 1, 0)), '' ORDER BY s.b) AS cleaned
+  FROM segs s JOIN d USING (doc_id) GROUP BY s.doc_id),
+per AS (
+  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed_chars,
+         CAST(count(*) AS BIGINT) AS n_cuts
+  FROM spans GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(cl.cleaned, d.text) AS cleaned,
+       CAST(coalesce(d.n_chars, 0) AS BIGINT) AS n_chars,
+       coalesce(per.removed_chars, 0) AS removed_chars,
+       coalesce(per.n_cuts, 0) AS n_cuts
+FROM d LEFT JOIN cl USING (doc_id) LEFT JOIN per USING (doc_id)
+"""
+
+
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
 
@@ -2798,6 +2865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_otlp_summary_roundtrip": q79_otlp_summary_roundtrip,
     "q80_linear_classifier": q80_linear_classifier,
     "q81_unicode_normalize": q81_unicode_normalize,
+    "q82_substring_removal": q82_substring_removal,
 }
 
 ORACLES: dict[str, str] = {
@@ -2876,6 +2944,7 @@ ORACLES: dict[str, str] = {
     "q79_otlp_summary_roundtrip": Q79_SQL,
     "q80_linear_classifier": Q80_SQL,
     "q81_unicode_normalize": Q81_SQL,
+    "q82_substring_removal": Q82_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

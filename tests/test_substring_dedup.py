@@ -55,3 +55,70 @@ def test_plan_shape_single_kernel_and_windows(spark):
     assert plan.count("MapInPandas") == 1  # the anchor kernel runs ONCE
     assert "Window" in plan  # the gram-count pass and the per-doc islands pass
     assert plan.count("HashAggregate") >= 2  # span/doc rollups (partial+final)
+
+
+# ---------------------------------------------------------------------------
+# destructive removal (remove_duplicated_spans, ExactSubstr policy)
+# ---------------------------------------------------------------------------
+
+from opentelemetry_collector_spark.operators.substring import (  # noqa: E402
+    remove_duplicated_spans,
+)
+
+
+def _cut(spark, rows, min_len):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(df, "doc_id", min_len=min_len).collect()
+    }
+
+
+def test_removal_keeps_first_corpus_occurrence(spark):
+    rows = [
+        (1, "xxxxxABCDEFGHIJyyyyy"),  # first occurrence (doc 1 < doc 2)
+        (2, "zzABCDEFGHIJqq"),
+        (3, "totally unique text."),
+    ]
+    got = _cut(spark, rows, min_len=10)
+    # doc 1 holds the min-(id,pos) occurrence -> untouched
+    assert got[1]["cleaned"] == "xxxxxABCDEFGHIJyyyyy"
+    assert (got[1]["removed_chars"], got[1]["n_cuts"]) == (0, 0)
+    # doc 2's copy is excised, text spliced around it
+    assert got[2]["cleaned"] == "zzqq"
+    assert (got[2]["removed_chars"], got[2]["n_cuts"]) == (10, 1)
+    assert got[3]["cleaned"] == "totally unique text."
+
+
+def test_removal_same_doc_repeat_keeps_one_copy(spark):
+    got = _cut(spark, [(1, "ABCDEFGHIJ--ABCDEFGHIJ")], min_len=10)
+    # the pos-13 copy is the non-first occurrence
+    assert got[1]["cleaned"] == "ABCDEFGHIJ--"
+    assert (got[1]["removed_chars"], got[1]["n_cuts"]) == (10, 1)
+
+
+def test_removal_whole_doc_duplicate_becomes_empty(spark):
+    got = _cut(spark, [(1, "ABCDEFGHIJ"), (2, "ABCDEFGHIJ")], min_len=10)
+    assert got[1]["cleaned"] == "ABCDEFGHIJ"
+    assert got[2]["cleaned"] == ""
+    assert (got[2]["removed_chars"], got[2]["n_cuts"]) == (10, 1)
+
+
+def test_removal_multiple_cuts_splice_correctly(spark):
+    shared1 = "0123456789"
+    shared2 = "abcdefghij"
+    rows = [
+        (1, f"{shared1}--{shared2}"),      # holds both first occurrences
+        (2, f"LL{shared1}MM{shared2}RR"),  # loses both, keeps the seams
+    ]
+    got = _cut(spark, rows, min_len=10)
+    assert got[1]["cleaned"] == f"{shared1}--{shared2}"
+    assert got[2]["cleaned"] == "LLMMRR"
+    assert (got[2]["removed_chars"], got[2]["n_cuts"]) == (20, 2)
+
+
+def test_removal_null_and_short_docs_pass_through(spark):
+    got = _cut(spark, [(1, None), (2, "tiny")], min_len=10)
+    assert got[1]["cleaned"] is None and got[1]["n_chars"] == 0
+    assert got[2]["cleaned"] == "tiny" and got[2]["removed_chars"] == 0
+    assert len(got) == 2
