@@ -218,3 +218,52 @@ def stratified_sample(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def shuffle_shards(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding.
+
+    Training consumes the corpus in pseudo-random order, and at 100 TB the
+    only sane formulation is STATELESS: order key = md5(id) (a uniform
+    total order any engine reproduces — no seed state, no global sort to
+    assign it), shard = the key's 52-bit prefix scaled to ``n_shards`` in
+    exact integer math. Shard assignment is a pure projection (zero
+    shuffle, zero sort); writers then ``partitionBy("shard")`` and sort
+    within partitions by ``order_key`` — the global permutation emerges
+    from shard-major + key-minor order without any corpus-wide exchange.
+
+    The batch processor's size-bounded rebatching
+    (``batch_processor.go:151-163``) is the reference relative: bound the
+    unit of downstream consumption; here the bound is per-shard row mass,
+    uniform in expectation by the 52-bit uniformity of the prefix.
+
+    Output: the input plus ``order_key`` (32-hex md5 of the stringified
+    id) and ``shard`` (int in [0, n_shards)). NULL ids get NULL keys and
+    shard NULL — junk stays visible rather than polluting shard 0.
+    """
+    if not 1 <= n_shards <= 2048:
+        # prefix * n_shards must stay inside int64: 52 + 11 bits
+        raise ValueError("n_shards must be in [1, 2048]")
+    key = F.md5(F.col(id_col).cast("string"))
+    prefix = F.conv(F.substring(key, 1, 13), 16, 10).cast("bigint")
+    # exact integer scaling: the prefix is 52 bits, so (prefix * n) >> 52
+    # floors prefix * n / 16^13 without ever touching a double (float
+    # division loses the boundary bits past 2^53)
+    shard = F.shiftright(prefix * n_shards, 52)
+    return df.withColumn("order_key", key).withColumn(
+        "shard", F.when(F.col(id_col).isNotNull(), shard).cast("int")
+    )
+
+
+def shard_manifest(assigned: DataFrame, *payload_sums: str) -> DataFrame:
+    """Per-shard manifest of a ``shuffle_shards`` frame: row count and the
+    [first, last] order-key range (what a training loader needs to plan
+    epoch reads), plus an optional sum per named payload column (e.g.
+    token counts for load balancing). One partial-aggregated shuffle of
+    |shards| rows."""
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("order_key").alias("first_key"),
+        F.max("order_key").alias("last_key"),
+    ] + [F.sum(c).cast("bigint").alias(f"sum_{c}") for c in payload_sums]
+    return assigned.groupBy("shard").agg(*aggs)

@@ -1510,6 +1510,46 @@ FROM d LEFT JOIN cl USING (doc_id) LEFT JOIN per USING (doc_id)
 """
 
 
+def q83_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle + sharding (operators/sample.py
+    shuffle_shards / shard_manifest): every document gets a stateless
+    md5(id) order key and an exact-integer shard from the key's 52-bit
+    prefix (shift, never float division), rolled up to the per-shard
+    manifest a training loader plans epochs from (row count, key range,
+    token mass). Zero corpus sort, zero assignment shuffle — the global
+    permutation is shard-major + key-minor order. Oracle: identical hex
+    prefix -> ubigint shift in DuckDB."""
+    from opentelemetry_collector_spark.operators.sample import shard_manifest, shuffle_shards
+    from opentelemetry_collector_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    a = shuffle_shards(docs, "doc_id", 8).withColumn("toks", token_count(F.col("text")))
+    return shard_manifest(a, "toks").select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_rows",
+        "first_key",
+        "last_key",
+        "sum_toks",
+    )
+
+
+Q83_SQL = """
+WITH a AS (
+  SELECT md5(CAST(doc_id AS VARCHAR)) AS order_key,
+         CAST(((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT * 8) >> 52)
+              AS INT) AS shard,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks
+  FROM documents)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(order_key) AS first_key,
+       max(order_key) AS last_key,
+       CAST(sum(toks) AS BIGINT) AS sum_toks
+FROM a GROUP BY shard
+"""
+
+
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
 
@@ -2866,6 +2906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_linear_classifier": q80_linear_classifier,
     "q81_unicode_normalize": q81_unicode_normalize,
     "q82_substring_removal": q82_substring_removal,
+    "q83_shuffle_shards": q83_shuffle_shards,
 }
 
 ORACLES: dict[str, str] = {
@@ -2945,6 +2986,7 @@ ORACLES: dict[str, str] = {
     "q80_linear_classifier": Q80_SQL,
     "q81_unicode_normalize": Q81_SQL,
     "q82_substring_removal": Q82_SQL,
+    "q83_shuffle_shards": Q83_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

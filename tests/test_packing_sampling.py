@@ -231,3 +231,67 @@ def test_token_budget_sample_null_tokens_deterministic_zero_cost(spark):
     assert kept == {1, 4}
     # determinism: identical keep-set on re-evaluation
     assert {r.doc_id for r in out.collect()} == kept
+
+
+# ---------------------------------------------------------------------------
+# training-order shuffle + sharding (sample.shuffle_shards)
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_shards_deterministic_and_in_range(spark):
+    import hashlib
+
+    from opentelemetry_collector_spark.operators.sample import shuffle_shards
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r for r in shuffle_shards(df, "doc_id", 8).collect()}
+    assert len(out) == 500
+    for i in (0, 123, 499):
+        md5 = hashlib.md5(str(i).encode()).hexdigest()
+        assert out[i]["order_key"] == md5
+        assert out[i]["shard"] == (int(md5[:13], 16) * 8) >> 52
+    shards = {r["shard"] for r in out.values()}
+    assert shards <= set(range(8))
+    # 52-bit-uniform prefix: each of 8 shards gets SOMETHING at n=500
+    assert len(shards) == 8
+
+
+def test_shuffle_shards_null_id_and_bad_n(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_spark.operators.sample import shuffle_shards
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id bigint")
+    got = {r["doc_id"]: r for r in shuffle_shards(df, "doc_id", 4).collect()}
+    assert got[None]["shard"] is None  # junk stays visible, never shard 0
+    assert got[1]["shard"] is not None
+    for bad in (0, 4096):
+        with _pytest.raises(ValueError):
+            shuffle_shards(df, "doc_id", bad)
+
+
+def test_shuffle_shards_assignment_is_pure_projection(spark):
+    from opentelemetry_collector_spark.operators.sample import shuffle_shards
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    plan = shuffle_shards(df, "doc_id", 16)._jdf.queryExecution().executedPlan().toString()
+    # zero shuffle, zero sort, zero Python: assignment rides the scan
+    assert "Exchange" not in plan and "Sort" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shard_manifest_counts_and_ranges(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.sample import shard_manifest, shuffle_shards
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = shuffle_shards(df, "doc_id", 4).withColumn("w", F.lit(2))
+    m = shard_manifest(a, "w").collect()
+    assert sum(r["n_rows"] for r in m) == 1000
+    assert all(r["sum_w"] == 2 * r["n_rows"] for r in m)
+    assert all(r["first_key"] <= r["last_key"] for r in m)
+    # key ranges of distinct shards never interleave (shard = key prefix)
+    spans = sorted((r["shard"], r["first_key"], r["last_key"]) for r in m)
+    for (_, _, prev_last), (_, nxt_first, _) in zip(spans, spans[1:]):
+        assert prev_last < nxt_first
