@@ -55,7 +55,11 @@ HEADLINE = [
     "q68_tfidf_top_terms",
     "q74_c4_clean",
     "q75_boilerplate_lines",
+    "q80_linear_classifier",
+    "q81_unicode_normalize",
+    "q82_substring_removal",
     # training-mix construction (documents table)
+    "q83_shuffle_shards",
     "q57_token_budget_mix",
     "q58_token_budget_rate",
     "q59_importance_mass",
