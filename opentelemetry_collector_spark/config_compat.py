@@ -63,6 +63,8 @@ _MATCH_FIELDS = {
     "attributes",
     "resources",
     "libraries",
+    # expr match type (filtermetric/config.go:50-52)
+    "expressions",
     # accepted-and-ignored knobs of the Go regexp filterset (an LRU result
     # cache — Catalyst evaluates rlike vectorized, nothing to cache)
     "regexp",
@@ -105,6 +107,37 @@ def match_properties_from_reference(
     unknown = set(spec) - _MATCH_FIELDS
     if unknown:
         raise ValueError(f"unknown match-properties fields: {sorted(unknown)}")
+
+    if spec.get("match_type") == "expr":
+        # expr mode ignores every other criterion (filtermetric.NewMatcher
+        # returns an exprMatcher built ONLY from expressions); parse
+        # eagerly so a bad expression fails at load time like the Go
+        # filterexpr.NewMatcher compile
+        from opentelemetry_collector_spark.operators.filters import _tokenize
+
+        exprs = list(spec.get("expressions") or [])
+        for e in exprs:
+            _tokenize(e)
+        return MatchProperties(
+            match_type="expr",
+            expressions=exprs,
+            expr_name_col=metric_col,
+            attrs_col=attrs_col,
+        )
+
+    if spec.get("match_type") == "regexp":
+        # the Go regexp filterset compiles every pattern at build time
+        # (regexpfilterset.go:37-55) and a malformed one rejects the whole
+        # config (testdata/config_invalid.yaml) — compile eagerly for the
+        # same failure point
+        import re as _re
+
+        for field in ("services", "span_names", "log_names", "metric_names"):
+            for pat in spec.get(field) or []:
+                try:
+                    _re.compile(pat)
+                except _re.error as exc:
+                    raise ValueError(f"invalid regexp pattern {pat!r}: {exc}") from exc
 
     columns: dict[str, list[str]] = {}
     if spec.get("services"):

@@ -34,6 +34,7 @@ from opentelemetry_collector_spark.functions.coerce import canonical_str
 
 STRICT = "strict"
 REGEXP = "regexp"
+EXPR = "expr"
 
 
 def filterset_predicate(col: Column, values: list[str], match_type: str = STRICT) -> Column:
@@ -71,7 +72,16 @@ class MatchProperties:
         column — filterspan matches resource attributes with the identical
         attributesMatcher, just against Resource().Attributes()
         (``internal/processor/filterspan/filterspan.go:107-116``).
-    match_type: strict|regexp, applies to columns and string attr values.
+    match_type: strict|regexp, applies to columns and string attr values;
+        "expr" switches to the expressions list below and IGNORES every
+        other criterion, exactly like filtermetric.NewMatcher
+        (``internal/processor/filtermetric/filtermetric.go:27-31``).
+    expressions: expr-language strings OR'd together (exprMatcher loops
+        until first match, ``expr_matcher.go:38-48``); an EMPTY list
+        matches NOTHING (no matchers -> false), so an include spec with no
+        expressions drops the whole stream — the reference's own
+        config_expr.yaml ``filter/empty`` behavior.
+    expr_name_col: the column ``MetricName``/``Name`` reads in expr mode.
     """
 
     match_type: str = STRICT
@@ -80,6 +90,8 @@ class MatchProperties:
     attrs_col: str = "attrs"
     resources: dict[str, object | None] = field(default_factory=dict)
     resource_col: str = "resource"
+    expressions: list[str] = field(default_factory=list)
+    expr_name_col: str = "metric"
 
     def _map_matchers(self, col_name: str, spec: dict[str, object | None]) -> list[Column]:
         preds: list[Column] = []
@@ -95,6 +107,17 @@ class MatchProperties:
         return preds
 
     def predicate(self) -> Column:
+        if self.match_type == EXPR:
+            if not self.expressions:
+                return F.lit(False)
+            out = expr_predicate(
+                self.expressions[0], name_col=self.expr_name_col, attrs_col=self.attrs_col
+            )
+            for e in self.expressions[1:]:
+                out = out | expr_predicate(
+                    e, name_col=self.expr_name_col, attrs_col=self.attrs_col
+                )
+            return F.coalesce(out, F.lit(False))
         preds: list[Column] = []
         for name, values in self.columns.items():
             preds.append(filterset_predicate(F.col(name), values, self.match_type))

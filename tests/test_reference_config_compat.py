@@ -197,3 +197,80 @@ def test_filter_regexp_blocks_compile_and_find_anywhere(spark):
         "prefix/test/match",
         "prefixprefix/test/match",  # find-anywhere, NOT anchored
     ]
+
+
+# ---------------------------------------------------------------------------
+# config_expr.yaml — the expr match type (filtermetric/expr_matcher.go)
+# ---------------------------------------------------------------------------
+
+FILT_EXPR = f"{REF}/processor/filterprocessor/testdata/config_expr.yaml"
+FILT_INVALID = f"{REF}/processor/filterprocessor/testdata/config_invalid.yaml"
+
+
+def _metrics(spark, rows):
+    return spark.createDataFrame(rows, "metric string, attrs map<string,string>")
+
+
+def test_expr_empty_include_matches_nothing(spark):
+    """filter/empty: an expr matcher with no expressions has no matchers,
+    so MatchMetric is always false (expr_matcher.go:38-48) — the include
+    mismatch drops the whole stream."""
+    from opentelemetry_collector_spark.operators.filters import filter_records
+
+    p = load_reference_processors(FILT_EXPR)["filter/empty"]
+    assert p["include"].match_type == "expr" and p["include"].expressions == []
+    df = _metrics(spark, [("m1", {"foo": "bar"}), ("m2", {})])
+    assert filter_records(df, include=p["include"]).count() == 0
+
+
+def test_expr_include_ors_expressions(spark):
+    """filter/include: Label("foo") == "bar" OR HasLabel("baz") — the
+    exprMatcher loops until first match."""
+    from opentelemetry_collector_spark.operators.filters import filter_records
+
+    p = load_reference_processors(FILT_EXPR)["filter/include"]
+    df = _metrics(
+        spark,
+        [
+            ("a", {"foo": "bar"}),          # first expression
+            ("b", {"baz": "anything"}),     # second expression
+            ("c", {"foo": "nope"}),         # neither
+            ("d", {}),                      # empty labels
+        ],
+    )
+    out = sorted(r["metric"] for r in filter_records(df, include=p["include"]).collect())
+    assert out == ["a", "b"]
+
+
+def test_expr_exclude_and_includeexclude(spark):
+    from opentelemetry_collector_spark.operators.filters import filter_records
+
+    procs = load_reference_processors(FILT_EXPR)
+    df = _metrics(
+        spark,
+        [
+            ("a", {"foo": "bar"}),
+            ("b", {"baz": "x"}),
+            ("c", {"other": "1"}),
+            ("d", {"foo": "1", "bar": "1"}),
+        ],
+    )
+    out = sorted(
+        r["metric"]
+        for r in filter_records(df, exclude=procs["filter/exclude"]["exclude"]).collect()
+    )
+    assert out == ["c", "d"]  # a matches expr 1, b matches expr 2
+    p = procs["filter/includeexclude"]
+    out = sorted(
+        r["metric"]
+        for r in filter_records(df, include=p["include"], exclude=p["exclude"]).collect()
+    )
+    assert out == ["a"]  # HasLabel(foo) minus HasLabel(bar)
+
+
+def test_invalid_regexp_config_rejected_at_load(spark):
+    """config_invalid.yaml's broken pattern ((\\W|^)stock\\stips(\\W|$ —
+    unclosed group) must fail at LOAD time like the Go re2 compile."""
+    procs = load_reference_processors(FILT_INVALID)
+    assert "error" in procs["filter/include"]
+    assert "invalid regexp" in procs["filter/include"]["error"]
