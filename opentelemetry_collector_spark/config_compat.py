@@ -202,7 +202,84 @@ def compile_reference_processor(name: str, cfg: dict[str, Any], **cols: str) -> 
                 else None
             ),
         }
+    if kind == "resource":
+        # resourceprocessor factory.go:101 — attributes actions are required
+        if not (cfg or {}).get("attributes"):
+            raise ValueError('missing required field "attributes"')
+        return {
+            "kind": kind,
+            "actions": actions_from_reference(cfg["attributes"]),
+            "include": None,
+            "exclude": None,
+        }
+    if kind == "span":
+        name_cfg = (cfg or {}).get("name") or {}
+        from_attrs = list(name_cfg.get("from_attributes") or [])
+        to_attrs = name_cfg.get("to_attributes") or {}
+        rules = list(to_attrs.get("rules") or [])
+        if not from_attrs and not rules:
+            # spanprocessor factory validation: name needs one of the two
+            raise ValueError('missing required field "name"')
+        return {
+            "kind": kind,
+            "from_attributes": from_attrs,
+            "separator": name_cfg.get("separator") or "",
+            "to_attributes_rules": rules,
+            "break_after_match": bool(to_attrs.get("break_after_match", False)),
+            "include": (
+                match_properties_from_reference(cfg["include"], **cols) if "include" in cfg else None
+            ),
+            "exclude": (
+                match_properties_from_reference(cfg["exclude"], **cols) if "exclude" in cfg else None
+            ),
+        }
+    if kind == "probabilistic_sampler":
+        return {
+            "kind": kind,
+            "sampling_percentage": float((cfg or {}).get("sampling_percentage") or 0.0),
+            "hash_seed": int((cfg or {}).get("hash_seed") or 0),
+        }
+    if kind == "batch":
+        return {
+            "kind": kind,
+            "timeout": (cfg or {}).get("timeout"),
+            "send_batch_size": int((cfg or {}).get("send_batch_size") or 8192),
+            "send_batch_max_size": int((cfg or {}).get("send_batch_max_size") or 0) or None,
+        }
+    if kind == "memory_limiter":
+        from opentelemetry_collector_spark.operators.memory_limiter import MemoryLimiterConfig
+
+        c = cfg or {}
+        # construction-error parity, in the reference's order
+        # (memorylimiter.go:90-98): checkInterval first, then the limit —
+        # the empty testdata block fails exactly like newMemoryLimiter
+        if _duration_seconds(c.get("check_interval")) <= 0:
+            raise ValueError("checkInterval must be greater than zero")
+        limiter = MemoryLimiterConfig(
+            limit_mib=float(c.get("limit_mib") or 0.0),
+            spike_limit_mib=float(c.get("spike_limit_mib") or 0.0),
+        )
+        return {"kind": kind, "config": limiter, "check_interval": c.get("check_interval")}
     raise ValueError(f"unsupported reference processor type: {kind}")
+
+
+def _duration_seconds(v: Any) -> float:
+    """Go duration string ("5s", "100ms", "1m30s") or number -> seconds;
+    None/empty -> 0 (the Go zero value)."""
+    if v is None:
+        return 0.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    import re as _re
+
+    total, pos = 0.0, 0
+    units = {"h": 3600.0, "m": 60.0, "s": 1.0, "ms": 1e-3, "us": 1e-6, "ns": 1e-9}
+    for m in _re.finditer(r"(\d+(?:\.\d+)?)(h|ms|us|ns|m|s)", str(v)):
+        total += float(m.group(1)) * units[m.group(2)]
+        pos = m.end()
+    if pos != len(str(v).strip()) or pos == 0:
+        raise ValueError(f"invalid duration: {v!r}")
+    return total
 
 
 def load_reference_processors(path: str, **cols: str) -> dict[str, dict[str, Any]]:

@@ -274,3 +274,136 @@ def test_invalid_regexp_config_rejected_at_load(spark):
     procs = load_reference_processors(FILT_INVALID)
     assert "error" in procs["filter/include"]
     assert "invalid regexp" in procs["filter/include"]["error"]
+
+
+# ---------------------------------------------------------------------------
+# the remaining processor testdata configs: resource, span, sampler, batch,
+# memory_limiter — every processor fixture in the reference now loads
+# ---------------------------------------------------------------------------
+
+RES_CFG = f"{REF}/processor/resourceprocessor/testdata/config.yaml"
+SPAN_CFG = f"{REF}/processor/spanprocessor/testdata/config.yaml"
+SAMP_CFG = f"{REF}/processor/probabilisticsamplerprocessor/testdata/config.yaml"
+BATCH_CFG = f"{REF}/processor/batchprocessor/testdata/config.yaml"
+MEM_CFG = f"{REF}/processor/memorylimiter/testdata/config.yaml"
+
+
+def test_resource_config_runs_documented_actions(spark):
+    """config.yaml's own comment: upsert zone-1, copy k8s-cluster ->
+    k8s.cluster.name only if found, delete redundant-attribute; the empty
+    resource/invalid block must fail with the factory's reason."""
+    from opentelemetry_collector_spark.operators.attributes import apply_actions
+
+    procs = load_reference_processors(RES_CFG)
+    assert "missing required field" in procs["resource/invalid"]["error"]
+    p = procs["resource"]
+    assert p["kind"] == "resource"
+    df = spark.createDataFrame(
+        [
+            ("a", {"k8s-cluster": "c1", "redundant-attribute": "x"}),
+            ("b", {"cloud.availability_zone": "old"}),
+        ],
+        "name string, resource map<string,string>",
+    )
+    out = {
+        r["name"]: r["resource"]
+        for r in apply_actions(df, p["actions"], attrs_col="resource").collect()
+    }
+    assert out["a"] == {"k8s-cluster": "c1", "cloud.availability_zone": "zone-1",
+                        "k8s.cluster.name": "c1"}
+    # upsert overwrites; insert without source key does nothing
+    assert out["b"] == {"cloud.availability_zone": "zone-1"}
+
+
+def test_span_config_custom_and_no_separator(spark):
+    """config.yaml examples 1+2: all keys present -> location::get::1234;
+    missing key -> name untouched; no-separator variant concatenates."""
+    from opentelemetry_collector_spark.operators.span import from_attributes
+
+    procs = load_reference_processors(SPAN_CFG)
+    df = spark.createDataFrame(
+        [
+            ("serviceA", {"db.svc": "location", "operation": "get", "id": "1234"}),
+            ("serviceB", {"db.svc": "location", "id": "1234"}),
+        ],
+        "name string, attrs map<string,string>",
+    )
+    p = procs["span/custom"]
+    out = sorted(r["name"] for r in from_attributes(
+        df, p["from_attributes"], p["separator"]).collect())
+    assert out == ["location::get::1234", "serviceB"]
+    p2 = procs["span/no-separator"]
+    out2 = sorted(r["name"] for r in from_attributes(
+        df, p2["from_attributes"], p2["separator"]).collect())
+    assert out2 == ["locationget1234", "serviceB"]
+
+
+def test_span_config_to_attributes_documented_example(spark):
+    """config.yaml: /api/v1/document/12345678/update ->
+    /api/v1/document/{documentId}/update with documentId=12345678."""
+    from opentelemetry_collector_spark.operators.span import to_attributes
+
+    p = load_reference_processors(SPAN_CFG)["span/to_attributes"]
+    df = spark.createDataFrame(
+        [("/api/v1/document/12345678/update", None)],
+        "name string, attrs map<string,string>",
+    )
+    r = to_attributes(df, p["to_attributes_rules"]).collect()[0]
+    assert r["name"] == "/api/v1/document/{documentId}/update"
+    assert r["attrs"]["documentId"] == "12345678"
+
+
+def test_span_config_includeexclude_gating(spark):
+    """span/includeexclude: banks-service spans with a '/' in the name,
+    except the literal donot/change."""
+    from opentelemetry_collector_spark.operators.filters import match_predicate
+
+    p = load_reference_processors(SPAN_CFG)["span/includeexclude"]
+    df = spark.createDataFrame(
+        [
+            ("bankss", "api/v1", None),
+            ("bankss", "donot/change", None),
+            ("other", "api/v1", None),
+            ("bankss", "noslash", None),
+        ],
+        "service_name string, name string, attrs map<string,string>",
+    )
+    got = sorted(
+        (r["service_name"], r["name"])
+        for r in df.filter(match_predicate(p["include"], p["exclude"])).collect()
+    )
+    # regexp "banks" is find-anywhere (matches bankss); strict exclude wins
+    assert got == [("bankss", "api/v1")]
+
+
+def test_sampler_config_percentage_and_seed(spark):
+    from opentelemetry_collector_spark.operators.sample import probabilistic_sample
+
+    p = load_reference_processors(SAMP_CFG)["probabilistic_sampler"]
+    assert (p["sampling_percentage"], p["hash_seed"]) == (15.3, 22)
+    df = spark.createDataFrame([(str(i),) for i in range(2000)], "conv_id string")
+    kept = probabilistic_sample(df, p["sampling_percentage"], p["hash_seed"]).count()
+    assert 0 < kept < 2000  # ~15% with hash determinism
+    kept2 = probabilistic_sample(df, p["sampling_percentage"], p["hash_seed"]).count()
+    assert kept == kept2
+
+
+def test_batch_config_defaults_and_overrides(spark):
+    from opentelemetry_collector_spark.operators.batch import writer_options
+
+    procs = load_reference_processors(BATCH_CFG)
+    assert procs["batch"]["send_batch_size"] == 8192  # Go default
+    assert procs["batch"]["send_batch_max_size"] is None
+    p = procs["batch/2"]
+    assert (p["send_batch_size"], p["send_batch_max_size"]) == (10000, 11000)
+    assert writer_options(p["send_batch_max_size"]) == {"maxRecordsPerFile": "11000"}
+
+
+def test_memory_limiter_config_parity():
+    procs = load_reference_processors(MEM_CFG)
+    # the empty block fails in the reference's order: checkInterval first
+    assert procs["memory_limiter"]["error"] == "checkInterval must be greater than zero"
+    p = procs["memory_limiter/with-settings"]
+    cfg = p["config"]
+    assert cfg.limit_mib == 4000 and cfg.spike_limit_mib == 500
+    assert cfg.soft_limit_bytes == (4000 - 500) * 1024 * 1024
