@@ -229,3 +229,91 @@ def test_importance_mass_invariants_property(spark, texts):
             assert (r.tgt_mass, r.raw_mass, r.score_ppm) == (0, 0, 0)
         if r.raw_mass > 0:
             assert r.score_ppm == r.tgt_mass * 1_000_000 // r.raw_mass
+
+
+@given(texts=st.lists(text_st, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_unicode_normalize_idempotent_and_matches_python_property(spark, texts):
+    """NFC is idempotent, and the Arrow path must agree with Python's own
+    unicodedata on arbitrary unicode (the DuckDB oracle pins a third
+    implementation at the query level)."""
+    import unicodedata
+
+    from opentelemetry_collector_spark.operators.text import unicode_normalize
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    out = df.select(
+        "doc_id",
+        unicode_normalize(F.col("text")).alias("n1"),
+        unicode_normalize(unicode_normalize(F.col("text"))).alias("n2"),
+    )
+    for r in out.collect():
+        want = unicodedata.normalize("NFC", texts[r["doc_id"]])
+        assert r["n1"] == want
+        assert r["n2"] == r["n1"]  # idempotence
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("ab "), max_size=60), min_size=1, max_size=10
+    ),
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "ab", "ba", "aab"]),
+        st.integers(-1000, 1000),
+        max_size=5,
+    ),
+    bias=st.integers(-100, 100),
+)
+@settings(**SETTINGS)
+def test_linear_score_matches_pure_python_property(spark, texts, weights, bias):
+    from opentelemetry_collector_spark.operators.classify import linear_score
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    wdf = spark.createDataFrame(
+        list(weights.items()) or [("_none_", 0)], "term string, weight_pm bigint"
+    )
+    out = {r["doc_id"]: r for r in linear_score(df, wdf, "doc_id", bias_pm=bias).collect()}
+    for i, t in enumerate(texts):
+        toks = t.strip().split() if t.strip() else []
+        want = bias + sum(weights.get(tok, 0) for tok in toks)
+        assert out[i]["score_pm"] == want, (t, toks)
+        assert out[i]["n_tokens"] == len(toks)
+        assert out[i]["keep"] == (want >= 0)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("xyz"), min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    min_len=st.integers(3, 6),
+)
+@settings(**SETTINGS)
+def test_substring_removal_invariants_property(spark, texts, min_len):
+    """Removal bookkeeping must be self-consistent and bounded by the
+    marking pass: len(cleaned) == n_chars - removed_chars, and a document
+    never loses more than duplicated_spans says it contains."""
+    from opentelemetry_collector_spark.operators.substring import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    cut = {r["doc_id"]: r for r in remove_duplicated_spans(df, "doc_id", min_len=min_len).collect()}
+    marked = {r["doc_id"]: r for r in duplicated_spans(df, "doc_id", min_len=min_len).collect()}
+    total_marked = sum(r["dup_chars"] for r in marked.values())
+    total_removed = sum(r["removed_chars"] for r in cut.values())
+    assert total_removed <= total_marked  # first occurrences survive
+    for i, t in enumerate(texts):
+        r = cut[i]
+        assert len(r["cleaned"]) == r["n_chars"] - r["removed_chars"]
+        assert r["removed_chars"] <= marked[i]["dup_chars"]
+        if marked[i]["dup_chars"] == 0:
+            assert r["cleaned"] == t
