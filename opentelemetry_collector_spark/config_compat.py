@@ -301,3 +301,128 @@ def load_reference_processors(path: str, **cols: str) -> dict[str, dict[str, Any
         except (ValueError, KeyError, TypeError) as e:  # mirror Go build errors
             out[name] = {"error": str(e)}
     return out
+
+
+# --- service.pipelines bridge -----------------------------------------------
+#
+# The reference testdata configs are FULL collector configs (nop receivers,
+# nop exporters, a service.pipelines section). This bridge validates the
+# service graph with configloader's rules (config/config.go:96-150: every
+# pipeline needs >=1 receiver and >=1 exporter, references must resolve)
+# and runs a pipeline's processor chain over a caller-supplied DataFrame —
+# the nop receiver is "whatever frame you hand in", the nop exporter is
+# "the returned frame" (the reference's nop components are exactly these
+# identity endpoints, service/defaultcomponents + componenttest).
+
+
+def load_reference_service(path: str, **cols: str) -> dict[str, Any]:
+    """Parse a full reference config: processors compiled per
+    :func:`load_reference_processors`, service.pipelines validated with the
+    reference's own rules. Returns ``{"processors": {...}, "pipelines":
+    {name: [processor ids in order]}}``; raises ValueError on a dangling
+    reference or an empty receiver/exporter list."""
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    procs = load_reference_processors(path, **cols)
+    receivers = set((doc.get("receivers") or {}).keys())
+    exporters = set((doc.get("exporters") or {}).keys())
+    pipelines: dict[str, list[str]] = {}
+    for pname, pcfg in ((doc.get("service") or {}).get("pipelines") or {}).items():
+        pcfg = pcfg or {}
+        if not pcfg.get("receivers"):
+            raise ValueError(f"pipeline {pname}: must have at least one receiver")
+        if not pcfg.get("exporters"):
+            raise ValueError(f"pipeline {pname}: must have at least one exporter")
+        for rid in pcfg["receivers"]:
+            if rid not in receivers:
+                raise ValueError(f"pipeline {pname}: references unknown receiver {rid!r}")
+        for eid in pcfg["exporters"]:
+            if eid not in exporters:
+                raise ValueError(f"pipeline {pname}: references unknown exporter {eid!r}")
+        for pid in pcfg.get("processors") or []:
+            if pid not in procs:
+                raise ValueError(f"pipeline {pname}: references unknown processor {pid!r}")
+            if "error" in procs[pid]:
+                raise ValueError(
+                    f"pipeline {pname}: processor {pid!r} failed to build: "
+                    f"{procs[pid]['error']}"
+                )
+        pipelines[pname] = list(pcfg.get("processors") or [])
+    return {"processors": procs, "pipelines": pipelines}
+
+
+def run_reference_pipeline(
+    df: Any,
+    service: dict[str, Any],
+    pipeline: str,
+    id_col: str = "conv_id",
+    attrs_col: str = "attrs",
+) -> Any:
+    """Apply one validated pipeline's processor chain to ``df`` in config
+    order (processors compose front-to-back on an immutable frame — the
+    back-to-front consumer wiring of pipelines_builder.go:117-216 exists
+    only because the reference mutates in place).
+
+    batch blocks are transport concerns (their send_batch_max_size maps to
+    writer options at the sink, operators/batch.writer_options) and pass
+    the frame through unchanged; every other kind transforms rows. Include/
+    exclude-gated span rules transform only the matched subset and union
+    the rest back untouched (attributes_log.go:66-86 pass-through).
+    """
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.attributes import apply_actions
+    from opentelemetry_collector_spark.operators.filters import (
+        filter_records,
+        match_predicate,
+    )
+    from opentelemetry_collector_spark.operators.memory_limiter import memory_limit
+    from opentelemetry_collector_spark.operators.sample import probabilistic_sample
+    from opentelemetry_collector_spark.operators.span import from_attributes, to_attributes
+
+    for pid in service["pipelines"][pipeline]:
+        p = service["processors"][pid]
+        kind = p["kind"]
+        if kind == "attributes":
+            df = apply_actions(
+                df, p["actions"], include=p["include"], exclude=p["exclude"],
+                attrs_col=attrs_col,
+            )
+        elif kind == "resource":
+            df = apply_actions(df, p["actions"], attrs_col="resource")
+        elif kind == "filter":
+            df = filter_records(df, include=p["include"], exclude=p["exclude"])
+        elif kind == "span":
+            gated = p["include"] is not None or p["exclude"] is not None
+            if gated:
+                pred = match_predicate(p["include"], p["exclude"])
+                matched, rest = df.filter(pred), df.filter(
+                    ~F.coalesce(pred, F.lit(False))
+                )
+            else:
+                matched, rest = df, None
+            if p["from_attributes"]:
+                matched = from_attributes(
+                    matched, p["from_attributes"], p["separator"], attrs_col=attrs_col
+                )
+            if p["to_attributes_rules"]:
+                matched = to_attributes(
+                    matched,
+                    p["to_attributes_rules"],
+                    attrs_col=attrs_col,
+                    break_after_match=p["break_after_match"],
+                )
+            df = matched if rest is None else matched.unionByName(rest)
+        elif kind == "probabilistic_sampler":
+            df = probabilistic_sample(
+                df, p["sampling_percentage"], p["hash_seed"], id_col=id_col
+            )
+        elif kind == "memory_limiter":
+            df = memory_limit(df, p["config"], batch_key=id_col)
+        elif kind == "batch":
+            pass  # transport-only: maps to writer options at the sink
+        else:  # pragma: no cover - load_reference_processors rejects others
+            raise ValueError(f"unsupported kind {kind!r}")
+    return df

@@ -407,3 +407,79 @@ def test_memory_limiter_config_parity():
     cfg = p["config"]
     assert cfg.limit_mib == 4000 and cfg.spike_limit_mib == 500
     assert cfg.soft_limit_bytes == (4000 - 500) * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# service.pipelines bridge: the FULL reference configs run end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_service_expr_pipeline_end_to_end(spark):
+    """config_expr.yaml's own service pipeline wires filter/empty — an
+    include with no expressions — so the whole stream drops."""
+    from opentelemetry_collector_spark.config_compat import (
+        load_reference_service,
+        run_reference_pipeline,
+    )
+
+    svc = load_reference_service(FILT_EXPR)
+    assert svc["pipelines"] == {"metrics": ["filter/empty"]}
+    df = _metrics(spark, [("m1", {"foo": "bar"}), ("m2", {})])
+    assert run_reference_pipeline(df, svc, "metrics").count() == 0
+
+
+def test_service_span_pipeline_renames(spark):
+    from opentelemetry_collector_spark.config_compat import (
+        load_reference_service,
+        run_reference_pipeline,
+    )
+
+    svc = load_reference_service(SPAN_CFG)
+    assert svc["pipelines"]["traces"] == ["span/custom"]
+    df = spark.createDataFrame(
+        [("serviceA", {"db.svc": "location", "operation": "get", "id": "1234"})],
+        "name string, attrs map<string,string>",
+    )
+    out = run_reference_pipeline(df, svc, "traces").collect()
+    assert out[0]["name"] == "location::get::1234"
+
+
+def test_service_attributes_pipeline_inserts(spark):
+    from opentelemetry_collector_spark.config_compat import (
+        load_reference_service,
+        run_reference_pipeline,
+    )
+
+    svc = load_reference_service(ATTR_CFG)
+    assert svc["pipelines"]["traces"] == ["attributes/insert"]
+    df = spark.createDataFrame([("s", None)], "name string, attrs map<string,string>")
+    out = run_reference_pipeline(df, svc, "traces").collect()
+    assert out[0]["attrs"]["attribute1"] == "123"  # the fixture's insert action
+
+
+def test_service_batch_and_memory_limiter_pipelines(spark):
+    from opentelemetry_collector_spark.config_compat import (
+        load_reference_service,
+        run_reference_pipeline,
+    )
+
+    svc = load_reference_service(BATCH_CFG)
+    df = spark.createDataFrame(
+        [("c1", "hello", None)], "conv_id string, text string, tool string"
+    )
+    # batch is transport-only: row set unchanged
+    assert run_reference_pipeline(df, svc, "traces").count() == 1
+    svc2 = load_reference_service(MEM_CFG)
+    # 4000 MiB limit admits this one-row batch
+    assert run_reference_pipeline(df, svc2, "traces").count() == 1
+
+
+def test_service_invalid_config_fails_at_load():
+    """config_invalid.yaml's pipelines reference the filter whose regexp
+    failed to compile — service load must fail like LoadConfigAndValidate."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_spark.config_compat import load_reference_service
+
+    with _pytest.raises(ValueError, match="failed to build"):
+        load_reference_service(FILT_INVALID)
