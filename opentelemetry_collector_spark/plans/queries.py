@@ -2493,12 +2493,16 @@ def q79_otlp_summary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 50).cast("int").alias("bucket"),
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
+    # double the quantiles in DOUBLE space and try_sum the mass: a
+    # saturated pathological value (floor caps at Long.Max) must degrade
+    # per-row, not ANSI-overflow the job — for legit cent values both are
+    # exact, so the oracle's integer *2 agrees bit-for-bit
     dp = src.groupBy("metric", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("h_count"),
-        F.sum("cents").cast("double").alias("h_sum"),
-        (F.min("cents") * 2).cast("double").alias("_v0"),
+        F.try_sum("cents").cast("double").alias("h_sum"),
+        (F.min("cents").cast("double") * 2).alias("_v0"),
         (F.percentile("cents", 0.5) * 2).alias("_v50"),
-        (F.max("cents") * 2).cast("double").alias("_v100"),
+        (F.max("cents").cast("double") * 2).alias("_v100"),
     )
     frame = dp.select(
         "metric",
@@ -2517,7 +2521,7 @@ def q79_otlp_summary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         F.element_at(F.col("labels"), "bucket").cast("int").alias("bucket"),
         "h_count",
-        F.col("h_sum").cast("bigint").alias("h_sum_cents"),
+        F.col("h_sum").try_cast("bigint").alias("h_sum_cents"),
         F.explode("quantiles").alias("q"),
     ).select(
         "metric",
@@ -2525,7 +2529,7 @@ def q79_otlp_summary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h_count",
         "h_sum_cents",
         F.col("q.quantile").alias("quantile"),
-        F.col("q.value").cast("bigint").alias("qv_x2"),
+        F.col("q.value").try_cast("bigint").alias("qv_x2"),
     )
 
 

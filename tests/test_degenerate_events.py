@@ -41,6 +41,11 @@ EVENT_QUERIES = [
     "q53_latency_quantiles",
     "q54_sessionize",
     "q77_otlp_histogram_roundtrip",
+    "q49_oc_metrics_roundtrip",
+    "q72_otlp_trace_roundtrip",
+    "q73_otlp_metrics_roundtrip",
+    "q78_otlp_int_metrics_roundtrip",
+    "q79_otlp_summary_roundtrip",
 ]
 
 
