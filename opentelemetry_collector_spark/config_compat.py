@@ -94,6 +94,21 @@ def _entry_list_to_dict(entries: list[dict[str, Any]]) -> dict[str, Any]:
     return {e["key"]: e.get("value") for e in entries}
 
 
+def _validate_regexp(pat: str) -> None:
+    """Load-time pattern check via Python `re` as a structural proxy for
+    the RE2 (Go) and Java (rlike) dialects: reject on errors every dialect
+    shares (unbalanced parens — config_invalid.yaml's case), tolerate
+    "bad escape" (dialect-divergent but often valid in RE2/Java)."""
+    import re as _re
+
+    try:
+        _re.compile(pat)
+    except _re.error as exc:
+        if str(exc).startswith("bad escape"):
+            return
+        raise ValueError(f"invalid regexp pattern {pat!r}: {exc}") from exc
+
+
 def match_properties_from_reference(
     spec: dict[str, Any],
     *,
@@ -110,14 +125,14 @@ def match_properties_from_reference(
 
     if spec.get("match_type") == "expr":
         # expr mode ignores every other criterion (filtermetric.NewMatcher
-        # returns an exprMatcher built ONLY from expressions); parse
-        # eagerly so a bad expression fails at load time like the Go
-        # filterexpr.NewMatcher compile
-        from opentelemetry_collector_spark.operators.filters import _tokenize
+        # returns an exprMatcher built ONLY from expressions); FULLY parse
+        # eagerly (grammar, not just lexing) so a bad expression fails at
+        # load time like the Go filterexpr.NewMatcher compile
+        from opentelemetry_collector_spark.operators.filters import validate_expr
 
         exprs = list(spec.get("expressions") or [])
         for e in exprs:
-            _tokenize(e)
+            validate_expr(e)
         return MatchProperties(
             match_type="expr",
             expressions=exprs,
@@ -129,15 +144,14 @@ def match_properties_from_reference(
         # the Go regexp filterset compiles every pattern at build time
         # (regexpfilterset.go:37-55) and a malformed one rejects the whole
         # config (testdata/config_invalid.yaml) — compile eagerly for the
-        # same failure point
-        import re as _re
-
-        for field in ("services", "span_names", "log_names", "metric_names"):
-            for pat in spec.get(field) or []:
-                try:
-                    _re.compile(pat)
-                except _re.error as exc:
-                    raise ValueError(f"invalid regexp pattern {pat!r}: {exc}") from exc
+        # same failure point. Python `re` is a PROXY for the RE2/Java
+        # dialects the pattern actually runs in, so only STRUCTURAL errors
+        # (unbalanced groups/brackets, bad repeats) reject; "bad escape"
+        # covers dialect-divergent classes like \p{L} that RE2 and Java
+        # both accept — those pass through to the engine's own compile
+        for fname in ("services", "span_names", "log_names", "metric_names"):
+            for pat in spec.get(fname) or []:
+                _validate_regexp(pat)
 
     columns: dict[str, list[str]] = {}
     if spec.get("services"):
@@ -264,22 +278,30 @@ def compile_reference_processor(name: str, cfg: dict[str, Any], **cols: str) -> 
 
 
 def _duration_seconds(v: Any) -> float:
-    """Go duration string ("5s", "100ms", "1m30s") or number -> seconds;
-    None/empty -> 0 (the Go zero value)."""
+    """Go duration string ("5s", "100ms", "1m30s", "-1s") or number ->
+    seconds; None/empty -> 0 (the Go zero value). Matches
+    time.ParseDuration's shape: optional sign, then CONTIGUOUS
+    number+unit groups covering the whole string — junk anywhere rejects."""
     if v is None:
         return 0.0
     if isinstance(v, (int, float)):
         return float(v)
     import re as _re
 
-    total, pos = 0.0, 0
+    s = str(v).strip()
+    sign, body = 1.0, s
+    if body.startswith(("-", "+")):
+        sign, body = (-1.0 if body[0] == "-" else 1.0), body[1:]
     units = {"h": 3600.0, "m": 60.0, "s": 1.0, "ms": 1e-3, "us": 1e-6, "ns": 1e-9}
-    for m in _re.finditer(r"(\d+(?:\.\d+)?)(h|ms|us|ns|m|s)", str(v)):
+    total, pos = 0.0, 0
+    for m in _re.finditer(r"(\d+(?:\.\d+)?)(h|ms|us|ns|m|s)", body):
+        if m.start() != pos:  # gap = junk between (or before) groups
+            raise ValueError(f"invalid duration: {v!r}")
         total += float(m.group(1)) * units[m.group(2)]
         pos = m.end()
-    if pos != len(str(v).strip()) or pos == 0:
+    if pos != len(body) or pos == 0:
         raise ValueError(f"invalid duration: {v!r}")
-    return total
+    return sign * total
 
 
 def load_reference_processors(path: str, **cols: str) -> dict[str, dict[str, Any]]:
@@ -294,8 +316,12 @@ def load_reference_processors(path: str, **cols: str) -> dict[str, dict[str, Any
 
     with open(path) as f:
         doc = yaml.safe_load(f)
+    return _compile_processors_doc(doc, **cols)
+
+
+def _compile_processors_doc(doc: dict, **cols: str) -> dict[str, dict[str, Any]]:
     out: dict[str, dict[str, Any]] = {}
-    for name, cfg in (doc.get("processors") or {}).items():
+    for name, cfg in ((doc or {}).get("processors") or {}).items():
         try:
             out[name] = compile_reference_processor(name, cfg or {}, **cols)
         except (ValueError, KeyError, TypeError) as e:  # mirror Go build errors
@@ -325,7 +351,7 @@ def load_reference_service(path: str, **cols: str) -> dict[str, Any]:
 
     with open(path) as f:
         doc = yaml.safe_load(f)
-    procs = load_reference_processors(path, **cols)
+    procs = _compile_processors_doc(doc, **cols)
     receivers = set((doc.get("receivers") or {}).keys())
     exporters = set((doc.get("exporters") or {}).keys())
     pipelines: dict[str, list[str]] = {}
@@ -359,6 +385,8 @@ def run_reference_pipeline(
     pipeline: str,
     id_col: str = "conv_id",
     attrs_col: str = "attrs",
+    name_col: str = "name",
+    resource_col: str = "resource",
 ) -> Any:
     """Apply one validated pipeline's processor chain to ``df`` in config
     order (processors compose front-to-back on an immutable frame — the
@@ -391,7 +419,7 @@ def run_reference_pipeline(
                 attrs_col=attrs_col,
             )
         elif kind == "resource":
-            df = apply_actions(df, p["actions"], attrs_col="resource")
+            df = apply_actions(df, p["actions"], attrs_col=resource_col)
         elif kind == "filter":
             df = filter_records(df, include=p["include"], exclude=p["exclude"])
         elif kind == "span":
@@ -405,12 +433,14 @@ def run_reference_pipeline(
                 matched, rest = df, None
             if p["from_attributes"]:
                 matched = from_attributes(
-                    matched, p["from_attributes"], p["separator"], attrs_col=attrs_col
+                    matched, p["from_attributes"], p["separator"],
+                    name_col=name_col, attrs_col=attrs_col,
                 )
             if p["to_attributes_rules"]:
                 matched = to_attributes(
                     matched,
                     p["to_attributes_rules"],
+                    name_col=name_col,
                     attrs_col=attrs_col,
                     break_after_match=p["break_after_match"],
                 )

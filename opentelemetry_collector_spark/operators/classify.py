@@ -68,7 +68,11 @@ def linear_score(
         F.col(id_col),
         F.explode_outer(tokens(F.col(text_col))).alias("term"),
     )
-    joined = posted.join(F.broadcast(weights_df), "term", "left")
+    # duplicate vocab rows would fan the join out and silently inflate
+    # n_tokens/hits/score; merge them by SUM (the linear-model semantics of
+    # a feature appearing in two weight files) so the join stays 1:1
+    weights = weights_df.groupBy("term").agg(F.sum("weight_pm").alias("weight_pm"))
+    joined = posted.join(F.broadcast(weights), "term", "left")
     rolled = joined.groupBy(id_col).agg(
         F.count("term").alias("_n"),
         F.count("weight_pm").alias("_hits"),

@@ -298,6 +298,86 @@ class _ExprParser:
         raise ValueError(f"expr: unexpected token {tok!r}")
 
 
+def validate_expr(expression: str) -> None:
+    """Parse-check an expr string WITHOUT building Columns (no session
+    needed) — the load-time twin of :class:`_ExprParser`, so a config
+    loader can fail at build time exactly where Go's filterexpr.NewMatcher
+    compile fails. Grammar kept in lockstep with _ExprParser's docstring;
+    raises ValueError with the parser's own messages."""
+    toks = _tokenize(expression)
+    i = 0
+
+    def peek():
+        return toks[i] if i < len(toks) else (None, None)
+
+    def eat(val=None):
+        nonlocal i
+        kind, tok = peek()
+        if kind is None or (val is not None and tok != val):
+            raise ValueError(f"expr: expected {val!r}, got {tok!r}")
+        i += 1
+        return kind, tok
+
+    def p_or():
+        p_and()
+        while peek()[1] == "||":
+            eat("||")
+            p_and()
+
+    def p_and():
+        p_unary()
+        while peek()[1] == "&&":
+            eat("&&")
+            p_unary()
+
+    def p_unary():
+        if peek()[1] == "!":
+            eat("!")
+            p_unary()
+        else:
+            p_cmp()
+
+    def p_cmp():
+        p_primary()
+        op = peek()[1]
+        if op in ("==", "!=", "=~"):
+            eat(op)
+            if op == "=~":
+                kind, _ = eat()
+                if kind != "str":
+                    raise ValueError("expr: =~ requires a string pattern on the right")
+            else:
+                p_primary()
+
+    def p_primary():
+        kind, tok = peek()
+        if tok == "(":
+            eat("(")
+            p_or()
+            eat(")")
+            return
+        if kind == "str":
+            eat()
+            return
+        if kind == "ident":
+            eat()
+            if tok in ("Name", "MetricName"):
+                return
+            if tok in ("Attr", "Label", "HasAttr", "HasLabel"):
+                eat("(")
+                skind, _ = eat()
+                if skind != "str":
+                    raise ValueError(f"expr: {tok}() takes a string key")
+                eat(")")
+                return
+            raise ValueError(f"expr: unknown identifier {tok!r}")
+        raise ValueError(f"expr: unexpected token {tok!r}")
+
+    p_or()
+    if i != len(toks):
+        raise ValueError(f"expr: trailing tokens {toks[i:]}")
+
+
 def expr_predicate(
     expression: str,
     name_col: str = "text",

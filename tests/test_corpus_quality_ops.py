@@ -485,3 +485,17 @@ def test_encoding_metrics_counts(spark):
     assert (out[1]["repl_chars"], out[1]["mojibake_marks"], out[1]["ctrl"]) == (2, 2, 1)
     # tab/newline/CR are NOT control damage
     assert (out[2]["repl_chars"], out[2]["mojibake_marks"], out[2]["ctrl"]) == (0, 0, 0)
+
+
+def test_linear_score_merges_duplicate_vocab_rows(spark):
+    """A vocab built by unioning weight files may repeat a term; the join
+    must stay 1:1 (duplicates merge by SUM), never inflate n_tokens."""
+    from opentelemetry_collector_spark.operators.classify import linear_score
+
+    df = _docs(spark, [(1, "data data")])
+    w = spark.createDataFrame(
+        [("data", 50), ("data", 60)], "term string, weight_pm bigint"
+    )
+    r = linear_score(df, w, "doc_id").collect()[0]
+    assert r["n_tokens"] == 2 and r["hits"] == 2
+    assert r["score_pm"] == 2 * (50 + 60)

@@ -483,3 +483,72 @@ def test_service_invalid_config_fails_at_load():
 
     with _pytest.raises(ValueError, match="failed to build"):
         load_reference_service(FILT_INVALID)
+
+
+# ---------------------------------------------------------------------------
+# load-time validation hardening (review findings)
+# ---------------------------------------------------------------------------
+
+
+def test_expr_grammar_errors_fail_at_load(tmp_path):
+    """A syntactically broken expression must fail at LOAD (the Go
+    filterexpr.NewMatcher compile point), not mid-pipeline."""
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(
+        "processors:\n"
+        "  filter/bad:\n"
+        "    metrics:\n"
+        "      include:\n"
+        "        match_type: expr\n"
+        "        expressions: ['MetricName ==']\n"
+        "  filter/unbalanced:\n"
+        "    metrics:\n"
+        "      include:\n"
+        "        match_type: expr\n"
+        "        expressions: ['(MetricName == \"a\"']\n"
+    )
+    procs = load_reference_processors(str(cfg))
+    assert "error" in procs["filter/bad"]
+    assert "error" in procs["filter/unbalanced"]
+
+
+def test_duration_parsing_rejects_junk_and_keeps_sign():
+    import pytest as _pytest
+
+    from opentelemetry_collector_spark.config_compat import _duration_seconds
+
+    assert _duration_seconds("5s") == 5.0
+    assert _duration_seconds("1m30s") == 90.0
+    assert _duration_seconds("-1s") == -1.0  # Go ParseDuration shape
+    assert _duration_seconds(None) == 0.0
+    for junk in ("bogus1s", "1h??3s", "1x", ""):
+        with _pytest.raises(ValueError):
+            _duration_seconds(junk)
+
+
+def test_negative_check_interval_rejected_like_go(tmp_path):
+    cfg = tmp_path / "m.yaml"
+    cfg.write_text(
+        "processors:\n"
+        "  memory_limiter/neg:\n"
+        "    check_interval: -1s\n"
+        "    limit_mib: 100\n"
+    )
+    procs = load_reference_processors(str(cfg))
+    assert procs["memory_limiter/neg"]["error"] == "checkInterval must be greater than zero"
+
+
+def test_dialect_divergent_regexp_classes_pass_load(tmp_path):
+    r"""\p{L} is invalid in Python re but valid in RE2 and Java rlike —
+    the engines that actually run it — so load must NOT reject it."""
+    cfg = tmp_path / "r.yaml"
+    cfg.write_text(
+        "processors:\n"
+        "  filter/unicode:\n"
+        "    metrics:\n"
+        "      include:\n"
+        "        match_type: regexp\n"
+        "        metric_names: ['\\p{L}+']\n"
+    )
+    procs = load_reference_processors(str(cfg))
+    assert "error" not in procs["filter/unicode"]
