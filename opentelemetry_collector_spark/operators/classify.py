@@ -86,3 +86,71 @@ def linear_score(
         score.cast("bigint").alias("score_pm"),
         (score >= F.lit(threshold_pm)).alias("keep"),
     )
+
+
+def train_linear(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    vocab_size: int = 32768,
+    min_doc_freq: int = 2,
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+) -> tuple[DataFrame, int]:
+    """Train the quality classifier :func:`linear_score` serves.
+
+    The fastText training loop distilled to its Spark-idiomatic core:
+    bag-of-words count features over a bounded vocabulary
+    (``CountVectorizer`` — the distributed vocab build is itself one
+    grouped count + top-k) into L2-regularized logistic regression
+    (``pyspark.ml`` LBFGS — each iteration is one treeAggregate pass over
+    the featurized corpus, embarrassingly parallel per partition).
+    Training runs on a small LABELED seed set; the returned weights then
+    score the full 100 TB corpus through ``linear_score``'s broadcast
+    join, which is the fastText deployment split exactly (train small,
+    infer everywhere).
+
+    Returns ``(weights_df, bias_pm)``: a ``(term string, weight_pm
+    bigint)`` frame (coefficients scaled to integer per-mille — the
+    engine-exact currency of the inference op) and the matching intercept.
+    ``linear_score(corpus, weights_df, id, bias_pm=bias_pm)`` then yields
+    ``score_pm ~= 1000 * logit``; keep at ``score_pm >= 0`` is the 0.5
+    probability threshold.
+
+    Note: LBFGS float reductions are order-dependent across partitions, so
+    coefficients are deterministic only up to partitioning — train once
+    and PERSIST the weights frame; the inference pass stays bit-exact.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import CountVectorizer
+
+    toks = df.select(
+        F.col(label_col).cast("double").alias("label"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    # an empty (or single-class-free) seed set cannot fit; degrade to the
+    # zero model rather than letting CountVectorizer/LBFGS throw — the
+    # empty-partition case is routine at 100 TB
+    if toks.limit(1).count() == 0:
+        empty = df.sparkSession.createDataFrame([], "term string, weight_pm bigint")
+        return empty, 0
+    cv = CountVectorizer(
+        inputCol="toks", outputCol="features", vocabSize=vocab_size, minDF=float(min_doc_freq)
+    )
+    cv_model = cv.fit(toks)
+    feats = cv_model.transform(toks)
+    lr = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, standardization=False, family="binomial"
+    )
+    model = lr.fit(feats)
+    coefs = model.coefficients.toArray()
+    spark = df.sparkSession
+    rows = [
+        (term, int(round(float(coefs[i]) * 1000)))
+        for i, term in enumerate(cv_model.vocabulary)
+        if int(round(float(coefs[i]) * 1000)) != 0
+    ]
+    weights = spark.createDataFrame(rows or [("", 0)], "term string, weight_pm bigint")
+    if not rows:
+        weights = weights.filter(F.col("term") != "")
+    return weights, int(round(float(model.intercept) * 1000))

@@ -1553,6 +1553,44 @@ FROM a GROUP BY shard
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
 
+def q84_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train->infer loop (operators/classify.py train_linear +
+    linear_score): a quality classifier trained with distributed logistic
+    regression over CountVectorizer bag-of-words on the documents table —
+    the label is a planted token rule (doc mentions "spark"), so training
+    must RECOVER it from raw text — then served back over the corpus
+    through the broadcast-vocab inference op. Output: per-label keep
+    counts + per-mille agreement (expected near 1000 for the recoverable
+    rule) — deterministic row count (one per label), so the rows-only
+    gate holds even though LBFGS float reductions make individual
+    coefficients partitioning-dependent (why this is not
+    oracle-checkable)."""
+    from opentelemetry_collector_spark.operators.classify import linear_score, train_linear
+    from opentelemetry_collector_spark.operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = docs.withColumn(
+        "label", F.array_contains(tokens(F.col("text")), "spark").cast("int")
+    )
+    weights, bias = train_linear(labeled, "label", min_doc_freq=2, max_iter=20)
+    scored = linear_score(docs, weights, "doc_id", bias_pm=bias)
+    j = scored.join(labeled.select("doc_id", "label"), "doc_id")
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
+            F.floor(
+                F.sum((F.col("keep").cast("int") == F.col("label")).cast("int")) * 1000.0
+                / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("agree_pm"),
+        )
+        .orderBy("label")
+    )
+
+
 def q19_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators.dedup import minhash_lsh_pairs
 
@@ -2911,6 +2949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_unicode_normalize": q81_unicode_normalize,
     "q82_substring_removal": q82_substring_removal,
     "q83_shuffle_shards": q83_shuffle_shards,
+    "q84_classifier_train": q84_classifier_train,
 }
 
 ORACLES: dict[str, str] = {

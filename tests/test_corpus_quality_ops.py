@@ -499,3 +499,30 @@ def test_linear_score_merges_duplicate_vocab_rows(spark):
     r = linear_score(df, w, "doc_id").collect()[0]
     assert r["n_tokens"] == 2 and r["hits"] == 2
     assert r["score_pm"] == 2 * (50 + 60)
+
+
+def test_train_linear_recovers_planted_signal(spark):
+    """Planted separable corpus: docs containing 'excellent' are positive,
+    'terrible' negative. Training must put opposite-sign weights on the
+    two markers and the trained model must classify held-out docs through
+    the inference op end-to-end."""
+    from opentelemetry_collector_spark.operators.classify import linear_score, train_linear
+
+    rows = []
+    for i in range(60):
+        filler = f"doc {i % 7} common words here"
+        if i % 2 == 0:
+            rows.append((i, f"{filler} excellent prose", 1))
+        else:
+            rows.append((i, f"{filler} terrible junk", 0))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, label int")
+    weights, bias = train_linear(df, "label", max_iter=30)
+    w = {r["term"]: r["weight_pm"] for r in weights.collect()}
+    assert w.get("excellent", 0) > 0 > w.get("terrible", 0)
+    # end-to-end: held-out docs route correctly through linear_score
+    held = spark.createDataFrame(
+        [(100, "some excellent prose"), (101, "junk terrible junk")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["keep"] for r in linear_score(held, weights, "doc_id", bias_pm=bias).collect()}
+    assert got == {100: True, 101: False}
