@@ -249,6 +249,24 @@ COMMENTARY = {
         "stays in codegen so the hop's cost is the normalization itself, not "
         "serialization of extra columns.",
     ),
+    "q82_substring_removal": (
+        "The occurrence-count window and the first-occurrence rank window share ONE "
+        "Exchange hashpartitioning(g) (two Window nodes, same partitioning); the span "
+        "merge + splice side is doc-keyed; raw text rides only the final doc join — "
+        "the gram shuffle carries hashed bigints.",
+        "Destructive dedup at 100 TB hinges on the gram exchange carrying fixed-width "
+        "keys (16 B/position, never text) and on not paying a second shuffle for the "
+        "keep-first policy: rank and count ride the same partitioning, so the "
+        "destructive form costs exactly what the audit form does.",
+    ),
+    "q83_shuffle_shards": (
+        "Shard assignment is a pure Project over the scan (no Exchange, no Sort, no "
+        "Python); the manifest is ONE partial-aggregated exchange of |shards| rows.",
+        "A global pseudo-random training order over 10^12 rows cannot afford a sort: "
+        "the md5 order key + prefix-shift shard make the permutation a property of "
+        "the WRITE layout (partitionBy shard, sortWithinPartitions order_key), so "
+        "the only data movement is the write itself.",
+    ),
     "q53_latency_quantiles": (
         "Exact percentiles ride the SAME plan shape as any grouped agg: lead() window on "
         "hashpartitioning(conv_id), broadcast meta join, then partial+final HashAggregate "
