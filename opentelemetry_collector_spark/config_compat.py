@@ -329,6 +329,21 @@ def _compile_processors_doc(doc: dict, **cols: str) -> dict[str, dict[str, Any]]
     return out
 
 
+# per-signal factory support in THIS reference version (each processor's
+# factory.go processorhelper.With{Traces,Metrics,Logs} registrations):
+# attributes traces+logs, filter metrics-only, span traces-only, sampler
+# traces-only, resource/batch/memory_limiter all three
+_SIGNAL_SUPPORT: dict[str, set[str]] = {
+    "attributes": {"traces", "logs"},
+    "filter": {"metrics"},
+    "span": {"traces"},
+    "probabilistic_sampler": {"traces"},
+    "resource": {"traces", "metrics", "logs"},
+    "batch": {"traces", "metrics", "logs"},
+    "memory_limiter": {"traces", "metrics", "logs"},
+}
+
+
 # --- service.pipelines bridge -----------------------------------------------
 #
 # The reference testdata configs are FULL collector configs (nop receivers,
@@ -367,6 +382,7 @@ def load_reference_service(path: str, **cols: str) -> dict[str, Any]:
         for eid in pcfg["exporters"]:
             if eid not in exporters:
                 raise ValueError(f"pipeline {pname}: references unknown exporter {eid!r}")
+        signal = pname.split("/", 1)[0]
         for pid in pcfg.get("processors") or []:
             if pid not in procs:
                 raise ValueError(f"pipeline {pname}: references unknown processor {pid!r}")
@@ -374,6 +390,14 @@ def load_reference_service(path: str, **cols: str) -> dict[str, Any]:
                 raise ValueError(
                     f"pipeline {pname}: processor {pid!r} failed to build: "
                     f"{procs[pid]['error']}"
+                )
+            supported = _SIGNAL_SUPPORT.get(procs[pid]["kind"])
+            if supported is not None and signal in ("traces", "metrics", "logs") \
+                    and signal not in supported:
+                # pipelines_builder.go:186-188 wording
+                raise ValueError(
+                    f"error creating processor {pid!r} in pipeline {pname!r}, "
+                    f"data type {signal} is not supported"
                 )
         pipelines[pname] = list(pcfg.get("processors") or [])
     return {"processors": procs, "pipelines": pipelines}

@@ -552,3 +552,36 @@ def test_dialect_divergent_regexp_classes_pass_load(tmp_path):
     )
     procs = load_reference_processors(str(cfg))
     assert "error" not in procs["filter/unicode"]
+
+
+def test_pipeline_signal_support_validated(tmp_path):
+    """This reference version's factories are signal-typed: filter is
+    metrics-only (its factory registers only WithMetrics), span and the
+    sampler traces-only. A pipeline wiring a processor into an unsupported
+    signal must fail with the builder's wording
+    (pipelines_builder.go:186-188)."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_spark.config_compat import load_reference_service
+
+    cfg = tmp_path / "sig.yaml"
+    cfg.write_text(
+        "receivers:\n  nop:\nexporters:\n  nop:\n"
+        "processors:\n"
+        "  filter/f:\n"
+        "    metrics:\n"
+        "      include: {match_type: strict, metric_names: [a]}\n"
+        "service:\n"
+        "  pipelines:\n"
+        "    traces:\n"
+        "      receivers: [nop]\n"
+        "      processors: [filter/f]\n"
+        "      exporters: [nop]\n"
+    )
+    with _pytest.raises(ValueError, match="data type traces is not supported"):
+        load_reference_service(str(cfg))
+    # the same processor in a METRICS pipeline is fine
+    cfg2 = tmp_path / "sig2.yaml"
+    cfg2.write_text(cfg.read_text().replace("    traces:", "    metrics:"))
+    svc = load_reference_service(str(cfg2))
+    assert svc["pipelines"] == {"metrics": ["filter/f"]}
