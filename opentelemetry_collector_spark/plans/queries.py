@@ -1302,6 +1302,23 @@ FROM src
 
 
 # shared DuckDB fragment: whitespace tokenization matching operators/text.tokens
+_CLS_VOCAB = [
+    ("the", 10),
+    ("and", 8),
+    ("of", 6),
+    ("to", 5),
+    ("a", 4),
+    ("data", 50),
+    ("model", 60),
+    ("learning", 70),
+    ("error", -100),
+    ("click", -50),
+    ("lorem", -500),
+    ("ipsum", -500),
+]
+
+_CLS_VOCAB_SQL = ", ".join(f"('{t}', {w})" for t, w in _CLS_VOCAB)
+
 _DOC_WORDS_SQL = r"""
 d AS (SELECT doc_id,
              CASE WHEN trim(text) = '' THEN []::VARCHAR[]
@@ -1541,6 +1558,88 @@ WITH a AS (
          CASE WHEN len(trim(text)) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks
   FROM documents)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(order_key) AS first_key,
+       max(order_key) AS last_key,
+       CAST(sum(toks) AS BIGINT) AS sum_toks
+FROM a GROUP BY shard
+"""
+
+
+def q85_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-build capstone over the NEW ops in one plan: Gopher-rule gate
+    (q67 thresholds) AND classifier gate (q80 vocab) select survivors,
+    which are then shuffle-sharded and rolled into the per-shard training
+    manifest (rows, key range, token mass). Both gates ride the same scan
+    as codegen projections / one broadcast probe; sharding adds zero
+    movement, so the whole build is scan + two small exchanges. Oracle:
+    the composed q67+q80+q83 SQL derivations over the identical survivor
+    set."""
+    from opentelemetry_collector_spark.operators.classify import linear_score
+    from opentelemetry_collector_spark.operators.sample import shard_manifest, shuffle_shards
+    from opentelemetry_collector_spark.operators.text import gopher_filter, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = gopher_filter(
+        docs, "doc_id",
+        min_words=15, max_words=90,
+        min_mean_word_len_pm=4000, max_mean_word_len_pm=5000,
+        min_alpha_pm=810, max_dup_word_pm=600,
+    )
+    weights = spark.createDataFrame(_CLS_VOCAB, "term string, weight_pm bigint")
+    c = linear_score(docs, weights, "doc_id", bias_pm=-20, threshold_pm=0)
+    surv = (
+        docs.join(g.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
+        .join(c.filter(F.col("keep")).select("doc_id"), "doc_id")
+        .select("doc_id", "text")
+    )
+    a = shuffle_shards(surv, "doc_id", 8).withColumn("toks", token_count(F.col("text")))
+    return shard_manifest(a, "toks").select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_rows",
+        "first_key",
+        "last_key",
+        "sum_toks",
+    )
+
+
+Q85_SQL = rf"""
+WITH {_DOC_WORDS_SQL},
+s AS (SELECT d.doc_id, len(w) AS nw, len(list_distinct(w)) AS ndw,
+  CASE WHEN len(w) > 0
+       THEN floor(length(regexp_replace(text, '\s+', '', 'g')) * 1000.0 / len(w))
+       ELSE 0 END AS mtl_pm,
+  len(list_filter(w, x -> list_contains(
+      ['the','a','an','and','of','to','in','is','it','for'], lower(x)))) AS stop_hits,
+  CASE WHEN length(text) > 0
+       THEN floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000.0 / length(text))
+       ELSE 0 END AS alpha_pm,
+  CASE WHEN len(w) > 0 THEN floor((len(w) - len(list_distinct(w))) * 1000.0 / len(w))
+       ELSE 0 END AS dup_pm
+FROM d JOIN documents USING (doc_id)),
+gk AS (SELECT doc_id FROM s
+  WHERE NOT (nw < 15 OR nw > 90)
+    AND NOT (mtl_pm < 4000 OR mtl_pm > 5000)
+    AND stop_hits >= 2 AND alpha_pm >= 810 AND dup_pm <= 600),
+wv(term, weight_pm) AS (VALUES {_CLS_VOCAB_SQL}),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents WHERE len(trim(text)) > 0),
+cr AS (
+  SELECT t.doc_id, CAST(coalesce(sum(wv.weight_pm), 0) AS BIGINT) AS sw
+  FROM tok t LEFT JOIN wv USING (term) GROUP BY t.doc_id),
+ck AS (SELECT dd.doc_id FROM documents dd LEFT JOIN cr USING (doc_id)
+       WHERE coalesce(cr.sw, 0) - 20 >= 0),
+surv AS (SELECT dd.doc_id, dd.text FROM documents dd
+         JOIN gk USING (doc_id) JOIN ck USING (doc_id)),
+a AS (
+  SELECT md5(CAST(doc_id AS VARCHAR)) AS order_key,
+         CAST(((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT * 8) >> 52)
+              AS INT) AS shard,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+  FROM surv)
 SELECT shard,
        CAST(count(*) AS BIGINT) AS n_rows,
        min(order_key) AS first_key,
@@ -2612,22 +2711,7 @@ def q80_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "hits", "score_pm", "keep")
 
 
-_CLS_VOCAB = [
-    ("the", 10),
-    ("and", 8),
-    ("of", 6),
-    ("to", 5),
-    ("a", 4),
-    ("data", 50),
-    ("model", 60),
-    ("learning", 70),
-    ("error", -100),
-    ("click", -50),
-    ("lorem", -500),
-    ("ipsum", -500),
-]
 
-_CLS_VOCAB_SQL = ", ".join(f"('{t}', {w})" for t, w in _CLS_VOCAB)
 
 Q80_SQL = f"""
 WITH w(term, weight_pm) AS (VALUES {_CLS_VOCAB_SQL}),
@@ -2950,6 +3034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82_substring_removal": q82_substring_removal,
     "q83_shuffle_shards": q83_shuffle_shards,
     "q84_classifier_train": q84_classifier_train,
+    "q85_corpus_build": q85_corpus_build,
 }
 
 ORACLES: dict[str, str] = {
@@ -3030,6 +3115,7 @@ ORACLES: dict[str, str] = {
     "q81_unicode_normalize": Q81_SQL,
     "q82_substring_removal": Q82_SQL,
     "q83_shuffle_shards": Q83_SQL,
+    "q85_corpus_build": Q85_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
