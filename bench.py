@@ -60,6 +60,7 @@ HEADLINE = [
     "q82_substring_removal",
     # training-mix construction (documents table)
     "q83_shuffle_shards",
+    "q85_corpus_build",
     "q57_token_budget_mix",
     "q58_token_budget_rate",
     "q59_importance_mass",
