@@ -267,3 +267,43 @@ def shard_manifest(assigned: DataFrame, *payload_sums: str) -> DataFrame:
         F.max("order_key").alias("last_key"),
     ] + [F.sum(c).cast("bigint").alias(f"sum_{c}") for c in payload_sums]
     return assigned.groupBy("shard").agg(*aggs)
+
+
+def epoch_expand(
+    df: DataFrame,
+    stratum_col: str,
+    factors: dict[str, float],
+    id_col: str,
+    default_factor: float = 1.0,
+) -> DataFrame:
+    """Mixture-epoch expansion: repeat each row ``factor[stratum]`` times,
+    fractional factors resolved per-row deterministically.
+
+    The standard domain-mixing deployment shape (a 2.5x-weighted source
+    means every doc appears twice and HALF the docs — chosen by hash, not
+    rng — a third time), the up-sampling complement of the down-sampling
+    budget samplers above. ``n_copies = floor(f) + (md5_fraction(id) <
+    frac(f))``, so the expansion is engine-reproducible, exact in
+    expectation, and a factor of 0.25 degenerates to plain rate sampling.
+
+    Output: the input rows repeated with an ``epoch int`` column (1-based
+    copy index — training loaders shuffle copies into different epochs via
+    q83's sharding on (id, epoch)). Zero/absent-stratum factors default to
+    ``default_factor``; factor 0 drops the stratum. Pure projection +
+    Generate — no shuffle, no sort; the blow-up is the OUTPUT size, which
+    is the point.
+    """
+    if any(f < 0 for f in factors.values()) or default_factor < 0:
+        raise ValueError("epoch factors must be >= 0")
+    fac = F.lit(float(default_factor))
+    for k, v in sorted(factors.items()):
+        fac = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(fac)
+    base = F.floor(fac).cast("int")
+    frac = fac - F.floor(fac)
+    extra = (md5_fraction(F.col(id_col).cast("string")) < frac).cast("int")
+    n = (base + extra).alias("_n_copies")
+    out = df.withColumn("_n_copies", n).withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), F.col("_n_copies")))
+    )
+    # sequence(1, 0) counts DOWN (negative default step) — gate explicitly
+    return out.filter(F.col("_n_copies") >= 1).drop("_n_copies")

@@ -1649,6 +1649,43 @@ FROM a GROUP BY shard
 """
 
 
+def q86_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-epoch expansion (operators/sample.epoch_expand): per-source
+    fractional repeat factors (2.5x, 3x, 0.5x, 0x, default 1x) resolved
+    deterministically per row — floor copies for everyone, one extra for
+    the md5-fraction slice — with a 1-based epoch index. The up-sampling
+    complement of the q57/q58 budget mixers. Oracle: identical hex-prefix
+    fraction + generate_series in DuckDB."""
+    from opentelemetry_collector_spark.operators.sample import epoch_expand
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    out = epoch_expand(
+        docs, "source",
+        {"src0": 2.5, "src1": 3.0, "src2": 0.5, "src3": 0.0},
+        "doc_id",
+    )
+    return out.select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+
+
+Q86_SQL = """
+WITH f AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 3.0
+                     WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.0
+                     ELSE 1.0 END AS fac,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+           / 4503599627370496.0 AS fr
+  FROM documents),
+n AS (
+  SELECT doc_id, source,
+         CAST(floor(fac) AS INT)
+           + CASE WHEN fr < fac - floor(fac) THEN 1 ELSE 0 END AS n_copies
+  FROM f)
+SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INT) AS epoch
+FROM n WHERE n_copies >= 1
+"""
+
+
 # --- rows-only (non-SQL-expressible) training-data ops ---------------------
 
 
@@ -3035,6 +3072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_shuffle_shards": q83_shuffle_shards,
     "q84_classifier_train": q84_classifier_train,
     "q85_corpus_build": q85_corpus_build,
+    "q86_epoch_expand": q86_epoch_expand,
 }
 
 ORACLES: dict[str, str] = {
@@ -3116,6 +3154,7 @@ ORACLES: dict[str, str] = {
     "q82_substring_removal": Q82_SQL,
     "q83_shuffle_shards": Q83_SQL,
     "q85_corpus_build": Q85_SQL,
+    "q86_epoch_expand": Q86_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -295,3 +295,52 @@ def test_shard_manifest_counts_and_ranges(spark):
     spans = sorted((r["shard"], r["first_key"], r["last_key"]) for r in m)
     for (_, _, prev_last), (_, nxt_first, _) in zip(spans, spans[1:]):
         assert prev_last < nxt_first
+
+
+def test_epoch_expand_copies_and_fractions(spark):
+    import hashlib
+
+    from opentelemetry_collector_spark.operators.sample import epoch_expand
+
+    df = spark.createDataFrame(
+        [(i, "web" if i < 100 else "drop") for i in range(120)],
+        "doc_id bigint, stratum string",
+    )
+    out = epoch_expand(df, "stratum", {"web": 2.5, "drop": 0.0}, "doc_id").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # dropped stratum emits nothing
+    assert all(d < 100 for d in by_doc)
+    for d, epochs in by_doc.items():
+        frac = int(hashlib.md5(str(d).encode()).hexdigest()[:13], 16) / float(16**13)
+        want = 2 + (1 if frac < 0.5 else 0)
+        assert sorted(epochs) == list(range(1, want + 1)), d
+    # every undropped doc appears (factor >= 1)
+    assert len(by_doc) == 100
+    # ~half get the extra copy; exact set decided by the hash
+    extra = sum(1 for e in by_doc.values() if len(e) == 3)
+    assert 0 < extra < 100
+
+
+def test_epoch_expand_default_factor_and_validation(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_spark.operators.sample import epoch_expand
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, stratum string")
+    out = epoch_expand(df, "stratum", {}, "doc_id").collect()
+    assert [r["epoch"] for r in out] == [1]  # default factor 1.0
+    with _pytest.raises(ValueError):
+        epoch_expand(df, "stratum", {"x": -1.0}, "doc_id")
+
+
+def test_epoch_expand_is_projection_only(spark):
+    from opentelemetry_collector_spark.operators.sample import epoch_expand
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id").withColumn(
+        "stratum", (F.col("doc_id") % 3).cast("string")
+    )
+    plan = epoch_expand(df, "stratum", {"1": 2.5}, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
