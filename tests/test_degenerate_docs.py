@@ -42,6 +42,10 @@ DOC_QUERIES = [
     "q75_boilerplate_lines",
     "q80_linear_classifier",
     "q81_unicode_normalize",
+    "q82_substring_removal",
+    "q83_shuffle_shards",
+    "q85_corpus_build",
+    "q86_epoch_expand",
 ]
 
 WEIRD_TEXTS = [
