@@ -772,6 +772,27 @@ def run_dedup_scale(n_docs: int = 200_000, n_planted: int = 10_000) -> None:
         t0 = time.perf_counter()
         sh = simhash_neardup_pairs(docs, id_col="doc_id", max_hamming=3).count()
         results["simhash_h3"] = {"sec": round(time.perf_counter() - t0, 1), "pairs": sh}
+
+        # span-granularity: a one-word swap leaves the planted doc sharing
+        # its long prefix/suffix with the source, so the 40-gram pass must
+        # cut those spans from every non-first occurrence
+        from opentelemetry_collector_spark.operators.substring import (
+            remove_duplicated_spans,
+        )
+
+        t0 = time.perf_counter()
+        cut = remove_duplicated_spans(docs, "doc_id", min_len=40)
+        agg = cut.agg(
+            F.sum(F.col("removed_chars")).alias("chars"),
+            F.sum(F.when(F.col("n_cuts") > 0, 1).otherwise(0)).alias("docs_cut"),
+            F.sum("n_chars").alias("total_chars"),
+        ).first()
+        results["substring_removal"] = {
+            "sec": round(time.perf_counter() - t0, 1),
+            "docs_cut": agg["docs_cut"],
+            "removed_chars": agg["chars"],
+            "total_chars": agg["total_chars"],
+        }
     finally:
         spark.stop()
 
@@ -795,6 +816,7 @@ the heavy-but-feasible regime.
 | exact_dedup (fingerprint groupBy) | {results['exact_dedup']['sec']} | {results['exact_dedup']['distinct']:,} distinct fingerprints (no exact dups, as constructed) |
 | minhash_lsh_pairs (k=5, H=32, 8 bands, threshold 0.5) | {mm['sec']} | {mm['pairs']:,} pairs, {mm['planted_recalled']:,}/{n_planted:,} planted recalled |
 | simhash_neardup_pairs (max hamming 3, guaranteed-recall blocking) | {results['simhash_h3']['sec']} | {results['simhash_h3']['pairs']:,} pairs (planted swaps whose simhash moved <= 3 bits) |
+| remove_duplicated_spans (ExactSubstr, L=40, keep-first) | {results['substring_removal']['sec']} | {results['substring_removal']['docs_cut']:,} docs cut, {results['substring_removal']['removed_chars']:,}/{results['substring_removal']['total_chars']:,} chars removed |
 
 Reading the numbers:
 
@@ -821,6 +843,15 @@ Reading the numbers:
   multi-index hashing (Norouzi et al.) is the documented next step for
   large radii; radius <= 3 (the standard near-dup setting) needs none of
   that.
+- **substring removal is gram-shuffle-bound and collision-precise**:
+  ~{(results['substring_removal']['total_chars'] // 1_000_000)}M chars emit one hashed 8-byte position row per 40-gram; both
+  windows (occurrence count + keep-first rank) share the single gram-key
+  exchange, so the destructive pass costs the same shuffle as the audit
+  pass. Unlike the banded minhash (30M fuzzy candidates on this
+  vocabulary), the exact 40-char window stays sharp: the cut set is the
+  planted near-dups almost exactly (docs_cut ~ n_planted + a small
+  vocabulary-collision tail), each losing its shared prefix/suffix spans
+  while the keep-first copy survives untouched.
 - **at 100 TB**: every stage is a uniform-key shuffle (band buckets are
   hash values) or an Arrow-batched map (signatures, verification); nothing
   is driver-bound, and the signature table would be written once and reused
