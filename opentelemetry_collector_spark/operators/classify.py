@@ -124,16 +124,22 @@ def train_linear(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import CountVectorizer
 
+    def _no_weights() -> DataFrame:
+        return df.sparkSession.createDataFrame([], "term string, weight_pm bigint")
+
     toks = df.select(
         F.col(label_col).cast("double").alias("label"),
         tokens(F.col(text_col)).alias("toks"),
-    )
-    # an empty (or single-class-free) seed set cannot fit; degrade to the
-    # zero model rather than letting CountVectorizer/LBFGS throw — the
-    # empty-partition case is routine at 100 TB
-    if toks.limit(1).count() == 0:
-        empty = df.sparkSession.createDataFrame([], "term string, weight_pm bigint")
-        return empty, 0
+    ).filter(F.col("label").isNotNull() & F.col("toks").isNotNull())
+    # degenerate seed sets cannot fit and are routine at 100 TB (an empty
+    # labeled slice, or a slice where the rule never/always fires):
+    # empty -> the zero model; single-class -> the constant model for the
+    # observed class (LBFGS would return an infinite intercept here)
+    labs = [r["label"] for r in toks.select("label").distinct().limit(2).collect()]
+    if len(labs) == 0:
+        return _no_weights(), 0
+    if len(labs) == 1:
+        return _no_weights(), 1000 if labs[0] == 1.0 else -1000
     cv = CountVectorizer(
         inputCol="toks", outputCol="features", vocabSize=vocab_size, minDF=float(min_doc_freq)
     )
@@ -143,14 +149,22 @@ def train_linear(
         maxIter=max_iter, regParam=reg_param, standardization=False, family="binomial"
     )
     model = lr.fit(feats)
+    import math
+
+    def _pm(x: float) -> int:
+        # clamp non-finite coefficients (separable data drives LBFGS to
+        # +/-inf) into the integer currency instead of OverflowError
+        if not math.isfinite(x):
+            return 1_000_000 if x > 0 else -1_000_000
+        return int(round(x * 1000))
+
     coefs = model.coefficients.toArray()
-    spark = df.sparkSession
     rows = [
-        (term, int(round(float(coefs[i]) * 1000)))
+        (term, _pm(float(coefs[i])))
         for i, term in enumerate(cv_model.vocabulary)
-        if int(round(float(coefs[i]) * 1000)) != 0
+        if _pm(float(coefs[i])) != 0
     ]
-    weights = spark.createDataFrame(rows or [("", 0)], "term string, weight_pm bigint")
     if not rows:
-        weights = weights.filter(F.col("term") != "")
-    return weights, int(round(float(model.intercept) * 1000))
+        return _no_weights(), _pm(float(model.intercept))
+    weights = df.sparkSession.createDataFrame(rows, "term string, weight_pm bigint")
+    return weights, _pm(float(model.intercept))

@@ -300,7 +300,12 @@ def epoch_expand(
         fac = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(fac)
     base = F.floor(fac).cast("int")
     frac = fac - F.floor(fac)
-    extra = (md5_fraction(F.col(id_col).cast("string")) < frac).cast("int")
+    # NULL id has no hash fraction: no EXTRA copy, but the floor copies
+    # still emit (a SQL CASE WHEN NULL<x yields the ELSE 0, and sibling
+    # shuffle_shards' policy is that NULL-id junk stays visible)
+    extra = F.coalesce(
+        (md5_fraction(F.col(id_col).cast("string")) < frac), F.lit(False)
+    ).cast("int")
     n = (base + extra).alias("_n_copies")
     out = df.withColumn("_n_copies", n).withColumn(
         "epoch", F.explode(F.sequence(F.lit(1), F.col("_n_copies")))

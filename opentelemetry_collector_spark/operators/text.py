@@ -173,6 +173,7 @@ def gopher_filter(
     min_stopword_hits: int = 2,
     min_alpha_pm: int = 600,
     max_dup_word_pm: int = 700,
+    keep_input: bool = False,
 ) -> DataFrame:
     """Gopher-style keep/drop decision: rule bounds composed over per-row
     word statistics, emitting ``keep`` plus a ``reasons`` bitmask
@@ -210,12 +211,17 @@ def gopher_filter(
         + F.when(alpha_pm < min_alpha_pm, GOPHER_REASONS["alpha"]).otherwise(0)
         + F.when(dup_pm > max_dup_word_pm, GOPHER_REASONS["dup_words"]).otherwise(0)
     )
-    return df.select(
-        F.col(id_col),
+    out = [
         nw.cast("bigint").alias("n_words"),
         reasons.cast("bigint").alias("reasons"),
         F.when(reasons == 0, 1).otherwise(0).cast("bigint").alias("keep"),
-    )
+    ]
+    if keep_input:
+        # carry the input columns so a downstream keep-filter stays in THIS
+        # projection (no self-join of the corpus against its own decision
+        # frame — the composition shape q85 depends on)
+        return df.select("*", *out)
+    return df.select(F.col(id_col), *out)
 
 
 def tfidf_top_terms(

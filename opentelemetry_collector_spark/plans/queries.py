@@ -1571,30 +1571,32 @@ def q85_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-build capstone over the NEW ops in one plan: Gopher-rule gate
     (q67 thresholds) AND classifier gate (q80 vocab) select survivors,
     which are then shuffle-sharded and rolled into the per-shard training
-    manifest (rows, key range, token mass). Both gates ride the same scan
-    as codegen projections / one broadcast probe; sharding adds zero
-    movement, so the whole build is scan + two small exchanges. Oracle:
-    the composed q67+q80+q83 SQL derivations over the identical survivor
-    set."""
+    manifest (rows, key range, token mass). NO self-join anywhere: the
+    Gopher gate rides the scan as an inline projection filter
+    (keep_input=True), the classifier consumes the already-gated rows
+    (explode -> broadcast probe -> per-doc partial agg), its n_tokens IS
+    the manifest's token mass, and sharding is stateless — the whole
+    build is one scan plus two narrow exchanges (per-doc sum, per-shard
+    manifest). Oracle: the composed q67+q80+q83 SQL derivations over the
+    identical survivor set."""
     from opentelemetry_collector_spark.operators.classify import linear_score
     from opentelemetry_collector_spark.operators.sample import shard_manifest, shuffle_shards
-    from opentelemetry_collector_spark.operators.text import gopher_filter, token_count
+    from opentelemetry_collector_spark.operators.text import gopher_filter
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    g = gopher_filter(
+    gated = gopher_filter(
         docs, "doc_id",
         min_words=15, max_words=90,
         min_mean_word_len_pm=4000, max_mean_word_len_pm=5000,
         min_alpha_pm=810, max_dup_word_pm=600,
-    )
+        keep_input=True,
+    ).filter(F.col("keep") == 1)
     weights = spark.createDataFrame(_CLS_VOCAB, "term string, weight_pm bigint")
-    c = linear_score(docs, weights, "doc_id", bias_pm=-20, threshold_pm=0)
-    surv = (
-        docs.join(g.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
-        .join(c.filter(F.col("keep")).select("doc_id"), "doc_id")
-        .select("doc_id", "text")
+    c = linear_score(
+        gated.select("doc_id", "text"), weights, "doc_id", bias_pm=-20, threshold_pm=0
     )
-    a = shuffle_shards(surv, "doc_id", 8).withColumn("toks", token_count(F.col("text")))
+    surv = c.filter(F.col("keep")).select("doc_id", F.col("n_tokens").alias("toks"))
+    a = shuffle_shards(surv, "doc_id", 8)
     return shard_manifest(a, "toks").select(
         F.col("shard").cast("int").alias("shard"),
         "n_rows",

@@ -526,3 +526,30 @@ def test_train_linear_recovers_planted_signal(spark):
     )
     got = {r["doc_id"]: r["keep"] for r in linear_score(held, weights, "doc_id", bias_pm=bias).collect()}
     assert got == {100: True, 101: False}
+
+
+def test_train_linear_degenerate_seeds(spark):
+    """Empty seed -> zero model; single-class seed -> the constant model
+    (LBFGS would return an infinite intercept); NULL text/label rows are
+    dropped before the fit instead of killing it."""
+    from opentelemetry_collector_spark.operators.classify import train_linear
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string, label int")
+    w, b = train_linear(empty, "label")
+    assert w.count() == 0 and b == 0
+    allpos = spark.createDataFrame(
+        [(i, "some text here", 1) for i in range(20)], "doc_id bigint, text string, label int"
+    )
+    w, b = train_linear(allpos, "label")
+    assert w.count() == 0 and b == 1000
+    allneg = allpos.withColumn("label", F.lit(0))
+    w, b = train_linear(allneg, "label")
+    assert w.count() == 0 and b == -1000
+    with_nulls = spark.createDataFrame(
+        [(1, None, 1), (2, "good stuff", None), (3, "good stuff", 1), (4, "bad stuff", 0)]
+        * 10,
+        "doc_id bigint, text string, label int",
+    )
+    w, b = train_linear(with_nulls, "label", min_doc_freq=1, max_iter=10)
+    got = {r["term"]: r["weight_pm"] for r in w.collect()}
+    assert got.get("good", 0) > 0 > got.get("bad", 0)

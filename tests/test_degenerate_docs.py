@@ -44,6 +44,7 @@ DOC_QUERIES = [
     "q81_unicode_normalize",
     "q82_substring_removal",
     "q83_shuffle_shards",
+    "q84_classifier_train",
     "q85_corpus_build",
     "q86_epoch_expand",
 ]

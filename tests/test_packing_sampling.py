@@ -344,3 +344,15 @@ def test_epoch_expand_is_projection_only(spark):
     plan = epoch_expand(df, "stratum", {"1": 2.5}, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Generate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epoch_expand_null_id_keeps_floor_copies(spark):
+    """A NULL id has no hash fraction: no extra copy, but the floor copies
+    still emit (the oracle's CASE WHEN NULL<x -> 0 shape; junk stays
+    visible like shuffle_shards)."""
+    from opentelemetry_collector_spark.operators.sample import epoch_expand
+
+    df = spark.createDataFrame([(None, "web"), (1, "web")], "doc_id bigint, stratum string")
+    out = epoch_expand(df, "stratum", {"web": 2.5}, "doc_id").collect()
+    null_epochs = sorted(r["epoch"] for r in out if r["doc_id"] is None)
+    assert null_epochs == [1, 2]  # floor(2.5) copies, no fractional extra

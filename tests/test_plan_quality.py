@@ -276,3 +276,16 @@ def test_unicode_normalize_single_arrow_stage_no_exchange(spark, tiny):
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_corpus_build_single_scan_no_self_join(spark):
+    """q85 must not self-join the corpus against its own gate decisions:
+    one parquet scan, zero SortMergeJoin — the Gopher gate is an inline
+    projection filter (keep_input=True) and the classifier consumes the
+    gated rows directly."""
+    from opentelemetry_collector_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["q85_corpus_build"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1  # the vocab probe only
