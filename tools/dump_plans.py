@@ -267,6 +267,16 @@ COMMENTARY = {
         "the WRITE layout (partitionBy shard, sortWithinPartitions order_key), so "
         "the only data movement is the write itself.",
     ),
+    "q85_corpus_build": (
+        "ONE parquet scan, ZERO SortMergeJoin: the Gopher gate is an inline projection "
+        "filter over the scan (gopher_filter keep_input=True), the classifier probes "
+        "its vocab as the only BroadcastHashJoin, and the per-doc sum + per-shard "
+        "manifest are the only narrow exchanges.",
+        "A corpus build that self-joined the corpus against its own gate decisions "
+        "would pay two full-corpus exchanges at 100 TB; composing the gates as "
+        "projection -> gated explode keeps the whole build scan-bound, which is what "
+        "a selection pipeline must be.",
+    ),
     "q53_latency_quantiles": (
         "Exact percentiles ride the SAME plan shape as any grouped agg: lead() window on "
         "hashpartitioning(conv_id), broadcast meta join, then partial+final HashAggregate "
