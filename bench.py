@@ -72,6 +72,8 @@ HEADLINE = [
     "q52_route_rollup",
     "q53_latency_quantiles",
     "q54_sessionize",
+    "q87_counter_adjust",
+    "q88_slo_burn",
     # pipeline hygiene (transcripts table)
     "q69_integrity_audit",
     "q70_log_dedup",

@@ -242,6 +242,110 @@ def bucketed_row_number(
     )
 
 
+def adjust_cumulative(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Cumulative-counter start-time adjustment with reset detection — the
+    batch form of the Prometheus receiver's MetricsAdjuster
+    (``receiver/prometheusreceiver/internal/metrics_adjuster.go:254-305``:
+    ``isReset`` flags ``current < previous``; non-reset points get
+    ``current.StartTimestamp = initial.StartTimestamp`` where *initial* is
+    the first point since the last reset), composed with the
+    cumulative→delta ``AggregationTemporality`` conversion
+    (``model/pdata/metrics.go:291-301``) that Prometheus ``increase()``
+    implements: ``delta = v - prev`` within an epoch, NULL at epoch starts
+    (an initial/reset point has no baseline — the adjuster likewise returns
+    false and emits no adjusted point for it).
+
+    Output columns: the input row plus
+      - ``start_ts``  — adjusted start timestamp (first point of the
+        current reset epoch; the adjuster's ``initial.StartTimestamp``),
+      - ``delta``     — increase since the previous sample (NULL at epoch
+        starts),
+      - ``is_reset``  — true on the first point of every epoch AFTER the
+        series' first (a genuine counter restart, not series birth).
+
+    Physical shape: every window shares ONE ``hashpartitioning(keys)``
+    exchange + one sort — the reset flag is a lag, the epoch start is a
+    *running max of reset-point timestamps* over the same frame (avoiding a
+    (keys, epoch)-partitioned second window, which would re-shuffle).
+    Series cardinality ~ label sets, each series sorted within one task; a
+    single series never exceeds its scrape count, so the sort is bounded by
+    points-per-series, not corpus size.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    v, prev = F.col(value_col), F.lag(value_col).over(w)
+    epoch_start = prev.isNull() | (v < prev)
+    return (
+        df.withColumn("_es", epoch_start)
+        .withColumn("is_reset", F.col("_es") & F.lag(ts_col).over(w).isNotNull())
+        .withColumn(
+            "start_ts",
+            F.max(F.when(F.col("_es"), F.col(ts_col))).over(w_run),
+        )
+        .withColumn("delta", F.when(~F.col("_es"), v - prev))
+        .drop("_es")
+    )
+
+
+def error_budget_burn(
+    df: DataFrame,
+    keys: list[str],
+    error_col: str | Column,
+    ts_col: str = "ts",
+    budget_ppm: int = 10_000,
+    short_unit: str = "hour",
+    long_unit: str = "day",
+) -> DataFrame:
+    """Multi-window SLO error-budget burn (the alerting aggregate the
+    Collector's obsreport counters feed: refused/accepted per component,
+    ``internal/obsreportconfig/obsmetrics/obs_receiver.go:24-55`` — here
+    turned into the Google-SRE multiwindow burn-rate rule: alert iff BOTH
+    the short and the long window burn faster than budget).
+
+    Integer-exact across engines: ratios are parts-per-million via BIGINT
+    floor division (float division drifts between engines); burn flag =
+    ``err_ppm > budget_ppm`` on both windows.
+
+    Physical shape: one partial-aggregated groupBy(keys, short bucket) over
+    the raw scan — the only pass over the data; the long window is a
+    window-SUM over the already-aggregated short-bucket frame (|keys| x
+    |buckets| rows), partitioned by (keys, long bucket). No second scan,
+    no join.
+    """
+    err = F.col(error_col) if isinstance(error_col, str) else error_col
+    short_b = F.date_trunc(short_unit, F.col(ts_col))
+    hourly = df.groupBy(*keys, short_b.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(err.cast("bigint")).cast("bigint").alias("n_err"),
+    )
+    w_long = Window.partitionBy(*keys, F.date_trunc(long_unit, F.col("bucket")))
+    # `div` (not `/`): bigint / bigint is a DOUBLE divide, and 10^6 * a
+    # 10^12-row count overflows the 52-bit mantissa — integer division is
+    # exact at any scale and floors identically to DuckDB's `//`
+    return (
+        # one select => one Window node => ONE (keys, long-bucket) exchange
+        # (chained withColumns would give each window sum its own exchange)
+        hourly.select(
+            "*",
+            F.sum("n_total").over(w_long).cast("bigint").alias("n_total_long"),
+            F.sum("n_err").over(w_long).cast("bigint").alias("n_err_long"),
+        )
+        .withColumn("err_ppm", F.expr("(1000000 * n_err) div n_total"))
+        .withColumn("err_ppm_long", F.expr("(1000000 * n_err_long) div n_total_long"))
+        .withColumn(
+            "fast_burn",
+            (F.col("err_ppm") > F.lit(budget_ppm)) & (F.col("err_ppm_long") > F.lit(budget_ppm)),
+        )
+    )
+
+
 def sketch_rollup(
     df: DataFrame,
     key_cols: list[str],

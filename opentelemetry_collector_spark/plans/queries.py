@@ -2984,6 +2984,138 @@ FROM tot LEFT JOIN r USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# q87 cumulative-counter adjustment: reset detection + start-ts + delta
+# ---------------------------------------------------------------------------
+
+
+def q87_counter_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Prometheus receiver's MetricsAdjuster in batch
+    (metrics_adjuster.go:254-305) + cumulative->delta temporality conversion
+    (model/pdata/metrics.go:291-301): per series (event_type, instance), a
+    wrapped running-cents counter (the fixture derivation — wrap = counter
+    restart) is adjusted to (start_ts = first point of the reset epoch,
+    delta = increase since previous sample, is_reset flag). All windows
+    share one hashpartitioning(series) exchange."""
+    from pyspark.sql import Window as W
+
+    from opentelemetry_collector_spark.operators.aggregate import adjust_cumulative
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w_run = (
+        W.partitionBy("event_type", "instance")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    series = ev.select(
+        "event_type",
+        (F.col("user_id") % 4).cast("int").alias("instance"),
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("_cents"),
+    ).select(
+        "event_type",
+        "instance",
+        "event_id",
+        "ts",
+        (F.sum("_cents").over(w_run) % 100000).cast("bigint").alias("value"),
+    )
+    out = adjust_cumulative(
+        series, ["event_type", "instance"], tiebreak=["event_id"]
+    )
+    return out.select(
+        "event_type",
+        "instance",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "ts",
+        "value",
+        "is_reset",
+        "start_ts",
+        F.col("delta").cast("bigint").alias("delta"),
+    )
+
+
+Q87_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(user_id % 4 AS INTEGER) AS instance, event_id, ts,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                OVER (PARTITION BY event_type, user_id % 4
+                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) % 100000
+              AS BIGINT) AS value
+  FROM events
+),
+f AS (
+  SELECT *, lag(value) OVER w AS prev, lag(ts) OVER w AS prev_ts
+  FROM s WINDOW w AS (PARTITION BY event_type, instance ORDER BY ts, event_id)
+),
+g AS (SELECT *, (prev IS NULL OR value < prev) AS es FROM f)
+SELECT event_type, instance, CAST(event_id AS BIGINT) AS event_id, ts, value,
+       (es AND prev_ts IS NOT NULL) AS is_reset,
+       max(CASE WHEN es THEN ts END)
+         OVER (PARTITION BY event_type, instance
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS start_ts,
+       CAST(CASE WHEN NOT es THEN value - prev END AS BIGINT) AS delta
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# q88 multi-window SLO error-budget burn per tenant
+# ---------------------------------------------------------------------------
+
+
+def q88_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google-SRE multiwindow burn-rate over the routed error signal (the
+    alerting consumer of the obsreport refused/accepted taxonomy,
+    obs_receiver.go:24-55): per (tenant, hour), integer-ppm error ratios at
+    hour and day granularity + the both-windows-breach flag. One scan, one
+    partial-aggregated groupBy; the day window is a window-SUM over the
+    tiny hourly frame."""
+    from opentelemetry_collector_spark.operators.aggregate import error_budget_burn
+
+    t = from_events(spark, sf_dir)
+    dim = conv_meta(spark, sf_dir)
+    e = t.join(F.broadcast(dim), on="conv_id", how="left").select(
+        F.coalesce(F.col("tenant"), F.lit("unknown")).alias("tenant"),
+        F.col("ts"),
+        F.col("text").rlike(r"error code=\d+").alias("is_err"),
+    )
+    out = error_budget_burn(e, ["tenant"], "is_err", budget_ppm=150_000)
+    return out.select(
+        "tenant", "bucket", "n_total", "n_err", "n_total_long", "n_err_long",
+        "err_ppm", "err_ppm_long", "fast_burn",
+    )
+
+
+Q88_SQL = f"""{_PRELUDE},
+e AS (
+  SELECT coalesce(m.tenant, 'unknown') AS tenant,
+         date_trunc('hour', t.ts) AS bucket,
+         date_trunc('day', t.ts) AS day,
+         CAST(regexp_matches(t.text, 'error code=\\d+') AS INTEGER) AS is_err
+  FROM t LEFT JOIN m USING (conv_id)
+),
+h AS (
+  SELECT tenant, bucket, any_value(day) AS day,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(is_err) AS BIGINT) AS n_err
+  FROM e GROUP BY tenant, bucket
+),
+l AS (
+  SELECT tenant, bucket, n_total, n_err,
+         CAST(sum(n_total) OVER wl AS BIGINT) AS n_total_long,
+         CAST(sum(n_err) OVER wl AS BIGINT) AS n_err_long
+  FROM h WINDOW wl AS (PARTITION BY tenant, day)
+)
+SELECT tenant, bucket, n_total, n_err, n_total_long, n_err_long,
+       (1000000 * n_err) // n_total AS err_ppm,
+       (1000000 * n_err_long) // n_total_long AS err_ppm_long,
+       ((1000000 * n_err) // n_total > 150000
+        AND (1000000 * n_err_long) // n_total_long > 150000) AS fast_burn
+FROM l
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3075,6 +3207,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_classifier_train": q84_classifier_train,
     "q85_corpus_build": q85_corpus_build,
     "q86_epoch_expand": q86_epoch_expand,
+    "q87_counter_adjust": q87_counter_adjust,
+    "q88_slo_burn": q88_slo_burn,
 }
 
 ORACLES: dict[str, str] = {
@@ -3157,6 +3291,8 @@ ORACLES: dict[str, str] = {
     "q83_shuffle_shards": Q83_SQL,
     "q85_corpus_build": Q85_SQL,
     "q86_epoch_expand": Q86_SQL,
+    "q87_counter_adjust": Q87_SQL,
+    "q88_slo_burn": Q88_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

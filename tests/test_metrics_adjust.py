@@ -1,0 +1,115 @@
+"""Cumulative-counter adjustment (metrics_adjuster.go analog) + SLO burn.
+
+Golden semantics pinned against the reference's MetricsAdjuster
+(receiver/prometheusreceiver/internal/metrics_adjuster.go:254-305):
+- isReset: current < previous  =>  new epoch;
+- non-reset points inherit initial.StartTimestamp (first point of epoch);
+- initial/reset points themselves have no adjusted delta.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.aggregate import (
+    adjust_cumulative,
+    error_budget_burn,
+)
+
+COLS = "series string, ts timestamp, value bigint"
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def counter_frame(spark):
+    # series "a": grows 10->25->25->40, resets to 5 (5<40), grows to 17
+    # series "b": single point (initial only, never a reset)
+    rows = [
+        ("a", _ts(1), 10),
+        ("a", _ts(2), 25),
+        ("a", _ts(3), 25),  # flat: delta 0, NOT a reset (25 < 25 is false)
+        ("a", _ts(4), 40),
+        ("a", _ts(5), 5),   # reset
+        ("a", _ts(6), 17),
+        ("b", _ts(1), 7),
+    ]
+    return spark.createDataFrame(rows, COLS)
+
+
+def test_adjust_golden(spark, counter_frame):
+    out = {
+        (r["series"], r["ts"]): (r["start_ts"], r["delta"], r["is_reset"])
+        for r in adjust_cumulative(counter_frame, ["series"]).collect()
+    }
+    # epoch 1 of "a" starts at 01:00; every non-initial point carries it
+    assert out[("a", _ts(1))] == (_ts(1), None, False)  # series birth, not a reset
+    assert out[("a", _ts(2))] == (_ts(1), 15, False)
+    assert out[("a", _ts(3))] == (_ts(1), 0, False)  # flat != reset
+    assert out[("a", _ts(4))] == (_ts(1), 15, False)
+    # reset: new epoch starts at 05:00, no delta on the reset point itself
+    assert out[("a", _ts(5))] == (_ts(5), None, True)
+    assert out[("a", _ts(6))] == (_ts(5), 12, False)
+    assert out[("b", _ts(1))] == (_ts(1), None, False)
+
+
+def test_adjust_total_increase_ignores_wrap_loss(spark, counter_frame):
+    # sum(delta) per series = total observed increase across epochs —
+    # the quantity increase() reports (reset points contribute nothing)
+    out = adjust_cumulative(counter_frame, ["series"])
+    got = {
+        r["series"]: r["inc"]
+        for r in out.groupBy("series").agg(F.sum("delta").alias("inc")).collect()
+    }
+    assert got == {"a": 42, "b": None}  # 15+0+15+12; b has no adjusted point
+
+
+def test_adjust_single_exchange(spark, counter_frame):
+    plan = _plan(adjust_cumulative(counter_frame, ["series"]))
+    # lag + running max share one hashpartitioning(series) exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_adjust_empty(spark):
+    df = spark.createDataFrame([], COLS)
+    assert adjust_cumulative(df, ["series"]).count() == 0
+
+
+def test_burn_golden(spark):
+    # tenant "t1" hour 1: 3 errors / 4 rows (750000 ppm, breach)
+    #            hour 2: 0 errors / 4 rows
+    #            day ratio: 3/8 = 375000 ppm (breach) => hour 1 fast_burn
+    # tenant "t2": 1 error / 8 rows in one hour => 125000 ppm, no breach
+    rows = [("t1", _ts(1, i), i < 3) for i in range(4)]
+    rows += [("t1", _ts(2, i), False) for i in range(4)]
+    rows += [("t2", _ts(1, i), i == 0) for i in range(8)]
+    df = spark.createDataFrame(rows, "tenant string, ts timestamp, is_err boolean")
+    out = error_budget_burn(df, ["tenant"], "is_err", budget_ppm=150_000)
+    got = {(r["tenant"], r["bucket"]): r for r in out.collect()}
+    r11 = got[("t1", _ts(1))]
+    assert (r11["n_total"], r11["n_err"], r11["err_ppm"]) == (4, 3, 750_000)
+    assert (r11["n_total_long"], r11["n_err_long"], r11["err_ppm_long"]) == (8, 3, 375_000)
+    assert r11["fast_burn"]
+    r12 = got[("t1", _ts(2))]
+    assert (r12["err_ppm"], r12["err_ppm_long"], r12["fast_burn"]) == (0, 375_000, False)
+    r2 = got[("t2", _ts(1))]
+    assert (r2["err_ppm"], r2["fast_burn"]) == (125_000, False)
+
+
+def test_burn_single_scan_plan(spark):
+    rows = [("t", _ts(1), True)]
+    df = spark.createDataFrame(rows, "tenant string, ts timestamp, is_err boolean")
+    plan = _plan(error_budget_burn(df, ["tenant"], "is_err"))
+    # partial HashAggregate before the shuffle (map-side combine over the
+    # raw rows); the long window re-shuffles only the tiny hourly frame
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 2
