@@ -3116,6 +3116,100 @@ FROM l
 
 
 # ---------------------------------------------------------------------------
+# q89 zipkin v1 (legacy annotation wire) -> span frame
+# ---------------------------------------------------------------------------
+
+
+def q89_zipkinv1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipkin v1 JSON parse gate (translator/trace/zipkinv1/json.go via the
+    receiver's v1 path): build the legacy annotation wire from the
+    transcripts-as-traces frame — kind as cs/sr/mr annotations with the
+    service endpoint, attrs + status as binaryAnnotations — then parse it
+    back with the v1 translator's composed v1->OC->pdata semantics. The
+    wire BUILD is our fixture generator (the reference has no v1
+    marshaler; its receiver only parses v1), the PARSE is the operator
+    under test. Oracle: the q37 frame derivation with the one lossy v1
+    difference — INTERNAL has no v1 annotation form, so system turns read
+    back UNSPECIFIED(0)."""
+    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+    from opentelemetry_collector_spark.sources.zipkin_v1 import parse_zipkin_v1_json
+
+    s = spans_from_transcripts(from_events(spark, sf_dir))
+    ep = F.struct(F.col("service_name").alias("serviceName"))
+    kind_ann = (
+        F.when(F.col("kind") == 3, F.lit("cs"))
+        .when(F.col("kind") == 2, F.lit("sr"))
+        .when(F.col("kind") == 5, F.lit("mr"))
+    )
+    annotations = F.when(
+        kind_ann.isNotNull(),
+        F.array(
+            F.struct(
+                F.unix_micros(F.col("ts")).alias("timestamp"),
+                kind_ann.alias("value"),
+                ep.alias("endpoint"),
+            )
+        ),
+    )
+    is_err = F.col("status_code") == 2
+    bans = F.filter(
+        F.array(
+            F.struct(
+                F.lit("turn.idx").alias("key"),
+                F.col("attrs")["turn.idx"].alias("value"),
+                ep.alias("endpoint"),
+            ),
+            F.struct(F.lit("tool").alias("key"), F.col("attrs")["tool"].alias("value"), ep.alias("endpoint")),
+            F.struct(
+                F.lit("status.code").alias("key"),
+                F.when(is_err, F.lit("2")).alias("value"),
+                ep.alias("endpoint"),
+            ),
+            F.struct(
+                F.lit("status.message").alias("key"),
+                F.when(is_err, F.col("status_message")).alias("value"),
+                ep.alias("endpoint"),
+            ),
+        ),
+        lambda b: b["value"].isNotNull(),
+    )
+    wire = s.select(
+        F.to_json(
+            F.struct(
+                F.col("trace_id").alias("traceId"),
+                F.col("span_id").alias("id"),
+                F.col("parent_span_id").alias("parentId"),
+                F.col("name").alias("name"),
+                F.unix_micros(F.col("ts")).alias("timestamp"),
+                F.col("duration_us").alias("duration"),
+                annotations.alias("annotations"),
+                bans.alias("binaryAnnotations"),
+            )
+        ).alias("value")
+    )
+    back = parse_zipkin_v1_json(wire)
+    return back.select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "name",
+        "kind",
+        "status_code",
+        "status_message",
+        "service_name",
+        "ts",
+        "duration_us",
+        F.col("attrs")["turn.idx"].cast("int").alias("attr_turn_idx"),
+        F.col("attrs")["tool"].alias("attr_tool"),
+        F.cardinality(F.col("attrs")).cast("bigint").alias("n_attrs"),
+    )
+
+
+# the q37 derivation, minus v1's lossy INTERNAL kind (no annotation form)
+Q89_SQL = Q37_SQL.replace("WHEN 'system' THEN 1", "WHEN 'system' THEN 0")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3209,6 +3303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_epoch_expand": q86_epoch_expand,
     "q87_counter_adjust": q87_counter_adjust,
     "q88_slo_burn": q88_slo_burn,
+    "q89_zipkinv1_roundtrip": q89_zipkinv1_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -3293,6 +3388,7 @@ ORACLES: dict[str, str] = {
     "q86_epoch_expand": Q86_SQL,
     "q87_counter_adjust": Q87_SQL,
     "q88_slo_burn": Q88_SQL,
+    "q89_zipkinv1_roundtrip": Q89_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
