@@ -277,6 +277,28 @@ COMMENTARY = {
         "projection -> gated explode keeps the whole build scan-bound, which is what "
         "a selection pipeline must be.",
     ),
+    "q87_counter_adjust": (
+        "ALL windows (lag, running max of reset timestamps) share ONE Exchange "
+        "hashpartitioning(event_type, instance) + one Sort; no Python.",
+        "Counter adjustment touches every sample of every series: sharing the series "
+        "partitioning across the reset flag, the epoch start, and the delta means the "
+        "10^12-point metrics history shuffles once, and each series sorts within one task "
+        "bounded by its own scrape count.",
+    ),
+    "q88_slo_burn": (
+        "Partial HashAggregate over the raw scan before the (tenant, hour) exchange; the "
+        "day window re-shuffles ONLY the aggregated hourly frame (|tenants| x |hours| rows).",
+        "Burn-rate alerting reads the whole error stream but its state is tiny: map-side "
+        "combine compresses each task to its distinct (tenant, hour) pairs, so the long "
+        "window costs a shuffle of thousands of rows, not 10^12.",
+    ),
+    "q89_zipkinv1_roundtrip": (
+        "The whole v1 wire build + parse is Projects over the scan (to_json/from_json + "
+        "higher-order array functions in WholeStageCodegen) — no Python, no extra "
+        "Exchange beyond the fixture's turn_idx window.",
+        "The legacy-wire translator runs per record on the hot ingest path; staying in "
+        "codegen keeps v1 parse at scan speed exactly like the v2/jaeger/OC codecs.",
+    ),
     "q53_latency_quantiles": (
         "Exact percentiles ride the SAME plan shape as any grouped agg: lead() window on "
         "hashpartitioning(conv_id), broadcast meta join, then partial+final HashAggregate "
