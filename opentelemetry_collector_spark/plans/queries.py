@@ -3011,7 +3011,9 @@ def q87_counter_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 4).cast("int").alias("instance"),
         "event_id",
         "ts",
-        F.floor(F.col("value") * 100).cast("bigint").alias("_cents"),
+        # try_cast: an extreme value (1e18 * 100 > 2^63) must degrade to a
+        # NULL sample, not ANSI-abort the whole counter history
+        F.floor(F.col("value") * 100).try_cast("bigint").alias("_cents"),
     ).select(
         "event_type",
         "instance",
@@ -3037,7 +3039,7 @@ def q87_counter_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q87_SQL = """
 WITH s AS (
   SELECT event_type, CAST(user_id % 4 AS INTEGER) AS instance, event_id, ts,
-         CAST(sum(CAST(floor(value * 100) AS BIGINT))
+         CAST(sum(TRY_CAST(floor(value * 100) AS BIGINT))
                 OVER (PARTITION BY event_type, user_id % 4
                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) % 100000
               AS BIGINT) AS value

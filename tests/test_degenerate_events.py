@@ -46,6 +46,9 @@ EVENT_QUERIES = [
     "q73_otlp_metrics_roundtrip",
     "q78_otlp_int_metrics_roundtrip",
     "q79_otlp_summary_roundtrip",
+    "q87_counter_adjust",
+    "q88_slo_burn",
+    "q89_zipkinv1_roundtrip",
 ]
 
 
