@@ -191,3 +191,99 @@ def _dedup_state_fn(timeout_minutes: int):
         state.setTimeoutDuration(timeout_minutes * 60 * 1000)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# streaming MetricsAdjuster (stateful cumulative-counter adjustment)
+# ---------------------------------------------------------------------------
+
+SERIES_SCHEMA = "series string, ts timestamp, value bigint"
+ADJUSTED_SCHEMA = (
+    "series string, ts timestamp, value bigint,"
+    " start_ts timestamp, delta bigint, is_reset boolean"
+)
+
+
+def adjust_cumulative_stream(df: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+    """The Prometheus receiver's MetricsAdjuster as the stateful streaming
+    operator it actually is in the reference: per-series state (last value,
+    current epoch start) maintained across scrapes, reset detected when
+    ``current < previous`` (``receiver/prometheusreceiver/internal/
+    metrics_adjuster.go:254-305``), non-reset points stamped with the
+    epoch's start time, plus the cumulative->delta conversion q87 runs in
+    batch (``operators/aggregate.adjust_cumulative`` — same output columns,
+    so batch backfill and streaming ingest agree row-for-row).
+
+    State GC mirrors the adjuster's mark-and-sweep (``metrics_adjuster.go``
+    job/timeseries gc notes, :27-58): a series idle for `timeout_minutes`
+    of processing time DROPS its state — the store is bounded by live
+    series, not series ever seen. Within a micro-batch rows are processed
+    in ts order; across batches state carries arrival order, exactly like
+    the Go adjuster's per-scrape sequence.
+
+    Arrow-batched per series with a vectorized numpy recurrence — no
+    per-row Python.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return df.groupBy("series").applyInPandasWithState(
+        _adjust_state_fn(timeout_minutes),
+        outputStructType=ADJUSTED_SCHEMA,
+        stateStructType="last_value bigint, epoch_start_us bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def _adjust_state_fn(timeout_minutes: int):
+    """Per-series handler behind :func:`adjust_cumulative_stream`,
+    module-level so the timeout branch is unit-testable."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()  # the timeseriesMap gc sweep: idle series cost nothing
+            return
+        last, epoch_us = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            pdf = pdf[pdf["value"].notna() & pdf["ts"].notna()]
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("ts", kind="stable").reset_index(drop=True)
+            vals = pdf["value"].to_numpy(dtype="int64")
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            n = len(pdf)
+            prev = np.empty(n, dtype="int64")
+            prev[1:] = vals[:-1]
+            had_prev = last is not None
+            prev[0] = last if had_prev else 0
+            es = vals < prev
+            es[0] = es[0] or not had_prev  # series birth starts an epoch
+            # forward-fill each row's epoch start from the latest reset row,
+            # carrying the cross-batch epoch in for the prefix before one
+            idx = np.where(es, np.arange(n), -1)
+            idx = np.maximum.accumulate(idx)
+            start_us = np.where(idx >= 0, ts_us[np.maximum(idx, 0)], epoch_us if epoch_us is not None else 0)
+            delta = vals - prev
+            is_reset = es.copy()
+            is_reset[0] = es[0] and had_prev  # birth is not a counter reset
+            out = pd.DataFrame(
+                {
+                    "series": pdf["series"],
+                    "ts": pdf["ts"],
+                    "value": pdf["value"],
+                    "start_ts": pd.to_datetime(start_us, unit="us"),
+                    "delta": pd.array(np.where(es, 0, delta), dtype="Int64"),
+                    "is_reset": is_reset,
+                }
+            )
+            out.loc[es, "delta"] = pd.NA  # initial/reset points have no baseline
+            yield out
+            last = int(vals[-1])
+            epoch_us = int(start_us[-1])
+        if last is not None:
+            state.update((last, epoch_us))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+
+    return fn

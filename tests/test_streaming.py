@@ -185,3 +185,82 @@ def test_dedup_state_timeout_removes_state_not_resurrects():
     st = FakeState()
     out = list(_dedup_state_fn(60)(("c1",), iter([]), st) or [])
     assert out == [] and st.removed
+
+
+def test_streaming_counter_adjust_matches_batch(spark, tmp_path):
+    """adjust_cumulative_stream across micro-batches == the batch operator
+    on the union: reset straddles the file boundary, epoch start carries
+    through state (the MetricsAdjuster's initial.StartTimestamp)."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.operators.aggregate import adjust_cumulative
+    from opentelemetry_collector_spark.streaming.stream import (
+        SERIES_SCHEMA,
+        adjust_cumulative_stream,
+    )
+
+    base = dt.datetime(2025, 1, 1)
+
+    def rows(spec):
+        return [("s1", base + dt.timedelta(minutes=m), v) for m, v in spec]
+
+    # file 1: birth + growth; file 2: continues, then resets, then grows
+    f1 = rows([(0, 10), (1, 25)])
+    f2 = rows([(2, 40), (3, 5), (4, 17)])
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(f1, SERIES_SCHEMA).coalesce(1).write.mode("append").parquet(landing)
+    spark.createDataFrame(f2, SERIES_SCHEMA).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = adjust_cumulative_stream(
+        spark.readStream.schema(SERIES_SCHEMA).option("maxFilesPerTrigger", 1).parquet(landing)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("adjust_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["ts"]: (r["start_ts"], r["delta"], r["is_reset"])
+        for r in spark.sql("select * from adjust_out").collect()
+    }
+    batch = adjust_cumulative(
+        spark.createDataFrame(f1 + f2, SERIES_SCHEMA), ["series"]
+    )
+    want = {
+        r["ts"]: (r["start_ts"], r["delta"], r["is_reset"]) for r in batch.collect()
+    }
+    assert got == want
+    # and the semantics themselves: epoch 2 starts at the reset minute
+    t = lambda m: base + dt.timedelta(minutes=m)
+    assert got[t(3)] == (t(3), None, True)
+    assert got[t(4)] == (t(3), 12, False)
+    assert got[t(2)] == (t(0), 15, False)  # carried across the file boundary
+
+
+def test_adjust_state_timeout_drops_series():
+    from opentelemetry_collector_spark.streaming.stream import _adjust_state_fn
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        get = (40, 0)
+
+        def __init__(self):
+            self.removed = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, *_):
+            raise AssertionError("timed-out series must be removed")
+
+        def setTimeoutDuration(self, *_):
+            raise AssertionError("timed-out series must not re-arm")
+
+    st = FakeState()
+    assert list(_adjust_state_fn(60)(("s1",), iter([]), st) or []) == []
+    assert st.removed
