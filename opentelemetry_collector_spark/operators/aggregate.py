@@ -276,7 +276,14 @@ def adjust_cumulative(
     Series cardinality ~ label sets, each series sorted within one task; a
     single series never exceeds its scrape count, so the sort is bounded by
     points-per-series, not corpus size.
+
+    A NULL value or NULL timestamp is not a datapoint (the OTLP model
+    cannot express one) — such rows are DROPPED up front, so the lag
+    baseline bridges over them; keeping them would turn every post-NULL
+    sample into a spurious reset. Matches
+    :func:`streaming.stream.adjust_cumulative_stream` row-for-row.
     """
+    df = df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
     w = Window.partitionBy(*keys).orderBy(*order)
     w_run = w.rowsBetween(Window.unboundedPreceding, 0)

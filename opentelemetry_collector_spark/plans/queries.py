@@ -3011,9 +3011,14 @@ def q87_counter_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 4).cast("int").alias("instance"),
         "event_id",
         "ts",
-        # try_cast: an extreme value (1e18 * 100 > 2^63) must degrade to a
-        # NULL sample, not ANSI-abort the whole counter history
-        F.floor(F.col("value") * 100).try_cast("bigint").alias("_cents"),
+        # explicit range guard: Spark's floor(double) SATURATES to
+        # Long.MaxValue (so a later try_cast is a no-op and the running SUM
+        # ANSI-aborts); DuckDB's TRY_CAST NULLs instead. The same explicit
+        # |value| bound in both engines degrades extremes to NULL samples
+        # identically, relying on neither cast behavior.
+        F.when(F.abs(F.col("value")) < 9e16, F.floor(F.col("value") * 100))
+        .cast("bigint")
+        .alias("_cents"),
     ).select(
         "event_type",
         "instance",
@@ -3039,15 +3044,19 @@ def q87_counter_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q87_SQL = """
 WITH s AS (
   SELECT event_type, CAST(user_id % 4 AS INTEGER) AS instance, event_id, ts,
-         CAST(sum(TRY_CAST(floor(value * 100) AS BIGINT))
+         CAST(sum(CASE WHEN abs(value) < 9e16
+                       THEN CAST(floor(value * 100) AS BIGINT) END)
                 OVER (PARTITION BY event_type, user_id % 4
                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) % 100000
               AS BIGINT) AS value
   FROM events
 ),
 f AS (
+  -- NULL samples are dropped BEFORE the lag (adjust_cumulative filters
+  -- up front), so the baseline bridges over them
   SELECT *, lag(value) OVER w AS prev, lag(ts) OVER w AS prev_ts
-  FROM s WINDOW w AS (PARTITION BY event_type, instance ORDER BY ts, event_id)
+  FROM (SELECT * FROM s WHERE value IS NOT NULL AND ts IS NOT NULL)
+  WINDOW w AS (PARTITION BY event_type, instance ORDER BY ts, event_id)
 ),
 g AS (SELECT *, (prev IS NULL OR value < prev) AS es FROM f)
 SELECT event_type, instance, CAST(event_id AS BIGINT) AS event_id, ts, value,
@@ -3207,8 +3216,34 @@ def q89_zipkinv1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the q37 derivation, minus v1's lossy INTERNAL kind (no annotation form)
-Q89_SQL = Q37_SQL.replace("WHEN 'system' THEN 1", "WHEN 'system' THEN 0")
+# the q37 derivation, minus v1's TWO lossy spots: INTERNAL has no
+# annotation form (-> UNSPECIFIED), and a span at the Unix epoch encodes
+# timestamp=0 on the v1 wire, which the parser (like the Go translator's
+# zSpan.Timestamp == 0 branch, json.go:175-181) must treat as ABSENT —
+# ts/duration NULL plus the StartTimeAbsent flag attr
+Q89_SQL = f"""{_PRELUDE}
+SELECT
+  md5(conv_id) AS trace_id,
+  substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16) AS span_id,
+  CASE WHEN turn_idx > 0
+       THEN substr(md5(conv_id || ':' || CAST(turn_idx - 1 AS VARCHAR)), 1, 16)
+  END AS parent_span_id,
+  coalesce(tool, role) AS name,
+  CASE role WHEN 'user' THEN 3 WHEN 'assistant' THEN 2
+            WHEN 'tool' THEN 5 ELSE 0 END AS kind,
+  CASE WHEN regexp_matches(text, 'error code=\\d+') THEN 2 ELSE 0 END AS status_code,
+  CASE WHEN regexp_matches(text, 'error code=\\d+')
+       THEN regexp_extract(text, 'error code=\\d+') ELSE '' END AS status_message,
+  role AS service_name,
+  CASE WHEN epoch_us(ts) = 0 THEN NULL ELSE ts END AS ts,
+  CASE WHEN epoch_us(ts) = 0 THEN NULL
+       ELSE CAST(length(text) * 1000 AS BIGINT) END AS duration_us,
+  turn_idx AS attr_turn_idx,
+  tool AS attr_tool,
+  CAST(1 + CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN epoch_us(ts) = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_attrs
+FROM t
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -214,7 +214,7 @@ def parse_zipkin_v1_json(df: DataFrame, col: str = "value") -> DataFrame:
         bans,
         lambda b: b["key"].isNotNull()
         & ~F.array_contains(consumed_always, b["key"])
-        & ~((b["key"] == F.lit("error")) & F.lit(True) & err_consumed),
+        & ~((b["key"] == F.lit("error")) & err_consumed),
     )
     # fold entries into a map so duplicate keys overwrite like the Go map
     attrs = F.aggregate(

@@ -246,10 +246,17 @@ def _adjust_state_fn(timeout_minutes: int):
             state.remove()  # the timeseriesMap gc sweep: idle series cost nothing
             return
         last, epoch_us = state.get if state.exists else (None, None)
-        for pdf in pdfs:
-            pdf = pdf[pdf["value"].notna() & pdf["ts"].notna()]
-            if not len(pdf):
-                continue
+        # concat ALL Arrow chunks before sorting: chunks arrive split at
+        # arrow.maxRecordsPerBatch in arrival order, so sorting each chunk
+        # independently would compare a later chunk's earliest sample
+        # against the previous chunk's LAST value — spurious resets for any
+        # series over ~10k rows per trigger. Memory = one series' rows in
+        # one micro-batch (the Go adjuster likewise holds a whole scrape).
+        chunks = list(pdfs)
+        whole = pd.concat(chunks) if chunks else None
+        if whole is not None:
+            pdf = whole[whole["value"].notna() & whole["ts"].notna()]
+        if whole is not None and len(pdf):
             pdf = pdf.sort_values("ts", kind="stable").reset_index(drop=True)
             vals = pdf["value"].to_numpy(dtype="int64")
             ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()

@@ -113,3 +113,69 @@ def test_burn_single_scan_plan(spark):
     # raw rows); the long window re-shuffles only the tiny hourly frame
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_adjust_null_samples_bridged_not_resets(spark):
+    # a NULL value is not a datapoint: [10, NULL, 12] must read as one
+    # epoch with delta 2, never a spurious reset at t3 (and the row count
+    # matches the streaming operator, which filters NULLs the same way)
+    rows = [("a", _ts(1), 10), ("a", _ts(2), None), ("a", _ts(3), 12)]
+    df = spark.createDataFrame(rows, COLS)
+    got = {r["ts"]: (r["start_ts"], r["delta"], r["is_reset"])
+           for r in adjust_cumulative(df, ["series"]).collect()}
+    assert len(got) == 2
+    assert got[_ts(1)] == (_ts(1), None, False)
+    assert got[_ts(3)] == (_ts(1), 2, False)
+
+
+def test_q87_q89_oracle_parity_on_degenerate_events(spark, tmp_path):
+    """The two review repros: (1) an extreme value sharing a series with a
+    normal sample must degrade to a NULL sample in BOTH engines, never
+    ANSI-abort the running sum (Spark floor(double) saturates to
+    Long.MaxValue); (2) a span at the Unix epoch encodes timestamp=0 on
+    the zipkin v1 wire and must read back ABSENT in both engines."""
+    import datetime as dt
+
+    import duckdb
+
+    from opentelemetry_collector_spark.plans.queries import ORACLES, QUERIES
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # same (event_type, user_id%4) series: extreme then normal
+        (1, t0, 6, "purchase", 1e18, None),
+        (2, t0 + dt.timedelta(seconds=1), 6, "purchase", 5.0, None),
+        # epoch-exact timestamp (v1 wire cannot express it)
+        (3, dt.datetime(1970, 1, 1), 2, "view", 2.0, None),
+        (4, t0, 2, "click", 1.0, None),
+    ]
+    d = tmp_path / "sf_repro"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet").coalesce(1).write.parquet(
+        str(d / "customer.parquet")
+    )
+
+    con = duckdb.connect()
+    # Spark writes directories; DuckDB needs the part-file glob
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+    con.sql(f"CREATE VIEW customer AS SELECT * FROM '{d}/customer.parquet/*.parquet'")
+    for name in ("q87_counter_adjust", "q89_zipkinv1_roundtrip"):
+        spk = QUERIES[name](spark, str(d)).toPandas()
+        dk = con.sql(ORACLES[name]).df()
+        spk = spk[sorted(spk.columns)].sort_values(sorted(spk.columns)).reset_index(drop=True)
+        dk = dk[sorted(dk.columns)].sort_values(sorted(dk.columns)).reset_index(drop=True)
+        for c in spk.columns:
+            if str(spk[c].dtype).startswith("datetime"):
+                spk[c] = spk[c].astype("datetime64[us]")
+                dk[c] = dk[c].astype("datetime64[us]")
+        import pandas.testing as pdt
+
+        pdt.assert_frame_equal(
+            spk.astype(object).where(spk.notna(), None),
+            dk.astype(object).where(dk.notna(), None),
+            check_dtype=False,
+        ), name
