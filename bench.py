@@ -74,6 +74,8 @@ HEADLINE = [
     "q54_sessionize",
     "q87_counter_adjust",
     "q88_slo_burn",
+    "q90_log_templates",
+    "q91_delta_to_cumulative",
     # pipeline hygiene (transcripts table)
     "q69_integrity_audit",
     "q70_log_dedup",

@@ -394,3 +394,32 @@ def sketch_rollup(
         .withColumn("approx_distinct", F.hll_sketch_estimate("sketch"))
     )
     return fine, coarse
+
+
+def accumulate_deltas(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "delta",
+    tiebreak: list[str] | None = None,
+    out_col: str = "cumulative",
+) -> DataFrame:
+    """Delta->cumulative temporality conversion — the direction the
+    Prometheus remote-write exporter requires (PRW only accepts cumulative
+    series; OTLP sums declare DELTA or CUMULATIVE,
+    ``model/pdata/metrics.go:291-301``) and the exact inverse of
+    :func:`adjust_cumulative` within an epoch: running sum of deltas per
+    series in (ts, tiebreak) order. NULL deltas are not datapoints and are
+    dropped up front, mirroring adjust_cumulative.
+
+    One window, one ``hashpartitioning(keys)`` exchange; a series' work is
+    bounded by its own point count.
+    """
+    df = df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))

@@ -204,3 +204,59 @@ def rate_limit(
     )
     ranked = df.select("*", bucket.alias("window_start"), F.row_number().over(w).alias("_rn"))
     return ranked.filter(F.col("_rn") <= max_per_window).drop("_rn")
+
+
+def log_templates(
+    df: DataFrame,
+    keys: Sequence[str] = ("role",),
+    text_col: str = "text",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Log-template mining: cluster lines into Drain-style templates by
+    masking the variable fields, and report each template's volume.
+
+    The discovery complement of the grok/extract parse stage
+    (``processor/processorhelper/attraction.go:265-285`` applies KNOWN
+    patterns; this op finds the patterns a corpus actually contains — the
+    step an operator runs BEFORE writing the grok pack). Deterministic
+    masking in place of Drain's online tree (a batch engine wants a pure
+    function of the line, reproducible across engines): hex runs of >= 8
+    chars become ``<HEX>`` (trace/span/request ids), then digit runs
+    become ``<N>``. Both patterns mean the same thing in Java regex, RE2,
+    and DuckDB.
+
+    Output: one row per (keys, template) with the template text and its
+    md5 fingerprint, ``n_lines``, ``n_variants`` (distinct raw lines the
+    template covers), and the FIRST occurrence (idx, ts, example text)
+    under the (idx, ts, text) total order.
+
+    Same physical shape as :func:`log_dedup`: groupBy on the 16-byte
+    template digest (never raw text through the shuffle), partial
+    aggregation collapses each task to its distinct templates map-side,
+    first occurrence rides the aggregate as ``min(struct(...))`` — no
+    window over the raw stream, no join-back. countDistinct adds the
+    usual expand re-aggregation on the SAME partitioning (no extra
+    exchange).
+    """
+    tmpl = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), "[0-9a-fA-F]{8,}", "<HEX>"), "[0-9]+", "<N>"
+    )
+    d = df.select(
+        *keys, F.col(idx_col), F.col(ts_col), F.col(text_col), tmpl.alias("template")
+    )
+    grouped = d.groupBy(*keys, F.md5("template").alias("template_fp")).agg(
+        F.min(F.struct(idx_col, ts_col, text_col, "template")).alias("_first"),
+        _bigint(F.count(F.lit(1))).alias("n_lines"),
+        _bigint(F.countDistinct(F.md5(text_col))).alias("n_variants"),
+    )
+    return grouped.select(
+        *keys,
+        F.col("_first.template").alias("template"),
+        "template_fp",
+        "n_lines",
+        "n_variants",
+        F.col(f"_first.{idx_col}").alias("first_idx"),
+        F.col(f"_first.{ts_col}").alias("first_ts"),
+        F.col(f"_first.{text_col}").alias("example"),
+    )

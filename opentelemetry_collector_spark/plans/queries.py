@@ -3247,6 +3247,102 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
+# q90 log-template mining, q91 delta->cumulative
+# ---------------------------------------------------------------------------
+
+
+def q90_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-style template mining (operators/hygiene.log_templates): mask
+    hex ids then digit runs, cluster per (role, template), report volume +
+    variant count + first example. The discovery complement of the grok
+    parse stage (attraction.go:265-285 applies known patterns; this finds
+    them). Digest-keyed groupBy, first example via min(struct) transport."""
+    from opentelemetry_collector_spark.operators.hygiene import log_templates
+
+    t = from_events(spark, sf_dir)
+    out = log_templates(t, keys=("role",))
+    return out.select(
+        "role",
+        "template",
+        "template_fp",
+        "n_lines",
+        "n_variants",
+        F.col("first_idx").cast("int").alias("first_idx"),
+        "first_ts",
+        "example",
+    )
+
+
+Q90_SQL = f"""{_PRELUDE},
+d AS (
+  SELECT role, turn_idx, ts, text,
+         regexp_replace(regexp_replace(text, '[0-9a-fA-F]{{8,}}', '<HEX>', 'g'),
+                        '[0-9]+', '<N>', 'g') AS template
+  FROM t
+),
+w AS (
+  SELECT role, template, turn_idx, ts, text,
+         row_number() OVER (PARTITION BY role, template
+                            ORDER BY turn_idx NULLS FIRST, ts, text) AS rn
+  FROM d
+),
+g AS (
+  SELECT role, template,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_variants
+  FROM d GROUP BY role, template
+)
+SELECT g.role, g.template, md5(g.template) AS template_fp, g.n_lines, g.n_variants,
+       CAST(w.turn_idx AS INTEGER) AS first_idx, w.ts AS first_ts, w.text AS example
+FROM g JOIN w ON g.role = w.role AND g.template = w.template AND w.rn = 1
+"""
+
+
+def q91_delta_to_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta->cumulative temporality conversion (aggregate.accumulate_deltas
+    — the remote-write direction: PRW only accepts cumulative series,
+    metrics.go:291-301). Inverse of q87 within an epoch: a running sum per
+    series over one hashpartitioning(series) exchange. Same extreme-value
+    guard as q87 so both engines NULL the same junk samples."""
+    from opentelemetry_collector_spark.operators.aggregate import accumulate_deltas
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    series = ev.select(
+        "event_type",
+        (F.col("user_id") % 4).cast("int").alias("instance"),
+        "event_id",
+        "ts",
+        F.when(F.abs(F.col("value")) < 9e16, F.floor(F.col("value") * 100))
+        .cast("bigint")
+        .alias("delta"),
+    )
+    out = accumulate_deltas(series, ["event_type", "instance"], tiebreak=["event_id"])
+    return out.select(
+        "event_type",
+        "instance",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "ts",
+        "delta",
+        F.col("cumulative").cast("bigint").alias("cumulative"),
+    )
+
+
+Q91_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(user_id % 4 AS INTEGER) AS instance, event_id, ts,
+         CASE WHEN abs(value) < 9e16
+              THEN CAST(floor(value * 100) AS BIGINT) END AS delta
+  FROM events
+)
+SELECT event_type, instance, CAST(event_id AS BIGINT) AS event_id, ts, delta,
+       CAST(sum(delta) OVER (PARTITION BY event_type, instance
+                             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cumulative
+FROM s WHERE delta IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3341,6 +3437,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_counter_adjust": q87_counter_adjust,
     "q88_slo_burn": q88_slo_burn,
     "q89_zipkinv1_roundtrip": q89_zipkinv1_roundtrip,
+    "q90_log_templates": q90_log_templates,
+    "q91_delta_to_cumulative": q91_delta_to_cumulative,
 }
 
 ORACLES: dict[str, str] = {
@@ -3426,6 +3524,8 @@ ORACLES: dict[str, str] = {
     "q87_counter_adjust": Q87_SQL,
     "q88_slo_burn": Q88_SQL,
     "q89_zipkinv1_roundtrip": Q89_SQL,
+    "q90_log_templates": Q90_SQL,
+    "q91_delta_to_cumulative": Q91_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

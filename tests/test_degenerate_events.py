@@ -49,6 +49,8 @@ EVENT_QUERIES = [
     "q87_counter_adjust",
     "q88_slo_burn",
     "q89_zipkinv1_roundtrip",
+    "q90_log_templates",
+    "q91_delta_to_cumulative",
 ]
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from opentelemetry_collector_spark.operators.hygiene import (
     integrity_audit,
     log_dedup,
+    log_templates,
     rate_limit,
 )
 
@@ -227,3 +228,39 @@ def test_null_idx_junk_matches_duckdb_oracle_ordering(spark):
     # Spark min(struct) treats the NULL idx as smallest -> same survivor
     assert (dedup["dup line"]["turn_idx"], dedup["dup line"]["role"]) == survivor
     assert survivor[0] is None and dedup["dup line"]["n_occurrences"] == 2
+
+
+def test_log_templates_masking_and_volume(spark):
+    rows = [
+        ("c1", 0, "user", "clicked item 37", _ts(1)),
+        ("c1", 1, "user", "clicked item 99", _ts(2)),
+        ("c2", 0, "user", "clicked item 37", _ts(3)),
+        ("c1", 2, "tool", "req deadbeef01 failed", _ts(4)),
+        ("c1", 3, "tool", "req CAFEBABE99 failed", _ts(5)),
+        ("c1", 4, "user", "no variables here", _ts(6)),
+    ]
+    df = spark.createDataFrame(rows, TURN_COLS)
+    got = {
+        (r["role"], r["template"]): (r["n_lines"], r["n_variants"], r["first_idx"], r["example"])
+        for r in log_templates(df).collect()
+    }
+    # digit runs masked; 3 lines but only 2 distinct raw variants
+    assert got[("user", "clicked item <N>")] == (3, 2, 0, "clicked item 37")
+    # hex ids (>=8 chars) masked BEFORE digits
+    assert got[("tool", "req <HEX> failed")] == (2, 2, 2, "req deadbeef01 failed")
+    assert got[("user", "no variables here")] == (1, 1, 4, "no variables here")
+
+
+def test_log_templates_digest_grouped_plan(spark):
+    df = spark.createDataFrame([("c", 0, "user", "x 1", _ts(9))], TURN_COLS)
+    plan = _plan(log_templates(df))
+    # groupBy on md5(template): map-side partial aggregation (partial_min /
+    # partial_count upstream of the exchange; SortAggregate, since a
+    # min-of-struct isn't hash-aggregable), and never a Window over the
+    # raw stream
+    assert "Window" not in plan
+    assert "partial_min" in plan and "partial_count" in plan
+    # both exchanges carry the template digest key, never raw text alone
+    assert plan.count("Exchange hashpartitioning(role") == plan.count(
+        "Exchange hashpartitioning"
+    )

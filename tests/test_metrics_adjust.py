@@ -179,3 +179,21 @@ def test_q87_q89_oracle_parity_on_degenerate_events(spark, tmp_path):
             dk.astype(object).where(dk.notna(), None),
             check_dtype=False,
         ), name
+
+
+def test_accumulate_deltas_roundtrip_inverse(spark):
+    # delta -> cumulative -> adjust recovers the deltas (no resets: a
+    # cumulative built from nonnegative deltas is monotone)
+    from opentelemetry_collector_spark.operators.aggregate import accumulate_deltas
+
+    rows = [("a", _ts(1), 10), ("a", _ts(2), 0), ("a", _ts(3), 5), ("b", _ts(1), 3)]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, delta bigint")
+    cum = accumulate_deltas(df, ["series"])
+    got = {(r["series"], r["ts"]): r["cumulative"] for r in cum.collect()}
+    assert got == {("a", _ts(1)): 10, ("a", _ts(2)): 10, ("a", _ts(3)): 15, ("b", _ts(1)): 3}
+    back = adjust_cumulative(cum.select("series", "ts", F.col("cumulative").alias("value")), ["series"])
+    rec = {(r["series"], r["ts"]): (r["delta"], r["is_reset"]) for r in back.collect()}
+    # first point of each series has no baseline; the rest recover exactly
+    assert rec[("a", _ts(2))] == (0, False)
+    assert rec[("a", _ts(3))] == (5, False)
+    assert rec[("a", _ts(1))] == (None, False)
