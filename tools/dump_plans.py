@@ -299,6 +299,22 @@ COMMENTARY = {
         "The legacy-wire translator runs per record on the hot ingest path; staying in "
         "codegen keeps v1 parse at scan speed exactly like the v2/jaeger/OC codecs.",
     ),
+    "q90_log_templates": (
+        "Digest-keyed groupBy with map-side partial aggregation (partial_min/partial_count "
+        "upstream of the exchange; SortAggregate because min-of-struct isn't hash-aggregable); "
+        "no Window over the raw stream; shuffle keys carry the md5(template) digest, never "
+        "raw text alone.",
+        "Template mining reads every line of the corpus: partial aggregation collapses each "
+        "task to its distinct templates before the shuffle, so a 10^12-line corpus with a few "
+        "thousand templates ships thousands of rows per task, not the corpus.",
+    ),
+    "q91_delta_to_cumulative": (
+        "One Exchange hashpartitioning(series) + one Sort feeding the running-sum Window — "
+        "the same shape as q87's adjustment, in the opposite temporality direction.",
+        "Delta-to-cumulative is per-series sequential by definition; partitioning by series "
+        "makes it embarrassingly parallel across the label-set cardinality while each "
+        "series' sort stays bounded by its own point count.",
+    ),
     "q53_latency_quantiles": (
         "Exact percentiles ride the SAME plan shape as any grouped agg: lead() window on "
         "hashpartitioning(conv_id), broadcast meta join, then partial+final HashAggregate "
