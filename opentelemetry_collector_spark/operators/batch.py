@@ -64,3 +64,42 @@ def split_batches(
     return df.withColumn(
         "batch_id", ((F.row_number().over(w) - F.lit(1)) / F.lit(max_size)).cast("bigint")
     )
+
+
+def split_datapoint_batches(
+    df: DataFrame,
+    max_size: int,
+    metric_col: str = "metric",
+    order_cols: tuple[str, ...] = ("ts",),
+) -> DataFrame:
+    """``splitMetrics`` semantics (``processor/batchprocessor/
+    splitmetrics.go:21-77``): the counting unit is DATAPOINTS, not metrics —
+    ``DataPointCount()`` drives the threshold and a metric with more points
+    than the remaining free slots is split mid-metric (``splitMetric``,
+    :104-151), so the same metric name reappears at the head of the next
+    batch. ``TestSplitMetricsUneven`` (splitmetrics_test.go:179-205) pins
+    exactly that: 10 metrics x 2 points split at 9 yields batches of 9/9/2
+    with metric #4 straddling the first cut.
+
+    Adds ``batch_id``: global (metric, kind?, *order_cols) datapoint rank
+    div max_size — every batch except the last holds exactly ``max_size``
+    points, nothing dropped or duplicated. (The Go ``splitMetric`` has an
+    off-by-RemoveIf wrinkle: for a mid-metric split where the metric holds
+    more than twice the free slots, ``ms.RemoveIf`` deletes
+    ``count - size`` points while ``dest`` copied only ``size`` — upstream
+    fixed this after this fork's vintage; its own golden tests never enter
+    that regime, and we pin the tested, lossless contract.)
+
+    Same global-window caveat as :func:`split_batches`: batch numbering is a
+    global sequence in the reference too (one splitMetrics loop per emit);
+    at scale the transport analog is ``maxRecordsPerFile`` — this operator
+    exists for golden parity on the metrics signal.
+    """
+    order = [F.col(metric_col).asc()]
+    if "kind" in df.columns:
+        order.append(F.col("kind").asc())
+    order += [F.col(c).asc() for c in order_cols]
+    w = Window.orderBy(*order)
+    return df.withColumn(
+        "batch_id", ((F.row_number().over(w) - F.lit(1)) / F.lit(max_size)).cast("bigint")
+    )

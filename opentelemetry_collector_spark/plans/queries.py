@@ -3346,6 +3346,177 @@ FROM s WHERE delta IS NOT NULL
 # registry
 # ---------------------------------------------------------------------------
 
+
+def q92_split_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics-signal rebatch split gate (processor/batchprocessor/
+    splitmetrics.go:21-77): the counting unit is DATAPOINTS — the q49
+    scalar datapoint frame is cut into batches of exactly 7 points in
+    stable (metric, kind, ts, event_id) order, a metric straddling cuts
+    like TestSplitMetricsUneven (splitmetrics_test.go:179-205) pins.
+    Output is per-(batch, metric, kind) counts + value mass, so batch
+    boundaries, order and the count-invariance contract are all value-
+    checked against the oracle's independent row_number derivation."""
+    from opentelemetry_collector_spark.operators.batch import split_datapoint_batches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        F.col("event_type").alias("metric"),
+        F.when(F.col("event_type") == "click", "sum_cumulative_monotonic")
+        .otherwise("gauge")
+        .alias("kind"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    split = split_datapoint_batches(src, max_size=7, order_cols=("ts", "event_id"))
+    return split.groupBy("batch_id", "metric", "kind").agg(
+        F.count(F.lit(1)).alias("n_points"), F.sum("cents").alias("cents_sum")
+    )
+
+
+Q92_SQL = """
+WITH src AS (
+  SELECT event_type AS metric,
+         CASE WHEN event_type = 'click' THEN 'sum_cumulative_monotonic'
+              ELSE 'gauge' END AS kind,
+         CAST(floor(value * 100) AS BIGINT) AS cents, ts, event_id
+  FROM events
+), numbered AS (
+  SELECT *, (ROW_NUMBER() OVER (ORDER BY metric, kind, ts, event_id) - 1) // 7 AS batch_id
+  FROM src
+)
+SELECT batch_id, metric, kind,
+       COUNT(*) AS n_points, SUM(cents) AS cents_sum
+FROM numbered GROUP BY 1, 2, 3
+"""
+
+
+def q93_otlp_text_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logging-exporter debug dump for TRACES (internal/otlptext/
+    traces.go:29-66 + databuffer.go logAttr): the q37 span frame rendered
+    as one human-readable block per span. The oracle rebuilds the exact
+    block TEXT from the transcripts in SQL — every label padding, enum
+    name, nano timestamp and sorted attribute line is byte-checked."""
+    from opentelemetry_collector_spark.sources.codecs import to_otlp_text_traces
+    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+
+    t = from_events(spark, sf_dir)
+    return to_otlp_text_traces(spans_from_transcripts(t))
+
+
+Q93_SQL = f"""{_PRELUDE},
+spans AS (
+  SELECT
+    md5(conv_id) AS trace_id,
+    substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16) AS span_id,
+    CASE WHEN turn_idx > 0
+         THEN substr(md5(conv_id || ':' || CAST(turn_idx - 1 AS VARCHAR)), 1, 16)
+         ELSE '' END AS parent_span_id,
+    coalesce(tool, role) AS name,
+    CASE role WHEN 'user' THEN 'SPAN_KIND_CLIENT' WHEN 'assistant' THEN 'SPAN_KIND_SERVER'
+              WHEN 'tool' THEN 'SPAN_KIND_CONSUMER' WHEN 'system' THEN 'SPAN_KIND_INTERNAL'
+              ELSE 'SPAN_KIND_UNSPECIFIED' END AS kind_name,
+    CASE WHEN regexp_matches(text, 'error code=\\d+')
+         THEN 'STATUS_CODE_ERROR' ELSE 'STATUS_CODE_UNSET' END AS status_name,
+    CASE WHEN regexp_matches(text, 'error code=\\d+')
+         THEN regexp_extract(text, 'error code=\\d+') ELSE '' END AS status_message,
+    epoch_us(ts) * 1000 AS start_ns,
+    epoch_us(ts) * 1000 + CAST(length(text) * 1000 AS BIGINT) * 1000 AS end_ns,
+    turn_idx, tool
+  FROM t
+)
+SELECT trace_id, span_id,
+  'Span #' || turn_idx || chr(10) ||
+  '    Trace ID       : ' || trace_id || chr(10) ||
+  '    Parent ID      : ' || parent_span_id || chr(10) ||
+  '    ID             : ' || span_id || chr(10) ||
+  '    Name           : ' || name || chr(10) ||
+  '    Kind           : ' || kind_name || chr(10) ||
+  '    Start time     : ' || start_ns || chr(10) ||
+  '    End time       : ' || end_ns || chr(10) ||
+  '    Status code    : ' || status_name || chr(10) ||
+  '    Status message : ' || status_message || chr(10) ||
+  'Attributes:' || chr(10) ||
+  CASE WHEN tool IS NOT NULL
+       THEN '     -> tool: STRING(' || tool || ')' || chr(10) ||
+            '     -> turn.idx: STRING(' || turn_idx || ')'
+       ELSE '     -> turn.idx: STRING(' || turn_idx || ')' END AS line
+FROM spans
+"""
+
+
+def q94_otlp_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logging-exporter debug dump for METRICS (internal/otlptext/
+    metrics.go:30-52 + databuffer.go:71-137): the q49 datapoint frame
+    rendered as one block per (metric, kind) — Descriptor section, the
+    Sum-only IsMonotonic/AggregationTemporality lines, and every datapoint
+    with sorted labels, nano timestamps and Go-%f values. The oracle
+    rebuilds the block text with string_agg over the identical point
+    order, so grouping, ordering and all formatting are byte-checked."""
+    from opentelemetry_collector_spark.sources.codecs import to_otlp_text_metrics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        F.col("event_type").alias("metric"),
+        F.when(F.col("event_type") == "click", "sum_cumulative_monotonic")
+        .otherwise("gauge")
+        .alias("kind"),
+        F.create_map(
+            F.lit("user"), F.coalesce(F.col("user_id").cast("string"), F.lit(""))
+        ).alias("labels"),
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+        "ts",
+    )
+    return to_otlp_text_metrics(src)
+
+
+Q94_SQL = """
+WITH src AS (
+  SELECT event_type AS metric,
+         CASE WHEN event_type = 'click' THEN 'sum_cumulative_monotonic'
+              ELSE 'gauge' END AS kind,
+         coalesce(CAST(user_id AS VARCHAR), '') AS uid,
+         CAST(floor(value * 100) AS DOUBLE) AS value,
+         epoch_us(ts) * 1000 AS ts_ns
+  FROM events
+), ordered AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY metric, kind
+           ORDER BY ts_ns, 'user=' || uid, value) - 1 AS i
+  FROM src
+), blocks AS (
+  SELECT metric, kind,
+         string_agg(
+           'DoubleDataPoints #' || i || chr(10) ||
+           'Data point labels:' || chr(10) ||
+           '     -> user: ' || uid || chr(10) ||
+           'StartTimestamp: 0' || chr(10) ||
+           'Timestamp: ' || ts_ns || chr(10) ||
+           'Value: ' || printf('%f', value),
+           chr(10) ORDER BY i) AS points
+  FROM ordered GROUP BY metric, kind
+), idx AS (
+  SELECT metric, kind, points,
+         ROW_NUMBER() OVER (ORDER BY metric, kind) - 1 AS mi
+  FROM blocks
+)
+SELECT metric, kind,
+  'Metric #' || mi || chr(10) ||
+  'Descriptor:' || chr(10) ||
+  '     -> Name: ' || metric || chr(10) ||
+  '     -> Description: ' || chr(10) ||
+  '     -> Unit: ' || chr(10) ||
+  '     -> DataType: ' ||
+    CASE WHEN kind = 'sum_cumulative_monotonic' THEN 'DoubleSum' ELSE 'DoubleGauge' END ||
+  CASE WHEN kind = 'sum_cumulative_monotonic'
+       THEN chr(10) || '     -> IsMonotonic: true' || chr(10) ||
+            '     -> AggregationTemporality: AGGREGATION_TEMPORALITY_CUMULATIVE'
+       ELSE '' END ||
+  chr(10) || points AS line
+FROM idx
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -3439,6 +3610,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_zipkinv1_roundtrip": q89_zipkinv1_roundtrip,
     "q90_log_templates": q90_log_templates,
     "q91_delta_to_cumulative": q91_delta_to_cumulative,
+    "q92_split_metrics": q92_split_metrics,
+    "q93_otlp_text_traces": q93_otlp_text_traces,
+    "q94_otlp_text_metrics": q94_otlp_text_metrics,
 }
 
 ORACLES: dict[str, str] = {
@@ -3526,6 +3700,9 @@ ORACLES: dict[str, str] = {
     "q89_zipkinv1_roundtrip": Q89_SQL,
     "q90_log_templates": Q90_SQL,
     "q91_delta_to_cumulative": Q91_SQL,
+    "q92_split_metrics": Q92_SQL,
+    "q93_otlp_text_traces": Q93_SQL,
+    "q94_otlp_text_metrics": Q94_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.schema import TRANSCRIPTS_SCHEMA
@@ -580,3 +580,166 @@ def to_otlp_text(df: DataFrame, out_col: str = "line") -> DataFrame:
         ),
     )
     return df.select(F.col("conv_id"), F.col("turn_idx"), block.alias(out_col))
+
+
+_SPAN_KIND_NAMES = {
+    0: "SPAN_KIND_UNSPECIFIED",
+    1: "SPAN_KIND_INTERNAL",
+    2: "SPAN_KIND_SERVER",
+    3: "SPAN_KIND_CLIENT",
+    4: "SPAN_KIND_PRODUCER",
+    5: "SPAN_KIND_CONSUMER",
+}
+_STATUS_CODE_NAMES = {0: "STATUS_CODE_UNSET", 1: "STATUS_CODE_OK", 2: "STATUS_CODE_ERROR"}
+
+
+def _enum_name(code: Column, names: dict[int, str]) -> Column:
+    out = F.lit(names[0])
+    for v, name in names.items():
+        if v:
+            out = F.when(code == v, F.lit(name)).otherwise(out)
+    return out
+
+
+def _log_attr(label: str, val: Column) -> Column:
+    """databuffer.go:36-38 logAttr: ``    %-15s: %s`` — four spaces, label
+    left-padded to 15, NULL value rendered as the empty string (Go prints the
+    zero value; a NULL must not eat the whole concat_ws line)."""
+    return F.concat(
+        F.lit("    " + label.ljust(15) + ": "), F.coalesce(val.cast("string"), F.lit(""))
+    )
+
+
+def to_otlp_text_traces(df: DataFrame, out_col: str = "line") -> DataFrame:
+    """The logging exporter's debug dump for TRACES
+    (``internal/otlptext/traces.go:29-66``): one human-readable block per
+    Span, field lines exactly as databuffer's ``logAttr`` renders them
+    (``databuffer.go:36-38``: four-space indent, label padded to 15, colon).
+
+    Input is the flattened span frame (``zipkin.spans_from_transcripts`` /
+    any trace codec's parse output). ``Span #k`` numbers spans inside their
+    trace — the deterministic in-conversation index carried by the
+    ``turn.idx`` attribute when present, else 0 (the Go dump numbers by
+    batch position, which shuffle order cannot reproduce). Start/End time
+    print the underlying uint64 UNIX nanos rather than Go's
+    ``time.Time.String()`` rendering — same deliberate divergence as the
+    logs dump (`to_otlp_text`): integer nanos are exact and identical in
+    Java, Python and DuckDB, where Go's trailing-zero-suppressed fractional
+    seconds are not. Pure JVM projection — zero shuffle, zero Python.
+    """
+    attrs = F.coalesce(F.col("attrs"), F.create_map().cast("map<string,string>"))
+    attr_lines = F.transform(
+        F.array_sort(F.map_entries(attrs)),
+        lambda e: F.concat(F.lit("     -> "), e["key"], F.lit(": STRING("), e["value"], F.lit(")")),
+    )
+    start_ns = F.unix_micros(F.col("ts")) * 1000
+    end_ns = start_ns + F.coalesce(F.col("duration_us"), F.lit(0)).cast("bigint") * 1000
+    block = F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit("Span #"),
+            F.coalesce(F.element_at(attrs, "turn.idx"), F.lit("0")),
+        ),
+        _log_attr("Trace ID", F.col("trace_id")),
+        _log_attr("Parent ID", F.col("parent_span_id")),
+        _log_attr("ID", F.col("span_id")),
+        _log_attr("Name", F.col("name")),
+        _log_attr("Kind", _enum_name(F.col("kind"), _SPAN_KIND_NAMES)),
+        _log_attr("Start time", start_ns),
+        _log_attr("End time", end_ns),
+        _log_attr("Status code", _enum_name(F.col("status_code"), _STATUS_CODE_NAMES)),
+        _log_attr("Status message", F.col("status_message")),
+        F.when(
+            F.size(attrs) > 0,
+            F.concat(F.lit("Attributes:\n"), F.array_join(attr_lines, "\n")),
+        ),
+    )
+    return df.select(F.col("trace_id"), F.col("span_id"), block.alias(out_col))
+
+
+def to_otlp_text_metrics(df: DataFrame, out_col: str = "line") -> DataFrame:
+    """The logging exporter's debug dump for METRICS
+    (``internal/otlptext/metrics.go:30-52`` + ``databuffer.go:71-137``):
+    one block per Metric — a ``Descriptor:`` section (Name/Description/
+    Unit/DataType, ``logMetricDescriptor``), the Sum-only
+    ``IsMonotonic``/``AggregationTemporality`` lines
+    (``logMetricDataPoints``), then every datapoint as a
+    ``DoubleDataPoints #i`` section with its sorted ``Data point labels``,
+    Start/Timestamp as uint64 nanos and ``Value: %f`` (Go fmt ``%f`` ==
+    Java/DuckDB ``%f``: six decimals).
+
+    Input is the scalar datapoint frame the metric codecs share
+    (metric, labels map, value double, ts, kind in {"gauge",
+    "sum_cumulative_monotonic"}). One Metric block per (metric, kind) like
+    `to_otlp_metrics_json` — a single partial-aggregated groupBy; the
+    ``Metric #k`` index is name-order over the post-aggregation frame
+    (one row per distinct metric — the window is over dozens of rows, never
+    the datapoints). Datapoints are (ts, labels) sorted: the Go dump prints
+    arrival order, which a shuffle cannot reproduce; sorting is the same
+    determinism choice the golden tests make via Sort().
+    """
+    label_key = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(F.coalesce(F.col("labels"), F.create_map()))),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        ",",
+    )
+    label_lines = F.transform(
+        F.array_sort(F.map_entries(F.coalesce(F.col("labels"), F.create_map()))),
+        lambda e: F.concat(F.lit("     -> "), e["key"], F.lit(": "), e["value"]),
+    )
+    point = F.struct(
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
+        label_key.alias("label_key"),
+        F.col("value").alias("value"),
+        F.when(F.size(F.coalesce(F.col("labels"), F.create_map())) > 0, F.array_join(label_lines, "\n")).alias("label_block"),
+    )
+    grouped = df.groupBy("metric", "kind").agg(
+        F.array_sort(F.collect_list(point)).alias("points")
+    )
+    is_sum = F.col("kind") == "sum_cumulative_monotonic"
+    descriptor = F.concat_ws(
+        "\n",
+        F.lit("Descriptor:"),
+        F.concat(F.lit("     -> Name: "), F.col("metric")),
+        F.lit("     -> Description: "),
+        F.lit("     -> Unit: "),
+        F.concat(
+            F.lit("     -> DataType: "),
+            F.when(is_sum, F.lit("DoubleSum")).otherwise(F.lit("DoubleGauge")),
+        ),
+        F.when(is_sum, F.lit("     -> IsMonotonic: true")),
+        F.when(is_sum, F.lit("     -> AggregationTemporality: AGGREGATION_TEMPORALITY_CUMULATIVE")),
+    )
+    # zip the sorted points with their index: transform exposes (elem, i)
+    point_blocks = F.array_join(
+        F.transform(
+            F.col("points"),
+            lambda p, i: F.concat_ws(
+                "\n",
+                F.concat(F.lit("DoubleDataPoints #"), i.cast("string")),
+                F.when(
+                    p["label_block"].isNotNull(),
+                    F.concat(F.lit("Data point labels:\n"), p["label_block"]),
+                ),
+                F.lit("StartTimestamp: 0"),
+                F.concat(
+                    F.lit("Timestamp: "), F.coalesce(p["ts_ns"].cast("string"), F.lit(""))
+                ),
+                F.concat(
+                    F.lit("Value: "),
+                    F.coalesce(F.format_string("%f", p["value"]), F.lit("")),
+                ),
+            ),
+        ),
+        "\n",
+    )
+    metric_idx = F.row_number().over(Window.orderBy("metric", "kind")) - 1
+    block = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Metric #"), metric_idx.cast("string")),
+        descriptor,
+        point_blocks,
+    )
+    return grouped.select(F.col("metric"), F.col("kind"), block.alias(out_col))
