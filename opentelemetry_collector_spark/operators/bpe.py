@@ -1,0 +1,134 @@
+"""Distributed BPE-merge tokenizer training (Sennrich et al. 2016).
+
+The tokenizer-fitting piece of the training-data suite: learn the top-N
+byte-pair merges from a corpus, then segment text with them. The reference
+relative is the precompiled-pattern discipline of the grok engine
+(``processor/processorhelper/attraction.go:139-212`` compiles once, applies
+everywhere) — here the *learned* artifact (the merge list) is the thing
+compiled once and applied corpus-wide.
+
+Scale shape (the part that matters at 100 TB):
+
+- The corpus is scanned ONCE, into a (word, freq) table — the standard
+  scalable BPE trainer operates on word counts, never on raw text again.
+  That table is vocab-sized (millions of rows, not billions), so the
+  per-merge iteration cost is independent of corpus size.
+- Each merge round is one partial-aggregated pair-count over the cached
+  word table plus a driver-side top-1 (the learned parameter — same
+  driver-collect shape as `similarity.train_centroids`' per-iteration
+  partial sums).
+- Merge application is a chain of JVM ``replace`` calls over a delimited
+  symbol string — whole-stage codegen, no Python anywhere.
+
+Symbol representation: every symbol is wrapped in ``<`` ``>`` sentinels
+(``low`` -> ``<l><o><w><_>`` with ``_`` as the end-of-word marker; words are
+``[a-z]+`` tokens so the sentinels can't collide). A merge of (l, r) is then
+``replace(sym, '<l><r>', '<lr>')`` — left-to-right non-overlapping
+replacement, which is exactly BPE's merge-application rule, and behaves
+identically in Spark's ``replace``, DuckDB's ``replace`` and Python's
+``str.replace`` (the property the oracle and the pandas parity test pin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WORD_PAT = "[a-z]+"
+END_MARK = "_"
+
+
+def _wrap_word(word: Column) -> Column:
+    """``low`` -> ``<l><o><w><_>``."""
+    chars = F.regexp_extract_all(word, F.lit("."), 0)
+    return F.concat(
+        F.lit("<"),
+        F.array_join(F.concat(chars, F.array(F.lit(END_MARK))), "><"),
+        F.lit(">"),
+    )
+
+
+def _symbols(sym: Column) -> Column:
+    """Unwrap ``<a><b>`` back to ``[a, b]``."""
+    return F.split(F.regexp_replace(sym, "^<|>$", ""), "><")
+
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One corpus scan -> (word, freq). Everything after this is vocab-sized."""
+    words = df.select(
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PAT), 0)).alias(
+            "word"
+        )
+    )
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` merges; returns [(rank, lhs, rhs, pair_count), ...].
+
+    Tie-break is total and engine-portable: (count DESC, lhs ASC, rhs ASC)
+    over ASCII ``[a-z_]`` strings. Stops early if the corpus runs dry
+    (fewer distinct pairs than requested merges). The word table is cached;
+    round k's plan carries k codegen'd replaces over that cache — linear
+    per-round work on a vocab-sized frame, zero further corpus scans.
+    """
+    base = (
+        word_freqs(df, text_col)
+        .select(_wrap_word(F.col("word")).alias("sym"), "freq")
+        .persist()
+    )
+    wf = base
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        arr = _symbols(F.col("sym"))
+        pair = F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda left, right: F.struct(left.alias("lhs"), right.alias("rhs")),
+        )
+        best = (
+            wf.select(F.explode(pair).alias("p"), "freq")
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
+        merges.append((rank, lhs, rhs, cnt))
+        wf = wf.withColumn(
+            "sym",
+            F.replace(F.col("sym"), F.lit(f"<{lhs}><{rhs}>"), F.lit(f"<{lhs}{rhs}>")),
+        )
+    base.unpersist()
+    return merges
+
+
+def merges_df(spark: SparkSession, merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    return spark.createDataFrame(merges, "merge_rank int, lhs string, rhs string, cnt bigint")
+
+
+def _apply_merges(sym: Column, merges: list[tuple[int, str, str, int]]) -> Column:
+    """Chain the learned replaces in rank order — the compiled artifact."""
+    for _, lhs, rhs, _cnt in merges:
+        sym = F.replace(sym, F.lit(f"<{lhs}><{rhs}>"), F.lit(f"<{lhs}{rhs}>"))
+    return sym
+
+
+def bpe_segment(col: Column, merges: list[tuple[int, str, str, int]]) -> Column:
+    """Segment text into trained-BPE tokens: array<string> of merged symbols
+    (end-of-word marker attached, e.g. ``lo``, ``w_``). Pure JVM: tokenize,
+    wrap, replay the merge chain, unwrap — one codegen projection."""
+    words = F.regexp_extract_all(F.lower(col), F.lit(WORD_PAT), 0)
+    segmented = F.transform(words, lambda w: _symbols(_apply_merges(_wrap_word(w), merges)))
+    return F.flatten(segmented)
+
+
+def bpe_token_count_trained(col: Column, merges: list[tuple[int, str, str, int]]) -> Column:
+    """Token count under the trained merges — the budget currency a packing
+    stage (`packing.pack_sequences`) would consume after tokenizer fitting."""
+    return F.size(bpe_segment(col, merges)).cast("bigint")

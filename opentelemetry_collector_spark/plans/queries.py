@@ -3517,6 +3517,84 @@ FROM idx
 """
 
 
+
+def q95_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-merge tokenizer training (Sennrich et al. 2016) over
+    the documents corpus: one corpus scan into a cached (word, freq) table,
+    then each merge round is a partial-aggregated pair count over that
+    vocab-sized frame plus a driver top-1 with total (cnt DESC, lhs, rhs)
+    tie-break. The oracle replays all four rounds in unrolled SQL on the
+    identical delimited-symbol representation — the learned merges must
+    agree exactly, which pins pair counting, tie-breaking AND the
+    left-to-right non-overlapping merge application in both engines."""
+    from opentelemetry_collector_spark.operators.bpe import bpe_train, merges_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return merges_df(spark, bpe_train(docs, n_merges=4))
+
+
+Q95_SQL = """
+WITH wf AS (
+  SELECT '<' || array_to_string(list_append(regexp_extract_all(word, '.'), '_'), '><') || '>' AS sym,
+         COUNT(*) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+  GROUP BY 1
+),
+p1 AS (
+  SELECT arr[i] AS lhs, arr[i+1] AS rhs, SUM(freq) AS cnt
+  FROM (SELECT string_split(substr(sym, 2, length(sym)-2), '><') AS arr, freq FROM wf),
+       unnest(range(1, len(arr))) t(i)
+  GROUP BY 1, 2
+),
+b1 AS (SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+r1 AS (
+  SELECT replace(sym, '<' || b.lhs || '><' || b.rhs || '>', '<' || b.lhs || b.rhs || '>') AS sym,
+         freq
+  FROM wf, b1 b
+),
+p2 AS (
+  SELECT arr[i] AS lhs, arr[i+1] AS rhs, SUM(freq) AS cnt
+  FROM (SELECT string_split(substr(sym, 2, length(sym)-2), '><') AS arr, freq FROM r1),
+       unnest(range(1, len(arr))) t(i)
+  GROUP BY 1, 2
+),
+b2 AS (SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+r2 AS (
+  SELECT replace(sym, '<' || b.lhs || '><' || b.rhs || '>', '<' || b.lhs || b.rhs || '>') AS sym,
+         freq
+  FROM r1, b2 b
+),
+p3 AS (
+  SELECT arr[i] AS lhs, arr[i+1] AS rhs, SUM(freq) AS cnt
+  FROM (SELECT string_split(substr(sym, 2, length(sym)-2), '><') AS arr, freq FROM r2),
+       unnest(range(1, len(arr))) t(i)
+  GROUP BY 1, 2
+),
+b3 AS (SELECT lhs, rhs, cnt FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+r3 AS (
+  SELECT replace(sym, '<' || b.lhs || '><' || b.rhs || '>', '<' || b.lhs || b.rhs || '>') AS sym,
+         freq
+  FROM r2, b3 b
+),
+p4 AS (
+  SELECT arr[i] AS lhs, arr[i+1] AS rhs, SUM(freq) AS cnt
+  FROM (SELECT string_split(substr(sym, 2, length(sym)-2), '><') AS arr, freq FROM r3),
+       unnest(range(1, len(arr))) t(i)
+  GROUP BY 1, 2
+),
+b4 AS (SELECT lhs, rhs, cnt FROM p4 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+r4 AS (
+  SELECT replace(sym, '<' || b.lhs || '><' || b.rhs || '>', '<' || b.lhs || b.rhs || '>') AS sym,
+         freq
+  FROM r3, b4 b
+)
+SELECT 1 AS merge_rank, lhs, rhs, cnt FROM b1
+UNION ALL SELECT 2 AS merge_rank, lhs, rhs, cnt FROM b2
+UNION ALL SELECT 3 AS merge_rank, lhs, rhs, cnt FROM b3
+UNION ALL SELECT 4 AS merge_rank, lhs, rhs, cnt FROM b4
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -3613,6 +3691,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_split_metrics": q92_split_metrics,
     "q93_otlp_text_traces": q93_otlp_text_traces,
     "q94_otlp_text_metrics": q94_otlp_text_metrics,
+    "q95_bpe_train": q95_bpe_train,
 }
 
 ORACLES: dict[str, str] = {
@@ -3703,6 +3782,7 @@ ORACLES: dict[str, str] = {
     "q92_split_metrics": Q92_SQL,
     "q93_otlp_text_traces": Q93_SQL,
     "q94_otlp_text_metrics": Q94_SQL,
+    "q95_bpe_train": Q95_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

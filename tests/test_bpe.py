@@ -1,0 +1,112 @@
+"""Trained-BPE merge learning + segmentation (operators/bpe.py).
+
+Verified against an independent pure-Python BPE reference (dict-based pair
+counting with the same total tie-break), the classic Sennrich corpus shape,
+and plan assertions that segmentation stays a pure codegen projection.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.bpe import (
+    bpe_segment,
+    bpe_token_count_trained,
+    bpe_train,
+)
+
+
+def ref_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Independent reference: same semantics, no Spark, no strings-with-
+    sentinels — list-based merge application."""
+    syms = {tuple(list(w) + ["_"]): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for sym, f in syms.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (lhs, rhs), cnt = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, lhs, rhs, cnt))
+        new_syms = {}
+        for sym, f in syms.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == lhs and sym[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_syms[tuple(out)] = f
+        syms = new_syms
+    return merges, syms
+
+
+SENNRICH = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def _corpus(spark, word_freqs):
+    rows = [(w,) for w, f in word_freqs.items() for _ in range(f)]
+    return spark.createDataFrame(rows, "text string")
+
+
+def test_train_matches_pure_python_reference(spark):
+    expected, _ = ref_bpe(SENNRICH, 6)
+    got = bpe_train(_corpus(spark, SENNRICH), n_merges=6)
+    assert got == expected
+
+
+def test_first_merge_is_the_sennrich_es(spark):
+    # 'es' appears in newest(6) + widest(3) = 9, the classic first merge
+    got = bpe_train(_corpus(spark, SENNRICH), n_merges=1)
+    assert got == [(1, "e", "s", 9)]
+
+
+def test_tiebreak_is_lexicographic(spark):
+    # all pairs tie at 2: (a,b) wins on lhs ASC
+    got = bpe_train(_corpus(spark, {"ab": 2, "cd": 2}), n_merges=1)
+    assert got == [(1, "a", "b", 2)]
+
+
+def test_early_stop_when_pairs_run_dry(spark):
+    # 'a' -> <a><_>: one pair, then <a_> has none left
+    got = bpe_train(_corpus(spark, {"a": 3}), n_merges=5)
+    assert got == [(1, "a", "_", 3)]
+
+
+def test_empty_corpus_learns_nothing(spark):
+    df = spark.createDataFrame([], "text string")
+    assert bpe_train(df, n_merges=3) == []
+
+
+def test_segmentation_matches_reference_and_reconstructs(spark):
+    merges, ref_syms = ref_bpe(SENNRICH, 6)
+    df = _corpus(spark, SENNRICH).select(
+        "text", bpe_segment(F.col("text"), merges).alias("toks")
+    )
+    ref_by_word = {"".join(s).replace("_", ""): list(s) for s in ref_syms}
+    for r in df.collect():
+        assert r["toks"] == ref_by_word[r["text"]]
+        # concatenating tokens reconstructs the word + end marker
+        assert "".join(r["toks"]) == r["text"] + "_"
+
+
+def test_token_count_trained_shrinks_with_merges(spark):
+    merges, _ = ref_bpe(SENNRICH, 6)
+    df = _corpus(spark, SENNRICH)
+    untrained = df.select(F.sum(bpe_token_count_trained(F.col("text"), [])).alias("n"))
+    trained = df.select(F.sum(bpe_token_count_trained(F.col("text"), merges)).alias("n"))
+    assert trained.collect()[0]["n"] < untrained.collect()[0]["n"]
+
+
+def test_segment_is_pure_projection(spark):
+    merges, _ = ref_bpe(SENNRICH, 4)
+    df = _corpus(spark, SENNRICH).select(bpe_segment(F.col("text"), merges).alias("t"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
