@@ -315,6 +315,32 @@ COMMENTARY = {
         "makes it embarrassingly parallel across the label-set cardinality while each "
         "series' sort stays bounded by its own point count.",
     ),
+    "q92_split_metrics": (
+        "Single unpartitioned-window rank (the global batch sequence the reference's one "
+        "splitMetrics loop implies) followed by partial+final HashAggregate on "
+        "(batch_id, metric, kind).",
+        "Datapoint-granularity rebatching is golden-parity machinery: the contract is the "
+        "cut positions, pinned by TestSplitMetricsUneven; at scale batching-for-transport "
+        "is maxRecordsPerFile on the write, which needs no global sequence at all.",
+    ),
+    "q93_otlp_text_traces": (
+        "The rendering itself is a stack of Projects inside WholeStageCodegen — label "
+        "padding, enum names, sorted attribute lines are all JVM expressions, no Python. "
+        "(The one Window+Exchange below is the test fixture deriving turn_idx from the "
+        "events table, same caveat as q01: a real transcripts table stores turn_idx and "
+        "the dump is a pure projection, as test_traces_dump_is_pure_projection asserts "
+        "on the span frame directly.)",
+        "A debug dump enabled on a wide pipeline must not tax it: rendering at scan speed "
+        "means the logging exporter analog costs one extra projection, not a shuffle.",
+    ),
+    "q94_otlp_text_metrics": (
+        "Partial+final HashAggregate on (metric, kind) collecting the sorted point structs; "
+        "the Metric # index window runs over the post-aggregation frame (one row per "
+        "distinct metric), never the datapoints.",
+        "The block-per-metric shape forces a grouped collect, but partial aggregation means "
+        "each task ships its per-metric point lists once; the only full-frame pass is the "
+        "scan itself.",
+    ),
     "q53_latency_quantiles": (
         "Exact percentiles ride the SAME plan shape as any grouped agg: lead() window on "
         "hashpartitioning(conv_id), broadcast meta join, then partial+final HashAggregate "
