@@ -3595,6 +3595,53 @@ UNION ALL SELECT 4 AS merge_rank, lhs, rhs, cnt FROM b4
 """
 
 
+
+def q96_zipkin_span_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span events through the Zipkin annotation wire (from_translator.go:
+    193-218 spanEventDataFormat + to_translator.go:266-301 parse): derive
+    deterministic events on the q37 span frame (a bare turn.start + a
+    tool.invoke with pipe-bearing json attrs and a dropped count), marshal
+    with annotations, parse back, explode. The oracle rebuilds the exploded
+    event rows straight from the transcripts, so the name|{json}|dropped
+    composition, the pipe-rejoin parse, micros timestamps and sorted-key
+    json all sit on the checked path."""
+    from opentelemetry_collector_spark.sources.zipkin import (
+        parse_zipkin_json,
+        spans_from_transcripts,
+        to_zipkin_json,
+        with_transcript_events,
+    )
+
+    t = from_events(spark, sf_dir)
+    spans = with_transcript_events(spans_from_transcripts(t))
+    back = parse_zipkin_json(to_zipkin_json(spans, with_events=True), with_events=True)
+    ev = back.select("span_id", F.explode("events").alias("e"))
+    return ev.select(
+        "span_id",
+        F.col("e.name").alias("ev_name"),
+        F.col("e.ts").alias("ev_ts"),
+        F.element_at(F.col("e.attrs"), "tool").alias("attr_tool"),
+        F.element_at(F.col("e.attrs"), "arg").alias("attr_arg"),
+        F.col("e.dropped").alias("dropped"),
+        F.cardinality(F.col("e.attrs")).cast("bigint").alias("n_attrs"),
+    )
+
+
+Q96_SQL = f"""{_PRELUDE}
+SELECT substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16) AS span_id,
+       'turn.start' AS ev_name, ts AS ev_ts,
+       CAST(NULL AS VARCHAR) AS attr_tool, CAST(NULL AS VARCHAR) AS attr_arg,
+       CAST(0 AS BIGINT) AS dropped, CAST(0 AS BIGINT) AS n_attrs
+FROM t
+UNION ALL
+SELECT substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16) AS span_id,
+       'tool.invoke' AS ev_name, ts + INTERVAL 1 MILLISECOND AS ev_ts,
+       tool AS attr_tool, 'a|' || role AS attr_arg,
+       CAST(turn_idx % 3 AS BIGINT) AS dropped, CAST(2 AS BIGINT) AS n_attrs
+FROM t WHERE tool IS NOT NULL
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -3692,6 +3739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_otlp_text_traces": q93_otlp_text_traces,
     "q94_otlp_text_metrics": q94_otlp_text_metrics,
     "q95_bpe_train": q95_bpe_train,
+    "q96_zipkin_span_events": q96_zipkin_span_events,
 }
 
 ORACLES: dict[str, str] = {
@@ -3783,6 +3831,7 @@ ORACLES: dict[str, str] = {
     "q93_otlp_text_traces": Q93_SQL,
     "q94_otlp_text_metrics": Q94_SQL,
     "q95_bpe_train": Q95_SQL,
+    "q96_zipkin_span_events": Q96_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

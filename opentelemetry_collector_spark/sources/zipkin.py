@@ -81,6 +81,51 @@ _ZIPKIN_SCHEMA = (
     " tags map<string,string>"
 )
 
+# with_events=True adds the annotations member (zipkin JSON: micros timestamp
+# + opaque value string carrying the span-event data format)
+_ZIPKIN_SCHEMA_EVENTS = (
+    _ZIPKIN_SCHEMA + ", annotations array<struct<timestamp: bigint, value: string>>"
+)
+
+EVENTS_SCHEMA = "array<struct<ts: timestamp, name: string, attrs: map<string,string>, dropped: bigint>>"
+
+
+def _annotation_value(e: Column) -> Column:
+    """``spanEventDataFormat = "%s|%s|%d"`` (from_translator.go:37,193-218):
+    bare name when the event has no attributes and no dropped count, else
+    ``name|{sorted-key json}|dropped`` — Go json.Marshal sorts map keys, so
+    the map is rebuilt from sorted entries before to_json."""
+    attrs = F.coalesce(e["attrs"], F.create_map().cast("map<string,string>"))
+    dropped = F.coalesce(e["dropped"], F.lit(0))
+    sorted_json = F.to_json(F.map_from_entries(F.array_sort(F.map_entries(attrs))))
+    return F.when((F.size(attrs) == 0) & (dropped == 0), e["name"]).otherwise(
+        F.concat(e["name"], F.lit("|"), sorted_json, F.lit("|"), dropped.cast("string"))
+    )
+
+
+def _parse_annotation(a: Column) -> Column:
+    """Inverse of the data format (to_translator.go:266-301): split on ``|``;
+    <3 parts -> bare name, ==3 -> parts[1] is the json, >3 -> the json
+    itself contained pipes, rejoin the middle. The dropped count is the
+    last part (a junk count degrades to NULL per-row instead of failing
+    the whole batch like the Go strconv error path)."""
+    arr = F.split(a["value"], r"\|")
+    n = F.size(arr)
+    attrs_json = F.when(n == 3, F.element_at(arr, 2)).when(
+        n > 3, F.array_join(F.slice(arr, 2, n - 2), "|")
+    )
+    return F.struct(
+        F.timestamp_micros(a["timestamp"]).alias("ts"),
+        F.element_at(arr, 1).alias("name"),
+        F.coalesce(
+            F.from_json(attrs_json, "map<string,string>"),
+            F.create_map().cast("map<string,string>"),
+        ).alias("attrs"),
+        F.when(n >= 3, F.element_at(arr, -1).try_cast("bigint"))
+        .otherwise(F.lit(0))
+        .alias("dropped"),
+    )
+
 SPAN_FRAME_COLS = [
     "trace_id",
     "span_id",
@@ -141,6 +186,38 @@ def spans_from_transcripts(df: DataFrame) -> DataFrame:
     )
 
 
+def with_transcript_events(spans: DataFrame) -> DataFrame:
+    """Deterministic span events over the transcripts-as-traces frame: every
+    turn opens with a bare ``turn.start`` annotation (the no-attrs fast path
+    of from_translator.go:199-203), and tool turns add a ``tool.invoke``
+    event 1 ms later whose attrs carry the tool name plus a pipe-bearing
+    arg — exercising the data-format's json-rejoin on parse
+    (to_translator.go:277-285) — and a nonzero dropped count."""
+    start = F.struct(
+        F.col("ts").alias("ts"),
+        F.lit("turn.start").alias("name"),
+        F.create_map().cast("map<string,string>").alias("attrs"),
+        F.lit(0).cast("bigint").alias("dropped"),
+    )
+    tool_attr = F.element_at(F.col("attrs"), "tool")
+    turn_idx = F.element_at(F.col("attrs"), "turn.idx").cast("bigint")
+    tool_ev = F.when(
+        tool_attr.isNotNull(),
+        F.struct(
+            F.timestamp_micros(F.unix_micros(F.col("ts")) + 1000).alias("ts"),
+            F.lit("tool.invoke").alias("name"),
+            F.map_from_arrays(
+                F.array(F.lit("arg"), F.lit("tool")),
+                F.array(F.concat(F.lit("a|"), F.col("service_name")), tool_attr),
+            ).alias("attrs"),
+            (turn_idx % 3).alias("dropped"),
+        ),
+    )
+    return spans.withColumn(
+        "events", F.filter(F.array(start, tool_ev), lambda e: e.isNotNull())
+    )
+
+
 def _status_name(code: Column) -> Column:
     out = F.lit(STATUS_NAMES[0])
     for v, name in STATUS_NAMES.items():
@@ -149,7 +226,7 @@ def _status_name(code: Column) -> Column:
     return out
 
 
-def to_zipkin_json(df: DataFrame, out_col: str = "value") -> DataFrame:
+def to_zipkin_json(df: DataFrame, out_col: str = "value", with_events: bool = False) -> DataFrame:
     """Marshal the span frame to Zipkin v2 JSON lines (one span object per
     line; the HTTP receiver's array body is just these joined with commas).
 
@@ -172,7 +249,7 @@ def to_zipkin_json(df: DataFrame, out_col: str = "value") -> DataFrame:
         ),
         lambda k, v: v.isNotNull(),
     )
-    span = F.struct(
+    fields = [
         F.col("trace_id").alias("traceId"),
         F.col("span_id").alias("id"),
         F.col("parent_span_id").alias("parentId"),
@@ -182,11 +259,27 @@ def to_zipkin_json(df: DataFrame, out_col: str = "value") -> DataFrame:
         F.col("duration_us").alias("duration"),
         F.struct(F.col("service_name").alias("serviceName")).alias("localEndpoint"),
         F.map_concat(F.coalesce(F.col("attrs"), F.create_map()), status_tags).alias("tags"),
-    )
-    return df.select(F.to_json(span).alias(out_col))
+    ]
+    if with_events:
+        # spanEventsToZipkinAnnotations (from_translator.go:193-218): one
+        # annotation per event, micros timestamp, data-format value; an
+        # empty/absent events array omits the member (to_json omit-null,
+        # matching the `events.Len() > 0` guard)
+        annos = F.when(
+            F.size(F.coalesce(F.col("events"), F.lit(None).cast(EVENTS_SCHEMA))) > 0,
+            F.transform(
+                F.col("events"),
+                lambda e: F.struct(
+                    F.unix_micros(e["ts"]).alias("timestamp"),
+                    _annotation_value(e).alias("value"),
+                ),
+            ),
+        )
+        fields.append(annos.alias("annotations"))
+    return df.select(F.to_json(F.struct(*fields)).alias(out_col))
 
 
-def parse_zipkin_json(df: DataFrame, col: str = "value") -> DataFrame:
+def parse_zipkin_json(df: DataFrame, col: str = "value", with_events: bool = False) -> DataFrame:
     """Unmarshal Zipkin v2 JSON span lines to the flattened span frame with
     the reference's exact semantics (``to_translator.go:133-204``):
 
@@ -200,7 +293,8 @@ def parse_zipkin_json(df: DataFrame, col: str = "value") -> DataFrame:
 
     Malformed lines yield a null struct (PERMISSIVE ``from_json``) and flow
     to the refused-records metric, like the receiver's 400 path."""
-    parsed = df.select(F.from_json(F.col(col), _ZIPKIN_SCHEMA).alias("z"))
+    schema = _ZIPKIN_SCHEMA_EVENTS if with_events else _ZIPKIN_SCHEMA
+    parsed = df.select(F.from_json(F.col(col), schema).alias("z"))
     tags = F.coalesce(F.col("z.tags"), F.create_map().cast("map<string,string>"))
     status_tag = tags["status.code"]
     code_from_tag = F.create_map(
@@ -237,4 +331,22 @@ def parse_zipkin_json(df: DataFrame, col: str = "value") -> DataFrame:
         F.timestamp_micros(F.col("z.timestamp")).alias("ts"),
         F.col("z.duration").alias("duration_us"),
         F.map_filter(tags, lambda k, v: ~F.array_contains(consumed, k)).alias("attrs"),
+        *(
+            [
+                F.transform(
+                    F.coalesce(
+                        F.col("z.annotations"),
+                        F.lit(None).cast(
+                            "array<struct<timestamp: bigint, value: string>>"
+                        ),
+                        F.array().cast(
+                            "array<struct<timestamp: bigint, value: string>>"
+                        ),
+                    ),
+                    _parse_annotation,
+                ).alias("events")
+            ]
+            if with_events
+            else []
+        ),
     )

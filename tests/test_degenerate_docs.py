@@ -47,6 +47,7 @@ DOC_QUERIES = [
     "q84_classifier_train",
     "q85_corpus_build",
     "q86_epoch_expand",
+    "q95_bpe_train",
 ]
 
 WEIRD_TEXTS = [

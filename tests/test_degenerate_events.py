@@ -51,6 +51,10 @@ EVENT_QUERIES = [
     "q89_zipkinv1_roundtrip",
     "q90_log_templates",
     "q91_delta_to_cumulative",
+    "q92_split_metrics",
+    "q93_otlp_text_traces",
+    "q94_otlp_text_metrics",
+    "q96_zipkin_span_events",
 ]
 
 
