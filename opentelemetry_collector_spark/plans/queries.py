@@ -3642,6 +3642,48 @@ FROM t WHERE tool IS NOT NULL
 """
 
 
+
+def q97_zipkin_span_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span links through the Zipkin tag wire (from_translator.go:220-231
+    spanLinkDataFormat otlp.link.N tags + to_translator.go:205-262
+    consecutive-prefix consumption): every non-root turn carries a backlink
+    to its parent span with pipe-bearing json attrs and an alternating
+    dropped count; the roundtripped links explode against transcript-
+    derived SQL, and the span attrs must come back link-tag-free."""
+    from opentelemetry_collector_spark.sources.zipkin import (
+        parse_zipkin_json,
+        spans_from_transcripts,
+        to_zipkin_json,
+        with_transcript_links,
+    )
+
+    t = from_events(spark, sf_dir)
+    spans = with_transcript_links(spans_from_transcripts(t))
+    back = parse_zipkin_json(to_zipkin_json(spans, with_links=True), with_links=True)
+    ev = back.select("span_id", F.cardinality("attrs").alias("n_attrs"), F.explode("links").alias("l"))
+    return ev.select(
+        "span_id",
+        F.col("l.trace_id").alias("link_trace"),
+        F.col("l.span_id").alias("link_span"),
+        F.col("l.trace_state").alias("trace_state"),
+        F.element_at(F.col("l.attrs"), "rel").alias("attr_rel"),
+        F.col("l.dropped").alias("dropped"),
+        F.col("n_attrs").cast("bigint").alias("n_attrs"),
+    )
+
+
+Q97_SQL = f"""{_PRELUDE}
+SELECT substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16) AS span_id,
+       md5(conv_id) AS link_trace,
+       substr(md5(conv_id || ':' || CAST(turn_idx - 1 AS VARCHAR)), 1, 16) AS link_span,
+       '' AS trace_state,
+       'follows|from' AS attr_rel,
+       CAST(turn_idx % 2 AS BIGINT) AS dropped,
+       CAST(1 + CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_attrs
+FROM t WHERE turn_idx > 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -3740,6 +3782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_otlp_text_metrics": q94_otlp_text_metrics,
     "q95_bpe_train": q95_bpe_train,
     "q96_zipkin_span_events": q96_zipkin_span_events,
+    "q97_zipkin_span_links": q97_zipkin_span_links,
 }
 
 ORACLES: dict[str, str] = {
@@ -3832,6 +3875,7 @@ ORACLES: dict[str, str] = {
     "q94_otlp_text_metrics": Q94_SQL,
     "q95_bpe_train": Q95_SQL,
     "q96_zipkin_span_events": Q96_SQL,
+    "q97_zipkin_span_links": Q97_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

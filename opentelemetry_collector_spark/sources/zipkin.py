@@ -186,6 +186,63 @@ def spans_from_transcripts(df: DataFrame) -> DataFrame:
     )
 
 
+LINKS_SCHEMA = (
+    "array<struct<trace_id: string, span_id: string, trace_state: string,"
+    " attrs: map<string,string>, dropped: bigint>>"
+)
+
+
+def _link_value(link: Column) -> Column:
+    """``spanLinkDataFormat = "%s|%s|%s|%s|%d"`` (from_translator.go:36,
+    220-231): traceId|spanId|traceState|{sorted-key json}|dropped."""
+    attrs = F.coalesce(link["attrs"], F.create_map().cast("map<string,string>"))
+    return F.concat_ws(
+        "|",
+        F.coalesce(link["trace_id"], F.lit("")),
+        F.coalesce(link["span_id"], F.lit("")),
+        F.coalesce(link["trace_state"], F.lit("")),
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries(attrs)))),
+        F.coalesce(link["dropped"], F.lit(0)).cast("string"),
+    )
+
+
+def _parse_link(v: Column) -> Column:
+    """One otlp.link.N tag value -> link struct (to_translator.go:205-262):
+    <5 parts is skipped by the caller; the json may itself carry pipes and
+    is rejoined from the middle; a junk dropped count degrades to NULL
+    per-row instead of the Go strconv batch error."""
+    arr = F.split(v, r"\|")
+    n = F.size(arr)
+    attrs_json = F.when(n == 5, F.element_at(arr, 4)).when(
+        n > 5, F.array_join(F.slice(arr, 4, n - 4), "|")
+    )
+    return F.when(
+        n >= 5,
+        F.struct(
+            F.element_at(arr, 1).alias("trace_id"),
+            F.element_at(arr, 2).alias("span_id"),
+            F.element_at(arr, 3).alias("trace_state"),
+            F.coalesce(
+                F.from_json(attrs_json, "map<string,string>"),
+                F.create_map().cast("map<string,string>"),
+            ).alias("attrs"),
+            F.element_at(arr, -1).try_cast("bigint").alias("dropped"),
+        ),
+    )
+
+
+def _consumed_link_count(tags: Column) -> Column:
+    """zTagsToSpanLinks consumes ``otlp.link.0..127`` as a CONSECUTIVE
+    prefix — the loop returns at the first missing index, so a gap leaves
+    later otlp.link.N tags behind as ordinary attributes (:205-213)."""
+    present = F.transform(
+        F.sequence(F.lit(0), F.lit(127)),
+        lambda i: tags[F.concat(F.lit("otlp.link."), i.cast("string"))].isNull(),
+    )
+    # 1-based position of the first missing index == count of consumed links
+    return F.coalesce(F.array_position(present, True) - 1, F.lit(128))
+
+
 def with_transcript_events(spans: DataFrame) -> DataFrame:
     """Deterministic span events over the transcripts-as-traces frame: every
     turn opens with a bare ``turn.start`` annotation (the no-attrs fast path
@@ -218,6 +275,25 @@ def with_transcript_events(spans: DataFrame) -> DataFrame:
     )
 
 
+def with_transcript_links(spans: DataFrame) -> DataFrame:
+    """Deterministic span links over the transcripts-as-traces frame: every
+    non-root turn links to its parent span (the FOLLOWS_FROM-style backlink)
+    with a pipe-bearing attribute — exercising the spanLinkDataFormat's
+    json-rejoin on parse — and an alternating dropped count."""
+    turn_idx = F.element_at(F.col("attrs"), "turn.idx").cast("bigint")
+    link = F.when(
+        F.col("parent_span_id").isNotNull(),
+        F.struct(
+            F.col("trace_id").alias("trace_id"),
+            F.col("parent_span_id").alias("span_id"),
+            F.lit("").alias("trace_state"),
+            F.create_map(F.lit("rel"), F.lit("follows|from")).alias("attrs"),
+            (turn_idx % 2).alias("dropped"),
+        ),
+    )
+    return spans.withColumn("links", F.filter(F.array(link), lambda l: l.isNotNull()))
+
+
 def _status_name(code: Column) -> Column:
     out = F.lit(STATUS_NAMES[0])
     for v, name in STATUS_NAMES.items():
@@ -226,7 +302,12 @@ def _status_name(code: Column) -> Column:
     return out
 
 
-def to_zipkin_json(df: DataFrame, out_col: str = "value", with_events: bool = False) -> DataFrame:
+def to_zipkin_json(
+    df: DataFrame,
+    out_col: str = "value",
+    with_events: bool = False,
+    with_links: bool = False,
+) -> DataFrame:
     """Marshal the span frame to Zipkin v2 JSON lines (one span object per
     line; the HTTP receiver's array body is just these joined with commas).
 
@@ -258,7 +339,27 @@ def to_zipkin_json(df: DataFrame, out_col: str = "value", with_events: bool = Fa
         F.unix_micros(F.col("ts")).alias("timestamp"),
         F.col("duration_us").alias("duration"),
         F.struct(F.col("service_name").alias("serviceName")).alias("localEndpoint"),
-        F.map_concat(F.coalesce(F.col("attrs"), F.create_map()), status_tags).alias("tags"),
+        F.map_concat(
+            F.coalesce(F.col("attrs"), F.create_map()),
+            status_tags,
+            *(
+                # spanLinksToZipkinTags (from_translator.go:220-231): one
+                # otlp.link.{i} tag per link, in link order
+                [
+                    F.map_from_entries(
+                        F.transform(
+                            F.coalesce(F.col("links"), F.lit(None).cast(LINKS_SCHEMA)),
+                            lambda l, i: F.struct(
+                                F.concat(F.lit("otlp.link."), i.cast("string")).alias("key"),
+                                _link_value(l).alias("value"),
+                            ),
+                        )
+                    )
+                ]
+                if with_links
+                else []
+            ),
+        ).alias("tags"),
     ]
     if with_events:
         # spanEventsToZipkinAnnotations (from_translator.go:193-218): one
@@ -279,7 +380,12 @@ def to_zipkin_json(df: DataFrame, out_col: str = "value", with_events: bool = Fa
     return df.select(F.to_json(F.struct(*fields)).alias(out_col))
 
 
-def parse_zipkin_json(df: DataFrame, col: str = "value", with_events: bool = False) -> DataFrame:
+def parse_zipkin_json(
+    df: DataFrame,
+    col: str = "value",
+    with_events: bool = False,
+    with_links: bool = False,
+) -> DataFrame:
     """Unmarshal Zipkin v2 JSON span lines to the flattened span frame with
     the reference's exact semantics (``to_translator.go:133-204``):
 
@@ -330,7 +436,40 @@ def parse_zipkin_json(df: DataFrame, col: str = "value", with_events: bool = Fal
         ),
         F.timestamp_micros(F.col("z.timestamp")).alias("ts"),
         F.col("z.duration").alias("duration_us"),
-        F.map_filter(tags, lambda k, v: ~F.array_contains(consumed, k)).alias("attrs"),
+        F.map_filter(
+            tags,
+            lambda k, v: ~F.array_contains(consumed, k)
+            & (
+                F.lit(not with_links)
+                | ~(
+                    k.rlike(r"^otlp\.link\.\d+$")
+                    & (F.substring(k, 11, 10).try_cast("int") < _consumed_link_count(tags))
+                )
+            ),
+        ).alias("attrs"),
+        *(
+            [
+                F.filter(
+                    F.transform(
+                        F.slice(
+                            F.transform(
+                                F.sequence(F.lit(0), F.lit(127)),
+                                lambda i: tags[
+                                    F.concat(F.lit("otlp.link."), i.cast("string"))
+                                ],
+                            ),
+                            F.lit(1),
+                            _consumed_link_count(tags),
+                        ),
+                        _parse_link,
+                    ),
+                    # partCnt < 5 is skipped, not an error (:216-219)
+                    lambda l: l.isNotNull(),
+                ).alias("links")
+            ]
+            if with_links
+            else []
+        ),
         *(
             [
                 F.transform(

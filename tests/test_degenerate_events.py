@@ -55,6 +55,7 @@ EVENT_QUERIES = [
     "q93_otlp_text_traces",
     "q94_otlp_text_metrics",
     "q96_zipkin_span_events",
+    "q97_zipkin_span_links",
 ]
 
 

@@ -112,3 +112,85 @@ def test_transcript_events_roundtrip_set_equality(spark, tiny):
             for r in rows
         )
     assert key(got.collect()) == key(src.collect())
+
+
+# ---------------------------------------------------------------------------
+# span links (otlp.link.N tags, spanLinkDataFormat %s|%s|%s|%s|%d)
+# ---------------------------------------------------------------------------
+
+LINKS_SPAN_SCHEMA = SPAN_SCHEMA.replace(
+    " events array<struct<ts timestamp, name string, attrs map<string,string>, dropped long>>",
+    " links array<struct<trace_id string, span_id string, trace_state string,"
+    " attrs map<string,string>, dropped long>>",
+)
+
+
+def _link_roundtrip(spark, links):
+    df = spark.createDataFrame(
+        [("aa" * 16, "bb" * 8, None, "n", 2, 0, "", "svc", TS, 10, {"k": "v"}, links)],
+        LINKS_SPAN_SCHEMA,
+    )
+    wire = to_zipkin_json(df, with_links=True)
+    back = parse_zipkin_json(wire, with_links=True)
+    return wire.collect()[0]["value"], back.collect()[0]
+
+
+def test_link_tags_roundtrip_and_attrs_stay_clean(spark):
+    wire, back = _link_roundtrip(
+        spark,
+        [
+            ("ff" * 16, "ee" * 8, "st", {"rel": "a|b"}, 1),
+            ("dd" * 16, "cc" * 8, "", {}, 0),
+        ],
+    )
+    tags = json.loads(wire)["tags"]
+    assert tags["otlp.link.0"] == "f" * 32 + "|" + "e" * 16 + '|st|{"rel":"a|b"}|1'
+    assert tags["otlp.link.1"] == "d" * 32 + "|" + "c" * 16 + "||{}|0"
+    assert back["attrs"] == {"k": "v"}  # link tags fully consumed
+    assert [tuple(l) for l in back["links"]] == [
+        ("f" * 32, "e" * 16, "st", {"rel": "a|b"}, 1),
+        ("d" * 32, "c" * 16, "", {}, 0),
+    ]
+
+
+def _parse_raw(spark, tags_json):
+    df = spark.createDataFrame(
+        [('{"id":"bb","traceId":"aa","tags":' + tags_json + "}",)], "value string"
+    )
+    return parse_zipkin_json(df, with_links=True).collect()[0]
+
+
+def test_link_gap_stops_consumption(spark):
+    # zTagsToSpanLinks returns at the first missing index (:209-213):
+    # otlp.link.2 stays behind as an ordinary attribute
+    r = _parse_raw(
+        spark, '{"otlp.link.0":"t|s|x|{}|0","otlp.link.2":"t2|s2|y|{}|0","k":"v"}'
+    )
+    assert [l["trace_id"] for l in r["links"]] == ["t"]
+    assert r["attrs"] == {"otlp.link.2": "t2|s2|y|{}|0", "k": "v"}
+
+
+def test_link_under_five_parts_consumed_but_skipped(spark):
+    r = _parse_raw(spark, '{"otlp.link.0":"short|val"}')
+    assert r["links"] == [] and r["attrs"] == {}
+
+
+def test_link_junk_dropped_degrades_to_null(spark):
+    r = _parse_raw(spark, '{"otlp.link.0":"t|s||{\\"q\\":\\"p|q\\"}|zz"}')
+    assert r["links"][0]["attrs"] == {"q": "p|q"}
+    assert r["links"][0]["dropped"] is None
+
+
+def test_transcript_links_roundtrip(spark, tiny):
+    from opentelemetry_collector_spark.sources.zipkin import with_transcript_links
+
+    spans = with_transcript_links(spans_from_transcripts(tiny))
+    back = parse_zipkin_json(to_zipkin_json(spans, with_links=True), with_links=True)
+    src = spans.select("span_id", F.explode("links").alias("l")).collect()
+    got = back.select("span_id", F.explode("links").alias("l")).collect()
+    def key(rows):
+        return sorted((r["span_id"], tuple(r["l"])[:3], tuple(sorted(r["l"]["attrs"].items())), r["l"]["dropped"]) for r in rows)
+    assert key(got) == key(src)
+    # non-root spans only
+    n_nonroot = spans.filter(F.col("parent_span_id").isNotNull()).count()
+    assert len(got) == n_nonroot
