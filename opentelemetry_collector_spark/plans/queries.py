@@ -3684,6 +3684,55 @@ FROM t WHERE turn_idx > 0
 """
 
 
+def q98_jaeger_span_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span events through the Jaeger log wire (traces_to_jaegerproto.go:
+    333-357 spanEventsToJaegerProtoLogs + jaegerproto_to_traces.go:310-334
+    jLogsToSpanEvents): the q96 transcript events marshalled as span logs —
+    the non-empty name rides a "message" field, attrs become typed fields,
+    and the dropped count does NOT travel (this wire is lossy where zipkin's
+    name|{json}|dropped format is not; Go has the identical loss). The
+    oracle rebuilds the exploded rows from the transcripts with dropped
+    pinned to 0, so the message-field name transport, field split and
+    micros timestamps all sit on the checked path."""
+    from opentelemetry_collector_spark.sources.jaeger import (
+        parse_jaeger_json,
+        to_jaeger_json,
+    )
+    from opentelemetry_collector_spark.sources.zipkin import (
+        spans_from_transcripts,
+        with_transcript_events,
+    )
+
+    t = from_events(spark, sf_dir)
+    spans = with_transcript_events(spans_from_transcripts(t))
+    back = parse_jaeger_json(to_jaeger_json(spans, with_events=True), with_events=True)
+    ev = back.select("span_id", F.explode("events").alias("e"))
+    return ev.select(
+        "span_id",
+        F.col("e.name").alias("ev_name"),
+        F.col("e.ts").alias("ev_ts"),
+        F.element_at(F.col("e.attrs"), "tool").alias("attr_tool"),
+        F.element_at(F.col("e.attrs"), "arg").alias("attr_arg"),
+        F.col("e.dropped").alias("dropped"),
+        F.cardinality(F.col("e.attrs")).cast("bigint").alias("n_attrs"),
+    )
+
+
+Q98_SQL = f"""{_PRELUDE}
+SELECT substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16) AS span_id,
+       'turn.start' AS ev_name, ts AS ev_ts,
+       CAST(NULL AS VARCHAR) AS attr_tool, CAST(NULL AS VARCHAR) AS attr_arg,
+       CAST(0 AS BIGINT) AS dropped, CAST(0 AS BIGINT) AS n_attrs
+FROM t
+UNION ALL
+SELECT substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16) AS span_id,
+       'tool.invoke' AS ev_name, ts + INTERVAL 1 MILLISECOND AS ev_ts,
+       tool AS attr_tool, 'a|' || role AS attr_arg,
+       CAST(0 AS BIGINT) AS dropped, CAST(2 AS BIGINT) AS n_attrs
+FROM t WHERE tool IS NOT NULL
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -3783,6 +3832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_bpe_train": q95_bpe_train,
     "q96_zipkin_span_events": q96_zipkin_span_events,
     "q97_zipkin_span_links": q97_zipkin_span_links,
+    "q98_jaeger_span_events": q98_jaeger_span_events,
 }
 
 ORACLES: dict[str, str] = {
@@ -3876,6 +3926,7 @@ ORACLES: dict[str, str] = {
     "q95_bpe_train": Q95_SQL,
     "q96_zipkin_span_events": Q96_SQL,
     "q97_zipkin_span_links": Q97_SQL,
+    "q98_jaeger_span_events": Q98_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -47,6 +47,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.sources.zipkin import (
+    EVENTS_SCHEMA,
+    LINKS_SCHEMA,
     RESOURCE_NO_SERVICE_NAME,
     SPAN_KIND_UNSPECIFIED,
 )
@@ -65,12 +67,54 @@ _JAEGER_SCHEMA = (
     " process struct<serviceName: string>"
 )
 
+# with_events=True adds the span-log member (Jaeger logs ARE span events:
+# jaegerproto_to_traces.go:197,310-334 / traces_to_jaegerproto.go:191,333-357)
+_JAEGER_SCHEMA_EVENTS = (
+    _JAEGER_SCHEMA
+    + ", logs array<struct<timestamp: bigint,"
+    " fields: array<struct<key: string, type: string, value: string>>>>"
+)
+
 
 def _tag(key: str, typ: str, val: Column) -> Column:
     return F.struct(F.lit(key).alias("key"), F.lit(typ).alias("type"), val.alias("value"))
 
 
-def to_jaeger_json(df: DataFrame, out_col: str = "value") -> DataFrame:
+def _ref(typ: str, trace: Column, span: Column) -> Column:
+    return F.struct(
+        F.lit(typ).alias("refType"), trace.alias("traceID"), span.alias("spanID")
+    )
+
+
+def _references(with_links: bool) -> Column:
+    """makeJaegerProtoReferences (traces_to_jaegerproto.go:274-332): the
+    parent rides FIRST as CHILD_OF ("usually backends look for it as the
+    first CHILD_OF item"), then every span link as FOLLOWS_FROM carrying
+    ONLY its ids — link trace_state/attrs/dropped do not travel on this
+    wire (lossy; pdata never captures Jaeger's RefType either, hence the
+    unconditional FOLLOWS_FROM). No parent and no links -> nil refs (no
+    member on the wire)."""
+    parent_ref = F.when(
+        F.col("parent_span_id").isNotNull(),
+        F.array(_ref("CHILD_OF", F.col("trace_id"), F.col("parent_span_id"))),
+    )
+    if not with_links:
+        return parent_ref
+    empty = F.array().cast("array<struct<refType:string,traceID:string,spanID:string>>")
+    link_refs = F.transform(
+        F.coalesce(F.col("links"), F.lit(None).cast(LINKS_SCHEMA)),
+        lambda l: _ref("FOLLOWS_FROM", l["trace_id"], l["span_id"]),
+    )
+    refs = F.concat(F.coalesce(parent_ref, empty), F.coalesce(link_refs, empty))
+    return F.when(F.size(refs) > 0, refs)
+
+
+def to_jaeger_json(
+    df: DataFrame,
+    out_col: str = "value",
+    with_events: bool = False,
+    with_links: bool = False,
+) -> DataFrame:
     """Marshal the span frame to Jaeger UI-JSON lines. Tag emission order and
     conditions follow ``traces_to_jaegerproto.go:195-252``: attributes first,
     then span.kind (non-unspecified only), status.code (always, int64),
@@ -101,30 +145,63 @@ def to_jaeger_json(df: DataFrame, out_col: str = "value") -> DataFrame:
         F.col("trace_id").alias("traceID"),
         F.col("span_id").alias("spanID"),
         F.col("name").alias("operationName"),
-        F.when(
-            F.col("parent_span_id").isNotNull(),
-            F.array(
-                F.struct(
-                    F.lit("CHILD_OF").alias("refType"),
-                    F.col("trace_id").alias("traceID"),
-                    F.col("parent_span_id").alias("spanID"),
-                )
-            ),
-        ).alias("references"),
+        _references(with_links).alias("references"),
         F.unix_micros(F.col("ts")).alias("startTime"),
         F.col("duration_us").alias("duration"),
         F.concat(attr_tags, extra).alias("tags"),
         F.struct(F.col("service_name").alias("serviceName")).alias("process"),
+        *(
+            # spanEventsToJaegerProtoLogs (traces_to_jaegerproto.go:333-357):
+            # one log per event — a "message" field carries the name FIRST
+            # (only when non-empty), then the attr fields; the dropped count
+            # does not travel on this wire (lossy, unlike zipkin's format).
+            # An empty events array emits no member (the events.Len() guard).
+            [
+                F.when(
+                    F.size(F.coalesce(F.col("events"), F.lit(None).cast(EVENTS_SCHEMA))) > 0,
+                    F.transform(
+                        F.col("events"),
+                        lambda e: F.struct(
+                            F.unix_micros(e["ts"]).alias("timestamp"),
+                            F.concat(
+                                F.filter(
+                                    F.array(_tag("message", "string", F.nullif(e["name"], F.lit("")))),
+                                    lambda t: t["value"].isNotNull(),
+                                ),
+                                F.transform(
+                                    F.map_entries(
+                                        F.coalesce(e["attrs"], F.create_map().cast("map<string,string>"))
+                                    ),
+                                    lambda kv: F.struct(
+                                        kv["key"].alias("key"),
+                                        F.lit("string").alias("type"),
+                                        kv["value"].alias("value"),
+                                    ),
+                                ),
+                            ).alias("fields"),
+                        ),
+                    ),
+                ).alias("logs")
+            ]
+            if with_events
+            else []
+        ),
     )
     return df.select(F.to_json(span).alias(out_col))
 
 
-def parse_jaeger_json(df: DataFrame, col: str = "value") -> DataFrame:
+def parse_jaeger_json(
+    df: DataFrame,
+    col: str = "value",
+    with_events: bool = False,
+    with_links: bool = False,
+) -> DataFrame:
     """Unmarshal Jaeger UI-JSON span lines to the flattened span frame with
     ``jaegerproto_to_traces.go`` semantics (see module docstring). Malformed
     lines yield a null struct (PERMISSIVE ``from_json``) and flow to the
     refused-records metric."""
-    parsed = df.select(F.from_json(F.col(col), _JAEGER_SCHEMA).alias("j"))
+    schema = _JAEGER_SCHEMA_EVENTS if with_events else _JAEGER_SCHEMA
+    parsed = df.select(F.from_json(F.col(col), schema).alias("j"))
     tags = F.coalesce(
         F.col("j.tags"),
         F.array().cast("array<struct<key:string,type:string,value:string>>"),
@@ -203,4 +280,90 @@ def parse_jaeger_json(df: DataFrame, col: str = "value") -> DataFrame:
         F.timestamp_micros(F.col("j.startTime")).alias("ts"),
         F.col("j.duration").alias("duration_us"),
         attrs.alias("attrs"),
+        *(
+            # jLogsToSpanEvents (jaegerproto_to_traces.go:310-334): one event
+            # per log; a "message" field becomes the NAME and is deleted
+            # from the attrs (an event attr literally named "message" is
+            # therefore ambiguous on this wire — Go has the same loss);
+            # no dropped count travels, it reads back 0.
+            [
+                F.transform(
+                    F.coalesce(
+                        F.col("j.logs"),
+                        F.array().cast(
+                            "array<struct<timestamp: bigint,"
+                            " fields: array<struct<key: string, type: string, value: string>>>>"
+                        ),
+                    ),
+                    lambda lg: F.struct(
+                        F.timestamp_micros(lg["timestamp"]).alias("ts"),
+                        F.coalesce(
+                            F.try_element_at(
+                                F.filter(
+                                    F.coalesce(
+                                        lg["fields"],
+                                        F.array().cast(
+                                            "array<struct<key:string,type:string,value:string>>"
+                                        ),
+                                    ),
+                                    lambda t: t["key"] == "message",
+                                ),
+                                F.lit(1),
+                            )["value"],
+                            F.lit(""),
+                        ).alias("name"),
+                        F.map_from_entries(
+                            F.transform(
+                                F.filter(
+                                    F.coalesce(
+                                        lg["fields"],
+                                        F.array().cast(
+                                            "array<struct<key:string,type:string,value:string>>"
+                                        ),
+                                    ),
+                                    lambda t: t["key"] != "message",
+                                ),
+                                lambda t: F.struct(t["key"], t["value"]),
+                            )
+                        ).alias("attrs"),
+                        F.lit(0).cast("bigint").alias("dropped"),
+                    ),
+                ).alias("events")
+            ]
+            if with_events
+            else []
+        ),
+        *(
+            # jReferencesToSpanLinks (jaegerproto_to_traces.go:336-359): every
+            # reference EXCEPT (spanID==parent AND CHILD_OF) becomes a link —
+            # a FOLLOWS_FROM ref aimed at the parent is therefore KEPT (the
+            # skip requires both conditions), and only ids travel: trace_state
+            # reads back "", attrs {}, dropped 0 (this wire never carried
+            # them; pdata never carries RefType either).
+            [
+                F.transform(
+                    F.filter(
+                        F.coalesce(
+                            F.col("j.references"),
+                            F.array().cast(
+                                "array<struct<refType:string,traceID:string,spanID:string>>"
+                            ),
+                        ),
+                        lambda r: ~(
+                            (r["refType"] == "CHILD_OF")
+                            & r["spanID"].eqNullSafe(parent)
+                        ),
+                    ),
+                    lambda r: F.struct(
+                        r["traceID"].alias("trace_id"),
+                        r["spanID"].alias("span_id"),
+                        F.lit("").alias("trace_state"),
+                        F.create_map().cast("map<string,string>").alias("attrs"),
+                        F.lit(0).cast("bigint").alias("dropped"),
+                    ),
+                ).alias("links")
+            ]
+            if with_links
+            else []
+        ),
     )
