@@ -3733,6 +3733,52 @@ FROM t WHERE tool IS NOT NULL
 """
 
 
+def q99_jaeger_span_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span links through the Jaeger reference wire (traces_to_jaegerproto.go:
+    274-332 makeJaegerProtoReferences + jaegerproto_to_traces.go:336-359
+    jReferencesToSpanLinks): the q97 transcript backlinks ride as FOLLOWS_FROM
+    references behind the CHILD_OF parent, carrying ONLY ids — trace_state,
+    attrs and the dropped count are lossy on this wire (zipkin's otlp.link.N
+    tag format is not; Go has the identical loss). Because the backlink
+    targets the parent, the parse-side skip rule (CHILD_OF ∧ spanID==parent)
+    is on the checked path: the FOLLOWS_FROM at the parent must SURVIVE while
+    the CHILD_OF at the parent must become parent_span_id, not a link."""
+    from opentelemetry_collector_spark.sources.jaeger import (
+        parse_jaeger_json,
+        to_jaeger_json,
+    )
+    from opentelemetry_collector_spark.sources.zipkin import (
+        spans_from_transcripts,
+        with_transcript_links,
+    )
+
+    t = from_events(spark, sf_dir)
+    spans = with_transcript_links(spans_from_transcripts(t))
+    back = parse_jaeger_json(to_jaeger_json(spans, with_links=True), with_links=True)
+    ev = back.select("span_id", "parent_span_id", F.explode("links").alias("l"))
+    return ev.select(
+        "span_id",
+        "parent_span_id",
+        F.col("l.trace_id").alias("link_trace"),
+        F.col("l.span_id").alias("link_span"),
+        F.col("l.trace_state").alias("trace_state"),
+        F.col("l.dropped").alias("dropped"),
+        F.cardinality(F.col("l.attrs")).cast("bigint").alias("n_link_attrs"),
+    )
+
+
+Q99_SQL = f"""{_PRELUDE}
+SELECT substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16) AS span_id,
+       substr(md5(conv_id || ':' || CAST(turn_idx - 1 AS VARCHAR)), 1, 16) AS parent_span_id,
+       md5(conv_id) AS link_trace,
+       substr(md5(conv_id || ':' || CAST(turn_idx - 1 AS VARCHAR)), 1, 16) AS link_span,
+       '' AS trace_state,
+       CAST(0 AS BIGINT) AS dropped,
+       CAST(0 AS BIGINT) AS n_link_attrs
+FROM t WHERE turn_idx > 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -3833,6 +3879,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_zipkin_span_events": q96_zipkin_span_events,
     "q97_zipkin_span_links": q97_zipkin_span_links,
     "q98_jaeger_span_events": q98_jaeger_span_events,
+    "q99_jaeger_span_links": q99_jaeger_span_links,
 }
 
 ORACLES: dict[str, str] = {
@@ -3927,6 +3974,7 @@ ORACLES: dict[str, str] = {
     "q96_zipkin_span_events": Q96_SQL,
     "q97_zipkin_span_links": Q97_SQL,
     "q98_jaeger_span_events": Q98_SQL,
+    "q99_jaeger_span_links": Q99_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -102,3 +102,106 @@ def test_transcript_events_roundtrip_set_equality(spark, tiny):
         for e in r["events"]
     }
     assert got == want and len(got) > 0
+
+
+# --- span links <-> Jaeger references -------------------------------------
+# makeJaegerProtoReferences (traces_to_jaegerproto.go:274-332): parent rides
+# FIRST as CHILD_OF, each link as FOLLOWS_FROM carrying ONLY ids.
+# jReferencesToSpanLinks (jaegerproto_to_traces.go:336-359): every ref except
+# (spanID==parent AND CHILD_OF) becomes a link.
+
+LINK_SCHEMA = (
+    "trace_id string, span_id string, parent_span_id string, name string, kind int,"
+    " status_code int, status_message string, service_name string, ts timestamp,"
+    " duration_us long, attrs map<string,string>,"
+    " links array<struct<trace_id string, span_id string, trace_state string,"
+    " attrs map<string,string>, dropped long>>"
+)
+
+TR, PAR, L1 = "aa" * 16, "cc" * 8, "dd" * 8
+
+
+def _link_roundtrip(spark, parent, links):
+    df = spark.createDataFrame(
+        [(TR, "bb" * 8, parent, "n", 2, 0, "", "svc", TS, 10, {}, links)],
+        LINK_SCHEMA,
+    )
+    wire = to_jaeger_json(df, with_links=True)
+    back = parse_jaeger_json(wire, with_links=True).collect()[0]
+    return json.loads(wire.collect()[0]["value"]), back
+
+
+def test_parent_rides_first_as_child_of_then_links_follow(spark):
+    wire, back = _link_roundtrip(
+        spark, PAR, [(TR, L1, "st=1", {"rel": "retry"}, 5)]
+    )
+    assert wire["references"] == [
+        {"refType": "CHILD_OF", "traceID": TR, "spanID": PAR},
+        {"refType": "FOLLOWS_FROM", "traceID": TR, "spanID": L1},
+    ]
+    assert back["parent_span_id"] == PAR
+    # only ids travel: trace_state/attrs/dropped are lossy on this wire
+    assert back["links"] == [(TR, L1, "", {}, 0)]
+
+
+def test_follows_from_at_parent_is_kept_as_link(spark):
+    # the skip requires BOTH spanID==parent AND CHILD_OF — a FOLLOWS_FROM
+    # ref aimed at the parent survives as a link (jaegerproto_to_traces.go:
+    # 343-347's two-condition continue)
+    wire, back = _link_roundtrip(spark, PAR, [(TR, PAR, "", {}, 0)])
+    assert [r["refType"] for r in wire["references"]] == ["CHILD_OF", "FOLLOWS_FROM"]
+    assert back["parent_span_id"] == PAR
+    assert back["links"] == [(TR, PAR, "", {}, 0)]
+
+
+def test_extra_child_of_to_different_span_becomes_link(spark):
+    # hand-built wire: two CHILD_OF refs — the first is the parent, the
+    # second (different span) is NOT skipped and reads back as a link
+    span = {
+        "traceID": TR, "spanID": "bb" * 8, "operationName": "n",
+        "references": [
+            {"refType": "CHILD_OF", "traceID": TR, "spanID": PAR},
+            {"refType": "CHILD_OF", "traceID": TR, "spanID": L1},
+        ],
+        "startTime": US, "duration": 10,
+        "tags": [], "process": {"serviceName": "svc"},
+    }
+    df = spark.createDataFrame([(json.dumps(span),)], "value string")
+    back = parse_jaeger_json(df, with_links=True).collect()[0]
+    assert back["parent_span_id"] == PAR
+    assert back["links"] == [(TR, L1, "", {}, 0)]
+
+
+def test_no_parent_no_links_omits_references_member(spark):
+    wire, back = _link_roundtrip(spark, None, [])
+    assert "references" not in wire
+    assert back["parent_span_id"] is None and back["links"] == []
+
+
+def test_links_without_parent_ship_alone(spark):
+    wire, back = _link_roundtrip(spark, None, [(TR, L1, "", {}, 0)])
+    assert wire["references"] == [
+        {"refType": "FOLLOWS_FROM", "traceID": TR, "spanID": L1}
+    ]
+    assert back["parent_span_id"] is None
+    assert back["links"] == [(TR, L1, "", {}, 0)]
+
+
+def test_transcript_links_roundtrip_set_equality(spark, tiny):
+    from opentelemetry_collector_spark.sources.zipkin import with_transcript_links
+
+    spans = with_transcript_links(spans_from_transcripts(tiny))
+    back = parse_jaeger_json(to_jaeger_json(spans, with_links=True), with_links=True)
+    # ids survive; trace_state/attrs/dropped read back zero-valued
+    want = {
+        (r["span_id"], lk["trace_id"], lk["span_id"], "", (), 0)
+        for r in spans.select("span_id", "links").collect()
+        for lk in r["links"]
+    }
+    got = {
+        (r["span_id"], lk["trace_id"], lk["span_id"], lk["trace_state"],
+         tuple(sorted(lk["attrs"].items())), lk["dropped"])
+        for r in back.select("span_id", "links").collect()
+        for lk in r["links"]
+    }
+    assert got == want and len(got) > 0
