@@ -350,6 +350,51 @@ COMMENTARY = {
         "shuffle is |pairs|, never a global sort; dyadic probabilities keep the "
         "interpolation bit-exact across engines.",
     ),
+    "q95_bpe_train": (
+        "The returned frame is the learned ARTIFACT (the merge table, driver-built, "
+        "Scan ExistingRDD — correctly trivial). The training plan it summarizes: ONE "
+        "corpus scan into a cached vocab-sized (word,freq) table, then each round a "
+        "partial+final HashAggregate pair count over that cache with k codegen'd "
+        "replaces — asserted in test_bpe (segmentation replay is Exchange-free, "
+        "Python-free).",
+        "BPE's serial dependency is between ROUNDS, not rows: per-round work is a "
+        "full-parallel agg over |vocab| (~100k rows at any corpus size), so 100 TB "
+        "costs one corpus scan + n_merges vocab-table aggs, never n_merges scans.",
+    ),
+    "q96_zipkin_span_events": (
+        "Marshal -> unmarshal -> explode is a stack of Projects + one Generate over "
+        "the scan: to_json/from_json and every event transform are JVM higher-order "
+        "functions inside WholeStageCodegen, no Python, no shuffle beyond the test "
+        "fixture's turn_idx window (same caveat as q01 — a real transcripts table "
+        "stores turn_idx and the Window/Exchange disappears).",
+        "Codec roundtrips sit on every ingest/egress path; at 100 TB they must ride "
+        "the scan as projections — a codec that shuffles or hits Python serializes "
+        "the whole pipeline.",
+    ),
+    "q97_zipkin_span_links": (
+        "Same shape as q96: Projects + one Generate (explode links), all link tag "
+        "emission/consumption in JVM array/map functions; the only Exchange is the "
+        "fixture's turn_idx derivation.",
+        "The consecutive-prefix link-tag walk (otlp.link.N) is per-row array logic — "
+        "expressed as transform/filter it stays in codegen and scales with splits.",
+    ),
+    "q98_jaeger_span_events": (
+        "Identical skeleton to q96 on the Jaeger wire: the message-field name "
+        "transport and field split are transform/filter expressions in one Project "
+        "stack; one Generate for the explode; no Python, no extra Exchange.",
+        "Same ingest-path argument as q96 — wire translation must cost one "
+        "projection, and the lossy members (dropped) must vanish in the expression, "
+        "not in a Python loop.",
+    ),
+    "q99_jaeger_span_links": (
+        "Identical skeleton to q97 on the Jaeger wire: reference construction "
+        "(parent-first CHILD_OF + FOLLOWS_FROM links) and the two-condition parse "
+        "skip are array expressions in the Project stack; one Generate; fixture "
+        "window only.",
+        "Reference/link reconstruction is pure per-row work; keeping the skip rule "
+        "as a filter() lambda in codegen preserves scan-speed translation at any "
+        "scale.",
+    ),
 }
 
 
