@@ -1,0 +1,183 @@
+"""Mergeable probabilistic sketches: Bloom filter and Count-Min.
+
+The reference scales membership/frequency questions by keeping *all* state in
+one process (the Prometheus accumulator's full per-series map,
+``exporter/prometheusexporter/accumulator.go:65-132``; the logdedup-style
+first-occurrence maps). At 100 TB neither "ship the full seen-set to every
+task" nor "shuffle the corpus per question" survives — the scale path is a
+FIXED-SIZE mergeable summary built with one partial-aggregated pass and
+probed at scan speed as a pure projection.
+
+Two sketches, both exact-integer and engine-portable (DuckDB replays the
+identical md5 double-hashing, so the driver's oracle gate value-checks them):
+
+- **Bloom filter** (Bloom 1970; Kirsch-Mitzenmacher double hashing, ESA'06):
+  ``k`` bit positions per key from two independent 52-bit md5 words,
+  ``pos_i = (h1 + i*h2) mod m``. Built as an (word, bits) integer frame —
+  mergeable by ``bit_or`` — and probed as a zero-shuffle projection against
+  the collected bitset (sketch-sized by construction, like a broadcast var).
+  Use: incremental cross-corpus dedup pre-filter — only ``maybe_seen``
+  survivors pay the exact verification join (no false negatives, so rows the
+  bloom clears never shuffle at all).
+
+- **Count-Min** (Cormode & Muthukrishnan 2005): ``depth`` rows of ``width``
+  counters, cell ``(r, (h1 + r*h2) mod width) += w``; estimate = min over
+  rows, always >= the true count. Built with one partial-aggregated groupBy
+  over (row, col) — the shuffle is ``depth*width`` cells regardless of input
+  size — and probed as a projection. Use: heavy-hitter / skewed-key
+  detection (the salting decision's input) without a full per-key groupBy.
+
+Hashing parity: Spark ``conv(substring(md5(x),1,13),16,10)`` ==
+DuckDB ``('0x' || substring(md5(x),1,13))::UBIGINT`` (52 bits, exact in
+BIGINT); the second word reads hex chars 14-26. Bits live in 32-bit words
+stored as BIGINT so no mask ever touches the sign bit in either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WORD_BITS = 32
+_MAX_COLLECT_CELLS = 1 << 22  # collected-sketch guard: 4M longs ~ 32 MB
+
+
+def _hash_words(key: Column) -> tuple[Column, Column]:
+    """Two independent 52-bit words of md5(key) as BIGINT (hex 1-13, 14-26)."""
+    h = F.md5(key.cast("string"))
+    h1 = F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(h, 14, 13), 16, 10).cast("bigint")
+    return h1, h2
+
+
+def _positions(key: Column, k: int, modulus: int) -> Column:
+    """Array of k double-hashed positions in [0, modulus)."""
+    h1, h2 = _hash_words(key)
+    return F.array(*[(h1 + F.lit(i) * h2) % F.lit(modulus) for i in range(k)])
+
+
+_MASKS = [1 << b for b in range(_WORD_BITS)]
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 3) -> DataFrame:
+    """One-pass Bloom build: (word, bits) frame, m_bits/32 rows max.
+
+    Mergeable: union two builds and ``groupBy(word).agg(bit_or(bits))`` —
+    asserted equal to building over the union in test_sketches. NULL keys
+    carry no membership and are skipped. The groupBy's partial aggregation
+    collapses each task to <= m_bits/32 rows before the (tiny) shuffle.
+    """
+    if m_bits % _WORD_BITS:
+        raise ValueError(f"m_bits must be a multiple of {_WORD_BITS}: {m_bits}")
+    if not 1 <= k <= 8:
+        raise ValueError(f"k must be in [1, 8]: {k}")
+    masks = F.array(*[F.lit(m).cast("bigint") for m in _MASKS])
+    pos = F.explode(_positions(F.col(key_col), k, m_bits)).alias("pos")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(pos)
+        .select(
+            (F.col("pos") / _WORD_BITS).cast("int").alias("word"),
+            F.get(masks, (F.col("pos") % _WORD_BITS).cast("int")).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """bit_or-merge same-shaped builds (the cross-batch accumulation path)."""
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int,
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Zero-shuffle membership probe: the built bloom is collected (it is
+    sketch-sized by construction) and evaluated as a pure projection — k
+    ``get()`` lookups into a literal dense bitset per row, no join, no
+    explode, no exchange (plan asserted in test_sketches). No false
+    negatives ever; NULL keys probe false."""
+    n_words = m_bits // _WORD_BITS
+    if n_words > _MAX_COLLECT_CELLS:
+        raise ValueError(f"m_bits {m_bits} too large to collect ({n_words} words)")
+    dense = [0] * n_words
+    for r in bloom.collect():
+        dense[r["word"]] = r["bits"]
+    arr = F.array(*[F.lit(v).cast("bigint") for v in dense])
+    pos = _positions(F.col(key_col), k, m_bits)
+    hits = [
+        (
+            F.get(arr, (F.get(pos, i) / _WORD_BITS).cast("int")).bitwiseAND(
+                F.get(F.array(*[F.lit(m).cast("bigint") for m in _MASKS]),
+                      (F.get(pos, i) % _WORD_BITS).cast("int"))
+            )
+            > 0
+        )
+        for i in range(k)
+    ]
+    flag = hits[0]
+    for h in hits[1:]:
+        flag = flag & h
+    return df.withColumn(out_col, F.coalesce(flag, F.lit(False)))
+
+
+def cm_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024, weight: Column | None = None
+) -> DataFrame:
+    """One-pass Count-Min build: (row, col, cnt) frame, depth*width cells max.
+
+    Mergeable by ``groupBy(row, col).agg(sum(cnt))``. The shuffle after the
+    map-side partial agg is bounded by depth*width regardless of input size.
+    NULL keys are skipped; weight defaults to 1 per row.
+    """
+    if not 1 <= depth <= 8:
+        raise ValueError(f"depth must be in [1, 8]: {depth}")
+    w = (weight if weight is not None else F.lit(1)).cast("bigint")
+    pos = F.posexplode(_positions(F.col(key_col), depth, width))
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(w.alias("w"), pos.alias("row", "col"))
+        .groupBy("row", "col")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cm_merge(*cms: DataFrame) -> DataFrame:
+    """sum-merge same-shaped builds."""
+    out = cms[0]
+    for c in cms[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    df: DataFrame,
+    cm: DataFrame,
+    key_col: str,
+    depth: int,
+    width: int,
+    out_col: str = "cm_est",
+) -> DataFrame:
+    """Zero-shuffle point estimate: min over depth rows of the key's cells,
+    evaluated as a projection against the collected sketch (depth*width
+    longs). Always >= the true count (one-sided error)."""
+    if depth * width > _MAX_COLLECT_CELLS:
+        raise ValueError(f"sketch too large to collect: {depth}x{width}")
+    dense = [0] * (depth * width)
+    for r in cm.collect():
+        dense[r["row"] * width + r["col"]] = r["cnt"]
+    arr = F.array(*[F.lit(v).cast("bigint") for v in dense])
+    pos = _positions(F.col(key_col), depth, width)
+    cells = [
+        F.get(arr, (F.lit(r * width) + F.get(pos, r)).cast("int")) for r in range(depth)
+    ]
+    return df.withColumn(out_col, F.least(*cells) if depth > 1 else cells[0])

@@ -3779,6 +3779,128 @@ FROM t WHERE turn_idx > 0
 """
 
 
+def q100_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup (the q61 cross-corpus check at the
+    scale where the seen-set no longer ships): a 4096-bit / k=3 Bloom filter
+    is built over the ingested corpus' fingerprints in one partial-aggregated
+    pass, the new batch probes it as a ZERO-SHUFFLE projection, and only the
+    ``maybe_seen`` survivors pay the exact verification join — no false
+    negatives means the rows the bloom clears never shuffle at all. The
+    oracle rebuilds the identical double-hashed bitset in SQL (52-bit md5
+    words are exact integers in both engines), so every set bit sits on the
+    checked path, false positives included."""
+    from opentelemetry_collector_spark.operators.sketches import bloom_build, bloom_probe
+
+    m_bits, k = 4096, 3
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = F.md5(F.col("text")).alias("fp")
+    seen = docs.filter(F.col("doc_id") % 5 != 4).select(fp).distinct()
+    probe = docs.filter((F.col("doc_id") % 5 == 4) | (F.col("doc_id") % 13 == 0)).select(
+        "doc_id", fp
+    )
+    bloom = bloom_build(seen, "fp", m_bits=m_bits, k=k)
+    flagged = bloom_probe(probe, bloom, "fp", m_bits=m_bits, k=k)
+    cleared = flagged.filter(~F.col("maybe_seen")).withColumn(
+        "actually_seen", F.lit(False)
+    )
+    verified = (
+        flagged.filter(F.col("maybe_seen"))
+        .join(F.broadcast(seen.withColumn("_hit", F.lit(True))), "fp", "left")
+        .withColumn("actually_seen", F.coalesce(F.col("_hit"), F.lit(False)))
+        .drop("_hit")
+    )
+    out = verified.unionByName(cleared.select(*verified.columns))
+    return out.select(
+        "doc_id",
+        "maybe_seen",
+        "actually_seen",
+        (F.col("maybe_seen") & ~F.col("actually_seen")).alias("false_positive"),
+    )
+
+
+Q100_SQL = """
+WITH seen AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4),
+probe AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+  WHERE doc_id % 5 = 4 OR doc_id % 13 = 0),
+ins AS (
+  SELECT CAST((CAST(('0x' || substring(md5(fp), 1, 13))::UBIGINT AS BIGINT)
+             + r * CAST(('0x' || substring(md5(fp), 14, 13))::UBIGINT AS BIGINT))
+             % 4096 AS BIGINT) AS pos
+  FROM seen CROSS JOIN range(3) s(r)),
+bloomt AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM ins GROUP BY 1),
+pp AS (
+  SELECT doc_id, fp,
+         CAST((CAST(('0x' || substring(md5(fp), 1, 13))::UBIGINT AS BIGINT)
+             + r * CAST(('0x' || substring(md5(fp), 14, 13))::UBIGINT AS BIGINT))
+             % 4096 AS BIGINT) AS pos
+  FROM probe CROSS JOIN range(3) s(r)),
+flags AS (
+  SELECT doc_id, fp,
+         bool_and((coalesce(b.bits, 0) & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))) <> 0)
+           AS maybe_seen
+  FROM pp p LEFT JOIN bloomt b ON b.word = p.pos // 32
+  GROUP BY doc_id, fp)
+SELECT f.doc_id,
+       f.maybe_seen,
+       f.maybe_seen AND s.fp IS NOT NULL AS actually_seen,
+       f.maybe_seen AND s.fp IS NULL AS false_positive
+FROM flags f LEFT JOIN seen s ON f.fp = s.fp
+"""
+
+
+def q101_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter detection (Cormode & Muthukrishnan 2005) over
+    conversation sizes — the skewed-key detector that feeds the salting
+    decision without a full per-key groupBy: the sketch is 4x256 integer
+    cells built in one partial-aggregated pass (the shuffle is 1024 cells
+    regardless of input size), and the point estimate is a zero-shuffle
+    projection. One-sided error: cm_est >= exact_turns always, overcount
+    measures the collision mass. The exact counts ride along purely to put
+    the estimate on the oracle's checked path."""
+    from opentelemetry_collector_spark.operators.sketches import cm_build, cm_estimate
+
+    depth, width = 4, 256
+    t = from_events(spark, sf_dir)
+    cm = cm_build(t, "conv_id", depth=depth, width=width)
+    exact = t.groupBy("conv_id").agg(F.count("*").alias("exact_turns"))
+    est = cm_estimate(exact, cm, "conv_id", depth=depth, width=width)
+    return est.select(
+        "conv_id",
+        "exact_turns",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_turns")).alias("overcount"),
+    )
+
+
+Q101_SQL = f"""{_PRELUDE},
+keys AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS exact_turns FROM t GROUP BY conv_id),
+ins AS (
+  SELECT r AS row_idx,
+         CAST((CAST(('0x' || substring(md5(conv_id), 1, 13))::UBIGINT AS BIGINT)
+             + r * CAST(('0x' || substring(md5(conv_id), 14, 13))::UBIGINT AS BIGINT))
+             % 256 AS BIGINT) AS col_idx
+  FROM t CROSS JOIN range(4) s(r)),
+cells AS (
+  SELECT row_idx, col_idx, CAST(count(*) AS BIGINT) AS cnt FROM ins GROUP BY 1, 2),
+pp AS (
+  SELECT k.conv_id, k.exact_turns, r AS row_idx,
+         CAST((CAST(('0x' || substring(md5(k.conv_id), 1, 13))::UBIGINT AS BIGINT)
+             + r * CAST(('0x' || substring(md5(k.conv_id), 14, 13))::UBIGINT AS BIGINT))
+             % 256 AS BIGINT) AS col_idx
+  FROM keys k CROSS JOIN range(4) s(r))
+SELECT p.conv_id, p.exact_turns, min(c.cnt) AS cm_est,
+       min(c.cnt) - p.exact_turns AS overcount
+FROM pp p JOIN cells c USING (row_idx, col_idx)
+GROUP BY p.conv_id, p.exact_turns
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -3880,6 +4002,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q97_zipkin_span_links": q97_zipkin_span_links,
     "q98_jaeger_span_events": q98_jaeger_span_events,
     "q99_jaeger_span_links": q99_jaeger_span_links,
+    "q100_bloom_dedup": q100_bloom_dedup,
+    "q101_cm_heavy_hitters": q101_cm_heavy_hitters,
 }
 
 ORACLES: dict[str, str] = {
@@ -3975,6 +4099,8 @@ ORACLES: dict[str, str] = {
     "q97_zipkin_span_links": Q97_SQL,
     "q98_jaeger_span_events": Q98_SQL,
     "q99_jaeger_span_links": Q99_SQL,
+    "q100_bloom_dedup": Q100_SQL,
+    "q101_cm_heavy_hitters": Q101_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
