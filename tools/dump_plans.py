@@ -395,6 +395,24 @@ COMMENTARY = {
         "as a filter() lambda in codegen preserves scan-speed translation at any "
         "scale.",
     ),
+    "q100_bloom_dedup": (
+        "The bloom probe is a pure projection (k get() lookups into a literal "
+        "bitset — no join, no explode, no Exchange on the probe branch); only the "
+        "maybe_seen survivors reach the exact-verification BroadcastHashJoin.",
+        "An incremental-dedup pre-filter only pays off if the cleared rows never "
+        "shuffle: the bloom's no-false-negatives guarantee plus the projection-only "
+        "probe means the (overwhelming) unseen majority of a 100 TB batch is passed "
+        "at scan speed, and the exact join's input shrinks to the bloom's hit set.",
+    ),
+    "q101_cm_heavy_hitters": (
+        "The sketch build's Exchange carries at most depth*width cells (partial "
+        "HashAggregate collapses each task to the sketch size before the shuffle); "
+        "the estimate itself is a zero-shuffle projection against the collected "
+        "sketch.",
+        "Heavy-hitter detection feeds the salting decision, so it must be cheaper "
+        "than the skewed groupBy it protects: a shuffle bounded by 1024 cells "
+        "regardless of input size is the fixed-cost scale path.",
+    ),
 }
 
 
