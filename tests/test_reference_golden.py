@@ -376,6 +376,69 @@ def test_splitlogs_noop_when_fits(spark):
     assert got == [[f"n{i}" for i in range(20)]]
 
 
+# splittraces_test.go — the span-granularity form of the same stable-order
+# cut machinery (splittraces.go:22-70 walks ResourceSpans/ILS/Spans exactly
+# like splitLogs walks its log nesting; the counting unit is SPANS). On the
+# flattened span frame (zipkin.spans_from_transcripts' shape: one row per
+# span, resource == service) split_batches IS splitTraces — these goldens pin
+# the Go test sequences over span-frame column names.
+
+
+def _split_span_names(spark, spans, split_size):
+    """spans: list of (service, name) in pdata order -> per-batch name lists."""
+    from opentelemetry_collector_spark.operators.batch import split_batches
+
+    rows = [(svc, i, name) for i, (svc, name) in enumerate(spans)]
+    df = spark.createDataFrame(rows, "service_name string, span_order int, name string")
+    out = split_batches(df, split_size, group_col="service_name", order_col="span_order")
+    batches = {}
+    for r in sorted(out.collect(), key=lambda r: (r.batch_id, r.service_name, r.span_order)):
+        batches.setdefault(r.batch_id, []).append(r.name)
+    return [batches[b] for b in sorted(batches)]
+
+
+def test_splittraces_same_resource_golden(spark):
+    """splittraces_test.go:36-77 TestSplitTraces: 20 spans one resource,
+    split=5 — the four successive splitTraces calls yield exactly
+    test-span-0-(5k)..(5k+4); batch_id k is call k's copy-out."""
+    spans = [("svc0", f"test-span-0-{i}") for i in range(20)]
+    got = _split_span_names(spark, spans, 5)
+    assert got == [[f"test-span-0-{5 * b + j}" for j in range(5)] for b in range(4)]
+
+
+def test_splittraces_multiple_resource_golden(spark):
+    """splittraces_test.go:79-99 MultipleResourceSpans: 2 resources x 20,
+    split=5 -> first batch is resource 0's spans 0-4 only."""
+    spans = [("svc0", f"test-span-0-{i}") for i in range(20)] + [
+        ("svc1", f"test-span-1-{i}") for i in range(20)
+    ]
+    got = _split_span_names(spark, spans, 5)
+    assert got[0] == [f"test-span-0-{i}" for i in range(5)]
+    assert len(got) == 8 and all(len(b) == 5 for b in got)
+
+
+def test_splittraces_split_greater_than_span_size_golden(spark):
+    """splittraces_test.go:101-125 SplitSizeGreaterThanSpanSize: split=25
+    over 2x20 -> first batch = all of resource 0 plus resource 1's spans 0-4
+    (a ResourceSpans straddles the cut), remainder 15."""
+    spans = [("svc0", f"test-span-0-{i}") for i in range(20)] + [
+        ("svc1", f"test-span-1-{i}") for i in range(20)
+    ]
+    got = _split_span_names(spark, spans, 25)
+    assert got[0] == [f"test-span-0-{i}" for i in range(20)] + [
+        f"test-span-1-{i}" for i in range(5)
+    ]
+    assert got[1] == [f"test-span-1-{i}" for i in range(5, 20)]
+
+
+def test_splittraces_noop_when_fits(spark):
+    """splittraces_test.go:27-34 TestSplitTraces_noop: split >= SpanCount
+    leaves one batch containing every span."""
+    spans = [("svc0", f"s{i}") for i in range(20)]
+    got = _split_span_names(spark, spans, 40)
+    assert got == [[f"s{i}" for i in range(20)]]
+
+
 # attraction_test.go — attribute-action engine golden tables
 # (processor/processorhelper/attraction_test.go:49-739; values canonically
 # stringified per filtermatcher/attributematcher.go:116-129)
