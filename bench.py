@@ -71,6 +71,7 @@ HEADLINE = [
     "q51_asof_enrich",
     "q52_route_rollup",
     "q53_latency_quantiles",
+    "q102_latency_hist_quantiles",
     "q54_sessionize",
     "q87_counter_adjust",
     "q88_slo_burn",

@@ -8,8 +8,9 @@ task" nor "shuffle the corpus per question" survives — the scale path is a
 FIXED-SIZE mergeable summary built with one partial-aggregated pass and
 probed at scan speed as a pure projection.
 
-Two sketches, both exact-integer and engine-portable (DuckDB replays the
-identical md5 double-hashing, so the driver's oracle gate value-checks them):
+Three sketches, all exact-integer and engine-portable (DuckDB replays the
+identical md5 double-hashing / integer rank rules, so the driver's oracle
+gate value-checks them):
 
 - **Bloom filter** (Bloom 1970; Kirsch-Mitzenmacher double hashing, ESA'06):
   ``k`` bit positions per key from two independent 52-bit md5 words,
@@ -19,6 +20,13 @@ identical md5 double-hashing, so the driver's oracle gate value-checks them):
   Use: incremental cross-corpus dedup pre-filter — only ``maybe_seen``
   survivors pay the exact verification join (no false negatives, so rows the
   bloom clears never shuffle at all).
+
+- **Histogram-quantile** (the mergeable fixed-boundary form of the OTLP
+  explicit-bounds Histogram, ``model/pdata/metrics.go:129-141``): per-key
+  (bucket, cnt) cells bounded by |keys| * buckets, merged by cell sum;
+  quantile = upper bound of the first bucket reaching the integer ceiling
+  rank. Use: latency quantiles at the scale where exact percentiles
+  (q53) would shuffle every measurement.
 
 - **Count-Min** (Cormode & Muthukrishnan 2005): ``depth`` rows of ``width``
   counters, cell ``(r, (h1 + r*h2) mod width) += w``; estimate = min over
@@ -157,6 +165,86 @@ def cm_merge(*cms: DataFrame) -> DataFrame:
     for c in cms[1:]:
         out = out.unionByName(c)
     return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def hq_build(
+    df: DataFrame, value_col: str, keys: list[str], bounds: list[int]
+) -> DataFrame:
+    """One-pass per-key histogram-quantile sketch build: (keys..., bucket,
+    cnt) cells, at most ``len(bounds)+1`` buckets per key — the mergeable
+    fixed-boundary form of the exporter-side histogram state
+    (``model/pdata/metrics.go:129-141`` explicit-bounds Histogram; the
+    OTLP bucket rule: bucket i holds values in (bounds[i-1], bounds[i]],
+    the last bucket holds values > bounds[-1]).
+
+    This is the 100 TB scale path for exact quantiles (q53): where the
+    exact form must shuffle every value to its key's reducer, the sketch's
+    shuffle is bounded by |keys| * buckets after map-side partial
+    aggregation, and builds over disjoint slices merge by plain cell sum
+    (:func:`hq_merge`). Integer-exact by construction — both the cell
+    counts and the quantile rank rule (:func:`hq_quantiles`) replay in
+    DuckDB, so the driver's oracle value-checks the whole path.
+
+    NULL values carry no measurement and are skipped.
+    """
+    if sorted(bounds) != list(bounds) or len(set(bounds)) != len(bounds):
+        raise ValueError(f"bounds must be strictly increasing: {bounds}")
+    v = F.col(value_col)
+    barr = F.array(*[F.lit(int(b)).cast("bigint") for b in bounds])
+    bucket = F.size(F.filter(barr, lambda b: v > b))
+    return (
+        df.filter(v.isNotNull())
+        .select(*keys, bucket.alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hq_merge(*sketches: DataFrame, keys: list[str]) -> DataFrame:
+    """sum-merge same-bounds builds (the cross-slice accumulation path)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*keys, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hq_quantiles(
+    sketch: DataFrame, keys: list[str], bounds: list[int], quantiles: dict[str, int]
+) -> DataFrame:
+    """Per-key quantile estimates from a :func:`hq_build` sketch.
+
+    ``quantiles`` maps output column name -> per-mille rank (500 = median).
+    For each key the estimate is the UPPER bound of the first bucket whose
+    cumulative count reaches ``rank = (q_pm * total + 999) div 1000`` (the
+    ceiling order statistic) — i.e. the true q-quantile element is <= the
+    estimate and > the previous bound (one-sided bucket containment, the
+    same guarantee Prometheus's histogram_quantile gives). The overflow
+    bucket (> bounds[-1]) has no upper bound and estimates NULL.
+
+    All arithmetic is integer (per-mille ranks, DIV), so DuckDB replays it
+    exactly. The window + final groupBy run over the SKETCH frame —
+    |keys| * buckets cells, never the input — so this stage costs nothing
+    at any input scale.
+    """
+    from pyspark.sql import Window as W
+
+    w_cum = W.partitionBy(*keys).orderBy("bucket")
+    w_all = W.partitionBy(*keys)
+    x = (
+        sketch.withColumn("_cum", F.sum("cnt").over(w_cum))
+        .withColumn("_total", F.sum("cnt").over(w_all))
+    )
+    barr = F.array(*[F.lit(int(b)).cast("bigint") for b in bounds])
+    aggs = [F.max("_total").cast("bigint").alias("n")]
+    for name, q_pm in quantiles.items():
+        if not 0 < q_pm <= 1000:
+            raise ValueError(f"per-mille quantile out of range: {name}={q_pm}")
+        rank = F.expr(f"({q_pm} * _total + 999) DIV 1000")
+        pick = F.min(F.when(F.col("_cum") >= rank, F.col("bucket")))
+        aggs.append(
+            F.when(pick < len(bounds), F.get(barr, pick.cast("int"))).alias(name)
+        )
+    return x.groupBy(*keys).agg(*aggs)
 
 
 def cm_estimate(

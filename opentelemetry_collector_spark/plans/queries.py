@@ -3901,6 +3901,85 @@ GROUP BY p.conv_id, p.exact_turns
 """
 
 
+_HQ_BOUNDS_US = [
+    1_000, 5_000, 10_000, 50_000, 100_000, 500_000,
+    1_000_000, 5_000_000, 10_000_000, 50_000_000,
+    100_000_000, 500_000_000, 1_000_000_000, 3_600_000_000,
+]
+
+
+def q102_latency_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketched latency quantiles (the 100 TB scale path of q53's
+    exact percentiles): the same user->assistant latency pairs feed a
+    per-tenant fixed-boundary histogram sketch — the shuffle after the
+    map-side partial agg is |tenants| x 15 cells regardless of input size,
+    where the exact form must move every measurement to its reducer. The
+    estimate is the upper bound of the first bucket reaching the integer
+    ceiling rank (one-sided bucket containment, Prometheus
+    histogram_quantile's guarantee); all arithmetic is integer, so the
+    oracle rebuilds the identical cells, ranks and bound lookups in SQL."""
+    from pyspark.sql import Window as W
+
+    from opentelemetry_collector_spark.operators.sketches import hq_build, hq_quantiles
+
+    t = from_events(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    x = t.withColumn("nrole", F.lead("role").over(w)).withColumn("nts", F.lead("ts").over(w))
+    us = lambda c: F.unix_micros(F.to_utc_timestamp(c, "UTC"))  # noqa: E731
+    pairs = x.filter((F.col("role") == "user") & (F.col("nrole") == "assistant")).select(
+        "conv_id", (us("nts") - us("ts")).alias("latency_us"),
+    )
+    j = pairs.join(F.broadcast(conv_meta(spark, sf_dir).select("conv_id", "tenant")), "conv_id")
+    sketch = hq_build(j, "latency_us", keys=["tenant"], bounds=_HQ_BOUNDS_US)
+    return hq_quantiles(
+        sketch,
+        keys=["tenant"],
+        bounds=_HQ_BOUNDS_US,
+        quantiles={"p50_est_us": 500, "p95_est_us": 950, "p99_est_us": 990},
+    )
+
+
+_HQ_BOUNDS_SQL = "[" + ", ".join(str(b) for b in _HQ_BOUNDS_US) + "]"
+
+Q102_SQL = f"""{_PRELUDE},
+x AS (
+  SELECT conv_id, role, ts,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nrole,
+         lead(ts)   OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nts
+  FROM t),
+pairs AS (
+  SELECT conv_id, epoch_us(nts) - epoch_us(ts) AS latency_us
+  FROM x WHERE role = 'user' AND nrole = 'assistant'),
+j AS (
+  SELECT m.tenant, p.latency_us
+  FROM pairs p JOIN m USING (conv_id) WHERE p.latency_us IS NOT NULL),
+cells AS (
+  SELECT tenant,
+         len(list_filter({_HQ_BOUNDS_SQL}, b -> latency_us > b)) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM j GROUP BY 1, 2),
+cum AS (
+  SELECT tenant, bucket,
+         sum(cnt) OVER (PARTITION BY tenant ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY tenant) AS total
+  FROM cells),
+picks AS (
+  SELECT tenant, CAST(max(total) AS BIGINT) AS n,
+         min(CASE WHEN cum >= (500 * total + 999) // 1000 THEN bucket END) AS b50,
+         min(CASE WHEN cum >= (950 * total + 999) // 1000 THEN bucket END) AS b95,
+         min(CASE WHEN cum >= (990 * total + 999) // 1000 THEN bucket END) AS b99
+  FROM cum GROUP BY tenant)
+SELECT tenant, n,
+       CASE WHEN b50 < {len(_HQ_BOUNDS_US)}
+            THEN CAST(list_extract({_HQ_BOUNDS_SQL}, b50 + 1) AS BIGINT) END AS p50_est_us,
+       CASE WHEN b95 < {len(_HQ_BOUNDS_US)}
+            THEN CAST(list_extract({_HQ_BOUNDS_SQL}, b95 + 1) AS BIGINT) END AS p95_est_us,
+       CASE WHEN b99 < {len(_HQ_BOUNDS_US)}
+            THEN CAST(list_extract({_HQ_BOUNDS_SQL}, b99 + 1) AS BIGINT) END AS p99_est_us
+FROM picks
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -4004,6 +4083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_jaeger_span_links": q99_jaeger_span_links,
     "q100_bloom_dedup": q100_bloom_dedup,
     "q101_cm_heavy_hitters": q101_cm_heavy_hitters,
+    "q102_latency_hist_quantiles": q102_latency_hist_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -4101,6 +4181,7 @@ ORACLES: dict[str, str] = {
     "q99_jaeger_span_links": Q99_SQL,
     "q100_bloom_dedup": Q100_SQL,
     "q101_cm_heavy_hitters": Q101_SQL,
+    "q102_latency_hist_quantiles": Q102_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

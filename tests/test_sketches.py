@@ -18,6 +18,9 @@ from opentelemetry_collector_spark.operators.sketches import (
     cm_build,
     cm_estimate,
     cm_merge,
+    hq_build,
+    hq_merge,
+    hq_quantiles,
 )
 
 M, K = 1 << 12, 3
@@ -122,3 +125,80 @@ def test_cm_estimate_is_projection_only(spark):
     plan = est._jdf.queryExecution().executedPlan().toString()
     for bad in ("Exchange", "Join", "Generate", "Python"):
         assert bad not in plan, f"{bad} in estimate plan"
+
+# histogram-quantile sketch (hq_build / hq_merge / hq_quantiles)
+
+BOUNDS = [10, 100, 1000, 10000]
+
+
+def _vals(spark, vals):
+    return spark.createDataFrame([("t", v) for v in vals], "tenant string, v long")
+
+
+def test_hq_bucket_containment_vs_exact(spark):
+    # 1..500: exact p50 = 250 (bucket (100,1000] -> est 1000),
+    # exact p95 = 475 (same bucket), exact p99 = 495
+    df = _vals(spark, range(1, 501))
+    sk = hq_build(df, "v", keys=["tenant"], bounds=BOUNDS)
+    out = hq_quantiles(
+        sk, keys=["tenant"], bounds=BOUNDS, quantiles={"p50": 500, "p95": 950, "p99": 990}
+    ).collect()[0]
+    assert out["n"] == 500
+    # one-sided containment: the ceiling order statistic is <= the estimate
+    # and > the previous bound
+    vals = sorted(range(1, 501))
+    for name, q in [("p50", 500), ("p95", 950), ("p99", 990)]:
+        rank = (q * 500 + 999) // 1000
+        exact = vals[rank - 1]
+        assert exact <= out[name]
+        prev = max((b for b in BOUNDS if b < out[name]), default=0)
+        assert exact > prev
+
+
+def test_hq_merge_equals_whole_build(spark):
+    whole = _vals(spark, range(200))
+    p1, p2 = _vals(spark, range(120)), _vals(spark, range(120, 200))
+    merged = hq_merge(
+        hq_build(p1, "v", ["tenant"], BOUNDS),
+        hq_build(p2, "v", ["tenant"], BOUNDS),
+        keys=["tenant"],
+    )
+    want = {tuple(r) for r in hq_build(whole, "v", ["tenant"], BOUNDS).collect()}
+    assert {tuple(r) for r in merged.collect()} == want
+
+
+def test_hq_overflow_bucket_estimates_null(spark):
+    df = _vals(spark, [50_000, 60_000, 70_000])  # all > bounds[-1]
+    sk = hq_build(df, "v", ["tenant"], BOUNDS)
+    out = hq_quantiles(sk, ["tenant"], BOUNDS, {"p50": 500}).collect()[0]
+    assert out["n"] == 3 and out["p50"] is None
+
+
+def test_hq_exact_boundary_value_lands_in_its_bucket(spark):
+    # OTLP rule: bucket i holds (bounds[i-1], bounds[i]] — v == 100 belongs
+    # to bucket 1 (upper bound 100), not bucket 2
+    sk = hq_build(_vals(spark, [100]), "v", ["tenant"], BOUNDS)
+    assert sk.collect()[0]["bucket"] == 1
+    out = hq_quantiles(sk, ["tenant"], BOUNDS, {"p50": 500}).collect()[0]
+    assert out["p50"] == 100
+
+
+def test_hq_sketch_is_bounded_and_null_skipped(spark):
+    df = spark.createDataFrame(
+        [("t", i % 77) for i in range(5_000)] + [("t", None)], "tenant string, v long"
+    )
+    sk = hq_build(df, "v", ["tenant"], BOUNDS).collect()
+    assert len(sk) <= len(BOUNDS) + 1
+    assert sum(r["cnt"] for r in sk) == 5_000  # NULL carried no measurement
+
+
+def test_hq_rejects_bad_shape(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        hq_build(_vals(spark, [1]), "v", ["tenant"], [10, 10, 20])
+    with pytest.raises(ValueError):
+        hq_quantiles(
+            hq_build(_vals(spark, [1]), "v", ["tenant"], BOUNDS),
+            ["tenant"], BOUNDS, {"p0": 0},
+        )

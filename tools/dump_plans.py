@@ -413,6 +413,15 @@ COMMENTARY = {
         "than the skewed groupBy it protects: a shuffle bounded by 1024 cells "
         "regardless of input size is the fixed-cost scale path.",
     ),
+    "q102_latency_hist_quantiles": (
+        "The sketch build's Exchange carries at most |tenants| x 15 cells (partial "
+        "HashAggregate before it); the quantile stage's Window + groupBy run over "
+        "that cells frame, never the input; the tenant enrich is a "
+        "BroadcastHashJoin.",
+        "q53's exact percentiles must shuffle every measurement to its key's "
+        "reducer — at 100 TB the histogram sketch replaces that with a fixed-size "
+        "cell shuffle while keeping an integer-exact, oracle-checkable rank rule.",
+    ),
 }
 
 
