@@ -1093,6 +1093,256 @@ so incremental daily appends compose exactly like the one-shot build.
     print(json.dumps(results), flush=True)
 
 
+def run_prob_sketch(rows_millions: float = 20.0) -> None:
+    """Probabilistic-sketch operators vs their exact counterparts
+    (`operators/sketches.py`), each on a deterministic executor-generated
+    frame (xxhash64/md5 of spark.range ids — no driver data):
+
+    1. bloom-prefiltered incremental dedup vs exact LEFT ANTI join — the
+       seen-set (5M fingerprints) is too big to broadcast, so the exact
+       path shuffles BOTH sides; the bloom path probes a 2^26-bit bitset
+       as an Arrow projection (zero shuffle) and only the maybe_seen hits
+       pay the verification join.
+    2. histogram-quantile sketch vs exact per-key percentiles — exact
+       shuffles every measurement to its key's reducer; the sketch
+       shuffles |keys| x buckets cells.
+    3. Count-Min heavy hitters vs the full per-key groupBy it replaces.
+
+    Writes BENCH/PROB_SKETCH.md + prob_sketch.json.
+    """
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe_big,
+        cm_build,
+        cm_estimate_big,
+        hq_build,
+        hq_quantiles,
+    )
+    from opentelemetry_collector_spark.session import build_session
+
+    n_rows = int(rows_millions * 1_000_000)
+    n_seen = 5_000_000
+    m_bits, k = 1 << 26, 3
+    results: dict = {"probe_rows": n_rows, "seen_keys": n_seen, "m_bits": m_bits, "k": k}
+    spark = build_session(app_name="otelcol-prob-sketch")
+    try:
+        # --- fixture: seen corpus + probe batch (5% genuinely seen) -------
+        seen = spark.range(n_seen).select(
+            F.md5(F.concat(F.lit("doc-"), F.col("id"))).alias("fp")
+        )
+        probe = spark.range(n_rows).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.pmod(F.xxhash64("id", F.lit(7)), 100) < 5,
+                F.md5(F.concat(F.lit("doc-"), F.pmod(F.xxhash64("id", F.lit(11)), F.lit(n_seen)))),
+            )
+            .otherwise(F.md5(F.concat(F.lit("new-"), F.col("id"))))
+            .alias("fp"),
+        )
+        seen.write.format("noop").mode("overwrite").save()  # warm
+        probe.write.format("noop").mode("overwrite").save()
+
+        t0 = time.perf_counter()
+        unseen_exact = probe.join(seen, "fp", "left_anti").count()
+        exact_anti_sec = time.perf_counter() - t0
+
+        # hasher="xxhash64" is the production setting (native JVM hash);
+        # md5 is the oracle-portable default q100 uses for cross-engine replay
+        t0 = time.perf_counter()
+        bloom = bloom_build(seen, "fp", m_bits=m_bits, k=k, hasher="xxhash64")
+        bloom.write.mode("overwrite").parquet("/tmp/otelcol_bloom_sketch")
+        bloom_build_sec = time.perf_counter() - t0
+
+        # warm the python worker pool (first large numpy ops pay allocator
+        # + clock ramp on this VM) before timing the Arrow probe
+        bloom_probe_big(
+            probe.limit(500_000), bloom, "fp", m_bits, k, hasher="xxhash64"
+        ).filter(F.col("maybe_seen")).count()
+
+        t0 = time.perf_counter()
+        flagged = bloom_probe_big(
+            probe, spark.read.parquet("/tmp/otelcol_bloom_sketch"), "fp", m_bits, k,
+            hasher="xxhash64",
+        )
+        hits = flagged.filter(F.col("maybe_seen")).persist()
+        n_hits = hits.count()
+        probe_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        false_pos = hits.join(seen, "fp", "left_anti").count()
+        verify_sec = time.perf_counter() - t0
+        hits.unpersist()
+
+        assert n_rows - n_hits + false_pos == unseen_exact  # no false negatives
+        results["bloom"] = {
+            "exact_anti_join_sec": round(exact_anti_sec, 2),
+            "bloom_build_sec": round(bloom_build_sec, 2),
+            "probe_sec": round(probe_sec, 2),
+            "verify_hits_sec": round(verify_sec, 2),
+            "unseen_rows": unseen_exact,
+            "cleared_without_shuffle": n_rows - n_hits,
+            "hit_rows": n_hits,
+            "false_positives": false_pos,
+            "fp_rate_on_unseen": round(false_pos / max(unseen_exact, 1), 5),
+        }
+
+        # --- histogram-quantile sketch vs exact percentiles ---------------
+        vals = spark.range(n_rows).select(
+            F.concat(F.lit("t"), F.pmod(F.xxhash64("id", F.lit(3)), 100).cast("string")).alias(
+                "tenant"
+            ),
+            F.pmod(F.xxhash64("id", F.lit(5)), 10_000_000).alias("latency_us"),
+        )
+        vals.write.format("noop").mode("overwrite").save()
+        bounds = [10**i * f for i in range(1, 7) for f in (1, 2, 5)] + [10_000_000]
+
+        t0 = time.perf_counter()
+        exact_q = {
+            r["tenant"]: (r["p50"], r["p99"])
+            for r in vals.groupBy("tenant")
+            .agg(
+                F.percentile("latency_us", 0.5).alias("p50"),
+                F.percentile("latency_us", 0.99).alias("p99"),
+            )
+            .collect()
+        }
+        exact_pct_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        sk = hq_build(vals, "latency_us", keys=["tenant"], bounds=bounds)
+        est = {
+            r["tenant"]: (r["p50"], r["p99"])
+            for r in hq_quantiles(
+                sk, ["tenant"], bounds, {"p50": 500, "p99": 990}
+            ).collect()
+        }
+        hq_sec = time.perf_counter() - t0
+        assert all(est[t][0] >= exact_q[t][0] and est[t][1] >= exact_q[t][1] for t in exact_q)
+        results["hq"] = {
+            "rows": n_rows,
+            "tenants": len(exact_q),
+            "buckets": len(bounds) + 1,
+            "exact_percentile_sec": round(exact_pct_sec, 2),
+            "hq_sketch_sec": round(hq_sec, 2),
+        }
+
+        # --- Count-Min heavy hitters vs full groupBy -----------------------
+        keyed = spark.range(n_rows).select(
+            F.when(F.pmod(F.xxhash64("id", F.lit(13)), 4) == 0, F.lit("conv-hot"))
+            .otherwise(
+                F.concat(F.lit("conv-"), F.pmod(F.xxhash64("id", F.lit(17)), 1_000_000).cast("string"))
+            )
+            .alias("conv_id")
+        )
+        keyed.write.format("noop").mode("overwrite").save()
+
+        t0 = time.perf_counter()
+        top_exact = (
+            keyed.groupBy("conv_id").count().orderBy(F.desc("count")).limit(10).collect()
+        )
+        exact_gb_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        cm = cm_build(keyed, "conv_id", depth=4, width=4096, hasher="xxhash64")
+        hot = spark.createDataFrame([(r["conv_id"],) for r in top_exact], "conv_id string")
+        ests = {
+            r["conv_id"]: r["cm_est"]
+            for r in cm_estimate_big(hot, cm, "conv_id", depth=4, width=4096, hasher="xxhash64").collect()
+        }
+        cm_sec = time.perf_counter() - t0
+        hot_exact = top_exact[0]["count"]
+        assert ests["conv-hot"] >= hot_exact
+        results["cm"] = {
+            "rows": n_rows,
+            "distinct_keys_approx": 1_000_000,
+            "exact_groupby_sec": round(exact_gb_sec, 2),
+            "cm_sketch_sec": round(cm_sec, 2),
+            "hot_key_exact": hot_exact,
+            "hot_key_est": ests["conv-hot"],
+            "hot_key_overcount_frac": round((ests["conv-hot"] - hot_exact) / hot_exact, 5),
+        }
+    finally:
+        spark.stop()
+
+    b, h, c = results["bloom"], results["hq"], results["cm"]
+    bloom_total = b["bloom_build_sec"] + b["probe_sec"] + b["verify_hits_sec"]
+    md = f"""# BENCH/PROB_SKETCH.md — probabilistic sketches vs exact counterparts
+
+`python bench.py --prob-sketch`: each sketch from `operators/sketches.py`
+measured against the exact operator it bounds, on deterministic
+executor-generated frames (xxhash64/md5 of range ids). local[32], one JVM.
+Bloom/CM run with `hasher="xxhash64"` (native JVM hash, the production
+setting); the md5 default exists for cross-engine oracle replay (q100/q101)
+and costs ~4x more per row in hex stringify/parse. Raw numbers in
+`prob_sketch.json`.
+
+## Bloom-prefiltered incremental dedup ({results['probe_rows']:,} probe rows vs {results['seen_keys']:,}-key corpus)
+
+| path | wall sec | shuffled rows |
+|---|---|---|
+| exact LEFT ANTI join | {b['exact_anti_join_sec']} | probe + seen (both sides) |
+| bloom: build (one partial-agg pass) | {b['bloom_build_sec']} | ≤ {m_bits // 32:,} words |
+| bloom: probe (Arrow projection, broadcast bitset) | {b['probe_sec']} | 0 |
+| bloom: verify hits only | {b['verify_hits_sec']} | {b['hit_rows']:,} + seen |
+
+Bloom cleared **{b['cleared_without_shuffle']:,} / {results['probe_rows']:,}** probe rows
+without any shuffle (no false negatives — verified against the exact count);
+false-positive rate on unseen rows {b['fp_rate_on_unseen']:.3%} at
+m=2^26, k={k}.
+
+Reading the numbers honestly: on ONE box at this ratio the exact anti join
+({b['exact_anti_join_sec']} s) beats the bloom steady state
+({b['probe_sec']} + {b['verify_hits_sec']} s) — a 5M-key seen-set is small
+enough that the sort-merge join is simply fast, and the Arrow probe pays
+~0.5 s per million rows of Python-side bit tests. The sketch's case is the
+SHUFFLE column, which is what survives a 1000-executor scale-up: the exact
+path must move probe + seen across the network every batch (at 10^12-turn
+probes that is the whole table, re-shuffled per batch), while the bloom
+path moves only the {b['hit_rows']:,}-row hit set — ~{100 * b['hit_rows'] // results['probe_rows']}% of the batch — plus a
+fixed {m_bits // 8 // 1024 // 1024} MB artifact merged by bit_or across batches. The crossover
+is where seen stops fitting a single join partition comfortably or the
+probe:hit ratio grows; below it, use the exact join (q61), and the bloom
+build cost ({b['bloom_build_sec']} s) amortizes across every later batch
+either way.
+
+## Histogram-quantile sketch ({h['rows']:,} measurements, {h['tenants']} tenants)
+
+| path | wall sec | shuffled rows |
+|---|---|---|
+| exact per-tenant percentiles (p50/p99) | {h['exact_percentile_sec']} | every measurement |
+| hq sketch build + quantile estimate | {h['hq_sketch_sec']} | ≤ {h['tenants']} x {h['buckets']} cells |
+
+Estimates are one-sided (est >= exact, asserted during the run): the true
+quantile lies in the estimate's bucket. Bound spacing (1-2-5 decades) sets
+the relative error envelope (~2.5x worst-case within a bucket).
+
+## Count-Min heavy hitters ({c['rows']:,} rows, ~{c['distinct_keys_approx']:,} keys, 25% hot)
+
+| path | wall sec | shuffled rows |
+|---|---|---|
+| exact groupBy + top-10 | {c['exact_groupby_sec']} | every distinct key |
+| CM 4x4096 build + point estimates | {c['cm_sketch_sec']} | ≤ 16,384 cells |
+
+Hot-key estimate {c['hot_key_est']:,} vs exact {c['hot_key_exact']:,}
+(+{c['hot_key_overcount_frac']:.3%} collision mass — one-sided).
+
+**Why at scale:** all three exact paths shuffle data proportional to the
+input (or its distinct keys); all three sketch paths shuffle a FIXED number
+of cells after map-side partial aggregation and answer probes as
+projections. At 10^12 turns the exact paths are full-table shuffles per
+question; the sketches are one scan each, mergeable across batches, and
+reusable as at-rest artifacts.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "PROB_SKETCH.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "prob_sketch.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -1102,6 +1352,7 @@ if __name__ == "__main__":
     ap.add_argument("--dedup-scale", action="store_true")
     ap.add_argument("--mix-scale", action="store_true")
     ap.add_argument("--sketch-scale", action="store_true")
+    ap.add_argument("--prob-sketch", action="store_true")
     ap.add_argument("--n-low", type=int, default=4)
     ap.add_argument("--n-high", type=int, default=16)
     ap.add_argument("--rows-millions", type=float, default=160.0)
@@ -1120,5 +1371,7 @@ if __name__ == "__main__":
         run_mix_scale()
     elif args.sketch_scale:
         run_sketch_scale(args.rows_millions)
+    elif args.prob_sketch:
+        run_prob_sketch(min(args.rows_millions, 20.0))
     else:
         run_default()

@@ -43,6 +43,7 @@ stored as BIGINT so no mask ever touches the sign bit in either engine.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -50,24 +51,48 @@ _WORD_BITS = 32
 _MAX_COLLECT_CELLS = 1 << 22  # collected-sketch guard: 4M longs ~ 32 MB
 
 
-def _hash_words(key: Column) -> tuple[Column, Column]:
-    """Two independent 52-bit words of md5(key) as BIGINT (hex 1-13, 14-26)."""
-    h = F.md5(key.cast("string"))
-    h1 = F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint")
-    h2 = F.conv(F.substring(h, 14, 13), 16, 10).cast("bigint")
-    return h1, h2
+_MASK_52 = (1 << 52) - 1
 
 
-def _positions(key: Column, k: int, modulus: int) -> Column:
+def _hash_words(key: Column, hasher: str = "md5") -> tuple[Column, Column]:
+    """Two independent 52-bit non-negative words of hash(key) as BIGINT.
+
+    ``md5`` (default): hex chars 1-13 / 14-26 via ``conv`` — byte-identical
+    in DuckDB, so oracle queries replay the sketch. ``xxhash64``: two seeded
+    native hashes masked to 52 bits — ~10x cheaper per row (no hex
+    stringify/parse), Spark-only; the production setting when no
+    cross-engine replay is needed. Both keep every downstream sum
+    ``h1 + k*h2`` comfortably inside the BIGINT range.
+
+    xxhash64 hashes a NULL input to the seed hash rather than NULL, which
+    would give NULL keys a phantom membership — the explicit isNotNull gate
+    preserves the md5 behavior (NULL carries no hash).
+    """
+    if hasher == "md5":
+        h = F.md5(key.cast("string"))
+        h1 = F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint")
+        h2 = F.conv(F.substring(h, 14, 13), 16, 10).cast("bigint")
+        return h1, h2
+    if hasher == "xxhash64":
+        guard = key.isNotNull()
+        h1 = F.when(guard, F.xxhash64(key, F.lit(1)).bitwiseAND(F.lit(_MASK_52)))
+        h2 = F.when(guard, F.xxhash64(key, F.lit(2)).bitwiseAND(F.lit(_MASK_52)))
+        return h1, h2
+    raise ValueError(f"unknown hasher: {hasher!r} (md5 | xxhash64)")
+
+
+def _positions(key: Column, k: int, modulus: int, hasher: str = "md5") -> Column:
     """Array of k double-hashed positions in [0, modulus)."""
-    h1, h2 = _hash_words(key)
+    h1, h2 = _hash_words(key, hasher)
     return F.array(*[(h1 + F.lit(i) * h2) % F.lit(modulus) for i in range(k)])
 
 
 _MASKS = [1 << b for b in range(_WORD_BITS)]
 
 
-def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 3) -> DataFrame:
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 3, hasher: str = "md5"
+) -> DataFrame:
     """One-pass Bloom build: (word, bits) frame, m_bits/32 rows max.
 
     Mergeable: union two builds and ``groupBy(word).agg(bit_or(bits))`` —
@@ -80,7 +105,7 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 3) 
     if not 1 <= k <= 8:
         raise ValueError(f"k must be in [1, 8]: {k}")
     masks = F.array(*[F.lit(m).cast("bigint") for m in _MASKS])
-    pos = F.explode(_positions(F.col(key_col), k, m_bits)).alias("pos")
+    pos = F.explode(_positions(F.col(key_col), k, m_bits, hasher)).alias("pos")
     return (
         df.filter(F.col(key_col).isNotNull())
         .select(pos)
@@ -108,6 +133,7 @@ def bloom_probe(
     m_bits: int,
     k: int,
     out_col: str = "maybe_seen",
+    hasher: str = "md5",
 ) -> DataFrame:
     """Zero-shuffle membership probe: the built bloom is collected (it is
     sketch-sized by construction) and evaluated as a pure projection — k
@@ -121,7 +147,7 @@ def bloom_probe(
     for r in bloom.collect():
         dense[r["word"]] = r["bits"]
     arr = F.array(*[F.lit(v).cast("bigint") for v in dense])
-    pos = _positions(F.col(key_col), k, m_bits)
+    pos = _positions(F.col(key_col), k, m_bits, hasher)
     hits = [
         (
             F.get(arr, (F.get(pos, i) / _WORD_BITS).cast("int")).bitwiseAND(
@@ -138,8 +164,60 @@ def bloom_probe(
     return df.withColumn(out_col, F.coalesce(flag, F.lit(False)))
 
 
+def bloom_probe_big(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int,
+    out_col: str = "maybe_seen",
+    hasher: str = "md5",
+) -> DataFrame:
+    """Scale form of :func:`bloom_probe` for bitsets too large to inline as
+    a literal array (the literal form pays one py4j round-trip per word —
+    fine at 2^16 bits, minutes at 2^26). The dense word array ships ONCE
+    per executor as a Spark broadcast (numpy int64, m_bits/8 bytes) and the
+    probe is an Arrow-batched pandas UDF doing k vectorized bit tests; the
+    double-hash words are still computed JVM-side (md5 substrings), so no
+    Python ever touches the key bytes. Identical verdicts to
+    :func:`bloom_probe` (asserted in test_sketches); NULL keys probe False.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    n_words = m_bits // _WORD_BITS
+    if n_words > _MAX_COLLECT_CELLS:
+        raise ValueError(f"m_bits {m_bits} too large to collect ({n_words} words)")
+    dense = np.zeros(n_words, dtype=np.int64)
+    # Arrow collect: a 2^26-bit bloom is 2M (word, bits) rows — materializing
+    # them as driver Row objects costs ~20x the Arrow columnar transfer
+    pdf = bloom.toPandas()
+    dense[pdf["word"].to_numpy(dtype=np.int64)] = pdf["bits"].to_numpy(dtype=np.int64)
+    bc = df.sparkSession.sparkContext.broadcast(dense)
+
+    @pandas_udf("boolean")
+    def _probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        words = bc.value
+        null = h1.isna().to_numpy()
+        a = h1.fillna(0).to_numpy(dtype=np.int64)
+        b = h2.fillna(0).to_numpy(dtype=np.int64)
+        ok = ~null
+        for i in range(k):
+            pos = (a + i * b) % m_bits
+            ok &= (words[pos >> 5] >> (pos & 31)) & 1 == 1
+        return pd.Series(ok)
+
+    h1, h2 = _hash_words(F.col(key_col), hasher)
+    return df.withColumn(out_col, _probe(h1, h2))
+
+
 def cm_build(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024, weight: Column | None = None
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight: Column | None = None,
+    hasher: str = "md5",
 ) -> DataFrame:
     """One-pass Count-Min build: (row, col, cnt) frame, depth*width cells max.
 
@@ -150,7 +228,7 @@ def cm_build(
     if not 1 <= depth <= 8:
         raise ValueError(f"depth must be in [1, 8]: {depth}")
     w = (weight if weight is not None else F.lit(1)).cast("bigint")
-    pos = F.posexplode(_positions(F.col(key_col), depth, width))
+    pos = F.posexplode(_positions(F.col(key_col), depth, width, hasher))
     return (
         df.filter(F.col(key_col).isNotNull())
         .select(w.alias("w"), pos.alias("row", "col"))
@@ -254,6 +332,7 @@ def cm_estimate(
     depth: int,
     width: int,
     out_col: str = "cm_est",
+    hasher: str = "md5",
 ) -> DataFrame:
     """Zero-shuffle point estimate: min over depth rows of the key's cells,
     evaluated as a projection against the collected sketch (depth*width
@@ -264,8 +343,54 @@ def cm_estimate(
     for r in cm.collect():
         dense[r["row"] * width + r["col"]] = r["cnt"]
     arr = F.array(*[F.lit(v).cast("bigint") for v in dense])
-    pos = _positions(F.col(key_col), depth, width)
+    pos = _positions(F.col(key_col), depth, width, hasher)
     cells = [
         F.get(arr, (F.lit(r * width) + F.get(pos, r)).cast("int")) for r in range(depth)
     ]
     return df.withColumn(out_col, F.least(*cells) if depth > 1 else cells[0])
+
+
+def cm_estimate_big(
+    df: DataFrame,
+    cm: DataFrame,
+    key_col: str,
+    depth: int,
+    width: int,
+    out_col: str = "cm_est",
+    hasher: str = "md5",
+) -> DataFrame:
+    """Scale form of :func:`cm_estimate` (same relationship as
+    :func:`bloom_probe_big` to :func:`bloom_probe`): the literal-array form
+    pays one py4j round-trip per cell — fine at 4x64, tens of seconds at
+    4x4096. Here the dense cell tensor ships once per executor as a Spark
+    broadcast (numpy int64, depth*width*8 bytes) and the estimate is an
+    Arrow-batched vectorized row-min; hash words stay JVM-side. Identical
+    estimates to :func:`cm_estimate` (asserted in test_sketches); NULL keys
+    estimate NULL."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if depth * width > _MAX_COLLECT_CELLS:
+        raise ValueError(f"sketch too large to collect: {depth}x{width}")
+    dense = np.zeros((depth, width), dtype=np.int64)
+    pdf = cm.toPandas()
+    dense[pdf["row"].to_numpy(dtype=np.int64), pdf["col"].to_numpy(dtype=np.int64)] = (
+        pdf["cnt"].to_numpy(dtype=np.int64)
+    )
+    bc = df.sparkSession.sparkContext.broadcast(dense)
+
+    @pandas_udf("bigint")
+    def _est(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        cells = bc.value
+        null = h1.isna().to_numpy()
+        a = h1.fillna(0).to_numpy(dtype=np.int64)
+        b = h2.fillna(0).to_numpy(dtype=np.int64)
+        est = np.full(len(a), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(depth):
+            est = np.minimum(est, cells[r, (a + r * b) % width])
+        out = pd.Series(est).astype("Int64")
+        out[null] = None
+        return out
+
+    h1, h2 = _hash_words(F.col(key_col), hasher)
+    return df.withColumn(out_col, _est(h1, h2))

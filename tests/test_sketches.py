@@ -202,3 +202,85 @@ def test_hq_rejects_bad_shape(spark):
             hq_build(_vals(spark, [1]), "v", ["tenant"], BOUNDS),
             ["tenant"], BOUNDS, {"p0": 0},
         )
+
+
+# bloom_probe_big (broadcast-bitset Arrow probe — the large-m scale form)
+
+
+def test_bloom_probe_big_matches_literal_probe(spark):
+    from opentelemetry_collector_spark.operators.sketches import bloom_probe_big
+
+    bloom = bloom_build(_keys(spark, range(50)), "k", m_bits=M, k=K)
+    probe_keys = _keys(spark, range(0, 200))
+    lit = {r["k"]: r["maybe_seen"] for r in bloom_probe(probe_keys, bloom, "k", M, K).collect()}
+    big = {r["k"]: r["maybe_seen"] for r in bloom_probe_big(probe_keys, bloom, "k", M, K).collect()}
+    assert big == lit
+    assert all(big[f"key-{i}"] for i in range(50))  # no false negatives
+
+
+def test_bloom_probe_big_null_key_probes_false(spark):
+    from opentelemetry_collector_spark.operators.sketches import bloom_probe_big
+
+    bloom = bloom_build(_keys(spark, range(5)), "k", M, K)
+    df = spark.createDataFrame([(None,), ("key-1",)], "k string")
+    rows = {r["k"]: r["maybe_seen"] for r in bloom_probe_big(df, bloom, "k", M, K).collect()}
+    assert rows[None] is False and rows["key-1"] is True
+
+
+def test_bloom_probe_big_is_arrow_not_row_python(spark):
+    from opentelemetry_collector_spark.operators.sketches import bloom_probe_big
+
+    bloom = bloom_build(_keys(spark, range(10)), "k", M, K)
+    plan = (
+        bloom_probe_big(_keys(spark, range(20)), bloom, "k", M, K)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_xxhash64_hasher_properties(spark):
+    """hasher="xxhash64" (the production fast path) keeps the contracts:
+    no false negatives, probe/probe_big verdict equality, NULL probes
+    False, CM one-sided."""
+    from opentelemetry_collector_spark.operators.sketches import bloom_probe_big
+
+    inserted = _keys(spark, range(50))
+    bloom = bloom_build(inserted, "k", m_bits=M, k=K, hasher="xxhash64")
+    probe_df = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(100)] + [(None,)], "k string"
+    )
+    lit = {r["k"]: r["maybe_seen"]
+           for r in bloom_probe(probe_df, bloom, "k", M, K, hasher="xxhash64").collect()}
+    big = {r["k"]: r["maybe_seen"]
+           for r in bloom_probe_big(probe_df, bloom, "k", M, K, hasher="xxhash64").collect()}
+    assert big == lit
+    assert all(lit[f"key-{i}"] for i in range(50))  # no false negatives
+    assert lit[None] is False
+
+    rows = [(f"key-{i}",) for i in range(20) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "k string")
+    cm = cm_build(df, "k", depth=D, width=W, hasher="xxhash64")
+    for r in cm_estimate(_keys(spark, range(20)), cm, "k", D, W, hasher="xxhash64").collect():
+        assert r["cm_est"] >= int(r["k"].split("-")[1]) + 1
+
+
+def test_unknown_hasher_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        bloom_build(_keys(spark, [1]), "k", m_bits=M, k=K, hasher="sha1")
+
+
+def test_cm_estimate_big_matches_literal_estimate(spark):
+    from opentelemetry_collector_spark.operators.sketches import cm_estimate_big
+
+    rows = [(f"key-{i}",) for i in range(20) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "k string")
+    cm = cm_build(df, "k", depth=D, width=W)
+    keys = spark.createDataFrame([(f"key-{i}",) for i in range(25)] + [(None,)], "k string")
+    lit = {r["k"]: r["cm_est"] for r in cm_estimate(keys, cm, "k", D, W).collect()}
+    big = {r["k"]: r["cm_est"] for r in cm_estimate_big(keys, cm, "k", D, W).collect()}
+    # literal form estimates NULL keys via NULL positions -> NULL; big form
+    # pins the same
+    assert big == lit and big[None] is None
