@@ -1,4 +1,5 @@
 from opentelemetry_collector_spark.streaming.stream import (
+    accumulate_bloom_stream,
     read_transcript_stream,
     run_stream_pipeline,
     session_turn_counts,
@@ -6,6 +7,7 @@ from opentelemetry_collector_spark.streaming.stream import (
 )
 
 __all__ = [
+    "accumulate_bloom_stream",
     "read_transcript_stream",
     "run_stream_pipeline",
     "session_turn_counts",

@@ -138,6 +138,57 @@ def run_stream_pipeline(
     return writer.start()
 
 
+def accumulate_bloom_stream(
+    df: DataFrame,
+    artifact_path: str,
+    key_col: str,
+    checkpoint_dir: str,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    hasher: str = "md5",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming ingest side of the bloom-prefiltered incremental dedup
+    (q100 / BENCH/PROB_SKETCH.md): each micro-batch's keys are folded into
+    the at-rest bloom artifact so later batch probes
+    (``sketches.bloom_probe_big``) see every key ever ingested.
+
+    Per epoch: build the batch's (word, bits) frame, bit_or-merge with the
+    artifact, rewrite. The merged sketch is collected before the rewrite —
+    it is driver-sized by construction (m_bits/32 longs), and collecting
+    breaks the read-then-overwrite hazard on the artifact path. Replayed
+    epochs (Spark's at-least-once foreachBatch redelivery) are harmless by
+    algebra: bit_or is idempotent, so re-merging the same batch cannot
+    change the bitset — the exactly-once story needs no epoch bookkeeping,
+    unlike the row-append sinks in :func:`run_stream_pipeline`.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from opentelemetry_collector_spark.operators.sketches import bloom_build, bloom_merge
+
+    schema = StructType(
+        [StructField("word", LongType()), StructField("bits", LongType())]
+    )
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = bloom_build(batch_df, key_col, m_bits=m_bits, k=k, hasher=hasher)
+        try:
+            prior = spark.read.schema(schema).parquet(artifact_path)
+            merged = bloom_merge(prior, new)
+        except Exception:  # first epoch: no artifact yet
+            merged = new
+        rows = [(r["word"], r["bits"]) for r in merged.collect()]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            artifact_path
+        )
+
+    writer = df.writeStream.foreachBatch(_fold).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dedup_redelivered(
     df: DataFrame,
     timeout_minutes: int = 60,

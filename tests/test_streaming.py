@@ -264,3 +264,43 @@ def test_adjust_state_timeout_drops_series():
     st = FakeState()
     assert list(_adjust_state_fn(60)(("s1",), iter([]), st) or []) == []
     assert st.removed
+
+
+def test_bloom_accumulates_across_epochs_and_replay_is_idempotent(spark, tmp_path):
+    """Streaming bloom ingest (accumulate_bloom_stream): after the stream
+    drains epoch-by-epoch, the artifact equals a one-shot build over the
+    whole input (merge==whole across epochs), every ingested key probes
+    True, and refolding the same input (at-least-once replay) leaves the
+    bitset bit-identical."""
+    from opentelemetry_collector_spark.operators.sketches import bloom_build, bloom_probe
+    from opentelemetry_collector_spark.streaming import accumulate_bloom_stream
+
+    landing, df = _landing(spark, tmp_path)
+    artifact = str(tmp_path / "bloom")
+    m, k = 1 << 14, 3
+
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(landing)
+    q = accumulate_bloom_stream(
+        stream, artifact, "conv_id", str(tmp_path / "ckpt_bloom"), m_bits=m, k=k
+    )
+    q.awaitTermination(120)
+
+    got = {(r["word"], r["bits"]) for r in spark.read.parquet(artifact).collect()}
+    want = {
+        (r["word"], r["bits"])
+        for r in bloom_build(df.select("conv_id"), "conv_id", m_bits=m, k=k).collect()
+    }
+    assert got == want
+
+    keys = df.select("conv_id").distinct()
+    flagged = bloom_probe(keys, spark.read.parquet(artifact), "conv_id", m, k)
+    assert all(r["maybe_seen"] for r in flagged.collect())
+
+    # replay: fresh checkpoint, same input — bit_or idempotence
+    q2 = accumulate_bloom_stream(
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(landing),
+        artifact, "conv_id", str(tmp_path / "ckpt_bloom2"), m_bits=m, k=k,
+    )
+    q2.awaitTermination(120)
+    again = {(r["word"], r["bits"]) for r in spark.read.parquet(artifact).collect()}
+    assert again == want
