@@ -180,6 +180,31 @@ def test_jsonl_receiver_roundtrips_file_exporter_output(spark, tmp_path):
     assert a == b
 
 
+def test_jsonl_receiver_reads_gzip_wire(spark, tmp_path):
+    """Compressed-wire ingest (the middleware/compression.go gzip decompress
+    and the zipkin receiver's gzip/zlib body handling,
+    trace_receiver.go:153-180): the jsonl receiver's text scan decompresses
+    .gz landing files natively via the Hadoop codec — same rows as the
+    uncompressed wire, no config needed."""
+    import gzip
+
+    from opentelemetry_collector_spark.sources.codecs import to_turn_json, unmarshal
+    from opentelemetry_collector_spark.sources.transcripts import synthesize
+
+    t = synthesize(spark, n_convs=3, mean_turns=4, seed=11)
+    lines = [r.value for r in to_turn_json(t).select("value").collect()]
+    landing = tmp_path / "landing_gz"
+    landing.mkdir()
+    with gzip.open(landing / "batch-0.jsonl.gz", "wt") as f:
+        f.write("\n".join(lines) + "\n")
+
+    got = unmarshal(spark.read.text(str(landing)), "turn_json", col="value")
+    assert got.count() == t.count()
+    a = {(r.conv_id, r.turn_idx, r.role, r.text) for r in t.collect()}
+    b = {(r.conv_id, r.turn_idx, r.role, r.text) for r in got.collect()}
+    assert a == b
+
+
 def test_prometheus_exposition_text(spark):
     """Exposition format golden: header + escaped label lines."""
     from opentelemetry_collector_spark.sources.codecs import to_prometheus_text
