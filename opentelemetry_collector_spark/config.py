@@ -355,11 +355,41 @@ def _compile_exporter(cid: str, cfg: dict, batch_max: int | None) -> SinkSpec:
 # ---------------------------------------------------------------------------
 
 
+# The reference's five default extensions (defaultcomponents/defaults.go:59-70).
+# health_check / zpages compile to plans/status.py; the rest are platform
+# concerns under Spark (JVM profilers, executor memory, cluster auth) —
+# accepted so a reference user's YAML loads, but carry no behavior.
+_EXTENSION_TYPES = {"health_check", "zpages", "pprof", "memory_ballast", "bearertokenauth"}
+
+
 @dataclass
 class CompiledService:
-    """All pipelines of a config, compiled (service.pipelines analog)."""
+    """All pipelines of a config, compiled (service.pipelines analog), plus
+    the service's enabled extensions (id -> type, service order preserved —
+    config.go:156)."""
 
     pipelines: dict[str, PipelineSpec] = field(default_factory=dict)
+    extensions: dict[str, str] = field(default_factory=dict)
+
+    def zpages(self) -> str:
+        """/debug rendering — only when a zpages extension is enabled."""
+        from opentelemetry_collector_spark.plans.status import zpages_text
+
+        if "zpages" not in self.extensions.values():
+            raise ConfigError("no zpages extension enabled in service.extensions")
+        return zpages_text(self.pipelines)
+
+    def health(self, base_path: str, snapshot: str) -> dict:
+        """healthcheck extension: per-pipeline Ready/Unavailable over the
+        commit manifest — only when a health_check extension is enabled."""
+        from opentelemetry_collector_spark.plans.status import pipeline_health
+
+        if "health_check" not in self.extensions.values():
+            raise ConfigError("no health_check extension enabled in service.extensions")
+        return {
+            name: pipeline_health(spec, os.path.join(base_path, name), snapshot)
+            for name, spec in self.pipelines.items()
+        }
 
 
 def compile_config(spark: SparkSession, source: dict | str) -> CompiledService:
@@ -367,12 +397,22 @@ def compile_config(spark: SparkSession, source: dict | str) -> CompiledService:
     receivers: dict[str, dict] = cfg.get("receivers") or {}
     processors: dict[str, dict] = cfg.get("processors") or {}
     exporters: dict[str, dict] = cfg.get("exporters") or {}
+    extensions: dict[str, dict] = cfg.get("extensions") or {}
     service = cfg.get("service") or {}
     pipelines_cfg: dict[str, dict] = service.get("pipelines") or {}
     if not pipelines_cfg:
         raise ConfigError("service.pipelines must define at least one pipeline (config.go:31)")
 
-    out = CompiledService()
+    for eid in extensions:
+        if component_type(eid) not in _EXTENSION_TYPES:
+            raise ConfigError(f"unknown extensions type '{component_type(eid)}' for {eid}")
+    service_ext: list[str] = service.get("extensions") or []
+    for ref in service_ext:
+        # config.go:100-103 validateServiceExtensions
+        if ref not in extensions:
+            raise ConfigError(f'service references extension "{ref}" which does not exist')
+
+    out = CompiledService(extensions={ref: component_type(ref) for ref in service_ext})
     for pname, pcfg in pipelines_cfg.items():
         r_ids = pcfg.get("receivers") or []
         p_ids = pcfg.get("processors") or []

@@ -532,3 +532,74 @@ def test_env_expansion_happens_exactly_once_through_the_cli_path(monkeypatch):
     assert final["a"]["keep"] == "$OTELCOL_SET_TEST"  # escape survives intact
     with pytest.raises(ConfigError):  # junk YAML -> the clean error contract
         apply_set_overrides({}, ["a.b=[unclosed"])
+
+
+def _ext_spec(tmp_path, extensions=None, service_ext=None):
+    spec = {
+        "receivers": {"synthetic/in": {"n_convs": 3}},
+        "exporters": {"parquet/out": {"path": str(tmp_path / "out")}},
+        "service": {
+            "pipelines": {
+                "logs": {"receivers": ["synthetic/in"], "exporters": ["parquet/out"]}
+            }
+        },
+    }
+    if extensions is not None:
+        spec["extensions"] = extensions
+    if service_ext is not None:
+        spec["service"]["extensions"] = service_ext
+    return spec
+
+
+def test_service_extension_reference_must_exist(spark, tmp_path):
+    """config.go:100-103 validateServiceExtensions: a service.extensions
+    entry with no top-level extensions block is the reference's exact
+    error."""
+    import pytest
+
+    from opentelemetry_collector_spark.config import ConfigError, compile_config
+
+    with pytest.raises(ConfigError, match='references extension "zpages" which does not exist'):
+        compile_config(spark, _ext_spec(tmp_path, extensions={}, service_ext=["zpages"]))
+
+
+def test_unknown_extension_type_rejected(spark, tmp_path):
+    import pytest
+
+    from opentelemetry_collector_spark.config import ConfigError, compile_config
+
+    with pytest.raises(ConfigError, match="unknown extensions type 'flamegraph'"):
+        compile_config(spark, _ext_spec(tmp_path, extensions={"flamegraph/x": {}}))
+
+
+def test_enabled_extensions_compile_and_serve(spark, tmp_path):
+    """health_check + zpages enabled: zpages renders the compiled graph;
+    health flips Ready once the pipeline's sinks commit (the healthcheck
+    extension's Ready/Unavailable contract)."""
+    from opentelemetry_collector_spark.config import compile_config, run_config
+
+    spec = _ext_spec(
+        tmp_path,
+        extensions={"health_check": {}, "zpages": {}, "pprof": {}},
+        service_ext=["health_check", "zpages", "pprof"],
+    )
+    svc = compile_config(spark, spec)
+    assert svc.extensions == {"health_check": "health_check", "zpages": "zpages", "pprof": "pprof"}
+    assert "pipeline logs:" in svc.zpages()
+
+    base = str(tmp_path / "run")
+    before = svc.health(base, snapshot="snap-1")
+    assert before["logs"].status == "unavailable"
+    run_config(spark, spec, base)
+
+
+def test_extension_helpers_require_enablement(spark, tmp_path):
+    import pytest
+
+    from opentelemetry_collector_spark.config import ConfigError, compile_config
+
+    svc = compile_config(spark, _ext_spec(tmp_path))
+    with pytest.raises(ConfigError, match="no zpages extension"):
+        svc.zpages()
+    with pytest.raises(ConfigError, match="no health_check extension"):
+        svc.health(str(tmp_path), "s")
