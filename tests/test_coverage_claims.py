@@ -17,19 +17,19 @@ def _claims():
     text = open(os.path.join(REPO, "COVERAGE.md")).read()
     # the Query column cites q-ids as qNN optionally followed by a
     # parenthetical kind: "q51 (oracle: ...)", "q19 (rows-only; ...)"
-    for m in re.finditer(r"\bq(\d{2})\s*(?:\(([^)]*)\))?", text):
+    for m in re.finditer(r"\bq(\d{2,3})\s*(?:\(([^)]*)\))?", text):
         yield int(m.group(1)), (m.group(2) or "").lower()
 
 
 def test_every_cited_query_exists():
-    known = {int(name[1:3]) for name in QUERIES}
+    known = {int(name[1:].split("_")[0]) for name in QUERIES}
     cited = {num for num, _ in _claims()}
     missing = cited - known
     assert not missing, f"COVERAGE.md cites unknown queries: {sorted(missing)}"
 
 
 def test_oracle_claims_match_registry():
-    with_oracle = {int(name[1:3]) for name in ORACLES}
+    with_oracle = {int(name[1:].split("_")[0]) for name in ORACLES}
     for num, kind in _claims():
         if kind.startswith("oracle"):
             assert num in with_oracle, f"q{num} claimed oracle-checked but has no oracle SQL"
@@ -40,4 +40,4 @@ def test_oracle_claims_match_registry():
 def test_every_query_is_documented_in_coverage():
     cited = {num for num, _ in _claims()}
     for name in QUERIES:
-        assert int(name[1:3]) in cited, f"{name} missing from COVERAGE.md"
+        assert int(name[1:].split("_")[0]) in cited, f"{name} missing from COVERAGE.md"
