@@ -402,6 +402,12 @@ def compile_config(spark: SparkSession, source: dict | str) -> CompiledService:
     pipelines_cfg: dict[str, dict] = service.get("pipelines") or {}
     if not pipelines_cfg:
         raise ConfigError("service.pipelines must define at least one pipeline (config.go:31)")
+    for pname in pipelines_cfg:
+        # configloader/config.go:399-406: pipeline keys are signal-typed ids
+        if component_type(pname) not in ("traces", "metrics", "logs"):
+            raise ConfigError(
+                f"unknown pipelines type '{component_type(pname)}' for {pname}"
+            )
 
     for eid in extensions:
         if component_type(eid) not in _EXTENSION_TYPES:

@@ -372,6 +372,9 @@ def load_reference_service(path: str, **cols: str) -> dict[str, Any]:
     pipelines: dict[str, list[str]] = {}
     for pname, pcfg in ((doc.get("service") or {}).get("pipelines") or {}).items():
         pcfg = pcfg or {}
+        if pname.split("/", 1)[0] not in ("traces", "metrics", "logs"):
+            # configloader/config.go:399-406 errorUnknownType
+            raise ValueError(f"unknown pipelines type {pname!r}")
         if not pcfg.get("receivers"):
             raise ValueError(f"pipeline {pname}: must have at least one receiver")
         if not pcfg.get("exporters"):

@@ -603,3 +603,19 @@ def test_extension_helpers_require_enablement(spark, tmp_path):
         svc.zpages()
     with pytest.raises(ConfigError, match="no health_check extension"):
         svc.health(str(tmp_path), "s")
+
+
+def test_pipeline_key_must_be_signal_typed(spark, tmp_path):
+    """configloader/config.go:399-406: pipeline keys parse as type[/name]
+    and the type must be one of traces/metrics/logs."""
+    import pytest
+
+    from opentelemetry_collector_spark.config import ConfigError, compile_config
+
+    spec = _ext_spec(tmp_path)
+    spec["service"]["pipelines"]["events/x"] = spec["service"]["pipelines"]["logs"]
+    with pytest.raises(ConfigError, match="unknown pipelines type 'events'"):
+        compile_config(spark, spec)
+    ok = _ext_spec(tmp_path)
+    ok["service"]["pipelines"]["traces/alt"] = ok["service"]["pipelines"].pop("logs")
+    assert "traces/alt" in compile_config(spark, ok).pipelines
