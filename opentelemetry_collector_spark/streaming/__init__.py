@@ -1,5 +1,6 @@
 from opentelemetry_collector_spark.streaming.stream import (
     accumulate_bloom_stream,
+    accumulate_cells_stream,
     read_transcript_stream,
     run_stream_pipeline,
     session_turn_counts,
@@ -8,6 +9,7 @@ from opentelemetry_collector_spark.streaming.stream import (
 
 __all__ = [
     "accumulate_bloom_stream",
+    "accumulate_cells_stream",
     "read_transcript_stream",
     "run_stream_pipeline",
     "session_turn_counts",

@@ -189,6 +189,47 @@ def accumulate_bloom_stream(
     return writer.start()
 
 
+def accumulate_cells_stream(
+    df: DataFrame,
+    artifact_path: str,
+    checkpoint_dir: str,
+    build_fn,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming accumulation for SUM-merged sketches (Count-Min cells,
+    histogram-quantile cells — anything :func:`sketches.cm_merge` /
+    ``hq_merge`` shaped). The algebra contrast with
+    :func:`accumulate_bloom_stream` decides the storage layout: bit_or is
+    idempotent so the bloom can fold in place, but re-summing a replayed
+    epoch DOUBLE-COUNTS — so each epoch's partial cells are written to its
+    own partition with dynamic overwrite (the run_stream_pipeline
+    exactly-once pattern: a redelivered epoch overwrites itself, never
+    adds). Readers merge at query time with the sketch's own groupBy-sum —
+    over partials whose total size is epochs x sketch cells, never the
+    input.
+
+    ``build_fn(batch_df) -> DataFrame`` produces the batch's cell frame
+    (e.g. ``lambda b: cm_build(b, "conv_id", depth=4, width=256)``).
+    """
+
+    def _write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            build_fn(batch_df)
+            .withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(artifact_path)
+        )
+
+    writer = df.writeStream.foreachBatch(_write_epoch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dedup_redelivered(
     df: DataFrame,
     timeout_minutes: int = 60,

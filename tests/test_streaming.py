@@ -304,3 +304,32 @@ def test_bloom_accumulates_across_epochs_and_replay_is_idempotent(spark, tmp_pat
     q2.awaitTermination(120)
     again = {(r["word"], r["bits"]) for r in spark.read.parquet(artifact).collect()}
     assert again == want
+
+
+def test_cell_sketch_epochs_merge_to_whole_and_replay_overwrites(spark, tmp_path):
+    """Sum-merged sketch accumulation (accumulate_cells_stream): per-epoch
+    CM partials merged at read equal the one-shot build over the whole
+    input, and refolding the same input (at-least-once replay) does NOT
+    double-count — a replayed epoch overwrites its own partition."""
+    from opentelemetry_collector_spark.operators.sketches import cm_build, cm_merge
+    from opentelemetry_collector_spark.streaming import accumulate_cells_stream
+
+    landing, df = _landing(spark, tmp_path)
+    artifact = str(tmp_path / "cm_cells")
+    build = lambda b: cm_build(b, "conv_id", depth=4, width=64)  # noqa: E731
+
+    def _fold(ckpt):
+        stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(landing)
+        q = accumulate_cells_stream(stream, artifact, str(tmp_path / ckpt), build)
+        q.awaitTermination(120)
+
+    _fold("ckpt_cm")
+    merged = cm_merge(spark.read.parquet(artifact).drop("_epoch"))
+    want = {(r["row"], r["col"], r["cnt"]) for r in build(df).collect()}
+    assert {(r["row"], r["col"], r["cnt"]) for r in merged.collect()} == want
+    n_epochs = spark.read.parquet(artifact).select("_epoch").distinct().count()
+    assert n_epochs > 1  # maxFilesPerTrigger=1 over a 4-file landing
+
+    _fold("ckpt_cm2")  # replay: fresh checkpoint, same epochs re-delivered
+    again = cm_merge(spark.read.parquet(artifact).drop("_epoch"))
+    assert {(r["row"], r["col"], r["cnt"]) for r in again.collect()} == want
