@@ -3980,6 +3980,39 @@ FROM picks
 """
 
 
+def q103_role_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-tenant activity matrix: turn counts pivoted to one column
+    per role (the serving shape of the resource->label denormalization,
+    exporterhelper/resource_to_label.go:36-90, when a dashboard wants the
+    label as COLUMNS). Spark `pivot` with EXPLICIT values — the value list
+    pins the output schema and skips the extra distinct-scan pass Spark
+    otherwise runs to discover pivot columns; physical shape is the same
+    single partial-aggregated groupBy as a long-format count. Oracle:
+    conditional aggregation (pivot == sum(case when) per value)."""
+    t = from_events(spark, sf_dir)
+    j = t.join(F.broadcast(conv_meta(spark, sf_dir).select("conv_id", "tenant")), "conv_id")
+    roles = ["user", "assistant", "system", "tool"]
+    out = (
+        j.groupBy("tenant")
+        .pivot("role", roles)
+        .agg(F.count(F.lit(1)))
+    )
+    for r in roles:
+        out = out.withColumn(f"n_{r}", F.coalesce(F.col(r), F.lit(0)).cast("bigint")).drop(r)
+    return out
+
+
+Q103_SQL = f"""{_PRELUDE}
+SELECT m.tenant,
+       CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+       CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT) AS n_assistant,
+       CAST(count(*) FILTER (WHERE role = 'system') AS BIGINT) AS n_system,
+       CAST(count(*) FILTER (WHERE role = 'tool') AS BIGINT) AS n_tool
+FROM t JOIN m USING (conv_id)
+GROUP BY m.tenant
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -4084,6 +4117,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_bloom_dedup": q100_bloom_dedup,
     "q101_cm_heavy_hitters": q101_cm_heavy_hitters,
     "q102_latency_hist_quantiles": q102_latency_hist_quantiles,
+    "q103_role_pivot": q103_role_pivot,
 }
 
 ORACLES: dict[str, str] = {
@@ -4182,6 +4216,7 @@ ORACLES: dict[str, str] = {
     "q100_bloom_dedup": Q100_SQL,
     "q101_cm_heavy_hitters": Q101_SQL,
     "q102_latency_hist_quantiles": Q102_SQL,
+    "q103_role_pivot": Q103_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
