@@ -66,3 +66,38 @@ def test_turn_idx_stable_ordering_invariant(spark):
     t = from_events(spark, SF)
     dup = t.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_schema_evolution_old_files_backfill_null(spark, tmp_path):
+    """Schema drift across landing history (the at-scale reality of a
+    100 TB table written over years): files written before the `tool`
+    column existed merge with current files under mergeSchema — old rows
+    read `tool` as NULL (exactly how the reference reads an absent
+    attribute as unset, not as an error), row counts and per-turn text
+    survive, and the receiver fan-in union (allowMissingColumns) pins the
+    same semantics for multi-receiver pipelines."""
+    from opentelemetry_collector_spark.sources.transcripts import synthesize
+
+    t = synthesize(spark, n_convs=4, mean_turns=4, seed=7)
+    old_dir, new_dir = str(tmp_path / "v0"), str(tmp_path / "v1")
+    t.filter(F.col("conv_id") < "conv-000002").drop("tool").write.parquet(old_dir)
+    t.filter(F.col("conv_id") >= "conv-000002").write.parquet(new_dir)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(old_dir, new_dir)
+    assert merged.count() == t.count()
+    assert set(merged.columns) == set(t.columns)
+    old_rows = merged.filter(F.col("conv_id") < "conv-000002")
+    assert old_rows.filter(F.col("tool").isNotNull()).count() == 0
+    # per-turn text equality survives the merge (the north-rule invariant)
+    a = {(r.conv_id, r.turn_idx, r.text) for r in t.collect()}
+    b = {(r.conv_id, r.turn_idx, r.text) for r in merged.collect()}
+    assert a == b
+
+    # the receiver fan-in path gives identical NULL-backfill semantics
+    u = spark.read.parquet(new_dir).unionByName(
+        spark.read.parquet(old_dir), allowMissingColumns=True
+    )
+    assert u.count() == t.count()
+    assert u.filter(F.col("tool").isNull()).count() == old_rows.count() + t.filter(
+        F.col("tool").isNull() & (F.col("conv_id") >= "conv-000002")
+    ).count()
