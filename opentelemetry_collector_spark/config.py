@@ -236,6 +236,15 @@ def _compile_receiver(cid: str, cfg: dict) -> Callable[[SparkSession], DataFrame
         mean_turns = int(cfg.get("mean_turns", 20))
         seed = int(cfg.get("seed", 42))
         return lambda spark: synthesize(spark, n_convs=n_convs, mean_turns=mean_turns, seed=seed)
+    if ctype == "spans":
+        # trace-signal receiver: the transcripts-as-traces span frame
+        # (conv == trace, turn == span — SURVEY §1.3), so `traces/...`
+        # pipelines are end-to-end real; same underlying scan, one extra
+        # shuffle-free projection (zipkin.spans_from_transcripts)
+        from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+
+        inner_fn = _compile_receiver(f"transcripts/{cid}", dict(cfg))
+        return lambda spark: spans_from_transcripts(inner_fn(spark))
     raise ConfigError(f"receiver {cid}: unknown type '{ctype}'")
 
 

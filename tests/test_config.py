@@ -619,3 +619,56 @@ def test_pipeline_key_must_be_signal_typed(spark, tmp_path):
     ok = _ext_spec(tmp_path)
     ok["service"]["pipelines"]["traces/alt"] = ok["service"]["pipelines"].pop("logs")
     assert "traces/alt" in compile_config(spark, ok).pipelines
+
+
+def test_traces_pipeline_end_to_end_over_span_receiver(spark, tmp_path):
+    """A `traces/...` pipeline is real end-to-end: the spans receiver
+    derives the transcripts-as-traces frame (conv == trace, turn == span),
+    an attributes processor acts on the span attrs map, and the exporter
+    fan-out routes on span columns — same machinery as logs pipelines,
+    signal-typed like the reference's per-signal builders."""
+    from opentelemetry_collector_spark.config import compile_config, run_config
+    from opentelemetry_collector_spark.sources.transcripts import synthesize
+    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+
+    t = synthesize(spark, n_convs=4, mean_turns=5, seed=13)
+    landing = str(tmp_path / "landing")
+    t.write.parquet(landing)
+
+    spec = {
+        "receivers": {"spans/in": {"path": landing}},
+        "processors": {
+            "attributes/tag": {
+                "actions": [{"key": "env", "action": "insert", "value": "prod"}]
+            }
+        },
+        "exporters": {
+            "parquet/errors": {
+                "path": str(tmp_path / "errors"),
+                "predicate": {"columns": {"status_code": [2]}},
+            },
+            "parquet/all": {"path": str(tmp_path / "all")},
+        },
+        "service": {
+            "pipelines": {
+                "traces": {
+                    "receivers": ["spans/in"],
+                    "processors": ["attributes/tag"],
+                    "exporters": ["parquet/errors", "parquet/all"],
+                }
+            }
+        },
+    }
+    run_config(spark, spec, str(tmp_path / "run"))
+
+    want = spans_from_transcripts(t)
+    got_all = spark.read.parquet(str(tmp_path / "all"))
+    assert got_all.count() == want.count()
+    assert {r["env"] for r in got_all.select(F.col("attrs")["env"].alias("env")).collect()} == {
+        "prod"
+    }
+    got_err = spark.read.parquet(str(tmp_path / "errors"))
+    assert got_err.count() == want.filter(F.col("status_code") == 2).count()
+    assert set(got_err.select("span_id").toPandas()["span_id"]) == set(
+        want.filter(F.col("status_code") == 2).toPandas()["span_id"]
+    )
