@@ -236,6 +236,14 @@ def _compile_receiver(cid: str, cfg: dict) -> Callable[[SparkSession], DataFrame
         mean_turns = int(cfg.get("mean_turns", 20))
         seed = int(cfg.get("seed", 42))
         return lambda spark: synthesize(spark, n_convs=n_convs, mean_turns=mean_turns, seed=seed)
+    if ctype == "metrics":
+        # metric-signal receiver: the per-turn scalar datapoint frame, so
+        # `metrics/...` pipelines are end-to-end real (same scan, one
+        # projection + Generate — transcripts.metrics_from_transcripts)
+        from opentelemetry_collector_spark.sources.transcripts import metrics_from_transcripts
+
+        inner_fn = _compile_receiver(f"transcripts/{cid}", dict(cfg))
+        return lambda spark: metrics_from_transcripts(inner_fn(spark))
     if ctype == "spans":
         # trace-signal receiver: the transcripts-as-traces span frame
         # (conv == trace, turn == span — SURVEY §1.3), so `traces/...`

@@ -270,3 +270,39 @@ def synthesize_conv_meta(spark: SparkSession, n_convs: int, seed: int = 42) -> D
         ).alias("channel"),
         (F.col("id") % 3).cast("int").alias("priority"),
     )
+
+
+def metrics_from_transcripts(df: DataFrame) -> DataFrame:
+    """Scalar datapoint frame from transcript turns — the metrics-signal
+    twin of ``zipkin.spans_from_transcripts`` (SURVEY §1.3: one signal
+    family, three projections of the same table). One gauge datapoint per
+    turn: ``metric`` = turn_chars, label set = {role, conv}, value =
+    text length, plus a cumulative-monotonic ``turns_total`` counter row
+    per turn (value 1). Pure shuffle-free projection + one Generate; the
+    frame shape matches what the OC/OTLP metrics codecs marshal
+    (metric, labels map, double value, ts, kind)."""
+    rows = F.array(
+        F.struct(
+            F.lit("turn_chars").alias("metric"),
+            F.lit("gauge").alias("kind"),
+            F.coalesce(F.length("text"), F.lit(0)).cast("double").alias("value"),
+        ),
+        F.struct(
+            F.lit("turns_total").alias("metric"),
+            F.lit("sum_cumulative_monotonic").alias("kind"),
+            F.lit(1.0).alias("value"),
+        ),
+    )
+    return df.select(
+        F.explode(rows).alias("_m"),
+        F.create_map(
+            F.lit("role"), F.col("role"), F.lit("conv"), F.col("conv_id")
+        ).alias("labels"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    ).select(
+        F.col("_m.metric").alias("metric"),
+        F.col("_m.kind").alias("kind"),
+        "labels",
+        F.col("_m.value").alias("value"),
+        "ts",
+    )

@@ -672,3 +672,46 @@ def test_traces_pipeline_end_to_end_over_span_receiver(spark, tmp_path):
     assert set(got_err.select("span_id").toPandas()["span_id"]) == set(
         want.filter(F.col("status_code") == 2).toPandas()["span_id"]
     )
+
+
+def test_metrics_pipeline_end_to_end_over_metrics_receiver(spark, tmp_path):
+    """A `metrics/...` pipeline is real end-to-end: the metrics receiver
+    derives the per-turn datapoint frame, a filter processor keeps one
+    metric family (the filtermetric name matcher), and the sink receives
+    exactly the gauge rows — completing per-signal symmetry with logs and
+    traces pipelines."""
+    from opentelemetry_collector_spark.config import run_config
+    from opentelemetry_collector_spark.sources.transcripts import (
+        metrics_from_transcripts,
+        synthesize,
+    )
+
+    t = synthesize(spark, n_convs=4, mean_turns=5, seed=13)
+    landing = str(tmp_path / "landing")
+    t.write.parquet(landing)
+
+    spec = {
+        "receivers": {"metrics/in": {"path": landing}},
+        "processors": {
+            "filter/gauges": {"include": {"columns": {"metric": ["turn_chars"]}}}
+        },
+        "exporters": {"parquet/out": {"path": str(tmp_path / "out")}},
+        "service": {
+            "pipelines": {
+                "metrics": {
+                    "receivers": ["metrics/in"],
+                    "processors": ["filter/gauges"],
+                    "exporters": ["parquet/out"],
+                }
+            }
+        },
+    }
+    run_config(spark, spec, str(tmp_path / "run"))
+
+    want = metrics_from_transcripts(t).filter(F.col("metric") == "turn_chars")
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == want.count() == t.count()
+    assert set(got.select("metric").toPandas()["metric"]) == {"turn_chars"}
+    a = {(r["labels"]["conv"], r["labels"]["role"], r["value"]) for r in want.collect()}
+    b = {(r["labels"]["conv"], r["labels"]["role"], r["value"]) for r in got.collect()}
+    assert a == b
