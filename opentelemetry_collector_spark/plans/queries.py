@@ -4013,6 +4013,45 @@ GROUP BY m.tenant
 """
 
 
+def q104_incident_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident blast radius via the bucketed interval join
+    (operators/rangejoin.py): every error turn opens a 5-minute incident
+    window; count the turns and distinct conversations landing inside each
+    window ACROSS ALL conversations — a pure time-range join with no equi
+    key, which naive Spark plans as BroadcastNestedLoopJoin. The binned
+    equi-join produces exactly the inequality join's rows (plan + equality
+    asserted in test_rangejoin); the oracle is DuckDB's own inequality
+    join."""
+    from opentelemetry_collector_spark.operators.rangejoin import interval_join
+
+    t = from_events(spark, sf_dir)
+    errors = t.filter(F.col("text").rlike(r"error code=\d+"))
+    windows = errors.select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("incident_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+    )
+    turns = t.select(F.col("conv_id").alias("t_conv"), F.col("ts").alias("t_ts"))
+    joined = interval_join(turns, windows, "t_ts", "w_start", "w_end", bin_seconds=300)
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns_in_window"),
+        F.countDistinct("t_conv").cast("bigint").alias("n_convs_in_window"),
+    )
+
+
+Q104_SQL = f"""{_PRELUDE},
+errors AS (
+  SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS incident_id,
+         ts AS w_start, ts + INTERVAL 5 MINUTE AS w_end
+  FROM t WHERE regexp_matches(text, 'error code=\\d+'))
+SELECT e.incident_id,
+       CAST(count(*) AS BIGINT) AS n_turns_in_window,
+       CAST(count(DISTINCT x.conv_id) AS BIGINT) AS n_convs_in_window
+FROM errors e JOIN t x ON x.ts >= e.w_start AND x.ts <= e.w_end
+GROUP BY e.incident_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -4118,6 +4157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q101_cm_heavy_hitters": q101_cm_heavy_hitters,
     "q102_latency_hist_quantiles": q102_latency_hist_quantiles,
     "q103_role_pivot": q103_role_pivot,
+    "q104_incident_window_join": q104_incident_window_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -4217,6 +4257,7 @@ ORACLES: dict[str, str] = {
     "q101_cm_heavy_hitters": Q101_SQL,
     "q102_latency_hist_quantiles": Q102_SQL,
     "q103_role_pivot": Q103_SQL,
+    "q104_incident_window_join": Q104_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
