@@ -72,6 +72,7 @@ HEADLINE = [
     "q52_route_rollup",
     "q53_latency_quantiles",
     "q102_latency_hist_quantiles",
+    "q104_incident_window_join",
     "q54_sessionize",
     "q87_counter_adjust",
     "q88_slo_burn",

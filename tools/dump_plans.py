@@ -422,6 +422,24 @@ COMMENTARY = {
         "reducer — at 100 TB the histogram sketch replaces that with a fixed-size "
         "cell shuffle while keeping an integer-exact, oracle-checkable rank rule.",
     ),
+    "q103_role_pivot": (
+        "One partial-aggregated HashAggregate pair around a single Exchange — the "
+        "pivot with EXPLICIT values compiles to the same plan as a long-format "
+        "count (no extra distinct-scan pass to discover pivot columns); the tenant "
+        "enrich is a BroadcastHashJoin.",
+        "Spark's pivot without a value list runs a full extra scan just to find "
+        "the columns; pinning them keeps the wide matrix at one scan + one "
+        "sketch-sized shuffle at any input size.",
+    ),
+    "q104_incident_window_join": (
+        "The range join is a binned EQUI-join (SortMergeJoin/HashJoin on _bin "
+        "with the exact range predicate as the join condition's post-filter) — "
+        "no BroadcastNestedLoopJoin anywhere; the window side carries the only "
+        "Generate.",
+        "A bare ts-BETWEEN join is O(events x windows) comparisons under "
+        "BroadcastNestedLoopJoin — unusable at 100 TB. Binning turns it into a "
+        "shuffle AQE can size, skew-handle, and broadcast like any equi-join.",
+    ),
 }
 
 
