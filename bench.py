@@ -1344,6 +1344,105 @@ reusable as at-rest artifacts.
     print(json.dumps(results), flush=True)
 
 
+def run_range_scale(n_events: int = 5_000_000, n_windows: int = 20_000) -> None:
+    """Bucketed interval join vs the naive inequality join
+    (`operators/rangejoin.py`): deterministic executor-generated events
+    (one per second of a ~58-day span) joined to 5-minute windows. The
+    naive plan is BroadcastNestedLoopJoin — O(events x windows)
+    comparisons — so it is measured on a SUBSAMPLE and reported per-row;
+    the binned join runs on the full input. Writes BENCH/RANGE_JOIN.md +
+    range_join.json."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.rangejoin import interval_join
+    from opentelemetry_collector_spark.session import build_session
+
+    naive_sample = 100_000
+    spark = build_session(app_name="otelcol-range-scale")
+    try:
+        base = F.lit("2025-01-01 00:00:00").cast("timestamp")
+        events = spark.range(n_events).select(
+            F.col("id").alias("event_id"),
+            (base + F.make_interval(secs=F.col("id"))).alias("ts"),
+        )
+        windows = spark.range(n_windows).select(
+            F.col("id").alias("window_id"),
+            (base + F.make_interval(secs=F.pmod(F.xxhash64("id"), n_events))).alias("w_start"),
+        ).withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 5 MINUTES"))
+        events.write.format("noop").mode("overwrite").save()
+        windows.write.format("noop").mode("overwrite").save()
+
+        sample = events.filter(F.col("event_id") % (n_events // naive_sample) == 0)
+        t0 = time.perf_counter()
+        naive_rows = sample.join(
+            windows,
+            (F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end")),
+            "inner",
+        ).count()
+        naive_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        binned_sample_rows = interval_join(
+            sample, windows, "ts", "w_start", "w_end", bin_seconds=300
+        ).count()
+        binned_sample_sec = time.perf_counter() - t0
+        assert binned_sample_rows == naive_rows  # exactness on the shared input
+
+        t0 = time.perf_counter()
+        full_rows = interval_join(
+            events, windows, "ts", "w_start", "w_end", bin_seconds=300
+        ).count()
+        binned_full_sec = time.perf_counter() - t0
+
+        results = {
+            "events": n_events,
+            "windows": n_windows,
+            "naive_sample_events": naive_sample,
+            "naive_sample_sec": round(naive_sec, 2),
+            "binned_sample_sec": round(binned_sample_sec, 2),
+            "matched_rows_sample": naive_rows,
+            "binned_full_sec": round(binned_full_sec, 2),
+            "matched_rows_full": full_rows,
+            "naive_extrapolated_full_sec": round(naive_sec * n_events / naive_sample, 1),
+        }
+    finally:
+        spark.stop()
+
+    r = results
+    md = f"""# BENCH/RANGE_JOIN.md — bucketed interval join vs the inequality join
+
+`python bench.py --range-scale`: {r['events']:,} one-per-second events joined
+to {r['windows']:,} five-minute windows (deterministic, executor-generated).
+local[32], one JVM. Raw numbers in `range_join.json`.
+
+| path | input | wall sec | matched rows |
+|---|---|---|---|
+| naive `ts BETWEEN` join (BroadcastNestedLoopJoin) | {r['naive_sample_events']:,}-event SAMPLE | {r['naive_sample_sec']} | {r['matched_rows_sample']:,} |
+| binned equi-join (bin = window length) | same sample | {r['binned_sample_sec']} | {r['matched_rows_sample']:,} (identical) |
+| binned equi-join | FULL {r['events']:,} events | {r['binned_full_sec']} | {r['matched_rows_full']:,} |
+
+The naive plan compares every event against every window —
+{r['naive_sample_events']:,} x {r['windows']:,} predicate evaluations took
+{r['naive_sample_sec']} s, so the full input extrapolates to
+~{r['naive_extrapolated_full_sec']:,} s (it scales with events x windows).
+The binned join ran the FULL input in {r['binned_full_sec']} s: its cost is
+one Generate over the window side + one equi-join shuffle, i.e. linear in
+events + windows x bins-per-window, and row-identical to the inequality
+join (asserted during the run and in test_rangejoin).
+
+**At 100 TB:** the equi-join shape is the whole point — AQE can size, salt,
+and broadcast it like any other join; there is no nested-loop cliff, and a
+hot window (one bin carrying a disproportionate share of events) is just an
+ordinary skewed key for the skew-join machinery.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "RANGE_JOIN.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "range_join.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -1354,6 +1453,7 @@ if __name__ == "__main__":
     ap.add_argument("--mix-scale", action="store_true")
     ap.add_argument("--sketch-scale", action="store_true")
     ap.add_argument("--prob-sketch", action="store_true")
+    ap.add_argument("--range-scale", action="store_true")
     ap.add_argument("--n-low", type=int, default=4)
     ap.add_argument("--n-high", type=int, default=16)
     ap.add_argument("--rows-millions", type=float, default=160.0)
@@ -1374,5 +1474,7 @@ if __name__ == "__main__":
         run_sketch_scale(args.rows_millions)
     elif args.prob_sketch:
         run_prob_sketch(min(args.rows_millions, 20.0))
+    elif args.range_scale:
+        run_range_scale()
     else:
         run_default()
