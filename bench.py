@@ -1197,7 +1197,13 @@ def run_prob_sketch(rows_millions: float = 20.0) -> None:
             F.pmod(F.xxhash64("id", F.lit(5)), 10_000_000).alias("latency_us"),
         )
         vals.write.format("noop").mode("overwrite").save()
-        bounds = [10**i * f for i in range(1, 7) for f in (1, 2, 5)] + [10_000_000]
+        # no bound at 5,000,000: latency is uniform over [0, 10M) so the
+        # interpolated p50 straddles 5M run-to-run, and the one-sided
+        # assertion below compares the sketch's ceiling-rank bound against
+        # Spark's INTERPOLATED percentile — keeping quantiles off the bound
+        # grid makes that comparison well-defined
+        bounds = [b for b in (10**i * f for i in range(1, 7) for f in (1, 2, 5))
+                  if b != 5_000_000] + [10_000_000]
 
         t0 = time.perf_counter()
         exact_q = {

@@ -53,24 +53,38 @@ def interval_join(
     EQUI-join plan.
 
     Returns events columns + windows columns (callers project). NULL
-    timestamps/bounds never match. Windows wider than
-    ``bin_seconds * 65536`` are rejected — that is a mis-sized bin, not a
-    use case. (An outer variant needs a unique event key to fold unmatched
-    candidates without collapsing duplicate event rows — compose one from
-    this inner join + LEFT ANTI when needed.)
+    timestamps/bounds never match; inverted windows (start > end) match
+    nothing, exactly like the inequality join. A window wider than
+    ``bin_seconds * 65536`` raises — that is a mis-sized bin, not a use
+    case, and silently dropping it would silently drop matches. The check
+    is one eager aggregate over the window side (the small side by
+    construction). (An outer variant needs a unique event key to fold
+    unmatched candidates without collapsing duplicate event rows — compose
+    one from this inner join + LEFT ANTI when needed.)
     """
     extra_keys = list(extra_keys or [])
     dup = set(events.columns) & set(windows.columns) - set(extra_keys)
     if dup:
         raise ValueError(f"ambiguous columns (alias before joining): {sorted(dup)}")
+    bin_col = "__itv_bin"
+    for side, cols in (("events", events.columns), ("windows", windows.columns)):
+        if bin_col in cols:
+            raise ValueError(f"{side} side already has reserved column {bin_col!r}")
 
-    e = events.withColumn("_bin", _bin_of(F.col(ts_col), bin_seconds))
     sb = _bin_of(F.col(start_col), bin_seconds)
     eb = _bin_of(F.col(end_col), bin_seconds)
+    oversized = windows.filter(eb - sb >= _MAX_BINS_PER_WINDOW).limit(1).count()
+    if oversized:
+        raise ValueError(
+            f"window wider than bin_seconds*{_MAX_BINS_PER_WINDOW} "
+            f"({bin_seconds=}) — pick a larger bin"
+        )
+
+    e = events.withColumn(bin_col, _bin_of(F.col(ts_col), bin_seconds))
     w = (
         windows.filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
-        .filter((eb - sb >= 0) & (eb - sb < _MAX_BINS_PER_WINDOW))
-        .withColumn("_bin", F.explode(F.sequence(sb, eb)))
+        .filter(eb - sb >= 0)
+        .withColumn(bin_col, F.explode(F.sequence(sb, eb)))
     )
     in_range = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
-    return e.join(w, ["_bin", *extra_keys], "inner").filter(in_range).drop("_bin")
+    return e.join(w, [bin_col, *extra_keys], "inner").filter(in_range).drop(bin_col)

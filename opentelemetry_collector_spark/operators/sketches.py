@@ -43,7 +43,10 @@ stored as BIGINT so no mask ever touches the sign bit in either engine.
 
 from __future__ import annotations
 
-import pandas as pd
+try:  # only the *_big Arrow probes need pandas; keep the module importable
+    import pandas as pd
+except ImportError:  # pragma: no cover - pandas ships with this container
+    pd = None
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -185,6 +188,8 @@ def bloom_probe_big(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    if pd is None:  # pragma: no cover
+        raise ImportError("pandas is required for the Arrow-batched sketch probes")
     n_words = m_bits // _WORD_BITS
     if n_words > _MAX_COLLECT_CELLS:
         raise ValueError(f"m_bits {m_bits} too large to collect ({n_words} words)")
@@ -208,7 +213,11 @@ def bloom_probe_big(
         return pd.Series(ok)
 
     h1, h2 = _hash_words(F.col(key_col), hasher)
-    return df.withColumn(out_col, _probe(h1, h2))
+    out = df.withColumn(out_col, _probe(h1, h2))
+    # each call broadcasts a fresh bitset that lives for the app lifetime;
+    # long-running probe loops should destroy it once the result is consumed
+    out.sketch_broadcast = bc
+    return out
 
 
 def cm_build(
@@ -370,6 +379,8 @@ def cm_estimate_big(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    if pd is None:  # pragma: no cover
+        raise ImportError("pandas is required for the Arrow-batched sketch probes")
     if depth * width > _MAX_COLLECT_CELLS:
         raise ValueError(f"sketch too large to collect: {depth}x{width}")
     dense = np.zeros((depth, width), dtype=np.int64)
@@ -393,4 +404,6 @@ def cm_estimate_big(
         return out
 
     h1, h2 = _hash_words(F.col(key_col), hasher)
-    return df.withColumn(out_col, _est(h1, h2))
+    out = df.withColumn(out_col, _est(h1, h2))
+    out.sketch_broadcast = bc  # see bloom_probe_big: caller-managed lifecycle
+    return out

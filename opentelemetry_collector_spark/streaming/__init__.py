@@ -1,6 +1,7 @@
 from opentelemetry_collector_spark.streaming.stream import (
     accumulate_bloom_stream,
     accumulate_cells_stream,
+    read_bloom_artifact,
     read_transcript_stream,
     run_stream_pipeline,
     session_turn_counts,
@@ -10,6 +11,7 @@ from opentelemetry_collector_spark.streaming.stream import (
 __all__ = [
     "accumulate_bloom_stream",
     "accumulate_cells_stream",
+    "read_bloom_artifact",
     "read_transcript_stream",
     "run_stream_pipeline",
     "session_turn_counts",

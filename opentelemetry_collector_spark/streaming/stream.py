@@ -154,13 +154,18 @@ def accumulate_bloom_stream(
     (``sketches.bloom_probe_big``) see every key ever ingested.
 
     Per epoch: build the batch's (word, bits) frame, bit_or-merge with the
-    artifact, rewrite. The merged sketch is collected before the rewrite —
-    it is driver-sized by construction (m_bits/32 longs), and collecting
-    breaks the read-then-overwrite hazard on the artifact path. Replayed
-    epochs (Spark's at-least-once foreachBatch redelivery) are harmless by
-    algebra: bit_or is idempotent, so re-merging the same batch cannot
-    change the bitset — the exactly-once story needs no epoch bookkeeping,
-    unlike the row-append sinks in :func:`run_stream_pipeline`.
+    latest artifact version, and write the merged bitset as a NEW
+    ``_v=<epoch>`` partition (dynamic overwrite). Versioning makes every
+    failure window non-destructive: a crash mid-write never touches the
+    previous version (an in-place ``mode("overwrite")`` deletes the old
+    artifact before the new one commits), and a replayed epoch (Spark's
+    at-least-once foreachBatch redelivery) overwrites its own version with
+    a bit_or-idempotent result. Readers take the max version via
+    :func:`read_bloom_artifact`; old versions are sketch-sized and prunable
+    with ``plans/maintenance.expire_partitions``. Only a genuinely missing
+    artifact is treated as the first epoch — any other read error
+    propagates (swallowing it would silently restart the seen-set and break
+    the no-false-negatives dedup contract downstream).
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -173,20 +178,40 @@ def accumulate_bloom_stream(
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         new = bloom_build(batch_df, key_col, m_bits=m_bits, k=k, hasher=hasher)
-        try:
-            prior = spark.read.schema(schema).parquet(artifact_path)
-            merged = bloom_merge(prior, new)
-        except Exception:  # first epoch: no artifact yet
-            merged = new
+        prior = read_bloom_artifact(spark, artifact_path)
+        merged = bloom_merge(prior, new) if prior is not None else new
         rows = [(r["word"], r["bits"]) for r in merged.collect()]
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
-            artifact_path
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("_v", F.lit(epoch_id).cast("bigint"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_v")
+            .parquet(artifact_path)
         )
 
     writer = df.writeStream.foreachBatch(_fold).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_bloom_artifact(spark: SparkSession, artifact_path: str) -> DataFrame | None:
+    """Latest version of a versioned bloom artifact as a plain (word, bits)
+    frame — feed it to ``sketches.bloom_probe``/``bloom_probe_big``.
+    Returns None only when the artifact does not exist yet; any other read
+    failure raises."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(artifact_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
+    vmax = df.agg(F.max("_v")).first()[0]
+    return df.filter(F.col("_v") == vmax).select("word", "bits")
 
 
 def accumulate_cells_stream(
@@ -207,6 +232,16 @@ def accumulate_cells_stream(
     adds). Readers merge at query time with the sketch's own groupBy-sum —
     over partials whose total size is epochs x sketch cells, never the
     input.
+
+    Scope of the replay guarantee: it covers Spark's OWN redelivery — the
+    same checkpoint re-running an epoch with the identical batch (that is
+    what foreachBatch can replay). Re-ingesting the same input under a NEW
+    checkpoint is only safe if the trigger reproduces the same epoch
+    batching; a coarser trigger would renumber epochs and leave stale
+    higher-numbered partitions double-counting. For a from-scratch rebuild,
+    point ``artifact_path`` at a fresh directory (the bloom's bit_or
+    accumulation in :func:`accumulate_bloom_stream` is the variant that
+    tolerates arbitrary re-ingestion).
 
     ``build_fn(batch_df) -> DataFrame`` produces the batch's cell frame
     (e.g. ``lambda b: cm_build(b, "conv_id", depth=4, width=256)``).

@@ -105,11 +105,26 @@ def test_oversized_window_and_ambiguous_columns_rejected(spark):
     import pytest
 
     events, windows = _frames(spark)
-    # a window wider than bin*65536 is dropped by the guard filter
+    # a window wider than bin*65536 RAISES — silently dropping it would
+    # silently drop matches
     huge = spark.createDataFrame(
         [("wx", _ts(0), _ts(0) + dt.timedelta(days=400))],
         "window_id string, w_start timestamp, w_end timestamp",
     )
-    assert interval_join(events, huge, "ts", "w_start", "w_end", 1).count() == 0
+    with pytest.raises(ValueError, match="wider than"):
+        interval_join(events, huge, "ts", "w_start", "w_end", 1)
     with pytest.raises(ValueError, match="ambiguous"):
         interval_join(events, events, "ts", "w_start", "w_end", 60)
+    with pytest.raises(ValueError, match="reserved"):
+        interval_join(
+            events.withColumn("__itv_bin", F.lit(1)), windows, "ts", "w_start", "w_end", 60
+        )
+
+
+def test_inverted_window_matches_nothing_like_naive(spark):
+    events, _ = _frames(spark)
+    inverted = spark.createDataFrame(
+        [("wx", _ts(10), _ts(0))], "window_id string, w_start timestamp, w_end timestamp"
+    )
+    assert interval_join(events, inverted, "ts", "w_start", "w_end", 60).count() == 0
+    assert _naive(events, inverted).count() == 0

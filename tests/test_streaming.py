@@ -273,7 +273,10 @@ def test_bloom_accumulates_across_epochs_and_replay_is_idempotent(spark, tmp_pat
     True, and refolding the same input (at-least-once replay) leaves the
     bitset bit-identical."""
     from opentelemetry_collector_spark.operators.sketches import bloom_build, bloom_probe
-    from opentelemetry_collector_spark.streaming import accumulate_bloom_stream
+    from opentelemetry_collector_spark.streaming import (
+        accumulate_bloom_stream,
+        read_bloom_artifact,
+    )
 
     landing, df = _landing(spark, tmp_path)
     artifact = str(tmp_path / "bloom")
@@ -285,7 +288,7 @@ def test_bloom_accumulates_across_epochs_and_replay_is_idempotent(spark, tmp_pat
     )
     q.awaitTermination(120)
 
-    got = {(r["word"], r["bits"]) for r in spark.read.parquet(artifact).collect()}
+    got = {(r["word"], r["bits"]) for r in read_bloom_artifact(spark, artifact).collect()}
     want = {
         (r["word"], r["bits"])
         for r in bloom_build(df.select("conv_id"), "conv_id", m_bits=m, k=k).collect()
@@ -293,7 +296,7 @@ def test_bloom_accumulates_across_epochs_and_replay_is_idempotent(spark, tmp_pat
     assert got == want
 
     keys = df.select("conv_id").distinct()
-    flagged = bloom_probe(keys, spark.read.parquet(artifact), "conv_id", m, k)
+    flagged = bloom_probe(keys, read_bloom_artifact(spark, artifact), "conv_id", m, k)
     assert all(r["maybe_seen"] for r in flagged.collect())
 
     # replay: fresh checkpoint, same input — bit_or idempotence
@@ -302,8 +305,9 @@ def test_bloom_accumulates_across_epochs_and_replay_is_idempotent(spark, tmp_pat
         artifact, "conv_id", str(tmp_path / "ckpt_bloom2"), m_bits=m, k=k,
     )
     q2.awaitTermination(120)
-    again = {(r["word"], r["bits"]) for r in spark.read.parquet(artifact).collect()}
+    again = {(r["word"], r["bits"]) for r in read_bloom_artifact(spark, artifact).collect()}
     assert again == want
+    assert read_bloom_artifact(spark, str(tmp_path / "nope")) is None
 
 
 def test_cell_sketch_epochs_merge_to_whole_and_replay_overwrites(spark, tmp_path):
