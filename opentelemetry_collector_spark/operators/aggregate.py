@@ -423,3 +423,53 @@ def accumulate_deltas(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def service_graph(
+    spans: DataFrame,
+    *,
+    trace_col: str = "trace_id",
+    span_col: str = "span_id",
+    parent_col: str = "parent_span_id",
+    service_col: str = "service_name",
+    status_col: str = "status_code",
+    duration_col: str = "duration_us",
+) -> DataFrame:
+    """Service dependency graph from a flattened span frame: one row per
+    (parent_service -> child_service) edge with call count, error count and
+    exact p50 latency.
+
+    This is the topology aggregation observability backends derive from the
+    trace data the reference merely transports (the span frame of
+    ``translator/trace/zipkinv2``, flattened per SURVEY §1.3); the edge
+    relation is the CHILD_OF reference the Jaeger translator encodes
+    (``translator/trace/jaeger/traces_to_jaegerproto.go:274-332``).
+
+    Physical shape: one self-join keyed ``(trace, span_id)`` — both sides
+    hash-partition on the same key, so AQE can size, broadcast, or
+    skew-split it like any equi-join (a hot trace is an ordinary skewed
+    key) — then one partial-aggregated groupBy over the edge labels. The
+    p50 uses dyadic-exact ``F.percentile`` over integer micros (the q53
+    technique: at p=0.5 interpolation is a halving, bit-exact across
+    engines). Root spans (NULL parent) parent no edge; a parent id that
+    resolves to no span (in-flight partial trace) drops out of the inner
+    join, matching what a topology can actually see.
+    """
+    child = spans.select(
+        F.col(trace_col).alias("_t"),
+        F.col(parent_col).alias("_p"),
+        F.col(service_col).alias("child_service"),
+        F.col(status_col).alias("_status"),
+        F.col(duration_col).alias("_dur"),
+    ).filter(F.col("_p").isNotNull())
+    parent = spans.select(
+        F.col(trace_col).alias("_t"),
+        F.col(span_col).alias("_p"),
+        F.col(service_col).alias("parent_service"),
+    )
+    edges = child.join(parent, ["_t", "_p"], "inner")
+    return edges.groupBy("parent_service", "child_service").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_calls"),
+        F.sum((F.col("_status") == 2).cast("bigint")).cast("bigint").alias("n_errors"),
+        F.floor(F.percentile("_dur", 0.5)).cast("bigint").alias("p50_duration_us"),
+    )

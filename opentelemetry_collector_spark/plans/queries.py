@@ -4052,6 +4052,42 @@ GROUP BY e.incident_id
 """
 
 
+def q105_service_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service dependency graph (operators/aggregate.service_graph): the
+    topology aggregation a tracing backend derives from the spans the
+    reference transports — per (parent_service -> child_service) edge, call
+    count, error count and exact p50 latency. One (trace, span_id)-keyed
+    self-join + one partial-aggregated groupBy; p50 is dyadic-exact over
+    integer micros (the q53 technique). Oracle: the identical self-join
+    over the Q37 span-frame derivation with quantile_cont."""
+    from opentelemetry_collector_spark.operators.aggregate import service_graph
+    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+
+    return service_graph(spans_from_transcripts(from_events(spark, sf_dir)))
+
+
+Q105_SQL = f"""{_PRELUDE},
+spans AS (
+  SELECT md5(conv_id) AS trace_id,
+         substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16) AS span_id,
+         CASE WHEN turn_idx > 0
+              THEN substr(md5(conv_id || ':' || CAST(turn_idx - 1 AS VARCHAR)), 1, 16)
+         END AS parent_span_id,
+         role AS service_name,
+         CASE WHEN regexp_matches(text, 'error code=\\d+') THEN 2 ELSE 0 END AS status_code,
+         CAST(length(text) * 1000 AS BIGINT) AS duration_us
+  FROM t)
+SELECT p.service_name AS parent_service,
+       c.service_name AS child_service,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(sum(CASE WHEN c.status_code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       CAST(floor(quantile_cont(c.duration_us, 0.5)) AS BIGINT) AS p50_duration_us
+FROM spans c JOIN spans p
+  ON c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
+GROUP BY p.service_name, c.service_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -4158,6 +4194,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_latency_hist_quantiles": q102_latency_hist_quantiles,
     "q103_role_pivot": q103_role_pivot,
     "q104_incident_window_join": q104_incident_window_join,
+    "q105_service_graph": q105_service_graph,
 }
 
 ORACLES: dict[str, str] = {
@@ -4258,6 +4295,7 @@ ORACLES: dict[str, str] = {
     "q102_latency_hist_quantiles": Q102_SQL,
     "q103_role_pivot": Q103_SQL,
     "q104_incident_window_join": Q104_SQL,
+    "q105_service_graph": Q105_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
