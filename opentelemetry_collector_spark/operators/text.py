@@ -473,3 +473,72 @@ def encoding_metrics(col: Column) -> Column:
         ),
         F.regexp_count(col, F.lit(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")).cast("bigint").alias("ctrl"),
     )
+
+
+def surprisal_bits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    reference: DataFrame | None = None,
+    ref_text_col: str | None = None,
+    vocab_limit: int = 65536,
+) -> DataFrame:
+    """Unigram-LM surprisal scoring at WHOLE-BIT resolution (the CCNet-style
+    perplexity bucket signal, Wenzek et al. 2020, reduced to integers so two
+    engines agree bit-for-bit): a token that occurs ``cnt`` times in a
+    reference corpus of ``N`` tokens carries
+    ``floor(log2(N)) - floor(log2(cnt))`` bits of surprise — computed as
+    ``length(bin(N)) - length(bin(cnt))``, pure integer, no libm. A real
+    log-prob drifts across engines' float logs; whole bits cost ~1 bit of
+    resolution and keep the score hash-stable, the same trade
+    :func:`vocab_coverage` makes for coverage.
+
+    ``reference`` is the training corpus (defaults to ``df`` itself — the
+    self-trained form); its token frequencies above ``vocab_limit`` ranks
+    are dropped (deterministic (count desc, token) order) and out-of-vocab
+    tokens score the maximum ``length(bin(N))`` bits. Output per doc:
+    ``n_tokens``, ``bits_total`` and ``mbits_per_token`` (milli-bits, exact
+    integer division; empty docs score 0).
+
+    Physical shape: one groupBy over the reference postings for the vocab
+    (TakeOrderedAndProject caps driver transfer at ``vocab_limit``), a
+    single-row total aggregate, then one broadcast probe join + per-doc
+    partial agg over the scored postings. The corpus is never sorted and
+    never crosses a shuffle wider than its posting counts.
+    """
+    ref = reference if reference is not None else df
+    rcol = ref_text_col or text_col
+    posts = ref.select(F.explode(tokens(F.col(rcol))).alias("_t"))
+    counts = posts.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    n_total = posts.count()
+    if n_total == 0:
+        raise ValueError("reference corpus has no tokens")
+    max_bits = len(bin(n_total)) - 2  # == length(bin(N)) in SQL
+    vocab = (
+        counts.orderBy(F.desc("_c"), F.asc("_t"))
+        .limit(vocab_limit)
+        .select("_t", (F.lit(max_bits) - F.length(F.bin("_c"))).alias("_bits"))
+    )
+    doc_posts = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    scored = (
+        doc_posts.join(F.broadcast(vocab), "_t", "left")
+        .withColumn("_bits", F.coalesce(F.col("_bits"), F.lit(max_bits)))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_bits").alias("bits_total"),
+        )
+    )
+    spine = df.select(id_col)
+    return (
+        spine.join(scored, id_col, "left")
+        .na.fill({"n_tokens": 0, "bits_total": 0})
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("bits_total").cast("bigint").alias("bits_total"),
+            F.expr("bits_total * 1000 div greatest(n_tokens, 1)")
+            .cast("bigint")
+            .alias("mbits_per_token"),
+        )
+    )

@@ -4088,6 +4088,36 @@ GROUP BY p.service_name, c.service_name
 """
 
 
+def q106_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring (operators/text.surprisal_bits): the
+    CCNet-style perplexity-bucket signal at whole-bit resolution — pure
+    integer log2 via length(bin(n)), so both engines produce the identical
+    score with no libm in sight. Self-trained on the documents corpus;
+    broadcast vocab probe + one per-doc partial agg."""
+    from opentelemetry_collector_spark.operators.text import surprisal_bits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return surprisal_bits(docs, "doc_id")
+
+
+Q106_SQL = f"""
+WITH {_DOC_WORDS_SQL},
+tk AS (SELECT doc_id, unnest(w) AS t FROM d),
+mb AS (SELECT length(bin(count(*))) AS maxb FROM tk),
+vocab AS (SELECT t, (SELECT maxb FROM mb) - length(bin(c)) AS bits
+          FROM (SELECT t, count(*) AS c FROM tk GROUP BY t ORDER BY c DESC, t LIMIT 65536)),
+scored AS (SELECT doc_id, count(*) AS n_tokens,
+                  sum(coalesce(bits, (SELECT maxb FROM mb))) AS bits_total
+           FROM tk LEFT JOIN vocab USING (t) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(bits_total, 0) AS BIGINT) AS bits_total,
+       CAST(coalesce(bits_total, 0) * 1000 // greatest(coalesce(n_tokens, 0), 1) AS BIGINT)
+         AS mbits_per_token
+FROM d LEFT JOIN scored USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -4195,6 +4225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q103_role_pivot": q103_role_pivot,
     "q104_incident_window_join": q104_incident_window_join,
     "q105_service_graph": q105_service_graph,
+    "q106_surprisal": q106_surprisal,
 }
 
 ORACLES: dict[str, str] = {
@@ -4296,6 +4327,7 @@ ORACLES: dict[str, str] = {
     "q103_role_pivot": Q103_SQL,
     "q104_incident_window_join": Q104_SQL,
     "q105_service_graph": Q105_SQL,
+    "q106_surprisal": Q106_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -553,3 +553,77 @@ def test_train_linear_degenerate_seeds(spark):
     w, b = train_linear(with_nulls, "label", min_doc_freq=1, max_iter=10)
     got = {r["term"]: r["weight_pm"] for r in w.collect()}
     assert got.get("good", 0) > 0 > got.get("bad", 0)
+
+
+def test_surprisal_bits_hand_computed(spark):
+    """Corpus 'a a a a b b c .' (8 tokens, maxb=length(bin(8))=4):
+    bits(a)=4-len(bin(4))=1, bits(b)=4-2=2, bits(c)=4-1=3, OOV=4."""
+    from opentelemetry_collector_spark.operators.text import surprisal_bits
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a a a a"),
+            ("d2", "b b c ."),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bits_total"], r["mbits_per_token"])
+        for r in surprisal_bits(docs, "doc_id").collect()
+    }
+    # d1: 4 tokens x 1 bit = 4; d2: 2+2+3+3 = 10 -> 2500 mbits/token
+    assert got == {"d1": (4, 4, 1000), "d2": (4, 10, 2500)}
+
+
+def test_surprisal_bits_oov_empty_and_vocab_limit(spark):
+    from opentelemetry_collector_spark.operators.text import surprisal_bits
+
+    ref = spark.createDataFrame(
+        [("r1", "x x x y")], "doc_id string, text string"
+    )  # N=4, maxb=3: bits(x)=3-2=1, bits(y)=3-1=2
+    docs = spark.createDataFrame(
+        [("d1", "x zz"), ("d2", ""), ("d3", "   ")],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bits_total"], r["mbits_per_token"])
+        for r in surprisal_bits(docs, "doc_id", reference=ref).collect()
+    }
+    # zz is OOV -> maxb=3 bits; empty/whitespace docs score 0
+    assert got == {"d1": (2, 4, 2000), "d2": (0, 0, 0), "d3": (0, 0, 0)}
+
+    # vocab_limit=1 keeps only x (count desc, token asc); y becomes OOV
+    got1 = {
+        r["doc_id"]: r["bits_total"]
+        for r in surprisal_bits(
+            spark.createDataFrame([("q", "y")], "doc_id string, text string"),
+            "doc_id",
+            reference=ref,
+            vocab_limit=1,
+        ).collect()
+    }
+    assert got1 == {"q": 3}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no tokens"):
+        surprisal_bits(docs, "doc_id", reference=docs.filter("doc_id = 'd2'"))
+
+
+def test_surprisal_plan_is_broadcast_probe(spark):
+    from opentelemetry_collector_spark.operators.text import surprisal_bits
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c"), ("d2", "a a")], "doc_id string, text string"
+    )
+    plan = (
+        surprisal_bits(docs, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the vocab probe joins on the token key and must be a broadcast, never
+    # a shuffle of the postings against the tiny vocab (the doc-id spine
+    # LEFT join may shuffle — it is keyed on doc_id, not _t)
+    assert "BroadcastHashJoin [_t" in plan
+    assert "SortMergeJoin [_t" not in plan
