@@ -116,3 +116,100 @@ def expire_partitions(
             shutil.rmtree(os.path.join(path, f"{partition_col}={s.value}"))
             dropped.append(s.value)
     return dropped
+
+
+def purge_keys(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    key_col: str,
+    keys,
+) -> dict[str, int]:
+    """Targeted row deletion (the right-to-be-forgotten / retention-by-key
+    op every at-rest corpus eventually needs; the reference never stores
+    data, so this is purely the cost of our sink tables): remove every row
+    whose ``key_col`` is in ``keys``, rewriting ONLY the partitions that
+    contain a hit.
+
+    ``keys`` is a list of values or a single-column DataFrame.
+
+    Mechanism, in the order that makes a crash harmless:
+
+    1. **locate** — one column-pruned scan of (partition, key) joined
+       against the key set (broadcast when small; AQE decides) yields the
+       per-partition hit and survivor counts. Partitions with no hits are
+       never read again and their files stay byte-identical.
+    2. **rewrite** — partitions with hits AND survivors are rewritten with
+       an anti-join filter under dynamic partition overwrite (the
+       compaction op's idempotence mechanism: a repeated rewrite
+       converges).
+    3. **drop** — partitions whose every row is purged are removed whole;
+       dynamic overwrite cannot express "this partition is now empty"
+       (writing zero rows for a value touches nothing), so the empty case
+       is a directory-level delete, last, after the rewrites committed.
+
+    On Iceberg the same policy is `DELETE WHERE` + `expire_snapshots`;
+    this is the local-parquet binding. Returns counts for audit:
+    ``rows_purged`` must be reconciled against the request upstream (a key
+    with zero hits is NOT an error — deletion requests repeat).
+    """
+    from pyspark.sql import DataFrame
+
+    if isinstance(keys, DataFrame):
+        kdf = keys.toDF("_purge_key").distinct()
+    else:
+        if not keys:
+            return {
+                "partitions_rewritten": 0,
+                "partitions_dropped": 0,
+                "rows_purged": 0,
+                "rows_remaining": -1,
+            }
+        kdf = spark.createDataFrame([(k,) for k in keys], ["_purge_key"]).distinct()
+
+    df = spark.read.parquet(path)
+    probe = df.select(
+        F.col(partition_col).cast("string").alias("_pv"), F.col(key_col)
+    ).join(kdf, F.col(key_col) == F.col("_purge_key"), "left")
+    per_part = (
+        probe.groupBy("_pv")
+        .agg(
+            F.sum(F.col("_purge_key").isNotNull().cast("bigint")).alias("_hits"),
+            F.sum(F.col("_purge_key").isNull().cast("bigint")).alias("_survivors"),
+        )
+        .filter(F.col("_hits") > 0)
+        .collect()
+    )
+    rewrite = [r["_pv"] for r in per_part if r["_survivors"] > 0]
+    drop = [r["_pv"] for r in per_part if r["_survivors"] == 0]
+    purged = sum(r["_hits"] for r in per_part)
+
+    if rewrite:
+        sel = df.filter(F.col(partition_col).cast("string").isin(rewrite))
+        survivors = sel.join(
+            kdf, sel[key_col] == kdf["_purge_key"], "left_anti"
+        )
+        (
+            survivors.repartition(len(rewrite), F.col(partition_col))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    for v in drop:
+        target = os.path.join(path, f"{partition_col}={v}")
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+
+    if not (rewrite or drop):
+        remaining = -1
+    elif not _list_partitions(path, partition_col):
+        remaining = 0  # every partition purged whole; nothing left to scan
+    else:
+        remaining = spark.read.parquet(path).count()
+    return {
+        "partitions_rewritten": len(rewrite),
+        "partitions_dropped": len(drop),
+        "rows_purged": int(purged),
+        "rows_remaining": int(remaining),
+    }

@@ -77,3 +77,72 @@ def test_expire_drops_only_old_partitions(spark, sink):
     assert dropped == ["0"]
     left = spark.read.parquet(sink)
     assert set(r["_epoch"] for r in left.select("_epoch").distinct().collect()) == {1, 2}
+
+
+def _file_sig(path, partition_col, value):
+    d = os.path.join(path, f"{partition_col}={value}")
+    return sorted(
+        (f, os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+
+
+def test_purge_rewrites_only_hit_partitions_and_drops_empty(spark, tmp_path):
+    from opentelemetry_collector_spark.plans.maintenance import purge_keys
+
+    path = str(tmp_path / "purge")
+    rows = [
+        # day=a: mixed; day=b: untouched; day=c: fully purged
+        ("k1", "a"), ("k2", "a"), ("k3", "a"),
+        ("k4", "b"), ("k5", "b"),
+        ("k6", "c"), ("k7", "c"),
+    ]
+    spark.createDataFrame(rows, "k string, day string").write.partitionBy(
+        "day"
+    ).parquet(path)
+    before_b = _file_sig(path, "day", "b")
+
+    got = purge_keys(spark, path, "day", "k", ["k1", "k3", "k6", "k7", "k_absent"])
+    assert got == {
+        "partitions_rewritten": 1,
+        "partitions_dropped": 1,
+        "rows_purged": 4,
+        "rows_remaining": 3,
+    }
+    left = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert left == {"k2", "k4", "k5"}
+    # untouched partition is byte-identical (same files, sizes, mtimes)
+    assert _file_sig(path, "day", "b") == before_b
+    assert not os.path.isdir(os.path.join(path, "day=c"))
+
+    # idempotence: deletion requests repeat; a second purge finds nothing
+    again = purge_keys(spark, path, "day", "k", ["k1", "k6"])
+    assert again["partitions_rewritten"] == 0 and again["partitions_dropped"] == 0
+    assert again["rows_purged"] == 0 and again["rows_remaining"] == -1
+
+
+def test_purge_accepts_key_dataframe_and_empty_list(spark, tmp_path):
+    from opentelemetry_collector_spark.plans.maintenance import purge_keys
+
+    path = str(tmp_path / "purge2")
+    spark.createDataFrame(
+        [("k1", "a"), ("k2", "a")], "k string, day string"
+    ).write.partitionBy("day").parquet(path)
+
+    assert purge_keys(spark, path, "day", "k", [])["rows_purged"] == 0
+
+    kdf = spark.createDataFrame([("k2",), ("k2",)], ["victim"])  # dup keys collapse
+    got = purge_keys(spark, path, "day", "k", kdf)
+    assert got["rows_purged"] == 1 and got["rows_remaining"] == 1
+
+
+def test_purge_everything_leaves_empty_table(spark, tmp_path):
+    from opentelemetry_collector_spark.plans.maintenance import purge_keys
+
+    path = str(tmp_path / "purge3")
+    spark.createDataFrame(
+        [("k1", "a"), ("k2", "b")], "k string, day string"
+    ).write.partitionBy("day").parquet(path)
+    got = purge_keys(spark, path, "day", "k", ["k1", "k2"])
+    assert got["partitions_dropped"] == 2 and got["rows_remaining"] == 0
