@@ -1,6 +1,7 @@
 from opentelemetry_collector_spark.streaming.stream import (
     accumulate_bloom_stream,
     accumulate_cells_stream,
+    interval_join_stream,
     read_bloom_artifact,
     read_transcript_stream,
     run_stream_pipeline,
@@ -11,6 +12,7 @@ from opentelemetry_collector_spark.streaming.stream import (
 __all__ = [
     "accumulate_bloom_stream",
     "accumulate_cells_stream",
+    "interval_join_stream",
     "read_bloom_artifact",
     "read_transcript_stream",
     "run_stream_pipeline",

@@ -421,3 +421,84 @@ def _adjust_state_fn(timeout_minutes: int):
         state.setTimeoutDuration(timeout_minutes * 60 * 1000)
 
     return fn
+
+
+def interval_join_stream(
+    events: DataFrame,
+    windows: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int,
+    max_window_seconds: int,
+    *,
+    event_delay: str = "10 minutes",
+    window_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream form of ``operators/rangejoin.interval_join``: live
+    events joined to live windows (incidents opening as they are detected),
+    with watermarks bounding BOTH state stores — the event-time/late-data
+    machinery the reference never had (SURVEY §2.7).
+
+    Same binned formulation as the batch operator: windows explode into
+    ``bin_seconds`` buckets, events carry exactly one bucket, so the
+    symmetric hash join has a real equality key instead of a pure range
+    predicate. The extra streaming contract is ``max_window_seconds`` —
+    the operator's stated domain, not a silent guard: a window's span must
+    fit it, because state cleanup needs a bound relating the two
+    watermarked columns (``event.ts <= window.start + max_window``). Wider
+    windows are excluded by definition, exactly as late rows beyond the
+    watermark are. Late events older than ``event_delay`` and windows
+    opening more than ``window_delay`` behind the event watermark drop per
+    Spark's join-watermark semantics.
+
+    Row parity with the batch operator on in-order input is pinned in
+    tests; use the batch form for backfill (they compose: same bin math,
+    same range predicate).
+    """
+    from opentelemetry_collector_spark.operators.rangejoin import (
+        _MAX_BINS_PER_WINDOW,
+        _bin_of,
+    )
+
+    if max_window_seconds // bin_seconds >= _MAX_BINS_PER_WINDOW:
+        raise ValueError(
+            f"max_window_seconds={max_window_seconds} explodes into more than "
+            f"{_MAX_BINS_PER_WINDOW} bins of {bin_seconds}s — pick a larger bin"
+        )
+    dup = set(events.columns) & set(windows.columns)
+    if dup:
+        raise ValueError(f"ambiguous columns (alias before joining): {sorted(dup)}")
+
+    sb = _bin_of(F.col(start_col), bin_seconds)
+    eb = _bin_of(F.col(end_col), bin_seconds)
+    span_ok = (
+        F.col(end_col).cast("long") - F.col(start_col).cast("long")
+    ) <= max_window_seconds
+    e = (
+        events.withWatermark(ts_col, event_delay)
+        .withColumn("__e_bin", _bin_of(F.col(ts_col), bin_seconds))
+        .alias("e")
+    )
+    w = (
+        windows.withWatermark(start_col, window_delay)
+        .filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+        .filter((eb - sb >= 0) & span_ok)
+        .withColumn("__w_bin", F.explode(F.sequence(sb, eb)))
+        .alias("w")
+    )
+    cond = (
+        (F.col("e.__e_bin") == F.col("w.__w_bin"))
+        & (F.col(f"e.{ts_col}") >= F.col(f"w.{start_col}"))
+        & (F.col(f"e.{ts_col}") <= F.col(f"w.{end_col}"))
+        # state bound: relates the two watermarked columns so Spark can
+        # evict both stores (end_col carries no watermark of its own)
+        & (
+            F.col(f"e.{ts_col}")
+            <= F.col(f"w.{start_col}") + F.expr(f"INTERVAL {max_window_seconds} SECONDS")
+        )
+    )
+    out_cols = [F.col(f"e.{c}") for c in events.columns] + [
+        F.col(f"w.{c}") for c in windows.columns
+    ]
+    return e.join(w, cond, "inner").select(*out_cols)

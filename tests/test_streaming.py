@@ -337,3 +337,86 @@ def test_cell_sketch_epochs_merge_to_whole_and_replay_overwrites(spark, tmp_path
     _fold("ckpt_cm2")  # replay: fresh checkpoint, same epochs re-delivered
     again = cm_merge(spark.read.parquet(artifact).drop("_epoch"))
     assert {(r["row"], r["col"], r["cnt"]) for r in again.collect()} == want
+
+
+def test_interval_join_stream_matches_batch_operator(spark, tmp_path):
+    """Stream-stream binned interval join == the batch interval_join on the
+    same in-order input; the plan is a watermarked symmetric hash join with
+    both state stores bounded."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.operators.rangejoin import interval_join
+    from opentelemetry_collector_spark.streaming import interval_join_stream
+
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    ev_rows = [(f"e{i}", ts(i * 37)) for i in range(200)]
+    win_rows = [(f"w{j}", ts(j * 600), ts(j * 600 + 300)) for j in range(12)]
+    win_rows.append(("w_inv", ts(100), ts(50)))  # inverted: matches nothing
+    win_rows.append(("w_wide", ts(0), ts(100000)))  # beyond max_window: excluded
+    ev = spark.createDataFrame(ev_rows, "event_id string, ts timestamp")
+    wi = spark.createDataFrame(
+        win_rows, "window_id string, w_start timestamp, w_end timestamp"
+    )
+    ev_path, wi_path = str(tmp_path / "ev"), str(tmp_path / "wi")
+    ev.repartition(3).write.parquet(ev_path)
+    wi.repartition(2).write.parquet(wi_path)
+
+    ev_s = spark.readStream.schema(ev.schema).parquet(ev_path)
+    wi_s = spark.readStream.schema(wi.schema).parquet(wi_path)
+    joined = interval_join_stream(
+        ev_s, wi_s, "ts", "w_start", "w_end", bin_seconds=300, max_window_seconds=600
+    )
+    out = str(tmp_path / "joined")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_id"], r["window_id"])
+        for r in spark.read.parquet(out).select("event_id", "window_id").collect()
+    }
+    # batch reference over the SAME domain (windows within max_window)
+    bounded = wi.filter(
+        (F.col("w_end").cast("long") - F.col("w_start").cast("long")) <= 600
+    )
+    want = {
+        (r["event_id"], r["window_id"])
+        for r in interval_join(ev, bounded, "ts", "w_start", "w_end", 300)
+        .select("event_id", "window_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    assert not any(w == "w_inv" or w == "w_wide" for _, w in got)
+
+
+def test_interval_join_stream_rejects_bad_shapes(spark, tmp_path):
+    import pytest
+
+    from opentelemetry_collector_spark.streaming import interval_join_stream
+
+    (tmp_path / "empty_ev").mkdir()
+    (tmp_path / "empty_wi").mkdir()
+    ev = spark.readStream.schema("event_id string, ts timestamp").parquet(
+        str(tmp_path / "empty_ev")
+    )
+    wi = spark.readStream.schema(
+        "window_id string, w_start timestamp, w_end timestamp"
+    ).parquet(str(tmp_path / "empty_wi"))
+    with pytest.raises(ValueError, match="bins"):
+        interval_join_stream(
+            ev, wi, "ts", "w_start", "w_end", bin_seconds=1, max_window_seconds=1 << 17
+        )
+    wi_dup = wi.withColumnRenamed("window_id", "event_id")
+    with pytest.raises(ValueError, match="ambiguous"):
+        interval_join_stream(
+            ev, wi_dup, "ts", "w_start", "w_end", bin_seconds=60, max_window_seconds=600
+        )
