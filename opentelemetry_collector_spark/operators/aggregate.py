@@ -473,3 +473,103 @@ def service_graph(
         F.sum((F.col("_status") == 2).cast("bigint")).cast("bigint").alias("n_errors"),
         F.floor(F.percentile("_dur", 0.5)).cast("bigint").alias("p50_duration_us"),
     )
+
+
+def robust_anomalies(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    thresh_pm: int = 3500,
+) -> DataFrame:
+    """Median/MAD outlier flagging per key group, integer-exact (the
+    alerting rule observability backends run over the counter streams the
+    reference transports; robust statistics because hot outliers are the
+    thing being detected, so mean/stddev are self-poisoning).
+
+    All arithmetic stays in integers via the doubled-percentile technique
+    (q53/q79): over integer values the p=0.5 interpolation is a halving,
+    so ``med2 = 2*median`` and ``dev2 = |2x - med2|`` are exact integers,
+    as is ``mad4 = 2*median(dev2)`` (= 4x the MAD). A point is anomalous
+    iff ``|x - med| > (thresh_pm/1000) * MAD``, evaluated as the integer
+    cross-multiplication ``dev2 * 2000 > thresh_pm * mad4`` — no float
+    division anywhere, and the MAD==0 degenerate case (constant series)
+    falls out naturally: any deviation flags. ``score_pm`` is the ratio in
+    per-mille for ranking (exact integer division, capped by construction
+    only by the data).
+
+    Physical shape: two whole-partition window aggregates over the SAME
+    ``hashpartitioning(keys)`` — the med2 window feeds dev2, the mad4
+    window aggregates it — so the operator costs ONE exchange, never a
+    join back. Rows with NULL values pass through unflagged.
+    """
+    w = Window.partitionBy(*keys)
+    x2 = F.col(value_col).cast("bigint") * 2
+    out = df.withColumn(
+        "_med2",
+        F.floor(
+            F.percentile(F.col(value_col).cast("bigint"), 0.5).over(w) * 2
+        ).cast("bigint"),
+    )
+    out = out.withColumn(
+        "_dev2",
+        F.when(F.col(value_col).isNotNull(), F.abs(x2 - F.col("_med2"))).cast("bigint"),
+    )
+    out = out.withColumn(
+        "mad4", F.floor(F.percentile(F.col("_dev2"), 0.5).over(w) * 2).cast("bigint")
+    )
+    return (
+        out.withColumn(
+            "is_anomaly",
+            F.when(
+                F.col(value_col).isNotNull(),
+                F.col("_dev2") * 2000 > F.lit(int(thresh_pm)) * F.col("mad4"),
+            ).otherwise(F.lit(False)),
+        )
+        .withColumn(
+            "score_pm",
+            F.coalesce(
+                F.expr("_dev2 * 2000 div greatest(mad4, 1)"), F.lit(0)
+            ).cast("bigint"),
+        )
+        .withColumn("med2", F.col("_med2"))
+        .drop("_med2", "_dev2")
+    )
+
+
+def role_transitions(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    label_col: str = "role",
+) -> DataFrame:
+    """First-order transition matrix over per-conversation label sequences
+    (dialog-flow analytics: who speaks after whom, the Markov view of the
+    (conv_id, turn_idx) ordering invariant): per (from_label, to_label),
+    the transition count and its per-mille share of the from-label's
+    outgoing edges — integer-exact division, no float drift.
+
+    Physical shape: one lag window on ``hashpartitioning(key)`` (the
+    ordering invariant's own partitioning), one partial-aggregated groupBy
+    to the label-pair counts — the shuffle carries only label pairs from
+    there — and one window over that tiny frame for the per-source
+    normalization. Conversation boundaries never leak: lag is NULL at each
+    sequence start, and those rows drop."""
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    pairs = (
+        df.select(
+            F.lag(label_col).over(w).alias("from_role"),
+            F.col(label_col).alias("to_role"),
+        )
+        .filter(F.col("from_role").isNotNull())
+        .groupBy("from_role", "to_role")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    tot = Window.partitionBy("from_role")
+    return pairs.withColumn(
+        "_out", F.sum("n_transitions").over(tot)
+    ).select(
+        "from_role",
+        "to_role",
+        "n_transitions",
+        F.expr("n_transitions * 1000 div _out").cast("bigint").alias("p_pm"),
+    )

@@ -4118,6 +4118,108 @@ FROM d LEFT JOIN scored USING (doc_id)
 """
 
 
+def q107_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier flags per role over turn sizes
+    (operators/aggregate.robust_anomalies): the robust alerting rule, all
+    integer via the doubled-percentile technique — med2/mad4/score_pm are
+    exact in both engines. One hashpartitioning(role) exchange feeding two
+    stacked whole-partition windows."""
+    from opentelemetry_collector_spark.operators.aggregate import robust_anomalies
+
+    t = from_events(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", F.length("text").cast("bigint").alias("v")
+    )
+    return robust_anomalies(t, ["role"], "v").select(
+        "conv_id", "turn_idx", "role", "v", "med2", "mad4", "is_anomaly", "score_pm"
+    )
+
+
+Q107_SQL = f"""{_PRELUDE},
+base AS (SELECT conv_id, turn_idx, role, CAST(length(text) AS BIGINT) AS v FROM t),
+med AS (SELECT *, CAST(floor(quantile_cont(v, 0.5) OVER (PARTITION BY role) * 2) AS BIGINT)
+               AS med2 FROM base),
+dev AS (SELECT *, CASE WHEN v IS NOT NULL THEN abs(2 * v - med2) END AS dev2 FROM med),
+mad AS (SELECT *, CAST(floor(quantile_cont(dev2, 0.5) OVER (PARTITION BY role) * 2) AS BIGINT)
+               AS mad4 FROM dev)
+SELECT conv_id, turn_idx, role, v, med2, mad4,
+       coalesce(dev2 * 2000 > 3500 * mad4, FALSE) AS is_anomaly,
+       CAST(coalesce(dev2 * 2000 // greatest(mad4, 1), 0) AS BIGINT) AS score_pm
+FROM mad
+"""
+
+
+def q108_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (plans/diff.snapshot_diff): classify every doc
+    as added/removed/changed between the corpus and a deterministically
+    perturbed next snapshot (md5-bucketed: '0'/'1' removed, '2'/'3'
+    edited, 'f' spawns an added doc). One digest projection per side + one
+    full-outer equi-join; unchanged rows never leave the join. The oracle
+    replays the perturbation and classifies by DIRECT text comparison —
+    independent of the md5 digest mechanism."""
+    from opentelemetry_collector_spark.plans.diff import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    hx = F.substring(F.md5("doc_id"), 1, 1)
+    new = docs.filter(~hx.isin("0", "1")).select(
+        "doc_id",
+        F.when(hx.isin("2", "3"), F.concat("text", F.lit(" EDITED")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(hx == "f").select(
+        F.concat("doc_id", F.lit("_new")).alias("doc_id"),
+        F.lit("fresh document").alias("text"),
+    )
+    return snapshot_diff(docs, new.unionByName(added), ["doc_id"], ["text"])
+
+
+Q108_SQL = """
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN hx IN ('2','3') THEN text || ' EDITED' ELSE text END AS text
+  FROM d WHERE hx NOT IN ('0','1')
+  UNION ALL
+  SELECT doc_id || '_new', 'fresh document' FROM d WHERE hx = 'f')
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS DISTINCT FROM n.text THEN 'changed' END AS status
+FROM d o FULL JOIN new n ON o.doc_id = n.doc_id
+WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS DISTINCT FROM n.text THEN 'changed' END) IS NOT NULL
+"""
+
+
+def q109_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialog-flow transition matrix (operators/aggregate.role_transitions):
+    who speaks after whom, per (from_role, to_role), with integer per-mille
+    shares of each source's outgoing edges. One conv_id-partitioned lag
+    window, one label-pair groupBy, one window over the tiny matrix."""
+    from opentelemetry_collector_spark.operators.aggregate import role_transitions
+
+    return role_transitions(from_events(spark, sf_dir))
+
+
+Q109_SQL = f"""{_PRELUDE},
+pairs AS (
+  SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS from_role,
+         role AS to_role
+  FROM t),
+cnt AS (
+  SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE from_role IS NOT NULL GROUP BY 1, 2)
+SELECT from_role, to_role, n_transitions,
+       CAST(n_transitions * 1000 // sum(n_transitions) OVER (PARTITION BY from_role)
+            AS BIGINT) AS p_pm
+FROM cnt
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -4226,6 +4328,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q104_incident_window_join": q104_incident_window_join,
     "q105_service_graph": q105_service_graph,
     "q106_surprisal": q106_surprisal,
+    "q107_robust_anomalies": q107_robust_anomalies,
+    "q108_snapshot_diff": q108_snapshot_diff,
+    "q109_role_transitions": q109_role_transitions,
 }
 
 ORACLES: dict[str, str] = {
@@ -4328,6 +4433,9 @@ ORACLES: dict[str, str] = {
     "q104_incident_window_join": Q104_SQL,
     "q105_service_graph": Q105_SQL,
     "q106_surprisal": Q106_SQL,
+    "q107_robust_anomalies": Q107_SQL,
+    "q108_snapshot_diff": Q108_SQL,
+    "q109_role_transitions": Q109_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -197,3 +197,71 @@ def test_accumulate_deltas_roundtrip_inverse(spark):
     assert rec[("a", _ts(2))] == (0, False)
     assert rec[("a", _ts(3))] == (5, False)
     assert rec[("a", _ts(1))] == (None, False)
+
+
+def test_robust_anomalies_flags_outlier_and_survives_degenerate_series(spark):
+    """Median/MAD doubled-integer goldens: series [10,10,10,12,100] has
+    med=10, devs [0,0,0,2,90], MAD=0... use [10,12,10,14,100]: med=12?
+    sorted [10,10,12,14,100] -> med 12, devs [2,2,0,2,88], sorted
+    [0,2,2,2,88] -> MAD 2; flag iff dev > 3.5*2=7 -> only 100."""
+    from opentelemetry_collector_spark.operators.aggregate import robust_anomalies
+
+    rows = [("k", v) for v in [10, 10, 12, 14, 100]]
+    df = spark.createDataFrame(rows, "key string, v bigint")
+    got = {
+        r["v"]: (r["is_anomaly"], r["med2"], r["mad4"], r["score_pm"])
+        for r in robust_anomalies(df, ["key"], "v").collect()
+    }
+    assert got[100] == (True, 24, 8, 44000)  # dev2=176, 176*2000/8 = 44000
+    assert not any(got[v][0] for v in (10, 12, 14))
+
+    # constant series: MAD == 0 -> any deviation flags, constants never do
+    const = spark.createDataFrame([("c", 5)] * 4 + [("c", 6)], "key string, v bigint")
+    got2 = {r["v"]: r["is_anomaly"] for r in robust_anomalies(const, ["key"], "v").collect()}
+    assert got2 == {5: False, 6: True}
+
+
+def test_robust_anomalies_even_count_half_median_and_nulls(spark):
+    from opentelemetry_collector_spark.operators.aggregate import robust_anomalies
+
+    # [1, 2]: med = 1.5 -> med2 = 3 (exact, no float drift); NULL passes through
+    df = spark.createDataFrame(
+        [("k", 1), ("k", 2), ("k", None)], "key string, v bigint"
+    )
+    got = {r["v"]: r for r in robust_anomalies(df, ["key"], "v").collect()}
+    assert got[1]["med2"] == 3 and got[2]["med2"] == 3
+    assert got[None]["is_anomaly"] is False and got[None]["score_pm"] == 0
+
+
+def test_robust_anomalies_single_exchange_plan(spark):
+    from opentelemetry_collector_spark.operators.aggregate import robust_anomalies
+
+    df = spark.createDataFrame([("k", 1), ("k", 2)], "key string, v bigint")
+    plan = (
+        robust_anomalies(df, ["key"], "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_role_transitions_golden_and_boundary_isolation(spark):
+    """Two conversations; transitions never cross the conv boundary."""
+    from opentelemetry_collector_spark.operators.aggregate import role_transitions
+
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "user"),
+        ("c2", 0, "assistant"), ("c2", 1, "user"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = {
+        (r["from_role"], r["to_role"]): (r["n_transitions"], r["p_pm"])
+        for r in role_transitions(df).collect()
+    }
+    # user outgoing: 2 edges to assistant? no: c1 user(0)->assistant(1),
+    # assistant(1)->user(2); c2 assistant(0)->user(1).
+    assert got == {
+        ("user", "assistant"): (1, 1000),
+        ("assistant", "user"): (2, 1000),
+    }
