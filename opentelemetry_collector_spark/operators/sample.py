@@ -312,3 +312,69 @@ def epoch_expand(
     )
     # sequence(1, 0) counts DOWN (negative default step) — gate explicitly
     return out.filter(F.col("_n_copies") >= 1).drop("_n_copies")
+
+
+def unimax_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    budget: int,
+    cap_epochs: int = 1,
+) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023): split a total document
+    budget across strata (languages/domains) as uniformly as possible,
+    capping each stratum at ``cap_epochs`` passes over its own data — the
+    water-filling rule that neither starves tail languages nor loops a
+    small language hundreds of epochs. Exact integers end to end.
+
+    Closed form instead of the paper's iterative loop: sort strata by cap
+    ascending; between the i-th and (i+1)-th cap every unsaturated stratum
+    receives the same water level ``t``, so the feasible level there is
+    ``t_i = (budget - prefix_i) div (n - i)`` (prefix_i = the i smaller
+    caps, all saturated). Over i the candidate sequence rises while the
+    saturation assumption understates (removing a below-average cap raises
+    the average) and falls once it overstates, so the true water level is
+    simply ``max_i t_i``; each stratum gets ``min(cap, t)``. Pinned
+    against a brute-force search in tests. Integer division
+    means up to n-1 leftover docs stay unallocated — deterministic, and
+    documented rather than distributed by an arbitrary tiebreak.
+
+    Output: (stratum, n_docs, cap, alloc). ``alloc`` may exceed ``n_docs``
+    when ``cap_epochs > 1`` (upsampling — feed :func:`epoch_expand`);
+    apply downsampling allocations with :func:`stratified_sample`-style
+    rank limits. Physical shape: one partial-aggregated groupBy to the
+    per-stratum counts, then windows over the STRATA frame (rows = number
+    of strata, never the corpus) and one scalar broadcast of the level.
+    """
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if cap_epochs < 1:
+        raise ValueError("cap_epochs must be >= 1")
+    caps = (
+        df.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn("cap", (F.col("n_docs") * cap_epochs).cast("bigint"))
+    )
+    w = Window.orderBy(F.asc("cap"), F.asc("stratum"))
+    ranked = caps.withColumn("_i", F.row_number().over(w) - 1).withColumn(
+        "_prefix",
+        F.coalesce(
+            F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ),
+    )
+    n = ranked.count()
+    if n == 0:
+        return ranked.select("stratum", "n_docs", "cap", F.col("cap").alias("alloc"))
+    level_row = (
+        ranked.select(F.expr(f"({budget} - _prefix) div ({n} - _i)").alias("_t"))
+        .agg(F.max("_t").alias("_level"))
+        .first()
+    )
+    level = max(int(level_row["_level"] or 0), 0)
+    return ranked.select(
+        "stratum",
+        "n_docs",
+        "cap",
+        F.least(F.col("cap"), F.lit(level)).cast("bigint").alias("alloc"),
+    )

@@ -4220,6 +4220,35 @@ FROM cnt
 """
 
 
+def q110_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (operators/sample.unimax_allocation,
+    Chung et al. 2023): water-fill a 300-doc budget across languages capped
+    at 2 epochs each, in closed form over the strata frame (windows over
+    rows = number of languages, never the corpus). Exact integers, so the
+    oracle replays the identical prefix/level arithmetic."""
+    from opentelemetry_collector_spark.operators.sample import unimax_allocation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unimax_allocation(docs, "lang", budget=300, cap_epochs=2)
+
+
+Q110_SQL = """
+WITH caps AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(count(*) * 2 AS BIGINT) AS cap
+              FROM documents GROUP BY 1),
+ranked AS (SELECT *,
+                  row_number() OVER (ORDER BY cap, stratum) - 1 AS i,
+                  coalesce(sum(cap) OVER (ORDER BY cap, stratum
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+                  count(*) OVER () AS n
+           FROM caps),
+lvl AS (SELECT greatest(max((300 - prefix) // (n - i)), 0) AS level FROM ranked)
+SELECT stratum, n_docs, cap,
+       CAST(least(cap, (SELECT level FROM lvl)) AS BIGINT) AS alloc
+FROM ranked
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -4331,6 +4360,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q107_robust_anomalies": q107_robust_anomalies,
     "q108_snapshot_diff": q108_snapshot_diff,
     "q109_role_transitions": q109_role_transitions,
+    "q110_unimax_allocation": q110_unimax_allocation,
 }
 
 ORACLES: dict[str, str] = {
@@ -4436,6 +4466,7 @@ ORACLES: dict[str, str] = {
     "q107_robust_anomalies": Q107_SQL,
     "q108_snapshot_diff": Q108_SQL,
     "q109_role_transitions": Q109_SQL,
+    "q110_unimax_allocation": Q110_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -356,3 +356,59 @@ def test_epoch_expand_null_id_keeps_floor_copies(spark):
     out = epoch_expand(df, "stratum", {"web": 2.5}, "doc_id").collect()
     null_epochs = sorted(r["epoch"] for r in out if r["doc_id"] is None)
     assert null_epochs == [1, 2]  # floor(2.5) copies, no fractional extra
+
+
+def _unimax_brute(caps: dict, budget: int) -> dict:
+    """Reference water-filling: largest integer level t with
+    sum(min(cap, t)) <= budget."""
+    lo, hi = 0, max(caps.values() or [0]) + budget
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if sum(min(c, mid) for c in caps.values()) <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    return {k: min(c, lo) for k, c in caps.items()}
+
+
+def test_unimax_allocation_matches_brute_force(spark):
+    from opentelemetry_collector_spark.operators.sample import unimax_allocation
+
+    rows = []
+    sizes = {"en": 50, "de": 12, "fr": 12, "sw": 3, "yo": 1}
+    for lang, n in sizes.items():
+        rows += [(f"{lang}{i}", lang) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+
+    for budget in (0, 1, 4, 17, 30, 78, 200):
+        got = {
+            r["stratum"]: r["alloc"]
+            for r in unimax_allocation(df, "lang", budget).collect()
+        }
+        want = _unimax_brute(sizes, budget)
+        assert got == want, f"budget={budget}: {got} != {want}"
+        assert sum(got.values()) <= budget or budget >= sum(sizes.values())
+
+
+def test_unimax_cap_epochs_allows_upsampling(spark):
+    from opentelemetry_collector_spark.operators.sample import unimax_allocation
+
+    df = spark.createDataFrame(
+        [("a", "big")] * 40 + [("b", "tiny")] * 2, "doc_id string, lang string"
+    )
+    # without epochs cap the tiny language is starved at its 2 docs
+    got1 = {r["stratum"]: r["alloc"] for r in unimax_allocation(df, "lang", 20).collect()}
+    assert got1 == {"big": 18, "tiny": 2}
+    # with 4 epochs it may repeat up to 8 times
+    got4 = {
+        r["stratum"]: r["alloc"]
+        for r in unimax_allocation(df, "lang", 20, cap_epochs=4).collect()
+    }
+    assert got4 == {"big": 12, "tiny": 8}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        unimax_allocation(df, "lang", -1)
+    with pytest.raises(ValueError, match="cap_epochs"):
+        unimax_allocation(df, "lang", 10, cap_epochs=0)
