@@ -440,6 +440,58 @@ COMMENTARY = {
         "BroadcastNestedLoopJoin — unusable at 100 TB. Binning turns it into a "
         "shuffle AQE can size, skew-handle, and broadcast like any equi-join.",
     ),
+    "q105_service_graph": (
+        "The parent/child self-join is an EQUI-join keyed (trace_id, span id) — "
+        "never a nested loop — feeding one partial-aggregated HashAggregate over "
+        "the edge labels.",
+        "A topology over 10^12 spans is a self-join of the biggest table in the "
+        "system with itself; keyed on (trace, span) both sides hash-partition "
+        "identically, AQE can skew-split a hot trace, and the groupBy shuffle "
+        "carries only (service, service) pairs.",
+    ),
+    "q106_surprisal": (
+        "The vocab probe is a BroadcastHashJoin on the token key (the postings "
+        "are never shuffled against the vocabulary); vocab derivation ends in "
+        "TakeOrderedAndProject, bounding driver transfer at vocab_limit rows.",
+        "Scoring is per-token work on the corpus hot path — it must ride the "
+        "scan. Only the per-doc partial aggregate and the doc-spine join touch "
+        "a shuffle, both keyed and sized by documents, not tokens.",
+    ),
+    "q107_robust_anomalies": (
+        "Exactly ONE Exchange hashpartitioning(role) for the operator: the "
+        "median window and the MAD window stack on the same partitioning, and "
+        "there is no join back. (The earlier hashpartitioning(user_id) window "
+        "is the test fixture's turn_idx derivation, q01's note — a real "
+        "transcripts table stores turn_idx and it disappears.)",
+        "Robust stats usually cost two self-joins (value vs median, deviation "
+        "vs MAD-median); stacking whole-partition windows on one exchange makes "
+        "the operator cost a single shuffle of the series, same as a plain "
+        "groupBy.",
+    ),
+    "q108_snapshot_diff": (
+        "Each side reduces to (key, md5 digest) BEFORE the join (column-pruned "
+        "Project under the SortMergeJoin FullOuter); the join is keyed, never a "
+        "nested loop.",
+        "Diffing two 100 TB snapshots must not shuffle payloads: the digest "
+        "projection narrows each side to key+16 bytes, so the full-outer shuffle "
+        "moves a fingerprint, not the table.",
+    ),
+    "q109_role_transitions": (
+        "The lag Window runs on hashpartitioning(conv_id) — the ordering "
+        "invariant's own partitioning — and the pair groupBy is partial-"
+        "aggregated, so the second shuffle carries only label pairs.",
+        "Transition mining is a sequence scan: one shuffle to co-locate each "
+        "conversation, map-side partial counts after, and the matrix that "
+        "reaches the driver is |labels|^2 regardless of corpus size.",
+    ),
+    "q110_unimax_allocation": (
+        "One partial-aggregated HashAggregate reduces the corpus to per-stratum "
+        "counts; every window after that runs on the STRATA frame (rows = "
+        "number of languages).",
+        "The water-filling math must never touch the corpus: the only full-"
+        "data pass is the count, and the level derivation costs windows over a "
+        "frame the size of the language list.",
+    ),
 }
 
 
