@@ -67,7 +67,13 @@ HEADLINE = [
     "q60_chunk_documents",
     "q61_incremental_dedup",
     "q62_selection_pipeline",
+    "q106_surprisal",
+    "q108_snapshot_diff",
+    "q110_unimax_allocation",
     # analytic extensions (transcripts table)
+    "q105_service_graph",
+    "q107_robust_anomalies",
+    "q109_role_transitions",
     "q51_asof_enrich",
     "q52_route_rollup",
     "q53_latency_quantiles",
