@@ -90,3 +90,32 @@ def asof_join(
         *left.columns, *[F.col(f"{_PAY}.{c}").alias(c) for c in payload_cols]
     )
     return out
+
+
+def dimension_intervals(
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Build an SCD-2 style validity-interval dimension from a change log:
+    each change row becomes effective at its own timestamp and expires the
+    instant the key's next change lands (half-open [valid_from, valid_to)
+    semantics; the current version has NULL valid_to). The materialized
+    complement of :func:`asof_join` — point lookups use the as-of join
+    directly; interval analytics (`operators/rangejoin.interval_join`,
+    BETWEEN predicates in downstream SQL) want the intervals at rest.
+
+    One lead() window on ``hashpartitioning(keys)`` — the same single
+    exchange discipline as the as-of join itself. Ties on ``ts`` within a
+    key are ordered by ``tiebreak`` (last one wins the open interval;
+    earlier ties get zero-length intervals, which BETWEEN-style probes at
+    half-open semantics correctly never match).
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return changes.withColumn(valid_from, F.col(ts_col)).withColumn(
+        valid_to, F.lead(ts_col).over(w)
+    )

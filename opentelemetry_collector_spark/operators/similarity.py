@@ -840,3 +840,84 @@ def assign_clusters(
         F.col("_b._cid").alias("cluster_id"),
         F.floor(-F.col("_b._nc") * 1000).cast("bigint").alias("cos_milli"),
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    tau_pm: int = 500,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All-pairs TF-IDF cosine similarity over TEXT (the embedding-free
+    near-dup/similarity path — Bayardo et al. WWW'07's problem, solved with
+    the posting-list join): every document pair whose tf-idf cosine clears
+    ``tau_pm`` per-mille, integer-exact so an oracle can replay it.
+
+    Exactness trick: idf at WHOLE-BIT resolution (``length(bin(N)) -
+    length(bin(doc_freq))``, the :func:`~opentelemetry_collector_spark.
+    operators.text.surprisal_bits` technique) keeps weights integral, and
+    the threshold test ``dot/sqrt(n1*n2) >= tau/1000`` becomes the exact
+    cross-multiplication ``dot^2 * 10^6 >= tau_pm^2 * n1 * n2`` in
+    DECIMAL(38,0) — no sqrt, no float anywhere. Weights are
+    ``tf * (idf_bits + 1)`` (the +1 keeps a term present in every document
+    from zeroing out, the usual idf smoothing). The output carries the
+    exact integers (dot, both squared norms); a display cosine is one
+    float division away for callers, but keeping it out of the contract
+    keeps the result hash-stable unconditionally.
+
+    Scale shape: postings explode once; ``max_df`` drops ultra-common
+    terms BEFORE the self-join (the standard all-pairs pruning — a term in
+    f docs contributes f^2 candidate pairs, so stopword-frequency terms are
+    the quadratic blowup); the pair aggregation is one partial-aggregated
+    groupBy keyed (doc1, doc2). Candidate count is sum_t df_t^2 — bounded
+    by construction, never |docs|^2.
+    """
+    if not 0 < tau_pm <= 1000:
+        raise ValueError("tau_pm must be in (0, 1000]")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.when(
+                F.length(F.trim(F.col(text_col))) == 0,
+                F.array().cast("array<string>"),
+            ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("_t"),
+    )
+    tf = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    n_docs = df.select(id_col).distinct().count()
+    # empty corpus -> no postings -> no pairs; max_bits only shapes weights
+    max_bits = len(bin(n_docs)) - 2 if n_docs else 0
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("_df") <= max_df)
+    posts = tf.join(dfreq, "_t").select(
+        "_t",
+        "_id",
+        (F.col("_tf") * (F.lit(max_bits) - F.length(F.bin("_df")) + 1)).alias("_w"),
+    )
+    norms = posts.groupBy("_id").agg(F.sum(F.col("_w") * F.col("_w")).alias("_n2"))
+    a = posts.select(F.col("_t"), F.col("_id").alias("id_a"), F.col("_w").alias("_wa"))
+    b = posts.select(F.col("_t"), F.col("_id").alias("id_b"), F.col("_w").alias("_wb"))
+    dots = (
+        a.join(b, "_t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    paired = (
+        dots.join(norms.withColumnRenamed("_id", "id_a").withColumnRenamed("_n2", "_na"), "id_a")
+        .join(norms.withColumnRenamed("_id", "id_b").withColumnRenamed("_n2", "_nb"), "id_b")
+    )
+    dec = "decimal(38,0)"
+    flag = (
+        F.col("_dot").cast(dec) * F.col("_dot").cast(dec) * F.lit(1_000_000).cast(dec)
+        >= F.lit(int(tau_pm) ** 2).cast(dec) * F.col("_na").cast(dec) * F.col("_nb").cast(dec)
+    )
+    return paired.filter(flag).select(
+        "id_a",
+        "id_b",
+        F.col("_dot").cast("bigint").alias("dot"),
+        F.col("_na").cast("bigint").alias("norm2_a"),
+        F.col("_nb").cast("bigint").alias("norm2_b"),
+    )

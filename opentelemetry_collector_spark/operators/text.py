@@ -496,7 +496,8 @@ def surprisal_bits(
     ``reference`` is the training corpus (defaults to ``df`` itself — the
     self-trained form); its token frequencies above ``vocab_limit`` ranks
     are dropped (deterministic (count desc, token) order) and out-of-vocab
-    tokens score the maximum ``length(bin(N))`` bits. Output per doc:
+    tokens score the maximum ``length(bin(N))`` bits. An EMPTY reference
+    carries zero information: every token scores 0 bits. Output per doc:
     ``n_tokens``, ``bits_total`` and ``mbits_per_token`` (milli-bits, exact
     integer division; empty docs score 0).
 
@@ -511,9 +512,10 @@ def surprisal_bits(
     posts = ref.select(F.explode(tokens(F.col(rcol))).alias("_t"))
     counts = posts.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
     n_total = posts.count()
-    if n_total == 0:
-        raise ValueError("reference corpus has no tokens")
-    max_bits = len(bin(n_total)) - 2  # == length(bin(N)) in SQL
+    # empty reference: zero information, zero surprise — every token scores
+    # 0 bits (max_bits = 0 zeroes both the vocab and the OOV path), and the
+    # empty-corpus self-trained case degrades to an empty all-zero frame
+    max_bits = len(bin(n_total)) - 2 if n_total else 0  # length(bin(N)) in SQL
     vocab = (
         counts.orderBy(F.desc("_c"), F.asc("_t"))
         .limit(vocab_limit)

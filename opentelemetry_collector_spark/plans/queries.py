@@ -4249,6 +4249,42 @@ FROM ranked
 """
 
 
+def q111_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs TF-IDF cosine similarity over text
+    (operators/similarity.sparse_cosine_pairs, the Bayardo et al. WWW'07
+    posting-join): pairs clearing 0.4 cosine with whole-bit idf weights and
+    a DECIMAL(38,0) cross-multiplied threshold — no sqrt, no float, so the
+    oracle replays the identical integers in HUGEINT. max_df=100 prunes the
+    quadratic stopword blowup before the self-join."""
+    from opentelemetry_collector_spark.operators.similarity import sparse_cosine_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return sparse_cosine_pairs(docs, "doc_id", tau_pm=400, max_df=100)
+
+
+Q111_SQL = f"""
+WITH {_DOC_WORDS_SQL},
+tk AS (SELECT doc_id, unnest(w) AS t FROM d),
+tf AS (SELECT doc_id, t, count(*) AS tfc FROM tk GROUP BY 1, 2),
+nn AS (SELECT length(bin(count(DISTINCT doc_id))) AS maxb FROM documents),
+dfq AS (SELECT t, count(*) AS dfc FROM tf GROUP BY t),
+posts AS (SELECT tf.doc_id, tf.t,
+                 tfc * ((SELECT maxb FROM nn) - length(bin(dfc)) + 1) AS w
+          FROM tf JOIN dfq USING (t) WHERE dfc <= 100),
+norms AS (SELECT doc_id, sum(w * w) AS n2 FROM posts GROUP BY doc_id),
+dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+         FROM posts a JOIN posts b ON a.t = b.t AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+       CAST(na.n2 AS BIGINT) AS norm2_a, CAST(nb.n2 AS BIGINT) AS norm2_b
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 1000000
+      >= 160000 * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -4361,6 +4397,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_snapshot_diff": q108_snapshot_diff,
     "q109_role_transitions": q109_role_transitions,
     "q110_unimax_allocation": q110_unimax_allocation,
+    "q111_sparse_cosine_pairs": q111_sparse_cosine_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -4467,6 +4504,7 @@ ORACLES: dict[str, str] = {
     "q108_snapshot_diff": Q108_SQL,
     "q109_role_transitions": Q109_SQL,
     "q110_unimax_allocation": Q110_SQL,
+    "q111_sparse_cosine_pairs": Q111_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -126,3 +126,44 @@ def test_asof_null_order_right_rows_never_match(spark):
     out = {r.t: r.payload for r in
            asof_join(left, right, ["conv_id"], "t", ["payload"]).collect()}
     assert out == {1: None, 5: "real"}
+
+
+def test_dimension_intervals_scd2_semantics(spark):
+    """Half-open validity intervals from a change log: next change closes
+    the previous one, the latest stays open (NULL valid_to), ties collapse
+    to zero-length intervals for all but the tiebreak winner."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.operators.asof import dimension_intervals
+
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        ("k1", ts(0), 1, "v1"),
+        ("k1", ts(10), 2, "v2"),
+        ("k1", ts(10), 3, "v2b"),  # tie: seq 3 wins the open-ended slot
+        ("k1", ts(20), 4, "v3"),
+        ("k2", ts(5), 1, "w1"),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, seq int, val string")
+    got = {
+        (r["key"], r["seq"]): (r["valid_from"], r["valid_to"])
+        for r in dimension_intervals(df, ["key"], tiebreak=["seq"]).collect()
+    }
+    naive = lambda x: x.replace(tzinfo=None)
+    assert got[("k1", 1)] == (naive(ts(0)), naive(ts(10)))
+    assert got[("k1", 2)] == (naive(ts(10)), naive(ts(10)))  # zero-length tie
+    assert got[("k1", 3)] == (naive(ts(10)), naive(ts(20)))
+    assert got[("k1", 4)] == (naive(ts(20)), None)  # current version open
+    assert got[("k2", 1)] == (naive(ts(5)), None)
+
+    plan = (
+        dimension_intervals(df, ["key"], tiebreak=["seq"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -604,10 +604,14 @@ def test_surprisal_bits_oov_empty_and_vocab_limit(spark):
     }
     assert got1 == {"q": 3}
 
-    import pytest
-
-    with pytest.raises(ValueError, match="no tokens"):
-        surprisal_bits(docs, "doc_id", reference=docs.filter("doc_id = 'd2'"))
+    # an empty reference carries zero information: every token scores 0
+    zero = {
+        r["doc_id"]: (r["bits_total"], r["mbits_per_token"])
+        for r in surprisal_bits(
+            docs, "doc_id", reference=docs.filter("doc_id = 'd2'")
+        ).collect()
+    }
+    assert zero == {"d1": (0, 0), "d2": (0, 0), "d3": (0, 0)}
 
 
 def test_surprisal_plan_is_broadcast_probe(spark):

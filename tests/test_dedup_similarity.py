@@ -756,3 +756,72 @@ def test_assign_clusters_broadcasts_centroids_no_window(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert out.count() == 20
+
+
+def _sparse_cosine_brute(docs: dict, tau_pm: int, max_df=None):
+    """Pure-Python replay of sparse_cosine_pairs' integer contract."""
+    from collections import Counter
+
+    tfs = {d: Counter(t.split()) for d, t in docs.items() if t.strip()}
+    n = len(docs)
+    max_bits = n.bit_length()
+    dfreq = Counter(t for tf in tfs.values() for t in tf)
+    w = {
+        d: {
+            t: c * (max_bits - dfreq[t].bit_length() + 1)
+            for t, c in tf.items()
+            if max_df is None or dfreq[t] <= max_df
+        }
+        for d, tf in tfs.items()
+    }
+    norms = {d: sum(x * x for x in ws.values()) for d, ws in w.items()}
+    out = {}
+    ids = sorted(w)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            dot = sum(w[a][t] * w[b].get(t, 0) for t in w[a])
+            if dot and dot * dot * 1_000_000 >= tau_pm**2 * norms[a] * norms[b]:
+                out[(a, b)] = (dot, norms[a], norms[b])
+    return out
+
+
+def test_sparse_cosine_pairs_matches_python_reference(spark):
+    from opentelemetry_collector_spark.operators.similarity import sparse_cosine_pairs
+
+    docs = {
+        "d1": "the quick brown fox jumps",
+        "d2": "the quick brown fox leaps",
+        "d3": "entirely different words here",
+        "d4": "the quick brown fox jumps",   # exact dup of d1
+        "d5": "",                             # empty: no postings, no pairs
+        "d6": "quick quick quick brown",      # repeated-token tf weighting
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id string, text string")
+    for tau, mdf in ((400, None), (700, None), (400, 3)):
+        got = {
+            (r["id_a"], r["id_b"]): (r["dot"], r["norm2_a"], r["norm2_b"])
+            for r in sparse_cosine_pairs(df, "doc_id", tau_pm=tau, max_df=mdf).collect()
+        }
+        want = _sparse_cosine_brute(docs, tau, mdf)
+        assert got == want, f"tau={tau} max_df={mdf}"
+    # the exact dup pair always clears any threshold
+    assert ("d1", "d4") in _sparse_cosine_brute(docs, 1000)
+
+
+def test_sparse_cosine_pairs_validation_and_plan(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.operators.similarity import sparse_cosine_pairs
+
+    df = spark.createDataFrame([("a", "x y"), ("b", "x z")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="tau_pm"):
+        sparse_cosine_pairs(df, "doc_id", tau_pm=0)
+    plan = (
+        sparse_cosine_pairs(df, "doc_id", tau_pm=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # posting self-join is keyed on the term; pair agg is partial-aggregated
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan or "HashAggregate" in plan
