@@ -1455,6 +1455,143 @@ ordinary skewed key for the skew-join machinery.
     print(json.dumps(results), flush=True)
 
 
+def run_allpairs_scale(
+    n_docs: int = 200_000, n_planted: int = 5_000, sample: int = 40_000
+) -> None:
+    """All-pairs TF-IDF cosine (`similarity.sparse_cosine_pairs`) at 205k
+    docs: deterministic Zipf-ish corpus (each of 25 word slots draws a
+    100-token HEAD word with p=0.4 else a 100k-token TAIL word, all from
+    xxhash64(id) — no driver data) with planted one-word-swapped near-dups.
+    The posting self-join costs sum_t df_t^2 partial products, so HEAD
+    words are the quadratic cliff (df ~ 0.4*n*25/100); max_df prunes them
+    before the join. The unpruned path is measured on a SAMPLE and
+    extrapolated quadratically; the pruned path runs the FULL corpus.
+    Writes BENCH/ALLPAIRS.md + allpairs_scale.json."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.similarity import sparse_cosine_pairs
+    from opentelemetry_collector_spark.session import build_session
+
+    tmp = os.path.join(tempfile.gettempdir(), f"otelcol_allpairs_{n_docs}")
+    spark = build_session(app_name="otelcol-allpairs-scale", shuffle_partitions=128)
+    try:
+        def tok(idc):
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(24)),
+                lambda j: F.when(
+                    F.pmod(F.xxhash64(idc, j, F.lit(7)), 10) < 4,
+                    F.concat(F.lit("h"), F.pmod(F.xxhash64(idc, j), 100).cast("string")),
+                ).otherwise(
+                    F.concat(F.lit("t"), F.pmod(F.xxhash64(idc, j), 100_000).cast("string"))
+                ),
+            )
+
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            base = spark.range(0, n_docs, 1, 64).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(" ", tok(F.col("id"))).alias("text"),
+            )
+            k = spark.range(0, n_planted, 1, 8)
+            src_id = F.col("id") * 20
+            p = F.pmod(F.xxhash64(F.col("id"), F.lit(999)), 25).cast("int")
+            swapped = F.transform(
+                tok(src_id),
+                lambda w, i: F.when(
+                    i == p,
+                    F.concat(
+                        F.lit("t"),
+                        F.pmod(F.xxhash64(F.col("id"), F.lit(777)), 100_000).cast("string"),
+                    ),
+                ).otherwise(w),
+            )
+            dups = k.select(
+                (F.col("id") + n_docs).alias("doc_id"),
+                F.concat_ws(" ", swapped).alias("text"),
+            )
+            base.unionByName(dups).write.mode("overwrite").parquet(tmp)
+
+        docs = spark.read.parquet(tmp)
+        results: dict = {"n_docs": n_docs + n_planted, "n_planted": n_planted}
+
+        # prefix sample (keeps its own planted dups, so sample pair counts
+        # are meaningful); sized so the HEAD-term df^2 work genuinely
+        # dominates the unpruned wall instead of session overhead
+        sub = docs.filter(
+            (F.col("doc_id") < sample)
+            | ((F.col("doc_id") >= n_docs) & ((F.col("doc_id") - n_docs) * 20 < sample))
+        )
+        n_sub = sub.count()
+        t0 = time.perf_counter()
+        unpruned_pairs = sparse_cosine_pairs(sub, "doc_id", tau_pm=600).count()
+        results["sample"] = {
+            "docs": n_sub,
+            "unpruned_sec": round(time.perf_counter() - t0, 1),
+            "unpruned_pairs": unpruned_pairs,
+        }
+        t0 = time.perf_counter()
+        pruned_sample = sparse_cosine_pairs(sub, "doc_id", tau_pm=600, max_df=1000).count()
+        results["sample"]["pruned_sec"] = round(time.perf_counter() - t0, 1)
+        results["sample"]["pruned_pairs"] = pruned_sample
+
+        t0 = time.perf_counter()
+        pairs = sparse_cosine_pairs(docs, "doc_id", tau_pm=600, max_df=1000)
+        planted = F.col("id_b") >= n_docs
+        hit = (F.col("id_b") - n_docs) * 20 == F.col("id_a")
+        agg = pairs.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(planted & hit, 1).otherwise(0)).alias("recalled"),
+        ).first()
+        results["full_pruned"] = {
+            "sec": round(time.perf_counter() - t0, 1),
+            "pairs": agg["total"],
+            "planted_recalled": agg["recalled"],
+        }
+        scale = (n_docs + n_planted) / max(n_sub, 1)
+        results["unpruned_extrapolated_full_sec"] = round(
+            results["sample"]["unpruned_sec"] * scale * scale, 1
+        )
+    finally:
+        spark.stop()
+
+    r, s, fp = results, results["sample"], results["full_pruned"]
+    md = f"""# BENCH/ALLPAIRS.md — all-pairs TF-IDF cosine vs the stopword cliff
+
+`python bench.py --allpairs-scale`: {r['n_docs']:,} deterministic Zipf-ish
+docs (25 word slots, 40% from a 100-token HEAD vocab, else a 100k-token
+TAIL vocab) with {r['n_planted']:,} planted one-word-swapped near-dups.
+local[32], one JVM. Raw numbers in `allpairs_scale.json`.
+
+| path | input | wall sec | pairs >= 0.6 cosine |
+|---|---|---|---|
+| unpruned posting join | {s['docs']:,}-doc SAMPLE | {s['unpruned_sec']} | {s['unpruned_pairs']:,} |
+| max_df=1000 pruned | same sample | {s['pruned_sec']} | {s['pruned_pairs']:,} |
+| max_df=1000 pruned | FULL {r['n_docs']:,} docs | {fp['sec']} | {fp['pairs']:,} ({fp['planted_recalled']:,}/{r['n_planted']:,} planted recalled) |
+
+The posting self-join costs sum_t df_t^2 partial products. HEAD words sit
+in ~40% of all slots, so unpruned they alone contribute
+100 x (0.4 x N x 25 / 100)^2 products — quadratic in corpus size; the
+{s['docs']:,}-doc unpruned sample took {s['unpruned_sec']} s, extrapolating
+to ~{r['unpruned_extrapolated_full_sec']:,} s at {r['n_docs']:,} docs.
+`max_df` removes those terms BEFORE the join (they carry ~zero idf weight
+anyway), leaving TAIL postings whose df is bounded by construction — the
+FULL corpus then runs in {fp['sec']} s. Near-dup recall survives pruning
+because near-dup evidence lives in the rare terms.
+
+**At 100 TB:** max_df is the operator's scale contract — without it one
+stopword-frequency term emits df^2 candidate pairs and no cluster size
+saves the job. The pruned join is an ordinary keyed shuffle: AQE sizes it,
+and the threshold test stays integer-exact (q111's oracle).
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "ALLPAIRS.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "allpairs_scale.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -1466,6 +1603,7 @@ if __name__ == "__main__":
     ap.add_argument("--sketch-scale", action="store_true")
     ap.add_argument("--prob-sketch", action="store_true")
     ap.add_argument("--range-scale", action="store_true")
+    ap.add_argument("--allpairs-scale", action="store_true")
     ap.add_argument("--n-low", type=int, default=4)
     ap.add_argument("--n-high", type=int, default=16)
     ap.add_argument("--rows-millions", type=float, default=160.0)
@@ -1488,5 +1626,7 @@ if __name__ == "__main__":
         run_prob_sketch(min(args.rows_millions, 20.0))
     elif args.range_scale:
         run_range_scale()
+    elif args.allpairs_scale:
+        run_allpairs_scale()
     else:
         run_default()

@@ -484,6 +484,15 @@ COMMENTARY = {
         "conversation, map-side partial counts after, and the matrix that "
         "reaches the driver is |labels|^2 regardless of corpus size.",
     ),
+    "q111_sparse_cosine_pairs": (
+        "The posting self-join is keyed on the term (equi, never a nested "
+        "loop); the df filter (max_df) sits UNDER the join so pruned terms "
+        "never enter it; the pair aggregate is partial-aggregated.",
+        "All-pairs similarity costs sum_t df_t^2 — one stopword-frequency "
+        "term emits df^2 candidates. Pruning before the join (measured 64x "
+        "in BENCH/ALLPAIRS.md) is the operator's scale contract; what is "
+        "left is an ordinary keyed shuffle AQE can size.",
+    ),
     "q110_unimax_allocation": (
         "One partial-aggregated HashAggregate reduces the corpus to per-stratum "
         "counts; every window after that runs on the STRATA frame (rows = "
