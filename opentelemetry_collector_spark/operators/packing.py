@@ -127,3 +127,45 @@ def chunk_documents(
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).cast("bigint").alias("n_tokens"),
     )
+
+
+def turn_context_windows(
+    df: DataFrame,
+    k: int,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Sliding k-turn context windows per conversation — the SFT/dialog
+    featurization shape (each training example = a turn plus its k-1
+    predecessors, concatenated in the stable (conv_id, turn_idx) order the
+    north_rule pins). Only FULL windows emit: a conversation with fewer
+    than ``k`` turns yields nothing, and the first k-1 turns of each
+    conversation anchor no window. NULL texts are not turns: collect_list
+    skips them, so any window touching one comes up short of ``k`` and is
+    dropped — junk isolates, it never silently concatenates as empty.
+
+    One collect_list over a bounded ROWS frame on
+    ``hashpartitioning(conv_col)`` — the ordering invariant's own
+    partitioning, the same single exchange as every other per-conversation
+    window here. The frame is k rows regardless of conversation length, so
+    a hot conversation costs O(len * k), never O(len^2). Output:
+    (conv_col, end turn's order value, n_turns, context string).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(-(k - 1), 0)
+    )
+    out = df.select(
+        F.col(conv_col),
+        F.col(order_col).alias("end_idx"),
+        F.size(F.collect_list(text_col).over(w)).alias("n_turns"),
+        F.array_join(F.collect_list(text_col).over(w), sep).alias("context"),
+    )
+    return out.filter(F.col("n_turns") == k)

@@ -4285,6 +4285,29 @@ WHERE CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 1000000
 """
 
 
+def q112_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-turn context windows (operators/packing.
+    turn_context_windows): the SFT featurization — each turn concatenated
+    with its two predecessors in the stable (conv_id, turn_idx) order.
+    One bounded ROWS window on the conversation partitioning; only full
+    windows emit. Oracle: DuckDB list() over the identical frame."""
+    from opentelemetry_collector_spark.operators.packing import turn_context_windows
+
+    return turn_context_windows(from_events(spark, sf_dir), k=3)
+
+
+Q112_SQL = f"""{_PRELUDE},
+win AS (
+  SELECT conv_id, turn_idx AS end_idx,
+         list(text) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ctx
+  FROM t)
+SELECT conv_id, end_idx, CAST(len(ctx) AS INT) AS n_turns,
+       array_to_string(ctx, chr(10)) AS context
+FROM win WHERE len(ctx) = 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -4398,6 +4421,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q109_role_transitions": q109_role_transitions,
     "q110_unimax_allocation": q110_unimax_allocation,
     "q111_sparse_cosine_pairs": q111_sparse_cosine_pairs,
+    "q112_context_windows": q112_context_windows,
 }
 
 ORACLES: dict[str, str] = {
@@ -4505,6 +4529,7 @@ ORACLES: dict[str, str] = {
     "q109_role_transitions": Q109_SQL,
     "q110_unimax_allocation": Q110_SQL,
     "q111_sparse_cosine_pairs": Q111_SQL,
+    "q112_context_windows": Q112_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -412,3 +412,38 @@ def test_unimax_cap_epochs_allows_upsampling(spark):
         unimax_allocation(df, "lang", -1)
     with pytest.raises(ValueError, match="cap_epochs"):
         unimax_allocation(df, "lang", 10, cap_epochs=0)
+
+
+def test_turn_context_windows_goldens(spark):
+    from opentelemetry_collector_spark.operators.packing import turn_context_windows
+
+    rows = [
+        ("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "c"), ("c1", 3, "d"),
+        ("c2", 0, "x"), ("c2", 1, "y"),          # too short for k=3
+        ("c3", 0, "p"), ("c3", 1, None), ("c3", 2, "q"), ("c3", 3, "r"), ("c3", 4, "s"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {
+        (r["conv_id"], r["end_idx"]): r["context"]
+        for r in turn_context_windows(df, k=3).collect()
+    }
+    # c1: full windows end at 2 and 3; c2 none; c3: windows touching the
+    # NULL turn (ends 1,2,3) drop — only end 4 survives
+    assert got == {
+        ("c1", 2): "a\nb\nc",
+        ("c1", 3): "b\nc\nd",
+        ("c3", 4): "q\nr\ns",
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        turn_context_windows(df, k=0)
+
+    plan = (
+        turn_context_windows(df, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
