@@ -84,6 +84,10 @@ HEADLINE = [
     "q88_slo_burn",
     "q90_log_templates",
     "q91_delta_to_cumulative",
+    # star-schema analytics (TPC-H-ish side tables)
+    "q113_pricing_summary",
+    "q114_shipping_priority",
+    "q115_local_supplier_volume",
     # pipeline hygiene (transcripts table)
     "q69_integrity_audit",
     "q70_log_dedup",

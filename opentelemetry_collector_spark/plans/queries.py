@@ -4308,6 +4308,161 @@ FROM win WHERE len(ctx) = 3
 """
 
 
+# ---------------------------------------------------------------------------
+# classic star-schema analytics over the TPC-H-ish side tables — the driver
+# ships them (TESTDATA.md) and a pipeline engine that routes transcripts also
+# serves the business tables next to them. Money columns are DOUBLE in the
+# fixture; every query quantizes to integer cents with floor(x*100 + 0.5) —
+# the SAME IEEE double ops in both engines — so sums stay associative and
+# hash-exact regardless of partitioning.
+# ---------------------------------------------------------------------------
+
+
+def _cents(col):
+    return F.floor(col * 100 + F.lit(0.5)).cast("bigint")
+
+
+def q113_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one filtered scan -> one partial-aggregated groupBy.
+    All sums in integer cents / cent-percent units (charge = cents x
+    (100-disc) x (100+tax), bigint-exact at any SF)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = _cents(F.col("l_extendedprice"))
+    d = _cents(F.col("l_discount"))  # discount in whole percent
+    t = _cents(F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") + 0.5).cast("bigint")).alias("sum_qty"),
+            F.sum(p).alias("sum_base_cents"),
+            F.sum(p * (100 - d)).alias("sum_disc_cents_pct"),
+            F.sum(p * (100 - d) * (100 + t)).alias("sum_charge_cents_pct2"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+Q113_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+         AS sum_disc_cents_pct,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS BIGINT)
+         AS sum_charge_cents_pct2,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q114_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension broadcast (BUILDING customers),
+    fact join, top-10 by exact integer revenue via TakeOrderedAndProject
+    (never a global sort). Fully deterministic order: revenue desc, then
+    orderdate, then orderkey."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_cents_pct"))
+        .orderBy(
+            F.desc("revenue_cents_pct"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+Q114_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+         AS revenue_cents_pct
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents_pct DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q115_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the deep dimension chain region -> nation ->
+    customer/supplier broadcast onto the fact join, with the local-supplier
+    equality (customer and supplier share a nation). Every dimension is
+    broadcast; the only big shuffle is lineitem x orders."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", F.col("s_nationkey").alias("s_nation_key"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    nat_of_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.col("c_nationkey").alias("c_nation_key")
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nat_of_cust), orders["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("c_nation_key") == F.col("s_nation_key"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nation_key") == F.col("n_nationkey"),
+        )
+    )
+    return joined.groupBy("n_name").agg(F.sum(rev).alias("revenue_cents_pct"))
+
+
+Q115_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+         AS revenue_cents_pct
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -4422,6 +4577,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q110_unimax_allocation": q110_unimax_allocation,
     "q111_sparse_cosine_pairs": q111_sparse_cosine_pairs,
     "q112_context_windows": q112_context_windows,
+    "q113_pricing_summary": q113_pricing_summary,
+    "q114_shipping_priority": q114_shipping_priority,
+    "q115_local_supplier_volume": q115_local_supplier_volume,
 }
 
 ORACLES: dict[str, str] = {
@@ -4530,6 +4688,9 @@ ORACLES: dict[str, str] = {
     "q110_unimax_allocation": Q110_SQL,
     "q111_sparse_cosine_pairs": Q111_SQL,
     "q112_context_windows": Q112_SQL,
+    "q113_pricing_summary": Q113_SQL,
+    "q114_shipping_priority": Q114_SQL,
+    "q115_local_supplier_volume": Q115_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -493,6 +493,29 @@ COMMENTARY = {
         "in BENCH/ALLPAIRS.md) is the operator's scale contract; what is "
         "left is an ordinary keyed shuffle AQE can size.",
     ),
+    "q113_pricing_summary": (
+        "One FileScan with PushedFilters on l_shipdate; one partial "
+        "HashAggregate before the single 6-group Exchange; no join, no "
+        "Python.",
+        "The classic full-table aggregate must be scan-bound: pushdown skips "
+        "row groups past the cutoff, and the map-side partial compresses "
+        "each task to |flag x status| rows before the shuffle.",
+    ),
+    "q114_shipping_priority": (
+        "The filtered customer dimension is a BroadcastExchange; the top-10 "
+        "ends in TakeOrderedAndProject, never a global Sort.",
+        "Top-k over a 100 TB join must not sort the join output: each task "
+        "keeps 10 rows, the driver merges task heads — constant memory at "
+        "any scale.",
+    ),
+    "q115_local_supplier_volume": (
+        "Every dimension (region->nation->supplier, customer nation) is a "
+        "BroadcastExchange; the only hashpartitioning Exchange pair is "
+        "lineitem x orders.",
+        "A 6-table star join collapses to ONE big shuffle when the "
+        "dimension chain broadcasts — the difference between 1 and 5 "
+        "shuffles of the fact table at 100 TB.",
+    ),
     "q110_unimax_allocation": (
         "One partial-aggregated HashAggregate reduces the corpus to per-stratum "
         "counts; every window after that runs on the STRATA frame (rows = "
