@@ -4463,6 +4463,54 @@ GROUP BY n_name
 """
 
 
+def q116_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per month — fact x part with
+    the part dimension broadcast, conditional aggregation, and the share
+    as exact integer per-mille (numerators/denominators in cent-percent
+    units, `div` == `//` on non-negatives). Exercises the last unused
+    fixture table."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.sum(promo).alias("promo_cents_pct"),
+            F.sum(rev).alias("total_cents_pct"),
+        )
+        .select(
+            "month",
+            "promo_cents_pct",
+            "total_cents_pct",
+            F.expr("promo_cents_pct * 1000 div greatest(total_cents_pct, 1)")
+            .cast("bigint")
+            .alias("promo_share_pm"),
+        )
+    )
+
+
+Q116_SQL = """
+WITH j AS (
+  SELECT date_trunc('month', l_shipdate) AS month,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01')
+SELECT month,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_cents_pct,
+       CAST(sum(rev) AS BIGINT) AS total_cents_pct,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 1000
+            // greatest(sum(rev), 1) AS BIGINT) AS promo_share_pm
+FROM j GROUP BY month
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -4580,6 +4628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q113_pricing_summary": q113_pricing_summary,
     "q114_shipping_priority": q114_shipping_priority,
     "q115_local_supplier_volume": q115_local_supplier_volume,
+    "q116_promo_revenue": q116_promo_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -4691,6 +4740,7 @@ ORACLES: dict[str, str] = {
     "q113_pricing_summary": Q113_SQL,
     "q114_shipping_priority": Q114_SQL,
     "q115_local_supplier_volume": Q115_SQL,
+    "q116_promo_revenue": Q116_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
