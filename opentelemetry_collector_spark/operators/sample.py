@@ -378,3 +378,58 @@ def unimax_allocation(
         "cap",
         F.least(F.col("cap"), F.lit(level)).cast("bigint").alias("alloc"),
     )
+
+
+_MIN_FRACTION = 2.0**-52  # md5_fraction's one-ulp floor: u == 0 is possible
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the k
+    items with the largest priority ``w / u`` where ``u`` is the item's
+    own :func:`md5_fraction` — priority sampling (Duffield, Lund & Thorup,
+    JACM'07) with the hash standing in for the uniform draw, so the sample
+    is a pure function of the data (seed-free, replay-stable, and
+    engine-reproducible: both engines compute the identical IEEE division
+    of identical doubles, so the ORDER is identical even though the
+    priority itself is a float — the float never lands in the output).
+
+    The quality-weighted complement of :func:`stratified_sample`: weight
+    by a quality score / token count and heavy documents are
+    proportionally more likely to survive, while the hash keeps any
+    specific corpus deterministic. Rows with NULL or non-positive weight
+    are not in the population.
+
+    Scale shape: with ``stratum_col``, a rank window whose only consumer
+    is ``row_number <= k`` — Partial WindowGroupLimit ships O(k·strata)
+    rows per task through the shuffle (the rate_limit property). Without
+    it, a global top-k via TakeOrderedAndProject: every task keeps k rows,
+    no global sort.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = F.greatest(
+        md5_fraction(F.col(id_col).cast("string")), F.lit(_MIN_FRACTION)
+    )
+    pop = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    pr = (F.col(weight_col).cast("double") / u).alias("_pr")
+    if stratum_col is None:
+        return (
+            pop.withColumn("_pr", pr)
+            .orderBy(F.desc("_pr"), F.asc(id_col))
+            .limit(k)
+            .drop("_pr")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(F.desc(pr), F.asc(id_col))
+    return (
+        pop.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -4511,6 +4511,36 @@ FROM j GROUP BY month
 """
 
 
+def q117_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (operators/sample.weighted_sample,
+    Duffield-Lund-Thorup priority sampling with md5-derived uniforms): the
+    20 highest-priority docs per language, weighted by size. The priority
+    is a float but both engines divide the IDENTICAL doubles, so the order
+    — and therefore the selected set — is engine-exact; the float itself
+    never reaches the output."""
+    from opentelemetry_collector_spark.operators.sample import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_sample(docs, "doc_id", "n_chars", 20, stratum_col="lang")
+
+
+Q117_SQL = """
+WITH pr AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(n_chars AS DOUBLE) /
+           greatest(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                      / 4503599627370496.0,
+                    2.220446049250313e-16) AS p
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT doc_id, lang, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY p DESC, doc_id) AS rn
+  FROM pr)
+WHERE rn <= 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -4629,6 +4659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114_shipping_priority": q114_shipping_priority,
     "q115_local_supplier_volume": q115_local_supplier_volume,
     "q116_promo_revenue": q116_promo_revenue,
+    "q117_weighted_sample": q117_weighted_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -4741,6 +4772,7 @@ ORACLES: dict[str, str] = {
     "q114_shipping_priority": Q114_SQL,
     "q115_local_supplier_volume": Q115_SQL,
     "q116_promo_revenue": Q116_SQL,
+    "q117_weighted_sample": Q117_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

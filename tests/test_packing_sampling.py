@@ -447,3 +447,62 @@ def test_turn_context_windows_goldens(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def _priority(doc_id: str, w: int) -> float:
+    import hashlib
+
+    u = int(hashlib.md5(doc_id.encode()).hexdigest()[:13], 16) / float(16**13)
+    return w / max(u, 2.0**-52)
+
+
+def test_weighted_sample_matches_python_priority_replay(spark):
+    from opentelemetry_collector_spark.operators.sample import weighted_sample
+
+    rows = [(f"d{i}", "s1" if i % 2 else "s2", (i % 7) + 1) for i in range(60)]
+    rows += [("junk1", "s1", 0), ("junk2", "s2", None), ("junk3", "s1", -5)]
+    df = spark.createDataFrame(rows, "doc_id string, stratum string, w int")
+
+    # global top-k
+    got = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 10).collect()}
+    pop = [(d, w) for d, s, w in rows if w and w > 0]
+    want = {
+        d for d, _ in sorted(pop, key=lambda x: (-_priority(x[0], x[1]), x[0]))[:10]
+    }
+    assert got == want
+
+    # stratified top-k per group
+    gots = {
+        (r["stratum"], r["doc_id"])
+        for r in weighted_sample(df, "doc_id", "w", 5, stratum_col="stratum").collect()
+    }
+    wants = set()
+    for s in ("s1", "s2"):
+        grp = [(d, w) for d, st, w in rows if st == s and w and w > 0]
+        wants |= {
+            (s, d)
+            for d, _ in sorted(grp, key=lambda x: (-_priority(x[0], x[1]), x[0]))[:5]
+        }
+    assert gots == wants
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        weighted_sample(df, "doc_id", "w", 0)
+
+
+def test_weighted_sample_plans(spark):
+    from opentelemetry_collector_spark.operators.sample import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", "s", 1), ("b", "s", 2)], "doc_id string, stratum string, w int"
+    )
+    glob = weighted_sample(df, "doc_id", "w", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in glob  # never a global Sort
+    strat = (
+        weighted_sample(df, "doc_id", "w", 5, stratum_col="stratum")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in strat  # rank-limit pushdown per stratum
