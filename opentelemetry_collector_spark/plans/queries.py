@@ -4541,6 +4541,32 @@ WHERE rn <= 20
 """
 
 
+def q118_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of lineitem (plans/profile.
+    table_profile): exact null/distinct counts for every column in ONE
+    pass (multi-distinct compiles to a single Expand over one scan).
+    Oracle: per-column UNION ALL with the same SQL count-distinct
+    semantics."""
+    from opentelemetry_collector_spark.plans.profile import table_profile
+
+    return table_profile(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+_LI_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+
+Q118_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM lineitem"""
+    for c in _LI_COLS
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -4660,6 +4686,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q115_local_supplier_volume": q115_local_supplier_volume,
     "q116_promo_revenue": q116_promo_revenue,
     "q117_weighted_sample": q117_weighted_sample,
+    "q118_table_profile": q118_table_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -4773,6 +4800,7 @@ ORACLES: dict[str, str] = {
     "q115_local_supplier_volume": Q115_SQL,
     "q116_promo_revenue": Q116_SQL,
     "q117_weighted_sample": Q117_SQL,
+    "q118_table_profile": Q118_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
