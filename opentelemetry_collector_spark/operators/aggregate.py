@@ -573,3 +573,93 @@ def role_transitions(
         "n_transitions",
         F.expr("n_transitions * 1000 div _out").cast("bigint").alias("p_pm"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel over an event stream: a user reaches step i at the
+    EARLIEST event of that type strictly after their step-(i-1) time (the
+    classic product-analytics conversion funnel; strictly-ordered
+    semantics, not mere set membership). Returns one row per step:
+    (step_idx, step, n_users).
+
+    Physical shape: one filtered min-aggregate per step, each joined back
+    to the survivors frame — every aggregate and join is keyed on the user
+    column, so the chain re-uses one partitioning and the frames shrink
+    monotonically (step i's frame only holds users who reached it). No
+    windows over the raw stream, no per-user arrays — a power user with
+    millions of events costs one partial-aggregated min per step.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ts = F.col(ts_col)
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("_s0"))
+    )
+    frames = [cur]
+    for i, st in enumerate(steps[1:], 1):
+        cand = df.filter(F.col(type_col) == st).select(
+            F.col(user_col), ts.alias("_t")
+        )
+        cur = (
+            cand.join(cur.select(user_col, f"_s{i-1}"), user_col)
+            .filter(F.col("_t") > F.col(f"_s{i-1}"))
+            .groupBy(user_col)
+            .agg(F.min("_t").alias(f"_s{i}"))
+        )
+        frames.append(cur)
+    counts = [
+        f.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(i).cast("int").alias("step_idx"),
+            F.lit(steps[i]).alias("step"),
+            F.col("n").cast("bigint").alias("n_users"),
+        )
+        for i, f in enumerate(frames)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly retention matrix: users cohorted by their first-activity
+    week, counted once per (cohort_week, week_offset) they were active in
+    — the classic triangle. Integer week offsets via day-difference div 7
+    (exact, both engines).
+
+    Two groupBys on the user key share one partitioning (first-activity
+    min, then the distinct user-week set); the matrix aggregate runs over
+    user-week rows, already tiny. Offset 0 is the cohort size."""
+    cohort = df.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    active = (
+        df.select(
+            F.col(user_col),
+            F.date_trunc("week", F.col(ts_col)).alias("_week"),
+        )
+        .distinct()
+    )
+    j = active.join(cohort, user_col)
+    return (
+        j.select(
+            "cohort_week",
+            (F.datediff(F.col("_week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

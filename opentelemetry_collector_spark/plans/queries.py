@@ -4567,6 +4567,56 @@ FROM lineitem"""
 )
 
 
+def q119_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the raw events table
+    (operators/aggregate.funnel): signup -> view -> click -> purchase,
+    each step at the earliest event strictly after the previous step.
+    Every aggregate/join in the chain is keyed on user_id and the frames
+    shrink monotonically. Oracle: the same strictly-ordered CTE chain."""
+    from opentelemetry_collector_spark.operators.aggregate import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, "user_id", "ts", "event_type", ["signup", "view", "click", "purchase"])
+
+
+Q119_SQL = """
+WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1),
+s1 AS (SELECT e.user_id, min(ts) AS t1 FROM events e JOIN s0 USING (user_id)
+       WHERE event_type = 'view' AND ts > t0 GROUP BY 1),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+SELECT CAST(0 AS INT) AS step_idx, 'signup' AS step, CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+"""
+
+
+def q120_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle (operators/aggregate.retention_cohorts):
+    users cohorted by first-activity week, counted once per active week
+    offset. Integer offsets via day-difference div 7."""
+    from opentelemetry_collector_spark.operators.aggregate import retention_cohorts
+
+    return retention_cohorts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "user_id", "ts"
+    )
+
+
+Q120_SQL = """
+WITH cohort AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                FROM events GROUP BY 1),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -4687,6 +4737,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q116_promo_revenue": q116_promo_revenue,
     "q117_weighted_sample": q117_weighted_sample,
     "q118_table_profile": q118_table_profile,
+    "q119_event_funnel": q119_event_funnel,
+    "q120_retention_cohorts": q120_retention_cohorts,
 }
 
 ORACLES: dict[str, str] = {
@@ -4801,6 +4853,8 @@ ORACLES: dict[str, str] = {
     "q116_promo_revenue": Q116_SQL,
     "q117_weighted_sample": Q117_SQL,
     "q118_table_profile": Q118_SQL,
+    "q119_event_funnel": Q119_SQL,
+    "q120_retention_cohorts": Q120_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

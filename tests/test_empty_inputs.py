@@ -25,9 +25,14 @@ def empty_sf_dir(spark, tmp_path_factory):
     return str(dst)
 
 
-# queries whose correct answer over an empty table is NON-empty: a profile
-# reports one all-zero row per column (the shape is the point)
-_NONEMPTY_ON_EMPTY = {"q118_table_profile"}
+# queries whose correct answer over an empty table is NON-empty summary rows
+# (the row-per-shape is the point); each maps to a validator over its rows
+_NONEMPTY_ON_EMPTY = {
+    "q118_table_profile": lambda r: (
+        r["n_rows"] == 0 and r["n_nulls"] == 0 and r["n_distinct"] == 0
+    ),
+    "q119_event_funnel": lambda r: r["n_users"] == 0,
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -35,10 +40,7 @@ def test_query_survives_empty_input(spark, empty_sf_dir, name):
     out = QUERIES[name](spark, empty_sf_dir)
     if name in _NONEMPTY_ON_EMPTY:
         rows = out.collect()
-        assert rows and all(
-            r["n_rows"] == 0 and r["n_nulls"] == 0 and r["n_distinct"] == 0
-            for r in rows
-        )
+        assert rows and all(_NONEMPTY_ON_EMPTY[name](r) for r in rows)
     else:
         assert out.count() == 0
     assert len(out.schema.fields) > 0  # schema stays stable with no rows
