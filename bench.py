@@ -70,6 +70,12 @@ HEADLINE = [
     "q106_surprisal",
     "q108_snapshot_diff",
     "q110_unimax_allocation",
+    "q112_context_windows",
+    "q117_weighted_sample",
+    "q118_table_profile",
+    # event analytics (events table)
+    "q119_event_funnel",
+    "q120_retention_cohorts",
     # analytic extensions (transcripts table)
     "q105_service_graph",
     "q107_robust_anomalies",

@@ -516,6 +516,33 @@ COMMENTARY = {
         "dimension chain broadcasts — the difference between 1 and 5 "
         "shuffles of the fact table at 100 TB.",
     ),
+    "q112_context_windows": (
+        "One Exchange hashpartitioning(conv_id) under a single Window node "
+        "computing a bounded ROWS frame (k rows); no join, no Python.",
+        "Context featurization must ride the conversation partitioning the "
+        "pipeline already uses: the frame is k rows regardless of "
+        "conversation length, so a hot conversation is O(len x k).",
+    ),
+    "q117_weighted_sample": (
+        "The stratified form plans a Partial WindowGroupLimit under the "
+        "rank window — each task forwards at most k rows per stratum.",
+        "Weighted selection over 100 TB must not shuffle the corpus: the "
+        "rank-limit pushdown caps the shuffle at k x strata x tasks rows.",
+    ),
+    "q119_event_funnel": (
+        "Every aggregate and join in the step chain is keyed on user_id; "
+        "each step's HashAggregate is partial-aggregated and the frames "
+        "shrink monotonically.",
+        "Funnels are usually written as windows over the whole event "
+        "stream; the keyed min-join chain instead costs one partial min "
+        "per step and never materializes per-user event arrays.",
+    ),
+    "q120_retention_cohorts": (
+        "Two user-keyed groupBys (first-activity min, distinct user-weeks) "
+        "then a matrix aggregate over user-week rows.",
+        "The retention triangle's heavy lifting is the distinct; after it "
+        "the data is users x weeks, small at any corpus size.",
+    ),
     "q110_unimax_allocation": (
         "One partial-aggregated HashAggregate reduces the corpus to per-stratum "
         "counts; every window after that runs on the STRATA frame (rows = "
