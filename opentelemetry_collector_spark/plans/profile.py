@@ -21,6 +21,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def referential_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key orphan audit: for each (name, child, child_key, parent,
+    parent_key) relation, count child rows whose key has no parent —
+    LEFT ANTI against the parent's distinct keys (AQE broadcasts small
+    parents). NULL child keys are orphans of a different kind and are
+    counted separately; SQL join semantics would silently drop them.
+    Output: (relation, n_child, n_orphans, n_null_keys).
+    """
+    if not relations:
+        raise ValueError("no relations to audit")
+    outs = []
+    for name, child, ckey, parent, pkey in relations:
+        keys = parent.select(F.col(pkey).alias("_pk")).distinct()
+        nonnull = child.filter(F.col(ckey).isNotNull())
+        orphans = nonnull.join(
+            keys, nonnull[ckey] == keys["_pk"], "left_anti"
+        ).count()
+        n_child = child.count()
+        n_null = child.filter(F.col(ckey).isNull()).count()
+        spark = child.sparkSession
+        outs.append(
+            spark.createDataFrame(
+                [(name, n_child, orphans, n_null)],
+                "relation string, n_child bigint, n_orphans bigint, n_null_keys bigint",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """(column, n_rows, n_nulls, n_distinct) per profiled column. NULLs are
     not distinct values (SQL count-distinct semantics in both engines)."""

@@ -4617,6 +4617,48 @@ GROUP BY 1, 2
 """
 
 
+def q121_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema
+    (plans/profile.referential_audit): per relation, child rows whose key
+    resolves to no parent (LEFT ANTI on the parent's distinct keys — AQE
+    broadcasts small parents) with NULL keys counted separately."""
+    from opentelemetry_collector_spark.plans.profile import referential_audit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return referential_audit(
+        [
+            ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+            ("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        ]
+    )
+
+
+Q121_SQL = """
+SELECT 'lineitem->orders' AS relation,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+             AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))
+            AS BIGINT) AS n_orphans,
+       CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT) AS n_null_keys
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)),
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL
+        AND c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)),
+       (SELECT count(*) FROM customer WHERE c_nationkey IS NULL)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -4739,6 +4781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q118_table_profile": q118_table_profile,
     "q119_event_funnel": q119_event_funnel,
     "q120_retention_cohorts": q120_retention_cohorts,
+    "q121_referential_audit": q121_referential_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -4855,6 +4898,7 @@ ORACLES: dict[str, str] = {
     "q118_table_profile": Q118_SQL,
     "q119_event_funnel": Q119_SQL,
     "q120_retention_cohorts": Q120_SQL,
+    "q121_referential_audit": Q121_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

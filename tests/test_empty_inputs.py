@@ -32,6 +32,9 @@ _NONEMPTY_ON_EMPTY = {
         r["n_rows"] == 0 and r["n_nulls"] == 0 and r["n_distinct"] == 0
     ),
     "q119_event_funnel": lambda r: r["n_users"] == 0,
+    "q121_referential_audit": lambda r: (
+        r["n_child"] == 0 and r["n_orphans"] == 0 and r["n_null_keys"] == 0
+    ),
 }
 
 

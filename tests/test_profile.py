@@ -43,3 +43,20 @@ def test_profile_single_pass_plan(spark):
     # one Expand for the multi-distinct, one scan of the input
     assert plan.count("Scan ExistingRDD") == 1
     assert "Expand" in plan
+
+
+def test_referential_audit_orphans_and_null_keys(spark):
+    from opentelemetry_collector_spark.plans.profile import referential_audit
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (9, "orphan"), (None, "nullkey")], "fk int, x string"
+    )
+    got = {
+        r["relation"]: (r["n_child"], r["n_orphans"], r["n_null_keys"])
+        for r in referential_audit([("c->p", child, "fk", parent, "pk")]).collect()
+    }
+    assert got == {"c->p": (4, 1, 1)}
+
+    with pytest.raises(ValueError, match="no relations"):
+        referential_audit([])
