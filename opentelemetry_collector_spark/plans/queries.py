@@ -4659,6 +4659,285 @@ SELECT 'customer->nation',
 """
 
 
+def q122_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join with a
+    non-equi residual (any lineitem shipped >30 days after its order's
+    date). The semi join never widens the orders rows and AQE picks the
+    build side; the final groupBy is over 5 priority groups."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    semi = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
+
+
+Q122_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q123_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter — fact filter (returnflag) x date-windowed orders, customer +
+    nation broadcast, exact integer cents, TakeOrderedAndProject (never a
+    global sort). Deterministic order: revenue desc, custkey asc."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            _cents(F.col("c_acctbal")).alias("acctbal_cents"),
+            "n_name",
+        )
+        .agg(F.sum(rev).alias("revenue_cents_pct"))
+        .orderBy(F.desc("revenue_cents_pct"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q123_SQL = """
+SELECT c_custkey, c_name,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents, n_name,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+         AS revenue_cents_pct
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, acctbal_cents, n_name
+ORDER BY revenue_cents_pct DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q124_customer_orders_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution including the zero bucket
+    — customers LEFT OUTER joined to (filtered) orders, per-customer count
+    of matches, then a histogram of those counts. The outer join keeps
+    customers with no orders (c_count = 0), which an inner-join histogram
+    silently drops."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+Q124_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
+                   WHERE o_orderpriority <> '5-LOW') o
+    ON c_custkey = o.o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q125_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-subquery — orders whose total line quantity
+    exceeds a threshold, decorated with customer + order columns. The
+    aggregate runs FIRST (partial-agg shrinks lineitem to one row per
+    order before any join); quantities quantized to bigint so the filter
+    edge is exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.floor(F.col("l_quantity") + 0.5).cast("bigint")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            "total_qty",
+        )
+    )
+
+
+Q125_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+       total_qty
+FROM (SELECT l_orderkey, CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 250) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q126_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets over the transcripts frame: ROLLUP(role, tool) counts
+    + character mass, with GROUPING() flags distinguishing the rollup NULL
+    from the data's own NULL tool (the §2.7 'no grouping sets' gap filled
+    Spark-side). One Expand over one scan — the multi-level aggregate
+    costs one shuffle, not one job per level."""
+    t = from_events(spark, sf_dir)
+    return (
+        t.rollup("role", "tool")
+        .agg(
+            F.grouping("role").cast("int").alias("g_role"),
+            F.grouping("tool").cast("int").alias("g_tool"),
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        )
+        .select("role", "tool", "g_role", "g_tool", "n_turns", "sum_chars")
+    )
+
+
+Q126_SQL = f"""{_PRELUDE}
+SELECT role, tool,
+       CAST(grouping(role) AS INT) AS g_role,
+       CAST(grouping(tool) AS INT) AS g_tool,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM t
+GROUP BY ROLLUP (role, tool)
+"""
+
+
+def q127_pagerank_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration weighted PageRank (operators/graph.pagerank) over
+    the page->item navigation graph derived from view/click events. All
+    arithmetic in integer micro-units (div, never /) so the fixpoint slice
+    is bit-exact under any partitioning; the only corpus-sized pass is the
+    edge aggregation — iterations run on the aggregated edge list with the
+    node-sized rank frame broadcast."""
+    from opentelemetry_collector_spark.operators.graph import navigation_edges, pagerank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return pagerank(navigation_edges(ev), iterations=3)
+
+
+def _pagerank_sql(iterations: int = 3) -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""c{i} AS (
+  SELECT dst AS node, sum((rank_micros * weight) // out_weight) AS received
+  FROM e JOIN {prev} ON e.src = {prev}.node GROUP BY 1),
+r{i} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * coalesce(received, 0)) // 100 AS BIGINT) AS rank_micros
+  FROM nodes n LEFT JOIN c{i} USING (node))"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH vc AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 'page:' || CAST(event_id % 50 AS VARCHAR)
+              ELSE 'item:' || CAST(event_id % 100 AS VARCHAR) END AS dst
+  FROM events WHERE event_type IN ('view', 'click')),
+seq AS (
+  SELECT lag(dst) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, dst FROM vc),
+edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
+          FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outw AS (SELECT src, sum(weight) AS out_weight FROM edges GROUP BY 1),
+e AS (SELECT edges.src, edges.dst, edges.weight, outw.out_weight
+      FROM edges JOIN outw USING (src)),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micros FROM nodes),
+{",".join(steps)}
+SELECT node, rank_micros FROM {prev}
+"""
+
+
+Q127_SQL = _pagerank_sql(3)
+
+
+def q128_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (the §2.7 'no set ops' gap): INTERSECT / EXCEPT over
+    the viewer and purchaser user sets, counted per segment. Distinct-set
+    semantics on both engines; each leg is one hash aggregate over an
+    already-distinct frame."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+
+    def seg(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(name).alias("segment"), "n_users"
+        )
+
+    return (
+        seg("view_and_purchase", viewers.intersect(buyers))
+        .union(seg("view_only", viewers.subtract(buyers)))
+        .union(seg("purchase_only", buyers.subtract(viewers)))
+    )
+
+
+Q128_SQL = """
+SELECT 'view_and_purchase' AS segment, CAST(count(*) AS BIGINT) AS n_users FROM (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'view_only', CAST(count(*) AS BIGINT) FROM (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'purchase_only', CAST(count(*) AS BIGINT) FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'view')
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -4782,6 +5061,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q119_event_funnel": q119_event_funnel,
     "q120_retention_cohorts": q120_retention_cohorts,
     "q121_referential_audit": q121_referential_audit,
+    "q122_order_priority": q122_order_priority,
+    "q123_returned_items": q123_returned_items,
+    "q124_customer_orders_dist": q124_customer_orders_dist,
+    "q125_large_volume_orders": q125_large_volume_orders,
+    "q126_rollup_totals": q126_rollup_totals,
+    "q127_pagerank_nav": q127_pagerank_nav,
+    "q128_audience_overlap": q128_audience_overlap,
 }
 
 ORACLES: dict[str, str] = {
@@ -4899,6 +5185,13 @@ ORACLES: dict[str, str] = {
     "q119_event_funnel": Q119_SQL,
     "q120_retention_cohorts": Q120_SQL,
     "q121_referential_audit": Q121_SQL,
+    "q122_order_priority": Q122_SQL,
+    "q123_returned_items": Q123_SQL,
+    "q124_customer_orders_dist": Q124_SQL,
+    "q125_large_volume_orders": Q125_SQL,
+    "q126_rollup_totals": Q126_SQL,
+    "q127_pagerank_nav": Q127_SQL,
+    "q128_audience_overlap": Q128_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -1,0 +1,183 @@
+"""Graph + relational-shape batch (q122-q128): integer-exact PageRank
+(operators/graph.py), navigation-edge derivation, grouping sets, set ops,
+and the TPC-H Q4/Q10/Q13/Q18 join shapes.
+
+The PageRank goldens are checked against an in-test pure-Python reference
+using the SAME integer micro-unit arithmetic, so any drift in the Spark
+plan (join order, partitioning) that broke exactness would show up here
+before the oracle gate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from opentelemetry_collector_spark.operators.graph import (
+    UNIT,
+    navigation_edges,
+    pagerank,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_pagerank(edges, iterations=3, damping_pct=85):
+    """Plain-Python reference: identical integer arithmetic, no Spark."""
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    base = (100 - damping_pct) * UNIT // 100
+    rank = {n: UNIT for n in nodes}
+    for _ in range(iterations):
+        recv = {}
+        for s, d, w in edges:
+            recv[d] = recv.get(d, 0) + rank[s] * w // out_w[s]
+        rank = {n: base + damping_pct * recv.get(n, 0) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_reference(spark):
+    edges = [("a", "b", 2), ("a", "c", 1), ("b", "c", 1), ("c", "a", 1), ("d", "a", 5)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight bigint")
+    got = {r["node"]: r["rank_micros"] for r in pagerank(df, iterations=3).collect()}
+    assert got == _py_pagerank(edges, 3)
+    # d is dangling-in only (no in-edges): pure base mass after iteration 1
+    assert got["d"] == 150_000
+
+
+def test_pagerank_partition_invariant(spark):
+    """Bit-identical ranks no matter how the edge list is partitioned —
+    the property float PageRank does NOT have."""
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 40}", (i % 5) + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight bigint")
+    a = {r["node"]: r["rank_micros"] for r in pagerank(df.coalesce(1), 2).collect()}
+    b = {r["node"]: r["rank_micros"] for r in pagerank(df.repartition(16, "dst"), 2).collect()}
+    assert a == b
+
+
+def test_pagerank_rejects_bad_damping(spark):
+    df = spark.createDataFrame([("a", "b", 1)], "src string, dst string, weight bigint")
+    with pytest.raises(ValueError, match="damping_pct"):
+        pagerank(df, damping_pct=100)
+
+
+def test_navigation_edges_golden(spark):
+    t0 = dt.datetime(2026, 1, 5)
+    rows = [
+        # u1: view page(id%50) -> click item(id%100) -> view — two edges
+        (100, t0, 1, "view"),
+        (151, t0 + dt.timedelta(minutes=1), 1, "click"),
+        (52, t0 + dt.timedelta(minutes=2), 1, "view"),
+        # interleaved non-nav event must NOT break adjacency
+        (999, t0 + dt.timedelta(seconds=90), 1, "purchase"),
+        # u2: single view — no edge
+        (7, t0, 2, "view"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r["src"], r["dst"]): r["weight"] for r in navigation_edges(df).collect()}
+    assert got == {("page:0", "item:51"): 1, ("item:51", "page:2"): 1}
+
+
+def test_rollup_grouping_flags(spark):
+    from opentelemetry_collector_spark.plans.queries import q126_rollup_totals
+
+    rows = q126_rollup_totals(spark, SF).collect()
+    by_flags = {}
+    for r in rows:
+        by_flags.setdefault((r["g_role"], r["g_tool"]), []).append(r)
+    # three rollup levels present: leaf, per-role subtotal, grand total
+    assert set(by_flags) == {(0, 0), (0, 1), (1, 1)}
+    grand = by_flags[(1, 1)]
+    assert len(grand) == 1 and grand[0]["role"] is None
+    # the levels are consistent: leaves sum to the grand total
+    assert sum(r["n_turns"] for r in by_flags[(0, 0)]) == grand[0]["n_turns"]
+    assert sum(r["n_turns"] for r in by_flags[(0, 1)]) == grand[0]["n_turns"]
+    # g_tool=0 rows include the data's OWN null tool, distinguished by flag
+    leaf_null_tool = [r for r in by_flags[(0, 0)] if r["tool"] is None]
+    assert leaf_null_tool, "natural NULL tool must survive as a leaf group"
+
+
+def test_audience_overlap_partition_of_union(spark):
+    """view_and_purchase + view_only == all distinct viewers; the three
+    segments partition the viewer∪purchaser universe."""
+    from opentelemetry_collector_spark.plans.queries import q128_audience_overlap
+
+    seg = {r["segment"]: r["n_users"] for r in q128_audience_overlap(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    viewers = ev.filter("event_type = 'view'").select("user_id").distinct().count()
+    buyers = ev.filter("event_type = 'purchase'").select("user_id").distinct().count()
+    assert seg["view_and_purchase"] + seg["view_only"] == viewers
+    assert seg["view_and_purchase"] + seg["purchase_only"] == buyers
+
+
+def test_q122_semi_join_never_multiplies(spark):
+    """Q4 shape: per-priority counts can never exceed the window's order
+    count (a plain inner join WOULD multiply by matching lineitems), and
+    the physical plan contains the semi join."""
+    from opentelemetry_collector_spark.plans.queries import q122_order_priority
+
+    df = q122_order_priority(spark, SF)
+    import pyspark.sql.functions as F
+
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    window_counts = {r["o_orderpriority"]: r["count"] for r in orders.collect()}
+    for r in df.collect():
+        assert 0 < r["order_count"] <= window_counts[r["o_orderpriority"]]
+    assert "LeftSemi" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q124_histogram_mass_equals_customers(spark):
+    """Q13 shape: the histogram partitions the customer set — its mass is
+    exactly the customer count (an inner-join histogram would undercount)."""
+    from opentelemetry_collector_spark.plans.queries import q124_customer_orders_dist
+
+    rows = q124_customer_orders_dist(spark, SF).collect()
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert sum(r["custdist"] for r in rows) == n_cust
+
+
+def test_q124_outer_join_keeps_zero_bucket(spark, tmp_path):
+    """The c_count=0 bucket: customers with no qualifying orders (none at
+    all, or only filtered-out 5-LOW ones) survive the OUTER join."""
+    from opentelemetry_collector_spark.plans.queries import q124_customer_orders_dist
+
+    spark.createDataFrame(
+        [(1,), (2,), (3,)], "c_custkey long"
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 1, "1-URGENT"), (11, 1, "2-HIGH"), (12, 2, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        r["c_count"]: r["custdist"]
+        for r in q124_customer_orders_dist(spark, str(tmp_path)).collect()
+    }
+    # cust 1 -> 2 qualifying, cust 2 -> only LOW (0), cust 3 -> none (0)
+    assert got == {2: 1, 0: 2}
+
+
+def test_q125_having_threshold_exact(spark):
+    from opentelemetry_collector_spark.plans.queries import q125_large_volume_orders
+
+    rows = q125_large_volume_orders(spark, SF).collect()
+    assert rows and all(r["total_qty"] > 250 for r in rows)
+
+
+def test_q123_broadcasts_dimensions(spark):
+    from opentelemetry_collector_spark.plans.queries import q123_returned_items
+
+    df = q123_returned_items(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 without a global sort
+    assert df.count() == 20

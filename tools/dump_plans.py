@@ -543,6 +543,55 @@ COMMENTARY = {
         "The retention triangle's heavy lifting is the distinct; after it "
         "the data is users x weeks, small at any corpus size.",
     ),
+    "q122_order_priority": (
+        "EXISTS runs as a LeftSemi BroadcastHashJoin/SortMergeJoin with the "
+        "non-equi shipdate residual as the join condition; orders rows are "
+        "never widened or duplicated.",
+        "A semi join emits each order at most once regardless of matching "
+        "lineitems — the inner-join-then-distinct formulation would shuffle "
+        "the multiplied fact table first.",
+    ),
+    "q123_returned_items": (
+        "Customer and nation dimensions enter as BroadcastHashJoin; the "
+        "top-20 is a TakeOrderedAndProject, never a global Sort.",
+        "Only the lineitem x orders join shuffles; the ranking ships 20 "
+        "rows per task to the driver instead of sorting the joined fact.",
+    ),
+    "q124_customer_orders_dist": (
+        "LEFT OUTER join keyed on custkey, then two HashAggregates — the "
+        "second one over the per-customer frame (one row per customer).",
+        "The zero bucket (customers with no qualifying orders) only exists "
+        "under the outer join; the histogram aggregate runs on a frame "
+        "already reduced to |customers| rows.",
+    ),
+    "q125_large_volume_orders": (
+        "The HAVING aggregate runs FIRST: partial HashAggregate shrinks "
+        "lineitem to one row per order before any join; the customer "
+        "dimension broadcasts.",
+        "Filtering on the aggregate before joining means the join input is "
+        "the few qualifying orders, not the full fact table.",
+    ),
+    "q126_rollup_totals": (
+        "One Expand node feeding a single partial-aggregated HashAggregate "
+        "— all three rollup levels computed in ONE shuffle over one scan.",
+        "The naive alternative is one job per level (3 corpus passes); "
+        "Expand replicates rows map-side so every level shares the same "
+        "partial aggregation.",
+    ),
+    "q127_pagerank_nav": (
+        "The corpus-sized pass is the edge aggregation (window lag + one "
+        "groupBy); every PageRank iteration joins the node-sized rank frame "
+        "(BroadcastHashJoin) onto the aggregated edge list.",
+        "Iterations cost O(edges), never O(events) — and the integer "
+        "micro-unit arithmetic makes the result bit-identical under any "
+        "partitioning, so AQE/skew re-plans cannot change the answer.",
+    ),
+    "q128_audience_overlap": (
+        "INTERSECT/EXCEPT plan as distinct aggregates + joins on already-"
+        "distinct user frames; each segment leg is a single count.",
+        "Set ops over user universes reduce to |users|-sized frames before "
+        "any comparison — the raw event stream is scanned once per side.",
+    ),
     "q110_unimax_allocation": (
         "One partial-aggregated HashAggregate reduces the corpus to per-stratum "
         "counts; every window after that runs on the STRATA frame (rows = "
