@@ -663,3 +663,91 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+def activity_streaks(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per user (gaps-and-islands):
+    (user, n_active_days, longest_streak), all exact integers.
+
+    The classic trick: over the distinct (user, day) frame, ``day_number -
+    row_number`` is constant within a consecutive run, so one groupBy on
+    that anchor measures each island and a final max picks the longest.
+
+    Scale shape: the only corpus-sized op is the distinct, which partial-
+    aggregates map-side; every window/group after it runs on user-day rows
+    (bounded by users x days, not by events). The window partitions by
+    user — no global sort, and a power user costs one partition's sort of
+    at most "days in corpus" rows.
+    """
+    days = (
+        df.select(
+            F.col(user_col),
+            F.to_date(F.col(ts_col)).alias("_day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(user_col).orderBy("_day")
+    anchored = days.select(
+        user_col,
+        "_day",
+        (F.datediff("_day", F.lit("1970-01-01")) - F.row_number().over(w)).alias(
+            "_anchor"
+        ),
+    )
+    islands = anchored.groupBy(user_col, "_anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_run")
+    )
+    return islands.groupBy(user_col).agg(
+        F.sum("_run").cast("bigint").alias("n_active_days"),
+        F.max("_run").cast("bigint").alias("longest_streak"),
+    )
+
+
+def corr_moments(
+    df: DataFrame,
+    key_col: str,
+    x: Column,
+    y: Column,
+    ppm_out: str = "r2_ppm",
+) -> DataFrame:
+    """Distributed Pearson correlation as MERGEABLE exact integer moments.
+
+    Emits per key: n, sum_x, sum_y, sum_xy, sum_x2, sum_y2 (bigint-exact,
+    associative — this is how correlation distributes: each partition's
+    moments merge by addition, the same contract as the HLL/CM sketches)
+    plus ``r2_ppm``, the squared correlation in parts-per-million derived
+    from the exact moments with a FIXED double expression — deterministic
+    because every engine evaluates identical IEEE ops on identical
+    integers (the star-schema cents discipline, applied to moments).
+
+    ``x``/``y`` must already be integer-typed columns (quantize first).
+    """
+    xx, yy = x.cast("bigint"), y.cast("bigint")
+    agg = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xx).alias("sum_x"),
+        F.sum(yy).alias("sum_y"),
+        F.sum(xx * yy).alias("sum_xy"),
+        F.sum(xx * xx).alias("sum_x2"),
+        F.sum(yy * yy).alias("sum_y2"),
+    )
+    # identical text on the oracle side (CORR_PPM_SQL) — keep in sync
+    return agg.withColumn(
+        ppm_out,
+        F.expr(
+            "CASE WHEN cast(n as double) * cast(sum_x2 as double)"
+            "          - cast(sum_x as double) * cast(sum_x as double) > 0"
+            "      AND cast(n as double) * cast(sum_y2 as double)"
+            "          - cast(sum_y as double) * cast(sum_y as double) > 0 THEN"
+            " cast(floor("
+            "   (cast(n as double) * cast(sum_xy as double)"
+            "    - cast(sum_x as double) * cast(sum_y as double))"
+            "   * (cast(n as double) * cast(sum_xy as double)"
+            "      - cast(sum_x as double) * cast(sum_y as double))"
+            "   / ((cast(n as double) * cast(sum_x2 as double)"
+            "       - cast(sum_x as double) * cast(sum_x as double))"
+            "      * (cast(n as double) * cast(sum_y2 as double)"
+            "         - cast(sum_y as double) * cast(sum_y as double)))"
+            "   * 1000000) as bigint) END"
+        ),
+    )

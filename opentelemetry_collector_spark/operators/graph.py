@@ -121,3 +121,31 @@ def pagerank(
             )
         )
     return ranks
+
+
+def k_hop_reachability(edges: DataFrame, hops: int = 3) -> DataFrame:
+    """Per source node, how many distinct nodes are reachable within
+    ``hops`` directed steps (bounded transitive closure — the iterative-
+    join workload PageRank's fixed-point cousin).
+
+    Each round extends the frontier by one edge join and dedups with a
+    set-union (``distinct``); cycles are free (the reach set is a set).
+    Like :func:`pagerank`, iterations run on the AGGREGATED edge list,
+    never the raw corpus, and the reach frame is bounded by
+    nodes x reachable-set size. Returns (node, n_reachable) — the source
+    itself counts only if a cycle returns to it.
+    """
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    e = edges.select("src", "dst").distinct()
+    reach = e
+    for _ in range(hops - 1):
+        step = (
+            reach.select(F.col("src"), F.col("dst").alias("_mid"))
+            .join(e.select(F.col("src").alias("_mid"), "dst"), "_mid")
+            .select("src", "dst")
+        )
+        reach = reach.union(step).distinct()
+    return reach.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reachable")
+    )

@@ -921,3 +921,53 @@ def sparse_cosine_pairs(
         F.col("_na").cast("bigint").alias("norm2_a"),
         F.col("_nb").cast("bigint").alias("norm2_b"),
     )
+
+
+def fuzzy_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_len: int = 6,
+    key_len: int = 24,
+    max_dist: int = 10,
+) -> DataFrame:
+    """Fuzzy near-match pairs by edit distance over a fixed text prefix,
+    with prefix blocking (the string-similarity-join analog of the LSH
+    band trick): candidate pairs share their first ``block_len`` chars, so
+    the self-join is an EQUI join on the block key — never a cross join —
+    and the quadratic blowup is bounded per block, exactly like a band
+    bucket. ``levenshtein`` (unit-cost edit distance) is built-in and
+    integer-exact on every engine, so the pair set is oracle-checkable.
+
+    Note the same recall caveat as any blocking scheme: an edit inside the
+    first ``block_len`` chars moves the row to another block (LSH bands
+    have the same one-sided error; raise recall with shorter blocks or
+    multiple offset blocks, at candidate-count cost).
+    """
+    if max_dist < 0 or block_len < 1 or key_len < block_len:
+        raise ValueError("need key_len >= block_len >= 1 and max_dist >= 0")
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.substring(F.col(text_col), 1, block_len).alias("_blk"),
+        F.substring(F.col(text_col), 1, key_len).alias("_key"),
+    )
+    a = keyed.select(
+        F.col("_blk"),
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("_key_a"),
+    )
+    b = keyed.select(
+        F.col("_blk"),
+        F.col("_id").alias("id_b"),
+        F.col("_key").alias("_key_b"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_key_a", "_key_b").cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

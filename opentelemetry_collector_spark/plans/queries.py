@@ -4938,6 +4938,143 @@ SELECT 'purchase_only', CAST(count(*) AS BIGINT) FROM (
 """
 
 
+def q129_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Pearson correlation as mergeable exact integer moments
+    (operators/aggregate.corr_moments): per event type, the six moments of
+    (value cents, hour-of-day) as associative bigint sums, plus r² in ppm
+    from a FIXED double expression both engines evaluate identically. The
+    float-free moments are the distributable core — they merge by addition
+    like the HLL/CM sketches."""
+    from opentelemetry_collector_spark.operators.aggregate import corr_moments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return corr_moments(
+        ev,
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        F.hour("ts"),
+    )
+
+
+Q129_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         CAST(sum(x * x) AS BIGINT) AS sum_x2,
+         CAST(sum(y * y) AS BIGINT) AS sum_y2
+  FROM (SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+               CAST(hour(ts) AS BIGINT) AS y
+        FROM events)
+  GROUP BY event_type)
+SELECT *,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+                 - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(sum_y2 AS DOUBLE)
+                 - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE) > 0 THEN
+         CAST(floor(
+           (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+            - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+              - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+           / ((CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+               - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sum_y2 AS DOUBLE)
+                 - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+           * 1000000) AS BIGINT) END AS r2_ppm
+FROM m
+"""
+
+
+def q130_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity join (operators/similarity.fuzzy_prefix_pairs):
+    document pairs whose 24-char prefixes are within edit distance 10,
+    blocked on the first 6 chars so the self-join is equi (the band-bucket
+    trick applied to edit distance). levenshtein is built-in and
+    integer-exact on both engines."""
+    from opentelemetry_collector_spark.operators.similarity import fuzzy_prefix_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fuzzy_prefix_pairs(
+        docs, "doc_id", "text", block_len=6, key_len=24, max_dist=10
+    )
+
+
+Q130_SQL = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) AS BIGINT)
+         AS edit_dist
+FROM documents a
+JOIN documents b ON substr(a.text, 1, 6) = substr(b.text, 1, 6)
+                AND a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) <= 10
+"""
+
+
+def q131_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (operators/aggregate.activity_streaks): per user,
+    total active days and the longest run of CONSECUTIVE days. day_number
+    - row_number is constant within a run; the only corpus-sized op is the
+    (user, day) distinct."""
+    from opentelemetry_collector_spark.operators.aggregate import activity_streaks
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return activity_streaks(ev, "user_id", "ts")
+
+
+Q131_SQL = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+anchored AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', d)
+           - row_number() OVER (PARTITION BY user_id ORDER BY d) AS anchor
+  FROM days),
+islands AS (SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS run
+            FROM anchored GROUP BY 1, 2)
+SELECT user_id, CAST(sum(run) AS BIGINT) AS n_active_days,
+       CAST(max(run) AS BIGINT) AS longest_streak
+FROM islands GROUP BY user_id
+"""
+
+
+def q132_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure (operators/graph.k_hop_reachability):
+    distinct nodes reachable within 3 hops per source over the navigation
+    graph. Iterative join + set-union dedup on the aggregated edge list —
+    the frontier never touches the raw corpus."""
+    from opentelemetry_collector_spark.operators.graph import (
+        k_hop_reachability,
+        navigation_edges,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return k_hop_reachability(navigation_edges(ev), hops=3)
+
+
+Q132_SQL = """
+WITH vc AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 'page:' || CAST(event_id % 50 AS VARCHAR)
+              ELSE 'item:' || CAST(event_id % 100 AS VARCHAR) END AS dst
+  FROM events WHERE event_type IN ('view', 'click')),
+seq AS (
+  SELECT lag(dst) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, dst FROM vc),
+e AS (SELECT DISTINCT src, dst FROM seq WHERE src IS NOT NULL),
+r1 AS (SELECT src, dst FROM e),
+r2 AS (SELECT src, dst FROM r1
+       UNION
+       SELECT r1.src, e.dst FROM r1 JOIN e ON r1.dst = e.src),
+r3 AS (SELECT src, dst FROM r2
+       UNION
+       SELECT r2.src, e.dst FROM r2 JOIN e ON r2.dst = e.src)
+SELECT src AS node, CAST(count(*) AS BIGINT) AS n_reachable
+FROM r3 GROUP BY src
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -5068,6 +5205,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q126_rollup_totals": q126_rollup_totals,
     "q127_pagerank_nav": q127_pagerank_nav,
     "q128_audience_overlap": q128_audience_overlap,
+    "q129_corr_moments": q129_corr_moments,
+    "q130_fuzzy_match": q130_fuzzy_match,
+    "q131_activity_streaks": q131_activity_streaks,
+    "q132_reachability": q132_reachability,
 }
 
 ORACLES: dict[str, str] = {
@@ -5192,6 +5333,10 @@ ORACLES: dict[str, str] = {
     "q126_rollup_totals": Q126_SQL,
     "q127_pagerank_nav": Q127_SQL,
     "q128_audience_overlap": Q128_SQL,
+    "q129_corr_moments": Q129_SQL,
+    "q130_fuzzy_match": Q130_SQL,
+    "q131_activity_streaks": Q131_SQL,
+    "q132_reachability": Q132_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

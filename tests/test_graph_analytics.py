@@ -181,3 +181,112 @@ def test_q123_broadcasts_dimensions(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # top-20 without a global sort
     assert df.count() == 20
+
+
+def test_k_hop_reachability_golden(spark):
+    from opentelemetry_collector_spark.operators.graph import k_hop_reachability
+
+    # chain a->b->c->d->e plus a cycle x<->y
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"), ("y", "x")]
+    df = spark.createDataFrame([(s, d, 1) for s, d in edges], "src string, dst string, weight bigint")
+    got = {r["node"]: r["n_reachable"] for r in k_hop_reachability(df, hops=3).collect()}
+    # a reaches b,c,d in 3 hops (not e); x reaches y and ITSELF via the cycle
+    assert got == {"a": 3, "b": 3, "c": 2, "d": 1, "x": 2, "y": 2}
+
+    with pytest.raises(ValueError, match="hops"):
+        k_hop_reachability(df, hops=0)
+
+
+def test_activity_streaks_golden(spark):
+    from opentelemetry_collector_spark.operators.aggregate import activity_streaks
+
+    d0 = dt.datetime(2026, 3, 1, 12)
+
+    def day(n, h=0):
+        return d0 + dt.timedelta(days=n, hours=h)
+
+    rows = [
+        # u1: days 0,1,2 then 5,6 -> longest 3, active 5; dup events same day
+        ("u1", day(0)), ("u1", day(0, 3)), ("u1", day(1)), ("u1", day(2)),
+        ("u1", day(5)), ("u1", day(6)),
+        # u2: single day
+        ("u2", day(9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        r["user_id"]: (r["n_active_days"], r["longest_streak"])
+        for r in activity_streaks(df, "user_id", "ts").collect()
+    }
+    assert got == {"u1": (5, 3), "u2": (1, 1)}
+
+
+def test_corr_moments_exact_and_r2(spark):
+    import pyspark.sql.functions as SF
+
+    from opentelemetry_collector_spark.operators.aggregate import corr_moments
+
+    # key k1: y = 2x exactly -> r^2 == 1.0 (1_000_000 ppm, floor-exact)
+    # key k2: constant y -> zero variance -> r2_ppm NULL
+    rows = [("k1", 1, 2), ("k1", 2, 4), ("k1", 3, 6), ("k2", 1, 7), ("k2", 5, 7)]
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    got = {r["k"]: r.asDict() for r in corr_moments(df, "k", SF.col("x"), SF.col("y")).collect()}
+    k1 = got["k1"]
+    assert (k1["n"], k1["sum_x"], k1["sum_y"], k1["sum_xy"], k1["sum_x2"], k1["sum_y2"]) == (
+        3, 6, 12, 28, 14, 56,
+    )
+    assert k1["r2_ppm"] == 1_000_000
+    assert got["k2"]["r2_ppm"] is None
+
+
+def test_corr_moments_merge_by_addition(spark):
+    """The moments are mergeable: computing them over two halves and adding
+    equals computing over the whole — the distributability contract."""
+    import pyspark.sql.functions as SF
+
+    from opentelemetry_collector_spark.operators.aggregate import corr_moments
+
+    rows = [("k", i, (i * 3 + 1) % 11) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    whole = corr_moments(df, "k", SF.col("x"), SF.col("y")).collect()[0]
+    h1 = corr_moments(df.filter("x < 50"), "k", SF.col("x"), SF.col("y")).collect()[0]
+    h2 = corr_moments(df.filter("x >= 50"), "k", SF.col("x"), SF.col("y")).collect()[0]
+    for m in ["n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]:
+        assert h1[m] + h2[m] == whole[m], m
+
+
+def test_fuzzy_prefix_pairs_golden(spark):
+    from opentelemetry_collector_spark.operators.similarity import fuzzy_prefix_pairs
+
+    rows = [
+        (1, "hello world this is doc"),
+        (2, "hello world this is dox"),   # dist 1 from doc 1
+        (3, "hello There completely different tail"),  # same block, far tail
+        (4, "zzzzzz other block entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in fuzzy_prefix_pairs(df, "doc_id", "text", 6, 23, 3).collect()
+    }
+    assert got == {(1, 2): 1}
+    # blocking is one-sided: doc 4 can never pair outside its block
+    all_pairs = fuzzy_prefix_pairs(df, "doc_id", "text", 6, 23, 100).collect()
+    assert all(4 not in (r["id_a"], r["id_b"]) for r in all_pairs)
+
+    with pytest.raises(ValueError, match="key_len"):
+        fuzzy_prefix_pairs(df, "doc_id", "text", 6, 2, 3)
+
+
+def test_fuzzy_pairs_equi_join_plan(spark):
+    """The blocked self-join must plan as a hash/SMJ equi join on the block
+    key — never BroadcastNestedLoopJoin (the quadratic disaster)."""
+    from opentelemetry_collector_spark.operators.similarity import fuzzy_prefix_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        fuzzy_prefix_pairs(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan

@@ -592,6 +592,38 @@ COMMENTARY = {
         "Set ops over user universes reduce to |users|-sized frames before "
         "any comparison — the raw event stream is scanned once per side.",
     ),
+    "q129_corr_moments": (
+        "One partial-aggregated HashAggregate computes all six moments in "
+        "a single pass; the r2 derivation is a Project over the "
+        "per-key frame.",
+        "Correlation distributes as mergeable integer moments (add to "
+        "merge) — one corpus pass, and the float math runs once per key "
+        "on exact integers, so the answer is partition-independent.",
+    ),
+    "q130_fuzzy_match": (
+        "The self-join is an EQUI hash join on the 6-char block key — "
+        "never BroadcastNestedLoopJoin; levenshtein evaluates post-join "
+        "inside codegen.",
+        "An un-blocked similarity join is |docs|^2; prefix blocking bounds "
+        "candidates per block exactly like an LSH band bucket, and the "
+        "equi join lets AQE size/skew-handle it.",
+    ),
+    "q131_activity_streaks": (
+        "The only corpus-sized op is the (user, day) distinct (partial-"
+        "aggregated); the streak window and island groupBy run on user-day "
+        "rows.",
+        "Gaps-and-islands via day_number - row_number needs no self-join "
+        "and no per-user arrays; a years-long power user costs one "
+        "partition sort of at most 'days' rows.",
+    ),
+    "q132_reachability": (
+        "Each hop is a join of the reach frame onto the aggregated edge "
+        "list + a distinct (set union); no operator touches raw events "
+        "after the edge aggregation.",
+        "Bounded transitive closure grows with the reach SET size, not "
+        "corpus size — the distinct caps the frontier and cycles cost "
+        "nothing.",
+    ),
     "q110_unimax_allocation": (
         "One partial-aggregated HashAggregate reduces the corpus to per-stratum "
         "counts; every window after that runs on the STRATA frame (rows = "
