@@ -751,3 +751,136 @@ def corr_moments(
             "   * 1000000) as bigint) END"
         ),
     )
+
+
+def state_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+) -> DataFrame:
+    """SCD2-style validity intervals: per key, each event opens an interval
+    of its state that closes when the NEXT event arrives (half-open
+    [valid_from, valid_to), NULL valid_to = still current). The temporal-
+    table pattern warehouses derive from change streams.
+
+    One window per key ordered by (ts, state) — the state tiebreak makes
+    simultaneous events deterministic. No self-join: lead() closes each
+    interval in the same pass.
+
+    Scale shape: one shuffle on the key column; a hot key costs one
+    partition sort (the window never crosses keys). Consecutive SAME-state
+    events are kept as separate intervals (pure lead semantics — collapse
+    with islands logic if change-only compaction is wanted).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, state_col)
+    return df.select(
+        key_col,
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact weighted median per group: the smallest value at which the
+    running weight (ordered by value) reaches half the group's total —
+    selection, not interpolation, so integer inputs give integer-exact,
+    engine-independent output. The corpus-statistics use: "the document
+    length below which half the corpus's characters live" drives chunk
+    sizing.
+
+    Two windows over the same (group, value) ordering share one shuffle;
+    ties on value are absorbed by ordering on value alone (the running sum
+    at the LAST row of a tie group decides, both engines agree because the
+    frame is RANGE — value-based — not ROWS).
+    """
+    w_ord = (
+        Window.partitionBy(group_col)
+        .orderBy("_v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    scored = df.select(
+        group_col,
+        F.col(value_col).alias("_v"),
+        F.col(weight_col).alias("_w"),
+    ).select(
+        group_col,
+        "_v",
+        F.sum("_w").over(w_ord).alias("_cum"),
+        F.sum("_w").over(w_all).alias("_tot"),
+    )
+    hit = scored.filter(F.col("_cum") * 2 >= F.col("_tot"))
+    return hit.groupBy(group_col).agg(
+        F.min("_v").cast("bigint").alias("weighted_median"),
+        F.max("_tot").cast("bigint").alias("total_weight"),
+    )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D Pareto skyline: rows no other row dominates (other.x >= x AND
+    other.y >= y with at least one strict). O(n log n) via two windows —
+    NEVER the quadratic NOT-EXISTS self-join (which is exactly what the
+    DuckDB oracle runs, making the two formulations check each other):
+
+    - dominated by a strictly-larger-x row iff ``max(y) over (x' > x) >= y``
+      (RANGE frame excluding the current x value),
+    - dominated within the same x iff ``max(y) over (x' == x) > y``.
+
+    Duplicate (x, y) pairs do NOT dominate each other (no strict edge) —
+    both survive, matching the NOT-EXISTS semantics.
+
+    Scale shape: the exact windows are global (single-partition sort), so
+    a distributed PRE-PRUNE runs first — fixed-width x-buckets, per-bucket
+    max y (one partial-aggregated groupBy), and every row dominated by a
+    strictly-higher bucket's max is dropped map-side via a broadcast of
+    the tiny bucket frame. Rows in a higher bucket have strictly greater x
+    by construction, so the prune is sound; the survivors (a frontier-ish
+    sliver) are what the global window sorts.
+    """
+    pts = df.select(
+        F.col(id_col),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+    bucketed = pts.withColumn("_b", F.expr("x div 1024"))
+    bmax = bucketed.groupBy("_b").agg(F.max("y").alias("_by"))
+    w_b = (
+        Window.orderBy(F.col("_b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # max y over strictly higher buckets; bucket frame is tiny (x range / 1024)
+    higher = bmax.select("_b", F.max("_by").over(w_b).alias("_hi"))
+    candidates = (
+        bucketed.join(F.broadcast(higher), "_b")
+        .filter(F.col("_hi").isNull() | (F.col("_hi") < F.col("y")))
+        .drop("_b", "_hi")
+    )
+    w_gt = (
+        Window.partitionBy()
+        .orderBy(F.col("x").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("x")
+    scored = candidates.select(
+        id_col,
+        "x",
+        "y",
+        F.max("y").over(w_gt).alias("_y_gt"),
+        F.max("y").over(w_eq).alias("_y_eq"),
+    )
+    return scored.filter(
+        (F.col("_y_gt").isNull() | (F.col("_y_gt") < F.col("y")))
+        & (F.col("_y_eq") <= F.col("y"))
+    ).select(id_col, "x", "y")

@@ -149,3 +149,44 @@ def k_hop_reachability(edges: DataFrame, hops: int = 3) -> DataFrame:
     return reach.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_reachable")
     )
+
+
+def path_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Frequent navigation n-grams: counts of length-``n`` consecutive node
+    sequences per the :func:`navigation_edges` node derivation (sequence
+    mining one order up from the edge/transition matrix).
+
+    One window per user supplies the n-1 lag columns in a single sort;
+    the count is one partial-aggregated groupBy on the n-tuple. A user's
+    history never crosses partitions, so hot users cost one partition sort
+    — the same bound as any per-key window.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    vc = events.filter(F.col(type_col).isin("view", "click")).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.when(
+            F.col(type_col) == "view",
+            F.concat(F.lit("page:"), (F.col(id_col) % 50).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("item:"), (F.col(id_col) % 100).cast("string")))
+        .alias(f"step_{n - 1}"),
+    )
+    w = Window.partitionBy("_u").orderBy("_ts", "_id")
+    cols = [f"step_{i}" for i in range(n)]
+    for i in range(n - 1):
+        vc = vc.withColumn(f"step_{i}", F.lag(f"step_{n - 1}", n - 1 - i).over(w))
+    return (
+        vc.filter(F.col("step_0").isNotNull())
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    )

@@ -5075,6 +5075,135 @@ FROM r3 GROUP BY src
 """
 
 
+def q133_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction — the raw-table analog of the
+    OTLP-JSON unmarshal path: events.props is a JSON string; pull the
+    typed field JVM-side (get_json_object, inside codegen — never a
+    Python json.loads) and aggregate per event_type. Junk/missing keys
+    degrade to NULL per row, the codec modules' refusal discipline."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(k).cast("bigint").alias("n_with_k"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.count_distinct(k).cast("bigint").alias("n_distinct_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+Q133_SQL = """
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+def q134_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals (operators/aggregate.state_intervals): per
+    user, each event opens a [valid_from, valid_to) interval of its state,
+    closed by the next event (NULL = current). One per-key window, no
+    self-join."""
+    from opentelemetry_collector_spark.operators.aggregate import state_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return state_intervals(ev, "user_id", "ts", "event_type")
+
+
+Q134_SQL = """
+SELECT user_id, event_type AS state, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS valid_to
+FROM events
+"""
+
+
+def q135_char_mass_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (operators/aggregate.weighted_median): per
+    language, the document length below which half the corpus's CHARACTER
+    MASS lives (selection, not interpolation — integer-exact). The corpus
+    statistic that drives chunk sizing."""
+    from opentelemetry_collector_spark.operators.aggregate import weighted_median
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_median(docs, "lang", "n_chars", "n_chars")
+
+
+Q135_SQL = """
+WITH scored AS (
+  SELECT lang, n_chars AS v,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(n_chars) OVER (PARTITION BY lang) AS tot
+  FROM documents)
+SELECT lang, CAST(min(v) AS BIGINT) AS weighted_median,
+       CAST(max(tot) AS BIGINT) AS total_weight
+FROM scored WHERE cum * 2 >= tot
+GROUP BY lang
+"""
+
+
+def q136_doc_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (operators/aggregate.pareto_frontier) of
+    documents by (n_chars, space count): the Spark side is the O(n log n)
+    bucket-pruned window formulation; the oracle is the INDEPENDENT
+    quadratic NOT-EXISTS — two different algorithms checking each other."""
+    from opentelemetry_collector_spark.operators.aggregate import pareto_frontier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "n_chars",
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias(
+            "n_spaces"
+        ),
+    )
+    return pareto_frontier(docs, "doc_id", "n_chars", "n_spaces")
+
+
+Q136_SQL = """
+WITH pts AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS y
+  FROM documents)
+SELECT doc_id, x, y FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+"""
+
+
+def q137_nav_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation 3-gram mining (operators/graph.path_ngrams): counts of
+    consecutive page/item triples per user — sequence mining one order up
+    from the q109 transition matrix, in one per-user window sort."""
+    from opentelemetry_collector_spark.operators.graph import path_ngrams
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return path_ngrams(ev, n=3)
+
+
+Q137_SQL = """
+WITH vc AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 'page:' || CAST(event_id % 50 AS VARCHAR)
+              ELSE 'item:' || CAST(event_id % 100 AS VARCHAR) END AS step_2
+  FROM events WHERE event_type IN ('view', 'click')),
+lagged AS (
+  SELECT lag(step_2, 2) OVER w AS step_0,
+         lag(step_2, 1) OVER w AS step_1,
+         step_2
+  FROM vc WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT step_0, step_1, step_2, CAST(count(*) AS BIGINT) AS n_paths
+FROM lagged WHERE step_0 IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -5209,6 +5338,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q130_fuzzy_match": q130_fuzzy_match,
     "q131_activity_streaks": q131_activity_streaks,
     "q132_reachability": q132_reachability,
+    "q133_json_props": q133_json_props,
+    "q134_state_intervals": q134_state_intervals,
+    "q135_char_mass_median": q135_char_mass_median,
+    "q136_doc_skyline": q136_doc_skyline,
+    "q137_nav_trigrams": q137_nav_trigrams,
 }
 
 ORACLES: dict[str, str] = {
@@ -5337,6 +5471,11 @@ ORACLES: dict[str, str] = {
     "q130_fuzzy_match": Q130_SQL,
     "q131_activity_streaks": Q131_SQL,
     "q132_reachability": Q132_SQL,
+    "q133_json_props": Q133_SQL,
+    "q134_state_intervals": Q134_SQL,
+    "q135_char_mass_median": Q135_SQL,
+    "q136_doc_skyline": Q136_SQL,
+    "q137_nav_trigrams": Q137_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -624,6 +624,44 @@ COMMENTARY = {
         "corpus size — the distinct caps the frontier and cycles cost "
         "nothing.",
     ),
+    "q133_json_props": (
+        "get_json_object evaluates inside WholeStageCodegen feeding one "
+        "partial-aggregated HashAggregate — no Python, no second pass for "
+        "the multi-distinct (Expand).",
+        "Semi-structured extraction at 100 TB must stay JVM-side; a "
+        "json.loads UDF would serialize every row through Arrow for a "
+        "field the JVM parser pulls in place.",
+    ),
+    "q134_state_intervals": (
+        "One window keyed on user_id (single Exchange + per-partition "
+        "sort); lead() closes intervals with no self-join.",
+        "The SCD2 derivation is one shuffle of the change stream; the "
+        "classic FULL OUTER self-join formulation doubles the corpus "
+        "through two shuffles.",
+    ),
+    "q135_char_mass_median": (
+        "Both running-sum windows share ONE (lang)-keyed Exchange and "
+        "sort; the threshold filter + min-aggregate run on the windowed "
+        "frame.",
+        "Exact weighted quantiles need one sort per group, not a global "
+        "one — and selection (min satisfying row) keeps the result "
+        "integer-exact where interpolation would float-drift.",
+    ),
+    "q136_doc_skyline": (
+        "The bucket prune (groupBy + broadcast of the bucket-max frame) "
+        "drops dominated rows MAP-SIDE; only the frontier sliver reaches "
+        "the global window sort.",
+        "A skyline's exact windows are inherently single-partition — the "
+        "prune bounds that partition by the bucket count, not the corpus, "
+        "so 100 TB never funnels through one task.",
+    ),
+    "q137_nav_trigrams": (
+        "Both lag columns come from ONE per-user window sort; the n-gram "
+        "count is a single partial-aggregated groupBy.",
+        "Sequence mining via lag never materializes per-user arrays — a "
+        "hot user costs one partition sort, and the tuple aggregate "
+        "compresses map-side.",
+    ),
     "q110_unimax_allocation": (
         "One partial-aggregated HashAggregate reduces the corpus to per-stratum "
         "counts; every window after that runs on the STRATA frame (rows = "
