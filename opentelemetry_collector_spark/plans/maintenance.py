@@ -213,3 +213,112 @@ def purge_keys(
         "rows_purged": int(purged),
         "rows_remaining": int(remaining),
     }
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates,
+    partition_col: str,
+    key_cols: list[str],
+    ts_col: str,
+    tombstone_col: str | None = None,
+) -> dict[str, int]:
+    """CDC MERGE: apply a keyed change batch to a partitioned sink with
+    LATEST-WINS semantics (Iceberg's ``MERGE INTO`` / the upsert every
+    change-capture pipeline needs; this is the local-parquet binding on
+    the same dynamic-partition-overwrite idempotence contract as
+    :func:`compact_partitions`).
+
+    Semantics per key (within its partition):
+
+    - newest ``ts_col`` wins; on an exact ts tie the UPDATE wins over the
+      existing row (change batches are authoritative);
+    - a winning row with ``tombstone_col`` true DELETES the key;
+    - keys absent from the batch are untouched — as are whole partitions
+      the batch never mentions (their files stay byte-identical).
+
+    Requires a stable key→partition mapping (the standard CDC constraint:
+    a key that moved partitions would leave its old row behind — derive
+    ``partition_col`` from the key upstream if keys can move).
+
+    Scale shape: the rewrite reads ONLY the touched partitions (IN-list →
+    static pruning), the dedup is one window per (partition, key), and a
+    crashed/repeated merge converges because the same winners win again.
+    Idempotent: re-applying the identical batch is a no-op by value.
+    """
+    from pyspark.sql import Window
+
+    touched = [
+        str(r["_pv"])
+        for r in updates.select(
+            F.col(partition_col).cast("string").alias("_pv")
+        ).distinct().collect()
+    ]
+    if not touched:
+        return {"partitions_rewritten": 0, "rows_in_batch": 0, "rows_after": 0}
+
+    n_updates = updates.count()
+    upd = updates.withColumn("_src", F.lit(1))
+    if tombstone_col is None:
+        upd = upd.withColumn("_dead", F.lit(False))
+    else:
+        upd = upd.withColumn(
+            "_dead", F.coalesce(F.col(tombstone_col).cast("boolean"), F.lit(False))
+        ).drop(tombstone_col)
+
+    if os.path.isdir(path) and _list_partitions(path, partition_col):
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col(partition_col).cast("string").isin(touched))
+            .withColumn("_src", F.lit(0))
+            .withColumn("_dead", F.lit(False))
+        )
+        merged = existing.unionByName(upd)
+    else:
+        merged = upd
+
+    w = Window.partitionBy(
+        partition_col, *key_cols
+    ).orderBy(F.col(ts_col).desc(), F.col("_src").desc())
+    winners = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & ~F.col("_dead"))
+        .drop("_rn", "_src", "_dead")
+    )
+    # dynamic overwrite can't express "this partition is now empty" (zero
+    # rows for a value touches nothing — see purge_keys): find all-tombstone
+    # partitions first, rewrite the rest, directory-delete the empty ones
+    # LAST so a crash between the two steps leaves only un-deleted data.
+    alive = {
+        str(r["_pv"])
+        for r in winners.select(
+            F.col(partition_col).cast("string").alias("_pv")
+        ).distinct().collect()
+    }
+    emptied = [v for v in touched if v not in alive]
+    if alive:
+        (
+            winners.repartition(max(len(alive), 1), F.col(partition_col))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    for v in emptied:
+        target = os.path.join(path, f"{partition_col}={v}")
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+    if _list_partitions(path, partition_col):
+        after = (
+            spark.read.parquet(path)
+            .filter(F.col(partition_col).cast("string").isin(touched))
+            .count()
+        )
+    else:
+        after = 0  # every touched partition tombstoned away; nothing to scan
+    return {
+        "partitions_rewritten": len(touched),
+        "rows_in_batch": int(n_updates),
+        "rows_after": int(after),
+    }

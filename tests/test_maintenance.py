@@ -146,3 +146,100 @@ def test_purge_everything_leaves_empty_table(spark, tmp_path):
     ).write.partitionBy("day").parquet(path)
     got = purge_keys(spark, path, "day", "k", ["k1", "k2"])
     assert got["partitions_dropped"] == 2 and got["rows_remaining"] == 0
+
+
+def _merge_sink(spark, tmp_path):
+    """Keyed sink: 2 partitions x 3 keys at ts=100."""
+    path = str(tmp_path / "merge_sink")
+    rows = [(p, k, 100, f"v0-{p}-{k}") for p in ("a", "b") for k in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "part string, key long, ts long, val string")
+    df.write.mode("overwrite").partitionBy("part").parquet(path)
+    return path
+
+
+def test_merge_upsert_latest_wins_and_tombstones(spark, tmp_path):
+    from opentelemetry_collector_spark.plans.maintenance import merge_upsert
+
+    path = _merge_sink(spark, tmp_path)
+    # untouched partition b: files must stay byte-identical
+    bdir = os.path.join(path, "part=b")
+    before_b = sorted(
+        (f, os.path.getsize(os.path.join(bdir, f)))
+        for f in os.listdir(bdir) if f.endswith(".parquet")
+    )
+    updates = spark.createDataFrame(
+        [
+            ("a", 1, 200, "v1-new", False),     # newer: wins
+            ("a", 2, 50, "v1-stale", False),    # older: loses
+            ("a", 3, 300, None, True),          # tombstone: key deleted
+            ("a", 9, 150, "v1-insert", False),  # brand-new key
+        ],
+        "part string, key long, ts long, val string, deleted boolean",
+    )
+    stats = merge_upsert(
+        spark, path, updates, "part", ["key"], "ts", tombstone_col="deleted"
+    )
+    assert stats["partitions_rewritten"] == 1 and stats["rows_in_batch"] == 4
+    got = {
+        (r["part"], r["key"]): (r["ts"], r["val"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got[("a", 1)] == (200, "v1-new")       # update applied
+    assert got[("a", 2)] == (100, "v0-a-2")       # stale change ignored
+    assert ("a", 3) not in got                     # tombstoned
+    assert got[("a", 9)] == (150, "v1-insert")    # insert
+    for k in (1, 2, 3):
+        assert got[("b", k)] == (100, f"v0-b-{k}")  # untouched partition
+    after_b = sorted(
+        (f, os.path.getsize(os.path.join(bdir, f)))
+        for f in os.listdir(bdir) if f.endswith(".parquet")
+    )
+    assert after_b == before_b
+
+
+def test_merge_upsert_tie_prefers_update_and_is_idempotent(spark, tmp_path):
+    from opentelemetry_collector_spark.plans.maintenance import merge_upsert
+
+    path = _merge_sink(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [("a", 1, 100, "tie-update")], "part string, key long, ts long, val string"
+    )
+    def snapshot():
+        return sorted(
+            (r["part"], r["key"], r["ts"], r["val"])
+            for r in spark.read.parquet(path).collect()
+        )
+
+    merge_upsert(spark, path, updates, "part", ["key"], "ts")
+    first = snapshot()
+    assert ("a", 1, 100, "tie-update") in first  # equal ts: the update wins
+    # re-applying the identical batch converges (idempotence by value)
+    merge_upsert(spark, path, updates, "part", ["key"], "ts")
+    assert snapshot() == first
+
+
+def test_merge_upsert_all_tombstones_drops_partition(spark, tmp_path):
+    from opentelemetry_collector_spark.plans.maintenance import merge_upsert
+
+    path = _merge_sink(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [("a", k, 999, None, True) for k in (1, 2, 3)],
+        "part string, key long, ts long, val string, deleted boolean",
+    )
+    stats = merge_upsert(
+        spark, path, updates, "part", ["key"], "ts", tombstone_col="deleted"
+    )
+    assert stats["rows_after"] == 0
+    assert not os.path.isdir(os.path.join(path, "part=a"))
+    assert spark.read.parquet(path).count() == 3  # partition b intact
+
+
+def test_merge_upsert_bootstraps_empty_sink(spark, tmp_path):
+    from opentelemetry_collector_spark.plans.maintenance import merge_upsert
+
+    path = str(tmp_path / "fresh_sink")
+    updates = spark.createDataFrame(
+        [("a", 1, 10, "first")], "part string, key long, ts long, val string"
+    )
+    stats = merge_upsert(spark, path, updates, "part", ["key"], "ts")
+    assert stats == {"partitions_rewritten": 1, "rows_in_batch": 1, "rows_after": 1}
