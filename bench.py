@@ -1602,6 +1602,106 @@ and the threshold test stays integer-exact (q111's oracle).
     print(json.dumps(results), flush=True)
 
 
+def run_graph_scale(rows_millions: float = 40.0) -> None:
+    """Iterative graph analytics cost structure (operators/graph.py): on a
+    deterministic executor-generated event stream, measure (1) the one
+    corpus-sized pass — navigation-edge aggregation — against (2) three
+    PageRank iterations and (3) 3-hop reachability, both of which run on
+    the AGGREGATED edge list only. The claim under test: iteration cost is
+    O(edges), independent of corpus size — the property that makes
+    fixed-point graph analytics viable at 10^12 events.
+
+    Writes BENCH/GRAPH.md + graph_scale.json.
+    """
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.graph import (
+        k_hop_reachability,
+        navigation_edges,
+        pagerank,
+    )
+    from opentelemetry_collector_spark.session import build_session
+
+    n = int(rows_millions * 1_000_000)
+    spark = build_session(app_name="otelcol-graph-scale")
+    try:
+        # deterministic synthetic event stream, generated executor-side:
+        # 200k users, xxhash-scrambled event ids so transitions cover the
+        # page/item node space, ~2/3 views + 1/3 clicks
+        ev = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("event_id"),
+                (F.col("id") % 200_000).alias("user_id"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000) + F.floor(F.col("id") / 200_000)
+                ).alias("ts"),
+                F.when(F.xxhash64("id") % 3 < 2, F.lit("view"))
+                .otherwise(F.lit("click"))
+                .alias("event_type"),
+            )
+        )
+        ev.write.format("noop").mode("overwrite").save()  # warm generation
+
+        t0 = time.perf_counter()
+        edges = navigation_edges(ev).localCheckpoint()  # materialize the agg
+        n_edges = edges.count()
+        edge_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        pr = pagerank(edges, iterations=3)
+        n_nodes = pr.count()
+        total_mass = pr.agg(F.sum("rank_micros")).collect()[0][0]
+        pr_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        reach = k_hop_reachability(edges, hops=3)
+        reach_rows = reach.count()
+        reach_sec = time.perf_counter() - t0
+
+        results = {
+            "input_events": n,
+            "edge_rows": int(n_edges),
+            "nodes": int(n_nodes),
+            "edge_aggregation_sec": round(edge_sec, 3),
+            "pagerank_3iter_sec": round(pr_sec, 3),
+            "reachability_3hop_sec": round(reach_sec, 3),
+            "total_rank_micros": int(total_mass),
+            "reachability_rows": int(reach_rows),
+        }
+    finally:
+        spark.stop()
+
+    md = f"""# BENCH/GRAPH.md — iterative graph analytics cost structure
+
+`python bench.py --graph-scale` on a deterministic executor-generated
+stream of {results['input_events']:,} view/click events (200k users,
+seedless xxhash typing — reproducible by construction).
+
+| measurement | wall sec |
+|---|---|
+| navigation-edge aggregation (the ONE corpus-sized pass: per-user window + groupBy) | {results['edge_aggregation_sec']} |
+| weighted PageRank, 3 iterations ({results['nodes']} nodes, {results['edge_rows']} edge rows) | {results['pagerank_3iter_sec']} |
+| 3-hop reachability (iterative join + set-union dedup) | {results['reachability_3hop_sec']} |
+
+**Why at scale:** the corpus is touched exactly once — the edge
+aggregation compresses {results['input_events']:,} events to
+{results['edge_rows']:,} weighted (src, dst) rows, and every fixed-point
+iteration after that joins the node-sized rank frame onto the aggregated
+edges. Doubling the corpus doubles only the first row; the iteration rows
+are bounded by the distinct node-pair count. Rank arithmetic is integer
+micro-units (div, never /), so the fixpoint slice is bit-identical under
+any partitioning — total mass here: {results['total_rank_micros']:,}
+micro-units across {results['nodes']} nodes.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "GRAPH.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "graph_scale.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -1614,6 +1714,7 @@ if __name__ == "__main__":
     ap.add_argument("--prob-sketch", action="store_true")
     ap.add_argument("--range-scale", action="store_true")
     ap.add_argument("--allpairs-scale", action="store_true")
+    ap.add_argument("--graph-scale", action="store_true")
     ap.add_argument("--n-low", type=int, default=4)
     ap.add_argument("--n-high", type=int, default=16)
     ap.add_argument("--rows-millions", type=float, default=160.0)
@@ -1638,5 +1739,7 @@ if __name__ == "__main__":
         run_range_scale()
     elif args.allpairs_scale:
         run_allpairs_scale()
+    elif args.graph_scale:
+        run_graph_scale(min(args.rows_millions, 40.0))
     else:
         run_default()

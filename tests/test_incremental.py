@@ -81,3 +81,56 @@ def test_empty_zone(spark, tmp_path):
     df, new = read_new_epochs(spark, str(tmp_path / "nothing"), "_epoch", cur)
     assert df is None and new == []
     assert list_epochs(str(tmp_path / "nothing"), "_epoch") == []
+
+
+def test_e2e_incremental_merge_pipeline(spark, tmp_path):
+    """The full CDC loop: land epochs -> incremental read -> keyed
+    aggregate -> merge_upsert into a serving table -> commit cursor.
+    A crash-replay of the SAME epoch converges to identical serving rows
+    (at-least-once delivery x idempotent merge = effective exactly-once)."""
+    from opentelemetry_collector_spark.plans.maintenance import merge_upsert
+
+    land = str(tmp_path / "landing")
+    serve = str(tmp_path / "serving")
+    state = str(tmp_path / "cursor.json")
+
+    def land_epoch(epoch, rows):
+        df = spark.createDataFrame(rows, "user string, n long").select(
+            F.col("user"), F.col("n"), F.lit(epoch).alias("_epoch")
+        )
+        df.write.mode("append").partitionBy("_epoch").parquet(land)
+
+    def process_once(commit=True):
+        cur = EpochCursor(state)
+        df, new = read_new_epochs(spark, land, "_epoch", cur)
+        if df is None:
+            return []
+        agg = df.groupBy("user").agg(F.sum("n").alias("total")).select(
+            F.lit("all").alias("part"),
+            F.col("user"),
+            F.lit(max(new)).cast("long").alias("ts"),
+            F.col("total"),
+        )
+        merge_upsert(spark, serve, agg, "part", ["user"], "ts")
+        if commit:
+            cur.commit(max(new))
+        return new
+
+    land_epoch("0001", [("alice", 1), ("bob", 2)])
+    assert process_once() == ["0001"]
+
+    land_epoch("0002", [("alice", 10)])
+    # crash BEFORE commit: serving already updated, cursor not moved
+    assert process_once(commit=False) == ["0002"]
+    snap_after_crash = sorted(
+        (r["user"], r["total"]) for r in spark.read.parquet(serve).collect()
+    )
+    # replay processes 0002 again; the merge converges to the same rows
+    assert process_once() == ["0002"]
+    snap_after_replay = sorted(
+        (r["user"], r["total"]) for r in spark.read.parquet(serve).collect()
+    )
+    assert snap_after_replay == snap_after_crash == [("alice", 10), ("bob", 2)]
+
+    # nothing new after commit
+    assert process_once() == []
