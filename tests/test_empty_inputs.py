@@ -35,6 +35,7 @@ _NONEMPTY_ON_EMPTY = {
     "q121_referential_audit": lambda r: (
         r["n_child"] == 0 and r["n_orphans"] == 0 and r["n_null_keys"] == 0
     ),
+    "q128_audience_overlap": lambda r: r["n_users"] == 0,
 }
 
 
