@@ -5204,6 +5204,718 @@ GROUP BY 1, 2, 3
 """
 
 
+def q138_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-side query — one filtered scan, one
+    aggregate, zero joins. All three predicates (ship year, discount band,
+    quantity cap) push down to the parquet reader; revenue is bigint
+    cents x cent-discount so the sum is exact at any SF. Grouped by the
+    (single) ship year so empty input yields empty output, not a NULL row."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc = _cents(F.col("l_discount"))
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1997)
+            & disc.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice")) * disc)
+            .cast("bigint")
+            .alias("revenue_cents_pct")
+        )
+    )
+
+
+Q138_SQL = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents_pct
+FROM lineitem
+WHERE year(l_shipdate) = 1997
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+GROUP BY 1
+"""
+
+
+def q139_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume. Supplier
+    and both nation dims are broadcast; the lineitem-orders and
+    orders-customer joins stay shuffle equi-joins (customer is NOT
+    broadcast — at 100 TB it is a fact-sized table; AQE may still elect a
+    broadcast at small SF). The disjunctive pair filter runs after the
+    cheap dims are attached, before the wide aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.year("l_shipdate").isin(1996, 1997)
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(vol).cast("bigint").alias("revenue_cents_pct"))
+    )
+
+
+Q139_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(vol) AS BIGINT) AS revenue_cents_pct
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS vol
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE year(l_shipdate) IN (1996, 1997)
+    AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+      OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')))
+GROUP BY 1, 2, 3
+"""
+
+
+def q140_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share of one supplier nation within a
+    customer region for one part type, per order year. Instead of a
+    float ratio (whose division would drift between engines) the query
+    returns the exact bigint numerator and denominator. part/supplier/
+    nation/region are broadcast dims; customer joins by shuffle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n_c = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_s = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("nation_volume_cents_pct"),
+            F.sum(vol).cast("bigint").alias("total_volume_cents_pct"),
+        )
+    )
+
+
+Q140_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN ns.n_name = 'NATION_3' THEN
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) ELSE 0 END)
+         AS BIGINT) AS nation_volume_cents_pct,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+         AS BIGINT) AS total_volume_cents_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  AND year(o_orderdate) IN (1996, 1997)
+GROUP BY 1
+"""
+
+
+def q141_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the fixture has no partsupp, so profit is
+    discounted revenue without supply cost): per supplier-nation x
+    order-year revenue over parts whose name carries one token. The part
+    name LIKE filter prunes the broadcast dim before the fact join."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    amount = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("bigint").alias("profit_cents_pct"))
+    )
+
+
+Q141_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+         AS BIGINT) AS profit_cents_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+def q142_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: value = lineitem revenue, not partsupp
+    stock): parts whose revenue exceeds a fixed fraction of GLOBAL
+    revenue — a group-HAVING against a scalar subquery. The global stats
+    are a 1-row aggregate broadcast into the per-part frame; the compare
+    is cross-multiplied (2 x value x n_parts > 3 x total, i.e. 1.5x the
+    average part's revenue) so no division happens and the threshold is
+    scale-free — it selects the same tail at any SF."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    val = _cents(F.col("l_extendedprice"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(val).cast("bigint").alias("value_cents")
+    )
+    total = per_part.agg(
+        F.sum("value_cents").cast("bigint").alias("_total"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_cents") * F.col("_n") * 2 > F.col("_total") * 3)
+        .select("l_partkey", "value_cents")
+    )
+
+
+Q142_SQL = """
+SELECT l_partkey,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM lineitem
+GROUP BY 1
+HAVING sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+       * (SELECT count(DISTINCT l_partkey) FROM lineitem) * 2 >
+       (SELECT sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) FROM lineitem) * 3
+"""
+
+
+def q143_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: l_linestatus stands in for the absent
+    l_shipmode): conditional aggregation after a fact-fact equi-join —
+    per line status, how many 1998-shipped lines belong to urgent/high
+    orders vs the rest. One shuffle for the join, one for the 2-group agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.year("l_shipdate") == 1998
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+Q143_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(l_shipdate) = 1998
+GROUP BY 1
+"""
+
+
+def q144_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier quarterly revenue, then the
+    supplier(s) hitting the GLOBAL max — a scalar max subquery over an
+    aggregate, kept as a broadcast 1-row join + equality filter (ties all
+    surface, like the reference view formulation). Revenue exact bigint."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    vol = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(vol).cast("bigint").alias("total_revenue_cents_pct")
+    )
+    mx = per_supp.agg(F.max("total_revenue_cents_pct").alias("_max"))
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_supp.join(F.broadcast(mx))
+        .filter(F.col("total_revenue_cents_pct") == F.col("_max"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_cents_pct")
+    )
+
+
+Q144_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+           AS BIGINT) AS total_revenue_cents_pct
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue_cents_pct
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue_cents_pct = (SELECT max(total_revenue_cents_pct) FROM revenue)
+"""
+
+
+def q145_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: supplier-part relationships come from
+    observed lineitem pairs, the exclusion list is negative-balance
+    suppliers): per (brand, type, size) distinct supplier count with a
+    NOT-IN exclusion decorrelated to a broadcast LEFT ANTI join. The
+    brand/type/size slices prune the part dim before the fact join."""
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (~F.col("p_type").startswith("PROMO"))
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    pairs = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    excl = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(excl), pairs["l_suppkey"] == excl["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+Q145_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q146_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines whose quantity is below 20% of their part's
+    average quantity — the correlated AVG subquery decorrelated into a
+    per-part aggregate joined back to the fact. The compare is
+    cross-multiplied into pure bigints (5 x qty x n_lines < sum_qty) so
+    the boundary never drifts between engines. Per-part aggregate output
+    is tiny (one row per part) and AQE broadcasts it back."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qq = _cents(F.col("l_quantity"))
+    stats = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(qq).cast("bigint").alias("_sum_q"),
+        F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+    )
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(stats, li["l_partkey"] == stats["_pk"])
+        .filter(qq * 5 * F.col("_cnt") < F.col("_sum_q"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice"))).cast("bigint").alias("revenue_cents")
+        )
+    )
+
+
+Q146_SQL = """
+WITH stats AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_q,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1)
+SELECT p_brand,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN stats USING (l_partkey)
+WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+  AND CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) * 5 * cnt < sum_q
+GROUP BY 1
+"""
+
+def q147_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: shipped-quantity share stands in for the
+    absent partsupp availability): suppliers in one region who shipped an
+    above-average quantity of 'cold*' parts in 1997 — a chain of
+    semi-join reductions (part slice -> fact slice -> per-supplier agg ->
+    above-global-average filter -> supplier semi join). Scale-free
+    threshold via cross-multiplied average; region chain is all broadcast."""
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_name").startswith("cold"))
+        .select("p_partkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.year("l_shipdate") == 1997
+    )
+    qq = _cents(F.col("l_quantity"))
+    per_supp = (
+        li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum(qq).cast("bigint").alias("_qty"))
+    )
+    stats = per_supp.agg(
+        F.sum("_qty").cast("bigint").alias("_total"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    cand = (
+        per_supp.join(F.broadcast(stats))
+        .filter(F.col("_qty") * F.col("_n") > F.col("_total"))
+        .select("l_suppkey")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    return (
+        supp.join(F.broadcast(cand), supp["s_suppkey"] == cand["l_suppkey"], "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q147_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE year(l_shipdate) = 1997
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+  GROUP BY 1)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM per_supp
+    WHERE qty * (SELECT count(*) FROM per_supp) > (SELECT sum(qty) FROM per_supp))
+"""
+
+
+def q148_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: lateness = shipped >90 days after the
+    order date, standing in for the absent commit/receipt dates):
+    suppliers who were the SOLE late supplier on a multi-supplier
+    finished order. The reference formulation is EXISTS + NOT EXISTS
+    self-joins on lineitem (the oracle keeps that shape); the Spark plan
+    folds both correlated probes into ONE per-order aggregate —
+    countDistinct suppliers, the set of late suppliers, and the late
+    line count — turning two extra fact shuffles into none. Counts are
+    per late LINE (a supplier twice-late on one order counts twice),
+    matching TPC-H semantics. Top 20 by numwait desc, name asc."""
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_order = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .withColumn("_late", late)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_n_supp"),
+            F.collect_set(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_late_set"),
+            F.sum(F.when(F.col("_late"), 1).otherwise(0)).alias("_n_late_lines"),
+        )
+    )
+    waiting = per_order.filter(
+        (F.col("_n_supp") > 1) & (F.size("_late_set") == 1)
+    ).select(
+        F.element_at("_late_set", 1).alias("_suppkey"),
+        F.col("_n_late_lines"),
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        waiting.groupBy("_suppkey")
+        .agg(F.sum("_n_late_lines").cast("bigint").alias("numwait"))
+        .join(F.broadcast(supp), F.col("_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+Q148_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q149_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: nation key stands in for the phone
+    country code): customers richer than the average positive-balance
+    customer with no order since 2000 (every fixture customer has SOME
+    order, so dormancy is the Q22 "no orders" analog) — a scalar AVG
+    subquery (cross-multiplied to exact bigints: bal x n_pos > sum_pos)
+    plus a LEFT ANTI join against the date-filtered orders, grouped by
+    nation. The anti join's right side is o_custkey after a pushed-down
+    date filter — a fraction of the orders table."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    bal = _cents(F.col("c_acctbal"))
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    stats = pos.agg(
+        F.sum(bal).cast("bigint").alias("_sum_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_pos"),
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(stats))
+        .filter(bal * F.col("_n_pos") > F.col("_sum_pos"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("nation_code"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(bal).cast("bigint").alias("totacctbal_cents"),
+        )
+    )
+
+
+Q149_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nation_code,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM customer
+WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+      * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+         FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
+def q150_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: account balance stands in for the absent
+    partsupp supply cost; observed lineitem pairs stand in for partsupp):
+    for each LARGE small-size part, the European supplier(s) with the
+    MINIMUM account balance among those who shipped it — the correlated
+    MIN subquery decorrelated into a per-part min aggregate joined back
+    (ties all surface, like Q2). Dims broadcast; the distinct pair scan
+    is the only fact pass."""
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_name")
+    )
+    pairs = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    supp_eu = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", _cents(F.col("s_acctbal")).alias("acctbal_cents"))
+    )
+    cand = (
+        pairs.join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp_eu), pairs["l_suppkey"] == supp_eu["s_suppkey"])
+        .select("p_partkey", "p_name", "s_name", "acctbal_cents")
+    )
+    mins = cand.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("acctbal_cents").alias("_min_bal")
+    )
+    return (
+        cand.join(
+            F.broadcast(mins),
+            (cand["p_partkey"] == mins["_pk"])
+            & (cand["acctbal_cents"] == mins["_min_bal"]),
+        )
+        .select("p_partkey", "p_name", "s_name", "acctbal_cents")
+    )
+
+
+Q150_SQL = """
+WITH supp_eu AS (
+  SELECT s_suppkey, s_name,
+         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+cand AS (
+  SELECT p_partkey, p_name, s_name, acctbal_cents
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+  JOIN part ON l_partkey = p_partkey
+  JOIN supp_eu ON l_suppkey = s_suppkey
+  WHERE p_type = 'LARGE' AND p_size <= 10)
+SELECT p_partkey, p_name, s_name, acctbal_cents
+FROM cand c
+WHERE acctbal_cents = (SELECT min(acctbal_cents) FROM cand m
+                       WHERE m.p_partkey = c.p_partkey)
+"""
+
+
+def q151_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of three
+    (brand x quantity-band x size-band) conjuncts — the join stays a
+    single equi-join on partkey with the OR residual evaluated after,
+    exactly how Catalyst plans Q19 (no union of three scans). Grouped by
+    brand so each disjunct's contribution is visible and empty input
+    yields empty output."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#2") & q.between(5, 15) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#4") & q.between(15, 25) & F.col("p_size").between(1, 20))
+        | ((F.col("p_brand") == "Brand#5") & q.between(25, 35) & F.col("p_size").between(1, 30))
+    )
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(F.sum(rev).cast("bigint").alias("revenue_cents_pct"))
+    )
+
+
+Q151_SQL = """
+SELECT p_brand,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+         AS BIGINT) AS revenue_cents_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND l_quantity BETWEEN 5 AND 15 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#4' AND l_quantity BETWEEN 15 AND 25 AND p_size BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#5' AND l_quantity BETWEEN 25 AND 35 AND p_size BETWEEN 1 AND 30)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -5343,6 +6055,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q135_char_mass_median": q135_char_mass_median,
     "q136_doc_skyline": q136_doc_skyline,
     "q137_nav_trigrams": q137_nav_trigrams,
+    "q138_forecast_revenue": q138_forecast_revenue,
+    "q139_volume_shipping": q139_volume_shipping,
+    "q140_market_share": q140_market_share,
+    "q141_product_profit": q141_product_profit,
+    "q142_important_parts": q142_important_parts,
+    "q143_line_priority": q143_line_priority,
+    "q144_top_supplier": q144_top_supplier,
+    "q145_part_supplier_counts": q145_part_supplier_counts,
+    "q146_small_qty_revenue": q146_small_qty_revenue,
+    "q147_promo_suppliers": q147_promo_suppliers,
+    "q148_waiting_suppliers": q148_waiting_suppliers,
+    "q149_sales_opportunity": q149_sales_opportunity,
+    "q150_min_cost_supplier": q150_min_cost_supplier,
+    "q151_disjunctive_revenue": q151_disjunctive_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -5476,6 +6202,20 @@ ORACLES: dict[str, str] = {
     "q135_char_mass_median": Q135_SQL,
     "q136_doc_skyline": Q136_SQL,
     "q137_nav_trigrams": Q137_SQL,
+    "q138_forecast_revenue": Q138_SQL,
+    "q139_volume_shipping": Q139_SQL,
+    "q140_market_share": Q140_SQL,
+    "q141_product_profit": Q141_SQL,
+    "q142_important_parts": Q142_SQL,
+    "q143_line_priority": Q143_SQL,
+    "q144_top_supplier": Q144_SQL,
+    "q145_part_supplier_counts": Q145_SQL,
+    "q146_small_qty_revenue": Q146_SQL,
+    "q147_promo_suppliers": Q147_SQL,
+    "q148_waiting_suppliers": Q148_SQL,
+    "q149_sales_opportunity": Q149_SQL,
+    "q150_min_cost_supplier": Q150_SQL,
+    "q151_disjunctive_revenue": Q151_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
