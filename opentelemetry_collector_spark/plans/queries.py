@@ -5916,6 +5916,182 @@ GROUP BY 1
 """
 
 
+def q152_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bucket OHLC downsample per event-type series (the metrics-
+    backend regrid of the raw datapoints the collector transports;
+    accumulator.go:353-384 keeps only `close` — this keeps the whole
+    candle). One partial-aggregated shuffle on (series, bucket); open and
+    close use the total (ts_us, value_cents) order so ties are a stated
+    rule, not shuffle luck."""
+    from opentelemetry_collector_spark.operators.timeseries import ohlc_downsample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ohlc_downsample(ev, ["event_type"], step_seconds=6 * 3600)
+
+
+# The oracle packs the (ts_us, value_cents) order pair into one HUGEINT
+# (DuckDB's min_by needs a scalar order key; cents here are non-negative
+# and < 10^7 so the pack is order-isomorphic to the struct).
+Q152_SQL = """
+WITH s AS (
+  SELECT event_type,
+         epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100) AS BIGINT) AS vc,
+         epoch_us(ts) // CAST(21600000000 AS BIGINT) AS bucket
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT event_type, bucket,
+       min_by(vc, CAST(ts_us AS HUGEINT) * 10000000 + vc) AS open_cents,
+       max_by(vc, CAST(ts_us AS HUGEINT) * 10000000 + vc) AS close_cents,
+       max(vc) AS high_cents,
+       min(vc) AS low_cents,
+       CAST(sum(vc) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n_obs
+FROM s GROUP BY 1, 2
+"""
+
+
+def q153_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + LOCF over a sparse series (high-value purchases, ~13
+    observations across a 632-bucket hourly grid): every empty bucket
+    carries the latest earlier observation forward and is flagged. The
+    corpus-sized work is one bucketing aggregate; the grid explode and
+    LOCF window run on bucket-sized frames."""
+    from opentelemetry_collector_spark.operators.timeseries import gapfill_locf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 250)
+    )
+    return gapfill_locf(ev, ["event_type"], step_seconds=3600)
+
+
+Q153_SQL = """
+WITH s AS (
+  SELECT event_type,
+         epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100) AS BIGINT) AS vc,
+         epoch_us(ts) // CAST(3600000000 AS BIGINT) AS bucket
+  FROM events
+  WHERE event_type = 'purchase' AND value > 250
+    AND ts IS NOT NULL AND value IS NOT NULL
+),
+per_bucket AS (
+  SELECT event_type, bucket,
+         max_by(vc, CAST(ts_us AS HUGEINT) * 10000000 + vc) AS last_vc,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM s GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, unnest(range(min(bucket), max(bucket) + 1)) AS bucket
+  FROM per_bucket GROUP BY event_type
+)
+SELECT g.event_type, g.bucket,
+       last_value(p.last_vc IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_cents,
+       COALESCE(p.n_obs, 0) AS n_obs,
+       CAST(p.last_vc IS NULL AS INT) AS filled
+FROM grid g LEFT JOIN per_bucket p USING (event_type, bucket)
+"""
+
+
+def q154_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid linear interpolation over the same sparse series: interior
+    empty buckets get prev + (next-prev)*elapsed/span as ONE bigint
+    expression, floor-divided remainder-first so Spark and DuckDB agree
+    bit-for-bit (non-negative cents: truncating and flooring division
+    coincide)."""
+    from opentelemetry_collector_spark.operators.timeseries import interpolate_linear
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 250)
+    )
+    return interpolate_linear(ev, ["event_type"], step_seconds=3600)
+
+
+Q154_SQL = """
+WITH s AS (
+  SELECT event_type,
+         epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100) AS BIGINT) AS vc,
+         epoch_us(ts) // CAST(3600000000 AS BIGINT) AS bucket
+  FROM events
+  WHERE event_type = 'purchase' AND value > 250
+    AND ts IS NOT NULL AND value IS NOT NULL
+),
+per_bucket AS (
+  SELECT event_type, bucket,
+         max_by(vc, CAST(ts_us AS HUGEINT) * 10000000 + vc) AS anchor,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM s GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, unnest(range(min(bucket), max(bucket) + 1)) AS bucket
+  FROM per_bucket GROUP BY event_type
+),
+nbrs AS (
+  SELECT g.event_type, g.bucket, p.anchor, COALESCE(p.n_obs, 0) AS n_obs,
+         last_value(p.bucket IGNORE NULLS) OVER w_back AS prev_b,
+         last_value(p.anchor IGNORE NULLS) OVER w_back AS prev_v,
+         first_value(p.bucket IGNORE NULLS) OVER w_fwd AS next_b,
+         first_value(p.anchor IGNORE NULLS) OVER w_fwd AS next_v
+  FROM grid g LEFT JOIN per_bucket p USING (event_type, bucket)
+  WINDOW
+    w_back AS (PARTITION BY g.event_type ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY g.event_type ORDER BY g.bucket
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket,
+       CASE WHEN anchor IS NOT NULL THEN anchor
+            ELSE CAST((prev_v * (next_b - bucket) + next_v * (bucket - prev_b)
+                  - ((prev_v * (next_b - bucket) + next_v * (bucket - prev_b))
+                     % (next_b - prev_b)))
+                 / (next_b - prev_b) AS BIGINT)
+       END AS value_cents,
+       n_obs,
+       CAST(anchor IS NULL AS INT) AS filled
+FROM nbrs
+"""
+
+
+def q155_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series EWMA smoothing (alpha=1/4, s_t = 0.75*s_{t-1} +
+    0.25*x_t): the sequential recurrence runs as ONE applyInPandas whose
+    body is the pandas C ewm kernel — bit-identical to the plain
+    recurrence (its trailing division is by exactly 1.0), so the DuckDB
+    recursive CTE replays it exactly; output floored to integer
+    hundredths of a cent so the hash compares integers."""
+    from opentelemetry_collector_spark.operators.timeseries import ewma
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ewma(ev, ["event_type"], alpha=0.25)
+
+
+Q155_SQL = """
+WITH RECURSIVE s AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100) AS BIGINT) AS vc
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts_us, vc) AS rn
+  FROM s
+),
+e AS (
+  SELECT event_type, ts_us, vc, rn, CAST(vc AS DOUBLE) AS sm
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.ts_us, r.vc, r.rn,
+         0.75 * e.sm + 0.25 * CAST(r.vc AS DOUBLE)
+  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1
+)
+SELECT event_type, ts_us, vc AS value_cents,
+       CAST(floor(sm * 10000) AS BIGINT) AS ewma_centi
+FROM e
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -6069,6 +6245,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q149_sales_opportunity": q149_sales_opportunity,
     "q150_min_cost_supplier": q150_min_cost_supplier,
     "q151_disjunctive_revenue": q151_disjunctive_revenue,
+    "q152_ohlc_downsample": q152_ohlc_downsample,
+    "q153_gapfill_locf": q153_gapfill_locf,
+    "q154_interpolate_linear": q154_interpolate_linear,
+    "q155_ewma": q155_ewma,
 }
 
 ORACLES: dict[str, str] = {
@@ -6216,6 +6396,10 @@ ORACLES: dict[str, str] = {
     "q149_sales_opportunity": Q149_SQL,
     "q150_min_cost_supplier": Q150_SQL,
     "q151_disjunctive_revenue": Q151_SQL,
+    "q152_ohlc_downsample": Q152_SQL,
+    "q153_gapfill_locf": Q153_SQL,
+    "q154_interpolate_linear": Q154_SQL,
+    "q155_ewma": Q155_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
