@@ -884,3 +884,45 @@ def pareto_frontier(
         (F.col("_y_gt").isNull() | (F.col("_y_gt") < F.col("y")))
         & (F.col("_y_eq") <= F.col("y"))
     ).select(id_col, "x", "y")
+
+
+def span_red_metrics(
+    spans: DataFrame,
+    bounds_ms: list[int],
+    keys: tuple[str, ...] = ("service_name", "name"),
+) -> DataFrame:
+    """RED metrics derived from spans (the spanmetrics-connector shape:
+    Rate/Errors/Duration per (service, operation) — the metrics side of
+    the span transport, the same derivation tracing backends run): calls,
+    error count + integer per-mille rate, total duration, and cumulative
+    Prometheus-style ``le_<bound>ms`` histogram counts over EXPLICIT
+    bounds (the OTLP explicit-bounds histogram of model/pdata/metrics.go
+    with the +Inf bucket == calls).
+
+    One partial-aggregated groupBy — every bucket is a conditional sum
+    inside the same aggregate, so the corpus is scanned once and the
+    shuffle carries one row per (service, operation). All comparisons on
+    integer micros; err_pm floor-divided remainder-first so both engines
+    agree exactly.
+    """
+    if not bounds_ms or any(b <= 0 for b in bounds_ms):
+        raise ValueError(f"bounds_ms must be positive, got {bounds_ms}")
+    if sorted(bounds_ms) != list(bounds_ms) or len(set(bounds_ms)) != len(bounds_ms):
+        raise ValueError(f"bounds_ms must be strictly ascending, got {bounds_ms}")
+    err = (F.col("status_code") == 2).cast("bigint")
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("calls"),
+        F.sum(err).cast("bigint").alias("errors"),
+        F.sum("duration_us").cast("bigint").alias("duration_sum_us"),
+    ]
+    for b in bounds_ms:
+        aggs.append(
+            F.sum((F.col("duration_us") <= F.lit(int(b) * 1000)).cast("bigint"))
+            .cast("bigint")
+            .alias(f"le_{b}ms")
+        )
+    out = spans.groupBy(*keys).agg(*aggs)
+    e1000 = F.col("errors") * F.lit(1000)
+    return out.withColumn(
+        "err_pm", ((e1000 - F.pmod(e1000, F.col("calls"))) / F.col("calls")).cast("bigint")
+    )

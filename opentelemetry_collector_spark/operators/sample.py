@@ -433,3 +433,72 @@ def weighted_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def tail_sample_decisions(
+    spans: DataFrame,
+    latency_ms: int | None = None,
+    keep_error_traces: bool = True,
+    rate_pm: int = 0,
+    trace_col: str = "trace_id",
+) -> DataFrame:
+    """Tail-based trace sampling decisions (the collector-contrib
+    tailsamplingprocessor shape — core ships only the head sampler,
+    probabilisticsampler.go): decide per TRACE after seeing all its spans,
+    first-match policy order status_code -> latency -> probabilistic.
+
+    One partial-aggregated groupBy(trace_id) reduces the span corpus to a
+    trace-sized decision frame:
+      - ``status_code``: any span with status_code == 2 (ERROR)
+      - ``latency``: whole-trace wall time max(start+duration) - min(start)
+        >= latency_ms
+      - ``probabilistic``: md5(trace_id) 52-bit prefix under rate_pm
+        per-mille — integer cross-multiplied (prefix * 1000 < rate_pm *
+        16^13), deterministic and engine-exact
+    Undecided traces get reason NULL / keep 0. Spans frame contract:
+    trace_col, ts (timestamp), duration_us, status_code.
+    """
+    if rate_pm < 0 or rate_pm > 1000:
+        raise ValueError(f"rate_pm must be in [0, 1000], got {rate_pm}")
+    start_us = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    per_trace = spans.groupBy(trace_col).agg(
+        F.max((F.col("status_code") == 2).cast("int")).alias("_err"),
+        (F.max(start_us + F.col("duration_us")) - F.min(start_us)).alias("_trace_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+    )
+    prefix = F.conv(F.substring(F.md5(F.col(trace_col)), 1, 13), 16, 10).cast("bigint")
+    reason = F.when(
+        F.lit(keep_error_traces) & (F.col("_err") == 1), F.lit("status_code")
+    )
+    if latency_ms is not None:
+        reason = reason.when(
+            F.col("_trace_us") >= F.lit(int(latency_ms) * 1000), F.lit("latency")
+        )
+    reason = reason.when(
+        prefix * F.lit(1000) < F.lit(rate_pm) * F.lit(16**13), F.lit("probabilistic")
+    )
+    return per_trace.select(
+        trace_col,
+        "n_spans",
+        (F.col("_trace_us")).cast("bigint").alias("trace_duration_us"),
+        reason.alias("reason"),
+        reason.isNotNull().cast("int").alias("keep"),
+    )
+
+
+def tail_sample(
+    spans: DataFrame,
+    latency_ms: int | None = None,
+    keep_error_traces: bool = True,
+    rate_pm: int = 0,
+    trace_col: str = "trace_id",
+) -> DataFrame:
+    """Apply tail-sampling decisions back to the span corpus: inner join
+    against the kept trace ids (trace-sized frame — AQE broadcasts it when
+    small, plain equi-shuffle otherwise), every span of a kept trace
+    survives with its decision ``reason`` attached (all-or-nothing per
+    trace, the tail sampler's defining invariant)."""
+    kept = tail_sample_decisions(
+        spans, latency_ms, keep_error_traces, rate_pm, trace_col
+    ).filter(F.col("keep") == 1).select(trace_col, "reason")
+    return spans.join(kept, on=trace_col, how="inner")

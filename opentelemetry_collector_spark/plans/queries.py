@@ -6092,6 +6092,87 @@ FROM e
 """
 
 
+def q156_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-based trace sampling (collector-contrib tailsamplingprocessor
+    shape — core ships only the head sampler): per-TRACE decisions after
+    seeing all spans, first-match policy order status_code -> latency ->
+    probabilistic. A severity regrade (only 'error code=3xx' counts as
+    ERROR — the filter-processor composition) precedes the sampler so all
+    three policies fire on this corpus. One partial-aggregated
+    groupBy(trace_id); the probabilistic fallback is the integer
+    cross-multiplied md5-prefix rule, engine-exact."""
+    from opentelemetry_collector_spark.operators.sample import tail_sample_decisions
+    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+
+    spans = spans_from_transcripts(from_events(spark, sf_dir)).withColumn(
+        "status_code",
+        F.when(F.col("status_message").rlike(r"error code=3\d\d"), F.lit(2)).otherwise(
+            F.lit(0)
+        ),
+    )
+    return tail_sample_decisions(
+        spans, latency_ms=2_560_000_000, keep_error_traces=True, rate_pm=250
+    )
+
+
+Q156_SQL = f"""{_PRELUDE}
+, d AS (
+  SELECT md5(conv_id) AS trace_id,
+         max(CASE WHEN regexp_matches(text, 'error code=3\\d\\d') THEN 1 ELSE 0 END) AS err,
+         max(epoch_us(ts) + length(text) * 1000) - min(epoch_us(ts)) AS trace_us,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM t GROUP BY conv_id
+),
+dec AS (
+  SELECT trace_id, n_spans, trace_us,
+         CASE WHEN err = 1 THEN 'status_code'
+              WHEN trace_us >= 2560000000000 THEN 'latency'
+              WHEN ('0x' || substring(md5(trace_id), 1, 13))::UBIGINT * 1000
+                   < CAST(250 AS UBIGINT) * 4503599627370496 THEN 'probabilistic'
+         END AS reason
+  FROM d
+)
+SELECT trace_id, n_spans, CAST(trace_us AS BIGINT) AS trace_duration_us, reason,
+       CAST(reason IS NOT NULL AS INT) AS keep
+FROM dec
+"""
+
+
+def q157_span_red_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RED metrics from spans (the spanmetrics-connector derivation): per
+    (service, operation) calls / errors / integer per-mille error rate /
+    duration sum + cumulative Prometheus-style le-bucket counts over
+    explicit ms bounds. Every bucket is a conditional sum inside ONE
+    partial-aggregated groupBy — the span corpus is scanned once and the
+    shuffle carries one row per (service, operation)."""
+    from opentelemetry_collector_spark.operators.aggregate import span_red_metrics
+    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+
+    spans = spans_from_transcripts(from_events(spark, sf_dir))
+    return span_red_metrics(spans, bounds_ms=[50, 200, 500])
+
+
+Q157_SQL = f"""{_PRELUDE}
+, sp AS (
+  SELECT role AS service_name, coalesce(tool, role) AS name,
+         CASE WHEN regexp_matches(text, 'error code=\\d+') THEN 2 ELSE 0 END AS status_code,
+         CAST(length(text) * 1000 AS BIGINT) AS duration_us
+  FROM t
+)
+SELECT service_name, name,
+       CAST(count(*) AS BIGINT) AS calls,
+       CAST(sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       CAST(sum(duration_us) AS BIGINT) AS duration_sum_us,
+       CAST(sum(CASE WHEN duration_us <= 50000 THEN 1 ELSE 0 END) AS BIGINT) AS le_50ms,
+       CAST(sum(CASE WHEN duration_us <= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS le_200ms,
+       CAST(sum(CASE WHEN duration_us <= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS le_500ms,
+       CAST((sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) * 1000
+             - (sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) * 1000) % count(*))
+            / count(*) AS BIGINT) AS err_pm
+FROM sp GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -6249,6 +6330,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q153_gapfill_locf": q153_gapfill_locf,
     "q154_interpolate_linear": q154_interpolate_linear,
     "q155_ewma": q155_ewma,
+    "q156_tail_sampling": q156_tail_sampling,
+    "q157_span_red_metrics": q157_span_red_metrics,
 }
 
 ORACLES: dict[str, str] = {
@@ -6400,6 +6483,8 @@ ORACLES: dict[str, str] = {
     "q153_gapfill_locf": Q153_SQL,
     "q154_interpolate_linear": Q154_SQL,
     "q155_ewma": Q155_SQL,
+    "q156_tail_sampling": Q156_SQL,
+    "q157_span_red_metrics": Q157_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
