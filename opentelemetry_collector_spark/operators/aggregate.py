@@ -926,3 +926,54 @@ def span_red_metrics(
     return out.withColumn(
         "err_pm", ((e1000 - F.pmod(e1000, F.col("calls"))) / F.col("calls")).cast("bigint")
     )
+
+
+def counter_rate(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """PromQL-style counter rate: per-series increase per fixed window with
+    reset handling (``rate()``/``increase()`` semantics: a counter that
+    goes DOWN restarted from zero, so the post-reset sample contributes its
+    own value as the increase — one step past :func:`adjust_cumulative`,
+    whose adjuster emits no delta for a reset point). The series-first
+    sample has no baseline and contributes nothing. Each adjacent-sample
+    increase is attributed to the window of the LATER sample (a stated
+    rule; PromQL's sliding range vectors have no batch analog).
+
+    Output per (keys, window bucket): ``increase`` (sum of increases,
+    NULL when the window holds only baseline-less samples), ``n_deltas``,
+    and ``rate_milli_per_s`` = floor(increase * 1000 / window_seconds),
+    remainder-first so both engines agree exactly on non-negative counters.
+
+    Physical shape: the lag window shares adjust_cumulative's single
+    hashpartitioning(keys) exchange over the corpus; the bucket aggregate
+    is a second, partial-aggregated shuffle of per-window rows.
+    """
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be positive, got {window_seconds}")
+    adj = adjust_cumulative(df, keys, ts_col=ts_col, value_col=value_col, tiebreak=tiebreak)
+    inc = F.coalesce(
+        F.col("delta"),
+        F.when(F.col("is_reset"), F.col(value_col)),
+    )
+    window_us = int(window_seconds) * 1_000_000
+    ts_us = F.unix_micros(F.to_utc_timestamp(F.col(ts_col), "UTC"))
+    bucket = ((ts_us - ts_us % F.lit(window_us)) / F.lit(window_us)).cast("bigint")
+    out = (
+        adj.select(*keys, bucket.alias("bucket"), inc.alias("_inc"))
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.sum("_inc").cast("bigint").alias("increase"),
+            F.count("_inc").cast("bigint").alias("n_deltas"),
+        )
+    )
+    i1000 = F.col("increase") * F.lit(1000)
+    return out.withColumn(
+        "rate_milli_per_s",
+        ((i1000 - F.pmod(i1000, F.lit(int(window_seconds)))) / F.lit(int(window_seconds))).cast("bigint"),
+    )

@@ -6173,6 +6173,59 @@ FROM sp GROUP BY 1, 2
 """
 
 
+def q158_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style counter rate over the events stream: per-series
+    (event_type) increase per 6 h window with reset-restart handling (a
+    counter that goes down restarted from zero, so the post-reset sample
+    contributes its own value — rate()/increase() semantics, one step past
+    q87's MetricsAdjuster deltas). The lag rides adjust_cumulative's one
+    hashpartitioning(series) exchange; the bucket aggregate is a second,
+    partial-aggregated shuffle of per-window rows."""
+    from opentelemetry_collector_spark.operators.aggregate import counter_rate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    return counter_rate(
+        ev,
+        ["event_type"],
+        value_col="value_cents",
+        window_seconds=6 * 3600,
+        tiebreak=["value_cents", "event_id"],
+    ).select("event_type", "bucket", "increase", "n_deltas", "rate_milli_per_s")
+
+
+Q158_SQL = """
+WITH s AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100) AS BIGINT) AS vc
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+o AS (
+  SELECT *, lag(vc) OVER (
+    PARTITION BY event_type ORDER BY ts_us, vc, event_id) AS prev
+  FROM s
+),
+d AS (
+  SELECT event_type,
+         ts_us // CAST(21600000000 AS BIGINT) AS bucket,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN vc < prev THEN vc
+              ELSE vc - prev END AS inc
+  FROM o
+)
+SELECT event_type, bucket,
+       CAST(sum(inc) AS BIGINT) AS increase,
+       CAST(count(inc) AS BIGINT) AS n_deltas,
+       CAST((sum(inc) * 1000 - (sum(inc) * 1000) % 21600) / 21600 AS BIGINT)
+         AS rate_milli_per_s
+FROM d GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -6332,6 +6385,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q155_ewma": q155_ewma,
     "q156_tail_sampling": q156_tail_sampling,
     "q157_span_red_metrics": q157_span_red_metrics,
+    "q158_counter_rate": q158_counter_rate,
 }
 
 ORACLES: dict[str, str] = {
@@ -6485,6 +6539,7 @@ ORACLES: dict[str, str] = {
     "q155_ewma": Q155_SQL,
     "q156_tail_sampling": Q156_SQL,
     "q157_span_red_metrics": Q157_SQL,
+    "q158_counter_rate": Q158_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -265,3 +265,51 @@ def test_role_transitions_golden_and_boundary_isolation(spark):
         ("user", "assistant"): (1, 1000),
         ("assistant", "user"): (2, 1000),
     }
+
+
+def test_counter_rate_reset_restarts_from_zero(spark):
+    from opentelemetry_collector_spark.operators.aggregate import counter_rate
+
+    # series: 10, 15, 3 (reset), 8 within one hour window
+    rows = [
+        ("s", 1, _ts(0, 0), 10),
+        ("s", 2, _ts(0, 10), 15),
+        ("s", 3, _ts(0, 20), 3),
+        ("s", 4, _ts(0, 30), 8),
+    ]
+    df = spark.createDataFrame(rows, "series string, id int, ts timestamp, v long")
+    out = counter_rate(
+        df, ["series"], value_col="v", window_seconds=3600, tiebreak=["v", "id"]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # increases: 5 (10->15), 3 (reset: restart from zero), 5 (3->8); first
+    # sample has no baseline and contributes nothing
+    assert (r["increase"], r["n_deltas"]) == (13, 3)
+    assert r["rate_milli_per_s"] == (13 * 1000) // 3600
+
+
+def test_counter_rate_delta_attributed_to_later_window(spark):
+    from opentelemetry_collector_spark.operators.aggregate import counter_rate
+
+    rows = [
+        ("s", 1, _ts(0, 50), 10),
+        ("s", 2, _ts(1, 10), 25),  # increase 15 lands in hour-1 bucket
+    ]
+    df = spark.createDataFrame(rows, "series string, id int, ts timestamp, v long")
+    got = {
+        r["bucket"] % 24: (r["increase"], r["n_deltas"])
+        for r in counter_rate(
+            df, ["series"], value_col="v", window_seconds=3600, tiebreak=["v", "id"]
+        ).collect()
+    }
+    assert got[0] == (None, 0)  # only the baseline-less first sample
+    assert got[1] == (15, 1)
+
+
+def test_counter_rate_rejects_bad_window(spark):
+    from opentelemetry_collector_spark.operators.aggregate import counter_rate
+
+    df = spark.createDataFrame([("s", _ts(0), 1)], "series string, ts timestamp, v long")
+    with pytest.raises(ValueError, match="window_seconds"):
+        counter_rate(df, ["series"], value_col="v", window_seconds=0)
