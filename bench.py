@@ -98,6 +98,12 @@ HEADLINE = [
     "q69_integrity_audit",
     "q70_log_dedup",
     "q71_rate_limit",
+    # time-series regrid + trace analytics (events/transcripts tables)
+    "q152_ohlc_downsample",
+    "q155_ewma",
+    "q156_tail_sampling",
+    "q157_span_red_metrics",
+    "q158_counter_rate",
 ]
 
 
