@@ -670,6 +670,40 @@ COMMENTARY = {
         "data pass is the count, and the level derivation costs windows over a "
         "frame the size of the language list.",
     ),
+    "q152_ohlc_downsample": (
+        "ONE Exchange on (series, bucket) with the PARTIAL SortAggregate before "
+        "it (struct-ordered min_by/max_by is not hash-able, so the exact "
+        "open/close tiebreak costs a per-task sort, not an extra shuffle).",
+        "Downsampling is the first stage of every metrics-serving path: the "
+        "shuffle must carry per-bucket partials, never raw datapoints — at "
+        "100 TB the partial aggregate is the difference between shuffling "
+        "buckets and shuffling the corpus.",
+    ),
+    "q156_tail_sampling": (
+        "One partial-aggregated groupBy(trace_id) — the decision frame is "
+        "trace-sized; the md5-prefix probabilistic fallback is a codegen "
+        "projection (conv/substring), no Python anywhere.",
+        "Tail sampling must see every span of a trace before deciding; the "
+        "partial aggregate means each task pre-reduces its spans and the "
+        "shuffle carries one row per (task, trace), not one per span.",
+    ),
+    "q157_span_red_metrics": (
+        "ONE Exchange, partial + final HashAggregate: every le-bucket is a "
+        "conditional sum inside the same aggregate, so the span corpus is "
+        "scanned once.",
+        "The spanmetrics derivation is a standing job over all spans — "
+        "bucket-per-conditional-sum keeps it one scan + one shuffle of "
+        "(service, operation) rows regardless of how many bounds the "
+        "histogram has.",
+    ),
+    "q158_counter_rate": (
+        "The reset-aware lag window shares adjust_cumulative's single "
+        "hashpartitioning(series) Exchange; the window-bucket aggregate is a "
+        "second, partial-aggregated shuffle of per-window rows.",
+        "rate() over counters is the hottest recurring metrics query; series "
+        "are sorted within one task each (bounded by points-per-series) and "
+        "the only corpus-sized shuffle is the one the lag needs anyway.",
+    ),
 }
 
 
