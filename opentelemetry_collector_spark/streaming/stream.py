@@ -502,3 +502,115 @@ def interval_join_stream(
         F.col(f"w.{c}") for c in windows.columns
     ]
     return e.join(w, cond, "inner").select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# streaming tail-based trace sampler (decision on trace quiescence)
+# ---------------------------------------------------------------------------
+
+TAIL_DECISION_SCHEMA = (
+    "trace_id string, n_spans bigint, trace_duration_us bigint,"
+    " reason string, keep int"
+)
+
+
+def tail_sample_stream(
+    df: DataFrame,
+    latency_ms: int | None = None,
+    keep_error_traces: bool = True,
+    rate_pm: int = 0,
+    decision_wait_minutes: int = 5,
+) -> DataFrame:
+    """Tail-based trace sampling as the stateful streaming operator the
+    collector-contrib tailsamplingprocessor actually is: spans accumulate
+    per trace_id in a bounded state cell (error flag, min start, max end,
+    span count — NOT the spans themselves), and the decision is emitted
+    once, when the trace has been QUIET for ``decision_wait_minutes`` of
+    processing time (the contrib ``decision_wait`` analog; the expiry
+    invocation emits the decision row and drops the state, so the store is
+    bounded by in-flight traces).
+
+    Policy order and arithmetic are byte-identical to the batch operator
+    (:func:`operators.sample.tail_sample_decisions`): status_code ->
+    latency -> probabilistic (md5-prefix integer cross-multiply — Python
+    hashlib.md5 of the utf-8 id equals Spark's ``md5``), so a streamed
+    decision equals the batch decision over the same spans (pinned in
+    tests). Arrow-batched per group — no per-row Python.
+
+    Input span stream contract: trace_id, ts (timestamp), duration_us,
+    status_code.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if rate_pm < 0 or rate_pm > 1000:
+        raise ValueError(f"rate_pm must be in [0, 1000], got {rate_pm}")
+    return df.groupBy("trace_id").applyInPandasWithState(
+        _tail_state_fn(latency_ms, keep_error_traces, rate_pm, decision_wait_minutes),
+        outputStructType=TAIL_DECISION_SCHEMA,
+        stateStructType="err int, min_start bigint, max_end bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def _tail_state_fn(
+    latency_ms: int | None,
+    keep_error_traces: bool,
+    rate_pm: int,
+    decision_wait_minutes: int,
+):
+    """Per-group handler behind :func:`tail_sample_stream`, module-level so
+    the timeout decision is unit-testable against the batch operator."""
+    import hashlib
+
+    import pandas as pd
+
+    def decide(key, err, min_start, max_end, n):
+        trace_us = max_end - min_start
+        reason = None
+        if keep_error_traces and err:
+            reason = "status_code"
+        elif latency_ms is not None and trace_us >= int(latency_ms) * 1000:
+            reason = "latency"
+        else:
+            prefix = int(hashlib.md5(key.encode("utf-8")).hexdigest()[:13], 16)
+            if prefix * 1000 < rate_pm * 16**13:
+                reason = "probabilistic"
+        return pd.DataFrame(
+            {
+                "trace_id": [key],
+                "n_spans": [n],
+                "trace_duration_us": [trace_us],
+                "reason": [reason],
+                "keep": [0 if reason is None else 1],
+            }
+        )
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            # trace went quiet: decide once, drop the state
+            err, min_start, max_end, n = state.get
+            state.remove()
+            yield decide(key[0], err, min_start, max_end, n)
+            return
+        err, min_start, max_end, n = (
+            state.get if state.exists else (0, None, None, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf[pdf["ts"].notna() & pdf["duration_us"].notna()]
+            if not len(pdf):
+                continue
+            start = pdf["ts"].astype("datetime64[us]").astype("int64")
+            end = start + pdf["duration_us"].astype("int64")
+            b_min, b_max = int(start.min()), int(end.max())
+            min_start = b_min if min_start is None else min(min_start, b_min)
+            max_end = b_max if max_end is None else max(max_end, b_max)
+            err = int(err or (pdf["status_code"] == 2).any())
+            n += int(len(pdf))
+        if n:
+            state.update((err, min_start, max_end, n))
+            state.setTimeoutDuration(decision_wait_minutes * 60 * 1000)
+        return
+        yield  # pragma: no cover - generator form required by the API
+
+    return fn

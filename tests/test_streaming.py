@@ -420,3 +420,131 @@ def test_interval_join_stream_rejects_bad_shapes(spark, tmp_path):
         interval_join_stream(
             ev, wi_dup, "ts", "w_start", "w_end", bin_seconds=60, max_window_seconds=600
         )
+
+
+class _TailFakeState:
+    """Minimal GroupState stand-in for the tail-sampler handler."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self.removed = True
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def _span_pdf(rows):
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["trace_id", "ts", "duration_us", "status_code"])
+
+
+def test_tail_stream_decision_matches_batch_operator(spark):
+    """Accumulate-then-timeout through the streaming handler == the batch
+    tail_sample_decisions over the same spans, for every policy branch."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.operators.sample import tail_sample_decisions
+    from opentelemetry_collector_spark.streaming.stream import _tail_state_fn
+
+    base = dt.datetime(2024, 1, 1)
+    traces = {
+        "err": [(base, 1_000_000, 0), (base + dt.timedelta(seconds=5), 1_000_000, 2)],
+        "slow": [(base, 1_000_000, 0), (base + dt.timedelta(seconds=9), 1_000_000, 0)],
+        "quick": [(base, 100_000, 0)],
+    }
+    fn = _tail_state_fn(5_000, True, 500, 5)
+    got = {}
+    for tid, spans in traces.items():
+        st = _TailFakeState()
+        rows = [(tid, ts, dur, sc) for ts, dur, sc in spans]
+        # spans arrive across TWO micro-batches
+        list(fn((tid,), iter([_span_pdf(rows[:1]), _span_pdf(rows[1:])]), st) or [])
+        assert st.exists and st.timeout_ms == 5 * 60 * 1000
+        st.hasTimedOut = True
+        out = list(fn((tid,), iter([]), st))
+        assert st.removed and len(out) == 1
+        r = out[0].iloc[0]
+        got[tid] = (int(r["n_spans"]), int(r["trace_duration_us"]), r["reason"], int(r["keep"]))
+
+    batch_rows = [
+        (tid, f"s{i}", sc, ts, dur)
+        for tid, spans in traces.items()
+        for i, (ts, dur, sc) in enumerate(spans)
+    ]
+    bdf = spark.createDataFrame(
+        batch_rows, "trace_id string, span_id string, status_code int, ts timestamp, duration_us long"
+    )
+    expect = {
+        r["trace_id"]: (
+            int(r["n_spans"]),
+            int(r["trace_duration_us"]),
+            r["reason"],
+            int(r["keep"]),
+        )
+        for r in tail_sample_decisions(bdf, latency_ms=5_000, rate_pm=500).collect()
+    }
+    assert got == expect
+    # sanity on the branches themselves
+    assert got["err"][2] == "status_code" and got["slow"][2] == "latency"
+
+
+def test_tail_stream_no_decision_before_quiescence(spark, tmp_path):
+    """End-to-end availableNow run: spans arrive, no trace goes quiet, so
+    the sampler emits NOTHING (decisions wait for the timeout) and state
+    accumulation completes cleanly."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.streaming.stream import tail_sample_stream
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "trace_id string, ts timestamp, duration_us long, status_code int"
+    landing = str(tmp_path / "spans")
+    spark.createDataFrame(
+        [("t1", base, 1_000_000, 0), ("t2", base, 2_000_000, 2)], schema
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = tail_sample_stream(
+        spark.readStream.schema(schema).parquet(landing), latency_ms=1, rate_pm=1000
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tail_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("select * from tail_out").count() == 0
+
+
+def test_tail_stream_null_junk_isolates():
+    """NULL ts/duration rows are refused per-row; a batch of only junk must
+    not create state (no timer armed for a trace with zero valid spans)."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.streaming.stream import _tail_state_fn
+
+    fn = _tail_state_fn(None, True, 0, 5)
+    st = _TailFakeState()
+    junk = _span_pdf([("t", None, 1, 0), ("t", dt.datetime(2024, 1, 1), None, 2)])
+    list(fn(("t",), iter([junk]), st) or [])
+    assert not st.exists and st.timeout_ms is None
