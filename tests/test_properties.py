@@ -317,3 +317,211 @@ def test_substring_removal_invariants_property(spark, texts, min_len):
         assert r["removed_chars"] <= marked[i]["dup_chars"]
         if marked[i]["dup_chars"] == 0:
             assert r["cleaned"] == t
+
+
+_series_st = st.lists(
+    st.tuples(
+        st.integers(0, 500_000),          # seconds offset
+        st.floats(0.0, 500.0, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _series_df(spark, pts, series="s"):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(series, base + dt.timedelta(seconds=s), round(v, 2)) for s, v in pts]
+    return spark.createDataFrame(rows, "series string, ts timestamp, value double")
+
+
+@given(pts=_series_st, step=st.sampled_from([60, 3600, 21600]))
+@settings(**SETTINGS)
+def test_ohlc_invariants_property(spark, pts, step):
+    """low <= open/close <= high; n_obs and sum match a python replay;
+    buckets are exactly the observed set."""
+    import math
+
+    from opentelemetry_collector_spark.operators.timeseries import ohlc_downsample
+
+    out = {r["bucket"]: r for r in ohlc_downsample(
+        _series_df(spark, pts), ["series"], step_seconds=step
+    ).collect()}
+    base_us = 1704067200000000  # 2024-01-01 UTC in micros
+    by_bucket = {}
+    for s, v in pts:
+        vc = math.floor(round(v, 2) * 100)
+        by_bucket.setdefault((base_us + s * 1_000_000) // (step * 1_000_000), []).append(vc)
+    assert set(out) == set(by_bucket)
+    for b, vals in by_bucket.items():
+        r = out[b]
+        assert r["low_cents"] == min(vals) and r["high_cents"] == max(vals)
+        assert r["low_cents"] <= r["open_cents"] <= r["high_cents"]
+        assert r["low_cents"] <= r["close_cents"] <= r["high_cents"]
+        assert (r["n_obs"], r["sum_cents"]) == (len(vals), sum(vals))
+
+
+@given(pts=_series_st, step=st.sampled_from([3600, 21600]))
+@settings(**SETTINGS)
+def test_gapfill_locf_property(spark, pts, step):
+    """Grid is the contiguous [first, last] bucket range; every value is
+    the last observed per-bucket value at or before that bucket; filled
+    flags exactly the empty buckets."""
+    import math
+
+    from opentelemetry_collector_spark.operators.timeseries import gapfill_locf
+
+    rows = sorted(
+        (r["bucket"], r["value_cents"], r["filled"], r["n_obs"])
+        for r in gapfill_locf(_series_df(spark, pts), ["series"], step_seconds=step).collect()
+    )
+    base_us = 1704067200000000
+    per_bucket = {}
+    for s, v in pts:
+        us = base_us + s * 1_000_000
+        vc = math.floor(round(v, 2) * 100)
+        b = us // (step * 1_000_000)
+        per_bucket.setdefault(b, []).append((us, vc))
+    # per-bucket representative: last observation, value tiebreak max
+    rep = {b: max(obs)[1] for b, obs in per_bucket.items()}
+    lo, hi = min(per_bucket), max(per_bucket)
+    assert [b for b, *_ in rows] == list(range(lo, hi + 1))
+    carried = None
+    for b, vc, filled, n_obs in rows:
+        if b in per_bucket:
+            carried = rep[b]
+            assert (filled, n_obs) == (0, len(per_bucket[b]))
+        else:
+            assert (filled, n_obs) == (1, 0)
+        assert vc == carried
+
+
+@given(
+    pts=_series_st,
+    alpha=st.sampled_from([0.5, 0.25, 0.125, 0.3, 0.7]),
+)
+@settings(**SETTINGS)
+def test_ewma_property_matches_python(spark, pts, alpha):
+    """EWMA equals the plain double recurrence over the (ts, value)-sorted
+    series for dyadic AND non-dyadic alphas."""
+    import math
+
+    from opentelemetry_collector_spark.operators.timeseries import ewma
+
+    out = sorted(
+        ((r["ts_us"], r["value_cents"]), r["ewma_centi"])
+        for r in ewma(_series_df(spark, pts), ["series"], alpha=alpha).collect()
+    )
+    base_us = 1704067200000000
+    seq = sorted(
+        (base_us + s * 1_000_000, math.floor(round(v, 2) * 100)) for s, v in pts
+    )
+    acc = None
+    expect = []
+    for _, vc in seq:
+        acc = float(vc) if acc is None else (1.0 - alpha) * acc + alpha * float(vc)
+        expect.append(math.floor(acc * 10_000.0))
+    assert [e for _, e in out] == expect
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 100_000), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda p: p[0],
+    ),
+    window=st.sampled_from([3600, 21600]),
+)
+@settings(**SETTINGS)
+def test_counter_rate_property_matches_python(spark, pts, window):
+    """Bucketed increases equal a python replay of the reset-restart rule,
+    and total increase is order-independent of bucketing."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.operators.aggregate import counter_rate
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", i, base + dt.timedelta(seconds=s), v) for i, (s, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, "series string, id int, ts timestamp, v long")
+    got = {
+        r["bucket"]: (r["increase"], r["n_deltas"])
+        for r in counter_rate(
+            df, ["series"], value_col="v", window_seconds=window, tiebreak=["v", "id"]
+        ).collect()
+    }
+    base_us = 1704067200000000
+    seq = sorted((base_us + s * 1_000_000, v, i) for i, (s, v) in enumerate(pts))
+    expect: dict[int, list[int]] = {}
+    prev = None
+    for us, v, _ in seq:
+        b = us // (window * 1_000_000)
+        expect.setdefault(b, [])
+        if prev is not None:
+            expect[b].append(v if v < prev else v - prev)
+        prev = v
+    assert set(got) == set(expect)
+    for b, incs in expect.items():
+        want = (sum(incs) if incs else None, len(incs))
+        assert got[b] == want
+
+
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.sampled_from(["t1", "t2", "t3"]),
+            st.integers(0, 10_000),       # start offset s
+            st.integers(1, 5_000_000),    # duration us
+            st.sampled_from([0, 0, 0, 2]),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    latency_ms=st.sampled_from([None, 1_000, 3_000]),
+    rate_pm=st.sampled_from([0, 250, 1000]),
+)
+@settings(**SETTINGS)
+def test_tail_sampling_property_matches_python(spark, spans, latency_ms, rate_pm):
+    """Decisions equal a pure-python replay of the policy order, including
+    the md5-prefix probabilistic rule."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.operators.sample import tail_sample_decisions
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (t, f"s{i}", sc, base + dt.timedelta(seconds=s), dur)
+        for i, (t, s, dur, sc) in enumerate(spans)
+    ]
+    df = spark.createDataFrame(
+        rows, "trace_id string, span_id string, status_code int, ts timestamp, duration_us long"
+    )
+    got = {
+        r["trace_id"]: (r["n_spans"], r["trace_duration_us"], r["reason"], r["keep"])
+        for r in tail_sample_decisions(df, latency_ms=latency_ms, rate_pm=rate_pm).collect()
+    }
+    base_us = 1704067200000000
+    per = {}
+    for t, s, dur, sc in spans:
+        e = per.setdefault(t, {"n": 0, "err": False, "lo": None, "hi": None})
+        start = base_us + s * 1_000_000
+        e["n"] += 1
+        e["err"] |= sc == 2
+        e["lo"] = start if e["lo"] is None else min(e["lo"], start)
+        e["hi"] = start + dur if e["hi"] is None else max(e["hi"], start + dur)
+    expect = {}
+    for t, e in per.items():
+        trace_us = e["hi"] - e["lo"]
+        reason = None
+        if e["err"]:
+            reason = "status_code"
+        elif latency_ms is not None and trace_us >= latency_ms * 1000:
+            reason = "latency"
+        elif int(hashlib.md5(t.encode()).hexdigest()[:13], 16) * 1000 < rate_pm * 16**13:
+            reason = "probabilistic"
+        expect[t] = (e["n"], trace_us, reason, 1 if reason else 0)
+    assert got == expect
