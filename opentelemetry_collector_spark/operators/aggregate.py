@@ -890,6 +890,7 @@ def span_red_metrics(
     spans: DataFrame,
     bounds_ms: list[int],
     keys: tuple[str, ...] = ("service_name", "name"),
+    with_exemplar: bool = False,
 ) -> DataFrame:
     """RED metrics derived from spans (the spanmetrics-connector shape:
     Rate/Errors/Duration per (service, operation) — the metrics side of
@@ -904,6 +905,12 @@ def span_red_metrics(
     shuffle carries one row per (service, operation). All comparisons on
     integer micros; err_pm floor-divided remainder-first so both engines
     agree exactly.
+
+    ``with_exemplar=True`` adds the OTLP-exemplar analog (the datapoint
+    attachment of metrics.pb.go's histogram exemplars): the SLOWEST span's
+    (trace_id, span_id, duration) per group, as one more max_by inside the
+    same aggregate — ties broken by the (duration_us, trace_id, span_id)
+    struct order, a stated rule. Requires trace_id/span_id columns.
     """
     if not bounds_ms or any(b <= 0 for b in bounds_ms):
         raise ValueError(f"bounds_ms must be positive, got {bounds_ms}")
@@ -920,6 +927,20 @@ def span_red_metrics(
             F.sum((F.col("duration_us") <= F.lit(int(b) * 1000)).cast("bigint"))
             .cast("bigint")
             .alias(f"le_{b}ms")
+        )
+    if with_exemplar:
+        slowest = F.struct(
+            F.col("duration_us"), F.col("trace_id"), F.col("span_id")
+        )
+        aggs.append(
+            F.max_by(
+                F.struct(
+                    F.col("trace_id").alias("trace_id"),
+                    F.col("span_id").alias("span_id"),
+                    F.col("duration_us").alias("duration_us"),
+                ),
+                slowest,
+            ).alias("exemplar")
         )
     out = spans.groupBy(*keys).agg(*aggs)
     e1000 = F.col("errors") * F.lit(1000)

@@ -139,3 +139,32 @@ def test_red_metrics_single_exchange_hash_agg(spark):
     plan = _plan(span_red_metrics(df, bounds_ms=[50]))
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") >= 2  # partial + final around the shuffle
+
+
+def test_red_metrics_exemplar_is_slowest_span(spark):
+    rows = [
+        ("t1", "s1", "api", "get", 0, _t(0), 40_000),
+        ("t2", "s9", "api", "get", 0, _t(1), 900_000),
+        ("t3", "s3", "api", "get", 2, _t(2), 200_000),
+    ]
+    r = span_red_metrics(
+        _df(spark, rows), bounds_ms=[500], with_exemplar=True
+    ).collect()[0]
+    ex = r["exemplar"]
+    assert (ex["trace_id"], ex["span_id"], ex["duration_us"]) == ("t2", "s9", 900_000)
+    # exemplar rides the SAME single-shuffle aggregate
+    plan = _plan(span_red_metrics(_df(spark, rows), bounds_ms=[500], with_exemplar=True))
+    assert plan.count("Exchange") == 1
+
+
+def test_red_metrics_exemplar_tie_is_stated_rule(spark):
+    # equal durations: the (duration, trace_id, span_id) struct order picks
+    # the lexicographically greatest ids — deterministic, not shuffle luck
+    rows = [
+        ("a", "s1", "api", "op", 0, _t(0), 100_000),
+        ("b", "s2", "api", "op", 0, _t(1), 100_000),
+    ]
+    ex = span_red_metrics(
+        _df(spark, rows), bounds_ms=[500], with_exemplar=True
+    ).collect()[0]["exemplar"]
+    assert (ex["trace_id"], ex["span_id"]) == ("b", "s2")
