@@ -260,3 +260,43 @@ def log_templates(
         F.col(f"_first.{ts_col}").alias("first_ts"),
         F.col(f"_first.{text_col}").alias("example"),
     )
+
+
+def sliding_window_counts(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    range_seconds: int = 3600,
+    burst_threshold: int | None = None,
+) -> DataFrame:
+    """Trailing event-time RANGE window per key: at every event, the count
+    of that key's events in the preceding ``range_seconds`` (inclusive of
+    the current instant) — the burst/velocity signal behind adaptive rate
+    limiting, complementing :func:`rate_limit`'s fixed-bucket quota (a
+    burst straddling a bucket boundary is invisible to buckets; the RANGE
+    frame sees it).
+
+    This is a true value-RANGE frame over integer micros, not a ROWS
+    frame: all events at the exact same timestamp are frame peers and
+    count together in BOTH engines (SQL RANGE semantics), so ties need no
+    tiebreak to be deterministic. One hashpartitioning(keys) exchange +
+    one in-task sort; rows with NULL ts are refused per-row.
+
+    With ``burst_threshold`` an int flag column ``burst`` marks counts at
+    or above it.
+    """
+    if range_seconds <= 0:
+        raise ValueError(f"range_seconds must be positive, got {range_seconds}")
+    ts_us = F.unix_micros(F.to_utc_timestamp(F.col(ts_col), "UTC"))
+    out = df.filter(F.col(ts_col).isNotNull()).withColumn("ts_us", ts_us)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("ts_us")
+        .rangeBetween(-int(range_seconds) * 1_000_000, 0)
+    )
+    out = out.withColumn("n_trailing", F.count(F.lit(1)).over(w).cast("bigint"))
+    if burst_threshold is not None:
+        out = out.withColumn(
+            "burst", (F.col("n_trailing") >= F.lit(int(burst_threshold))).cast("int")
+        )
+    return out

@@ -6226,6 +6226,35 @@ FROM d GROUP BY 1, 2
 """
 
 
+def q159_sliding_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1h RANGE-frame event counts per user (hygiene.
+    sliding_window_counts): at every event, how many of that user's events
+    fall in the preceding hour — the burst signal a fixed-bucket quota
+    (q71) cannot see across bucket boundaries. True value-RANGE frame over
+    integer micros: same-timestamp events are frame peers in both engines,
+    so the count needs no tiebreak to be deterministic."""
+    from opentelemetry_collector_spark.operators.hygiene import sliding_window_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sliding_window_counts(
+        ev, ["user_id"], range_seconds=3600, burst_threshold=3
+    ).select("event_id", "user_id", "ts_us", "n_trailing", "burst")
+
+
+Q159_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_trailing,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ) >= 3 AS INT) AS burst
+FROM events WHERE ts IS NOT NULL
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -6386,6 +6415,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q156_tail_sampling": q156_tail_sampling,
     "q157_span_red_metrics": q157_span_red_metrics,
     "q158_counter_rate": q158_counter_rate,
+    "q159_sliding_burst": q159_sliding_burst,
 }
 
 ORACLES: dict[str, str] = {
@@ -6540,6 +6570,7 @@ ORACLES: dict[str, str] = {
     "q156_tail_sampling": Q156_SQL,
     "q157_span_red_metrics": Q157_SQL,
     "q158_counter_rate": Q158_SQL,
+    "q159_sliding_burst": Q159_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -264,3 +264,46 @@ def test_log_templates_digest_grouped_plan(spark):
     assert plan.count("Exchange hashpartitioning(role") == plan.count(
         "Exchange hashpartitioning"
     )
+
+
+def test_sliding_window_counts_golden(spark):
+    from opentelemetry_collector_spark.operators.hygiene import sliding_window_counts
+
+    # user u: events at 0s, 30m, 59m59s, 61m, and a same-instant pair at 2h
+    rows = [
+        ("u", 1, _ts(0, 0, 0)),
+        ("u", 2, _ts(0, 30, 0)),
+        ("u", 3, _ts(0, 59, 59)),
+        ("u", 4, _ts(1, 1, 0)),
+        ("u", 5, _ts(2, 0, 0)),
+        ("u", 6, _ts(2, 0, 0)),
+        ("v", 7, _ts(0, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user string, id int, ts timestamp")
+    out = {
+        r["id"]: (r["n_trailing"], r["burst"])
+        for r in sliding_window_counts(
+            df, ["user"], range_seconds=3600, burst_threshold=3
+        ).collect()
+    }
+    assert out[1] == (1, 0)
+    assert out[2] == (2, 0)
+    assert out[3] == (3, 1)            # 0s is still inside the inclusive hour
+    assert out[4] == (3, 1)            # 0s aged out; 30m/59m59s/self remain
+    # trailing hour at 2h covers 1h..2h: event 4 (1h01) + the pair itself;
+    # the same-instant events are frame peers and count together
+    assert out[5] == (3, 1) and out[6] == (3, 1)
+    assert out[7] == (1, 0)            # other keys never leak in
+
+
+def test_sliding_window_single_exchange_range_frame(spark):
+    from opentelemetry_collector_spark.operators.hygiene import sliding_window_counts
+
+    df = spark.createDataFrame([("u", _ts(0))], "user string, ts timestamp")
+    plan = _plan(sliding_window_counts(df, ["user"], range_seconds=60))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RangeFrame" in plan  # a value-range frame, not a RowFrame
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="range_seconds"):
+        sliding_window_counts(df, ["user"], range_seconds=0)
