@@ -56,6 +56,14 @@ EVENT_QUERIES = [
     "q94_otlp_text_metrics",
     "q96_zipkin_span_events",
     "q97_zipkin_span_links",
+    "q152_ohlc_downsample",
+    "q153_gapfill_locf",
+    "q154_interpolate_linear",
+    "q155_ewma",
+    "q156_tail_sampling",
+    "q157_span_red_metrics",
+    "q158_counter_rate",
+    "q159_sliding_burst",
 ]
 
 
