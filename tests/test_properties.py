@@ -525,3 +525,68 @@ def test_tail_sampling_property_matches_python(spark, spans, latency_ms, rate_pm
             reason = "probabilistic"
         expect[t] = (e["n"], trace_us, reason, 1 if reason else 0)
     assert got == expect
+
+
+@given(
+    evs=st.lists(
+        st.tuples(st.sampled_from(["u", "v"]), st.integers(0, 50_000)),
+        min_size=1,
+        max_size=25,
+    ),
+    range_s=st.sampled_from([60, 3600]),
+)
+@settings(**SETTINGS)
+def test_sliding_window_counts_property(spark, evs, range_s):
+    """n_trailing equals the brute-force count of same-key events in the
+    inclusive trailing range, for every event including duplicates."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.operators.hygiene import sliding_window_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(k, i, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(evs)]
+    df = spark.createDataFrame(rows, "user string, id int, ts timestamp")
+    got = {
+        r["id"]: r["n_trailing"]
+        for r in sliding_window_counts(df, ["user"], range_seconds=range_s).collect()
+    }
+    for i, (k, s) in enumerate(evs):
+        want = sum(
+            1 for k2, s2 in evs if k2 == k and s - range_s <= s2 <= s
+        )
+        assert got[i] == want
+
+
+@given(pts=_series_st, step=st.sampled_from([3600, 21600]))
+@settings(**SETTINGS)
+def test_interpolate_bounded_by_neighbors_property(spark, pts, step):
+    """Every interpolated bucket lies within [min, max] of its two anchor
+    neighbors; observed buckets keep their own anchor; grid is contiguous."""
+    import math
+
+    from opentelemetry_collector_spark.operators.timeseries import interpolate_linear
+
+    rows = sorted(
+        (r["bucket"], r["value_cents"], r["filled"])
+        for r in interpolate_linear(
+            _series_df(spark, pts), ["series"], step_seconds=step
+        ).collect()
+    )
+    base_us = 1704067200000000
+    per_bucket = {}
+    for s, v in pts:
+        us = base_us + s * 1_000_000
+        vc = math.floor(round(v, 2) * 100)
+        per_bucket.setdefault(us // (step * 1_000_000), []).append((us, vc))
+    rep = {b: max(obs)[1] for b, obs in per_bucket.items()}
+    lo, hi = min(per_bucket), max(per_bucket)
+    assert [b for b, *_ in rows] == list(range(lo, hi + 1))
+    anchors = sorted(rep)
+    for b, vc, filled in rows:
+        if b in rep:
+            assert (vc, filled) == (rep[b], 0)
+        else:
+            prev = max(a for a in anchors if a < b)
+            nxt = min(a for a in anchors if a > b)
+            assert min(rep[prev], rep[nxt]) <= vc <= max(rep[prev], rep[nxt])
+            assert filled == 1
