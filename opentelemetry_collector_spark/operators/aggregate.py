@@ -998,3 +998,43 @@ def counter_rate(
         "rate_milli_per_s",
         ((i1000 - F.pmod(i1000, F.lit(int(window_seconds)))) / F.lit(int(window_seconds))).cast("bigint"),
     )
+
+
+def span_self_times(spans: DataFrame) -> DataFrame:
+    """Flame-graph self-time attribution per span: wall duration minus the
+    summed durations of DIRECT children (the bottleneck-attribution
+    number tracing UIs aggregate — where time is actually spent, not
+    where it is inherited from). Children overlap or run async in real
+    traces, so a parent's children can sum past its own duration: self
+    time clamps at zero and ``over_parallel`` flags it (int), keeping the
+    raw child sum available.
+
+    Physical shape: ONE partial-aggregated groupBy(trace_id,
+    parent_span_id) reduces the corpus to per-parent child sums, then ONE
+    equi-join back on (trace_id, span_id) — both AQE-planned hash
+    shuffles on trace-local keys, never a nested loop. Frame contract:
+    trace_id, span_id, parent_span_id, duration_us.
+    """
+    # rename BOTH join keys: the child frame derives from the same spans
+    # plan, so spans["trace_id"] == child["trace_id"] would resolve to the
+    # trivially-true self-comparison (the classic self-join ambiguity trap)
+    child = (
+        spans.filter(F.col("parent_span_id").isNotNull() & (F.col("parent_span_id") != ""))
+        .groupBy("trace_id", "parent_span_id")
+        .agg(F.sum("duration_us").cast("bigint").alias("child_sum_us"))
+        .select(
+            F.col("trace_id").alias("_join_trace_id"),
+            F.col("parent_span_id").alias("_join_span_id"),
+            "child_sum_us",
+        )
+    )
+    out = spans.join(
+        child,
+        (F.col("trace_id") == F.col("_join_trace_id"))
+        & (F.col("span_id") == F.col("_join_span_id")),
+        "left",
+    ).drop("_join_trace_id", "_join_span_id")
+    child_sum = F.coalesce(F.col("child_sum_us"), F.lit(0))
+    return out.withColumn("child_sum_us", child_sum).withColumn(
+        "self_us", F.greatest(F.lit(0), F.col("duration_us") - child_sum).cast("bigint")
+    ).withColumn("over_parallel", (child_sum > F.col("duration_us")).cast("int"))

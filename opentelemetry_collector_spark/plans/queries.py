@@ -6255,6 +6255,61 @@ FROM events WHERE ts IS NOT NULL
 """
 
 
+def q160_span_self_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flame-graph self-time attribution (aggregate.span_self_times): per
+    span, wall duration minus direct children's summed durations (clamped
+    at zero, over-parallel flagged), aggregated to (service, operation) —
+    the where-is-time-actually-spent number tracing UIs serve. One
+    partial-aggregated child-sum groupBy + one trace-local equi-join; the
+    final rollup is a second tiny aggregate."""
+    from opentelemetry_collector_spark.operators.aggregate import span_self_times
+    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+
+    spans = spans_from_transcripts(from_events(spark, sf_dir))
+    st = span_self_times(spans)
+    return st.groupBy("service_name", "name").agg(
+        F.sum("self_us").cast("bigint").alias("self_us"),
+        F.sum("duration_us").cast("bigint").alias("total_us"),
+        F.sum("child_sum_us").cast("bigint").alias("child_us"),
+        F.sum("over_parallel").cast("bigint").alias("n_over_parallel"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+    )
+
+
+Q160_SQL = f"""{_PRELUDE}
+, sp AS (
+  SELECT md5(conv_id) AS trace_id,
+         substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16) AS span_id,
+         CASE WHEN turn_idx > 0
+              THEN substr(md5(conv_id || ':' || CAST(turn_idx - 1 AS VARCHAR)), 1, 16)
+         END AS parent_span_id,
+         role AS service_name, coalesce(tool, role) AS name,
+         CAST(length(text) * 1000 AS BIGINT) AS duration_us
+  FROM t
+),
+child AS (
+  SELECT trace_id, parent_span_id, CAST(sum(duration_us) AS BIGINT) AS child_sum_us
+  FROM sp WHERE parent_span_id IS NOT NULL AND parent_span_id <> ''
+  GROUP BY 1, 2
+),
+st AS (
+  SELECT sp.service_name, sp.name, sp.duration_us,
+         COALESCE(c.child_sum_us, 0) AS child_sum_us,
+         greatest(0, sp.duration_us - COALESCE(c.child_sum_us, 0)) AS self_us,
+         CAST(COALESCE(c.child_sum_us, 0) > sp.duration_us AS INT) AS over_parallel
+  FROM sp LEFT JOIN child c
+    ON sp.trace_id = c.trace_id AND sp.span_id = c.parent_span_id
+)
+SELECT service_name, name,
+       CAST(sum(self_us) AS BIGINT) AS self_us,
+       CAST(sum(duration_us) AS BIGINT) AS total_us,
+       CAST(sum(child_sum_us) AS BIGINT) AS child_us,
+       CAST(sum(over_parallel) AS BIGINT) AS n_over_parallel,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM st GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -6416,6 +6471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q157_span_red_metrics": q157_span_red_metrics,
     "q158_counter_rate": q158_counter_rate,
     "q159_sliding_burst": q159_sliding_burst,
+    "q160_span_self_time": q160_span_self_time,
 }
 
 ORACLES: dict[str, str] = {
@@ -6571,6 +6627,7 @@ ORACLES: dict[str, str] = {
     "q157_span_red_metrics": Q157_SQL,
     "q158_counter_rate": Q158_SQL,
     "q159_sliding_burst": Q159_SQL,
+    "q160_span_self_time": Q160_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -64,6 +64,7 @@ EVENT_QUERIES = [
     "q157_span_red_metrics",
     "q158_counter_rate",
     "q159_sliding_burst",
+    "q160_span_self_time",
 ]
 
 

@@ -168,3 +168,54 @@ def test_red_metrics_exemplar_tie_is_stated_rule(spark):
         _df(spark, rows), bounds_ms=[500], with_exemplar=True
     ).collect()[0]["exemplar"]
     assert (ex["trace_id"], ex["span_id"]) == ("b", "s2")
+
+
+def test_span_self_times_golden(spark):
+    """Hand-built tree: root(10ms) -> a(3ms), b(4ms); a -> leaf(1ms).
+    Self: root 10-7=3, a 3-1=2, b 4, leaf 1. A second trace reusing the
+    same span ids must not leak child sums across traces."""
+    from opentelemetry_collector_spark.operators.aggregate import span_self_times
+
+    cols = "trace_id string, span_id string, parent_span_id string, duration_us long"
+    rows = [
+        ("T", "root", None, 10_000),
+        ("T", "a", "root", 3_000),
+        ("T", "b", "root", 4_000),
+        ("T", "leaf", "a", 1_000),
+        ("U", "root", None, 5_000),  # same ids, different trace: no leak
+    ]
+    out = {
+        (r["trace_id"], r["span_id"]): (r["self_us"], r["child_sum_us"], r["over_parallel"])
+        for r in span_self_times(spark.createDataFrame(rows, cols)).collect()
+    }
+    assert out[("T", "root")] == (3_000, 7_000, 0)
+    assert out[("T", "a")] == (2_000, 1_000, 0)
+    assert out[("T", "b")] == (4_000, 0, 0)
+    assert out[("T", "leaf")] == (1_000, 0, 0)
+    assert out[("U", "root")] == (5_000, 0, 0)
+
+
+def test_span_self_times_over_parallel_clamps(spark):
+    """Async children summing past the parent clamp self time at zero and
+    raise the flag — never a negative self time."""
+    from opentelemetry_collector_spark.operators.aggregate import span_self_times
+
+    cols = "trace_id string, span_id string, parent_span_id string, duration_us long"
+    rows = [
+        ("T", "p", None, 2_000),
+        ("T", "c1", "p", 1_500),
+        ("T", "c2", "p", 1_500),
+    ]
+    out = {r["span_id"]: r for r in span_self_times(spark.createDataFrame(rows, cols)).collect()}
+    assert (out["p"]["self_us"], out["p"]["over_parallel"]) == (0, 1)
+    assert out["p"]["child_sum_us"] == 3_000
+
+
+def test_span_self_times_plan_is_hash_join_not_nlj(spark):
+    from opentelemetry_collector_spark.operators.aggregate import span_self_times
+
+    cols = "trace_id string, span_id string, parent_span_id string, duration_us long"
+    df = spark.createDataFrame([("T", "r", None, 1)], cols)
+    plan = _plan(span_self_times(df))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # equi hash/sort-merge join on (trace, span)
