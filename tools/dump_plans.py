@@ -704,6 +704,23 @@ COMMENTARY = {
         "are sorted within one task each (bounded by points-per-series) and "
         "the only corpus-sized shuffle is the one the lag needs anyway.",
     ),
+    "q159_sliding_burst": (
+        "ONE hashpartitioning(user_id) Exchange; the Window node carries a "
+        "RangeFrame (value-range over integer micros), not a RowFrame.",
+        "Burst detection needs the trailing hour at EVERY event; the range "
+        "frame computes it in one per-key sort with same-instant events as "
+        "frame peers — a fixed-bucket quota would need self-joins to see "
+        "across bucket boundaries.",
+    ),
+    "q160_span_self_time": (
+        "Child sums partial-aggregate BEFORE their shuffle; the join back is "
+        "an equi hash/sort-merge join on (trace_id, span_id) — never a "
+        "NestedLoop; the final (service, operation) rollup is a second tiny "
+        "aggregate.",
+        "Self-time is a full-corpus self-join shape: pre-reducing children "
+        "to per-parent sums means the join carries one row per parented "
+        "span, and trace-local keys shard evenly at any scale.",
+    ),
 }
 
 
