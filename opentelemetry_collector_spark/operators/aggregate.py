@@ -1038,3 +1038,74 @@ def span_self_times(spans: DataFrame) -> DataFrame:
     return out.withColumn("child_sum_us", child_sum).withColumn(
         "self_us", F.greatest(F.lit(0), F.col("duration_us") - child_sum).cast("bigint")
     ).withColumn("over_parallel", (child_sum > F.col("duration_us")).cast("int"))
+
+
+def winsorize(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    low_pm: int = 10,
+    high_pm: int = 990,
+) -> DataFrame:
+    """Per-key winsorization at exact discrete percentiles: clip every
+    value into ``[P(low_pm/1000), P(high_pm/1000)]`` of its own key group
+    — the outlier-robust normalization a feature pipeline runs before any
+    mean/variance statistic (the at-rest cousin of the memory-limiter's
+    drop-the-extremes instinct). ``P(p)`` is the value at ascending
+    position ``ceil(p * n)`` (percentile-disc, never interpolated), so
+    bounds are actual observed values and integer-exact across engines.
+
+    Physical shape: everything is window arithmetic on ONE
+    ``hashpartitioning(keys)`` exchange — an ordering window assigns ranks,
+    partition windows count and then lift the two bound candidates to every
+    row; no join, no second scan, no corpus re-sort. Values are compared in
+    cents (``floor(value*100)``); equal values make rank assignment
+    ambiguous but the selected BOUND is identical under any tie order, so
+    outputs are engine-exact.
+
+    NULL values isolate per-row (NULL in, NULL out) and are excluded from
+    every rank/count; NULL never becomes a bound.
+
+    Returns the input columns plus ``value_cents``, ``lo_cents``,
+    ``hi_cents``, ``winsorized_cents``.
+    """
+    if not keys:
+        raise ValueError("at least one key column is required")
+    if not (0 <= low_pm < high_pm <= 1000):
+        raise ValueError(f"need 0 <= low_pm < high_pm <= 1000, got {low_pm}, {high_pm}")
+    wp = Window.partitionBy(*keys)
+    wo = wp.orderBy(F.col("_vc").asc_nulls_first())
+    d = df.withColumn("_vc", F.floor(F.col(value_col) * 100).cast("bigint"))
+    d = d.select(
+        "*",
+        F.row_number().over(wo).alias("_rn"),
+        F.count(F.lit(1)).over(wp).alias("_n_total"),
+        F.count("_vc").over(wp).alias("_n"),
+    )
+    # non-null rows occupy ranks (n_total - n + 1)..n_total (nulls first);
+    # renumber them 1.._n, then pick the ceil(p*n) candidates
+    d = d.select(
+        "*",
+        (F.col("_rn") - (F.col("_n_total") - F.col("_n"))).alias("_rnn"),
+        F.greatest(F.expr(f"({low_pm} * _n + 999) div 1000"), F.lit(1).cast("bigint")).alias("_lo_pos"),
+        F.greatest(F.expr(f"({high_pm} * _n + 999) div 1000"), F.lit(1).cast("bigint")).alias("_hi_pos"),
+    )
+    d = d.select(
+        "*",
+        F.min(F.when(F.col("_rnn") == F.col("_lo_pos"), F.col("_vc"))).over(wp).alias("lo_cents"),
+        F.min(F.when(F.col("_rnn") == F.col("_hi_pos"), F.col("_vc"))).over(wp).alias("hi_cents"),
+    )
+    return d.select(
+        *df.columns,
+        F.col("_vc").alias("value_cents"),
+        "lo_cents",
+        "hi_cents",
+        # explicit NULL gate: greatest/least SKIP null operands in both
+        # engines, which would resurrect a NULL value as the lower bound
+        F.when(
+            F.col("_vc").isNotNull(),
+            F.least(F.greatest(F.col("_vc"), F.col("lo_cents")), F.col("hi_cents")),
+        )
+        .cast("bigint")
+        .alias("winsorized_cents"),
+    )

@@ -232,3 +232,51 @@ def apply_actions(
         pred = match_predicate(include, exclude)
         new = F.when(pred, new).otherwise(ensure_attrs(F.col(attrs_col)))
     return df.withColumn(attrs_col, new)
+
+
+def attr_cardinality(
+    df: DataFrame, attrs_col: str = "attrs", risk_pm: int = 500
+) -> DataFrame:
+    """Attribute-key cardinality audit — the "label cardinality bomb"
+    guard every metrics backend needs in front of the attribute engine:
+    per attribute key, how many records carry it, how many distinct values
+    it takes, the dominant value with its count, and an ``at_risk`` flag
+    when distinct values exceed ``risk_pm`` per-mille of carrying records
+    (a key that is ~unique per record — a smuggled id — explodes any
+    downstream groupBy/label set; the reference trusts its config to
+    prevent this, a 10^12-row pipeline must measure it).
+
+    NULL map values are treated as absent (pdata ``AttributeMap`` values
+    are typed non-null, ``model/pdata/common.go:26-37``) — dropped before
+    any counting so both engines agree on distinct semantics.
+
+    Physical shape: explode → partial-aggregated groupBy (key, value) —
+    duplicate values collapse map-side, so the corpus-sized shuffle is
+    bounded by distinct (key, value) pairs per task — then a second tiny
+    aggregate over that frame derives counts + the deterministic dominant
+    value (max count, ties to the LESSER value via one min(struct)).
+
+    Returns (attr_key, n_rows, n_distinct, top_value, top_count, at_risk).
+    """
+    if not 0 < risk_pm <= 1000:
+        raise ValueError(f"risk_pm must be in (0, 1000], got {risk_pm}")
+    kv = (
+        df.select(F.explode(F.col(attrs_col)).alias("attr_key", "value"))
+        .filter(F.col("value").isNotNull())
+    )
+    per_val = kv.groupBy("attr_key", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    per_key = per_val.groupBy("attr_key").agg(
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.min(F.struct((-F.col("_n")).alias("_neg"), F.col("value").alias("_v"))).alias("_top"),
+    )
+    return per_key.select(
+        "attr_key",
+        "n_rows",
+        "n_distinct",
+        F.col("_top._v").alias("top_value"),
+        (-F.col("_top._neg")).cast("bigint").alias("top_count"),
+        (F.lit(1000) * F.col("n_distinct") > F.lit(risk_pm) * F.col("n_rows")).alias("at_risk"),
+    )

@@ -151,6 +151,93 @@ def k_hop_reachability(edges: DataFrame, hops: int = 3) -> DataFrame:
     )
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation and clustering coefficient over the
+    undirected simple graph underlying ``(src, dst)`` — the cohesion
+    statistic (friend-of-friend closure) backing community/quality reports
+    on the navigation graph, one analytic order up from
+    :func:`k_hop_reachability`'s reach counts.
+
+    Algorithm: compact-forward / node-iterator with DEGREE ORDERING
+    (Latapy, TCS 2008; the same orientation trick every distributed
+    triangle counter uses). Each undirected edge is oriented from the
+    endpoint with the lesser ``(degree, node)`` to the greater — a total
+    order, so every triangle is discovered exactly once as a wedge
+    ``u -> v, u -> w`` (with ``(deg,v) < (deg,w)``) closed by the oriented
+    edge ``v -> w``. Orientation bounds every node's out-degree by
+    O(sqrt(m)), so the wedge self-join materializes O(m^1.5) candidate
+    rows worst-case instead of sum(deg^2) — the difference between a hub
+    node costing deg^2 wedges and costing sqrt(m)*deg. All joins key on
+    node ids and run on the AGGREGATED edge list (bounded by distinct
+    pairs, never raw events); the degree frame is node-sized and
+    AQE-broadcastable.
+
+    Returns ``(node, degree, n_triangles, clustering_ppm)`` with
+    ``clustering_ppm = 1e6 * 2 * triangles div (degree * (degree - 1))``
+    (integer floor-division — engine-exact; 0 when degree < 2).
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    # degree rides each endpoint once; orientation = lesser (degree, node) first
+    d = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")
+    )
+    fwd = F.struct("da", "a") < F.struct("db", "b")
+    o = d.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    wedge = (
+        o.alias("x")
+        .join(o.alias("y"), on=F.col("x.u") == F.col("y.u"))
+        .filter(F.struct("x.dv", "x.v") < F.struct("y.dv", "y.v"))
+        .select(
+            F.col("x.u").alias("t0"),
+            F.col("x.v").alias("t1"),
+            F.col("y.v").alias("t2"),
+        )
+    )
+    tri = wedge.join(
+        o.select(F.col("u").alias("t1"), F.col("v").alias("t2")),
+        on=["t1", "t2"],
+        how="leftsemi",
+    )
+    per_node = (
+        tri.select(F.explode(F.array("t0", "t1", "t2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return deg.join(per_node, on="node", how="left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr(
+                f"{2 * UNIT} * coalesce(n_triangles, 0L)"
+                " div (degree * (degree - 1))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("clustering_ppm"),
+    )
+
+
 def path_ngrams(
     events: DataFrame,
     n: int = 3,
@@ -189,4 +276,89 @@ def path_ngrams(
         vc.filter(F.col("step_0").isNotNull())
         .groupBy(*cols)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    )
+
+
+def covisitation_pairs(
+    events: DataFrame,
+    min_count: int = 1,
+    max_per_user: int | None = None,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Item-item co-visitation similarity ("users who viewed X also viewed
+    Y") over the :func:`navigation_edges` node derivation: for every
+    unordered node pair, how many distinct users touched both, with an
+    exact integer Jaccard over the user sets — the association-mining
+    counterpart of the transition-matrix edges (co-occurrence ignores
+    order; transitions keep it).
+
+    Scale shape: repeat visits collapse FIRST (distinct (user, node) —
+    partial-aggregated, so a user hammering one page ships one row), then
+    the pair generation is a self-join keyed on the user. Its fan-out is
+    quadratic in a user's DISTINCT node count, so ``max_per_user`` caps
+    each user's contribution — rank by ``md5(node)`` per user (seed-free,
+    engine-reproducible; plans as a WindowGroupLimit, each map task
+    forwards at most the cap per user). That is the standard mitigation
+    every co-occurrence miner applies before the pair join; uncapped, one
+    crawler user touching all N nodes would emit N^2/2 pairs. The per-node
+    user counts are node-bounded and AQE-broadcastable onto the pair frame.
+
+    ``jaccard_ppm = 1e6 * n_both div (n_a + n_b - n_both)`` — integer
+    floor-division, engine-exact. Pairs with ``n_both < min_count`` drop.
+    Returns (node_a, node_b, n_a, n_b, n_both, jaccard_ppm).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if max_per_user is not None and max_per_user < 2:
+        raise ValueError(f"max_per_user must be >= 2, got {max_per_user}")
+    vc = events.filter(F.col(type_col).isin("view", "click")).select(
+        F.col(user_col).alias("u"),
+        F.when(
+            F.col(type_col) == "view",
+            F.concat(F.lit("page:"), (F.col(id_col) % 50).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("item:"), (F.col(id_col) % 100).cast("string")))
+        .alias("node"),
+    )
+    per_user = vc.distinct()
+    if max_per_user is not None:
+        w = Window.partitionBy("u").orderBy(F.md5("node"), F.col("node"))
+        per_user = (
+            per_user.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_per_user)
+            .drop("_rn")
+        )
+    node_users = per_user.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    pairs = (
+        per_user.alias("x")
+        .join(per_user.alias("y"), on=F.col("x.u") == F.col("y.u"))
+        .filter(F.col("x.node") < F.col("y.node"))
+        .select(F.col("x.node").alias("node_a"), F.col("y.node").alias("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= min_count)
+    )
+    return (
+        pairs.join(
+            node_users.select(F.col("node").alias("node_a"), F.col("n_users").alias("n_a")),
+            "node_a",
+        )
+        .join(
+            node_users.select(F.col("node").alias("node_b"), F.col("n_users").alias("n_b")),
+            "node_b",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(f"{UNIT} * n_both div (n_a + n_b - n_both)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
     )

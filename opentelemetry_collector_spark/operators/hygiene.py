@@ -51,7 +51,14 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["integrity_audit", "log_dedup", "rate_limit"]
+__all__ = [
+    "integrity_audit",
+    "log_dedup",
+    "rate_limit",
+    "log_templates",
+    "sliding_window_counts",
+    "trending_templates",
+]
 
 #: audit columns that must all be zero for a conversation to be ``clean``
 AUDIT_FLAGS = ("n_dup_idx", "n_gaps", "n_null_idx", "n_role_echo", "n_ts_regress")
@@ -259,6 +266,57 @@ def log_templates(
         F.col(f"_first.{idx_col}").alias("first_idx"),
         F.col(f"_first.{ts_col}").alias("first_ts"),
         F.col(f"_first.{text_col}").alias("example"),
+    )
+
+
+def trending_templates(
+    df: DataFrame,
+    split_ts: str,
+    keys: Sequence[str] = ("role",),
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Template-volume drift across a time split: for every
+    :func:`log_templates` template, its line count BEFORE vs AFTER
+    ``split_ts`` plus an integer lift ratio and a new-template flag — the
+    "did a new error class appear / did a known one surge" report an
+    on-call pages on (the alerting complement of q90's static template
+    inventory; the reference's nearest relative is the error-rate deltas
+    its obsreport counters expose per component,
+    ``internal/obsreportconfig/obsmetrics/obs_processor.go:24-77``).
+
+    ``split_ts`` is an ISO timestamp string (compared half-open: prev
+    ``ts < split_ts``, cur ``ts >= split_ts``; NULL ts counts in neither).
+    Output per (keys, template): ``n_prev``, ``n_cur``,
+    ``lift_ppm = 1e6 * n_cur div max(n_prev, 1)`` (integer floor-division
+    — engine-exact; against a floor of 1 so brand-new templates still get
+    a finite magnitude) and ``is_new = (n_prev == 0)``.
+
+    Physical shape: ONE digest-keyed groupBy (the q90 shuffle) with the
+    period split as two conditional partial sums riding the same
+    aggregate — no second scan, no join of two per-period aggregates. At
+    10^12 rows the shuffle is bounded by distinct templates per task,
+    never lines (a surge of 10^6 identical lines ships one partial row).
+    """
+    split = F.lit(split_ts).cast("timestamp")
+    tmpl = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), "[0-9a-fA-F]{8,}", "<HEX>"), "[0-9]+", "<N>"
+    )
+    ts = F.col(ts_col)
+    d = df.select(*keys, ts.alias("_ts"), tmpl.alias("template"))
+    grouped = d.groupBy(*keys, F.md5("template").alias("template_fp")).agg(
+        F.min("template").alias("template"),
+        _bigint(F.sum(F.when(F.col("_ts") < split, 1).otherwise(0))).alias("n_prev"),
+        _bigint(F.sum(F.when(F.col("_ts") >= split, 1).otherwise(0))).alias("n_cur"),
+    )
+    return grouped.select(
+        *keys,
+        "template",
+        "template_fp",
+        "n_prev",
+        "n_cur",
+        F.expr("1000000 * n_cur div greatest(n_prev, 1L)").cast("bigint").alias("lift_ppm"),
+        (F.col("n_prev") == 0).alias("is_new"),
     )
 
 

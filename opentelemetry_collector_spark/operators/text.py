@@ -12,7 +12,7 @@ Dialect notes (tested in Java regex + RE2 + Python re):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 EN_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
@@ -543,4 +543,45 @@ def surprisal_bits(
             .cast("bigint")
             .alias("mbits_per_token"),
         )
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    granularity: str = "day",
+) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law empirics): per time bucket, how
+    many whitespace tokens appear for the FIRST time corpus-wide, plus the
+    running vocabulary size — the corpus-health trend a training-data
+    pipeline tracks across crawls (a flat curve means the new crawl adds
+    volume but no lexical novelty; a spike means a domain/language shift —
+    the corpus-level cousin of the per-template drift alarms).
+
+    Physical shape: one explode + partial-aggregated groupBy on the token
+    (min bucket per token — first occurrence; duplicate tokens collapse
+    map-side, so the shuffle is bounded by distinct tokens per task, never
+    token instances). The running sum is a window over the BUCKET-sized
+    frame (dozens of rows), explicitly single-partition — harmless because
+    corpus size stopped mattering two steps earlier.
+
+    NULL ts and empty/NULL text isolate per-row. Returns
+    (bucket, n_new_terms, vocab_size), bucket ascending-dense only where
+    new terms exist.
+    """
+    b = F.date_trunc(granularity, F.col(ts_col))
+    tok = (
+        df.filter(F.col(ts_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0))
+        .select(b.alias("bucket"), F.explode(tokens(F.col(text_col))).alias("token"))
+    )
+    first = tok.groupBy("token").agg(F.min("bucket").alias("bucket"))
+    daily = first.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_terms")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "bucket",
+        "n_new_terms",
+        F.sum("n_new_terms").over(w).cast("bigint").alias("vocab_size"),
     )

@@ -259,3 +259,66 @@ def ewma(
         return pdf[[*key_cols, "ts_us", "value_cents", "ewma_centi"]]
 
     return obs.groupBy(*keys).applyInPandas(_smooth, schema=out_schema)
+
+
+def cusum_drift(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    target_cents: int = 0,
+    slack_cents: int = 0,
+    threshold_cents: int = 1,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """One-sided CUSUM drift detection per series (Page 1954) — the
+    changepoint alarm a metrics backend runs over the series the collector
+    transports (the sequential complement of the median/MAD point-anomaly
+    flags): ``C_i = max(0, C_{i-1} + x_i - target - slack)``, alarm when
+    ``C_i > threshold``.
+
+    The recurrence looks inherently sequential, but has an exact windowed
+    closed form BOTH engines can evaluate: with
+    ``y_i = x_i - target - slack`` and prefix sum ``S_i``,
+    ``C_i = S_i - min(0, min_{j<=i} S_j)`` — a running sum and a running
+    min over the SAME frame. So the whole detector is two window
+    aggregates on ONE ``hashpartitioning(keys)`` exchange: no
+    applyInPandas, no recursion, no driver loop; a 100 TB scan costs one
+    per-series sort, the same bound as any keyed window. All arithmetic in
+    integer cents — bit-identical across engines and partitionings.
+
+    Rows are totally ordered by ``(ts_us, value_cents, *tiebreak)``; pass
+    a unique ``tiebreak`` (e.g. an event id) when same-instant same-value
+    rows are possible, otherwise their C values could swap between
+    engines. NULL ts/value rows are refused per-row (junk isolates).
+
+    Returns (keys..., tiebreak..., ts_us, value_cents, cusum_cents, alarm).
+    """
+    if threshold_cents <= 0:
+        raise ValueError(f"threshold_cents must be positive, got {threshold_cents}")
+    if not keys:
+        raise ValueError("at least one series key column is required")
+    tb = list(tiebreak or [])
+    obs = df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()).select(
+        *keys,
+        *tb,
+        _ts_us(F.col(ts_col)).alias("ts_us"),
+        _cents(F.col(value_col)).alias("value_cents"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("ts_us", "value_cents", *tb)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    y = F.col("value_cents") - F.lit(int(target_cents) + int(slack_cents))
+    obs = obs.withColumn("_s", F.sum(y).over(w))
+    obs = obs.withColumn("_m", F.min("_s").over(w))
+    cusum = F.col("_s") - F.least(F.col("_m"), F.lit(0).cast("bigint"))
+    return obs.select(
+        *keys,
+        *tb,
+        "ts_us",
+        "value_cents",
+        cusum.cast("bigint").alias("cusum_cents"),
+        (cusum > F.lit(int(threshold_cents))).alias("alarm"),
+    )

@@ -6310,6 +6310,360 @@ FROM st GROUP BY 1, 2
 """
 
 
+def q161_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + clustering coefficient
+    (operators/graph.triangle_counts) over the undirected navigation
+    graph: compact-forward wedge join with degree ordering, bounding every
+    node's out-degree by O(sqrt(m)) so the wedge self-join is O(m^1.5)
+    worst-case instead of sum(deg^2). Integer clustering ppm via div —
+    engine-exact."""
+    from opentelemetry_collector_spark.operators.graph import (
+        navigation_edges,
+        triangle_counts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return triangle_counts(navigation_edges(ev))
+
+
+Q161_SQL = """
+WITH vc AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 'page:' || CAST(event_id % 50 AS VARCHAR)
+              ELSE 'item:' || CAST(event_id % 100 AS VARCHAR) END AS dst
+  FROM events WHERE event_type IN ('view', 'click')),
+seq AS (
+  SELECT lag(dst) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, dst FROM vc),
+edges AS (SELECT src, dst FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+          SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+o AS (
+  SELECT CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN u.a ELSE u.b END AS u,
+         CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN u.b ELSE u.a END AS v,
+         CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN db.degree ELSE da.degree END AS dv
+  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+tri AS (
+  SELECT x.u AS t0, x.v AS t1, y.v AS t2
+  FROM o x JOIN o y ON x.u = y.u AND (x.dv, x.v) < (y.dv, y.v)
+  WHERE EXISTS (SELECT 1 FROM o z WHERE z.u = x.v AND z.v = y.v)),
+pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+         SELECT t0 AS node FROM tri UNION ALL SELECT t1 FROM tri
+         UNION ALL SELECT t2 FROM tri) GROUP BY 1)
+SELECT deg.node, deg.degree,
+       CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.degree >= 2
+                 THEN (2000000 * coalesce(pn.n_triangles, 0))
+                      // (deg.degree * (deg.degree - 1))
+                 ELSE 0 END AS BIGINT) AS clustering_ppm
+FROM deg LEFT JOIN pn USING (node)
+"""
+
+
+def q162_trending_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-volume drift report (operators/hygiene.trending_templates):
+    per (role, template), line counts before/after a mid-month split with
+    an integer lift ratio and a new-template flag — the 'new error class /
+    surge' alert feed over q90's template inventory. One digest-keyed
+    groupBy; both period counts are conditional partial sums riding the
+    same aggregate (no second scan, no self-join)."""
+    from opentelemetry_collector_spark.operators.hygiene import trending_templates
+
+    t = from_events(spark, sf_dir)
+    return trending_templates(t, split_ts="2024-01-16 00:00:00", keys=("role",))
+
+
+Q162_SQL = f"""{_PRELUDE},
+d AS (
+  SELECT role, ts,
+         regexp_replace(regexp_replace(text, '[0-9a-fA-F]{{8,}}', '<HEX>', 'g'),
+                        '[0-9]+', '<N>', 'g') AS template
+  FROM t
+),
+g AS (
+  SELECT role, template,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_prev,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM d GROUP BY 1, 2
+)
+SELECT role, template, md5(template) AS template_fp, n_prev, n_cur,
+       CAST((1000000 * n_cur) // greatest(n_prev, 1) AS BIGINT) AS lift_ppm,
+       n_prev = 0 AS is_new
+FROM g
+"""
+
+
+def q163_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per series (Page 1954;
+    operators/timeseries.cusum_drift): the sequential recurrence
+    C_i = max(0, C_{i-1} + x - target - slack) evaluated via its exact
+    windowed closed form C_i = S_i - min(0, running-min S) — two window
+    aggregates on ONE hashpartitioning(series) exchange, no recursion, no
+    Python. Integer cents throughout, unique (ts, value, event_id) order."""
+    from opentelemetry_collector_spark.operators.timeseries import cusum_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cusum_drift(
+        ev,
+        ["event_type"],
+        target_cents=5000,
+        slack_cents=1000,
+        threshold_cents=50_000,
+        tiebreak=["event_id"],
+    )
+
+
+Q163_SQL = """
+WITH s AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+p AS (
+  SELECT event_type, event_id, ts_us, value_cents,
+         sum(value_cents - 6000) OVER (
+           PARTITION BY event_type
+           ORDER BY ts_us, value_cents, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM s
+),
+m AS (
+  SELECT *, min(s) OVER (
+           PARTITION BY event_type
+           ORDER BY ts_us, value_cents, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min
+  FROM p
+)
+SELECT event_type, event_id, ts_us, value_cents,
+       CAST(s - least(run_min, 0) AS BIGINT) AS cusum_cents,
+       (s - least(run_min, 0)) > 50000 AS alarm
+FROM m
+"""
+
+
+def q164_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-visitation Jaccard (operators/graph.covisitation_pairs):
+    distinct (user, node) collapse first (partial agg), per-user md5-ranked
+    cap bounds the quadratic pair fan-out (WindowGroupLimit), pair counts +
+    node user-counts join, integer jaccard_ppm via div."""
+    from opentelemetry_collector_spark.operators.graph import covisitation_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return covisitation_pairs(ev, min_count=2, max_per_user=8)
+
+
+Q164_SQL = """
+WITH vc AS (
+  SELECT DISTINCT user_id AS u,
+         CASE WHEN event_type = 'view' THEN 'page:' || CAST(event_id % 50 AS VARCHAR)
+              ELSE 'item:' || CAST(event_id % 100 AS VARCHAR) END AS node
+  FROM events WHERE event_type IN ('view', 'click')),
+capped AS (
+  SELECT u, node FROM (
+    SELECT u, node,
+           row_number() OVER (PARTITION BY u ORDER BY md5(node), node) AS rn
+    FROM vc) WHERE rn <= 8),
+nu AS (SELECT node, CAST(count(*) AS BIGINT) AS n_users FROM capped GROUP BY 1),
+pairs AS (
+  SELECT x.node AS node_a, y.node AS node_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM capped x JOIN capped y ON x.u = y.u AND x.node < y.node
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT p.node_a, p.node_b, a.n_users AS n_a, b.n_users AS n_b, p.n_both,
+       CAST((1000000 * p.n_both) // (a.n_users + b.n_users - p.n_both) AS BIGINT)
+         AS jaccard_ppm
+FROM pairs p JOIN nu a ON p.node_a = a.node JOIN nu b ON p.node_b = b.node
+"""
+
+
+def q165_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/pii.k_anonymity_report, Sweeney 2002)
+    over the (role, tool, day) quasi-identifier tuple: group population +
+    at-risk flag below k=15. One partial-aggregated groupBy — distinct QI
+    combinations through the shuffle, never rows; NULL tool is a QI value
+    (GROUP BY semantics, both engines)."""
+    from opentelemetry_collector_spark.operators.pii import k_anonymity_report
+
+    t = from_events(spark, sf_dir).withColumn("day", F.date_trunc("day", F.col("ts")))
+    return k_anonymity_report(t.select("role", "tool", "day"), ["role", "tool", "day"], k=15)
+
+
+Q165_SQL = f"""{_PRELUDE}
+SELECT role, tool, date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       count(*) < 15 AS at_risk
+FROM t GROUP BY 1, 2, 3
+"""
+
+
+def q166_qi_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-domain QI suppression (operators/pii.suppress_quasi_identifiers
+    — the destructive form of q165): rows in at-risk QI groups get role and
+    tool NULLed, everything else byte-identical; row count preserved. The
+    at-risk QI set (rare combinations only) LEFT-joins back NULL-SAFELY
+    onto the corpus (plain equi-join would skip NULL-keyed groups) and is
+    AQE-broadcastable, so the corpus side never shuffles for the join."""
+    from opentelemetry_collector_spark.operators.pii import suppress_quasi_identifiers
+
+    t = from_events(spark, sf_dir).withColumn("day", F.date_trunc("day", F.col("ts")))
+    out = suppress_quasi_identifiers(t, ["role", "tool", "day"], k=15)
+    return out.select("conv_id", "turn_idx", "role", "tool", "day", "text", "ts")
+
+
+Q166_SQL = f"""{_PRELUDE},
+d AS (SELECT t.*, date_trunc('day', ts) AS day FROM t),
+s AS (
+  SELECT role, tool, day, TRUE AS hit FROM d
+  GROUP BY 1, 2, 3 HAVING count(*) < 15
+)
+SELECT d.conv_id, d.turn_idx,
+       CASE WHEN s.hit THEN NULL ELSE d.role END AS role,
+       CASE WHEN s.hit THEN NULL ELSE d.tool END AS tool,
+       CASE WHEN s.hit THEN NULL ELSE d.day END AS day,
+       d.text, d.ts
+FROM d LEFT JOIN s
+  ON d.role IS NOT DISTINCT FROM s.role
+ AND d.tool IS NOT DISTINCT FROM s.tool
+ AND d.day IS NOT DISTINCT FROM s.day
+"""
+
+
+def q167_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key winsorization at exact discrete percentiles
+    (operators/aggregate.winsorize): clip each event's value into its
+    event_type's [p5, p95] where P(p) = value at ascending position
+    ceil(p*n) (percentile-disc — an observed value, integer-exact). All
+    window arithmetic on ONE hashpartitioning(event_type) exchange: rank +
+    count windows, then the bound candidates lifted to every row by two
+    partition-window mins — no join, no second scan."""
+    from opentelemetry_collector_spark.operators.aggregate import winsorize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id", "value"
+    )
+    out = winsorize(ev, ["event_type"], "value", low_pm=50, high_pm=950)
+    return out.select(
+        "event_type", "event_id", "value_cents", "lo_cents", "hi_cents",
+        "winsorized_cents",
+    )
+
+
+Q167_SQL = """
+WITH s AS (
+  SELECT event_type, event_id,
+         CASE WHEN value IS NULL THEN NULL
+              ELSE CAST(floor(value * 100) AS BIGINT) END AS vc
+  FROM events
+),
+r AS (
+  SELECT event_type, event_id, vc,
+         row_number() OVER (PARTITION BY event_type ORDER BY vc NULLS FIRST) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_total,
+         count(vc) OVER (PARTITION BY event_type) AS n
+  FROM s
+),
+p AS (
+  SELECT *, rn - (n_total - n) AS rnn,
+         greatest((50 * n + 999) // 1000, 1) AS lo_pos,
+         greatest((950 * n + 999) // 1000, 1) AS hi_pos
+  FROM r
+),
+bnd AS (
+  SELECT *,
+         min(CASE WHEN rnn = lo_pos THEN vc END) OVER (PARTITION BY event_type) AS lo_cents,
+         min(CASE WHEN rnn = hi_pos THEN vc END) OVER (PARTITION BY event_type) AS hi_cents
+  FROM p
+)
+SELECT event_type, event_id, vc AS value_cents,
+       CAST(lo_cents AS BIGINT) AS lo_cents, CAST(hi_cents AS BIGINT) AS hi_cents,
+       CAST(CASE WHEN vc IS NULL THEN NULL
+                 ELSE least(greatest(vc, lo_cents), hi_cents) END AS BIGINT)
+         AS winsorized_cents
+FROM bnd
+"""
+
+
+def q168_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps-law empirics, operators/text.
+    vocab_growth): per day, tokens first seen corpus-wide + running vocab
+    size. One explode + token-keyed partial-agg groupBy (duplicates
+    collapse map-side — shuffle bounded by distinct tokens per task);
+    the running sum windows over the day-sized frame only."""
+    from opentelemetry_collector_spark.operators.text import vocab_growth
+
+    return vocab_growth(from_events(spark, sf_dir))
+
+
+Q168_SQL = f"""{_PRELUDE},
+tk AS (
+  SELECT date_trunc('day', ts) AS bucket,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM t WHERE ts IS NOT NULL AND length(trim(text)) > 0
+),
+fs AS (SELECT token, min(bucket) AS bucket FROM tk GROUP BY 1),
+daily AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_terms FROM fs GROUP BY 1)
+SELECT bucket, n_new_terms,
+       CAST(sum(n_new_terms) OVER (
+         ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS vocab_size
+FROM daily
+"""
+
+
+def q169_attr_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-key cardinality audit (operators/attributes.
+    attr_cardinality) over the parsed attrs payload: per key, carrying
+    rows, distinct values, deterministic dominant value, and the
+    cardinality-bomb flag (distinct > 50‰ of rows — catches the smuggled
+    conv-id label). Explode → (key,value) partial-agg groupBy (duplicates
+    collapse map-side) → tiny second aggregate."""
+    from opentelemetry_collector_spark.operators.attributes import attr_cardinality
+
+    t = from_events(spark, sf_dir)
+    t = t.withColumn(
+        "attrs",
+        F.create_map(
+            F.lit("src_role"), F.col("role"),
+            F.lit("tool"), F.col("tool"),
+            F.lit("err_code"),
+            F.when(
+                F.col("text").rlike(r"error code=\d+"),
+                F.regexp_extract("text", r"error code=(\d+)", 1),
+            ),
+            F.lit("conv"), F.col("conv_id"),
+        ),
+    )
+    return attr_cardinality(t, risk_pm=50)
+
+
+Q169_SQL = f"""{_PRELUDE},
+kv AS (
+  SELECT attr_key, value FROM (
+    SELECT 'src_role' AS attr_key, role AS value FROM t
+    UNION ALL SELECT 'tool', tool FROM t
+    UNION ALL SELECT 'err_code',
+      CASE WHEN regexp_matches(text, 'error code=\\d+')
+           THEN regexp_extract(text, 'error code=(\\d+)', 1) END FROM t
+    UNION ALL SELECT 'conv', conv_id FROM t)
+  WHERE value IS NOT NULL
+),
+pv AS (SELECT attr_key, value, CAST(count(*) AS BIGINT) AS n FROM kv GROUP BY 1, 2),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY attr_key ORDER BY n DESC, value ASC) AS rn
+  FROM pv
+),
+agg AS (
+  SELECT attr_key, CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM pv GROUP BY 1
+)
+SELECT agg.attr_key, agg.n_rows, agg.n_distinct,
+       rk.value AS top_value, rk.n AS top_count,
+       1000 * agg.n_distinct > 50 * agg.n_rows AS at_risk
+FROM agg JOIN rk ON agg.attr_key = rk.attr_key AND rk.rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -6472,6 +6826,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q158_counter_rate": q158_counter_rate,
     "q159_sliding_burst": q159_sliding_burst,
     "q160_span_self_time": q160_span_self_time,
+    "q161_triangles": q161_triangles,
+    "q162_trending_templates": q162_trending_templates,
+    "q163_cusum_drift": q163_cusum_drift,
+    "q164_covisitation": q164_covisitation,
+    "q165_k_anonymity": q165_k_anonymity,
+    "q166_qi_suppression": q166_qi_suppression,
+    "q167_winsorize": q167_winsorize,
+    "q168_vocab_growth": q168_vocab_growth,
+    "q169_attr_cardinality": q169_attr_cardinality,
 }
 
 ORACLES: dict[str, str] = {
@@ -6628,6 +6991,15 @@ ORACLES: dict[str, str] = {
     "q158_counter_rate": Q158_SQL,
     "q159_sliding_burst": Q159_SQL,
     "q160_span_self_time": Q160_SQL,
+    "q161_triangles": Q161_SQL,
+    "q162_trending_templates": Q162_SQL,
+    "q163_cusum_drift": Q163_SQL,
+    "q164_covisitation": Q164_SQL,
+    "q165_k_anonymity": Q165_SQL,
+    "q166_qi_suppression": Q166_SQL,
+    "q167_winsorize": Q167_SQL,
+    "q168_vocab_growth": Q168_SQL,
+    "q169_attr_cardinality": Q169_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

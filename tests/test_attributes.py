@@ -152,3 +152,49 @@ def test_hash_action_rejects_unknown_algorithm():
 
     with pytest.raises(ValueError, match="algorithm"):
         Action(key="k", action="hash", algorithm="sha512").validate()
+
+
+def test_attr_cardinality_report(spark):
+    from pyspark.sql import functions as F
+    from opentelemetry_collector_spark.operators.attributes import attr_cardinality
+
+    rows = [
+        ({"env": "prod", "req_id": "r1"},),
+        ({"env": "prod", "req_id": "r2"},),
+        ({"env": "dev", "req_id": "r3"},),
+        ({"env": "prod"},),
+        ({"env": None},),                      # NULL value = absent attr
+    ]
+    df = spark.createDataFrame(rows, "attrs map<string,string>")
+    got = {r["attr_key"]: (r["n_rows"], r["n_distinct"], r["top_value"],
+                           r["top_count"], r["at_risk"])
+           for r in attr_cardinality(df, risk_pm=900).collect()}
+    # env: 4 carrying rows (NULL dropped), 2 distinct, prod dominates
+    assert got["env"] == (4, 2, "prod", 3, False)
+    # req_id: unique per row -> cardinality bomb at 900 per-mille
+    assert got["req_id"] == (3, 3, "r1", 1, True)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="risk_pm"):
+        attr_cardinality(df, risk_pm=0)
+
+
+def test_attr_cardinality_top_tie_breaks_to_lesser_value(spark):
+    from opentelemetry_collector_spark.operators.attributes import attr_cardinality
+
+    rows = [({"k": "b"},), ({"k": "a"},), ({"k": "a"},), ({"k": "b"},)]
+    df = spark.createDataFrame(rows, "attrs map<string,string>")
+    r = attr_cardinality(df).collect()[0]
+    assert (r["top_value"], r["top_count"]) == ("a", 2)
+
+
+def test_attr_cardinality_partial_agg_plan(spark):
+    """The corpus-sized shuffle must carry (key, value) partials — map-side
+    collapse before the exchange; the key rollup is the second aggregate."""
+    from opentelemetry_collector_spark.operators.attributes import attr_cardinality
+
+    df = spark.createDataFrame([({"k": "v"},)], "attrs map<string,string>")
+    plan = (attr_cardinality(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 2

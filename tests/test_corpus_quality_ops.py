@@ -631,3 +631,112 @@ def test_surprisal_plan_is_broadcast_probe(spark):
     # LEFT join may shuffle — it is keyed on doc_id, not _t)
     assert "BroadcastHashJoin [_t" in plan
     assert "SortMergeJoin [_t" not in plan
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit + QI suppression
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_report_groups_and_nulls(spark):
+    from opentelemetry_collector_spark.operators.pii import k_anonymity_report
+
+    rows = [
+        ("user", "web"), ("user", "web"), ("user", "web"),
+        ("admin", "web"),
+        (None, "api"), (None, "api"),
+    ]
+    df = spark.createDataFrame(rows, "role string, channel string")
+    got = {
+        (r["role"], r["channel"]): (r["n_rows"], r["at_risk"])
+        for r in k_anonymity_report(df, ["role", "channel"], k=3).collect()
+    }
+    assert got[("user", "web")] == (3, False)
+    assert got[("admin", "web")] == (1, True)
+    # NULL is a QI value: the two NULL-role rows form ONE group of 2
+    assert got[(None, "api")] == (2, True)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must"):
+        k_anonymity_report(df, ["role"], k=1)
+    with _pytest.raises(ValueError, match="quasi-identifier"):
+        k_anonymity_report(df, [], k=3)
+
+
+def test_suppress_quasi_identifiers_masks_risky_incl_null_groups(spark):
+    from opentelemetry_collector_spark.operators.pii import suppress_quasi_identifiers
+
+    rows = [
+        ("user", "web", "a"), ("user", "web", "b"), ("user", "web", "c"),
+        ("admin", "web", "d"),
+        (None, "api", "e"), (None, "api", "f"),
+    ]
+    df = spark.createDataFrame(rows, "role string, channel string, payload string")
+    out = {r["payload"]: (r["role"], r["channel"]) for r in
+           suppress_quasi_identifiers(df, ["role", "channel"], k=3).collect()}
+    assert len(out) == 6                          # row count preserved
+    for p in "abc":
+        assert out[p] == ("user", "web")          # big group untouched
+    assert out["d"] == (None, None)               # singleton suppressed
+    # NULL-keyed risky group must ALSO suppress (null-safe join-back)
+    assert out["e"] == (None, None) and out["f"] == (None, None)
+
+
+def test_suppressed_output_satisfies_k_anonymity(spark):
+    """Idempotence-style invariant: after suppression, every group either
+    meets k or is the all-NULL suppressed bucket."""
+    from opentelemetry_collector_spark.operators.pii import (
+        k_anonymity_report,
+        suppress_quasi_identifiers,
+    )
+
+    rows = [(f"r{i % 7}", f"c{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "role string, channel string")
+    sup = suppress_quasi_identifiers(df, ["role", "channel"], k=3)
+    rep = k_anonymity_report(sup, ["role", "channel"], k=3).collect()
+    for r in rep:
+        assert not r["at_risk"] or (r["role"] is None and r["channel"] is None)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_growth_first_occurrence_and_cumsum(spark):
+    import datetime as dt
+    from opentelemetry_collector_spark.operators.text import vocab_growth
+
+    d1 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    d2 = dt.datetime(2024, 1, 2, 9, 0, 0)
+    d3 = dt.datetime(2024, 1, 3, 10, 0, 0)
+    rows = [
+        ("alpha beta", d1),
+        ("beta gamma", d2),        # beta already seen on day 1
+        ("alpha", d3),             # nothing new
+        ("delta", d3),
+        ("", d3),                  # empty text isolates
+        ("epsilon", None),         # NULL ts isolates
+    ]
+    df = spark.createDataFrame(rows, "text string, ts timestamp")
+    got = {r["bucket"].date().isoformat(): (r["n_new_terms"], r["vocab_size"])
+           for r in vocab_growth(df).collect()}
+    assert got == {
+        "2024-01-01": (2, 2),      # alpha, beta
+        "2024-01-02": (1, 3),      # gamma
+        "2024-01-03": (1, 4),      # delta only
+    }
+
+
+def test_vocab_growth_token_keyed_partial_agg_plan(spark):
+    """First-occurrence must be a token-keyed groupBy with map-side partial
+    aggregation — never a corpus-wide window or dedup-then-join."""
+    import datetime as dt
+    from opentelemetry_collector_spark.operators.text import vocab_growth
+
+    df = spark.createDataFrame(
+        [("a b", dt.datetime(2024, 1, 1))], "text string, ts timestamp"
+    )
+    plan = vocab_growth(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan
+    assert "Join" not in plan

@@ -64,3 +64,59 @@ def test_retention_cohorts_golden(spark):
         ("2026-01-05 00:00:00", 2): 1,
         ("2026-01-12 00:00:00", 0): 1,
     }
+
+
+def _py_winsorize(values, low_pm, high_pm):
+    """Pure-Python reference: percentile-disc bounds at ceil(p*n), clip."""
+    nn = sorted(v for v in values if v is not None)
+    n = len(nn)
+    lo = nn[max((low_pm * n + 999) // 1000, 1) - 1]
+    hi = nn[max((high_pm * n + 999) // 1000, 1) - 1]
+    return [None if v is None else min(max(v, lo), hi) for v in values], lo, hi
+
+
+def test_winsorize_matches_python_reference(spark):
+    from opentelemetry_collector_spark.operators.aggregate import winsorize
+
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 100.0, -50.0, 4.0]
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, id int, value double")
+    out = {r["id"]: (r["winsorized_cents"], r["lo_cents"], r["hi_cents"])
+           for r in winsorize(df, ["k"], "value", low_pm=100, high_pm=900).collect()}
+    cents = [int(v * 100) for v in vals]
+    ref, lo, hi = _py_winsorize(cents, 100, 900)
+    for i, want in enumerate(ref):
+        assert out[i] == (want, lo, hi)
+    # the extremes were clipped to observed values, not interpolations
+    assert lo in cents and hi in cents
+
+
+def test_winsorize_null_isolation_and_key_split(spark):
+    from opentelemetry_collector_spark.operators.aggregate import winsorize
+
+    rows = [("a", 0, 1.0), ("a", 1, 2.0), ("a", 2, 3.0), ("a", 3, None),
+            ("b", 4, 1000.0)]
+    df = spark.createDataFrame(rows, "k string, id int, value double")
+    out = {r["id"]: (r["value_cents"], r["winsorized_cents"])
+           for r in winsorize(df, ["k"], "value", low_pm=0, high_pm=1000).collect()}
+    assert len(out) == 5                      # row count preserved
+    assert out[3] == (None, None)             # NULL in, NULL out
+    # full range [p0->pos1, p100->pos n]: nothing clipped
+    assert out[0] == (100, 100) and out[2] == (300, 300)
+    # key b: its own (degenerate) distribution, untouched by key a
+    assert out[4] == (100000, 100000)
+
+    with pytest.raises(ValueError, match="low_pm"):
+        winsorize(df, ["k"], "value", low_pm=500, high_pm=400)
+    with pytest.raises(ValueError, match="key"):
+        winsorize(df, [], "value")
+
+
+def test_winsorize_single_exchange_no_join(spark):
+    from opentelemetry_collector_spark.operators.aggregate import winsorize
+
+    df = spark.createDataFrame([("a", 0, 1.0)], "k string, id int, value double")
+    plan = (winsorize(df, ["k"], "value")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -290,3 +290,178 @@ def test_fuzzy_pairs_equi_join_plan(spark):
         .toString()
     )
     assert "NestedLoop" not in plan
+
+
+def _py_triangles(und_edges):
+    """Brute-force per-node triangle counts over an undirected edge set."""
+    adj = {}
+    for a, b in und_edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    tri = dict.fromkeys(nodes, 0)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if v not in adj[u]:
+                continue
+            for w in nodes:
+                if w > v and w in adj[u] and w in adj[v]:
+                    tri[u] += 1
+                    tri[v] += 1
+                    tri[w] += 1
+    return {n: (len(adj[n]), tri[n]) for n in nodes}
+
+
+def test_triangle_counts_k4_plus_path(spark):
+    from opentelemetry_collector_spark.operators.graph import triangle_counts
+
+    # K4 on a..d (4 triangles, 3 per node, clustering 1.0) + pendant edge e-f
+    und = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+           ("c", "d"), ("e", "f")]
+    df = spark.createDataFrame(
+        [(s, d, 1) for s, d in und], "src string, dst string, weight bigint"
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_ppm"])
+        for r in triangle_counts(df).collect()
+    }
+    for n in "abcd":
+        assert got[n] == (3, 3, 1_000_000)
+    assert got["e"] == (1, 0, 0) and got["f"] == (1, 0, 0)
+
+
+def test_triangle_counts_matches_python_reference(spark):
+    from opentelemetry_collector_spark.operators.graph import triangle_counts
+
+    # deterministic pseudo-random digraph with duplicates, reversals, loops
+    raw = [(f"n{(i * 13) % 23}", f"n{(i * 7 + 5) % 23}") for i in range(160)]
+    df = spark.createDataFrame(
+        [(s, d, (i % 3) + 1) for i, (s, d) in enumerate(raw)],
+        "src string, dst string, weight bigint",
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"])
+        for r in triangle_counts(df).collect()
+    }
+    und = {(min(s, d), max(s, d)) for s, d in raw if s != d}
+    assert got == _py_triangles(und)
+    # total triangle identity: each triangle attributed to exactly 3 nodes
+    assert sum(t for _, t in got.values()) % 3 == 0
+
+
+def test_triangle_counts_orientation_invariance(spark):
+    """Edge direction, duplication, weight, and self-loops must not change
+    the undirected triangle statistics."""
+    from opentelemetry_collector_spark.operators.graph import triangle_counts
+
+    base = [("a", "b"), ("b", "c"), ("c", "a")]
+    noisy = base + [(d, s) for s, d in base] + base + [("a", "a")]
+    df_base = spark.createDataFrame(
+        [(s, d, 1) for s, d in base], "src string, dst string, weight bigint"
+    )
+    df_noisy = spark.createDataFrame(
+        [(s, d, 9) for s, d in noisy], "src string, dst string, weight bigint"
+    )
+    a = {tuple(r) for r in triangle_counts(df_base).collect()}
+    b = {tuple(r) for r in triangle_counts(df_noisy).collect()}
+    assert a == b == {("a", 2, 1, 1_000_000), ("b", 2, 1, 1_000_000),
+                      ("c", 2, 1, 1_000_000)}
+
+
+def test_triangle_counts_equi_join_plan(spark):
+    """The wedge self-join must be an equi hash/SMJ join on the pivot node
+    with the rank comparison as a residual filter — never a nested-loop
+    cross product."""
+    from opentelemetry_collector_spark.operators.graph import (
+        navigation_edges,
+        triangle_counts,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = (
+        triangle_counts(navigation_edges(ev))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_covisitation_golden_and_cap(spark):
+    from opentelemetry_collector_spark.operators.graph import covisitation_pairs
+
+    # u1 views pages 1,2 and clicks item 3; u2 views pages 1,2; u3 views page 1
+    # (repeat visits collapse: u1 views page 1 twice)
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "view", 0.0),
+        (1, dt.datetime(2024, 1, 1, 0, 0, 1), 51, "view", 0.0),   # page:1 again
+        (1, dt.datetime(2024, 1, 1, 0, 0, 2), 2, "view", 0.0),
+        (1, dt.datetime(2024, 1, 1, 0, 0, 3), 3, "click", 0.0),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "view", 0.0),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 1), 2, "view", 0.0),
+        (3, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "view", 0.0),
+        (3, dt.datetime(2024, 1, 1, 0, 0, 1), 4, "purchase", 0.0),  # not a visit
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, event_type string, value double"
+    )
+    got = {
+        (r["node_a"], r["node_b"]): (r["n_a"], r["n_b"], r["n_both"], r["jaccard_ppm"])
+        for r in covisitation_pairs(df).collect()
+    }
+    # page:1 seen by 3 users, page:2 by 2, item:3 by 1
+    assert got[("page:1", "page:2")] == (3, 2, 2, 1_000_000 * 2 // 3)
+    assert got[("item:3", "page:1")] == (1, 3, 1, 1_000_000 * 1 // 3)
+    assert got[("item:3", "page:2")] == (1, 2, 1, 1_000_000 * 1 // 2)
+    assert len(got) == 3
+
+    # min_count filters singleton co-occurrences
+    only = covisitation_pairs(df, min_count=2).collect()
+    assert {(r["node_a"], r["node_b"]) for r in only} == {("page:1", "page:2")}
+
+    with pytest.raises(ValueError, match="min_count"):
+        covisitation_pairs(df, min_count=0)
+    with pytest.raises(ValueError, match="max_per_user"):
+        covisitation_pairs(df, max_per_user=1)
+
+
+def test_covisitation_cap_is_deterministic_md5_rank(spark):
+    """With a cap of 2, each user keeps the 2 nodes lowest in md5 order —
+    reproducible across engines/partitionings, and n_users shrinks with it."""
+    from opentelemetry_collector_spark.operators.graph import covisitation_pairs
+    import hashlib
+
+    # one user visits pages 0..5 (ids 0..5 -> page:0..page:5)
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, i), i, "view", 0.0) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, event_type string, value double"
+    )
+    keep = sorted(
+        (hashlib.md5(f"page:{i}".encode()).hexdigest(), f"page:{i}") for i in range(6)
+    )[:2]
+    a, b = sorted(n for _, n in keep)
+    got = covisitation_pairs(df, max_per_user=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["node_a"], r["node_b"]) == (a, b)
+    assert (r["n_a"], r["n_b"], r["n_both"], r["jaccard_ppm"]) == (1, 1, 1, 1_000_000)
+
+
+def test_covisitation_equi_join_plan(spark):
+    """Pair generation must be an equi join on the user key (hash or SMJ),
+    with the cap planned as a WindowGroupLimit — never a nested loop."""
+    from opentelemetry_collector_spark.operators.graph import covisitation_pairs
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = (
+        covisitation_pairs(ev, min_count=2, max_per_user=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan

@@ -307,3 +307,44 @@ def test_sliding_window_single_exchange_range_frame(spark):
 
     with _pytest.raises(ValueError, match="range_seconds"):
         sliding_window_counts(df, ["user"], range_seconds=0)
+
+
+def test_trending_templates_golden(spark):
+    from opentelemetry_collector_spark.operators.hygiene import trending_templates
+
+    split = "2024-01-01 12:00:00"
+    rows = [
+        # template "err <N>": 2 before, 4 after -> lift 2.0x
+        ("c1", 0, "tool", "err 1", _ts(10)),
+        ("c1", 1, "tool", "err 2", _ts(11)),
+        ("c1", 2, "tool", "err 3", _ts(12)),          # boundary: >= split is cur
+        ("c1", 3, "tool", "err 4", _ts(13)),
+        ("c1", 4, "tool", "err 5", _ts(14)),
+        ("c1", 5, "tool", "err 6", _ts(15)),
+        # brand-new template after the split
+        ("c2", 0, "tool", "oom killed 123", _ts(13)),
+        # template that disappeared
+        ("c3", 0, "tool", "legacy warn 7", _ts(9)),
+        # NULL ts: in neither period
+        ("c4", 0, "tool", "err 9", None),
+    ]
+    df = spark.createDataFrame(rows, TURN_COLS)
+    got = {
+        r["template"]: (r["n_prev"], r["n_cur"], r["lift_ppm"], r["is_new"])
+        for r in trending_templates(df, split_ts=split).collect()
+    }
+    assert got["err <N>"] == (2, 4, 2_000_000, False)
+    assert got["oom killed <N>"] == (0, 1, 1_000_000, True)
+    assert got["legacy warn <N>"] == (1, 0, 0, False)
+
+
+def test_trending_templates_single_digest_aggregate_plan(spark):
+    """Both period counts must ride ONE digest-keyed aggregate: exactly one
+    exchange, partial sums before it, no join and no window."""
+    from opentelemetry_collector_spark.operators.hygiene import trending_templates
+
+    df = spark.createDataFrame([("c", 0, "user", "x 1", _ts(9))], TURN_COLS)
+    plan = _plan(trending_templates(df, split_ts="2024-01-01 12:00:00"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan or "partial_min" in plan
+    assert "Join" not in plan and "Window" not in plan

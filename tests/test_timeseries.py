@@ -228,3 +228,83 @@ def test_null_rows_are_refused_per_row(spark):
     out = ohlc_downsample(df, ["series"], step_seconds=3600)
     row = out.collect()[0]
     assert (row["n_obs"], row["sum_cents"]) == (1, 100)
+
+
+def _cusum_ref(values, target, slack, threshold):
+    """Pure-Python recurrence: C_i = max(0, C_{i-1} + x - target - slack)."""
+    c, out = 0, []
+    for x in values:
+        c = max(0, c + x - target - slack)
+        out.append((c, c > threshold))
+    return out
+
+
+def test_cusum_matches_pure_python_recurrence(spark):
+    from opentelemetry_collector_spark.operators.timeseries import cusum_drift
+
+    vals = [50, 80, 10, 90, 90, 90, 5, 5, 70, 200]
+    rows = [("s", i, _t(i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series string, id int, ts timestamp, value double")
+    got = {
+        r["id"]: (r["cusum_cents"], r["alarm"])
+        for r in cusum_drift(
+            df, ["series"], target_cents=5000, slack_cents=500,
+            threshold_cents=8000, tiebreak=["id"],
+        ).collect()
+    }
+    ref = _cusum_ref([v * 100 for v in vals], 5000, 500, 8000)
+    assert got == dict(enumerate(ref))
+
+
+def test_cusum_resets_through_running_min(spark):
+    """After a deep negative excursion the detector must restart from zero,
+    not from the (clamped-away) negative mass."""
+    from opentelemetry_collector_spark.operators.timeseries import cusum_drift
+
+    vals = [100, 100, 0, 0, 0, 0, 100, 100]   # target 50: up, drain, up again
+    rows = [("s", i, _t(i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series string, id int, ts timestamp, value double")
+    got = [
+        r["cusum_cents"]
+        for r in cusum_drift(
+            df, ["series"], target_cents=5000, threshold_cents=9000, tiebreak=["id"]
+        ).collect()
+    ]
+    assert got == [c for c, _ in _cusum_ref([v * 100 for v in vals], 5000, 0, 9000)]
+    # the two post-drain climbs are identical to the first two steps
+    assert got[6:8] == got[0:2]
+
+
+def test_cusum_series_isolation_and_junk(spark):
+    from opentelemetry_collector_spark.operators.timeseries import cusum_drift
+
+    rows = [
+        ("a", 0, _t(0), 100.0),
+        ("b", 0, _t(0), 100.0),
+        ("a", 1, None, 100.0),      # NULL ts: refused per-row
+        ("a", 2, _t(2), None),      # NULL value: refused per-row
+    ]
+    df = spark.createDataFrame(rows, "series string, id int, ts timestamp, value double")
+    out = cusum_drift(df, ["series"], target_cents=0, threshold_cents=1,
+                      tiebreak=["id"]).collect()
+    assert {(r["series"], r["id"]) for r in out} == {("a", 0), ("b", 0)}
+    assert all(r["cusum_cents"] == 10000 for r in out)
+
+    with pytest.raises(ValueError, match="threshold"):
+        cusum_drift(df, ["series"], threshold_cents=0)
+    with pytest.raises(ValueError, match="key"):
+        cusum_drift(df, [], threshold_cents=1)
+
+
+def test_cusum_single_exchange_windows(spark):
+    """Both window aggregates (running sum + running min) must share ONE
+    hashpartitioning(series) exchange — no join, no Python."""
+    from opentelemetry_collector_spark.operators.timeseries import cusum_drift
+
+    df = spark.createDataFrame(
+        [("s", 0, _t(0), 1.0)], "series string, id int, ts timestamp, value double"
+    )
+    plan = _plan(cusum_drift(df, ["series"], threshold_cents=1, tiebreak=["id"]))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan and "InPandas" not in plan
