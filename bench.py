@@ -104,6 +104,18 @@ HEADLINE = [
     "q156_tail_sampling",
     "q157_span_red_metrics",
     "q158_counter_rate",
+    # data-quality / alerting batch (events/transcripts tables)
+    "q161_triangles",
+    "q162_trending_templates",
+    "q163_cusum_drift",
+    "q165_k_anonymity",
+    "q167_winsorize",
+    "q168_vocab_growth",
+    "q169_attr_cardinality",
+    "q170_hysteresis_alerts",
+    "q171_hot_keys",
+    "q172_equi_depth_bins",
+    "q173_embedding_pool",
 ]
 
 

@@ -1109,3 +1109,115 @@ def winsorize(
         .cast("bigint")
         .alias("winsorized_cents"),
     )
+
+
+def key_skew_report(df: DataFrame, keys: list[str], top_k: int = 20) -> DataFrame:
+    """Hot-key skew report: the top-``top_k`` key tuples by row count with
+    each one's per-mille share, cumulative share, and the corpus-wide
+    Herfindahl-Hirschman concentration (HHI, in ppm) — the measurement
+    that DECIDES whether the salting / AQE-skew machinery
+    (:func:`turn_counts` ``salt_buckets``, DEPLOY.md sizing rules) is
+    needed before anyone pays for it. HHI == 1e6 means one key owns the
+    corpus; ~1e6/n_keys means uniform.
+
+    Physical shape: one partial-aggregated groupBy(keys) builds the count
+    frame; the top-k is ``TakeOrderedAndProject`` (each task forwards only
+    its local k — the full distinct-key frame is never sorted or
+    collected); totals + sum-of-squares reduce to ONE row that cross-joins
+    (broadcast) onto the k rows. HHI's cnt² x 1e6 over total² needs
+    128-bit intermediates: DECIMAL(38,0) ``div`` — exact integral
+    quotient in both engines, no float anywhere. Ties order by the key
+    tuple ascending, so rank is total and engine-stable.
+
+    Returns (keys..., n_rows, rank, share_pm, cum_share_pm, hhi_ppm).
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if not keys:
+        raise ValueError("at least one key column is required")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").cast("bigint").alias("_total"),
+        F.sum(F.expr("CAST(n_rows AS DECIMAL(38,0)) * n_rows")).alias("_sumsq"),
+    )
+    order = [F.col("n_rows").desc(), *[F.col(k).asc() for k in keys]]
+    top = counts.orderBy(*order).limit(top_k)
+    wr = Window.orderBy(*order)
+    wc = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            *keys,
+            "n_rows",
+            F.row_number().over(wr).cast("bigint").alias("rank"),
+            F.expr("1000 * n_rows div _total").cast("bigint").alias("share_pm"),
+            (F.lit(1000) * F.sum("n_rows").over(wc))
+            .cast("bigint")
+            .alias("_cum"),
+            F.expr(
+                "CAST(1000000 AS DECIMAL(38,0)) * _sumsq"
+                " div (CAST(_total AS DECIMAL(38,0)) * _total)"
+            )
+            .cast("bigint")
+            .alias("hhi_ppm"),
+            F.col("_total"),
+        )
+        .select(
+            *keys,
+            "n_rows",
+            "rank",
+            "share_pm",
+            F.expr("_cum div _total").cast("bigint").alias("cum_share_pm"),
+            "hhi_ppm",
+        )
+    )
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_bins: int = 10,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-key equi-depth (quantile) binning: each row gets a bucket
+    ``1..n_bins`` so that buckets hold (near-)equal populations — the
+    discretization feature pipelines feed to tree models and the bucket
+    scheme behind percentile-bucketed monitoring dashboards. Sibling of
+    :func:`winsorize` (same rank machinery; clipping vs labelling).
+
+    Bin is pure integer arithmetic on the rank: ``(rank-1) * n_bins div n
+    + 1`` — deterministic in both engines, unlike ``ntile`` whose
+    remainder-distribution rule needn't be replayed. Rows order by
+    ``(value_cents, *tiebreak)``; pass a unique tiebreak so equal values
+    bin identically across engines when a bucket boundary splits a tie
+    run. NULL values isolate per-row (bin NULL, excluded from every
+    rank/count) via the nulls-first renumbering.
+
+    ONE ``hashpartitioning(keys)`` exchange (rank + count windows, no
+    join). Returns input columns + ``value_cents`` + ``bin``.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if not keys:
+        raise ValueError("at least one key column is required")
+    tb = list(tiebreak or [])
+    wp = Window.partitionBy(*keys)
+    wo = wp.orderBy(F.col("_vc").asc_nulls_first(), *[F.col(c) for c in tb])
+    d = df.withColumn("_vc", F.floor(F.col(value_col) * 100).cast("bigint"))
+    d = d.select(
+        "*",
+        F.row_number().over(wo).alias("_rn"),
+        F.count(F.lit(1)).over(wp).alias("_n_total"),
+        F.count("_vc").over(wp).alias("_n"),
+    )
+    return d.select(
+        *df.columns,
+        F.col("_vc").alias("value_cents"),
+        F.when(
+            F.col("_vc").isNotNull(),
+            F.expr(f"(_rn - (_n_total - _n) - 1L) * {n_bins} div _n + 1L"),
+        )
+        .cast("int")
+        .alias("bin"),
+    )

@@ -971,3 +971,52 @@ def fuzzy_prefix_pairs(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    keys: list[str],
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Element-wise mean of embedding vectors per key, in EXACT integer
+    micro-units — the centroid/pooling step behind cluster summaries,
+    class prototypes, and conversation-level embeddings. Float averaging
+    is partitioning-dependent (non-associative adds); quantizing each
+    element to ``floor(v * scale)`` first makes the sum associative and
+    the result bit-identical on any engine or shuffle order (the same
+    integer-currency trick as the PageRank/OHLC operators).
+
+    Physical shape mirrors :func:`aggregate.histogram_merge`: posexplode →
+    partial-aggregated groupBy(keys, pos) — the corpus-sized shuffle
+    spreads each key over dim reduce groups (no hot reducer even for a
+    dominant key) — then one small per-key rebuild via sorted struct
+    collect. NULL vectors drop per-row; ragged dims average per-position
+    over the vectors that HAVE that position (count rides per position).
+
+    Returns (keys..., n_vectors, centroid_micros array<bigint>).
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    if not keys:
+        raise ValueError("at least one key column is required")
+    pe = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(*keys, F.posexplode(F.col(vec_col)).alias("_pos", "_v"))
+        .select(
+            *keys,
+            "_pos",
+            F.floor(F.col("_v").cast("double") * F.lit(int(scale))).cast("bigint").alias("_q"),
+        )
+    )
+    per_pos = pe.groupBy(*keys, "_pos").agg(
+        F.sum("_q").alias("_s"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    return per_pos.groupBy(*keys).agg(
+        F.max("_n").cast("bigint").alias("n_vectors"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", F.expr("_s div _n").alias("_m")))),
+            lambda s: s["_m"],
+        ).alias("centroid_micros"),
+    )

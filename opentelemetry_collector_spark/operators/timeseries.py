@@ -322,3 +322,64 @@ def cusum_drift(
         cusum.cast("bigint").alias("cusum_cents"),
         (cusum > F.lit(int(threshold_cents))).alias("alarm"),
     )
+
+
+def threshold_hysteresis(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    hi_cents: int = 0,
+    lo_cents: int = 0,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Two-threshold (Schmitt-trigger) alerting per series: alert turns ON
+    when the value exceeds ``hi_cents``, OFF only when it drops below
+    ``lo_cents``, and HOLDS in between — the flapping suppression every
+    alert manager applies so a series oscillating around one threshold
+    doesn't page on every sample (the stateful complement of
+    :func:`cusum_drift`'s accumulation detector).
+
+    The state recurrence is "carry the last crossing", which both engines
+    express exactly as ``last(crossing IGNORE NULLS)`` over the running
+    frame: samples above hi emit TRUE, below lo emit FALSE, the dead band
+    emits NULL and inherits. One window on ONE ``hashpartitioning(keys)``
+    exchange; a lag over the same frame marks edges. Initial state is OFF.
+
+    Rows are totally ordered by ``(ts_us, value_cents, *tiebreak)``; NULL
+    ts/value rows are refused per-row. Returns (keys..., tiebreak...,
+    ts_us, value_cents, alert, is_edge).
+    """
+    if hi_cents <= lo_cents:
+        raise ValueError(f"need hi_cents > lo_cents, got {hi_cents} <= {lo_cents}")
+    if not keys:
+        raise ValueError("at least one series key column is required")
+    tb = list(tiebreak or [])
+    obs = df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()).select(
+        *keys,
+        *tb,
+        _ts_us(F.col(ts_col)).alias("ts_us"),
+        _cents(F.col(value_col)).alias("value_cents"),
+    )
+    order = [F.col("ts_us"), F.col("value_cents"), *[F.col(c) for c in tb]]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy(*keys).orderBy(*order)
+    sig = (
+        F.when(F.col("value_cents") > F.lit(int(hi_cents)), F.lit(True))
+        .when(F.col("value_cents") < F.lit(int(lo_cents)), F.lit(False))
+    )
+    obs = obs.withColumn("alert", F.coalesce(F.last(sig, ignorenulls=True).over(w), F.lit(False)))
+    return obs.select(
+        *keys,
+        *tb,
+        "ts_us",
+        "value_cents",
+        "alert",
+        (
+            F.col("alert") != F.coalesce(F.lag("alert").over(wl), F.lit(False))
+        ).alias("is_edge"),
+    )

@@ -6664,6 +6664,150 @@ FROM agg JOIN rk ON agg.attr_key = rk.attr_key AND rk.rn = 1
 """
 
 
+def q170_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold Schmitt-trigger alerting per series
+    (operators/timeseries.threshold_hysteresis): ON above hi, OFF below
+    lo, HOLD in the dead band — flapping suppression, expressed exactly as
+    last(crossing IGNORE NULLS) over the running frame on ONE
+    hashpartitioning(series) exchange; a lag on the same frame marks
+    edges. Integer cents, unique (ts, value, event_id) order."""
+    from opentelemetry_collector_spark.operators.timeseries import threshold_hysteresis
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return threshold_hysteresis(
+        ev, ["event_type"], hi_cents=10_000, lo_cents=5_000, tiebreak=["event_id"]
+    )
+
+
+Q170_SQL = """
+WITH s AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+sig AS (
+  SELECT *, CASE WHEN value_cents > 10000 THEN TRUE
+                 WHEN value_cents < 5000 THEN FALSE END AS s
+  FROM s
+),
+st AS (
+  SELECT event_type, event_id, ts_us, value_cents,
+         coalesce(last_value(s IGNORE NULLS) OVER (
+           PARTITION BY event_type
+           ORDER BY ts_us, value_cents, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), FALSE) AS alert
+  FROM sig
+)
+SELECT event_type, event_id, ts_us, value_cents, alert,
+       alert <> coalesce(lag(alert) OVER (
+         PARTITION BY event_type ORDER BY ts_us, value_cents, event_id), FALSE)
+         AS is_edge
+FROM st
+"""
+
+
+def q171_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew report (operators/aggregate.key_skew_report): top-25
+    conversations by turn count with per-mille share, cumulative share,
+    and corpus HHI concentration in ppm (128-bit DECIMAL div — exact) —
+    the measurement that decides whether salting/AQE-skew is needed.
+    Partial-agg counts, TakeOrderedAndProject top-k, one-row stats
+    broadcast."""
+    from opentelemetry_collector_spark.operators.aggregate import key_skew_report
+
+    t = from_events(spark, sf_dir)
+    return key_skew_report(t, ["conv_id"], top_k=25)
+
+
+Q171_SQL = f"""{_PRELUDE},
+c AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_rows FROM t GROUP BY 1),
+stats AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+                 sum(CAST(n_rows AS HUGEINT) * n_rows) AS sumsq FROM c),
+top AS (SELECT * FROM c ORDER BY n_rows DESC, conv_id ASC LIMIT 25),
+r AS (
+  SELECT conv_id, n_rows,
+         CAST(row_number() OVER (ORDER BY n_rows DESC, conv_id ASC) AS BIGINT) AS rank,
+         CAST(sum(n_rows) OVER (ORDER BY n_rows DESC, conv_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM top
+)
+SELECT r.conv_id, r.n_rows, r.rank,
+       CAST((1000 * r.n_rows) // stats.total AS BIGINT) AS share_pm,
+       CAST((1000 * r.cum) // stats.total AS BIGINT) AS cum_share_pm,
+       CAST((CAST(1000000 AS HUGEINT) * stats.sumsq)
+            // (CAST(stats.total AS HUGEINT) * stats.total) AS BIGINT) AS hhi_ppm
+FROM r, stats
+"""
+
+
+def q172_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key equi-depth binning (operators/aggregate.equi_depth_bins):
+    decile label per event from pure integer rank arithmetic
+    ((rank-1)*k div n + 1 — deterministic where ntile's remainder rule
+    needn't be replayed), unique (value, event_id) order, NULLs isolate.
+    One hashpartitioning(event_type) exchange, no join."""
+    from opentelemetry_collector_spark.operators.aggregate import equi_depth_bins
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id", "value"
+    )
+    out = equi_depth_bins(ev, ["event_type"], "value", n_bins=10, tiebreak=["event_id"])
+    return out.select("event_type", "event_id", "value_cents", "bin")
+
+
+Q172_SQL = """
+WITH s AS (
+  SELECT event_type, event_id,
+         CASE WHEN value IS NULL THEN NULL
+              ELSE CAST(floor(value * 100) AS BIGINT) END AS vc
+  FROM events
+),
+r AS (
+  SELECT event_type, event_id, vc,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY vc NULLS FIRST, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_total,
+         count(vc) OVER (PARTITION BY event_type) AS n
+  FROM s
+)
+SELECT event_type, event_id, vc AS value_cents,
+       CAST(CASE WHEN vc IS NULL THEN NULL
+                 ELSE (rn - (n_total - n) - 1) * 10 // n + 1 END AS INTEGER) AS bin
+FROM r
+"""
+
+
+def q173_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (operators/similarity.pool_embeddings):
+    element-wise mean in exact integer micro-units (floor(v*1e6) sums are
+    associative — bit-identical under any partitioning, where float means
+    are not). posexplode -> partial-agg groupBy(label, pos) — each label
+    spreads over 64 reduce groups, no hot reducer — then a small per-label
+    array rebuild."""
+    from opentelemetry_collector_spark.operators.similarity import pool_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pool_embeddings(emb, ["label"])
+
+
+Q173_SQL = """
+WITH pe AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+pp AS (
+  SELECT label, pos, CAST(sum(q) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pe GROUP BY 1, 2
+)
+SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+       list(s // n ORDER BY pos) AS centroid_micros
+FROM pp GROUP BY label
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -6835,6 +6979,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q167_winsorize": q167_winsorize,
     "q168_vocab_growth": q168_vocab_growth,
     "q169_attr_cardinality": q169_attr_cardinality,
+    "q170_hysteresis_alerts": q170_hysteresis_alerts,
+    "q171_hot_keys": q171_hot_keys,
+    "q172_equi_depth_bins": q172_equi_depth_bins,
+    "q173_embedding_pool": q173_embedding_pool,
 }
 
 ORACLES: dict[str, str] = {
@@ -7000,6 +7148,10 @@ ORACLES: dict[str, str] = {
     "q167_winsorize": Q167_SQL,
     "q168_vocab_growth": Q168_SQL,
     "q169_attr_cardinality": Q169_SQL,
+    "q170_hysteresis_alerts": Q170_SQL,
+    "q171_hot_keys": Q171_SQL,
+    "q172_equi_depth_bins": Q172_SQL,
+    "q173_embedding_pool": Q173_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

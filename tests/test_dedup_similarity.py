@@ -825,3 +825,45 @@ def test_sparse_cosine_pairs_validation_and_plan(spark):
     # posting self-join is keyed on the term; pair agg is partial-aggregated
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_pool_embeddings_exact_integer_mean(spark):
+    from opentelemetry_collector_spark.operators.similarity import pool_embeddings
+
+    rows = [
+        (0, [1.0, 2.0, -3.5], "a"),
+        (1, [3.0, 0.0, 0.5], "a"),
+        (2, [10.0, 10.0, 10.0], "b"),
+        (3, None, "a"),                     # NULL vector drops per-row
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label string")
+    got = {r["label"]: (r["n_vectors"], r["centroid_micros"])
+           for r in pool_embeddings(df, ["label"]).collect()}
+    # mean of (1,3)=2.0, (2,0)=1.0, (-3.5,0.5): sum -3000000, div 2 -> -1500000
+    assert got["a"] == (2, [2_000_000, 1_000_000, -1_500_000])
+    assert got["b"] == (1, [10_000_000, 10_000_000, 10_000_000])
+
+
+def test_pool_embeddings_partition_invariant(spark):
+    """Bit-identical centroids under any partitioning — the property float
+    mean pooling does NOT have."""
+    from opentelemetry_collector_spark.operators.similarity import pool_embeddings
+
+    rows = [(i, [((i * 37) % 101) / 7.0, ((i * 13) % 89) / 11.0], i % 3)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label int")
+    a = {r["label"]: tuple(r["centroid_micros"])
+         for r in pool_embeddings(df.coalesce(1), ["label"]).collect()}
+    b = {r["label"]: tuple(r["centroid_micros"])
+         for r in pool_embeddings(df.repartition(16, "vec_id"), ["label"]).collect()}
+    assert a == b
+
+
+def test_pool_embeddings_ragged_dims_average_per_position(spark):
+    from opentelemetry_collector_spark.operators.similarity import pool_embeddings
+
+    rows = [(0, [2.0, 4.0], "a"), (1, [4.0], "a")]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label string")
+    r = pool_embeddings(df, ["label"]).collect()[0]
+    # pos 0 averages both vectors; pos 1 only the vector that has it
+    assert r["centroid_micros"] == [3_000_000, 4_000_000]

@@ -120,3 +120,73 @@ def test_winsorize_single_exchange_no_join(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_key_skew_report_golden(spark):
+    from opentelemetry_collector_spark.operators.aggregate import key_skew_report
+
+    # key a: 6 rows, b: 3, c: 1  -> total 10, sumsq 36+9+1=46 -> HHI 460000
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["k"]: (r["n_rows"], r["rank"], r["share_pm"], r["cum_share_pm"],
+                    r["hhi_ppm"]) for r in key_skew_report(df, ["k"], top_k=2).collect()}
+    assert got == {
+        "a": (6, 1, 600, 600, 460000),
+        "b": (3, 2, 300, 900, 460000),   # top_k=2: c truncated, shares exact
+    }
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="top_k"):
+        key_skew_report(df, ["k"], top_k=0)
+
+
+def test_key_skew_uniform_vs_hot(spark):
+    """HHI discriminates: uniform 10x10 -> 100000 ppm; one key owning all
+    rows -> 1000000 ppm."""
+    from opentelemetry_collector_spark.operators.aggregate import key_skew_report
+
+    uniform = spark.createDataFrame([(f"k{i % 10}",) for i in range(100)], "k string")
+    hot = spark.createDataFrame([("h",)] * 100, "k string")
+    assert key_skew_report(uniform, ["k"], 1).collect()[0]["hhi_ppm"] == 100000
+    r = key_skew_report(hot, ["k"], 1).collect()[0]
+    assert (r["hhi_ppm"], r["share_pm"]) == (1000000, 1000)
+
+
+def test_key_skew_topk_plan_take_ordered(spark):
+    """The top-k must plan as TakeOrderedAndProject (per-task local k),
+    never a global Sort over the distinct-key frame."""
+    from opentelemetry_collector_spark.operators.aggregate import key_skew_report
+
+    df = spark.createDataFrame([("a",)], "k string")
+    plan = (key_skew_report(df, ["k"], top_k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_equi_depth_bins_golden(spark):
+    from opentelemetry_collector_spark.operators.aggregate import equi_depth_bins
+
+    # 10 values into 4 bins -> sizes 2,3,2,3 via (rn-1)*4 div 10 + 1
+    rows = [("a", i, float(i + 1)) for i in range(10)] + [("a", 99, None)]
+    df = spark.createDataFrame(rows, "k string, id int, value double")
+    got = {r["id"]: r["bin"] for r in
+           equi_depth_bins(df, ["k"], "value", n_bins=4, tiebreak=["id"]).collect()}
+    ref = {i: (i * 4) // 10 + 1 for i in range(10)}
+    assert {i: got[i] for i in range(10)} == ref
+    assert got[99] is None                       # NULL isolates
+    # every bin populated, monotone in value
+    assert sorted(set(ref.values())) == [1, 2, 3, 4]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_bins"):
+        equi_depth_bins(df, ["k"], "value", n_bins=1)
+
+
+def test_equi_depth_bins_single_exchange(spark):
+    from opentelemetry_collector_spark.operators.aggregate import equi_depth_bins
+
+    df = spark.createDataFrame([("a", 0, 1.0)], "k string, id int, value double")
+    plan = (equi_depth_bins(df, ["k"], "value", tiebreak=["id"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

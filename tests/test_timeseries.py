@@ -308,3 +308,55 @@ def test_cusum_single_exchange_windows(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_hysteresis_golden_with_dead_band_hold(spark):
+    from opentelemetry_collector_spark.operators.timeseries import threshold_hysteresis
+
+    # hi=1000, lo=500: rise, hold in band, drop OFF, hold, rise again
+    vals = [7.0, 12.0, 8.0, 8.0, 4.0, 7.0, 11.0]
+    rows = [("s", i, _t(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series string, id int, ts timestamp, value double")
+    got = {r["id"]: (r["alert"], r["is_edge"])
+           for r in threshold_hysteresis(
+               df, ["series"], hi_cents=1000, lo_cents=500, tiebreak=["id"]
+           ).collect()}
+    assert got == {
+        0: (False, False),   # dead band, initial OFF
+        1: (True, True),     # crossed hi
+        2: (True, False),    # dead band holds ON (no flapping)
+        3: (True, False),
+        4: (False, True),    # dropped below lo
+        5: (False, False),   # dead band holds OFF
+        6: (True, True),
+    }
+
+
+def test_hysteresis_vs_naive_threshold_flaps_less(spark):
+    """The whole point: a series oscillating inside the band produces zero
+    edges after the first, where a single-threshold alert would flap."""
+    from opentelemetry_collector_spark.operators.timeseries import threshold_hysteresis
+
+    vals = [12.0] + [7.0, 11.0, 7.0, 11.0, 7.0]
+    rows = [("s", i, _t(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series string, id int, ts timestamp, value double")
+    out = threshold_hysteresis(df, ["series"], hi_cents=1000, lo_cents=500,
+                               tiebreak=["id"]).collect()
+    assert sum(r["is_edge"] for r in out) == 1
+    assert all(r["alert"] for r in out)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hi_cents"):
+        threshold_hysteresis(df, ["series"], hi_cents=500, lo_cents=500)
+
+
+def test_hysteresis_single_exchange(spark):
+    from opentelemetry_collector_spark.operators.timeseries import threshold_hysteresis
+
+    df = spark.createDataFrame(
+        [("s", 0, _t(0), 1.0)], "series string, id int, ts timestamp, value double"
+    )
+    plan = _plan(threshold_hysteresis(df, ["series"], hi_cents=2, lo_cents=1,
+                                      tiebreak=["id"]))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Python" not in plan

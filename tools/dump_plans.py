@@ -721,6 +721,45 @@ COMMENTARY = {
         "to per-parent sums means the join carries one row per parented "
         "span, and trace-local keys shard evenly at any scale.",
     ),
+    "q161_triangles": (
+        "Every join is an equi hash/SMJ join on node ids — no NestedLoop, no "
+        "CartesianProduct; the wedge self-join keys on the pivot node with "
+        "the (degree, node) rank comparison as a residual filter.",
+        "Degree-ordered orientation bounds wedge fan-out by O(sqrt(m)) per "
+        "node, so the candidate frame is O(m^1.5) worst-case instead of "
+        "sum(deg^2) — a hub page costing deg^2 wedges is the classic "
+        "triangle-count blowup at web scale.",
+    ),
+    "q163_cusum_drift": (
+        "ONE Exchange hashpartitioning(event_type); the running sum and "
+        "running min ride the same sorted frame; no Join, no Python.",
+        "CUSUM looks inherently sequential (C = max(0, C + x - k)) but the "
+        "windowed closed form S - min(0, running-min S) makes the whole "
+        "changepoint detector cost exactly one per-series sort — the same "
+        "bound as any keyed window at 10^12 rows.",
+    ),
+    "q167_winsorize": (
+        "ONE Exchange hashpartitioning(event_type) shared by the rank, "
+        "count, and bound-lift windows; no Join anywhere in the plan.",
+        "Percentile clipping usually plans as agg + join-back (two corpus "
+        "passes); lifting the ceil(p*n) bound candidates with partition-"
+        "window mins keeps it to one pass, one sort, zero joins.",
+    ),
+    "q170_hysteresis_alerts": (
+        "ONE Exchange hashpartitioning(event_type); last(IGNORE NULLS) and "
+        "the edge lag share the sorted frame; no Join, no Python.",
+        "Alert-state recurrences are the canonical 'needs a driver loop' "
+        "trap; expressing carry-last-crossing as an IGNORE NULLS window "
+        "keeps flapping suppression fully distributed and engine-exact.",
+    ),
+    "q171_hot_keys": (
+        "Top-k plans as TakeOrderedAndProject (each task forwards its local "
+        "k) over partial-aggregated counts; the one-row totals frame joins "
+        "back as a BroadcastNestedLoopJoin over exactly 1 row.",
+        "The skew report must never itself be the skew victim: the "
+        "distinct-key frame is neither globally sorted nor collected, and "
+        "HHI's 128-bit DECIMAL div keeps concentration exact at any count.",
+    ),
 }
 
 
