@@ -590,3 +590,121 @@ def test_interpolate_bounded_by_neighbors_property(spark, pts, step):
             nxt = min(a for a in anchors if a > b)
             assert min(rep[prev], rep[nxt]) <= vc <= max(rep[prev], rep[nxt])
             assert filled == 1
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 50_000), st.integers(-2000, 2000)),  # (sec offset, cents)
+        min_size=1,
+        max_size=25,
+    ),
+    target=st.integers(-500, 500),
+    slack=st.integers(0, 200),
+)
+@settings(**SETTINGS)
+def test_cusum_property_matches_python(spark, pts, target, slack):
+    """Windowed closed form == the sequential recurrence, on arbitrary
+    series incl. duplicate timestamps (unique id tiebreak)."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.operators.timeseries import cusum_drift
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("s", i, base + dt.timedelta(seconds=sec), c / 100.0)
+            for i, (sec, c) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "series string, id int, ts timestamp, value double")
+    got = {r["id"]: r["cusum_cents"]
+           for r in cusum_drift(df, ["series"], target_cents=target,
+                                slack_cents=slack, threshold_cents=1,
+                                tiebreak=["id"]).collect()}
+    # replay sequentially in the SAME total order (ts, value, id), with the
+    # operator's own cents conversion (floor of the DOUBLE product — e.g.
+    # 19.15 * 100 == 1914.999..., so floor gives 1914, not 1915)
+    import math
+
+    cents = [math.floor((c / 100.0) * 100) for _, c in pts]
+    order = sorted(range(len(pts)),
+                   key=lambda i: (pts[i][0], cents[i], i))
+    c = 0
+    for i in order:
+        c = max(0, c + cents[i] - target - slack)
+        assert got[i] == c
+
+
+@given(
+    pts=st.lists(st.integers(-5000, 5000), min_size=1, max_size=30),
+    hi=st.integers(-1000, 1000),
+)
+@settings(**SETTINGS)
+def test_hysteresis_property_matches_python(spark, pts, hi):
+    import datetime as dt
+
+    from opentelemetry_collector_spark.operators.timeseries import threshold_hysteresis
+
+    lo = hi - 700
+    base = dt.datetime(2024, 1, 1)
+    rows = [("s", i, base + dt.timedelta(seconds=i), c / 100.0)
+            for i, c in enumerate(pts)]
+    df = spark.createDataFrame(rows, "series string, id int, ts timestamp, value double")
+    got = {r["id"]: (r["alert"], r["is_edge"])
+           for r in threshold_hysteresis(df, ["series"], hi_cents=hi, lo_cents=lo,
+                                         tiebreak=["id"]).collect()}
+    import math
+
+    state, prev = False, False
+    for i, c in enumerate(pts):
+        cc = math.floor((c / 100.0) * 100)   # the operator's cents conversion
+        if cc > hi:
+            state = True
+        elif cc < lo:
+            state = False
+        assert got[i] == (state, state != prev)
+        prev = state
+
+
+@given(
+    vals=st.lists(st.one_of(st.none(), st.integers(-10000, 10000)),
+                  min_size=1, max_size=40),
+    low=st.integers(0, 499),
+    span=st.integers(1, 500),
+    bins=st.integers(2, 12),
+)
+@settings(**SETTINGS)
+def test_winsorize_and_bins_properties(spark, vals, low, span, bins):
+    """Winsorized values stay inside observed bounds; bins are monotone in
+    value with every row labelled 1..k; NULLs isolate in both ops."""
+    from opentelemetry_collector_spark.operators.aggregate import (
+        equi_depth_bins,
+        winsorize,
+    )
+
+    high = low + span + 500 if low + span + 500 <= 1000 else 1000
+    rows = [("k", i, None if c is None else c / 100.0) for i, c in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, id int, value double")
+
+    import math
+
+    cents = {i: None if c is None else math.floor((c / 100.0) * 100)
+             for i, c in enumerate(vals)}
+    wz = {r["id"]: r for r in winsorize(df, ["k"], "value", low_pm=low,
+                                        high_pm=high).collect()}
+    nn = sorted(c for c in cents.values() if c is not None)
+    for i, c in cents.items():
+        r = wz[i]
+        if c is None:
+            assert r["winsorized_cents"] is None
+        else:
+            assert r["lo_cents"] in nn and r["hi_cents"] in nn
+            assert r["lo_cents"] <= r["winsorized_cents"] <= r["hi_cents"]
+
+    if nn:
+        bz = {r["id"]: r["bin"] for r in
+              equi_depth_bins(df, ["k"], "value", n_bins=bins,
+                              tiebreak=["id"]).collect()}
+        labelled = [(cents[i], i, bz[i]) for i in cents if cents[i] is not None]
+        assert all(1 <= b <= bins for _, _, b in labelled)
+        # monotone in the operator's own (value_cents, id) total order
+        labelled.sort()
+        assert all(labelled[j][2] <= labelled[j + 1][2]
+                   for j in range(len(labelled) - 1))
+        assert all(bz[i] is None for i in cents if cents[i] is None)
