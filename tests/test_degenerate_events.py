@@ -65,6 +65,18 @@ EVENT_QUERIES = [
     "q158_counter_rate",
     "q159_sliding_burst",
     "q160_span_self_time",
+    "q161_triangles",
+    "q162_trending_templates",
+    "q163_cusum_drift",
+    "q164_covisitation",
+    "q165_k_anonymity",
+    "q166_qi_suppression",
+    "q167_winsorize",
+    "q168_vocab_growth",
+    "q169_attr_cardinality",
+    "q170_hysteresis_alerts",
+    "q171_hot_keys",
+    "q172_equi_depth_bins",
 ]
 
 
