@@ -614,3 +614,83 @@ def _tail_state_fn(
         yield  # pragma: no cover - generator form required by the API
 
     return fn
+
+
+CUSUM_SCHEMA = (
+    "series string, ts timestamp, value bigint, cusum bigint, alarm boolean"
+)
+
+
+def cusum_stream(
+    df: DataFrame,
+    target: int = 0,
+    slack: int = 0,
+    threshold: int = 1,
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Streaming form of ``operators/timeseries.cusum_drift``: the
+    one-sided CUSUM recurrence C = max(0, C + x - target - slack) with the
+    accumulator carried PER SERIES across micro-batches, so continuous
+    ingest raises the same drift alarms batch backfill computes (identical
+    output columns — parity pinned in pytest).
+
+    Within a batch the clamp chain is evaluated by the same windowed
+    closed form the batch operator uses, generalized to a carried seed:
+    with P = C_prev + cumsum(y), C = P - min(0, running-min P) — two numpy
+    accumulates per series per trigger, no per-row Python. State is ONE
+    bigint per live series; a series idle for ``timeout_minutes`` drops
+    its accumulator (same mark-and-sweep bound as the MetricsAdjuster
+    store: live series, not series ever seen).
+
+    Input follows :data:`SERIES_SCHEMA` with ``value`` already in integer
+    units (cents); NULL ts/value rows are refused per-row.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    return df.groupBy("series").applyInPandasWithState(
+        _cusum_state_fn(int(target) + int(slack), int(threshold), timeout_minutes),
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType="acc bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def _cusum_state_fn(drift: int, threshold: int, timeout_minutes: int):
+    """Per-series handler behind :func:`cusum_stream`, module-level so the
+    timeout branch is unit-testable."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (acc,) = state.get if state.exists else (0,)
+        chunks = list(pdfs)
+        whole = pd.concat(chunks) if chunks else None
+        if whole is not None:
+            pdf = whole[whole["value"].notna() & whole["ts"].notna()]
+            if len(pdf):
+                # same total order as the batch operator: (ts, value);
+                # stable sort keeps arrival order for exact ties
+                pdf = pdf.sort_values(["ts", "value"], kind="stable").reset_index(drop=True)
+                y = pdf["value"].to_numpy(dtype="int64") - drift
+                p = acc + np.cumsum(y)
+                c = p - np.minimum(np.minimum.accumulate(p), 0)
+                yield pd.DataFrame(
+                    {
+                        "series": pdf["series"],
+                        "ts": pdf["ts"],
+                        "value": pdf["value"],
+                        "cusum": c,
+                        "alarm": c > threshold,
+                    }
+                )
+                acc = int(c[-1])
+                state.update((acc,))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+
+    return fn

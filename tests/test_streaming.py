@@ -548,3 +548,79 @@ def test_tail_stream_null_junk_isolates():
     junk = _span_pdf([("t", None, 1, 0), ("t", dt.datetime(2024, 1, 1), None, 2)])
     list(fn(("t",), iter([junk]), st) or [])
     assert not st.exists and st.timeout_ms is None
+
+
+def test_cusum_stream_matches_batch_operator(spark, tmp_path):
+    """cusum_stream across micro-batches == timeseries.cusum_drift on the
+    union: the accumulator carries through state across the file boundary
+    (a drift ramp split across triggers must keep accumulating)."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.operators.timeseries import cusum_drift
+    from opentelemetry_collector_spark.streaming.stream import (
+        SERIES_SCHEMA,
+        cusum_stream,
+    )
+
+    base = dt.datetime(2025, 1, 1)
+
+    def rows(spec):
+        return [("s1", base + dt.timedelta(minutes=m), v) for m, v in spec]
+
+    # ramp above target in file 1, keeps ramping in file 2, then drains
+    f1 = rows([(0, 90), (1, 90)])
+    f2 = rows([(2, 90), (3, 0), (4, 0), (5, 200)])
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(f1, SERIES_SCHEMA).coalesce(1).write.mode("append").parquet(landing)
+    spark.createDataFrame(f2, SERIES_SCHEMA).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = cusum_stream(
+        spark.readStream.schema(SERIES_SCHEMA).option("maxFilesPerTrigger", 1).parquet(landing),
+        target=50, slack=0, threshold=100,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    epoch = dt.datetime(1970, 1, 1)
+    got = {
+        int((r["ts"] - epoch).total_seconds() * 1_000_000): (r["cusum"], r["alarm"])
+        for r in spark.sql("select * from cusum_out").collect()
+    }
+    batch_in = spark.createDataFrame(
+        [(s, t, v / 100.0) for s, t, v in f1 + f2],
+        "series string, ts timestamp, value double",
+    )
+    want = {
+        # batch op converts value->cents via floor(v*100); inputs are exact
+        r["ts_us"]: (r["cusum_cents"], r["cusum_cents"] > 100)
+        for r in cusum_drift(batch_in, ["series"], target_cents=50,
+                             threshold_cents=100).collect()
+    }
+    assert got == want
+    t = lambda m: int((base + dt.timedelta(minutes=m) - epoch).total_seconds() * 1_000_000)
+    # semantics: accumulates 40/min over the boundary, alarms at minute 2,
+    # drains by 50/min, re-alarms on the spike
+    assert got[t(1)] == (80, False)
+    assert got[t(2)] == (120, True)      # state carried across the trigger
+    assert got[t(4)] == (20, False)
+    assert got[t(5)] == (170, True)
+
+
+def test_cusum_state_timeout_drops_accumulator():
+    from opentelemetry_collector_spark.streaming.stream import _cusum_state_fn
+
+    class S:
+        hasTimedOut = True
+        removed = False
+        def remove(self):
+            self.removed = True
+
+    st = S()
+    assert list(_cusum_state_fn(0, 1, 1)("s", iter([]), st)) == []
+    assert st.removed

@@ -760,6 +760,32 @@ COMMENTARY = {
         "distinct-key frame is neither globally sorted nor collected, and "
         "HHI's 128-bit DECIMAL div keeps concentration exact at any count.",
     ),
+    "q162_trending_templates": (
+        "ONE Exchange on the (role, template-digest) group key with "
+        "partial aggregation before it; both period counts are conditional "
+        "partial sums in the SAME aggregate — no second scan, no self-join, "
+        "no Window.",
+        "The naive drift query scans twice (one aggregate per period) and "
+        "joins; riding both counts on one digest-keyed aggregate means a "
+        "10^6-line surge still ships one partial row per task.",
+    ),
+    "q169_attr_cardinality": (
+        "Two Exchanges: the corpus-sized one carries (key, value) partial "
+        "counts (duplicate values collapse map-side), the second is the "
+        "tiny per-key rollup with min(struct) dominant-value transport.",
+        "A cardinality audit that shuffled raw rows would itself be the "
+        "cardinality bomb; pre-aggregating per (key, value) bounds the "
+        "shuffle by distinct pairs per task, never records.",
+    ),
+    "q173_embedding_pool": (
+        "posexplode then ONE partial-aggregated Exchange keyed (label, "
+        "pos) — each label spreads over dim reduce groups — then a small "
+        "per-label sorted-struct array rebuild; no Python, no Window.",
+        "Centroids via float means are partitioning-dependent; quantized "
+        "integer sums are associative, and keying the shuffle by (key, "
+        "pos) removes the hot reducer a dominant cluster would otherwise "
+        "create.",
+    ),
 }
 
 
