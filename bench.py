@@ -1731,6 +1731,160 @@ micro-units across {results['nodes']} nodes.
     print(json.dumps(results), flush=True)
 
 
+def run_alert_scale(rows_millions: float = 40.0) -> None:
+    """Alerting-suite cost structure (operators/timeseries.cusum_drift /
+    threshold_hysteresis, aggregate.winsorize): on a deterministic
+    executor-generated stream (20k series), measure the JVM window
+    formulations against an Arrow-batched applyInPandas recurrence that
+    computes the IDENTICAL cusum result (equality asserted via count +
+    sum + max aggregates), quantifying the stay-JVM-side claim for the
+    stateful-looking detectors.
+
+    Writes BENCH/ALERT.md + alert_scale.json.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.aggregate import winsorize
+    from opentelemetry_collector_spark.operators.timeseries import (
+        cusum_drift,
+        threshold_hysteresis,
+    )
+    from opentelemetry_collector_spark.session import build_session
+
+    n = int(rows_millions * 1_000_000)
+    n_series = 20_000
+    target, threshold = 25_000, 500_000
+    spark = build_session(app_name="otelcol-alert-scale")
+    try:
+        pts = spark.range(n).select(
+            F.concat(F.lit("s"), (F.col("id") % n_series).cast("string")).alias("series"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.floor(F.col("id") / n_series) * 30
+            ).alias("ts"),
+            (F.pmod(F.xxhash64("id"), F.lit(50_000)).cast("double") / 100.0).alias("value"),
+        )
+        pts.write.format("noop").mode("overwrite").save()  # warm generation
+        # warm the Arrow worker pool too, so the pandas path measures the
+        # plan rather than 32 interpreter forks (see run_default notes)
+        spark.range(0, 1024, 1, 32).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
+
+        def sig(df, cusum_col):
+            return df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cusum_col).alias("s"),
+                F.max(cusum_col).alias("m"),
+            ).collect()[0]
+
+        def timed(df, col):
+            """best-of-2 (shared-VM noise; run 1 additionally pays codegen
+            compilation) + the result signature from the second run"""
+            best, out = float("inf"), None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = sig(df, col)
+                best = min(best, time.perf_counter() - t0)
+            return best, out
+
+        jvm = cusum_drift(pts, ["series"], target_cents=target, threshold_cents=threshold)
+        jvm_sec, jvm_sig = timed(jvm, "cusum_cents")
+
+        out_schema = (
+            "series string, ts_us bigint, value_cents bigint,"
+            " cusum_cents bigint, alarm boolean"
+        )
+
+        def _py(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["ts_us", "value_cents"], kind="stable").reset_index(drop=True)
+            y = pdf["value_cents"].to_numpy(dtype="int64") - target
+            p = np.cumsum(y)
+            c = p - np.minimum(np.minimum.accumulate(p), 0)
+            pdf["cusum_cents"] = c
+            pdf["alarm"] = c > threshold
+            return pdf
+
+        prep = pts.select(
+            "series",
+            F.unix_micros(F.to_utc_timestamp("ts", "UTC")).alias("ts_us"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        )
+        pyd = prep.groupBy("series").applyInPandas(_py, out_schema)
+        py_sec, py_sig = timed(pyd, "cusum_cents")
+        assert tuple(jvm_sig) == tuple(py_sig), (jvm_sig, py_sig)
+
+        hy = threshold_hysteresis(pts, ["series"], hi_cents=40_000, lo_cents=10_000)
+        best, n_alerts = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_alerts = hy.agg(F.sum(F.col("alert").cast("long"))).collect()[0][0]
+            best = min(best, time.perf_counter() - t0)
+        hy_sec = best
+
+        wz = winsorize(pts, ["series"], "value", low_pm=10, high_pm=990)
+        best, wz_n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            wz_n = wz.filter(F.col("winsorized_cents") != F.col("value_cents")).count()
+            best = min(best, time.perf_counter() - t0)
+        wz_sec = best
+
+        results = {
+            "input_points": n,
+            "series": n_series,
+            "cusum_jvm_windows_sec": round(jvm_sec, 3),
+            "cusum_pandas_arrow_sec": round(py_sec, 3),
+            "speedup_jvm_over_pandas": round(py_sec / jvm_sec, 2),
+            "hysteresis_sec": round(hy_sec, 3),
+            "winsorize_sec": round(wz_sec, 3),
+            "cusum_sum": int(jvm_sig["s"]),
+            "hysteresis_alert_rows": int(n_alerts),
+            "winsorize_clipped_rows": int(wz_n),
+        }
+    finally:
+        spark.stop()
+
+    md = f"""# BENCH/ALERT.md — alerting-suite cost structure
+
+`python bench.py --alert-scale` on a deterministic executor-generated
+stream of {results['input_points']:,} datapoints across
+{results['series']:,} series.
+
+| measurement | wall sec |
+|---|---|
+| CUSUM via JVM windows (closed form: running sum + running min, 1 exchange) | {results['cusum_jvm_windows_sec']} |
+| CUSUM via Arrow applyInPandas (identical numpy closed form per series) | {results['cusum_pandas_arrow_sec']} |
+| Schmitt-trigger hysteresis (IGNORE NULLS window + edge lag) | {results['hysteresis_sec']} |
+| winsorize p1/p99 (rank + count + bound-lift windows, no join) | {results['winsorize_sec']} |
+
+Both CUSUM paths compute the IDENTICAL result (equality asserted on
+count / sum / max of the cusum column: sum {results['cusum_sum']:,});
+the measured ratio here is
+pandas/JVM = {results['speedup_jvm_over_pandas']}x — at this shape
+(2k rows/series, 3 narrow columns) the Arrow round-trip amortizes well
+and numpy's cumsum is hard to beat, so the two paths land within ~25%
+of each other. The JVM window formulation is still the default the
+operators ship with, for reasons this number does not capture: it needs
+no Python workers at all (executors under Python-memory pressure or
+without a pinned interpreter keep working), its semantics are plain SQL
+windows every engine can replay (the q163 DuckDB oracle IS the spec),
+and it composes with other window/aggregate stages inside one
+WholeStageCodegen pipeline instead of breaking the stage at an Arrow
+exchange boundary. The closed form is what makes the JVM path POSSIBLE
+at all — the naive sequential recurrence would be driver-side. Hysteresis
+rows flagged: {results['hysteresis_alert_rows']:,}; winsorize clipped
+rows: {results['winsorize_clipped_rows']:,}.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "ALERT.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "alert_scale.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results), flush=True)
+
+
 def run_ts_scale(rows_millions: float = 40.0) -> None:
     """Time-series regridding cost structure (operators/timeseries.py +
     aggregate.counter_rate): on a deterministic executor-generated stream
@@ -1885,6 +2039,7 @@ if __name__ == "__main__":
     ap.add_argument("--allpairs-scale", action="store_true")
     ap.add_argument("--graph-scale", action="store_true")
     ap.add_argument("--ts-scale", action="store_true")
+    ap.add_argument("--alert-scale", action="store_true")
     ap.add_argument("--n-low", type=int, default=4)
     ap.add_argument("--n-high", type=int, default=16)
     ap.add_argument("--rows-millions", type=float, default=160.0)
@@ -1913,5 +2068,7 @@ if __name__ == "__main__":
         run_graph_scale(min(args.rows_millions, 40.0))
     elif args.ts_scale:
         run_ts_scale(min(args.rows_millions, 40.0))
+    elif args.alert_scale:
+        run_alert_scale(min(args.rows_millions, 40.0))
     else:
         run_default()
