@@ -333,6 +333,29 @@ def _compile_processor(spark: SparkSession, cid: str, cfg: dict) -> Transform:
         )
         batch_key = cfg.get("batch_key", "conv_id")
         return lambda df: memory_limit(df, ml_cfg, batch_key=batch_key)
+    # contrib-collector-style processors (not in defaultcomponents; the
+    # contrib distribution ships a logdedup processor with exactly this
+    # contract, and per-key quotas are its rate-limiting counterpart) —
+    # YAML-exposed because a pipeline config wanting hygiene between parse
+    # and route shouldn't need Python
+    if ctype == "logdedup":
+        from opentelemetry_collector_spark.operators.hygiene import log_dedup
+
+        keys = cfg.get("keys", ["conv_id"])
+        text_col = cfg.get("text_column", "text")
+        return lambda df: log_dedup(df, keys=list(keys), text_col=text_col)
+    if ctype == "rate_limit":
+        from opentelemetry_collector_spark.operators.hygiene import rate_limit
+
+        if int(cfg.get("max_per_window", 0)) < 1:
+            raise ConfigError(f"processor {cid}: max_per_window >= 1 required")
+        keys = cfg.get("keys", ["conv_id"])
+        return lambda df: rate_limit(
+            df,
+            keys=list(keys),
+            max_per_window=int(cfg["max_per_window"]),
+            window=cfg.get("window", "hour"),
+        )
     raise ConfigError(f"processor {cid}: unknown type '{ctype}'")
 
 

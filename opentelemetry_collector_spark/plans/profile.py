@@ -90,3 +90,74 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         row.select(F.explode(per_col).alias("p"))
         .select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct")
     )
+
+
+def join_size_estimate(
+    left: DataFrame, right: DataFrame, keys: list[str]
+) -> DataFrame:
+    """EXACT equi-join output cardinality, computed WITHOUT running the
+    join: ``sum over matching key tuples of n_left x n_right`` — the
+    explosion guard a planner consults before paying for a join whose
+    M:N key would go quadratic (the corpus-level form of the per-user cap
+    `graph.covisitation_pairs` applies; Spark's own CBO estimates this
+    from sampled stats — over exact counts the estimate IS the answer).
+
+    Also reports the single worst key's contribution (``max_key_rows``) —
+    the skew indicator that decides salting/AQE-skew before the join runs:
+    a join can be modest in total yet still have one key owning 90% of it.
+
+    Physical shape: one partial-aggregated groupBy per side (counts,
+    bounded by distinct keys per task), an equi-join of the two COUNT
+    frames (key-sized, AQE-sizable — never the fact tables), one scalar
+    aggregate. Products accumulate in DECIMAL(38,0) so 10^6 x 10^6 keys
+    can't overflow; the report casts to bigint at the end (a report whose
+    total exceeds 2^63 rows is answer enough). NULL keys never match in an
+    equi-join and are EXCLUDED from both count frames (SQL join
+    semantics), but are reported per side so dropped mass is visible.
+
+    Returns ONE row: (n_left_rows, n_right_rows, n_left_keys,
+    n_right_keys, n_matching_keys, est_rows, max_key_rows,
+    n_left_null_keys, n_right_null_keys).
+    """
+    if not keys:
+        raise ValueError("at least one join key column is required")
+
+    def prep(df: DataFrame, side: str):
+        nonnull = None
+        for k in keys:
+            c = F.col(k).isNotNull()
+            nonnull = c if nonnull is None else nonnull & c
+        totals = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{side}_rows"),
+            F.sum(F.when(~nonnull, 1).otherwise(0)).cast("bigint").alias(f"n_{side}_null_keys"),
+        )
+        counts = (
+            df.filter(nonnull)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("bigint").alias(f"_n_{side}"))
+        )
+        return totals, counts
+
+    lt, lc = prep(left, "left")
+    rt, rc = prep(right, "right")
+    per_key = lc.join(rc, on=keys).select(
+        F.expr("CAST(_n_left AS DECIMAL(38,0)) * _n_right").alias("_prod")
+    )
+    matched = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matching_keys"),
+        F.coalesce(F.sum("_prod"), F.lit(0)).cast("bigint").alias("est_rows"),
+        F.coalesce(F.max("_prod"), F.lit(0)).cast("bigint").alias("max_key_rows"),
+    )
+    lkeys = lc.agg(F.count(F.lit(1)).cast("bigint").alias("n_left_keys"))
+    rkeys = rc.agg(F.count(F.lit(1)).cast("bigint").alias("n_right_keys"))
+    out = (
+        lt.crossJoin(rt)
+        .crossJoin(lkeys)
+        .crossJoin(rkeys)
+        .crossJoin(matched)
+    )
+    return out.select(
+        "n_left_rows", "n_right_rows", "n_left_keys", "n_right_keys",
+        "n_matching_keys", "est_rows", "max_key_rows",
+        "n_left_null_keys", "n_right_null_keys",
+    )

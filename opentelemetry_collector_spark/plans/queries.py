@@ -6808,6 +6808,74 @@ FROM pp GROUP BY label
 """
 
 
+def q174_join_size_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pre-join cardinality + skew guard (plans/profile.
+    join_size_estimate): the events self-join on user_id — the quadratic
+    blowup shape the covisitation cap defends against — sized WITHOUT
+    running it (sum of per-key n², 128-bit accumulation), alongside the
+    1:N customer->orders join. Count frames only ever join; the fact
+    tables are read once each for a partial-aggregated count."""
+    from opentelemetry_collector_spark.plans.profile import join_size_estimate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("k")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("k")
+    )
+    a = join_size_estimate(ev, ev, ["user_id"]).select(
+        F.lit("events_self_user").alias("join_name"), "*"
+    )
+    b = join_size_estimate(cust, orders, ["k"]).select(
+        F.lit("customer_orders").alias("join_name"), "*"
+    )
+    return a.unionByName(b)
+
+
+Q174_SQL = """
+WITH sides AS (
+  SELECT 'events_self_user' AS join_name,
+         (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_left_rows,
+         (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_right_rows,
+         (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events WHERE user_id IS NOT NULL) AS n_left_keys,
+         (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events WHERE user_id IS NOT NULL) AS n_right_keys,
+         (SELECT CAST(count(*) AS BIGINT) FROM events WHERE user_id IS NULL) AS n_left_null_keys,
+         (SELECT CAST(count(*) AS BIGINT) FROM events WHERE user_id IS NULL) AS n_right_null_keys,
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT 1 FROM (SELECT user_id, count(*) n FROM events WHERE user_id IS NOT NULL GROUP BY 1))) AS n_matching_keys,
+         (SELECT CAST(sum(CAST(n AS HUGEINT) * n) AS BIGINT) FROM (
+            SELECT count(*) n FROM events WHERE user_id IS NOT NULL GROUP BY user_id)) AS est_rows,
+         (SELECT CAST(max(CAST(n AS HUGEINT) * n) AS BIGINT) FROM (
+            SELECT count(*) n FROM events WHERE user_id IS NOT NULL GROUP BY user_id)) AS max_key_rows
+  UNION ALL
+  SELECT 'customer_orders',
+         (SELECT CAST(count(*) AS BIGINT) FROM customer),
+         (SELECT CAST(count(*) AS BIGINT) FROM orders),
+         (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer WHERE c_custkey IS NOT NULL),
+         (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders WHERE o_custkey IS NOT NULL),
+         (SELECT CAST(count(*) AS BIGINT) FROM customer WHERE c_custkey IS NULL),
+         (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL),
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT 1 FROM (SELECT c_custkey, count(*) nl FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1) l
+            JOIN (SELECT o_custkey, count(*) nr FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1) r
+              ON l.c_custkey = r.o_custkey)),
+         (SELECT CAST(coalesce(sum(CAST(nl AS HUGEINT) * nr), 0) AS BIGINT) FROM (
+            SELECT c_custkey, count(*) nl FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1) l
+            JOIN (SELECT o_custkey, count(*) nr FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1) r
+              ON l.c_custkey = r.o_custkey),
+         (SELECT CAST(coalesce(max(CAST(nl AS HUGEINT) * nr), 0) AS BIGINT) FROM (
+            SELECT c_custkey, count(*) nl FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1) l
+            JOIN (SELECT o_custkey, count(*) nr FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1) r
+              ON l.c_custkey = r.o_custkey)
+)
+SELECT join_name, n_left_rows, n_right_rows, n_left_keys, n_right_keys,
+       n_matching_keys, est_rows, max_key_rows,
+       n_left_null_keys, n_right_null_keys
+FROM sides
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -6983,6 +7051,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q171_hot_keys": q171_hot_keys,
     "q172_equi_depth_bins": q172_equi_depth_bins,
     "q173_embedding_pool": q173_embedding_pool,
+    "q174_join_size_guard": q174_join_size_guard,
 }
 
 ORACLES: dict[str, str] = {
@@ -7152,6 +7221,7 @@ ORACLES: dict[str, str] = {
     "q171_hot_keys": Q171_SQL,
     "q172_equi_depth_bins": Q172_SQL,
     "q173_embedding_pool": Q173_SQL,
+    "q174_join_size_guard": Q174_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -715,3 +715,58 @@ def test_metrics_pipeline_end_to_end_over_metrics_receiver(spark, tmp_path):
     a = {(r["labels"]["conv"], r["labels"]["role"], r["value"]) for r in want.collect()}
     b = {(r["labels"]["conv"], r["labels"]["role"], r["value"]) for r in got.collect()}
     assert a == b
+
+
+def test_contrib_hygiene_processors_in_yaml(spark, tmp_path):
+    """The contrib-style logdedup and rate_limit processors compile from
+    YAML and run in a pipeline: dedup collapses repeated lines (count
+    kept), quota caps rows per (key, window)."""
+    base = str(tmp_path / "hygiene_cfg")
+    cfg = {
+        "receivers": {"synthetic": {"n_convs": 6, "mean_turns": 8, "seed": 7}},
+        "processors": {
+            "logdedup": {"keys": ["conv_id"]},
+            "rate_limit": {"keys": ["conv_id"], "max_per_window": 2, "window": "day"},
+        },
+        "exporters": {"parquet/all": {"path": f"{base}/sink_all"}},
+        "service": {
+            "pipelines": {
+                "logs": {
+                    "receivers": ["synthetic"],
+                    "processors": ["logdedup", "rate_limit"],
+                    "exporters": ["parquet/all"],
+                }
+            }
+        },
+    }
+    run_config(spark, cfg, base)
+    out = spark.read.parquet(f"{base}/sink_all")
+    rows = out.collect()
+    assert len(rows) > 0
+    # dedup happened upstream: no (conv, text) appears twice...
+    pairs = [(r["conv_id"], r["text"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(r["n_occurrences"] >= 1 for r in rows)
+    # ...and the quota bounded each (conv, day) bucket
+    from collections import Counter
+    per_bucket = Counter((r["conv_id"], r["window_start"]) for r in rows)
+    assert max(per_bucket.values()) <= 2
+
+
+def test_rate_limit_processor_rejects_zero_quota(spark):
+    cfg = {
+        "receivers": {"synthetic": {"n_convs": 1}},
+        "processors": {"rate_limit": {}},
+        "exporters": {"parquet/x": {"path": "/tmp/never"}},
+        "service": {
+            "pipelines": {
+                "logs": {
+                    "receivers": ["synthetic"],
+                    "processors": ["rate_limit"],
+                    "exporters": ["parquet/x"],
+                }
+            }
+        },
+    }
+    with pytest.raises(ConfigError, match="max_per_window"):
+        compile_config(spark, cfg)

@@ -60,3 +60,51 @@ def test_referential_audit_orphans_and_null_keys(spark):
 
     with pytest.raises(ValueError, match="no relations"):
         referential_audit([])
+
+
+def test_join_size_estimate_equals_actual_join(spark):
+    from opentelemetry_collector_spark.plans.profile import join_size_estimate
+
+    left = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("c", 4), (None, 5)], "k string, x int"
+    )
+    right = spark.createDataFrame(
+        [("a", 10), ("a", 11), ("a", 12), ("b", 13), ("d", 14), (None, 15)],
+        "k string, y int",
+    )
+    r = join_size_estimate(left, right, ["k"]).collect()[0]
+    actual = left.join(right, on="k").count()
+    assert r["est_rows"] == actual == 7          # a:2x3 + b:1x1
+    assert r["max_key_rows"] == 6                # key 'a' owns the blowup
+    assert r["n_matching_keys"] == 2             # 'c' and 'd' don't match
+    assert (r["n_left_rows"], r["n_right_rows"]) == (5, 6)
+    assert (r["n_left_keys"], r["n_right_keys"]) == (3, 3)
+    # NULL keys excluded from matching (equi-join semantics) but reported
+    assert (r["n_left_null_keys"], r["n_right_null_keys"]) == (1, 1)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="join key"):
+        join_size_estimate(left, right, [])
+
+
+def test_join_size_estimate_no_overlap_is_zero(spark):
+    from opentelemetry_collector_spark.plans.profile import join_size_estimate
+
+    left = spark.createDataFrame([("a", 1)], "k string, x int")
+    right = spark.createDataFrame([("z", 2)], "k string, y int")
+    r = join_size_estimate(left, right, ["k"]).collect()[0]
+    assert (r["n_matching_keys"], r["est_rows"], r["max_key_rows"]) == (0, 0, 0)
+
+
+def test_join_size_estimate_never_joins_fact_tables(spark):
+    """Only the two COUNT frames may join — the plan must contain no join
+    wider than the key-counts join plus the scalar cross joins (i.e. the
+    fact tables appear only under aggregates)."""
+    from opentelemetry_collector_spark.plans.profile import join_size_estimate
+
+    left = spark.createDataFrame([("a", 1)], "k string, x int")
+    right = spark.createDataFrame([("z", 2)], "k string, y int")
+    plan = (join_size_estimate(left, right, ["k"])
+            ._jdf.queryExecution().optimizedPlan().toString())
+    # every scan feeds an Aggregate before any Join sees it
+    assert "SortMergeJoin" not in plan or "Aggregate" in plan.split("Join", 1)[1]
