@@ -116,6 +116,8 @@ HEADLINE = [
     "q171_hot_keys",
     "q172_equi_depth_bins",
     "q173_embedding_pool",
+    "q174_join_size_guard",
+    "q175_volume_trend",
 ]
 
 

@@ -1221,3 +1221,70 @@ def equi_depth_bins(
         .cast("int")
         .alias("bin"),
     )
+
+
+def trend_slope(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key OLS trend line in EXACT integer arithmetic — the
+    capacity-planning number ("is this series growing, how fast") every
+    metrics backend fits over the volumes the collector transports. Over
+    integer (x, y) the least-squares slope is the exact rational
+    ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``; both sides accumulate as
+    associative integer sums (the :func:`corr_moments` trick — mergeable,
+    partitioning-independent) and the division happens ONCE at the end in
+    DECIMAL(38,0) ``div``, so slope_ppm is bit-identical across engines.
+
+    Returns per key: ``n``, the five moment sums, ``slope_ppm`` (slope ×
+    1e6, NULL when x is constant — a vertical fit has no slope) and
+    ``intercept_ppm`` (``(Σy·Σx² − Σx·Σxy) × 1e6 div den``, same NULL
+    rule). One partial-aggregated groupBy; NULL x/y rows isolate per-row.
+
+    Scale shape: moments compress each task to one row per key map-side —
+    the same bound as any counting aggregate; nothing downstream touches
+    the corpus.
+    """
+    if not keys:
+        raise ValueError("at least one key column is required")
+    d = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *keys,
+        F.col(x_col).cast("bigint").alias("_x"),
+        F.col(y_col).cast("bigint").alias("_y"),
+    )
+    m = d.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_x").cast("bigint").alias("sum_x"),
+        F.sum("_y").cast("bigint").alias("sum_y"),
+        F.sum(F.expr("CAST(_x AS DECIMAL(38,0)) * _y")).alias("_sxy"),
+        F.sum(F.expr("CAST(_x AS DECIMAL(38,0)) * _x")).alias("_sx2"),
+    )
+    num = "(CAST(n AS DECIMAL(38,0)) * _sxy - CAST(sum_x AS DECIMAL(38,0)) * sum_y)"
+    den = "(CAST(n AS DECIMAL(38,0)) * _sx2 - CAST(sum_x AS DECIMAL(38,0)) * sum_x)"
+    inum = "(CAST(sum_y AS DECIMAL(38,0)) * _sx2 - CAST(sum_x AS DECIMAL(38,0)) * _sxy)"
+
+    def trunc_div(a: str, b: str) -> str:
+        # explicit truncation toward zero via abs + sign: signed integral
+        # division TRUNCATES in Spark but FLOORS in DuckDB — a declining
+        # series (negative slope) would disagree by 1 without this
+        return (
+            f"CASE WHEN ({a} < 0) = ({b} < 0) THEN abs({a}) div abs({b})"
+            f" ELSE -(abs({a}) div abs({b})) END"
+        )
+
+    return m.select(
+        *keys,
+        "n",
+        "sum_x",
+        "sum_y",
+        F.col("_sxy").cast("bigint").alias("sum_xy"),
+        F.col("_sx2").cast("bigint").alias("sum_x2"),
+        F.expr(
+            f"CASE WHEN {den} <> 0 THEN {trunc_div(f'(1000000 * {num})', den)} END"
+        ).cast("bigint").alias("slope_ppm"),
+        F.expr(
+            f"CASE WHEN {den} <> 0 THEN {trunc_div(f'(1000000 * {inum})', den)} END"
+        ).cast("bigint").alias("intercept_ppm"),
+    )

@@ -6876,6 +6876,62 @@ FROM sides
 """
 
 
+def q175_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily-volume trend (operators/aggregate.trend_slope):
+    OLS slope/intercept as exact integer rationals over the (day index,
+    daily count) series — mergeable moment sums, ONE DECIMAL(38,0) div at
+    the end, engine-exact. Two partial-aggregated groupBys (daily counts,
+    then moments over the day-sized frame)."""
+    from opentelemetry_collector_spark.operators.aggregate import trend_slope
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.lit("2024-01-01").cast("date")).alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    return trend_slope(daily, ["event_type"], "day_idx", "n_events")
+
+
+Q175_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS day_idx,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(day_idx) AS BIGINT) AS sum_x,
+         CAST(sum(n_events) AS BIGINT) AS sum_y,
+         sum(CAST(day_idx AS HUGEINT) * n_events) AS sxy,
+         sum(CAST(day_idx AS HUGEINT) * day_idx) AS sx2
+  FROM daily GROUP BY 1
+)
+, r AS (
+  SELECT event_type, n, sum_x, sum_y, sxy, sx2,
+         1000000 * (CAST(n AS HUGEINT) * sxy - CAST(sum_x AS HUGEINT) * sum_y) AS num,
+         1000000 * (CAST(sum_y AS HUGEINT) * sx2 - CAST(sum_x AS HUGEINT) * sxy) AS inum,
+         CAST(n AS HUGEINT) * sx2 - CAST(sum_x AS HUGEINT) * sum_x AS den
+  FROM m
+)
+SELECT event_type, n, sum_x, sum_y,
+       CAST(sxy AS BIGINT) AS sum_xy, CAST(sx2 AS BIGINT) AS sum_x2,
+       -- truncation toward zero (Spark div parity; // alone would FLOOR)
+       CAST(CASE WHEN den <> 0 THEN
+              CASE WHEN (num < 0) = (den < 0) THEN abs(num) // abs(den)
+                   ELSE -(abs(num) // abs(den)) END END AS BIGINT) AS slope_ppm,
+       CAST(CASE WHEN den <> 0 THEN
+              CASE WHEN (inum < 0) = (den < 0) THEN abs(inum) // abs(den)
+                   ELSE -(abs(inum) // abs(den)) END END AS BIGINT) AS intercept_ppm
+FROM r
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -7052,6 +7108,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q172_equi_depth_bins": q172_equi_depth_bins,
     "q173_embedding_pool": q173_embedding_pool,
     "q174_join_size_guard": q174_join_size_guard,
+    "q175_volume_trend": q175_volume_trend,
 }
 
 ORACLES: dict[str, str] = {
@@ -7222,6 +7279,7 @@ ORACLES: dict[str, str] = {
     "q172_equi_depth_bins": Q172_SQL,
     "q173_embedding_pool": Q173_SQL,
     "q174_join_size_guard": Q174_SQL,
+    "q175_volume_trend": Q175_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

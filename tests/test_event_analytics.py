@@ -190,3 +190,47 @@ def test_equi_depth_bins_single_exchange(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_trend_slope_exact_rational(spark):
+    from opentelemetry_collector_spark.operators.aggregate import trend_slope
+
+    # y = 3x + 7 exactly -> slope 3.0, intercept 7.0 (in ppm)
+    rows = [("a", x, 3 * x + 7) for x in range(10)]
+    # declining series: y = -2x + 100 -> negative slope must truncate
+    # toward zero identically in both engines
+    rows += [("b", x, -2 * x + 100) for x in range(10)]
+    # constant x: vertical fit has no slope
+    rows += [("c", 5, 1), ("c", 5, 9)]
+    df = spark.createDataFrame(rows, "k string, x int, y int")
+    got = {r["k"]: (r["slope_ppm"], r["intercept_ppm"])
+           for r in trend_slope(df, ["k"], "x", "y").collect()}
+    assert got["a"] == (3_000_000, 7_000_000)
+    assert got["b"] == (-2_000_000, 100_000_000)
+    assert got["c"] == (None, None)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="key"):
+        trend_slope(df, [], "x", "y")
+
+
+def test_trend_slope_nonexact_truncates_toward_zero(spark):
+    from opentelemetry_collector_spark.operators.aggregate import trend_slope
+
+    # slope -1/3: ppm quotient -333333.33 -> truncation gives -333333
+    # (floor division would give -333334 — the cross-engine trap)
+    rows = [("k", 0, 1), ("k", 3, 0)]
+    df = spark.createDataFrame(rows, "k string, x int, y int")
+    r = trend_slope(df, ["k"], "x", "y").collect()[0]
+    assert r["slope_ppm"] == -333_333
+    assert r["intercept_ppm"] == 1_000_000
+
+
+def test_trend_slope_moments_merge_partition_invariant(spark):
+    from opentelemetry_collector_spark.operators.aggregate import trend_slope
+
+    rows = [("k", i % 17, (i * 31) % 23) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, x int, y int")
+    a = trend_slope(df.coalesce(1), ["k"], "x", "y").collect()[0]
+    b = trend_slope(df.repartition(16), ["k"], "x", "y").collect()[0]
+    assert tuple(a) == tuple(b)
