@@ -118,6 +118,8 @@ HEADLINE = [
     "q173_embedding_pool",
     "q174_join_size_guard",
     "q175_volume_trend",
+    "q176_trend_residual_anomalies",
+    "q177_seasonal_deviation",
 ]
 
 

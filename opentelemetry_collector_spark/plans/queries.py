@@ -6932,6 +6932,146 @@ FROM r
 """
 
 
+def q176_trend_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend-adjusted volume anomalies — the q175 OLS fit composed with the
+    q107 median/MAD machinery: daily volumes detrended against their own
+    exact-integer fitted line (residual_ppm = 1e6*count - (slope*day +
+    intercept)), residual outliers flagged robustly. A series growing 5%/day
+    must NOT flag its latest days (a raw-volume detector would); only
+    days off its OWN trend flag. Fit frame is key-sized and broadcast."""
+    from opentelemetry_collector_spark.operators.aggregate import (
+        robust_anomalies,
+        trend_slope,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.lit("2024-01-01").cast("date")
+            ).alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    fit = trend_slope(daily, ["event_type"], "day_idx", "n_events").select(
+        "event_type", "slope_ppm", "intercept_ppm"
+    )
+    res = daily.join(F.broadcast(fit), "event_type").select(
+        "event_type",
+        "day_idx",
+        "n_events",
+        (
+            F.col("n_events") * F.lit(1_000_000)
+            - (F.col("slope_ppm") * F.col("day_idx") + F.col("intercept_ppm"))
+        ).cast("bigint").alias("residual_ppm"),
+    )
+    return robust_anomalies(res, ["event_type"], "residual_ppm").select(
+        "event_type", "day_idx", "n_events", "residual_ppm",
+        "med2", "mad4", "is_anomaly", "score_pm",
+    )
+
+
+Q176_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS day_idx,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(day_idx) AS BIGINT) AS sum_x,
+         CAST(sum(n_events) AS BIGINT) AS sum_y,
+         sum(CAST(day_idx AS HUGEINT) * n_events) AS sxy,
+         sum(CAST(day_idx AS HUGEINT) * day_idx) AS sx2
+  FROM daily GROUP BY 1
+),
+r AS (
+  SELECT event_type,
+         1000000 * (CAST(n AS HUGEINT) * sxy - CAST(sum_x AS HUGEINT) * sum_y) AS num,
+         1000000 * (CAST(sum_y AS HUGEINT) * sx2 - CAST(sum_x AS HUGEINT) * sxy) AS inum,
+         CAST(n AS HUGEINT) * sx2 - CAST(sum_x AS HUGEINT) * sum_x AS den
+  FROM m
+),
+fit AS (
+  SELECT event_type,
+         CAST(CASE WHEN (num < 0) = (den < 0) THEN abs(num) // abs(den)
+                   ELSE -(abs(num) // abs(den)) END AS BIGINT) AS slope_ppm,
+         CAST(CASE WHEN (inum < 0) = (den < 0) THEN abs(inum) // abs(den)
+                   ELSE -(abs(inum) // abs(den)) END AS BIGINT) AS intercept_ppm
+  FROM r WHERE den <> 0
+),
+res AS (
+  SELECT d.event_type, d.day_idx, d.n_events,
+         CAST(d.n_events * 1000000
+              - (f.slope_ppm * d.day_idx + f.intercept_ppm) AS BIGINT) AS residual_ppm
+  FROM daily d JOIN fit f USING (event_type)
+),
+med AS (SELECT *, CAST(floor(quantile_cont(residual_ppm, 0.5)
+               OVER (PARTITION BY event_type) * 2) AS BIGINT) AS med2 FROM res),
+dev AS (SELECT *, abs(2 * residual_ppm - med2) AS dev2 FROM med),
+mad AS (SELECT *, CAST(floor(quantile_cont(dev2, 0.5)
+               OVER (PARTITION BY event_type) * 2) AS BIGINT) AS mad4 FROM dev)
+SELECT event_type, day_idx, n_events, residual_ppm, med2, mad4,
+       coalesce(dev2 * 2000 > 3500 * mad4, FALSE) AS is_anomaly,
+       CAST(coalesce(dev2 * 2000 // greatest(mad4, 1), 0) AS BIGINT) AS score_pm
+FROM mad
+"""
+
+
+def q177_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive deviation: each (event_type, day, hour) cell's volume
+    as a per-mille ratio against that hour-of-day's own baseline (the mean
+    across days — computed as the exact integer 1000*cnt*n_cells div
+    total). The 'is 3am traffic weird FOR 3am' check a flat threshold
+    cannot express. Two partial-aggregated groupBys; the baseline is a
+    window over the (type, hour)-sized frame."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window
+
+    cells = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type", "hour_of_day")
+    return cells.select(
+        "event_type",
+        "day",
+        "hour_of_day",
+        "n_events",
+        F.sum("n_events").over(w).cast("bigint").alias("hour_total"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_days"),
+        F.expr("1000 * n_events * count(1) over (partition by event_type, hour_of_day)"
+               " div sum(n_events) over (partition by event_type, hour_of_day)")
+        .cast("bigint")
+        .alias("ratio_pm"),
+    )
+
+
+Q177_SQL = """
+WITH cells AS (
+  SELECT event_type, date_trunc('day', ts) AS day, hour(ts) AS hour_of_day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT event_type, day, hour_of_day, n_events,
+       CAST(sum(n_events) OVER w AS BIGINT) AS hour_total,
+       CAST(count(*) OVER w AS BIGINT) AS n_days,
+       CAST((1000 * n_events * count(*) OVER w) // sum(n_events) OVER w AS BIGINT)
+         AS ratio_pm
+FROM cells
+WINDOW w AS (PARTITION BY event_type, hour_of_day)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -7109,6 +7249,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q173_embedding_pool": q173_embedding_pool,
     "q174_join_size_guard": q174_join_size_guard,
     "q175_volume_trend": q175_volume_trend,
+    "q176_trend_residual_anomalies": q176_trend_residual_anomalies,
+    "q177_seasonal_deviation": q177_seasonal_deviation,
 }
 
 ORACLES: dict[str, str] = {
@@ -7280,6 +7422,8 @@ ORACLES: dict[str, str] = {
     "q173_embedding_pool": Q173_SQL,
     "q174_join_size_guard": Q174_SQL,
     "q175_volume_trend": Q175_SQL,
+    "q176_trend_residual_anomalies": Q176_SQL,
+    "q177_seasonal_deviation": Q177_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -77,6 +77,10 @@ EVENT_QUERIES = [
     "q170_hysteresis_alerts",
     "q171_hot_keys",
     "q172_equi_depth_bins",
+    "q174_join_size_guard",
+    "q175_volume_trend",
+    "q176_trend_residual_anomalies",
+    "q177_seasonal_deviation",
 ]
 
 
@@ -110,7 +114,7 @@ def weird_events_dir(spark, tmp_path_factory):
     spark.createDataFrame(
         rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
     ).coalesce(1).write.parquet(str(dst / "events.parquet"))
-    for name in ["customer", "documents", "embeddings"]:
+    for name in ["customer", "orders", "documents", "embeddings"]:
         spark.read.parquet(f"{src}/{name}.parquet").coalesce(1).write.parquet(
             str(dst / f"{name}.parquet")
         )

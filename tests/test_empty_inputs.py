@@ -36,6 +36,9 @@ _NONEMPTY_ON_EMPTY = {
         r["n_child"] == 0 and r["n_orphans"] == 0 and r["n_null_keys"] == 0
     ),
     "q128_audience_overlap": lambda r: r["n_users"] == 0,
+    "q174_join_size_guard": lambda r: (
+        r["n_left_rows"] == 0 and r["est_rows"] == 0 and r["max_key_rows"] == 0
+    ),
 }
 
 

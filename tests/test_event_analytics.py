@@ -234,3 +234,41 @@ def test_trend_slope_moments_merge_partition_invariant(spark):
     a = trend_slope(df.coalesce(1), ["k"], "x", "y").collect()[0]
     b = trend_slope(df.repartition(16), ["k"], "x", "y").collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_trend_residual_detector_ignores_steady_growth(spark, tmp_path):
+    """The q176 composition property: a perfectly growing series has zero
+    residuals everywhere — nothing flags; the same series with one crashed
+    day flags exactly that day."""
+    import datetime as dt
+    from opentelemetry_collector_spark.plans.queries import (
+        q176_trend_residual_anomalies,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(12):
+        # steady growth: 10 + 2*day events on each day
+        n = 10 + 2 * day
+        # crashed day for the 'crash' type: day 6 loses most of its volume
+        n_crash = 2 if day == 6 else n
+        for i in range(n):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(days=day, seconds=i), 1, "steady", 1.0, "{}"))
+        for i in range(n_crash):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(days=day, seconds=i), 2, "crash", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "sf")
+    import os
+    os.makedirs(sf)
+    df.write.parquet(f"{sf}/events.parquet")
+    out = q176_trend_residual_anomalies(spark, sf).collect()
+    steady = [r for r in out if r["event_type"] == "steady"]
+    crash = [r for r in out if r["event_type"] == "crash"]
+    assert steady and not any(r["is_anomaly"] for r in steady)
+    flagged = [r["day_idx"] for r in crash if r["is_anomaly"]]
+    assert 6 in flagged
