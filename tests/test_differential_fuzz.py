@@ -1,0 +1,104 @@
+"""Randomized cross-engine differential testing: seeded random event
+tables — NULL-riddled, tie-heavy, extreme-valued — run through BOTH the
+Spark query and its DuckDB oracle, compared exactly.
+
+This is the driver's correctness gate turned adversarial: the fixed sf
+fixtures exercise one data distribution; these tables are built to hit
+the cross-engine traps (ordering ties, NULL grouping, float->cents
+boundaries, empty groups) that a benign distribution never trips. Only
+queries whose oracle reads the `events` table alone participate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from opentelemetry_collector_spark.plans.queries import ORACLES, QUERIES
+
+# events-only queries with oracles (no customer/documents/... tables)
+FUZZ_QUERIES = [
+    "q158_counter_rate",
+    "q163_cusum_drift",
+    "q167_winsorize",
+    "q170_hysteresis_alerts",
+    "q172_equi_depth_bins",
+    "q175_volume_trend",
+    "q177_seasonal_deviation",
+]
+
+SEEDS = [11, 23, 47]
+
+
+def _random_events(seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    n = 400
+    base = dt.datetime(2024, 1, 1)
+    # tie-heavy timestamps: few distinct instants, many collisions
+    ts_off = rng.integers(0, 40, n) * 3600 + rng.integers(0, 3, n)
+    ts = [base + dt.timedelta(seconds=int(s)) for s in ts_off]
+    # values: mixture of normal, exact float traps, extremes, zeros
+    vals = np.round(rng.uniform(0, 100, n), 2)
+    vals[rng.random(n) < 0.05] = 0.0
+    vals[rng.random(n) < 0.03] = 19.15          # the floor(x*100) trap value
+    big = rng.random(n) < 0.02
+    vals[big] = 8.9e15                           # extreme but in-range
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime(ts),
+            "user_id": rng.integers(0, 25, n).astype("int64"),
+            "event_type": rng.choice(
+                ["view", "click", "error", "purchase", "signup"], n
+            ),
+            "value": vals.astype("float64"),
+            "props": ['{"k":1}'] * n,
+        }
+    )
+    # junk injection: NULL ts / value / event_type rows
+    for col, frac in [("ts", 0.04), ("value", 0.05), ("event_type", 0.02)]:
+        mask = rng.random(n) < frac
+        df.loc[mask, col] = None
+    return df
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype("string")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module", params=SEEDS)
+def fuzz_dir(request, spark, tmp_path_factory):
+    seed = request.param
+    d = tmp_path_factory.mktemp(f"fuzz_{seed}")
+    pdf = _random_events(seed)
+    spark.createDataFrame(
+        pdf,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", FUZZ_QUERIES)
+def test_differential_random_events(spark, fuzz_dir, name):
+    got = QUERIES[name](spark, fuzz_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{os.path.join(fuzz_dir, 'events.parquet')}/*.parquet'"
+    )
+    want = con.sql(ORACLES[name]).df()
+    a, b = _normalize(got), _normalize(want)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
