@@ -993,10 +993,20 @@ def counter_rate(
             F.count("_inc").cast("bigint").alias("n_deltas"),
         )
     )
-    i1000 = F.col("increase") * F.lit(1000)
+    # 128-bit floor arithmetic: increase*1000 overflows bigint for a
+    # window holding > ~9.2e15 integer units (found by the differential
+    # fuzz), so the scaling happens in DECIMAL(38,0); pmod (not %) keeps
+    # FLOOR semantics for negative increases (a reset landing on a
+    # negative-valued series) — DuckDB's % truncates, so the oracle
+    # floor-adjusts its modulo explicitly. A rate too large for bigint is
+    # NULL, not an overflow error (junk isolates per-row).
+    w = int(window_seconds)
+    num = F.expr("CAST(increase AS DECIMAL(38,0)) * 1000")
+    q = (num - F.pmod(num, F.lit(w))) / F.lit(w)
     return out.withColumn(
         "rate_milli_per_s",
-        ((i1000 - F.pmod(i1000, F.lit(int(window_seconds)))) / F.lit(int(window_seconds))).cast("bigint"),
+        F.when(F.abs(q) <= F.lit(9223372036854775807).cast("decimal(38,0)"), q)
+        .cast("bigint"),
     )
 
 

@@ -6220,8 +6220,12 @@ d AS (
 SELECT event_type, bucket,
        CAST(sum(inc) AS BIGINT) AS increase,
        CAST(count(inc) AS BIGINT) AS n_deltas,
-       CAST((sum(inc) * 1000 - (sum(inc) * 1000) % 21600) / 21600 AS BIGINT)
-         AS rate_milli_per_s
+       CAST(CASE WHEN abs((sum(inc) * 1000
+                  - (((sum(inc) * 1000) % 21600) + 21600) % 21600) // 21600)
+                 <= 9223372036854775807
+            THEN (sum(inc) * 1000
+                  - (((sum(inc) * 1000) % 21600) + 21600) % 21600) // 21600 END
+            AS BIGINT) AS rate_milli_per_s
 FROM d GROUP BY 1, 2
 """
 

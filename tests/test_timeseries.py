@@ -360,3 +360,55 @@ def test_hysteresis_single_exchange(spark):
                                       tiebreak=["id"]))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan and "Python" not in plan
+
+
+def test_counter_rate_overflow_guard_and_negative_floor(spark):
+    """Differential-fuzz regression: (1) a window whose increase*1000
+    overflows bigint yields a NULL rate, not an ANSI crash; (2) a reset
+    landing on a NEGATIVE sample floor-divides identically in both
+    engines (pmod vs truncated %)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.aggregate import counter_rate
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # series 'big': birth then a gigantic jump inside one 6h window
+        ("big", 1, base, 0.0),
+        ("big", 2, base + dt.timedelta(minutes=1), 8.9e16),
+        # series 'neg': birth at 10, reset down to -42.5 (post-reset sample
+        # contributes its own value -> increase includes -4250 cents)
+        ("neg", 3, base, 10.0),
+        ("neg", 4, base + dt.timedelta(minutes=1), -42.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id int, ts timestamp, value double"
+    ).select(
+        "event_type", "event_id", "ts",
+        (F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    # 1-second windows: increase*1000 exceeds what bigint can carry for
+    # the big jump, and floor semantics matter for the negative reset
+    rows2 = [r for r in counter_rate(
+        df, ["event_type"], value_col="value_cents",
+        window_seconds=1, tiebreak=["value_cents", "event_id"],
+    ).collect() if r["increase"] is not None]
+    out = {r["event_type"]: r for r in rows2}
+    big = out["big"]
+    assert big["increase"] == 8_900_000_000_000_000_000
+    assert big["rate_milli_per_s"] is None          # 8.9e21 guarded, not crashed
+    neg = out["neg"]
+    # birth contributes nothing; reset sample contributes its own value
+    assert neg["increase"] == -4250
+    assert neg["rate_milli_per_s"] == -4_250_000    # exact, sign preserved
+
+    # and at a 6h window the same big jump is representable and EXACT
+    # (floor(8.9e21 / 21600) — a double-typed division would be off)
+    r6 = [r for r in counter_rate(
+        df.filter(df.event_type == "big"), ["event_type"],
+        value_col="value_cents", window_seconds=6 * 3600,
+        tiebreak=["value_cents", "event_id"],
+    ).collect() if r["increase"] is not None][0]
+    assert r6["rate_milli_per_s"] == 8_900_000_000_000_000_000 * 1000 // 21600
