@@ -123,7 +123,10 @@ def q02_filter_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q02_SQL = f"""{_PRELUDE}
 SELECT * FROM t
 WHERE role IN ('user','assistant')
-  AND NOT regexp_matches(text, 'clicked item \\d+')
+  -- coalesce: a NULL-text record does NOT match the exclude properties
+  -- (filtermatcher semantics — absent attribute never matches), so it is
+  -- KEPT; bare NOT regexp_matches(NULL) is NULL and would drop it
+  AND NOT coalesce(regexp_matches(text, 'clicked item \\d+'), FALSE)
 """
 
 
@@ -3283,7 +3286,8 @@ d AS (
 w AS (
   SELECT role, template, turn_idx, ts, text,
          row_number() OVER (PARTITION BY role, template
-                            ORDER BY turn_idx NULLS FIRST, ts, text) AS rn
+                            ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST,
+                                     text NULLS FIRST) AS rn
   FROM d
 ),
 g AS (
@@ -3294,7 +3298,8 @@ g AS (
 )
 SELECT g.role, g.template, md5(g.template) AS template_fp, g.n_lines, g.n_variants,
        CAST(w.turn_idx AS INTEGER) AS first_idx, w.ts AS first_ts, w.text AS example
-FROM g JOIN w ON g.role = w.role AND g.template = w.template AND w.rn = 1
+FROM g JOIN w ON g.role = w.role
+             AND g.template IS NOT DISTINCT FROM w.template AND w.rn = 1
 """
 
 

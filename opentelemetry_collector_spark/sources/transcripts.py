@@ -29,19 +29,25 @@ from opentelemetry_collector_spark.schema import TRANSCRIPTS_SCHEMA
 # DuckDB CTE body — MUST stay semantically identical to `from_events` below.
 # Cross-engine safety rules: floor() before int casts (DuckDB rounds on
 # double→int casts, Spark truncates), row_number ordered by a unique tiebreak
-# (ts, event_id), explicit INTEGER cast for turn_idx.
+# (ts NULLS FIRST, event_id — Spark's ASC default is NULLS FIRST, DuckDB's is
+# NULLS LAST; a NULL-ts row would shift every turn_idx in its conversation
+# without the explicit pin — found by the differential fuzz), explicit
+# INTEGER cast for turn_idx.
 TRANSCRIPTS_SQL = """
 SELECT
-  concat('conv-', lpad(cast(user_id AS varchar), 6, '0')) AS conv_id,
-  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+  'conv-' || lpad(cast(user_id AS varchar), 6, '0') AS conv_id,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) - 1 AS INTEGER) AS turn_idx,
   CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'user'
                   WHEN 'signup' THEN 'system' WHEN 'purchase' THEN 'assistant'
                   ELSE 'tool' END AS role,
+  -- `||`, never concat(): DuckDB's concat SKIPS NULL arguments where
+  -- Spark's propagates, so a NULL-value purchase must be NULL text in
+  -- both engines, not 'tool_call: calc()' (found by the differential fuzz)
   CASE event_type
-    WHEN 'error'    THEN concat('error code=', cast(cast(floor(value) AS bigint) AS varchar))
-    WHEN 'purchase' THEN concat('tool_call: calc(', cast(cast(floor(value) AS bigint) AS varchar), ')')
-    WHEN 'click'    THEN concat('clicked item ', cast(event_id % 100 AS varchar))
-    WHEN 'view'     THEN concat('viewed page ', cast(event_id % 50 AS varchar))
+    WHEN 'error'    THEN 'error code=' || cast(cast(floor(value) AS bigint) AS varchar)
+    WHEN 'purchase' THEN 'tool_call: calc(' || cast(cast(floor(value) AS bigint) AS varchar) || ')'
+    WHEN 'click'    THEN 'clicked item ' || cast(event_id % 100 AS varchar)
+    WHEN 'view'     THEN 'viewed page ' || cast(event_id % 50 AS varchar)
     ELSE 'user signup'
   END AS text,
   CASE WHEN event_type = 'error' THEN

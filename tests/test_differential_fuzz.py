@@ -21,7 +21,7 @@ import pytest
 
 from opentelemetry_collector_spark.plans.queries import ORACLES, QUERIES
 
-# events-only queries with oracles (no customer/documents/... tables)
+# queries whose oracles read only the `events` (+ `customer` dim) tables
 FUZZ_QUERIES = [
     "q158_counter_rate",
     "q163_cusum_drift",
@@ -30,6 +30,23 @@ FUZZ_QUERIES = [
     "q172_equi_depth_bins",
     "q175_volume_trend",
     "q177_seasonal_deviation",
+    # transcripts pipeline (events -> transcripts derivation + conv_meta dim)
+    "q00_pipeline_e2e",
+    "q01_parse_extract",
+    "q02_filter_strict",
+    "q05_enrich_broadcast",
+    "q06_route_counts",
+    "q07_turn_counts",
+    "q54_sessionize",
+    "q69_integrity_audit",
+    "q90_log_templates",
+    "q107_robust_anomalies",
+    "q162_trending_templates",
+    "q165_k_anonymity",
+    "q166_qi_suppression",
+    "q168_vocab_growth",
+    "q169_attr_cardinality",
+    "q171_hot_keys",
 ]
 
 SEEDS = [11, 23, 47]
@@ -77,6 +94,22 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _random_customers(seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed + 1000)
+    # keys overlap the event user_ids 0..24 partially: missing dims exercise
+    # the left-join NULL path; extra dims exercise unmatched rows
+    keys = rng.choice(np.arange(0, 35, dtype="int64"), size=28, replace=False)
+    return pd.DataFrame(
+        {
+            "c_custkey": keys,
+            "c_name": [f"cust{k}" for k in keys],
+            "c_mktsegment": rng.choice(
+                ["BUILDING", "MACHINERY", "AUTOMOBILE", None], size=keys.size
+            ),
+        }
+    )
+
+
 @pytest.fixture(scope="module", params=SEEDS)
 def fuzz_dir(request, spark, tmp_path_factory):
     seed = request.param
@@ -87,6 +120,10 @@ def fuzz_dir(request, spark, tmp_path_factory):
         "event_id bigint, ts timestamp, user_id bigint, event_type string,"
         " value double, props string",
     ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    spark.createDataFrame(
+        _random_customers(seed),
+        "c_custkey bigint, c_name string, c_mktsegment string",
+    ).coalesce(1).write.parquet(str(d / "customer.parquet"))
     return str(d)
 
 
@@ -94,9 +131,10 @@ def fuzz_dir(request, spark, tmp_path_factory):
 def test_differential_random_events(spark, fuzz_dir, name):
     got = QUERIES[name](spark, fuzz_dir).toPandas()
     con = duckdb.connect()
-    con.sql(
-        f"CREATE VIEW events AS SELECT * FROM '{os.path.join(fuzz_dir, 'events.parquet')}/*.parquet'"
-    )
+    for t in ("events", "customer"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(fuzz_dir, f'{t}.parquet')}/*.parquet'"
+        )
     want = con.sql(ORACLES[name]).df()
     a, b = _normalize(got), _normalize(want)
     assert list(a.columns) == list(b.columns)
