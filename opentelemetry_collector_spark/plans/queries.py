@@ -320,7 +320,11 @@ Q12_SQL = r"""
 SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
        min(doc_id) AS survivor_id,
        CAST(count(*) AS BIGINT) AS n_copies
-FROM documents GROUP BY 1
+FROM documents WHERE text IS NOT NULL GROUP BY 1
+UNION ALL
+-- NULL text never matches anything (exact_dedup's documented NULL-equi
+-- semantics): each NULL doc is its own singleton, not one giant cluster
+SELECT NULL, doc_id, CAST(1 AS BIGINT) FROM documents WHERE text IS NULL
 """
 
 
@@ -366,7 +370,9 @@ def q14_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q14_SQL = r"""
 WITH h AS (
   SELECT doc_id, lang,
-    CASE WHEN length(trim(text)) = 0 THEN []
+    -- NULL text => no tokens => 'und' (Spark's size(NULL) path lands in
+    -- the same branch; a bare NULL here would cascade to the ELSE lang)
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
          ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
   FROM documents),
 s AS (
@@ -2926,8 +2932,10 @@ k AS (SELECT doc_id, page, len(ls) AS n_lines,
       AND NOT contains(lower(l), 'javascript')) AS kept
 FROM c),
 f AS (SELECT doc_id, n_lines, len(kept) AS n_kept_lines,
-  -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
-  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+  -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is '' — but a
+  -- NULL PAGE must stay NULL in both (degrades, not empty-page)
+  CASE WHEN page IS NULL THEN NULL
+       ELSE coalesce(array_to_string(kept, chr(10)), '') END AS clean_text,
   (contains(page, '{{') OR contains(lower(page), 'lorem ipsum')) AS page_bad
 FROM k),
 s AS (SELECT *, length(clean_text) - length(translate(clean_text, '.!?', '')) AS n_sent FROM f)

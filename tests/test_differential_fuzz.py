@@ -47,6 +47,7 @@ FUZZ_QUERIES = [
     "q168_vocab_growth",
     "q169_attr_cardinality",
     "q171_hot_keys",
+    "q44_pii_redact",
 ]
 
 SEEDS = [11, 23, 47]
@@ -135,6 +136,94 @@ def test_differential_random_events(spark, fuzz_dir, name):
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(fuzz_dir, f'{t}.parquet')}/*.parquet'"
         )
+    want = con.sql(ORACLES[name]).df()
+    a, b = _normalize(got), _normalize(want)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+# ---------------------------------------------------------------------------
+# documents-table fuzzing (corpus-quality ops: regex dialects, tokenization,
+# unicode — where Java regex / RE2 / DuckDB disagree first)
+# ---------------------------------------------------------------------------
+
+DOC_FUZZ_QUERIES = [
+    "q12_dedup_exact",
+    "q13_text_quality",
+    "q14_lang_id",
+    "q15_token_count",
+    "q25_ngram_jaccard",
+    "q45_repetition",
+    "q46_decontaminate",
+    "q47_vocab_coverage",
+    "q60_chunk_documents",
+    "q67_gopher_filter",
+    "q74_c4_clean",
+    "q75_boilerplate_lines",
+    "q80_linear_classifier",
+    "q83_shuffle_shards",
+    "q86_epoch_expand",
+    "q106_surprisal",
+    "q117_weighted_sample",
+]
+
+_WORDS = [
+    "the", "of", "and", "data", "spark", "query", "fast", "slow", "très",
+    "naïve", "Ω", "日本語", "x+y", "a.b", "(paren", "bracket]", "tab\tsep",
+    "e@mail.com", "10.0.0.1", "12-345-678-9012", "caps", "CAPS", "MiXeD",
+]
+
+
+def _random_documents(seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed + 2000)
+    n = 200
+    texts = []
+    for i in range(n):
+        k = int(rng.integers(0, 40))
+        toks = list(rng.choice(_WORDS, size=k)) if k else []
+        sep = rng.choice([" ", "  ", "\n"])
+        t = str(sep).join(toks)
+        if rng.random() < 0.05:
+            t = ""                      # empty doc
+        if rng.random() < 0.05:
+            t = t + "."                 # terminal punctuation (C4 rule)
+        texts.append(t)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "text": texts,
+            "lang": rng.choice(["en", "fr", "de", None], size=n),
+            "source": rng.choice(["src0", "src1", "src2"], size=n),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    df.loc[rng.random(n) < 0.03, "text"] = None     # NULL docs
+    # exact duplicates: dedup/ngram paths need real collisions
+    dup = rng.choice(n, size=20, replace=False)
+    half = len(dup) // 2
+    df.loc[dup[:half], "text"] = df.loc[dup[half : 2 * half], "text"].to_numpy()
+    return df
+
+
+@pytest.fixture(scope="module", params=SEEDS)
+def doc_fuzz_dir(request, spark, tmp_path_factory):
+    seed = request.param
+    d = tmp_path_factory.mktemp(f"docfuzz_{seed}")
+    spark.createDataFrame(
+        _random_documents(seed),
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DOC_FUZZ_QUERIES)
+def test_differential_random_documents(spark, doc_fuzz_dir, name):
+    got = QUERIES[name](spark, doc_fuzz_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(doc_fuzz_dir, 'documents.parquet')}/*.parquet'"
+    )
     want = con.sql(ORACLES[name]).df()
     a, b = _normalize(got), _normalize(want)
     assert list(a.columns) == list(b.columns)
