@@ -420,7 +420,13 @@ def q16_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q16_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           -- junk isolates per-row in the operators (cos undefined):
+           -- NULL vectors error inside list_cosine_similarity and
+           -- zero vectors have no direction
+           WHERE embedding IS NOT NULL
+             AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) > 0),
 q AS (SELECT * FROM e WHERE vec_id < 5),
 s AS (SELECT q.vec_id AS qid, e.vec_id AS nid, list_cosine_similarity(q.v, e.v) AS c
       FROM q JOIN e ON e.vec_id <> q.vec_id),
@@ -2845,7 +2851,13 @@ def q76_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q76_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           -- junk isolates per-row in the operators (cos undefined):
+           -- NULL vectors error inside list_cosine_similarity and
+           -- zero vectors have no direction
+           WHERE embedding IS NOT NULL
+             AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) > 0),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 s AS (SELECT e.vec_id, cid, list_cosine_similarity(e.v, cv) AS cos
       FROM e CROSS JOIN c),

@@ -229,3 +229,64 @@ def test_differential_random_documents(spark, doc_fuzz_dir, name):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+# ---------------------------------------------------------------------------
+# embeddings-table fuzzing (ANN / similarity: integer-quantized cosine paths)
+# ---------------------------------------------------------------------------
+
+EMB_FUZZ_QUERIES = [
+    "q16_ann_topk",
+    "q17_embedding_dedup",
+    "q30_ann_ivf",
+    "q55_ann_ivf_trained",
+    "q65_semantic_dedup",
+    "q76_cluster_balance",
+    "q173_embedding_pool",
+]
+
+
+def _random_embeddings(seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed + 3000)
+    n, dim = 150, 64   # dim 64: the IVF queries' centroid-probe contract
+    # sixteenths: exactly representable in float32 AND float64, so the
+    # integer-quantized cosine paths see identical bits in both engines
+    vecs = (rng.integers(-32, 33, size=(n, dim)) / 16.0).astype("float32")
+    # planted exact duplicates and near-duplicates for the dedup paths
+    vecs[10] = vecs[20]
+    vecs[30] = vecs[40]
+    vecs[31] = vecs[40] * np.float32(1.0)  # another exact copy
+    # zero vectors (no cosine) and a NULL vector row
+    vecs[5] = 0.0
+    emb = [None if i == 7 else [float(x) for x in v] for i, v in enumerate(vecs)]
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": emb,
+            "label": rng.integers(0, 5, n).astype("int32"),
+        }
+    )
+
+
+@pytest.fixture(scope="module", params=SEEDS)
+def emb_fuzz_dir(request, spark, tmp_path_factory):
+    seed = request.param
+    d = tmp_path_factory.mktemp(f"embfuzz_{seed}")
+    spark.createDataFrame(
+        _random_embeddings(seed), "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMB_FUZZ_QUERIES)
+def test_differential_random_embeddings(spark, emb_fuzz_dir, name):
+    got = QUERIES[name](spark, emb_fuzz_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{os.path.join(emb_fuzz_dir, 'embeddings.parquet')}/*.parquet'"
+    )
+    want = con.sql(ORACLES[name]).df()
+    a, b = _normalize(got), _normalize(want)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
