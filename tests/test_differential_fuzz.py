@@ -290,3 +290,163 @@ def test_differential_random_embeddings(spark, emb_fuzz_dir, name):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+# ---------------------------------------------------------------------------
+# star-schema fuzzing (TPC-H-shaped analytics: cents arithmetic, date
+# filters, outer joins, tie-breaks — with orphan keys and NULL measures)
+# ---------------------------------------------------------------------------
+
+STAR_FUZZ_QUERIES = [
+    "q113_pricing_summary",
+    "q114_shipping_priority",
+    "q115_local_supplier_volume",
+    "q116_promo_revenue",
+    "q118_table_profile",
+    "q121_referential_audit",
+    "q122_order_priority",
+    "q123_returned_items",
+    "q124_customer_orders_dist",
+    "q125_large_volume_orders",
+    "q138_forecast_revenue",
+    "q139_volume_shipping",
+    "q140_market_share",
+    "q141_product_profit",
+    "q142_important_parts",
+    "q143_line_priority",
+    "q144_top_supplier",
+    "q145_part_supplier_counts",
+    "q146_small_qty_revenue",
+    "q147_promo_suppliers",
+    "q148_waiting_suppliers",
+    "q149_sales_opportunity",
+    "q150_min_cost_supplier",
+    "q151_disjunctive_revenue",
+    "q44_pii_redact",
+]
+
+
+def _random_star(seed: int) -> dict[str, pd.DataFrame]:
+    rng = np.random.default_rng(seed + 4000)
+
+    def money(n, lo, hi):
+        return np.round(rng.uniform(lo, hi, n), 2)
+
+    def date(n, start_year=1992, years=7):
+        days = rng.integers(0, years * 365, n)
+        return pd.to_datetime("%d-01-01" % start_year) + pd.to_timedelta(days, unit="D")
+
+    region = pd.DataFrame({
+        "r_regionkey": np.arange(5, dtype="int32"),
+        "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+    })
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(12, dtype="int32"),
+        "n_name": [f"NATION{i}" for i in range(12)],
+        # regionkey 5 is an orphan region reference
+        "n_regionkey": rng.integers(0, 6, 12).astype("int32"),
+    })
+    nc, ns, npart, no, nl = 40, 15, 30, 120, 400
+    customer = pd.DataFrame({
+        "c_custkey": np.arange(1, nc + 1, dtype="int64"),
+        "c_name": [f"Customer#{i:09d}" for i in range(1, nc + 1)],
+        "c_nationkey": rng.integers(0, 14, nc).astype("int32"),  # some orphans
+        "c_acctbal": money(nc, -999, 9999),
+        "c_mktsegment": rng.choice(
+            ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"], nc
+        ),
+    })
+    supplier = pd.DataFrame({
+        "s_suppkey": np.arange(1, ns + 1, dtype="int64"),
+        "s_name": [f"Supplier#{i:09d}" for i in range(1, ns + 1)],
+        "s_nationkey": rng.integers(0, 14, ns).astype("int32"),
+        "s_acctbal": money(ns, -999, 9999),
+    })
+    part = pd.DataFrame({
+        "p_partkey": np.arange(1, npart + 1, dtype="int64"),
+        "p_name": [f"part {i} colored widget" for i in range(1, npart + 1)],
+        "p_brand": rng.choice([f"Brand#{i}{j}" for i in range(1, 4) for j in range(1, 4)], npart),
+        "p_type": rng.choice(
+            ["PROMO BURNISHED COPPER", "PROMO PLATED TIN", "ECONOMY ANODIZED STEEL",
+             "STANDARD POLISHED BRASS", "SMALL BRUSHED NICKEL"], npart
+        ),
+        "p_size": rng.integers(1, 51, npart).astype("int32"),
+        "p_retailprice": money(npart, 900, 2000),
+    })
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(1, no + 1, dtype="int64"),
+        # custkey up to nc+4: orphan orders exercise the audit/outer joins
+        "o_custkey": rng.integers(1, nc + 5, no).astype("int64"),
+        "o_orderstatus": rng.choice(["F", "O", "P"], no),
+        "o_totalprice": money(no, 1000, 400000),
+        "o_orderdate": date(no),
+        "o_orderpriority": rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"], no
+        ),
+    })
+    lineitem = pd.DataFrame({
+        "l_orderkey": rng.integers(1, no + 8, nl).astype("int64"),  # some orphans
+        "l_partkey": rng.integers(1, npart + 1, nl).astype("int64"),
+        "l_suppkey": rng.integers(1, ns + 1, nl).astype("int64"),
+        "l_linenumber": rng.integers(1, 8, nl).astype("int32"),
+        "l_quantity": rng.integers(1, 51, nl).astype("float64"),
+        "l_extendedprice": money(nl, 900, 100000),
+        "l_discount": np.round(rng.integers(0, 11, nl) / 100.0, 2),
+        "l_tax": np.round(rng.integers(0, 9, nl) / 100.0, 2),
+        "l_returnflag": rng.choice(["R", "A", "N"], nl),
+        "l_linestatus": rng.choice(["O", "F"], nl),
+        "l_shipdate": date(nl),
+    })
+    # sprinkle NULLs on measures and dates (never on the key columns — a
+    # NULL join key is the referential audit's own tested concern)
+    for df, cols, frac in [
+        (lineitem, ["l_extendedprice", "l_discount", "l_shipdate"], 0.02),
+        (orders, ["o_totalprice", "o_orderdate"], 0.02),
+        (customer, ["c_acctbal", "c_mktsegment"], 0.03),
+    ]:
+        for c in cols:
+            df.loc[rng.random(len(df)) < frac, c] = None
+    return {
+        "region": region, "nation": nation, "customer": customer,
+        "supplier": supplier, "part": part, "orders": orders,
+        "lineitem": lineitem,
+    }
+
+
+_STAR_SCHEMAS = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    "part": "p_partkey bigint, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    "orders": "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    "lineitem": ("l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int,"
+                 " l_quantity double, l_extendedprice double, l_discount double, l_tax double,"
+                 " l_returnflag string, l_linestatus string, l_shipdate timestamp"),
+}
+
+
+@pytest.fixture(scope="module", params=SEEDS)
+def star_fuzz_dir(request, spark, tmp_path_factory):
+    seed = request.param
+    d = tmp_path_factory.mktemp(f"starfuzz_{seed}")
+    for t, pdf in _random_star(seed).items():
+        spark.createDataFrame(pdf, _STAR_SCHEMAS[t]).coalesce(1).write.parquet(
+            str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", STAR_FUZZ_QUERIES)
+def test_differential_random_star(spark, star_fuzz_dir, name):
+    got = QUERIES[name](spark, star_fuzz_dir).toPandas()
+    con = duckdb.connect()
+    for t in _STAR_SCHEMAS:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(star_fuzz_dir, f'{t}.parquet')}/*.parquet'"
+        )
+    want = con.sql(ORACLES[name]).df()
+    a, b = _normalize(got), _normalize(want)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
