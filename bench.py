@@ -120,6 +120,7 @@ HEADLINE = [
     "q175_volume_trend",
     "q176_trend_residual_anomalies",
     "q177_seasonal_deviation",
+    "q178_rank_normalize",
 ]
 
 

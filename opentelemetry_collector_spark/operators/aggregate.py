@@ -1298,3 +1298,48 @@ def trend_slope(
             f"CASE WHEN {den} <> 0 THEN {trunc_div(f'(1000000 * {inum})', den)} END"
         ).cast("bigint").alias("intercept_ppm"),
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key empirical-CDF feature transform: each row's value mapped to
+    its min-rank position in per-mille of the key's population — the
+    rank/quantile normalization feature pipelines apply before models that
+    want uniform marginals (sibling of :func:`equi_depth_bins`; continuous
+    label instead of a bucket).
+
+    Uses ``rank()`` (min-rank), NOT ``row_number``: tied values share a
+    rank in BOTH engines by definition, so the output is deterministic
+    with no tiebreak column at all — the tie run maps to one cdf value.
+    ``cdf_pm = 1000 * rank div n`` (integer floor-division, engine-exact;
+    the maximum value always maps to 1000 when untied). NULL values
+    isolate per-row via the nulls-first renumbering (NULL in, NULL out,
+    excluded from every rank/count). ONE ``hashpartitioning(keys)``
+    exchange, no join.
+
+    Returns the input columns plus ``value_cents`` and ``cdf_pm``.
+    """
+    if not keys:
+        raise ValueError("at least one key column is required")
+    wp = Window.partitionBy(*keys)
+    wo = wp.orderBy(F.col("_vc").asc_nulls_first())
+    d = df.withColumn("_vc", F.floor(F.col(value_col) * 100).cast("bigint"))
+    d = d.select(
+        "*",
+        F.rank().over(wo).alias("_rk"),
+        F.count(F.lit(1)).over(wp).alias("_n_total"),
+        F.count("_vc").over(wp).alias("_n"),
+    )
+    return d.select(
+        *df.columns,
+        F.col("_vc").alias("value_cents"),
+        F.when(
+            F.col("_vc").isNotNull(),
+            F.expr("1000 * (_rk - (_n_total - _n)) div _n"),
+        )
+        .cast("bigint")
+        .alias("cdf_pm"),
+    )

@@ -7101,6 +7101,41 @@ WINDOW w AS (PARTITION BY event_type, hour_of_day)
 """
 
 
+def q178_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type empirical-CDF rank normalization (operators/aggregate.
+    rank_normalize): min-rank position in per-mille — deterministic under
+    ties with NO tiebreak column (tied values share a min-rank in both
+    engines by definition). One hashpartitioning(event_type) exchange."""
+    from opentelemetry_collector_spark.operators.aggregate import rank_normalize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id", "value"
+    )
+    out = rank_normalize(ev, ["event_type"], "value")
+    return out.select("event_type", "event_id", "value_cents", "cdf_pm")
+
+
+Q178_SQL = """
+WITH s AS (
+  SELECT event_type, event_id,
+         CASE WHEN value IS NULL THEN NULL
+              ELSE CAST(floor(value * 100) AS BIGINT) END AS vc
+  FROM events
+),
+r AS (
+  SELECT event_type, event_id, vc,
+         rank() OVER (PARTITION BY event_type ORDER BY vc NULLS FIRST) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n_total,
+         count(vc) OVER (PARTITION BY event_type) AS n
+  FROM s
+)
+SELECT event_type, event_id, vc AS value_cents,
+       CAST(CASE WHEN vc IS NULL THEN NULL
+                 ELSE (1000 * (rk - (n_total - n))) // n END AS BIGINT) AS cdf_pm
+FROM r
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -7280,6 +7315,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q175_volume_trend": q175_volume_trend,
     "q176_trend_residual_anomalies": q176_trend_residual_anomalies,
     "q177_seasonal_deviation": q177_seasonal_deviation,
+    "q178_rank_normalize": q178_rank_normalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -7453,6 +7489,7 @@ ORACLES: dict[str, str] = {
     "q175_volume_trend": Q175_SQL,
     "q176_trend_residual_anomalies": Q176_SQL,
     "q177_seasonal_deviation": Q177_SQL,
+    "q178_rank_normalize": Q178_SQL,
     # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).

@@ -30,6 +30,7 @@ FUZZ_QUERIES = [
     "q172_equi_depth_bins",
     "q175_volume_trend",
     "q177_seasonal_deviation",
+    "q178_rank_normalize",
     # transcripts pipeline (events -> transcripts derivation + conv_meta dim)
     "q00_pipeline_e2e",
     "q01_parse_extract",

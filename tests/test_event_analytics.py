@@ -272,3 +272,32 @@ def test_trend_residual_detector_ignores_steady_growth(spark, tmp_path):
     assert steady and not any(r["is_anomaly"] for r in steady)
     flagged = [r["day_idx"] for r in crash if r["is_anomaly"]]
     assert 6 in flagged
+
+
+def test_rank_normalize_ties_share_cdf_without_tiebreak(spark):
+    from opentelemetry_collector_spark.operators.aggregate import rank_normalize
+
+    # values 1,2,2,2,3 + NULL: min-rank -> cdf 200, 400, 400, 400, 1000
+    rows = [("a", 0, 1.0), ("a", 1, 2.0), ("a", 2, 2.0), ("a", 3, 2.0),
+            ("a", 4, 3.0), ("a", 5, None)]
+    df = spark.createDataFrame(rows, "k string, id int, value double")
+    got = {r["id"]: r["cdf_pm"] for r in
+           rank_normalize(df, ["k"], "value").collect()}
+    assert got == {0: 200, 1: 400, 2: 400, 3: 400, 4: 1000, 5: None}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="key"):
+        rank_normalize(df, [], "value")
+
+
+def test_rank_normalize_single_exchange_and_partition_invariance(spark):
+    from opentelemetry_collector_spark.operators.aggregate import rank_normalize
+
+    rows = [("k", i, float((i * 13) % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, id int, value double")
+    a = {r["id"]: r["cdf_pm"] for r in rank_normalize(df.coalesce(1), ["k"], "value").collect()}
+    b = {r["id"]: r["cdf_pm"] for r in rank_normalize(df.repartition(16), ["k"], "value").collect()}
+    assert a == b
+    plan = (rank_normalize(df, ["k"], "value")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1 and "Join" not in plan
