@@ -51,7 +51,7 @@ FUZZ_QUERIES = [
     "q44_pii_redact",
 ]
 
-SEEDS = [11, 23, 47]
+SEEDS = [11, 23, 47, 89, 131]
 
 
 def _random_events(seed: int) -> pd.DataFrame:
