@@ -694,3 +694,80 @@ def _cusum_state_fn(drift: int, threshold: int, timeout_minutes: int):
         state.setTimeoutDuration(timeout_minutes * 60 * 1000)
 
     return fn
+
+
+HYST_SCHEMA = (
+    "series string, ts timestamp, value bigint, alert boolean, is_edge boolean"
+)
+
+
+def hysteresis_stream(
+    df: DataFrame,
+    hi: int = 0,
+    lo: int = 0,
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Streaming form of ``operators/timeseries.threshold_hysteresis``: the
+    Schmitt-trigger alert state carried PER SERIES across micro-batches,
+    so continuous ingest raises/clears the same alerts batch backfill
+    computes. Within a batch the carry-last-crossing recurrence is one
+    numpy forward-fill; state is ONE boolean per live series with the
+    usual idle sweep. Edges are exact across trigger boundaries because
+    the previous batch's final state seeds the comparison.
+
+    Input follows :data:`SERIES_SCHEMA` (value in integer cents); NULL
+    ts/value rows are refused per-row.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got {hi} <= {lo}")
+    return df.groupBy("series").applyInPandasWithState(
+        _hyst_state_fn(int(hi), int(lo), timeout_minutes),
+        outputStructType=HYST_SCHEMA,
+        stateStructType="alert boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def _hyst_state_fn(hi: int, lo: int, timeout_minutes: int):
+    """Per-series handler behind :func:`hysteresis_stream`."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (prev,) = state.get if state.exists else (False,)
+        chunks = list(pdfs)
+        whole = pd.concat(chunks) if chunks else None
+        if whole is not None:
+            pdf = whole[whole["value"].notna() & whole["ts"].notna()]
+            if len(pdf):
+                pdf = pdf.sort_values(["ts", "value"], kind="stable").reset_index(drop=True)
+                v = pdf["value"].to_numpy(dtype="int64")
+                # crossing signal: +1 above hi, -1 below lo, 0 in the band;
+                # forward-fill the last non-zero crossing, seeded by state
+                sig = np.where(v > hi, 1, np.where(v < lo, -1, 0))
+                idx = np.where(sig != 0, np.arange(len(v)), -1)
+                idx = np.maximum.accumulate(idx)
+                alert = np.where(idx >= 0, sig[np.maximum(idx, 0)] > 0, prev)
+                shifted = np.empty_like(alert)
+                shifted[0] = prev
+                shifted[1:] = alert[:-1]
+                yield pd.DataFrame(
+                    {
+                        "series": pdf["series"],
+                        "ts": pdf["ts"],
+                        "value": pdf["value"],
+                        "alert": alert,
+                        "is_edge": alert != shifted,
+                    }
+                )
+                prev = bool(alert[-1])
+                state.update((prev,))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+
+    return fn

@@ -624,3 +624,75 @@ def test_cusum_state_timeout_drops_accumulator():
     st = S()
     assert list(_cusum_state_fn(0, 1, 1)("s", iter([]), st)) == []
     assert st.removed
+
+
+def test_hysteresis_stream_matches_batch_operator(spark, tmp_path):
+    """hysteresis_stream across micro-batches == threshold_hysteresis on
+    the union: the ON state carries across the file boundary, so the dead
+    band in file 2 holds instead of re-edging."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.operators.timeseries import threshold_hysteresis
+    from opentelemetry_collector_spark.streaming.stream import (
+        SERIES_SCHEMA,
+        hysteresis_stream,
+    )
+
+    base = dt.datetime(2025, 1, 1)
+
+    def rows(spec):
+        return [("s1", base + dt.timedelta(minutes=m), v) for m, v in spec]
+
+    f1 = rows([(0, 70), (1, 120)])                   # band, then ON
+    f2 = rows([(2, 70), (3, 40), (4, 70), (5, 130)])  # hold, OFF, hold, ON
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(f1, SERIES_SCHEMA).coalesce(1).write.mode("append").parquet(landing)
+    spark.createDataFrame(f2, SERIES_SCHEMA).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = hysteresis_stream(
+        spark.readStream.schema(SERIES_SCHEMA).option("maxFilesPerTrigger", 1).parquet(landing),
+        hi=100, lo=50,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hyst_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    epoch = dt.datetime(1970, 1, 1)
+    got = {
+        int((r["ts"] - epoch).total_seconds() * 1_000_000): (r["alert"], r["is_edge"])
+        for r in spark.sql("select * from hyst_out").collect()
+    }
+    batch_in = spark.createDataFrame(
+        [(s, t, v / 100.0) for s, t, v in f1 + f2],
+        "series string, ts timestamp, value double",
+    )
+    want = {
+        r["ts_us"]: (r["alert"], r["is_edge"])
+        for r in threshold_hysteresis(batch_in, ["series"], hi_cents=100,
+                                      lo_cents=50).collect()
+    }
+    assert got == want
+    t = lambda m: int((base + dt.timedelta(minutes=m) - epoch).total_seconds() * 1_000_000)
+    assert got[t(1)] == (True, True)
+    assert got[t(2)] == (True, False)    # dead band HOLDS across the trigger
+    assert got[t(3)] == (False, True)
+    assert got[t(5)] == (True, True)
+
+
+def test_hysteresis_state_timeout_drops():
+    from opentelemetry_collector_spark.streaming.stream import _hyst_state_fn
+
+    class S:
+        hasTimedOut = True
+        removed = False
+        def remove(self):
+            self.removed = True
+
+    st = S()
+    assert list(_hyst_state_fn(2, 1, 1)("s", iter([]), st)) == []
+    assert st.removed
