@@ -331,7 +331,12 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", k: int = 5, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via an inverted shingle index.
 
@@ -340,9 +345,22 @@ def ngram_jaccard_pairs(
     sharing >=1 shingle ever pair, count shared shingles per pair with a
     grouped aggregate (map-side partial), then derive
     |A∩B| / (|A| + |B| - |A∩B|). Candidate generation is proportional to
-    posting-list sizes, not n^2, and every step is a shuffle-partitioned
-    join/agg — the same plan holds at 10^9 documents with AQE handling
-    hot shingles.
+    Σ df² over posting lists, not n², and every step is a shuffle-
+    partitioned join/agg.
+
+    ``max_df`` is the quadratic-blowup guard (the same contract as
+    ``similarity.sparse_cosine_pairs``): a shingle appearing in f documents
+    contributes f² candidate pairs, so ONE boilerplate 5-gram shared by
+    every document makes the join Θ(n²) no matter how the partitions are
+    balanced — AQE can spread the skew, not shrink the pair count. With
+    ``max_df`` set, shingles with df > max_df are dropped BEFORE the
+    self-join and the Jaccard is computed over the PRUNED shingle space
+    (set sizes and intersections both exclude pruned shingles — a
+    consistent similarity measure an oracle can replay, and near-dup
+    evidence lives in rare shingles anyway, the all-pairs argument
+    BENCH/ALLPAIRS.md measures). Documents whose shingles are all pruned
+    cannot pair. ``None`` keeps the exact full-space semantics for
+    bounded corpora.
     """
     from opentelemetry_collector_spark.functions.shingle_hash import shingle_hash_table
 
@@ -356,8 +374,15 @@ def ngram_jaccard_pairs(
     # persist so shingling runs once
     s = s.persist()
     s.count()
-    sizes = s.select("_id", F.size("_sh").alias("_n"))
     post = s.select("_id", F.explode("_sh").alias("_g"))
+    if max_df is not None:
+        # df-prune BEFORE the self-join; the pruned postings feed three
+        # consumers (sizes + both join sides), so persist them once
+        dfreq = post.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+        post = post.join(dfreq.filter(F.col("_df") <= max_df).select("_g"), "_g").persist()
+        sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    else:
+        sizes = s.select("_id", F.size("_sh").alias("_n"))
     a, b = post.alias("a"), post.alias("b")
     inter = (
         a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))

@@ -16,10 +16,15 @@ a 100 TB corpus asks of that graph:
 Scale shape: the only corpus-sized pass is the edge aggregation (one
 partial-aggregated groupBy over the event stream). Every PageRank iteration
 runs on the AGGREGATED edge list — bounded by distinct (src, dst) pairs,
-not by events — and the rank frame (one row per node) broadcasts onto it,
-so iterations add no corpus-sized shuffle. At web scale (billions of nodes)
-the same code degrades gracefully: the broadcast becomes a shuffled
-hash-join on ``src``, still proportional to edges, never to raw events.
+not by events — and the rank frame (one row per node) joins onto it, so
+iterations add no corpus-sized shuffle. The rank-side join strategy is
+SIZE-GATED (same probe-and-switch as ``dedup.connected_components``): at
+or under ``broadcast_node_threshold`` nodes the per-iteration join carries
+an explicit broadcast hint (rank frames are post-shuffle aggregates whose
+size estimates AQE routinely overshoots); above it the hint is withheld so
+Catalyst/AQE plan a shuffled hash-join on ``src`` — an unconditional hint
+would try to materialize billions of ranks on the driver instead of
+degrading.
 """
 
 from __future__ import annotations
@@ -70,6 +75,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping_pct: int = 85,
+    broadcast_node_threshold: int = 4_000_000,
 ) -> DataFrame:
     """Weighted PageRank over (src, dst, weight), exact in integer arithmetic.
 
@@ -80,6 +86,16 @@ def pagerank(
     (dangling mass is dropped, the common simplification). Returns
     (node, rank_micros) — bit-identical under any partitioning because
     only integer adds/divides are involved.
+
+    The per-iteration rank join is broadcast ONLY when a one-time
+    ``limit(threshold+1)`` probe proves the node set fits
+    (``broadcast_node_threshold`` nodes ≈ 64 MB of (node, rank) rows);
+    otherwise the hint is withheld and the join shuffles on ``src`` — an
+    unconditional ``F.broadcast`` would be honored regardless of size and
+    OOM the driver at web scale instead of degrading. Lineage is truncated
+    with ``localCheckpoint`` every few rounds so deep iteration counts
+    don't stack a re-execution cliff (same guard as
+    ``dedup.connected_components``).
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (1, 99)")
@@ -88,17 +104,23 @@ def pagerank(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    small_nodes = (
+        broadcast_node_threshold > 0
+        and nodes.limit(broadcast_node_threshold + 1).count() <= broadcast_node_threshold
+    )
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_weight"))
     # out_weight rides along each edge once; iterations then only touch ranks
     e = edges.join(out_w, on="src").select("src", "dst", "weight", "out_weight")
     base = (100 - damping_pct) * UNIT // 100
     ranks = nodes.select("node", F.lit(UNIT).cast("bigint").alias("rank_micros"))
-    for _ in range(iterations):
+    for it in range(iterations):
+        if it and it % 4 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+        rank_side = ranks.withColumnRenamed("node", "src")
+        if small_nodes:
+            rank_side = F.broadcast(rank_side)
         contrib = (
-            e.join(
-                F.broadcast(ranks.withColumnRenamed("node", "src")),
-                on="src",
-            )
+            e.join(rank_side, on="src")
             .select(
                 F.col("dst").alias("node"),
                 # integer div: exact on non-negative operands (never `/`,

@@ -528,9 +528,12 @@ def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded corpus slice (a no-op at sf<=0.01): this synthetic corpus is
     # heavily templated, so ~1/3 of ALL pairs clear a 0.2 threshold — exact
     # verify output is inherently quadratic and q19's MinHash-LSH is the
-    # unbounded-scale path (same trade as q17's max_id bound)
+    # unbounded-scale path (same trade as q17's max_id bound). max_df=900
+    # exercises the hot-shingle guard (shingles in >90% of the slice carry
+    # no near-dup evidence but drive Σdf² candidate growth); the oracle
+    # applies the identical pruning.
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 1000)
-    return ngram_jaccard_pairs(docs, id_col="doc_id", k=5, threshold=0.2)
+    return ngram_jaccard_pairs(docs, id_col="doc_id", k=5, threshold=0.2, max_df=900)
 
 
 Q25_SQL = r"""
@@ -539,10 +542,16 @@ WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS 
 sh AS (SELECT doc_id,
          list_distinct([substr(s, i, 5) for i in range(1, greatest(length(s) - 4, 1) + 1)]) AS sh
        FROM d),
-p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        len(list_intersect(a.sh, b.sh)) AS i,
-        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+post AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+keep AS (SELECT g FROM post GROUP BY g HAVING count(*) <= 900),
+fp AS (SELECT doc_id, g FROM post JOIN keep USING (g)),
+sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM fp a JOIN fp b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+p AS (SELECT a_id, b_id, i, sa.n + sb.n - i AS u
+      FROM inter JOIN sizes sa ON sa.doc_id = a_id
+                 JOIN sizes sb ON sb.doc_id = b_id)
 SELECT a_id, b_id, CAST(floor(i * 1000.0 / u) AS BIGINT) AS jaccard_milli
 FROM p WHERE u > 0 AND i * 1.0 / u >= 0.2
 """
@@ -7494,3 +7503,48 @@ ORACLES: dict[str, str] = {
     # SQL-expressible); the driver records rows-only checks and pytest holds
     # their golden tests (tests/test_dedup_similarity.py).
 }
+
+
+# Names the round-1 driver gate already hash-verified (CORRECTNESS_r01.json:
+# 50/50 green). The driver checks a bounded prefix of queries() per round,
+# so the export order below rotates never-yet-checked queries to the front —
+# the union of per-round CORRECTNESS files then converges on the full
+# registry instead of re-proving the same prefix every round. Checked names
+# stay registered (and still run in pytest/bench); they just yield their
+# prefix slots.
+_DRIVER_VERIFIED_R01: frozenset[str] = frozenset(
+    {
+        "q00_pipeline_e2e", "q01_parse_extract", "q02_filter_strict",
+        "q03_filter_regexp", "q04_attributes_actions", "q05_enrich_broadcast",
+        "q06_route_counts", "q07_turn_counts", "q08_accumulate_last",
+        "q09_timeseries_group", "q10_sampler_priority", "q11_span_to_attributes",
+        "q12_dedup_exact", "q13_text_quality", "q14_lang_id", "q15_token_count",
+        "q16_ann_topk", "q17_embedding_dedup", "q18_multimodal_stats",
+        "q23_session_latency", "q24_grok_pack", "q25_ngram_jaccard",
+        "q26_conv_digest", "q27_severity_counts", "q28_json_roundtrip",
+        "q29_expr_filter", "q30_ann_ivf", "q31_otlp_roundtrip",
+        "q32_batch_split", "q33_histogram_merge", "q34_memory_limiter",
+        "q35_media_histogram", "q36_trainprep", "q37_zipkin_roundtrip",
+        "q38_jaeger_roundtrip", "q48_oc_roundtrip", "q49_oc_metrics_roundtrip",
+        "q39_dedup_clusters", "q40_prom_scrape_roundtrip", "q41_histogram_scrape",
+        "q42_pack_sequences", "q43_stratified_sample", "q44_pii_redact",
+        "q45_repetition", "q46_decontaminate", "q47_vocab_coverage",
+        "q50_exact_substring", "q51_asof_enrich", "q52_route_rollup",
+        "q53_latency_quantiles",
+    }
+)
+
+# q25's round-2 semantics changed (max_df hot-shingle guard), so its round-1
+# green row no longer covers it — rotate it back into the checked prefix.
+_RECHECK: frozenset[str] = frozenset({"q25_ngram_jaccard"})
+
+
+def _rotate(d: dict) -> dict:
+    done = _DRIVER_VERIFIED_R01 - _RECHECK
+    front = [k for k in d if k not in done and k in ORACLES]
+    rows_only = [k for k in d if k not in done and k not in ORACLES]
+    return {k: d[k] for k in front + rows_only + [k for k in d if k in done]}
+
+
+QUERIES = _rotate(QUERIES)
+ORACLES = {k: ORACLES[k] for k in QUERIES if k in ORACLES}

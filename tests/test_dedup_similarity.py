@@ -83,6 +83,38 @@ def test_lsh_no_false_negatives_at_high_threshold(spark):
     assert exact <= lsh or exact == lsh
 
 
+def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
+    """The Σdf² guard: a boilerplate prefix shared by EVERY document may
+    not pair everything with everything once its shingles exceed max_df;
+    the rare-shingle near-dup must survive the pruning."""
+    boiler = "terms of service apply to all content here "
+    rows = [
+        (0, boiler + BASE),
+        (1, boiler + BASE.replace("quick", "swift")),  # near-dup of 0
+        (2, boiler + "databases and query engines compared at length"),
+        (3, boiler + "volcanoes and oceans and islands and weather"),
+        (4, boiler + "sed sagittis euismod arcu in hendrerit tellus"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pruned = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(df, "doc_id", threshold=0.4, max_df=3).collect()
+    }
+    assert (0, 1) in pruned
+    # boilerplate-only overlap (df=5 shingles, all pruned) cannot pair
+    assert all(a in (0, 1) and b in (0, 1) for a, b in pruned), pruned
+    # unpruned full-space semantics are unchanged by the new parameter
+    full = {
+        (r.a_id, r.b_id): r.jaccard_milli
+        for r in ngram_jaccard_pairs(_docs(spark), "doc_id", threshold=0.5).collect()
+    }
+    huge = {
+        (r.a_id, r.b_id): r.jaccard_milli
+        for r in ngram_jaccard_pairs(_docs(spark), "doc_id", threshold=0.5, max_df=10**6).collect()
+    }
+    assert full == huge and full
+
+
 def test_shingle_jaccard_identity(spark):
     df = spark.createDataFrame([(BASE,)], "t string").select(
         jaccard(shingles(F.col("t")), shingles(F.col("t"))).alias("j")

@@ -63,6 +63,24 @@ def test_pagerank_rejects_bad_damping(spark):
         pagerank(df, damping_pct=100)
 
 
+def test_pagerank_withholds_broadcast_above_node_threshold(spark):
+    """The rank-side broadcast hint must be size-gated: with the probe
+    forced over threshold the physical plan may not contain a broadcast
+    exchange of the rank frame (an explicit hint would be honored at ANY
+    size and OOM the driver at web scale), and the ranks stay identical."""
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 40}", (i % 5) + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight bigint")
+    gated = pagerank(df, iterations=2, broadcast_node_threshold=5)
+    plan = gated._jdf.queryExecution().analyzed().toString()
+    # no explicit hint — AQE may still broadcast a provably-small side at
+    # runtime, which is exactly the "degrade by size" behavior we want
+    assert "ResolvedHint" not in plan, plan
+    hinted = pagerank(df, iterations=2)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    small = {r["node"]: r["rank_micros"] for r in hinted.collect()}
+    assert {r["node"]: r["rank_micros"] for r in gated.collect()} == small
+
+
 def test_navigation_edges_golden(spark):
     t0 = dt.datetime(2026, 1, 5)
     rows = [
