@@ -133,6 +133,58 @@ def _signatures(
     return out
 
 
+def token_fnv_hashes(text_col):
+    """Arrow-vectorized per-token FNV-poly + splitmix64 hashes.
+
+    Drop-in alternative to ``dedup.token_hashes`` (JVM xxhash64) whose
+    values an external SQL engine can REPLAY — the hash is the same
+    code-point polynomial + splitmix64 finalizer as the shingle kernel
+    above, which plans/oracle_gen.py emits as DuckDB integer arithmetic
+    (mod-2^64 wrap emulated in HUGEINT). Tokenization mirrors
+    ``operators.text.tokens`` exactly: SQL trim (spaces only), NULL text ->
+    NULL array, empty-after-trim -> empty array, Java ``split("\\s+")``
+    semantics (a leading separator yields a leading "" token; trailing
+    empties are discarded).
+
+    Vectorization: all tokens of the batch flatten into one UTF-32
+    code-point buffer; the fold runs max_token_len masked vector steps
+    over a (token, step) index — no per-character Python.
+    """
+    import re
+
+    split_re = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _impl(series: pd.Series) -> pd.Series:
+        out = []
+        for s in series:
+            if s is None or (isinstance(s, float) and pd.isna(s)):
+                out.append(None)
+                continue
+            t = str(s).strip(" ")
+            if not t:
+                out.append([])
+                continue
+            toks = split_re.split(t)
+            while toks and toks[-1] == "":
+                toks.pop()
+            if not toks:
+                out.append([])
+                continue
+            lens = np.array([len(x) for x in toks], dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            flat = np.frombuffer("".join(toks).encode("utf-32-le"), dtype=np.uint32).astype(
+                np.uint64
+            )
+            h = np.zeros(len(toks), dtype=np.uint64)
+            for j in range(int(lens.max())):
+                alive = lens > j
+                h[alive] = h[alive] * _FNV_PRIME + flat[starts[alive] + j]
+            out.append([int(x) for x in _mix64(h).astype(np.int64)])
+        return pd.Series(out, dtype=object)
+
+    return F.pandas_udf(_impl, "array<bigint>")(text_col)
+
+
 def simhash_votes(hashes_col):
     """Vectorized SimHash from a MATERIALIZED array<bigint> token-hash column.
 

@@ -436,7 +436,12 @@ def simhash(col: Column, bits: int = 64) -> Column:
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3, bits: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming — EXACT (full recall).
 
@@ -445,16 +450,32 @@ def simhash_neardup_pairs(
     so by pigeonhole it AGREES on at least one chunk — candidate generation
     via the (chunk, key) self-join therefore misses nothing, and the final
     bit_count filter removes false positives. (A fixed 4-chunk split only
-    guarantees d <= 3; the chunk count must track the radius.)"""
-    from opentelemetry_collector_spark.functions.shingle_hash import simhash_votes
+    guarantees d <= 3; the chunk count must track the radius.)
+
+    ``hasher``: ``"xxhash64"`` hashes tokens JVM-side (native, Spark-only);
+    ``"fnv"`` uses the Arrow FNV+splitmix64 token kernel whose values an
+    external SQL engine can replay (the q20 oracle) — the simhash itself is
+    hash-agnostic, only the bit patterns differ."""
+    from opentelemetry_collector_spark.functions.shingle_hash import (
+        simhash_votes,
+        token_fnv_hashes,
+    )
     from opentelemetry_collector_spark.session import spread
 
-    # token hashes stay JVM (xxhash64); the 64 per-bit vote passes run
-    # vectorized in numpy (value-identical — see simhash_votes docstring).
-    # spread: a single-split scan serializes this stage on one core
-    # (measured 8.1 s -> 1.7 s at local[32] on sf0.1)
+    if hasher not in ("xxhash64", "fnv"):
+        raise ValueError(f"unknown hasher: {hasher!r} (xxhash64 | fnv)")
+    # token hashes stay JVM (xxhash64) or run in the same Arrow pass (fnv);
+    # the 64 per-bit vote passes run vectorized in numpy (value-identical
+    # — see simhash_votes docstring). spread: a single-split scan
+    # serializes this stage on one core (measured 8.1 s -> 1.7 s at
+    # local[32] on sf0.1)
+    th = (
+        token_hashes(F.col(text_col))
+        if hasher == "xxhash64"
+        else token_fnv_hashes(F.col(text_col))
+    )
     s = (
-        spread(df).withColumn("_th", token_hashes(F.col(text_col)))
+        spread(df).withColumn("_th", th)
         .select(F.col(id_col).alias("_id"), simhash_votes(F.col("_th")).alias("_h"))
     )
     # feeds both sides of the chunk-blocked self-join (concurrent root

@@ -1,0 +1,168 @@
+"""Generated DuckDB oracle SQL for the hash-heavy operators.
+
+The MinHash/SimHash kernels (functions/shingle_hash.py) hash with an
+FNV-style code-point polynomial + splitmix64 finalizer — pure mod-2^64
+integer arithmetic, so an independent SQL engine can REPLAY every hash
+bit-for-bit and the driver's oracle gate can value-check the LSH pair
+operators instead of falling back to rows-only checks. DuckDB has no
+wrapping 64-bit multiply (integer overflow errors), so the generators
+below emit the standard split-multiply emulation in HUGEINT:
+
+    (a * k) mod 2^64
+      = ((a mod 2^32) * k  +  (((a div 2^32) * k) mod 2^32) * 2^32) mod 2^64
+
+with every intermediate < 2^97, comfortably inside HUGEINT. xor/shift
+steps run in UBIGINT (DuckDB's xor()/>> are 64-bit clean), multiplies in
+HUGEINT, and the chain is laid out as one list_transform CTE per mix step
+so the quadratic-looking expressions stay linear in SQL size.
+
+The Python constants inlined into the SQL (_hash_params minhash planes,
+band layout, chunk offsets) come from the SAME functions the Spark
+operators call — a seed change regenerates both sides in lockstep.
+
+These strings are driver-contract oracles (plans/queries.py ORACLES);
+tools/check_oracles.py and the round driver execute them verbatim.
+"""
+
+from __future__ import annotations
+
+M64 = 1 << 64
+M32 = 1 << 32
+MERSENNE = (1 << 31) - 1
+FNV_PRIME = 1099511628211
+MIX_C1 = 0xFF51AFD7ED558CCD
+MIX_C2 = 0xC4CEB9FE1A85EC53
+
+#: one splitmix64 xor-shift step over a UBIGINT-castable element named h
+_XORSHIFT = "xor(CAST(h AS UBIGINT), CAST(h AS UBIGINT) >> 33)"
+
+
+def _wrapmul(expr: str, k: int) -> str:
+    """(expr * k) mod 2^64, expr a HUGEINT in [0, 2^64)."""
+    return (
+        f"((({expr}) % {M32}) * {k} + "
+        f"(((({expr}) // {M32}) * {k}) % {M32}) * {M32}) % {M64}"
+    )
+
+
+def _mix_chain(src_cte: str, extra_cols: str = "") -> str:
+    """CTE chain applying splitmix64 to a HUGEINT list column ``hs`` of
+    ``src_cte``; the final CTE is named ``mx`` with UBIGINT ``hs``.
+    ``extra_cols`` rides along unchanged (e.g. ``doc_id, ``)."""
+    return f"""
+x1 AS (SELECT {extra_cols}list_transform(hs, h -> {_XORSHIFT}) AS hs FROM {src_cte}),
+x2 AS (SELECT {extra_cols}list_transform(hs, h -> {_wrapmul('CAST(h AS HUGEINT)', MIX_C1)}) AS hs FROM x1),
+x3 AS (SELECT {extra_cols}list_transform(hs, h -> {_XORSHIFT}) AS hs FROM x2),
+x4 AS (SELECT {extra_cols}list_transform(hs, h -> {_wrapmul('CAST(h AS HUGEINT)', MIX_C2)}) AS hs FROM x3),
+mx AS (SELECT {extra_cols}list_transform(hs, h -> {_XORSHIFT}) AS hs FROM x4)"""
+
+
+def gen_q19_minhash_sql(
+    threshold: float = 0.5, k: int = 5, num_hashes: int = 32, bands: int = 8, seed: int = 42
+) -> str:
+    """Replay of dedup.minhash_lsh_pairs over the documents table.
+
+    Banding note: Spark buckets on xxhash64 of each signature slice purely
+    to compress the join key; bucket equality == slice equality except for
+    2^-64 hash collisions (whose spurious candidates the exact-Jaccard
+    verify then discards), so the replay bands on the slice VALUES.
+    """
+    from opentelemetry_collector_spark.operators.dedup import _hash_params
+
+    params = _hash_params(num_hashes, seed)
+    r = num_hashes // bands
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(bases, b -> ({a} * b + {c}) % {MERSENNE}))" for a, c in params
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + ", ".join(f"sig[{b * r + j + 1}] AS s{j}" for j in range(r))
+        + " FROM sig"
+        for b in range(bands)
+    )
+    band_eq = " AND ".join(f"a.s{j} = b.s{j}" for j in range(r))
+    return rf"""
+WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+           FROM documents WHERE text IS NOT NULL),
+g AS (SELECT doc_id,
+        list_distinct([substr(s, i, {k}) for i in range(1, greatest(length(s) - {k - 1}, 1) + 1)]) AS gs
+      FROM d),
+p0 AS (SELECT doc_id, list_transform(gs, t -> list_reduce(
+         list_prepend(CAST(0 AS HUGEINT),
+           [CAST(unicode(t[i]) AS HUGEINT) for i in range(1, length(t) + 1)]),
+         (acc, c) -> ({_wrapmul('acc', FNV_PRIME)} + c) % {M64})) AS hs FROM g),{_mix_chain('p0', 'doc_id, ')},
+tbl AS (SELECT doc_id, list_distinct(hs) AS hs FROM mx),
+sh AS (SELECT doc_id,
+         list_transform(hs, h -> CAST(h >> 1 AS BIGINT)) AS sh,
+         list_transform(hs, h -> CAST(h % {MERSENNE} AS BIGINT)) AS bases
+       FROM tbl),
+sig AS (SELECT doc_id, [
+    {sig_exprs}
+  ] AS sig FROM sh),
+bnd AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bnd a JOIN bnd b
+           ON a.band = b.band AND {band_eq} AND a.doc_id < b.doc_id),
+v AS (SELECT a_id, b_id,
+        len(list_intersect(sa.sh, sb.sh)) AS i,
+        len(sa.sh) AS na, len(sb.sh) AS nb
+      FROM cand JOIN sh sa ON sa.doc_id = a_id
+                JOIN sh sb ON sb.doc_id = b_id)
+SELECT a_id, b_id, CAST(floor((i / (na + nb - i)) * 1000) AS BIGINT) AS jaccard_milli
+FROM v WHERE i / (na + nb - i) >= {threshold}
+"""
+
+
+def gen_q20_simhash_sql(max_hamming: int = 8, bits: int = 64) -> str:
+    """Replay of dedup.simhash_neardup_pairs(hasher="fnv").
+
+    Tokenization mirrors operators.text.tokens / shingle_hash.
+    token_fnv_hashes: SQL trim (spaces only), empty -> no tokens, Java
+    split("\\s+") keeps a leading "" and drops the (single, because the
+    separator regex is greedy) trailing "". Votes, chunk blocking, and the
+    bit_count verify replay the exact integer rules.
+    """
+    n_chunks = max_hamming + 1
+    base_w, extra = divmod(bits, n_chunks)
+    offsets, widths, off = [], [], 0
+    for i in range(n_chunks):
+        w_i = base_w + (1 if i < extra else 0)
+        offsets.append(off)
+        widths.append(w_i)
+        off += w_i
+    # bit weights as precomputed literals: DuckDB's << evaluates in BIGINT
+    # and errors on 1 << 63 regardless of the operand's declared type
+    vote_terms = " +\n      ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << i} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+        for i in range(bits)
+    )
+    chunk_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, hu, {i} AS chunk, "
+        f"(hu >> {offsets[i]}) & {(1 << widths[i]) - 1} AS key FROM sim"
+        for i in range(n_chunks)
+    )
+    return rf"""
+WITH d AS (SELECT doc_id,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+           FROM documents),
+tk AS (SELECT doc_id,
+         CASE WHEN len(ts) > 0 AND ts[-1] = '' THEN ts[1:len(ts) - 1] ELSE ts END AS ts
+       FROM d),
+p0 AS (SELECT doc_id, list_transform(ts, t -> list_reduce(
+         list_prepend(CAST(0 AS HUGEINT),
+           [CAST(unicode(t[i]) AS HUGEINT) for i in range(1, length(t) + 1)]),
+         (acc, c) -> ({_wrapmul('acc', FNV_PRIME)} + c) % {M64})) AS hs FROM tk),{_mix_chain('p0', 'doc_id, ')},
+sim AS (SELECT doc_id,
+      {vote_terms}
+    AS hu FROM mx),
+chunks AS ({chunk_selects}),
+pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            bit_count(xor(a.hu, b.hu)) AS hamming
+          FROM chunks a JOIN chunks b
+            ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hu, b.hu)) <= {max_hamming})
+SELECT DISTINCT a_id, b_id, CAST(hamming AS INTEGER) AS hamming FROM pairs
+"""

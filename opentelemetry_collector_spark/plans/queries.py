@@ -1761,10 +1761,14 @@ def q19_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q20_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hasher="fnv": token hashes come from the replayable FNV+splitmix64
+    Arrow kernel instead of JVM xxhash64, so the DuckDB oracle
+    (oracle_gen.gen_q20_simhash_sql) value-checks the whole pipeline —
+    votes, chunk blocking, and hamming verify included."""
     from opentelemetry_collector_spark.operators.dedup import simhash_neardup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_neardup_pairs(docs, id_col="doc_id", max_hamming=8)
+    return simhash_neardup_pairs(docs, id_col="doc_id", max_hamming=8, hasher="fnv")
 
 
 def q21_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7499,10 +7503,16 @@ ORACLES: dict[str, str] = {
     "q176_trend_residual_anomalies": Q176_SQL,
     "q177_seasonal_deviation": Q177_SQL,
     "q178_rank_normalize": Q178_SQL,
-    # q19-q22 are deliberately oracle-less (LSH/simhash/feature UDFs are not
-    # SQL-expressible); the driver records rows-only checks and pytest holds
-    # their golden tests (tests/test_dedup_similarity.py).
 }
+
+# The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
+# splitmix64 — functions/shingle_hash.py), so their oracles are GENERATED
+# replays of the exact hash/band/verify pipeline rather than handwritten
+# SQL (plans/oracle_gen.py emulates the 64-bit wrap in HUGEINT).
+from opentelemetry_collector_spark.plans import oracle_gen as _og
+
+ORACLES["q19_minhash_lsh"] = _og.gen_q19_minhash_sql(threshold=0.5)
+ORACLES["q20_simhash_neardup"] = _og.gen_q20_simhash_sql(max_hamming=8)
 
 
 # Names the round-1 driver gate already hash-verified (CORRECTNESS_r01.json:

@@ -115,6 +115,57 @@ def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
     assert full == huge and full
 
 
+def test_token_fnv_hashes_match_python_reference(spark):
+    """The replayable token hash (FNV poly + splitmix64 over code points)
+    must equal a from-scratch Python fold, including the Java split("\\s+")
+    edge cases the oracle SQL replicates: leading separator keeps a ""
+    token, trailing empties drop, SQL trim strips spaces only."""
+    import re
+
+    import numpy as np
+
+    from opentelemetry_collector_spark.functions.shingle_hash import token_fnv_hashes
+
+    def ref_hash(tok):
+        h = 0
+        for ch in tok:
+            h = (h * 1099511628211 + ord(ch)) % (1 << 64)
+        h ^= h >> 33
+        h = (h * 0xFF51AFD7ED558CCD) % (1 << 64)
+        h ^= h >> 33
+        h = (h * 0xC4CEB9FE1A85EC53) % (1 << 64)
+        h ^= h >> 33
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    def ref_tokens(s):
+        if s is None:
+            return None
+        t = s.strip(" ")
+        if not t:
+            return []
+        toks = re.split(r"[ \t\n\x0b\f\r]+", t)
+        while toks and toks[-1] == "":
+            toks.pop()
+        return toks
+
+    texts = ["hello world", "\tlead tab", "trail\t", "  spaced  ", "", "\t", None, "héllo ünï", "one"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r.i: r.h for r in df.select("i", token_fnv_hashes(F.col("text")).alias("h")).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = ref_tokens(t)
+        want = None if toks is None else [ref_hash(x) for x in toks]
+        assert got[i] == want, (t, got[i], want)
+    # and the full simhash pipeline agrees between hashers on structure:
+    # exact dups are hamming-0 pairs under BOTH hashers
+    pairs_fnv = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_neardup_pairs(_docs(spark), "doc_id", max_hamming=8, hasher="fnv").collect()
+    }
+    assert pairs_fnv[(0, 2)] == 0  # exact dup pair survives hasher swap
+
+
 def test_shingle_jaccard_identity(spark):
     df = spark.createDataFrame([(BASE,)], "t string").select(
         jaccard(shingles(F.col("t")), shingles(F.col("t"))).alias("j")
