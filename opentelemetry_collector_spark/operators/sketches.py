@@ -407,3 +407,54 @@ def cm_estimate_big(
     out = df.withColumn(out_col, _est(h1, h2))
     out.sketch_broadcast = bc  # see bloom_probe_big: caller-managed lifecycle
     return out
+
+
+def hll_register_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: Column | str,
+    distinct_col: str,
+    p: int = 9,
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level distinct-count rollup as a PORTABLE HLL register table
+    (Flajolet et al. 2007), the engine-replayable sibling of
+    ``aggregate.sketch_rollup`` (whose Apache-DataSketches binary state no
+    other engine can decode — fine inside Spark, opaque to the oracle
+    gate). State here is plain integers:
+
+      register = h1 mod 2^p,   rho = trailing_zeros(h2) + 1   (53 if h2=0)
+
+    with (h1, h2) the md5 52-bit word pair of :func:`_hash_words` — both
+    expressible in any SQL dialect (DuckDB replays them verbatim, which is
+    what makes q66 value-checkable). rho is computed as
+    ``length(bin(h2 & -h2))``: the lowest set bit isolated, its binary
+    length = trailing zeros + 1 — a geometric(1/2) observable, identical
+    in Spark and DuckDB.
+
+    Returns ``(fine, coarse)``: fine = (key_cols..., bucket, reg, rho)
+    per-bucket registers — a storable rollup table; coarse =
+    (key_cols..., reg, rho) obtained ONLY by max-merging fine (never
+    rescanning the input), the HLL union. max is associative/commutative,
+    so the merged registers are invariant to how rows were bucketed — the
+    same identity test_sketch_rollup pins for the DataSketches path.
+    The float cardinality estimate is one harmonic-mean formula away from
+    these integers; keeping it OUT of the state keeps every row
+    hash-stable across engines.
+    """
+    m = 1 << p
+    bucket = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    h1, h2 = _hash_words(F.col(distinct_col).cast("string"))
+    rho = F.when(h2 == 0, F.lit(53)).otherwise(
+        F.length(F.bin(h2.bitwiseAND(-h2)))
+    )
+    fine = (
+        df.filter(F.col(distinct_col).isNotNull())
+        .groupBy(
+            *key_cols,
+            bucket.alias("bucket"),
+            (h1 % m).cast("int").alias("reg"),
+        )
+        .agg(F.max(rho).cast("int").alias("rho"))
+    )
+    coarse = fine.groupBy(*key_cols, "reg").agg(F.max("rho").cast("int").alias("rho"))
+    return fine, coarse

@@ -1781,13 +1781,44 @@ def q21_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q22_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads, projected to an
+    oracle-checkable shape: one row per (media, feature index) with the
+    per-mille feature value. The stub features are byte-histogram ratios
+    (bincount(byte % 8) / n_bytes); payloads here are UTF-8 text bytes and
+    the fixture corpus is ASCII, so the oracle recomputes the histogram
+    from code points — the Arrow plumbing (schema, batching, NULL rows)
+    is what the value-check exercises end to end."""
     from opentelemetry_collector_spark.operators.multimodal import extract_features, wrap_binary
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
         "payload_bytes", F.encode(F.col("text"), "UTF-8")
     )
     media = wrap_binary(docs, "doc_id", "payload_bytes", modality="image", mime="application/octet-stream")
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "modality",
+        F.posexplode("features").alias("idx", "feat"),
+    ).select(
+        "media_id",
+        "modality",
+        F.col("idx").cast("int").alias("idx"),
+        F.floor(F.col("feat") * 1000).cast("bigint").alias("feat_pm"),
+    )
+
+
+Q22_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+b AS (SELECT doc_id, unnest([unicode(text[i]) % 8 for i in range(1, length(text) + 1)]) AS r
+      FROM d),
+cnt AS (SELECT doc_id, r, count(*) AS c FROM b GROUP BY doc_id, r),
+grid AS (SELECT doc_id, length(text) AS n, g.idx
+         FROM d CROSS JOIN (SELECT unnest(range(8)) AS idx) g)
+SELECT grid.doc_id AS media_id, 'image' AS modality, CAST(grid.idx AS INTEGER) AS idx,
+       CAST(floor((coalesce(cnt.c, 0) / (CASE WHEN grid.n = 0 THEN 1 ELSE grid.n END)) * 1000)
+            AS BIGINT) AS feat_pm
+FROM grid LEFT JOIN cnt ON cnt.doc_id = grid.doc_id AND cnt.r = grid.idx
+"""
 
 
 def q51_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2310,22 +2341,31 @@ def q65_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q66_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch distinct rollup (operators/aggregate.sketch_rollup):
-    per-(day, role) HLL conv sketches merged upward to per-role totals via
-    hll_union_agg — the second level never rescans the input. Rows-only:
-    Spark's DataSketches HLL and DuckDB's HLL give different estimates by
-    construction; the partition-invariance identity (merging day buckets ==
-    merging any hash bucketing of the same rows) and the <5% error bound vs
-    exact distinct are pinned in tests/test_sketch_rollup.py."""
-    from opentelemetry_collector_spark.operators.aggregate import sketch_rollup
+    """Mergeable-sketch distinct rollup on PORTABLE integer HLL registers
+    (operators/sketches.hll_register_rollup): per-(day, role) register
+    tables max-merged upward to per-role sketches — the second level never
+    rescans the input, and because the state is md5-derived integers the
+    DuckDB oracle replays every register exactly (the estimate is a
+    harmonic-mean formula away and deliberately out of the contract). The
+    JVM-native DataSketches variant (aggregate.sketch_rollup) remains the
+    pure-Spark fast path; its estimate-level properties are pinned in
+    tests/test_sketch_rollup.py."""
+    from opentelemetry_collector_spark.operators.sketches import hll_register_rollup
 
     t = from_events(spark, sf_dir)
-    _fine, coarse = sketch_rollup(t, ["role"], F.to_date("ts"), "conv_id")
-    return coarse.select(
-        "role",
-        F.col("n_buckets").cast("bigint").alias("n_days"),
-        F.col("approx_distinct").cast("bigint").alias("approx_convs"),
-    )
+    _fine, coarse = hll_register_rollup(t, ["role"], F.to_date("ts"), "conv_id", p=9)
+    return coarse
+
+
+Q66_SQL = f"""{_PRELUDE},
+h AS (SELECT role,
+        ('0x' || substring(md5(conv_id), 1, 13))::UBIGINT::BIGINT AS h1,
+        ('0x' || substring(md5(conv_id), 14, 13))::UBIGINT::BIGINT AS h2
+      FROM t WHERE conv_id IS NOT NULL)
+SELECT role, CAST(h1 % 512 AS INTEGER) AS reg,
+       CAST(max(CASE WHEN h2 = 0 THEN 53 ELSE length(bin(h2 & (-h2))) END) AS INTEGER) AS rho
+FROM h GROUP BY role, reg
+"""
 
 
 Q65_SQL = """
@@ -7513,6 +7553,8 @@ from opentelemetry_collector_spark.plans import oracle_gen as _og
 
 ORACLES["q19_minhash_lsh"] = _og.gen_q19_minhash_sql(threshold=0.5)
 ORACLES["q20_simhash_neardup"] = _og.gen_q20_simhash_sql(max_hamming=8)
+ORACLES["q22_media_features"] = Q22_SQL
+ORACLES["q66_sketch_rollup"] = Q66_SQL
 
 
 # Names the round-1 driver gate already hash-verified (CORRECTNESS_r01.json:

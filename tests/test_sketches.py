@@ -284,3 +284,43 @@ def test_cm_estimate_big_matches_literal_estimate(spark):
     # literal form estimates NULL keys via NULL positions -> NULL; big form
     # pins the same
     assert big == lit and big[None] is None
+
+
+def test_hll_register_rollup_matches_python_and_merges(spark):
+    """Portable HLL registers: rho/register values equal a from-scratch
+    Python md5 replay, and max-merging per-day fine registers equals
+    sketching the whole input directly (the HLL union identity)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.sketches import hll_register_rollup
+
+    rows = [(f"g{i % 2}", f"d{i % 3}", f"conv-{i % 17}") for i in range(100)] + [
+        ("g0", "d0", None)
+    ]
+    df = spark.createDataFrame(rows, "g string, day string, v string")
+    fine, coarse = hll_register_rollup(df, ["g"], "day", "v", p=9)
+
+    def py_regs(values):
+        regs = {}
+        for v in values:
+            h = hashlib.md5(v.encode()).hexdigest()
+            h1, h2 = int(h[:13], 16), int(h[13:26], 16)
+            rho = 53 if h2 == 0 else (h2 & -h2).bit_length()
+            reg = h1 % 512
+            regs[reg] = max(regs.get(reg, 0), rho)
+        return regs
+
+    want = {}
+    for g in ("g0", "g1"):
+        vals = {v for gg, _, v in rows if gg == g and v is not None}
+        for reg, rho in py_regs(vals).items():
+            want[(g, reg)] = rho
+    got = {(r.g, r.reg): r.rho for r in coarse.collect()}
+    assert got == want
+    # merge invariance: bucketing by hash instead of day gives identical coarse
+    _f2, coarse2 = hll_register_rollup(
+        df, ["g"], F.abs(F.xxhash64("v")) % 7, "v", p=9
+    )
+    assert {(r.g, r.reg): r.rho for r in coarse2.collect()} == got
