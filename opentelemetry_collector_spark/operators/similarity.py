@@ -93,13 +93,33 @@ def cosine_topk(
     return _cos_merge(scored, k)
 
 
+#: fixed-point scale for hyperplane bucketing: vectors quantize to
+#: floor(x * 2^20) and planes are small integers, so every plane dot is an
+#: EXACT int64 — its sign (the bucket bit) is identical on any engine and
+#: any summation order, which is what lets the q21 oracle replay buckets.
+_PLANE_VEC_SCALE = 1 << 20
+
+
+def hyperplane_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic INTEGER hyperplane matrix (dim, n_planes): seeded
+    standard normals scaled by 1000 and rounded. Integer planes sacrifice
+    nothing (any full-rank matrix of random directions works for SimHash
+    bucketing) and buy exact cross-engine replay — a float plane dot's
+    sign can flip with summation order when the dot is near zero."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((dim, n_planes)) * 1000).astype(np.int64)
+
+
 def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
     """Random-hyperplane LSH signature as a bigint bucket id.
 
-    One numpy matmul per Arrow batch — no per-row Python.
+    One numpy integer matmul per Arrow batch — no per-row Python. The
+    vector quantization (floor after a power-of-two scale: exponent shift,
+    no rounding) and integer planes make each bit's sign test exact —
+    magnitudes stay under 2^45 (|x|*2^20 ~ 2^22-ish per coord x |plane| <=
+    ~2^12 x 64 dims), far inside int64.
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = hyperplane_planes(dim, n_planes, seed)
 
     @pandas_udf("long")
     def _sig(s: pd.Series) -> pd.Series:
@@ -110,8 +130,9 @@ def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 16, seed: in
         out = pd.Series([None] * len(s), dtype="Int64")
         mask = s.notna()
         if mask.any():
-            m = np.vstack(s[mask].to_numpy())  # (batch, dim)
-            bits = (m @ planes) > 0  # (batch, n_planes)
+            m = np.vstack(s[mask].to_numpy()).astype(np.float64)
+            mq = np.floor(m * _PLANE_VEC_SCALE).astype(np.int64)
+            bits = (mq @ planes) > 0  # (batch, n_planes), exact int64 dots
             weights = (1 << np.arange(n_planes)).astype(np.int64)
             out[mask.to_numpy()] = bits @ weights
         return out

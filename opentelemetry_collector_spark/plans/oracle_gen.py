@@ -166,3 +166,62 @@ pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           WHERE bit_count(xor(a.hu, b.hu)) <= {max_hamming})
 SELECT DISTINCT a_id, b_id, CAST(hamming AS INTEGER) AS hamming FROM pairs
 """
+
+
+def gen_q21_lsh_sql(
+    dim: int = 64,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """Replay of similarity.lsh_topk: the integer hyperplane matrices are
+    inlined as VALUES rows (the SAME hyperplane_planes() output the Spark
+    kernel multiplies with), buckets rebuilt from exact integer plane
+    dots, candidates re-ranked with the float cosine whose cross-engine
+    parity q16 already established (sequential fold in both engines).
+    Zero-norm vectors never score (cosine NULL contract) and NULL
+    embeddings never bucket, so both drop from e up front."""
+    from opentelemetry_collector_spark.operators.similarity import (
+        _PLANE_VEC_SCALE,
+        hyperplane_planes,
+    )
+
+    rows = []
+    for t in range(n_tables):
+        P = hyperplane_planes(dim, n_planes, seed + t)
+        for p in range(n_planes):
+            w = ", ".join(str(int(x)) for x in P[:, p])
+            rows.append(f"({t}, {p}, [{w}])")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {_PLANE_VEC_SCALE}.0) AS BIGINT)) AS vq
+           FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) > 0),
+planes AS (SELECT * FROM (VALUES
+    {values}
+  ) AS pl(t, p, w)),
+dots AS (SELECT e.vec_id, planes.t, planes.p,
+           list_sum([e.vq[i] * planes.w[i] for i in range(1, {dim} + 1)]) AS d
+         FROM e CROSS JOIN planes),
+sig AS (SELECT vec_id, t,
+          sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id, t),
+q AS (SELECT * FROM sig WHERE {query_pred}),
+cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+         FROM q JOIN sig c ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+s AS (SELECT cand.qid, cand.nid, list_cosine_similarity(eq.v, ec.v) AS c
+      FROM cand JOIN e eq ON eq.vec_id = cand.qid
+                JOIN e ec ON ec.vec_id = cand.nid),
+r AS (SELECT qid, nid, c,
+        row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rk
+      FROM s)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rk AS INTEGER) AS rank,
+       CAST(floor(c * 1000) AS BIGINT) AS cos_milli
+FROM r WHERE rk <= {k}
+"""

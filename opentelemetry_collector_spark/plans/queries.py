@@ -7553,6 +7553,7 @@ from opentelemetry_collector_spark.plans import oracle_gen as _og
 
 ORACLES["q19_minhash_lsh"] = _og.gen_q19_minhash_sql(threshold=0.5)
 ORACLES["q20_simhash_neardup"] = _og.gen_q20_simhash_sql(max_hamming=8)
+ORACLES["q21_ann_lsh"] = _og.gen_q21_lsh_sql(dim=64, k=10, n_planes=6, n_tables=8)
 ORACLES["q22_media_features"] = Q22_SQL
 ORACLES["q66_sketch_rollup"] = Q66_SQL
 
