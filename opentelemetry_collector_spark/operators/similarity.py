@@ -247,6 +247,7 @@ def centroid_probe(
     nprobe: int,
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    normalize: bool = True,
 ) -> Column:
     """IVF coarse quantizer: the ``nprobe`` nearest of ``nlist`` unit
     centroids, as an array<int> of list ids.
@@ -257,10 +258,18 @@ def centroid_probe(
     model file; pass ``centroids=`` (e.g. from :func:`train_centroids`) for
     the k-means-refined quantizer — the contract (deterministic vec->list
     assignment, both sides using the same matrix) is identical.
+
+    ``normalize=False`` skips BOTH the per-vector and the centroid
+    re-normalization and ranks by the raw inner product — the
+    integer-exact serving mode: with integer-valued vectors and centroids
+    every sim is an exact int64-in-double, so list assignment is
+    engine-replayable (the q64 oracle) instead of depending on float
+    division/sqrt rounding.
     """
     if centroids is not None:
         cents = np.asarray(centroids, dtype=np.float64)
-        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        if normalize:
+            cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     else:
         cents = _seed_centroids(dim, nlist, seed)
     nprobe = min(nprobe, nlist)
@@ -274,7 +283,8 @@ def centroid_probe(
         mask = s.notna()
         if mask.any():
             m = np.vstack(s[mask].to_numpy()).astype(np.float64)
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            if normalize:
+                m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             sims = m @ cents.T  # (batch, nlist)
             # full argsort only over nlist (small); stable order for determinism
             idx = np.argsort(-sims, kind="stable", axis=1)[:, :nprobe]
@@ -445,6 +455,7 @@ def train_pq(
     seed: int = 42,
     vec_col: str = "embedding",
     init_sample: int = 4096,
+    normalize: bool = True,
 ) -> np.ndarray:
     """Train per-subspace PQ codebooks; returns (m, ksub, dim/m) numpy.
 
@@ -468,7 +479,8 @@ def train_pq(
     )
     if len(sample):
         X = np.vstack(sample["_v"].to_numpy()).astype(np.float64)
-        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        if normalize:
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     else:  # empty corpus: every subspace falls to the seeded-random branch
         X = np.zeros((0, dim))
     rng = np.random.default_rng(seed)
@@ -500,7 +512,8 @@ def train_pq(
                 if not len(pdf):
                     continue
                 V = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
-                V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+                if normalize:
+                    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
                 for j in range(m):
                     S = V[:, j * dsub : (j + 1) * dsub]
                     # ||s-c||^2 argmin == argmax(s.c - ||c||^2/2)
@@ -537,11 +550,12 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """(id, pq_code array<int>) — each L2-normalized vector's per-subspace
     nearest-codeword indices. One numpy pass per Arrow batch; at scale this
     table is what gets persisted (m bytes/vector), not the floats."""
-    enc = _pq_code_udf(np.asarray(codebooks, dtype=np.float64))
+    enc = _pq_code_udf(np.asarray(codebooks, dtype=np.float64), normalize)
     return df.select(F.col(id_col).alias("nid"), enc(as_double(F.col(vec_col))).alias("pq_code"))
 
 
@@ -556,10 +570,13 @@ def _resolve_centroids(
     return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
 
-def _pq_code_udf(B: np.ndarray):
+def _pq_code_udf(B: np.ndarray, normalize: bool = True):
     """Arrow-batched encoder: L2-normalize, per-subspace nearest codeword.
     A zero vector has no direction (the cosine()-NULL contract), so it
-    encodes to NULL rather than an arbitrary min-norm codeword."""
+    encodes to NULL rather than an arbitrary min-norm codeword.
+    ``normalize=False`` scores raw vectors — with integer-valued inputs
+    and codebooks every score is exact (dyadic halves), so assignment
+    tie-breaks (argmax -> lowest code) replay in SQL."""
     m, ksub, dsub = B.shape
 
     @pandas_udf("array<int>")
@@ -573,7 +590,8 @@ def _pq_code_udf(B: np.ndarray):
             return out
         V = np.vstack(s[mask].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(V, axis=1, keepdims=True)
-        V = V / np.maximum(norms, 1e-12)
+        if normalize:
+            V = V / np.maximum(norms, 1e-12)
         codes = np.empty((len(V), m), dtype=np.int32)
         for j in range(m):
             S = V[:, j * dsub : (j + 1) * dsub]
@@ -588,7 +606,9 @@ def _pq_code_udf(B: np.ndarray):
     return _enc
 
 
-def _pq_query_tensors(queries: DataFrame, B: np.ndarray, id_col: str, vec_col: str):
+def _pq_query_tensors(
+    queries: DataFrame, B: np.ndarray, id_col: str, vec_col: str, normalize: bool = True
+):
     """Driver-side query prep shared by the PQ servers: sorted ids, the
     normalized query matrix, and the (q, m, ksub) dot-product LUT tensor.
     Zero-norm queries are dropped (no direction -> no defined neighbors,
@@ -606,7 +626,7 @@ def _pq_query_tensors(queries: DataFrame, B: np.ndarray, id_col: str, vec_col: s
     if not len(qp):
         return None
     qids = qp["qid"].to_numpy()
-    Q = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    Q = mat / np.linalg.norm(mat, axis=1, keepdims=True) if normalize else mat
     lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), B)
     return qids, Q, lut
 
@@ -677,6 +697,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     encoded: DataFrame | None = None,
+    normalize: bool = True,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance: queries (small, collected
     to a broadcast LUT tensor) score the ENCODED corpus — bytes, not floats
@@ -691,8 +712,12 @@ def pq_topk(
 
     B = np.asarray(codebooks, dtype=np.float64)
     scored_schema, empty_schema = _pq_schemas(dict(queries.dtypes)[id_col])
-    enc = encoded if encoded is not None else pq_encode(spread(corpus), B, id_col, vec_col)
-    prep = _pq_query_tensors(queries, B, id_col, vec_col)
+    enc = (
+        encoded
+        if encoded is not None
+        else pq_encode(spread(corpus), B, id_col, vec_col, normalize)
+    )
+    prep = _pq_query_tensors(queries, B, id_col, vec_col, normalize)
     if prep is None:  # no (directed) queries: empty result, output schema
         return corpus.sparkSession.createDataFrame([], empty_schema)
     qids, _, lut = prep
@@ -712,6 +737,7 @@ def ivf_pq_topk(
     centroids: np.ndarray | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """IVF candidate pruning composed with PQ byte scoring — the standard
     billion-scale serving shape (FAISS IVFPQ): the corpus reduces ONCE to
@@ -727,18 +753,23 @@ def ivf_pq_topk(
     from opentelemetry_collector_spark.session import spread
 
     B = np.asarray(codebooks, dtype=np.float64)
-    cents = _resolve_centroids(dim, nlist, seed, centroids)
+    if normalize:
+        cents = _resolve_centroids(dim, nlist, seed, centroids)
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
     nprobe = min(nprobe, nlist)
     src = spread(corpus).select(
         F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("_v")
     )
     enc = src.select(
         "nid",
-        F.element_at(centroid_probe(F.col("_v"), dim, nlist, 1, seed, cents), 1).alias("list_id"),
-        _pq_code_udf(B)(F.col("_v")).alias("pq_code"),
+        F.element_at(
+            centroid_probe(F.col("_v"), dim, nlist, 1, seed, cents, normalize), 1
+        ).alias("list_id"),
+        _pq_code_udf(B, normalize)(F.col("_v")).alias("pq_code"),
     )
     scored_schema, empty_schema = _pq_schemas(dict(queries.dtypes)[id_col])
-    prep = _pq_query_tensors(queries, B, id_col, vec_col)
+    prep = _pq_query_tensors(queries, B, id_col, vec_col, normalize)
     if prep is None:
         return corpus.sparkSession.createDataFrame([], empty_schema)
     qids, Q, lut = prep

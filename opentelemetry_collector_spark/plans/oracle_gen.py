@@ -225,3 +225,96 @@ SELECT qid AS query_id, nid AS neighbor_id, CAST(rk AS INTEGER) AS rank,
        CAST(floor(c * 1000) AS BIGINT) AS cos_milli
 FROM r WHERE rk <= {k}
 """
+
+
+def _pq_common(books_path: str, scale: str, dsub: int, query_pred: str) -> str:
+    """Shared CTE prefix for the PQ oracles: quantized non-degenerate
+    vectors, the persisted codebook, integer encode scores and per-subspace
+    argmax codes (argmax tie -> lowest code, numpy argmin/argmax's
+    first-hit rule), and the query LUT."""
+    return f"""e AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {scale}) AS BIGINT)) AS vq
+           FROM embeddings WHERE embedding IS NOT NULL),
+nz AS (SELECT vec_id, vq FROM e WHERE list_sum([x * x for x in vq]) > 0),
+bk AS (SELECT m, code, j, w FROM read_parquet('{books_path}')),
+es AS (SELECT nz.vec_id, bk.m, bk.code,
+         sum(nz.vq[bk.m * {dsub} + bk.j + 1] * bk.w) - 0.5 * sum(bk.w * bk.w) AS sc
+       FROM nz CROSS JOIN bk
+       GROUP BY nz.vec_id, bk.m, bk.code),
+en AS (SELECT vec_id, m, code FROM (
+         SELECT vec_id, m, code,
+                row_number() OVER (PARTITION BY vec_id, m ORDER BY sc DESC, code) AS rk
+         FROM es) WHERE rk = 1),
+qv AS (SELECT vec_id, vq FROM nz WHERE {query_pred}),
+qlut AS (SELECT qv.vec_id AS qid, bk.m, bk.code,
+           sum(qv.vq[bk.m * {dsub} + bk.j + 1] * bk.w) AS lut
+         FROM qv CROSS JOIN bk
+         GROUP BY qv.vec_id, bk.m, bk.code)"""
+
+
+def gen_q63_pq_sql(
+    books_path: str = "/tmp/otelcol_oracle/q63_books.parquet",
+    k: int = 10,
+    dsub: int = 8,
+    scale: str = "65536.0",
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """Replay of similarity.pq_topk(normalize=False) over quantized
+    vectors: encode (argmax of dot - ||codeword||^2/2), LUT scoring, and
+    the (score DESC, nid) top-k merge are all exact-integer arithmetic over
+    the PERSISTED codebook, so the oracle re-derives codes and scores from
+    the same matrix the Spark kernels multiplied with. Training (float
+    k-means) shapes that matrix but stays outside the checked contract."""
+    return f"""
+WITH {_pq_common(books_path, scale, dsub, query_pred)},
+s AS (SELECT ql.qid, en.vec_id AS nid, sum(ql.lut) AS score
+      FROM en JOIN qlut ql ON ql.m = en.m AND ql.code = en.code
+      WHERE en.vec_id <> ql.qid
+      GROUP BY ql.qid, en.vec_id),
+r AS (SELECT qid, nid, score,
+        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
+      FROM s)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rk AS INTEGER) AS rank,
+       CAST(score * 1000 AS BIGINT) AS approx_milli
+FROM r WHERE rk <= {k}
+"""
+
+
+def gen_q64_ivfpq_sql(
+    books_path: str = "/tmp/otelcol_oracle/q64_books.parquet",
+    cents_path: str = "/tmp/otelcol_oracle/q64_cents.parquet",
+    k: int = 10,
+    nprobe: int = 2,
+    dsub: int = 8,
+    scale: str = "65536.0",
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """Replay of similarity.ivf_pq_topk(normalize=False): corpus list
+    assignment and query probing rank centroids by exact integer inner
+    product (ties -> lowest cid, numpy's stable argsort), then q63's PQ
+    encode/LUT scoring runs only where the neighbor's list is probed."""
+    return f"""
+WITH {_pq_common(books_path, scale, dsub, query_pred)},
+ct AS (SELECT cid, j, w FROM read_parquet('{cents_path}')),
+asn AS (SELECT nz.vec_id, ct.cid, sum(nz.vq[ct.j + 1] * ct.w) AS d
+        FROM nz CROSS JOIN ct GROUP BY nz.vec_id, ct.cid),
+ranked AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rk
+           FROM asn),
+lists AS (SELECT vec_id, cid FROM ranked WHERE rk = 1),
+probes AS (SELECT ranked.vec_id AS qid, cid FROM ranked
+           JOIN qv ON qv.vec_id = ranked.vec_id WHERE rk <= {nprobe}),
+s AS (SELECT ql.qid, en.vec_id AS nid, sum(ql.lut) AS score
+      FROM en JOIN qlut ql ON ql.m = en.m AND ql.code = en.code
+      JOIN lists ON lists.vec_id = en.vec_id
+      JOIN probes ON probes.qid = ql.qid AND probes.cid = lists.cid
+      WHERE en.vec_id <> ql.qid
+      GROUP BY ql.qid, en.vec_id),
+r AS (SELECT qid, nid, score,
+        row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
+      FROM s)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rk AS INTEGER) AS rank,
+       CAST(score * 1000 AS BIGINT) AS approx_milli
+FROM r WHERE rk <= {k}
+"""

@@ -2287,20 +2287,96 @@ def q63_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the code table — the memory-bound scale path (float32 dim-64
     vectors compress 32x). Deliberately oracle-less like q21: asymmetric-
     distance scores are not SQL-expressible; recall and the lossless
-    special case are pinned in pytest (test_pq_*)."""
+    special case are pinned in pytest (test_pq_*).
+
+    Serving runs in the INTEGER-EXACT mode: corpus/query vectors and the
+    trained codebooks quantize to integer-valued doubles (floor after a
+    power-of-two scale — an exponent shift, no rounding), so every LUT
+    entry and score is an exact integer reachable in any summation order.
+    Training stays float (it only shapes the codebook); the quantized
+    codebook is persisted to a parquet side file the DuckDB oracle
+    read_parquet()s to replay encode + LUT scoring bit-for-bit — the
+    training itself is float-iterative and deliberately outside the
+    value-checked contract."""
+    import numpy as np
+
     from opentelemetry_collector_spark.operators.similarity import pq_topk, train_pq
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    books = train_pq(emb, dim=64, m=8, ksub=16, iters=3, seed=42)
-    return pq_topk(emb, emb.filter(F.col("vec_id") < 5), books, k=10)
+    embq = _quantized_vecs(emb)
+    books = train_pq(emb, dim=64, m=8, ksub=16, iters=3, seed=42, normalize=False)
+    books_q = np.floor(books * _VEC_SCALE)
+    _write_books_parquet("q63_books.parquet", books_q)
+    return pq_topk(embq, embq.filter(F.col("vec_id") < 5), books_q, k=10, normalize=False)
+
+
+#: fixed-point scale for the oracle-checked ANN servers (2^16: raw coords
+#: are ~unit, so quantized values stay ~2^16 and every dot/distance sum is
+#: an exact integer far inside both int64 and the float64 mantissa)
+_VEC_SCALE = 65536.0
+
+_ORACLE_ARTIFACTS = "/tmp/otelcol_oracle"
+
+
+def _quantized_vecs(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding) with coords floor(x * 2^16) as integer-valued
+    doubles — NULL rows ride through (the per-row NULL contracts of the
+    ANN operators are part of what the oracles check)."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.floor(x.cast("double") * _VEC_SCALE).cast("double")
+        ).alias("embedding"),
+    )
+
+
+def _write_books_parquet(name: str, arr) -> str:
+    """Persist an (m, ksub, dsub) integer-valued codebook (or an
+    (nlist, dim) centroid matrix under name 'cents') as long-form parquet
+    rows the oracle SQL read_parquet()s. Overwritten per run, so the
+    oracle always replays THIS run's training output."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_ORACLE_ARTIFACTS, exist_ok=True)
+    path = f"{_ORACLE_ARTIFACTS}/{name}"
+    a = np.asarray(arr)
+    if a.ndim == 3:
+        m, ksub, dsub = a.shape
+        tbl = pa.table(
+            {
+                "m": np.repeat(np.arange(m), ksub * dsub).astype("int64"),
+                "code": np.tile(np.repeat(np.arange(ksub), dsub), m).astype("int64"),
+                "j": np.tile(np.arange(dsub), m * ksub).astype("int64"),
+                "w": a.reshape(-1).astype("int64"),
+            }
+        )
+    else:
+        nlist, dim = a.shape
+        tbl = pa.table(
+            {
+                "cid": np.repeat(np.arange(nlist), dim).astype("int64"),
+                "j": np.tile(np.arange(dim), nlist).astype("int64"),
+                "w": a.reshape(-1).astype("int64"),
+            }
+        )
+    pq.write_table(tbl, path)
+    return path
 
 
 def q64_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composition (the FAISS-IVFPQ serving shape): trained coarse
     quantizer prunes to nprobe/nlist of the corpus, PQ codes score the
     survivors — assignment + encoding in one pass over the floats, serving
-    touches bytes only. Rows-only like q63; the nprobe==nlist equality with
-    flat PQ and the cluster-membership contract are pinned in pytest."""
+    touches bytes only. Like q63, serving runs integer-exact (quantized
+    vectors/codebooks/centroids, inner-product list assignment) with the
+    trained matrices persisted for the oracle to replay; nprobe==nlist
+    equality with flat PQ and cluster membership stay pinned in pytest."""
+    import numpy as np
+
     from opentelemetry_collector_spark.operators.similarity import (
         ivf_pq_topk,
         train_centroids,
@@ -2308,11 +2384,16 @@ def q64_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embq = _quantized_vecs(emb)
     cents = train_centroids(emb, dim=64, nlist=8, iters=3, seed=42)
-    books = train_pq(emb, dim=64, m=8, ksub=16, iters=3, seed=42)
+    books = train_pq(emb, dim=64, m=8, ksub=16, iters=3, seed=42, normalize=False)
+    cents_q = np.floor(cents * _VEC_SCALE)
+    books_q = np.floor(books * _VEC_SCALE)
+    _write_books_parquet("q64_books.parquet", books_q)
+    _write_books_parquet("q64_cents.parquet", cents_q)
     return ivf_pq_topk(
-        emb, emb.filter(F.col("vec_id") < 5), dim=64, codebooks=books,
-        k=10, nlist=8, nprobe=2, centroids=cents,
+        embq, embq.filter(F.col("vec_id") < 5), dim=64, codebooks=books_q,
+        k=10, nlist=8, nprobe=2, centroids=cents_q, normalize=False,
     )
 
 
@@ -7554,6 +7635,8 @@ from opentelemetry_collector_spark.plans import oracle_gen as _og
 ORACLES["q19_minhash_lsh"] = _og.gen_q19_minhash_sql(threshold=0.5)
 ORACLES["q20_simhash_neardup"] = _og.gen_q20_simhash_sql(max_hamming=8)
 ORACLES["q21_ann_lsh"] = _og.gen_q21_lsh_sql(dim=64, k=10, n_planes=6, n_tables=8)
+ORACLES["q63_ann_pq"] = _og.gen_q63_pq_sql()
+ORACLES["q64_ann_ivf_pq"] = _og.gen_q64_ivfpq_sql()
 ORACLES["q22_media_features"] = Q22_SQL
 ORACLES["q66_sketch_rollup"] = Q66_SQL
 
