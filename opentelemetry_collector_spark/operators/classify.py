@@ -168,3 +168,111 @@ def train_linear(
         return _no_weights(), _pm(float(model.intercept))
     weights = df.sparkSession.createDataFrame(rows, "term string, weight_pm bigint")
     return weights, _pm(float(model.intercept))
+
+
+def train_linear_gd(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    text_col: str = "text",
+    vocab_size: int = 32,
+    min_doc_freq: int = 2,
+    iters: int = 3,
+    lr_div: int = 64,
+    scale: int = 1_000_000,
+) -> tuple[DataFrame, int]:
+    """Fixed-point integer batch gradient descent for a linear (squared-
+    loss) bag-of-words model — the ENGINE-EXACT trainer.
+
+    :func:`train_linear`'s LBFGS path is the production fit, but its float
+    treeAggregate reductions are order-dependent, so its coefficients can
+    never be value-checked across engines. This trainer trades optimizer
+    sophistication for bit-exact replayability: weights live in integer
+    micro-units, every gradient is an integer sum (associative in any
+    partitioning), and the learning-rate division truncates toward zero on
+    BOTH engines (Python trunc here == the CASE-emulated ``//`` in the q84
+    oracle — DuckDB's ``//`` floors, Spark's ``div`` truncates, so neither
+    raw operator is portable on signed values).
+
+    Per iteration (classic full-batch GD on 1/2·Σ(pred−y·scale)²):
+
+        pred_d = b + Σ_j cnt_dj·w_j          (exact micro units)
+        grad_j = Σ_d cnt_dj·(pred_d − y_d·scale)
+        w_j   -= trunc(grad_j / (n_docs·lr_div))
+
+    The corpus work is distributed (two partial-aggregated shuffles per
+    iteration over the bounded-vocab postings); only the V+1 weight cells
+    round-trip the driver per iteration — the same driver-round shape as
+    the BPE merge loop, bounded by vocab_size, never by corpus size.
+
+    Vocabulary: top ``vocab_size`` terms by (doc_freq DESC, term ASC) with
+    doc_freq >= min_doc_freq — a deterministic total order.
+
+    Returns ``(weights_df, bias_micro)`` with weights_df =
+    (term string, weight_micro bigint), one row per vocab term.
+    """
+
+    def _trunc_div(a: int, d: int) -> int:
+        return a // d if a >= 0 else -((-a) // d)
+
+    labeled = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("int").alias("_y"),
+        tokens(F.col(text_col)).alias("_ts"),
+    ).filter(F.col("_y").isNotNull() & F.col("_ts").isNotNull())
+    posts = (
+        labeled.select("_id", F.explode("_ts").alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    vocab = [
+        r["term"]
+        for r in dfreq.filter(F.col("_df") >= min_doc_freq)
+        .orderBy(F.col("_df").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .collect()
+    ]
+    docs = labeled.select("_id", "_y").persist()
+    n_docs = docs.count()
+    spark = df.sparkSession
+    if n_docs == 0 or not vocab:
+        docs.unpersist()
+        return spark.createDataFrame([], "term string, weight_micro bigint"), 0
+    pv = posts.join(
+        F.broadcast(spark.createDataFrame([(t,) for t in vocab], "term string")), "term"
+    ).persist()
+    pv.count()
+    w = dict.fromkeys(vocab, 0)
+    b = 0
+    d = n_docs * lr_div
+    for _ in range(iters):
+        wdf = spark.createDataFrame(list(w.items()), "term string, w long")
+        pred = (
+            pv.join(F.broadcast(wdf), "term")
+            .groupBy("_id")
+            .agg(F.sum(F.col("cnt") * F.col("w")).alias("_s"))
+        )
+        errs = docs.join(pred, "_id", "left").select(
+            "_id",
+            (F.coalesce(F.col("_s"), F.lit(0)) + F.lit(b) - F.col("_y") * F.lit(scale)).alias(
+                "_e"
+            ),
+        )
+        grads = {
+            r["term"]: r["g"]
+            for r in pv.join(errs, "_id")
+            .groupBy("term")
+            .agg(F.sum(F.col("cnt") * F.col("_e")).alias("g"))
+            .collect()
+        }
+        gb = errs.agg(F.sum("_e").alias("g")).first()["g"] or 0
+        for t in vocab:
+            w[t] -= _trunc_div(int(grads.get(t, 0)), d)
+        b -= _trunc_div(int(gb), d)
+    docs.unpersist()
+    pv.unpersist()
+    out = spark.createDataFrame(
+        [(t, w[t]) for t in vocab], "term string, weight_micro bigint"
+    )
+    return out, b

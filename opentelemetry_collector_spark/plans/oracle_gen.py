@@ -318,3 +318,59 @@ SELECT qid AS query_id, nid AS neighbor_id, CAST(rk AS INTEGER) AS rank,
        CAST(score * 1000 AS BIGINT) AS approx_milli
 FROM r WHERE rk <= {k}
 """
+
+
+def gen_q84_gd_sql(
+    vocab_size: int = 32,
+    min_doc_freq: int = 2,
+    iters: int = 3,
+    lr_div: int = 64,
+    scale: int = 1_000_000,
+    plant_token: str = "spark",
+) -> str:
+    """Replay of classify.train_linear_gd on the documents table: the
+    fixed-iteration integer GD unrolls into one CTE chain per iteration
+    (pred -> err -> grad -> update), with the learning-rate division
+    truncated toward zero via a sign CASE (DuckDB's ``//`` floors; the
+    trainer and Spark's ``div`` truncate)."""
+    D = f"((SELECT count(*) FROM docs) * {lr_div})"
+
+    def trunc(x: str) -> str:
+        return f"CASE WHEN ({x}) >= 0 THEN ({x}) // {D} ELSE -((-({x})) // {D}) END"
+
+    its = []
+    for i in range(iters):
+        its.append(f"""
+pred{i} AS (SELECT p.doc_id, sum(p.cnt * w.w) AS s
+            FROM posts p JOIN w{i} w USING (term) GROUP BY p.doc_id),
+err{i} AS (SELECT d.doc_id, coalesce(pr.s, 0) + (SELECT b FROM b{i}) - d.y * {scale} AS e
+           FROM docs d LEFT JOIN pred{i} pr USING (doc_id)),
+g{i} AS (SELECT p.term, sum(p.cnt * e.e) AS g
+         FROM posts p JOIN err{i} e USING (doc_id) GROUP BY p.term),
+w{i + 1} AS (SELECT w.term, w.w - ({trunc('coalesce(g.g, 0)')}) AS w
+             FROM w{i} w LEFT JOIN g{i} g USING (term)),
+b{i + 1} AS (SELECT (SELECT b FROM b{i}) - ({trunc(f'(SELECT coalesce(sum(e), 0) FROM err{i})')}) AS b)""")
+    chain = ",".join(its)
+    return rf"""
+WITH tok AS (SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS ts0
+             FROM documents WHERE text IS NOT NULL),
+tk AS (SELECT doc_id,
+         CASE WHEN len(ts0) > 0 AND ts0[-1] = '' THEN ts0[1:len(ts0) - 1] ELSE ts0 END AS ts
+       FROM tok),
+docs AS (SELECT doc_id,
+           CASE WHEN list_contains(ts, '{plant_token}') THEN 1 ELSE 0 END AS y
+         FROM tk),
+posts0 AS (SELECT doc_id, unnest(ts) AS term FROM tk),
+posts_all AS (SELECT doc_id, term, count(*) AS cnt FROM posts0 GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM posts_all GROUP BY term),
+vocab AS (SELECT term FROM (
+            SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS rk
+            FROM dfreq WHERE df >= {min_doc_freq}) WHERE rk <= {vocab_size}),
+posts AS (SELECT p.doc_id, p.term, p.cnt FROM posts_all p JOIN vocab USING (term)),
+w0 AS (SELECT term, CAST(0 AS BIGINT) AS w FROM vocab),
+b0 AS (SELECT CAST(0 AS BIGINT) AS b),{chain}
+SELECT term, CAST(w AS BIGINT) AS weight_micro FROM w{iters}
+UNION ALL SELECT '__bias__', CAST((SELECT b FROM b{iters}) AS BIGINT)
+"""

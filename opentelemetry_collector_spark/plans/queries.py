@@ -1716,41 +1716,30 @@ FROM n WHERE n_copies >= 1
 
 
 def q84_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train->infer loop (operators/classify.py train_linear +
-    linear_score): a quality classifier trained with distributed logistic
-    regression over CountVectorizer bag-of-words on the documents table —
-    the label is a planted token rule (doc mentions "spark"), so training
-    must RECOVER it from raw text — then served back over the corpus
-    through the broadcast-vocab inference op. Output: per-label keep
-    counts + per-mille agreement (expected near 1000 for the recoverable
-    rule) — deterministic row count (one per label), so the rows-only
-    gate holds even though LBFGS float reductions make individual
-    coefficients partitioning-dependent (why this is not
-    oracle-checkable)."""
-    from opentelemetry_collector_spark.operators.classify import linear_score, train_linear
+    """Distributed classifier training, value-checked: the ENGINE-EXACT
+    integer GD trainer (operators/classify.train_linear_gd — fixed-point
+    weights, integer gradient sums, truncating learning-rate division)
+    fits a linear bag-of-words model whose label is a planted token rule
+    (doc mentions "spark"), so training must RECOVER the rule from raw
+    text. Output: the learned (term, weight_micro) table plus a '__bias__'
+    row — every cell replayed by the unrolled-iteration DuckDB oracle
+    (oracle_gen.gen_q84_gd_sql). The LBFGS production fit (train_linear)
+    and the train->infer agreement loop stay pinned in pytest, where the
+    float coefficients belong."""
+    from opentelemetry_collector_spark.operators.classify import train_linear_gd
     from opentelemetry_collector_spark.operators.text import tokens
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     labeled = docs.withColumn(
         "label", F.array_contains(tokens(F.col("text")), "spark").cast("int")
     )
-    weights, bias = train_linear(labeled, "label", min_doc_freq=2, max_iter=20)
-    scored = linear_score(docs, weights, "doc_id", bias_pm=bias)
-    j = scored.join(labeled.select("doc_id", "label"), "doc_id")
-    return (
-        j.groupBy("label")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
-            F.floor(
-                F.sum((F.col("keep").cast("int") == F.col("label")).cast("int")) * 1000.0
-                / F.count(F.lit(1))
-            )
-            .cast("bigint")
-            .alias("agree_pm"),
-        )
-        .orderBy("label")
+    weights, bias = train_linear_gd(
+        labeled, "doc_id", "label", vocab_size=32, min_doc_freq=2, iters=3
     )
+    bias_row = spark.createDataFrame(
+        [("__bias__", bias)], "term string, weight_micro bigint"
+    )
+    return weights.unionByName(bias_row)
 
 
 def q19_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7636,6 +7625,7 @@ ORACLES["q19_minhash_lsh"] = _og.gen_q19_minhash_sql(threshold=0.5)
 ORACLES["q20_simhash_neardup"] = _og.gen_q20_simhash_sql(max_hamming=8)
 ORACLES["q21_ann_lsh"] = _og.gen_q21_lsh_sql(dim=64, k=10, n_planes=6, n_tables=8)
 ORACLES["q63_ann_pq"] = _og.gen_q63_pq_sql()
+ORACLES["q84_classifier_train"] = _og.gen_q84_gd_sql()
 ORACLES["q64_ann_ivf_pq"] = _og.gen_q64_ivfpq_sql()
 ORACLES["q22_media_features"] = Q22_SQL
 ORACLES["q66_sketch_rollup"] = Q66_SQL

@@ -740,3 +740,53 @@ def test_vocab_growth_token_keyed_partial_agg_plan(spark):
     plan = vocab_growth(df)._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan
     assert "Join" not in plan
+
+
+def test_train_linear_gd_recovers_rule_and_is_partition_invariant(spark):
+    """The integer-GD trainer must (a) give the planted token the most
+    positive weight, (b) produce BIT-IDENTICAL weights regardless of how
+    the corpus is partitioned (integer gradient sums are associative —
+    the property the LBFGS float path does not have), and (c) match a
+    plain-Python replay of the same fixed-point arithmetic."""
+    from opentelemetry_collector_spark.operators.classify import train_linear_gd
+
+    rows = []
+    for i in range(60):
+        good = i % 3 == 0
+        body = "quick brown fox jumps high" if i % 2 else "lazy dogs sleep all day"
+        rows.append((i, ("magic " if good else "") + body, 1 if good else 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w1, b1 = train_linear_gd(df, "doc_id", "label", vocab_size=12, iters=3)
+    got = {r.term: r.weight_micro for r in w1.collect()}
+    assert max(got, key=got.get) == "magic"
+    w2, b2 = train_linear_gd(df.repartition(16, "text"), "doc_id", "label", vocab_size=12, iters=3)
+    assert {r.term: r.weight_micro for r in w2.collect()} == got and b2 == b1
+
+    # plain-Python replay of the fixed-point loop
+    def trunc(a, d):
+        return a // d if a >= 0 else -((-a) // d)
+
+    posts, labels = {}, {}
+    for i, text, y in rows:
+        labels[i] = y
+        for t in text.split():
+            posts.setdefault(i, {})[t] = posts.get(i, {}).get(t, 0) + 1
+    dfreq = {}
+    for cnts in posts.values():
+        for t in cnts:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    vocab = sorted((t for t, c in dfreq.items() if c >= 2), key=lambda t: (-dfreq[t], t))[:12]
+    w = dict.fromkeys(vocab, 0)
+    b = 0
+    n = len(rows)
+    for _ in range(3):
+        err = {
+            i: b + sum(posts[i].get(t, 0) * w[t] for t in vocab) - labels[i] * 1_000_000
+            for i in posts
+        }
+        g = {t: sum(posts[i].get(t, 0) * err[i] for i in posts) for t in vocab}
+        gb = sum(err.values())
+        for t in vocab:
+            w[t] -= trunc(g[t], n * 64)
+        b -= trunc(gb, n * 64)
+    assert got == w and b1 == b
