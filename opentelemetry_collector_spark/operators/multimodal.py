@@ -77,9 +77,14 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched).
 
-    Real pipeline would decode `payload` per modality; the stub computes
-    deterministic byte-histogram moments so downstream stages (ANN over the
-    feature column, dedup by feature hash) are fully exercisable.
+    ``decode_stub=True`` computes deterministic byte-histogram moments so
+    downstream stages (ANN over the feature column, dedup by feature hash)
+    are fully exercisable without decoding. ``decode_stub=False`` REALLY
+    decodes via the pure-Python codecs below (P6/P3 PPM, 24-bit BMP, PCM16
+    WAV): images feature as [width, height, mean_r, mean_g, mean_b]/255
+    padded to n_features, audio as [rate/1e5, duration_s, mean_abs/2^15];
+    an unrecognized magic raises at this seam, where a PIL/soundfile/av
+    decode would plug in for codec formats.
     """
     schema = "media_id long, modality string, features array<double>"
 
@@ -91,10 +96,29 @@ def extract_features(
                     feats.append(None)
                     continue
                 if not decode_stub:
-                    raise NotImplementedError(
-                        "real codec not available in this container; "
-                        "plug PIL/soundfile/av decode here"
-                    )
+                    b = bytes(payload)
+                    if b.startswith((b"P6", b"P3")):
+                        w, h, px = decode_ppm(b)
+                        f = [float(w), float(h)] + list(px.mean(axis=(0, 1)) / 255.0)
+                    elif b.startswith(b"BM"):
+                        w, h, px = decode_bmp(b)
+                        f = [float(w), float(h)] + list(px.mean(axis=(0, 1)) / 255.0)
+                    elif b[:4] == b"RIFF":
+                        rate, samples = decode_wav(b)
+                        f = [
+                            rate / 1e5,
+                            len(samples) / rate if rate else 0.0,
+                            float(np.abs(samples.astype(np.int64)).mean() / 32768.0)
+                            if len(samples)
+                            else 0.0,
+                        ]
+                    else:
+                        raise NotImplementedError(
+                            "no pure-Python codec for this magic; plug "
+                            "PIL/soundfile/av decode here"
+                        )
+                    feats.append((f + [0.0] * n_features)[:n_features])
+                    continue
                 a = np.frombuffer(payload, dtype=np.uint8)
                 hist = np.bincount(a % n_features, minlength=n_features).astype(np.float64)
                 total = hist.sum() or 1.0
@@ -137,8 +161,10 @@ def resize(df: DataFrame, width: int, height: int, decode_stub: bool = True) -> 
     """Image-resize analog via mapInPandas: payload -> resized payload with
     updated meta (width/height). The Arrow plumbing — binary in, binary out,
     nested meta rebuild, bounded batches — is real; the pixel work is
-    stubbed (deterministic byte stride-sample sized to width*height) with
-    the NotImplementedError marking where `PIL.Image.resize` would go.
+    stubbed (deterministic byte stride-sample sized to width*height) by
+    default; ``decode_stub=False`` REALLY resizes P6 PPM payloads
+    (nearest-neighbor over the decoded pixel grid, re-encoded as P6) and
+    raises for other magics, where `PIL.Image.resize` would go.
     """
     out_schema = MEDIA_SCHEMA
 
@@ -155,10 +181,20 @@ def resize(df: DataFrame, width: int, height: int, decode_stub: bool = True) -> 
                     payloads.append(None)
                     continue
                 if not decode_stub:
-                    raise NotImplementedError(
-                        "real codec not available in this container; "
-                        "plug PIL.Image.open(...).resize((w, h)) here"
+                    b = bytes(payload)
+                    if not b.startswith(b"P6"):
+                        raise NotImplementedError(
+                            "no pure-Python resize for this magic; plug "
+                            "PIL.Image.open(...).resize((w, h)) here"
+                        )
+                    w0, h0, px = decode_ppm(b)
+                    ys = (np.arange(height, dtype=np.int64) * h0) // height
+                    xs = (np.arange(width, dtype=np.int64) * w0) // width
+                    out = px[ys][:, xs]
+                    payloads.append(
+                        b"P6\n%d %d\n255\n" % (width, height) + out.tobytes()
                     )
+                    continue
                 a = np.frombuffer(payload, dtype=np.uint8)
                 if len(a) == 0:
                     payloads.append(b"")
@@ -196,3 +232,185 @@ def feature_histogram(df: DataFrame, n_features: int = 8) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "pos": poss, "cnt": cnts})
 
     return spread(df).mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (pure Python, no native deps): PPM + BMP images, WAV audio.
+#
+# The container has no PIL/soundfile, but these three formats are fully
+# specified byte layouts a from-scratch parser covers exactly — which turns
+# the decode seam from a stub into a working path while keeping results
+# deterministic enough for golden tests AND for the driver's DuckDB oracle
+# (q179 synthesizes payloads from document text, so the oracle can compute
+# the expected decoded integers straight from the text code points).
+# Formats that genuinely need native codecs (JPEG/MP3/H.264) still raise
+# at the same seam.
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def synth_ppm(data: bytes, width: int = 8, height: int = 4) -> bytes:
+    """Deterministic P6 PPM whose pixel bytes cycle through ``data``
+    (zeros when empty) — the fixture generator for the decode path."""
+    n = width * height * 3
+    if data:
+        reps = (n + len(data) - 1) // len(data)
+        body = (data * reps)[:n]
+    else:
+        body = bytes(n)
+    return b"P6\n%d %d\n255\n" % (width, height) + body
+
+
+def synth_wav(data: bytes, n_samples: int = 48, sample_rate: int = 8000) -> bytes:
+    """Deterministic PCM16 mono WAV whose sample bytes cycle through
+    ``data`` (zeros when empty)."""
+    n = n_samples * 2
+    if data:
+        reps = (n + len(data) - 1) // len(data)
+        body = (data * reps)[:n]
+    else:
+        body = bytes(n)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + n, b"WAVE", b"fmt ", 16, 1, 1,
+        sample_rate, sample_rate * 2, 2, 16, b"data", n,
+    )
+    return hdr + body
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """(width, height, uint8 pixel array HxWx3) from P6/P3 PPM."""
+    if not payload.startswith((b"P6", b"P3")):
+        raise ValueError("not a PPM payload")
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(payload[start:pos])
+    w, h, maxval = (int(f) for f in fields)
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pos += 1  # single whitespace after maxval
+    if payload.startswith(b"P6"):
+        body = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    else:  # P3: ASCII triplets
+        body = np.array(payload[pos:].split()[: w * h * 3], dtype=np.uint8)
+    return w, h, body.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """(width, height, uint8 pixel array HxWx3, top-down RGB) from an
+    uncompressed 24-bit BI_RGB BMP (BITMAPINFOHEADER) — rows are stored
+    bottom-up and 4-byte padded, pixels BGR; both are undone here."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<IiI", payload, 14)[:3]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(h):
+        off = data_off + r * stride
+        rows.append(np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off))
+    px = np.vstack(rows).reshape(h, w, 3)
+    if bottom_up:
+        px = px[::-1]
+    return w, h, px[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, int16 sample array) from a PCM16 mono/stereo WAV;
+    walks the RIFF chunk list (fmt may be followed by LIST etc.)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    if channels and channels > 1:
+        samples = samples[:: channels]  # first channel
+    return rate, samples
+
+
+DECODE_SCHEMA = (
+    "media_id long, kind string, width int, height int, sample_rate int, "
+    "n_samples int, duration_ms int, n_vals bigint, sum_vals bigint, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, sum_abs bigint"
+)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """REAL decode via mapInPandas: sniff the payload magic (P6/P3 PPM,
+    BM BMP, RIFF/WAVE), parse it with the pure-Python codecs above, and
+    emit typed metadata + exact integer moments (sums, not float means, so
+    the row hash is engine-exact). Unknown magics and NULL payloads yield
+    a row with kind NULL — per-row degradation, never a job kill."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split(" ")[0] for f in DECODE_SCHEMA.split(", ")]
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = dict.fromkeys(cols)
+                row["media_id"] = media_id
+                if payload is not None:
+                    try:
+                        if payload.startswith((b"P6", b"P3")):
+                            w, h, px = decode_ppm(bytes(payload))
+                            row.update(
+                                kind="ppm", width=w, height=h,
+                                n_vals=int(px.size), sum_vals=int(px.sum(dtype=np.int64)),
+                                sum_r=int(px[:, :, 0].sum(dtype=np.int64)),
+                                sum_g=int(px[:, :, 1].sum(dtype=np.int64)),
+                                sum_b=int(px[:, :, 2].sum(dtype=np.int64)),
+                            )
+                        elif payload.startswith(b"BM"):
+                            w, h, px = decode_bmp(bytes(payload))
+                            row.update(
+                                kind="bmp", width=w, height=h,
+                                n_vals=int(px.size), sum_vals=int(px.sum(dtype=np.int64)),
+                                sum_r=int(px[:, :, 0].sum(dtype=np.int64)),
+                                sum_g=int(px[:, :, 1].sum(dtype=np.int64)),
+                                sum_b=int(px[:, :, 2].sum(dtype=np.int64)),
+                            )
+                        elif payload[:4] == b"RIFF":
+                            rate, samples = decode_wav(bytes(payload))
+                            s = samples.astype(np.int64)
+                            row.update(
+                                kind="wav", sample_rate=rate, n_samples=len(samples),
+                                duration_ms=int(len(samples) * 1000 // rate) if rate else None,
+                                n_vals=len(samples), sum_vals=int(s.sum()),
+                                sum_abs=int(np.abs(s).sum()),
+                            )
+                    except ValueError:
+                        pass  # unsupported variant: kind stays NULL
+                for c in cols:
+                    out[c].append(row[c])
+            yield pd.DataFrame(out)
+
+    return spread(df).mapInPandas(gen, schema=DECODE_SCHEMA)
