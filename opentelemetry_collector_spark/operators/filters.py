@@ -166,8 +166,9 @@ def _unquote(tok: str) -> str:
 
 
 _TOKEN_RE = re.compile(
-    r"\s*(?:(?P<op>\(|\)|==|!=|=~|&&|\|\||!)"
-    r"|(?P<str>\"(?:[^\"\\]|\\.)*\")"
+    r"\s*(?:(?P<op><=|>=|==|!=|=~|&&|\|\||[()<>!+\-*/%,\[\]])"
+    r"|(?P<num>\d+(?:\.\d+)?)"
+    r"|(?P<str>\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')"
     r"|(?P<ident>[A-Za-z_][A-Za-z0-9_]*))"
 )
 
@@ -181,29 +182,49 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
                 raise ValueError(f"expr: bad token at {src[pos:]!r}")
             break
         pos = m.end()
-        for kind in ("op", "str", "ident"):
+        for kind in ("op", "num", "str", "ident"):
             if m.group(kind) is not None:
                 out.append((kind, m.group(kind)))
                 break
     return out
 
 
-class _ExprParser:
-    """Recursive-descent parser for the subset of antonmedv/expr the
-    reference exposes (matcher.go env: MetricName, Label(k), HasLabel(k) —
-    generalized here to Name / Attr(k) / HasAttr(k) over transcript columns).
+# antonmedv/expr accepts both symbol and word forms of the booleans
+_WORD_OPS = {"and": "&&", "or": "||", "not": "!"}
+#: infix string builtins of the expr language
+_STR_OPS = {"contains", "startsWith", "endsWith", "matches"}
 
-    Grammar: or := and ('||' and)* ; and := unary ('&&' unary)* ;
-    unary := '!' unary | cmp ; cmp := primary (('=='|'!='|'=~') primary)? ;
-    primary := '(' or ')' | STRING | Name | Fn '(' STRING ')'.
+
+class _ExprAst:
+    """Recursive-descent parser for the antonmedv/expr subset the
+    reference's filterexpr processor exposes (matcher.go env: MetricName,
+    Label(k), HasLabel(k) — generalized to Name / Attr(k) / HasAttr(k)),
+    extended per the contrib surface to arithmetic, ordered comparisons,
+    list membership, and the infix string builtins.
+
+    Produces a plain-tuple AST, so parsing doubles as session-free
+    validation (:func:`validate_expr`) and :class:`_ExprCompiler` turns
+    the same tree into Catalyst predicates — one grammar, two backends.
+
+    Grammar (loosest to tightest):
+      or    := and (('||'|'or') and)*
+      and   := not (('&&'|'and') not)*
+      not   := ('!'|'not') not | cmp
+      cmp   := sum (('=='|'!='|'<'|'<='|'>'|'>='|'=~'|'matches'|'contains'
+                     |'startsWith'|'endsWith') sum
+                    | ['not'] 'in' list)?
+      sum   := prod (('+'|'-') prod)*
+      prod  := unary (('*'|'/'|'%') unary)*
+      unary := '-' unary | primary
+      primary := '(' or ')' | STRING | NUMBER | true | false
+                 | Name | MetricName | len '(' or ')'
+                 | (Attr|Label) '(' STRING ')' | (HasAttr|HasLabel) '(' STRING ')'
+      list  := '[' (STRING|NUMBER) (',' (STRING|NUMBER))* ']'
     """
 
-    def __init__(self, tokens: list[tuple[str, str]], name_col: str, attr_cols: dict[str, str] | None, attrs_col: str):
+    def __init__(self, tokens: list[tuple[str, str]]):
         self.toks = tokens
         self.i = 0
-        self.name_col = name_col
-        self.attr_cols = attr_cols or {}
-        self.attrs_col = attrs_col
 
     def _peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -215,167 +236,265 @@ class _ExprParser:
         self.i += 1
         return kind, tok
 
-    def parse(self) -> Column:
-        col = self._or()
+    def parse(self):
+        node = self._or()
         if self.i != len(self.toks):
             raise ValueError(f"expr: trailing tokens {self.toks[self.i:]}")
-        return col
+        return node
 
-    def _or(self) -> Column:
+    def _op_is(self, *names):
+        kind, tok = self._peek()
+        if kind == "op" and tok in names:
+            return tok
+        if kind == "ident" and _WORD_OPS.get(tok) in names:
+            return _WORD_OPS[tok]
+        return None
+
+    def _or(self):
         left = self._and()
-        while self._peek()[1] == "||":
-            self._eat("||")
-            left = left | self._and()
+        while self._op_is("||"):
+            self._eat()
+            left = ("or", left, self._and())
         return left
 
-    def _and(self) -> Column:
-        left = self._unary()
-        while self._peek()[1] == "&&":
-            self._eat("&&")
-            left = left & self._unary()
+    def _and(self):
+        left = self._not()
+        while self._op_is("&&"):
+            self._eat()
+            left = ("and", left, self._not())
         return left
 
-    def _unary(self) -> Column:
-        if self._peek()[1] == "!":
-            self._eat("!")
-            return ~self._unary()
+    def _not(self):
+        if self._op_is("!"):
+            self._eat()
+            return ("not", self._not())
         return self._cmp()
 
-    def _cmp(self) -> Column:
-        left = self._primary()
-        op = self._peek()[1]
-        if op in ("==", "!=", "=~"):
-            self._eat(op)
-            if op == "=~":
-                kind, tok = self._eat()
-                if kind != "str":
+    def _cmp(self):
+        left = self._sum()
+        kind, tok = self._peek()
+        if kind == "op" and tok in ("==", "!=", "<", "<=", ">", ">=", "=~"):
+            self._eat()
+            if tok == "=~":
+                skind, stok = self._eat()
+                if skind != "str":
                     raise ValueError("expr: =~ requires a string pattern on the right")
-                return left.rlike(_unquote(tok))
-            right = self._primary()
-            if op == "==":
-                return left == right
-            # expr's != over a missing/NULL operand is false, not NULL —
-            # a filter must drop, never keep, on missing
-            return F.coalesce(left != right, F.lit(False))
+                return ("strop", "matches", left, ("lit", _unquote(stok), "str"))
+            return ("cmp", tok, left, self._sum())
+        if kind == "ident" and tok in _STR_OPS:
+            self._eat()
+            skind, stok = self._eat()
+            if skind != "str":
+                raise ValueError(f"expr: {tok} requires a string literal on the right")
+            return ("strop", tok, left, ("lit", _unquote(stok), "str"))
+        negated = False
+        if kind == "ident" and tok == "not" and self.toks[self.i + 1 : self.i + 2] == [("ident", "in")]:
+            self._eat()
+            negated = True
+        if self._peek() == ("ident", "in"):
+            self._eat()
+            return ("in", left, self._list(), negated)
+        if negated:
+            raise ValueError("expr: 'not' here must be followed by 'in'")
         return left
+
+    def _list(self):
+        self._eat("[")
+        items = []
+        while True:
+            kind, tok = self._eat()
+            if kind == "str":
+                items.append(("lit", _unquote(tok), "str"))
+            elif kind == "num":
+                items.append(("lit", float(tok) if "." in tok else int(tok), "num"))
+            else:
+                raise ValueError("expr: list literals hold strings/numbers only")
+            if self._peek() == ("op", ","):
+                self._eat(",")
+                continue
+            self._eat("]")
+            return items
+
+    def _sum(self):
+        left = self._prod()
+        while True:
+            op = self._op_is("+", "-")
+            if not op:
+                return left
+            self._eat()
+            left = ("arith", op, left, self._prod())
+
+    def _prod(self):
+        left = self._unary()
+        while True:
+            op = self._op_is("*", "/", "%")
+            if not op:
+                return left
+            self._eat()
+            left = ("arith", op, left, self._unary())
+
+    def _unary(self):
+        if self._op_is("-"):
+            self._eat()
+            return ("arith", "-", ("lit", 0, "num"), self._unary())
+        return self._primary()
 
     def _primary(self):
         kind, tok = self._peek()
         if tok == "(":
             self._eat("(")
-            col = self._or()
+            node = self._or()
             self._eat(")")
-            return col
+            return node
         if kind == "str":
             self._eat()
-            return F.lit(_unquote(tok))
+            return ("lit", _unquote(tok), "str")
+        if kind == "num":
+            self._eat()
+            return ("lit", float(tok) if "." in tok else int(tok), "num")
         if kind == "ident":
             self._eat()
+            if tok in ("true", "false"):
+                return ("lit", tok == "true", "bool")
             if tok in ("Name", "MetricName"):
-                # env.MetricName is a Go string (zero value ""), never nil
-                return F.coalesce(F.col(self.name_col).cast("string"), F.lit(""))
+                return ("name",)
+            if tok == "len":
+                self._eat("(")
+                inner = self._or()
+                self._eat(")")
+                return ("len", inner)
             if tok in ("Attr", "Label", "HasAttr", "HasLabel"):
                 self._eat("(")
                 skind, s = self._eat()
                 if skind != "str":
                     raise ValueError(f"expr: {tok}() takes a string key")
-                key = s[1:-1]
                 self._eat(")")
                 if tok in ("HasAttr", "HasLabel"):
-                    if key in self.attr_cols:
-                        return F.col(self.attr_cols[key]).isNotNull()
-                    return F.coalesce(
-                        F.map_contains_key(F.col(self.attrs_col), F.lit(key)), F.lit(False)
-                    )
-                # the reference's Label(k) env fn returns "" for a MISSING
-                # key (matcher.go:159-162: `v, _ := labelsMap.Get(k)` — Go
-                # zero value), so Attr("k") != "v" KEEPS rows without the
-                # key; a bare NULL here would silently drop them
-                if key in self.attr_cols:
-                    return F.coalesce(F.col(self.attr_cols[key]).cast("string"), F.lit(""))
-                return F.coalesce(F.col(self.attrs_col)[key], F.lit(""))
+                    return ("hasattr", _unquote(s))
+                return ("attr", _unquote(s))
             raise ValueError(f"expr: unknown identifier {tok!r}")
         raise ValueError(f"expr: unexpected token {tok!r}")
+
+
+_BOOL_NODES = {"or", "and", "not", "cmp", "strop", "in", "hasattr"}
+
+
+class _ExprCompiler:
+    """AST -> Catalyst. Type discipline: Attr()/Name are STRING columns
+    (Go env zero-values: missing keys read as \"\", mirroring
+    `v, _ := labelsMap.Get(k)`); wherever a NUMBER literal or arithmetic
+    meets them (ordered compare, ==, in-list of numbers, math), both sides
+    cast to double — the practical reading of expr's dynamic numbers over
+    an attribute store that stringifies. != coalesces to false so a filter
+    drops, never keeps, on missing data."""
+
+    def __init__(self, name_col: str, attr_cols: dict[str, str] | None, attrs_col: str):
+        self.name_col = name_col
+        self.attr_cols = attr_cols or {}
+        self.attrs_col = attrs_col
+
+    def compile(self, node) -> Column:
+        if node[0] not in _BOOL_NODES and not (node[0] == "lit" and node[2] == "bool"):
+            raise ValueError("expr: expression does not evaluate to a boolean")
+        return self._col(node)
+
+    def _numeric(self, node) -> bool:
+        if node[0] == "lit":
+            return node[2] == "num"
+        if node[0] in ("arith", "len"):
+            return True
+        return False
+
+    def _col(self, node) -> Column:
+        tag = node[0]
+        if tag == "or":
+            return self._col(node[1]) | self._col(node[2])
+        if tag == "and":
+            return self._col(node[1]) & self._col(node[2])
+        if tag == "not":
+            return ~self._col(node[1])
+        if tag == "lit":
+            return F.lit(node[1])
+        if tag == "name":
+            return F.coalesce(F.col(self.name_col).cast("string"), F.lit(""))
+        if tag == "attr":
+            key = node[1]
+            if key in self.attr_cols:
+                return F.coalesce(F.col(self.attr_cols[key]).cast("string"), F.lit(""))
+            return F.coalesce(F.col(self.attrs_col)[key], F.lit(""))
+        if tag == "hasattr":
+            key = node[1]
+            if key in self.attr_cols:
+                return F.col(self.attr_cols[key]).isNotNull()
+            return F.coalesce(
+                F.map_contains_key(F.col(self.attrs_col), F.lit(key)), F.lit(False)
+            )
+        if tag == "len":
+            return F.length(self._col(node[1])).cast("double")
+        if tag == "arith":
+            op, a, b = node[1], node[2], node[3]
+            ca, cb = self._num(a), self._num(b)
+            if op == "+":
+                return ca + cb
+            if op == "-":
+                return ca - cb
+            if op == "*":
+                return ca * cb
+            if op == "/":
+                return ca / cb
+            return ca % cb
+        if tag == "strop":
+            op, a, b = node[1], node[2], node[3]
+            ca, pat = self._col(a), node[3][1]
+            if op == "matches":
+                return ca.rlike(pat)
+            if op == "contains":
+                return ca.contains(F.lit(pat))
+            if op == "startsWith":
+                return ca.startswith(pat)
+            return ca.endswith(pat)
+        if tag == "in":
+            _, left, items, negated = node
+            numeric = any(i[2] == "num" for i in items)
+            lc = self._num(left) if numeric else self._col(left)
+            vals = [F.lit(i[1]) for i in items]
+            pred = F.coalesce(lc.isin(*[v.cast("double") for v in vals])
+                              if numeric else lc.isin(*vals), F.lit(False))
+            return ~pred if negated else pred
+        if tag == "cmp":
+            op, a, b = node[1], node[2], node[3]
+            numeric = op in ("<", "<=", ">", ">=") and (self._numeric(a) or self._numeric(b))
+            numeric = numeric or (op in ("==", "!=") and (self._numeric(a) or self._numeric(b)))
+            if op in ("<", "<=", ">", ">="):
+                ca = self._num(a) if numeric else self._col(a)
+                cb = self._num(b) if numeric else self._col(b)
+                ops = {"<": ca < cb, "<=": ca <= cb, ">": ca > cb, ">=": ca >= cb}
+                return F.coalesce(ops[op], F.lit(False))
+            ca = self._num(a) if numeric else self._col(a)
+            cb = self._num(b) if numeric else self._col(b)
+            if op == "==":
+                return F.coalesce(ca == cb, F.lit(False))
+            # expr's != over a missing/NULL operand is false, not NULL —
+            # a filter must drop, never keep, on missing
+            return F.coalesce(ca != cb, F.lit(False))
+        raise ValueError(f"expr: unknown node {tag!r}")
+
+    def _num(self, node) -> Column:
+        # try_cast: the Go env's zero-value "" (and any non-numeric attr)
+        # reads as NULL in numeric context instead of an ANSI cast error —
+        # comparisons then coalesce to false, dropping the row per-row
+        # rather than killing the job
+        return self._col(node).try_cast("double")
 
 
 def validate_expr(expression: str) -> None:
     """Parse-check an expr string WITHOUT building Columns (no session
-    needed) — the load-time twin of :class:`_ExprParser`, so a config
-    loader can fail at build time exactly where Go's filterexpr.NewMatcher
-    compile fails. Grammar kept in lockstep with _ExprParser's docstring;
-    raises ValueError with the parser's own messages."""
-    toks = _tokenize(expression)
-    i = 0
-
-    def peek():
-        return toks[i] if i < len(toks) else (None, None)
-
-    def eat(val=None):
-        nonlocal i
-        kind, tok = peek()
-        if kind is None or (val is not None and tok != val):
-            raise ValueError(f"expr: expected {val!r}, got {tok!r}")
-        i += 1
-        return kind, tok
-
-    def p_or():
-        p_and()
-        while peek()[1] == "||":
-            eat("||")
-            p_and()
-
-    def p_and():
-        p_unary()
-        while peek()[1] == "&&":
-            eat("&&")
-            p_unary()
-
-    def p_unary():
-        if peek()[1] == "!":
-            eat("!")
-            p_unary()
-        else:
-            p_cmp()
-
-    def p_cmp():
-        p_primary()
-        op = peek()[1]
-        if op in ("==", "!=", "=~"):
-            eat(op)
-            if op == "=~":
-                kind, _ = eat()
-                if kind != "str":
-                    raise ValueError("expr: =~ requires a string pattern on the right")
-            else:
-                p_primary()
-
-    def p_primary():
-        kind, tok = peek()
-        if tok == "(":
-            eat("(")
-            p_or()
-            eat(")")
-            return
-        if kind == "str":
-            eat()
-            return
-        if kind == "ident":
-            eat()
-            if tok in ("Name", "MetricName"):
-                return
-            if tok in ("Attr", "Label", "HasAttr", "HasLabel"):
-                eat("(")
-                skind, _ = eat()
-                if skind != "str":
-                    raise ValueError(f"expr: {tok}() takes a string key")
-                eat(")")
-                return
-            raise ValueError(f"expr: unknown identifier {tok!r}")
-        raise ValueError(f"expr: unexpected token {tok!r}")
-
-    p_or()
-    if i != len(toks):
-        raise ValueError(f"expr: trailing tokens {toks[i:]}")
+    needed) — a config loader fails at build time exactly where Go's
+    filterexpr.NewMatcher compile fails. Same AST parser the runtime
+    compiler consumes, so the two can never drift. Note NewMatcher("foo")
+    COMPILES in Go (the non-boolean error is a runtime one) — mirrored
+    here: bare literals validate, and expr_predicate raises instead."""
+    _ExprAst(_tokenize(expression)).parse()
 
 
 def expr_predicate(
@@ -392,4 +511,5 @@ def expr_predicate(
     eligible for scan pushdown when it references plain columns).
     `attr_cols` maps Attr/Label keys to flattened envelope columns; other
     keys fall back to the `attrs` map column."""
-    return _ExprParser(_tokenize(expression), name_col, attr_cols, attrs_col).parse()
+    ast = _ExprAst(_tokenize(expression)).parse()
+    return _ExprCompiler(name_col, attr_cols, attrs_col).compile(ast)
