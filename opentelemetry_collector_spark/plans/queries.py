@@ -7331,6 +7331,128 @@ FROM wav
 """
 
 
+
+def q180_prom_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus scrape-manager label pipeline (sources/prometheus.py):
+    exposition text -> parse -> target-label merge (honor_labels=false) ->
+    a relabel_configs chain exercising keep, replace-with-group, hashmod,
+    labelmap, and labeldrop — the label mechanics
+    receiver/prometheusreceiver inherits from the vendored scrape manager.
+    Output rows carry the canonical sorted series key so the DuckDB oracle
+    can rebuild every final label set analytically from the events table."""
+    from opentelemetry_collector_spark.sources.codecs import (
+        parse_prometheus_text,
+        to_prometheus_text,
+    )
+    from opentelemetry_collector_spark.sources.prometheus import (
+        RelabelConfig,
+        apply_relabel_configs,
+        merge_target_labels,
+        series_key,
+    )
+
+    t = from_events(spark, sf_dir)
+    counts = t.groupBy("conv_id", "role").agg(F.count(F.lit(1)).alias("n"))
+    header, lines = to_prometheus_text(
+        counts, "otelcol_turns_total", "n", ["conv_id", "role"], metric_type="counter"
+    )
+    hdr = spark.createDataFrame([(h,) for h in header.split("\n")], "line string")
+    back = parse_prometheus_text(hdr.union(lines))
+    merged = merge_target_labels(
+        back, {"job": "otelcol", "instance": "host:9090"}, honor_labels=False
+    )
+    rel = apply_relabel_configs(
+        merged,
+        [
+            RelabelConfig(action="keep", source_labels=["role"], regex="user|assistant"),
+            RelabelConfig(
+                action="replace", source_labels=["conv_id"],
+                regex=r"conv-0*([1-9]\d*|0)", target_label="conv_num", replacement="$1",
+            ),
+            RelabelConfig(
+                action="hashmod", source_labels=["conv_id"], target_label="shard", modulus=8
+            ),
+            RelabelConfig(action="labelmap", regex="conv_(num)", replacement="conversation_$1"),
+            RelabelConfig(action="labeldrop", regex="conv_id|conv_num"),
+        ],
+    )
+    return rel.select(
+        "metric",
+        series_key().alias("series"),
+        F.floor("value").cast("bigint").alias("n"),
+    )
+
+
+Q180_SQL = f"""{_PRELUDE}
+SELECT 'otelcol_turns_total' AS metric,
+       'otelcol_turns_total' || chr(2) || concat_ws(chr(3),
+         'conversation_num' || chr(1) ||
+            regexp_replace(conv_id, '^(?:conv-0*([1-9][0-9]*|0))$', '\\1'),
+         'instance' || chr(1) || 'host:9090',
+         'job' || chr(1) || 'otelcol',
+         'role' || chr(1) || role,
+         'shard' || chr(1) ||
+            CAST(('0x' || substring(md5(conv_id), 1, 13))::UBIGINT % 8 AS VARCHAR)
+       ) AS series,
+       CAST(count(*) AS BIGINT) AS n
+FROM t WHERE role IN ('user', 'assistant')
+GROUP BY conv_id, role
+"""
+
+
+def q181_prom_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staleness markers (receiver/prometheusreceiver/internal/
+    staleness_store.go:21-90): hourly scrape generations of per-(conv,
+    role) activity series; a series alive in one generation and gone in
+    the next yields a marker row (value NULL, stale=true) at the next
+    generation — the store's two-generation hash diff as a window +
+    left-anti join, no driver state."""
+    from opentelemetry_collector_spark.sources.prometheus import series_key, with_staleness
+
+    t = from_events(spark, sf_dir)
+    samples = (
+        t.groupBy(F.date_trunc("hour", "ts").alias("scrape_idx"), "conv_id", "role")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            "scrape_idx",
+            F.lit("conv_active").alias("metric"),
+            F.create_map(
+                F.lit("conv_id"), F.col("conv_id"), F.lit("role"), F.col("role")
+            ).alias("labels"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    out = with_staleness(samples)
+    return out.select(
+        "scrape_idx",
+        "metric",
+        series_key().alias("series"),
+        F.floor("value").cast("bigint").alias("n"),
+        "stale",
+    )
+
+
+Q181_SQL = f"""{_PRELUDE},
+live AS (SELECT date_trunc('hour', ts) AS h, conv_id, role, count(*) AS n
+         FROM t GROUP BY 1, 2, 3),
+hours AS (SELECT h, lead(h) OVER (ORDER BY h) AS nh FROM (SELECT DISTINCT h FROM live)),
+cand AS (SELECT l.conv_id, l.role, hr.nh FROM live l JOIN hours hr USING (h)
+         WHERE hr.nh IS NOT NULL),
+mark AS (SELECT c.conv_id, c.role, c.nh FROM cand c
+         LEFT JOIN live l2 ON l2.h = c.nh AND l2.conv_id = c.conv_id AND l2.role = c.role
+         WHERE l2.h IS NULL),
+united AS (
+  SELECT h AS scrape_idx, conv_id, role, n, false AS stale FROM live
+  UNION ALL
+  SELECT nh, conv_id, role, NULL, true FROM mark)
+SELECT scrape_idx, 'conv_active' AS metric,
+       'conv_active' || chr(2) || concat_ws(chr(3),
+         'conv_id' || chr(1) || conv_id, 'role' || chr(1) || role) AS series,
+       CAST(n AS BIGINT) AS n, stale
+FROM united
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -7512,6 +7634,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q177_seasonal_deviation": q177_seasonal_deviation,
     "q178_rank_normalize": q178_rank_normalize,
     "q179_media_decode": q179_media_decode,
+    "q180_prom_relabel": q180_prom_relabel,
+    "q181_prom_staleness": q181_prom_staleness,
 }
 
 ORACLES: dict[str, str] = {
@@ -7687,6 +7811,8 @@ ORACLES: dict[str, str] = {
     "q177_seasonal_deviation": Q177_SQL,
     "q178_rank_normalize": Q178_SQL,
     "q179_media_decode": Q179_SQL,
+    "q180_prom_relabel": Q180_SQL,
+    "q181_prom_staleness": Q181_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -7744,7 +7870,8 @@ _RECHECK: frozenset[str] = frozenset({"q25_ngram_jaccard", "q29_expr_filter"})
 _PRIORITY: tuple[str, ...] = (
     "q19_minhash_lsh", "q20_simhash_neardup", "q21_ann_lsh", "q22_media_features",
     "q25_ngram_jaccard", "q63_ann_pq", "q64_ann_ivf_pq", "q66_sketch_rollup",
-    "q84_classifier_train", "q179_media_decode", "q29_expr_filter",
+    "q84_classifier_train", "q179_media_decode", "q180_prom_relabel",
+    "q181_prom_staleness", "q29_expr_filter",
 )
 
 
