@@ -41,5 +41,15 @@ class MetricsCollector:
         self.add("exporter", "sent_log_records", n, sink=sink)
         self.add("exporter", "send_failed_log_records", failed, sink=sink)
 
+    def exporter_enqueue_failed(self, sink: str, n: int) -> None:
+        # queue-full refusals are their own counter family, distinct from
+        # send failures (obs_exporter.go:24-95 enqueue_failed_log_records)
+        self.add("exporter", "enqueue_failed_log_records", n, sink=sink)
+
+    def exporter_queue_size(self, sink: str, n: int) -> None:
+        # gauge analog: instantaneous queue depth observed at enqueue
+        # (obsmetrics exporter/queue_size)
+        self.add("exporter", "queue_size", n, sink=sink)
+
     def to_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(self.rows, schema=METRICS_SCHEMA)

@@ -205,6 +205,17 @@ def is_permanent(exc: Exception) -> bool:
     return isinstance(exc, (AnalysisException, IllegalArgumentException, ValueError, TypeError))
 
 
+class ThrottleError(RuntimeError):
+    """A retryable failure carrying a server-suggested delay — the
+    exporterhelper throttle hint (queued_retry.go:306-308: the backoff
+    interval becomes max(computed, hinted); gRPC throttling / HTTP
+    Retry-After both surface this way in the reference)."""
+
+    def __init__(self, message: str, delay_s: float):
+        super().__init__(message)
+        self.delay_s = float(delay_s)
+
+
 def write_sink_with_retry(
     df: DataFrame,
     s: SinkSpec,
@@ -216,7 +227,9 @@ def write_sink_with_retry(
     of FAILED attempts (for the send_failed metric).
 
     Mirrors the exporterhelper retry sender (queued_retry.go:90-98: 5 s
-    initial -> 30 s cap; :241-332 retry loop, permanent short-circuit).
+    initial -> 30 s cap; :241-332 retry loop, permanent short-circuit,
+    :306-308 throttle hint: a :class:`ThrottleError` raises the NEXT delay
+    to at least the server-suggested one — backoff never shortens it).
     Spark already retries tasks inside a job — this wraps whole-JOB failures
     (driver-visible), which is the layer the Go retry operates at. The write
     is overwrite-idempotent, so a retry replaces partial output."""
@@ -232,7 +245,10 @@ def write_sink_with_retry(
             failed += 1
             if is_permanent(exc) or failed >= max_attempts:
                 raise
-            _time.sleep(min(backoff, backoff_cap_s))
+            delay = min(backoff, backoff_cap_s)
+            if isinstance(exc, ThrottleError):
+                delay = max(delay, exc.delay_s)
+            _time.sleep(delay)
             backoff *= 2
 
 
@@ -281,11 +297,20 @@ def run_pipeline(
     input_rows: int | None = None,
     max_attempts: int = 3,
     raise_on_sink_error: bool = True,
+    queue_capacity: int | None = None,
 ) -> RunResult:
     """Execute: scan -> processors -> predicate fan-out -> idempotent sink
     writes (exp-backoff retried), with obsreport metrics and a
     resume-capable manifest. A failing sink does not block its siblings;
-    all failures raise combined as :class:`SinkErrors` at the end."""
+    all failures raise combined as :class:`SinkErrors` at the end.
+
+    ``queue_capacity`` is the sending-queue admission analog
+    (exporterhelper QueueSettings): a batch larger than the capacity is
+    REFUSED before any send attempt — counted as
+    ``enqueue_failed_log_records`` (obs_exporter.go:24-95), exactly the
+    "sending_queue is full" drop. Admitted batches record the
+    ``queue_size`` gauge observed at enqueue time (the instantaneous
+    queue depth a bounded in-memory queue would report)."""
     spec.validate()
     run_id = run_id or uuid.uuid4().hex[:12]
     metrics = MetricsCollector(run_id)
@@ -312,6 +337,17 @@ def run_pipeline(
 
     sink_errors: dict[str, Exception] = {}
     for s in spec.sinks:
+        if queue_capacity is not None and n_proc > queue_capacity:
+            # queue-full refusal happens BEFORE any send attempt and is a
+            # separate counter family from send_failed (the reference drops
+            # the batch at enqueue; siblings are unaffected)
+            metrics.exporter_enqueue_failed(s.name, n_proc)
+            sink_errors[s.name] = RuntimeError(
+                f"sending_queue is full: {n_proc} > capacity {queue_capacity}"
+            )
+            manifest.commit(ManifestEntry(run_id, s.name, snapshot, "failed", 0))
+            continue
+        metrics.exporter_queue_size(s.name, n_proc if queue_capacity is not None else 0)
         prior = manifest.committed(s.name, snapshot)
         if prior:
             resumed.append(s.name)

@@ -285,3 +285,57 @@ def test_snapshot_distinguishes_different_inputs_same_rowcount(spark, tmp_path):
     da, db = spark.read.parquet(str(a)), spark.read.parquet(str(b))
     assert pipeline_snapshot("p", da, 5) != pipeline_snapshot("p", db, 5)
     assert pipeline_snapshot("p", da, 5) == pipeline_snapshot("p", da, 5)
+
+
+def test_throttle_hint_raises_backoff_delay(spark, tmp_path, monkeypatch):
+    """queued_retry.go:306-308: a throttle hint FLOORS the next backoff —
+    the retry never waits less than the server asked."""
+    import time as _t
+
+    from opentelemetry_collector_spark.plans import pipeline as P
+
+    real = P.write_sink
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def throttled(df, s):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise P.ThrottleError("slow down", delay_s=1.25)
+        if calls["n"] == 2:
+            raise RuntimeError("transient")
+        real(df, s)
+
+    monkeypatch.setattr(P, "write_sink", throttled)
+    monkeypatch.setattr(_t, "sleep", lambda d: sleeps.append(d))
+    res = P.run_pipeline(spark, _mini_spec(tmp_path), str(tmp_path / "base"))
+    assert res.sink_rows["a"] > 0
+    # first delay floored to the hint (base backoff is 0.2); second delay
+    # falls back to plain exponential (0.4) — the hint is per-error
+    assert sleeps[0] == 1.25 and sleeps[1] < 1.25
+
+
+def test_queue_capacity_refuses_batch_as_enqueue_failed(spark, tmp_path):
+    """Sending-queue admission: an over-capacity batch is REFUSED before
+    any send attempt (enqueue_failed_log_records, obs_exporter.go:24-95),
+    never counted as send_failed, and siblings see the same refusal
+    independently. The queue_size gauge is recorded for admitted runs."""
+    from opentelemetry_collector_spark.plans import pipeline as P
+
+    res = P.run_pipeline(
+        spark, _mini_spec(tmp_path), str(tmp_path / "base"),
+        queue_capacity=1, raise_on_sink_error=False,
+    )
+    rows = {(r.metric, r.sink): r.value for r in res.metrics.collect() if r.sink}
+    assert rows[("enqueue_failed_log_records", "a")] > 1
+    assert ("sent_log_records", "a") not in rows
+    assert res.sink_rows == {}
+    # an admitted run reports the gauge and the full exporter taxonomy
+    res2 = P.run_pipeline(
+        spark, _mini_spec(tmp_path / "ok"), str(tmp_path / "ok" / "base"),
+        queue_capacity=10_000,
+    )
+    fam = {r.metric for r in res2.metrics.collect() if r.sink}
+    assert {"sent_log_records", "send_failed_log_records", "queue_size"} <= fam
+    gauge = [r.value for r in res2.metrics.collect() if r.metric == "queue_size"]
+    assert gauge and gauge[0] == res2.sink_rows["a"]
