@@ -7862,7 +7862,9 @@ _DRIVER_VERIFIED_R01: frozenset[str] = frozenset(
 
 # q25's round-2 semantics changed (max_df hot-shingle guard), so its round-1
 # green row no longer covers it — rotate it back into the checked prefix.
-_RECHECK: frozenset[str] = frozenset({"q25_ngram_jaccard", "q29_expr_filter"})
+_RECHECK: frozenset[str] = frozenset(
+    {"q25_ngram_jaccard", "q29_expr_filter", "q48_oc_roundtrip"}
+)
 
 # Round-2 additions the r1 verdict called out (the eight formerly rows-only
 # queries gaining oracles, plus the real-decode query): pin them to the very
@@ -7871,7 +7873,7 @@ _PRIORITY: tuple[str, ...] = (
     "q19_minhash_lsh", "q20_simhash_neardup", "q21_ann_lsh", "q22_media_features",
     "q25_ngram_jaccard", "q63_ann_pq", "q64_ann_ivf_pq", "q66_sketch_rollup",
     "q84_classifier_train", "q179_media_decode", "q180_prom_relabel",
-    "q181_prom_staleness", "q29_expr_filter",
+    "q181_prom_staleness", "q29_expr_filter", "q48_oc_roundtrip",
 )
 
 

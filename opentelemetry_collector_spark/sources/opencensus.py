@@ -258,31 +258,44 @@ def to_oc_json(df: DataFrame, out_col: str = "value") -> DataFrame:
     (traces_to_oc.go semantics; node carried only via resource-map keys).
 
     kind: SERVER/CLIENT -> the field; consumer/producer/internal -> the
-    ``span.kind`` attr (:163-181, :236-250). status: UNSET -> OC OK, OTLP
-    OK never occurs in this frame (parse maps OC OK -> UNSET), ERROR -> 2.
+    ``span.kind`` attr (:163-181, :236-250). status (statusToOC,
+    traces_to_oc.go:370-387): UNSET -> OC OK, OTLP OK -> OC OK plus a
+    ``status.code``=1 int attr (the distinguishing mark the parse side
+    consumes back into code 1), ERROR -> OC code 2; message always
+    carried.
     """
+    def _sval(v):
+        return F.struct(
+            F.struct(v.alias("value")).alias("stringValue"),
+            F.lit(None).cast("string").alias("intValue"),
+        )
+
     typed = F.transform(
         F.map_entries(F.coalesce(F.col("attrs"), F.create_map())),
-        lambda e: F.struct(
-            e["key"].alias("key"),
-            F.struct(F.struct(e["value"].alias("value")).alias("stringValue")).alias("value"),
-        ),
+        lambda e: F.struct(e["key"].alias("key"), _sval(e["value"]).alias("value")),
     )
     kind_attr = (
         F.when(F.col("kind") == 5, "consumer")
         .when(F.col("kind") == 4, "producer")
         .when(F.col("kind") == 1, "internal")
     )
+    # jsonpb int64 travels as a string; OTLP OK's marker attr is int 1
+    ok_attr = F.when(F.col("status_code") == 1, F.lit("1"))
     typed = F.concat(
         typed,
         F.filter(
             F.array(
+                F.struct(F.lit("span.kind").alias("key"), _sval(kind_attr).alias("value")),
                 F.struct(
-                    F.lit("span.kind").alias("key"),
-                    F.struct(F.struct(kind_attr.alias("value")).alias("stringValue")).alias("value"),
-                )
+                    F.lit("status.code").alias("key"),
+                    F.struct(
+                        F.lit(None).cast("struct<value:string>").alias("stringValue"),
+                        ok_attr.alias("intValue"),
+                    ).alias("value"),
+                ),
             ),
-            lambda e: e["value"]["stringValue"]["value"].isNotNull(),
+            lambda e: e["value"]["stringValue"]["value"].isNotNull()
+            | e["value"]["intValue"].isNotNull(),
         ),
     )
     span = F.struct(

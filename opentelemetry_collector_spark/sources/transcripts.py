@@ -312,3 +312,52 @@ def metrics_from_transcripts(df: DataFrame) -> DataFrame:
         F.col("_m.value").alias("value"),
         "ts",
     )
+
+
+def pairwise_cases(axes: dict[str, list]) -> list[dict]:
+    """Deterministic greedy all-pairs case generation — the PICT analog
+    behind the reference's golden dataset (``internal/goldendataset/
+    pict_tracing_input_defs.go`` / pict_input_traces.txt axes): every
+    VALUE PAIR across any two axes appears in at least one generated
+    case, in O(max |axis_i| * |axis_j|) cases instead of the full cross
+    product.
+
+    Algorithm: while uncovered pairs remain, seed a case with the first
+    uncovered pair (insertion order — fully deterministic, no RNG), then
+    fill the remaining axes greedily by newly-covered-pair count (ties ->
+    first value in the axis list). Guaranteed to terminate: every
+    iteration covers at least the seeded pair.
+    """
+    names = list(axes)
+    for n, vals in axes.items():
+        if not vals:
+            raise ValueError(f"pairwise: axis {n!r} has no values")
+
+    def key(n1, v1, n2, v2):
+        return (n1, v1, n2, v2) if names.index(n1) < names.index(n2) else (n2, v2, n1, v1)
+
+    import itertools
+
+    uncovered: dict = dict.fromkeys(
+        key(a, va, b, vb)
+        for a, b in itertools.combinations(names, 2)
+        for va in axes[a]
+        for vb in axes[b]
+    )
+    cases: list[dict] = []
+    while uncovered:
+        a, va, b, vb = next(iter(uncovered))
+        case = {a: va, b: vb}
+        for n in names:
+            if n in case:
+                continue
+            best_v, best_c = axes[n][0], -1
+            for v in axes[n]:
+                c = sum(1 for o, ov in case.items() if key(o, ov, n, v) in uncovered)
+                if c > best_c:
+                    best_v, best_c = v, c
+            case[n] = best_v
+        for o1, o2 in itertools.combinations(names, 2):
+            uncovered.pop(key(o1, case[o1], o2, case[o2]), None)
+        cases.append({n: case[n] for n in names})
+    return cases

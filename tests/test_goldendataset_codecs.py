@@ -89,3 +89,82 @@ def test_golden_frame_survives_each_wire(spark, codec):
     assert len(a) == len(b) == 48
     for x, y in zip(a, b):
         assert x == y, f"{codec}: {x} != {y}"
+
+
+# ---------------------------------------------------------------------------
+# PICT pairwise sweep (internal/goldendataset/pict_tracing_input_defs.go
+# analog): every PAIR of axis values — attr value shape x cardinality x
+# resource presence x span name shape x status x parentage — crosses every
+# wire codec at least once, without paying the full cross product.
+# ---------------------------------------------------------------------------
+
+PICT_AXES = {
+    # AttributeValue shapes a string-typed attribute store must carry
+    "attr_value": [
+        "plain", "", "42", "-7.25", "true",
+        "uni-\u00e9\u4e2d\u6587", 'q"uo\\te', "nl\nnl", "x" * 300,
+    ],
+    "attr_card": [0, 1, 3],
+    "resource": ["present", "empty"],
+    "name": ["op", "", "uni-\u00fc"],
+    "status": [(0, ""), (2, "boom"), (1, "")],
+    "parent": [None, "bbbbbbbbbbbbbbbb"],
+}
+
+
+def pict_frame(spark):
+    from opentelemetry_collector_spark.sources.transcripts import pairwise_cases
+
+    cases = pairwise_cases(PICT_AXES)
+    rows = []
+    for i, c in enumerate(cases):
+        attrs = {f"k{j}": c["attr_value"] for j in range(c["attr_card"])}
+        code, msg = c["status"]
+        rows.append(
+            (
+                f"{i:032x}", f"{i:016x}", c["parent"], c["name"], i % 6, code, msg,
+                "svcP" if c["resource"] == "present" else "",
+                f"2026-03-04 05:06:{i % 60:02d}.{i:06d}"[:26], 500 + i, attrs,
+            )
+        )
+    return len(cases), spark.createDataFrame(rows, FRAME_SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def test_pairwise_generator_covers_all_pairs_deterministically():
+    from opentelemetry_collector_spark.sources.transcripts import pairwise_cases
+
+    cases = pairwise_cases(PICT_AXES)
+    assert cases == pairwise_cases(PICT_AXES)  # no RNG anywhere
+    for (xa, xb) in itertools.combinations(PICT_AXES, 2):
+        for va, vb in itertools.product(PICT_AXES[xa], PICT_AXES[xb]):
+            assert any(c[xa] == va and c[xb] == vb for c in cases), (xa, va, xb, vb)
+    # and it is far smaller than the cross product it covers
+    full = 1
+    for vals in PICT_AXES.values():
+        full *= len(vals)
+    assert len(cases) < full / 10
+
+
+@pytest.mark.parametrize("codec", sorted(CODECS))
+def test_pict_pairwise_frame_survives_each_wire(spark, codec):
+    """Every attr-value shape meets every cardinality/resource/name/status/
+    parent value somewhere in the frame, and each wire must reconstruct
+    the rows byte-for-byte — the correctness-testbed property run over
+    the pairwise matrix instead of a fixed golden file."""
+    import importlib
+
+    mod_name, to_name, parse_name = CODECS[codec]
+    mod = importlib.import_module(mod_name)
+    n, frame = pict_frame(spark)
+    back = getattr(mod, parse_name)(getattr(mod, to_name)(frame))
+    a, b = _rows(frame), _rows(back)
+    assert len(a) == len(b) == n
+    for x, y in zip(a, b):
+        if codec in ("jaeger", "opencensus") and x["service_name"] == "":
+            # the reference's translators substitute the documented
+            # placeholder when a resource carries no service name
+            # (tracetranslator.ResourceNoServiceName) — expected lossiness
+            x = dict(x, service_name="OTLPResourceNoServiceName")
+        assert x == y, f"{codec}: {x} != {y}"
