@@ -197,9 +197,69 @@ def run_default() -> None:
         if os.path.exists(scaling_path):
             with open(scaling_path) as f:
                 result["scaling"] = json.load(f)
+        _diff_against_previous(per_query, sf)
         print(json.dumps(result), flush=True)
     finally:
         spark.stop()
+
+
+def _diff_against_previous(per_query: dict[str, float], sf: str) -> None:
+    """Round-over-round regression gate: compare this run's per-query
+    times against the last snapshot (BENCH/prev_queries.json), write the
+    delta table to BENCH/REGRESSIONS.md flagging >1.3x slowdowns, and
+    roll the snapshot forward. stdout stays pure (one JSON line is the
+    bench contract) — the table is a file, notes go to stderr. Set
+    SPARK_GRAFT_FAIL_ON_REGRESSION=1 to exit nonzero on any flag (the CI
+    gate). Snapshots are compared only at the same scale factor."""
+    bench_dir = os.path.join(REPO, "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    snap_path = os.path.join(bench_dir, "prev_queries.json")
+    prev = None
+    if os.path.exists(snap_path):
+        try:
+            with open(snap_path) as f:
+                prev = json.load(f)
+        except Exception:
+            prev = None
+    with open(snap_path, "w") as f:
+        json.dump({"sf": sf, "queries": per_query}, f, indent=1, sort_keys=True)
+    if not prev or prev.get("sf") != sf:
+        return
+    deltas = []
+    for name, now in per_query.items():
+        was = prev["queries"].get(name)
+        if was and was > 0:
+            deltas.append((now / was, was, now, name))
+    if not deltas:
+        return
+    deltas.sort(reverse=True)
+    flagged = [d for d in deltas if d[0] > 1.3 and d[2] - d[1] > 0.15]
+    lines = [
+        "# BENCH/REGRESSIONS.md — round-over-round per-query deltas",
+        "",
+        f"Scale factor sf{sf}; ratio = this run / previous snapshot; a query is",
+        "FLAGGED when it is both >1.3x slower and >0.15 s absolute (the shared",
+        "VM's measured neighbor-steal makes pure ratios on sub-100 ms queries",
+        "meaningless).",
+        "",
+        f"**{len(flagged)} flagged / {len(deltas)} compared.**",
+        "",
+        "| query | prev s | now s | ratio | flag |",
+        "|---|---|---|---|---|",
+    ]
+    for ratio, was, now, name in deltas[:15]:
+        mark = "**REGRESSION**" if (ratio, was, now, name) in flagged else ""
+        lines.append(f"| {name} | {was:.3f} | {now:.3f} | {ratio:.2f}x | {mark} |")
+    lines += ["", "Fastest-moving improvements:", "",
+              "| query | prev s | now s | ratio |", "|---|---|---|---|"]
+    for ratio, was, now, name in sorted(deltas)[:5]:
+        lines.append(f"| {name} | {was:.3f} | {now:.3f} | {ratio:.2f}x |")
+    with open(os.path.join(bench_dir, "REGRESSIONS.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    if flagged:
+        print(f"bench: {len(flagged)} per-query regressions flagged", file=sys.stderr)
+        if os.environ.get("SPARK_GRAFT_FAIL_ON_REGRESSION"):
+            sys.exit(1)
 
 
 # ---------------------------------------------------------------------------
