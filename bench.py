@@ -1695,7 +1695,7 @@ def run_ngram_scale(
     cached 205k-doc Zipf-ish corpus (HEAD words in ~10% of docs make their
     5-grams the quadratic terms). Unpruned runs a small sample (its cost is
     the Σdf² point being measured — 10k docs already GC-thrashed the JVM);
-    max_df=3000 pruned runs the full corpus with the planted-recall check.
+    max_df=100 pruned runs the full corpus with the planted-recall check.
     Writes BENCH/NGRAM_JACCARD.md + ngram_scale.json."""
     import tempfile
 
@@ -1729,12 +1729,12 @@ def run_ngram_scale(
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         results["sample"]["pruned_pairs"] = ngram_jaccard_pairs(
-            sub, "doc_id", threshold=0.5, max_df=3000
+            sub, "doc_id", threshold=0.5, max_df=100
         ).count()
         results["sample"]["pruned_sec"] = round(time.perf_counter() - t0, 1)
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        pairs = ngram_jaccard_pairs(docs, "doc_id", threshold=0.5, max_df=3000)
+        pairs = ngram_jaccard_pairs(docs, "doc_id", threshold=0.5, max_df=100)
         agg = pairs.agg(
             F.count(F.lit(1)).alias("total"),
             F.sum(
@@ -1766,8 +1766,8 @@ near-dups). local[32], one JVM. Raw numbers in `ngram_scale.json`.
 | path | input | wall sec | pairs >= 0.5 jaccard |
 |---|---|---|---|
 | unpruned shingle join | {sm['docs']:,}-doc SAMPLE | {sm['unpruned_sec']} | {sm['unpruned_pairs']:,} |
-| max_df=3000 pruned | same sample | {sm['pruned_sec']} | {sm['pruned_pairs']:,} |
-| max_df=3000 pruned | FULL {r['n_docs']:,} docs | {fp['sec']} | {fp['pairs']:,} ({fp['planted_recalled']:,}/{r['n_planted']:,} planted recalled) |
+| max_df=100 pruned | same sample | {sm['pruned_sec']} | {sm['pruned_pairs']:,} |
+| max_df=100 pruned | FULL {r['n_docs']:,} docs | {fp['sec']} | {fp['pairs']:,} ({fp['planted_recalled']:,}/{r['n_planted']:,} planted recalled) |
 
 HEAD-word 5-grams appear in ~10% of documents, so the unpruned inverted-
 index join pays the Σdf² bill the cosine study measured for terms —
@@ -1777,8 +1777,13 @@ index join pays the Σdf² bill the cosine study measured for terms —
 `max_df` the Jaccard is computed over the PRUNED shingle space (sizes and
 intersections consistently exclude hot shingles — the measure the q25
 oracle replays), and recall survives because near-dup evidence lives in
-rare shingles: {fp['planted_recalled']:,}/{r['n_planted']:,} planted pairs
-found in {fp['sec']} s on the full corpus.
+rare shingles: a 5-digit tail word's own 5-grams have df ~31 while every
+prefix-family shingle (" t123", df ~340) and HEAD shingle (df ~20k) is
+pruned — max_df=100 keeps exactly the word-identifying grams.
+{fp['planted_recalled']:,}/{r['n_planted']:,} planted pairs found in
+{fp['sec']} s on the full corpus (max_df=3000 was measured too generous:
+the ~340-df prefix families alone put ~4e9 rows through the pair
+aggregation — 96 GB of shuffle — before the guard threshold matters).
 
 **At 100 TB:** identical contract to sparse_cosine_pairs — without the
 guard ONE boilerplate shingle makes the join Θ(n²); with it the candidate
