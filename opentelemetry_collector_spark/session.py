@@ -75,6 +75,32 @@ def spread(df, target: int | None = None):
         return df
     sc = df.sparkSession.sparkContext
     tgt = target or sc.defaultParallelism
+    # Estimate the scan's split count WITHOUT df.rdd (which re-translates
+    # the analyzed plan to an RDD on every call): local file scans derive
+    # splits from file count + size/maxPartitionBytes, exactly Spark's own
+    # split math. Non-file plans (local relations, post-shuffle frames)
+    # and remote filesystems fall back to the RDD probe — correctness
+    # first; at real scale those scans are already thousands of splits.
+    files = df.inputFiles()
+    if files and all(f.startswith("file:") for f in files):
+        import os as _os
+        from urllib.parse import unquote, urlparse
+
+        try:
+            max_bytes = int(
+                df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+                .removesuffix("b")
+            )
+        except ValueError:
+            max_bytes = 128 << 20
+        try:
+            total = sum(_os.path.getsize(unquote(urlparse(f).path)) for f in files)
+        except OSError:
+            total = 0
+        splits = max(len(files), -(-total // max_bytes))
+        if splits >= tgt:
+            return df
+        return df.repartition(tgt)
     if df.rdd.getNumPartitions() >= tgt:
         return df
     return df.repartition(tgt)
