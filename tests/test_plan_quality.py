@@ -289,3 +289,58 @@ def test_corpus_build_single_scan_no_self_join(spark):
     assert plan.count("Scan parquet") == 1
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 1  # the vocab probe only
+
+
+def test_relabel_chain_is_pure_projection(spark):
+    """The whole relabel_configs chain must compile to Projects/Filters —
+    zero Exchanges introduced by label machinery (relabeling at 100 TB
+    rides the scan)."""
+    from opentelemetry_collector_spark.sources.prometheus import (
+        RelabelConfig,
+        apply_relabel_configs,
+        merge_target_labels,
+    )
+
+    df = spark.createDataFrame(
+        [("m", {"a": "1"}, 1.0)], "metric string, labels map<string,string>, value double"
+    )
+    out = apply_relabel_configs(
+        merge_target_labels(df, {"job": "j"}, honor_labels=False),
+        [
+            RelabelConfig(action="keep", source_labels=["a"], regex=".*"),
+            RelabelConfig(action="replace", source_labels=["a"], target_label="b"),
+            RelabelConfig(action="hashmod", source_labels=["a"], target_label="s", modulus=4),
+            RelabelConfig(action="labelmap", regex="(a)", replacement="x_$1"),
+            RelabelConfig(action="labeldrop", regex="a"),
+        ],
+    )
+    assert "Exchange" not in _plan(out)
+
+
+def test_staleness_markers_single_anti_join(spark):
+    """The two-generation diff is ONE left-anti hash join on the series
+    key — bounded by distinct series per scrape pair, never a nested loop
+    and never more than one anti-join pass."""
+    from opentelemetry_collector_spark.sources.prometheus import staleness_markers
+
+    df = spark.createDataFrame(
+        [(1, "m", {"s": "A"}, 1.0), (2, "m", {"s": "B"}, 1.0)],
+        "scrape_idx int, metric string, labels map<string,string>, value double",
+    )
+    plan = _plan(staleness_markers(df))
+    assert plan.count("LeftAnti") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_media_decode_is_shuffle_free(spark):
+    """Synthesize + decode are chained Arrow stages over one scan: binary
+    payloads must never shuffle BY KEY. (spread()'s round-robin widen of
+    the narrow local fixture scan is allowed — it is a no-op at scale by
+    contract; a hash/range exchange would mean the decode introduced a
+    data-dependent shuffle.)"""
+    from opentelemetry_collector_spark.plans.queries import q179_media_decode
+
+    plan = _plan(q179_media_decode(spark, SF_DIR))
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan

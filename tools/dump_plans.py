@@ -23,6 +23,30 @@ SF_DIR = "/root/testdata/sf0.01"
 
 # query -> (what the plan must show, why it matters at 100 TB)
 COMMENTARY = {
+    "q179_media_decode": (
+        "Two chained ArrowEvalPython/MapInPandas stages (synthesize, decode) "
+        "over one scan — zero Exchanges; every decoded field is a per-row "
+        "projection.",
+        "Binary decode is embarrassingly parallel: payloads never shuffle, "
+        "each Arrow batch decodes locally, and the pure-Python codecs keep "
+        "the per-batch work in numpy buffers.",
+    ),
+    "q180_prom_relabel": (
+        "The relabel chain (keep/replace/hashmod/labelmap/labeldrop) and the "
+        "target-label merge compile into Projects/Filters over the parsed "
+        "sample frame — the only Exchange is the upstream count aggregate "
+        "that built the exposition lines.",
+        "Relabeling at 100 TB must ride the scan: every action is a map-"
+        "column rewrite, so a billion samples relabel at scan speed with "
+        "no shuffle introduced by the label machinery.",
+    ),
+    "q181_prom_staleness": (
+        "One window over the tiny distinct-scrape frame plus ONE left-anti "
+        "hash join on the canonical series key; live rows union markers.",
+        "The staleness store's two-generation diff needs no driver state: "
+        "the anti-join shuffle is bounded by distinct series per scrape "
+        "pair, never by samples.",
+    ),
     "q00_pipeline_e2e": (
         "BroadcastHashJoin (enrich side broadcast, fact side never shuffled for the join); "
         "partial HashAggregate before the single Exchange; one FileScan.",
@@ -581,7 +605,9 @@ COMMENTARY = {
     "q127_pagerank_nav": (
         "The corpus-sized pass is the edge aggregation (window lag + one "
         "groupBy); every PageRank iteration joins the node-sized rank frame "
-        "(BroadcastHashJoin) onto the aggregated edge list.",
+        "(BroadcastHashJoin here — the hint is SIZE-GATED by a node-count "
+        "probe, so above the threshold the same code plans a shuffled "
+        "hash-join instead of forcing an unbounded driver broadcast).",
         "Iterations cost O(edges), never O(events) — and the integer "
         "micro-unit arithmetic makes the result bit-identical under any "
         "partitioning, so AQE/skew re-plans cannot change the answer.",
