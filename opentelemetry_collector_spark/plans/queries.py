@@ -1736,6 +1736,10 @@ def q84_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights, bias = train_linear_gd(
         labeled, "doc_id", "label", vocab_size=32, min_doc_freq=2, iters=3
     )
+    if weights.isEmpty():
+        # empty/vocabless corpus: the zero model has nothing to report —
+        # 0 rows with a stable schema (the bias row rides only a real fit)
+        return weights
     bias_row = spark.createDataFrame(
         [("__bias__", bias)], "term string, weight_micro bigint"
     )
@@ -2294,7 +2298,7 @@ def q63_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     embq = _quantized_vecs(emb)
     books = train_pq(emb, dim=64, m=8, ksub=16, iters=3, seed=42, normalize=False)
-    books_q = np.floor(books * _VEC_SCALE)
+    books_q = _quantize_matrix(books)
     _write_books_parquet("q63_books.parquet", books_q)
     return pq_topk(embq, embq.filter(F.col("vec_id") < 5), books_q, k=10, normalize=False)
 
@@ -2305,6 +2309,16 @@ def q63_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VEC_SCALE = 65536.0
 
 _ORACLE_ARTIFACTS = "/tmp/otelcol_oracle"
+
+
+def _quantize_matrix(arr):
+    """floor(arr * scale) with non-finite cells (a degenerate corpus can
+    push k-means to NaN/inf centroids) pinned to 0 BEFORE the int cast —
+    casting NaN to int64 is undefined, and 0 is a harmless codeword the
+    oracle replays identically."""
+    import numpy as np
+
+    return np.floor(np.nan_to_num(np.asarray(arr), nan=0.0, posinf=0.0, neginf=0.0) * _VEC_SCALE)
 
 
 def _quantized_vecs(emb: DataFrame) -> DataFrame:
@@ -2376,8 +2390,8 @@ def q64_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     embq = _quantized_vecs(emb)
     cents = train_centroids(emb, dim=64, nlist=8, iters=3, seed=42)
     books = train_pq(emb, dim=64, m=8, ksub=16, iters=3, seed=42, normalize=False)
-    cents_q = np.floor(cents * _VEC_SCALE)
-    books_q = np.floor(books * _VEC_SCALE)
+    cents_q = _quantize_matrix(cents)
+    books_q = _quantize_matrix(books)
     _write_books_parquet("q64_books.parquet", books_q)
     _write_books_parquet("q64_cents.parquet", cents_q)
     return ivf_pq_topk(

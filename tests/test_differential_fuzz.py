@@ -49,6 +49,10 @@ FUZZ_QUERIES = [
     "q169_attr_cardinality",
     "q171_hot_keys",
     "q44_pii_redact",
+    # round-2 oracles: portable HLL registers + prometheus scrape semantics
+    "q66_sketch_rollup",
+    "q180_prom_relabel",
+    "q181_prom_staleness",
 ]
 
 SEEDS = [11, 23, 47, 89, 131]
@@ -167,6 +171,12 @@ DOC_FUZZ_QUERIES = [
     "q86_epoch_expand",
     "q106_surprisal",
     "q117_weighted_sample",
+    # round-2 generated-oracle replays: the FNV+splitmix64 hash pipelines
+    # and the fixed-point GD trainer must agree on adversarial unicode/
+    # whitespace/NULL/duplicate-heavy corpora, not just the fixtures
+    "q19_minhash_lsh",
+    "q20_simhash_neardup",
+    "q84_classifier_train",
 ]
 
 _WORDS = [
@@ -237,6 +247,12 @@ def test_differential_random_documents(spark, doc_fuzz_dir, name):
 # ---------------------------------------------------------------------------
 
 EMB_FUZZ_QUERIES = [
+    # round-2: integer hyperplane buckets and the integer-exact PQ serving
+    # modes (q63/q64 persist their trained codebooks per run; the oracle
+    # replays THIS run's artifacts, so random training inputs are fair game)
+    "q21_ann_lsh",
+    "q63_ann_pq",
+    "q64_ann_ivf_pq",
     "q16_ann_topk",
     "q17_embedding_dedup",
     "q30_ann_ivf",
@@ -446,6 +462,66 @@ def test_differential_random_star(spark, star_fuzz_dir, name):
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(star_fuzz_dir, f'{t}.parquet')}/*.parquet'"
         )
+    want = con.sql(ORACLES[name]).df()
+    a, b = _normalize(got), _normalize(want)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+# ---------------------------------------------------------------------------
+# ASCII documents fuzzing: the byte-level oracles (q22 features, q179 media
+# decode) replay Spark's UTF-8 byte math from DuckDB code points, which
+# coincide exactly on ASCII — the fixture corpus's contract. Fuzz them with
+# adversarial ASCII (empty/NULL docs, control-ish chars, long runs) rather
+# than the unicode corpus above.
+# ---------------------------------------------------------------------------
+
+ASCII_DOC_FUZZ_QUERIES = ["q22_media_features", "q179_media_decode"]
+
+
+def _random_ascii_documents(seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed + 5000)
+    n = 150
+    alphabet = list("abcdefghijklmnop QRSTUV0123456789.,;:!?#@[]{}|~^")
+    texts = []
+    for _ in range(n):
+        k = int(rng.integers(0, 300))
+        t = "".join(rng.choice(alphabet, size=k)) if k else ""
+        if rng.random() < 0.05:
+            t = "x" * int(rng.integers(1, 4))     # tiny docs (< one pixel row)
+        texts.append(t)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * n,
+            "source": ["src0"] * n,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    df.loc[rng.random(n) < 0.04, "text"] = None
+    return df
+
+
+@pytest.fixture(scope="module", params=SEEDS)
+def ascii_doc_fuzz_dir(request, spark, tmp_path_factory):
+    seed = request.param
+    d = tmp_path_factory.mktemp(f"asciifuzz_{seed}")
+    spark.createDataFrame(
+        _random_ascii_documents(seed),
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ASCII_DOC_FUZZ_QUERIES)
+def test_differential_random_ascii_documents(spark, ascii_doc_fuzz_dir, name):
+    got = QUERIES[name](spark, ascii_doc_fuzz_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(ascii_doc_fuzz_dir, 'documents.parquet')}/*.parquet'"
+    )
     want = con.sql(ORACLES[name]).df()
     a, b = _normalize(got), _normalize(want)
     assert list(a.columns) == list(b.columns)
