@@ -233,16 +233,22 @@ def _diff_against_previous(per_query: dict[str, float], sf: str) -> None:
     if not deltas:
         return
     deltas.sort(reverse=True)
-    flagged = [d for d in deltas if d[0] > 1.3 and d[2] - d[1] > 0.15]
+    # normalize by the run-wide median ratio: this shared VM's neighbor
+    # steal shifts WHOLE runs by 10-30%, which is not a per-query
+    # regression — a real regression is a query slower RELATIVE to how
+    # this run compares to the last one overall
+    med = sorted(d[0] for d in deltas)[len(deltas) // 2]
+    flagged = [d for d in deltas if d[0] / med > 1.3 and d[2] - d[1] * med > 0.25]
     lines = [
         "# BENCH/REGRESSIONS.md — round-over-round per-query deltas",
         "",
-        f"Scale factor sf{sf}; ratio = this run / previous snapshot; a query is",
-        "FLAGGED when it is both >1.3x slower and >0.15 s absolute (the shared",
-        "VM's measured neighbor-steal makes pure ratios on sub-100 ms queries",
-        "meaningless).",
+        f"Scale factor sf{sf}; ratio = this run / previous snapshot; run-wide",
+        f"median ratio {med:.2f}x (whole-VM noise baseline). A query is FLAGGED",
+        "when it is >1.3x slower than the median-normalized expectation AND",
+        ">0.25 s absolute over it — per-query regressions, not neighbor",
+        "steal (sub-second queries swing +-30% run-to-run on this VM).",
         "",
-        f"**{len(flagged)} flagged / {len(deltas)} compared.**",
+        f"**{len(flagged)} flagged / {len(deltas)} compared (median-normalized).**",
         "",
         "| query | prev s | now s | ratio | flag |",
         "|---|---|---|---|---|",
