@@ -771,3 +771,84 @@ def _hyst_state_fn(hi: int, lo: int, timeout_minutes: int):
         state.setTimeoutDuration(timeout_minutes * 60 * 1000)
 
     return fn
+
+
+STALENESS_SCHEMA = (
+    "series string, ts timestamp, value double, stale boolean"
+)
+
+
+def staleness_stream(df: DataFrame, scrape_interval_minutes: int = 2) -> DataFrame:
+    """Staleness markers as the CONTINUOUS operator the reference's
+    staleness store actually is (``receiver/prometheusreceiver/internal/
+    staleness_store.go:21-90``): the store diffs consecutive scrape
+    generations and emits a marker for a series that vanished; in a
+    stream, "vanished" IS a processing-time timeout — a series whose
+    state expires after ``scrape_interval_minutes`` without a new sample
+    gets exactly one marker row (value NULL, stale=true, stamped one
+    interval after its last sample) and its state is dropped, so the
+    store is bounded by LIVE series, precisely the two-generation
+    property of the batch twin (``sources/prometheus.staleness_markers``,
+    whose window + anti-join this operator replaces when the scrapes are
+    an unbounded stream instead of an at-rest frame).
+
+    Live samples pass through with stale=false (the scrape path is
+    untouched — markers are additional rows, as on the Prometheus wire).
+
+    Input stream contract: series (the canonical
+    ``sources/prometheus.series_key`` string), ts (timestamp), value.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if scrape_interval_minutes <= 0:
+        raise ValueError(f"scrape_interval_minutes must be positive: {scrape_interval_minutes}")
+    return df.groupBy("series").applyInPandasWithState(
+        _staleness_state_fn(scrape_interval_minutes),
+        outputStructType=STALENESS_SCHEMA,
+        stateStructType="last_ts_us bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def _staleness_state_fn(scrape_interval_minutes: int):
+    """Per-series handler behind :func:`staleness_stream`, module-level so
+    the timeout (marker-emitting) branch is unit-testable."""
+    import pandas as pd
+
+    interval_us = scrape_interval_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            (last_us,) = state.get
+            state.remove()  # marker emitted ONCE; dead series cost nothing
+            yield pd.DataFrame(
+                {
+                    "series": [key[0]],
+                    "ts": pd.to_datetime([last_us + interval_us], unit="us"),
+                    "value": pd.array([None], dtype="Float64"),
+                    "stale": [True],
+                }
+            )
+            return
+        last_us = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            live = pdf[pdf["ts"].notna()]
+            if not len(live):
+                continue
+            ts_us = live["ts"].astype("datetime64[us]").astype("int64")
+            batch_max = int(ts_us.max())
+            last_us = batch_max if last_us is None else max(last_us, batch_max)
+            yield pd.DataFrame(
+                {
+                    "series": live["series"],
+                    "ts": live["ts"],
+                    "value": live["value"].astype("float64"),
+                    "stale": [False] * len(live),
+                }
+            )
+        if last_us is not None:
+            state.update((last_us,))
+            state.setTimeoutDuration(scrape_interval_minutes * 60 * 1000)
+
+    return fn

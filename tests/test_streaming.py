@@ -696,3 +696,88 @@ def test_hysteresis_state_timeout_drops():
     st = S()
     assert list(_hyst_state_fn(2, 1, 1)("s", iter([]), st)) == []
     assert st.removed
+
+
+def test_staleness_stream_passthrough_and_state(spark, tmp_path):
+    """Live samples pass through with stale=false across micro-batches;
+    series state records the max-seen timestamp (the marker's anchor)."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.streaming.stream import staleness_stream
+
+    base = dt.datetime(2025, 6, 1)
+    schema = "series string, ts timestamp, value double"
+    landing = str(tmp_path / "landing")
+    rows1 = [("A", base, 1.0), ("B", base, 2.0)]
+    rows2 = [("A", base + dt.timedelta(minutes=1), 3.0)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(landing)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = staleness_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(landing),
+        scrape_interval_minutes=60,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stale_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.series, r.value, r.stale) for r in spark.sql("select * from stale_out").collect()
+    )
+    # nothing timed out inside the run: all three samples live, no markers
+    assert got == [("A", 1.0, False), ("A", 3.0, False), ("B", 2.0, False)]
+
+
+def test_staleness_timeout_emits_one_marker_and_drops_state():
+    """The expiry branch is the staleness store's emitStaleLabels: exactly
+    one marker row (value NULL, stale=true, stamped one interval after the
+    last sample) and the series state is REMOVED — a dead series costs
+    nothing and is never re-marked."""
+    import pandas as pd
+
+    from opentelemetry_collector_spark.streaming.stream import _staleness_state_fn
+
+    last_us = 1_750_000_000_000_000
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        get = (last_us,)
+
+        def __init__(self):
+            self.removed = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, *_):
+            raise AssertionError("timed-out series must be removed, not updated")
+
+        def setTimeoutDuration(self, *_):
+            raise AssertionError("timed-out series must not re-arm its timer")
+
+    st = FakeState()
+    out = list(_staleness_state_fn(2)(("m\x02k\x01v",), iter([]), st))
+    assert st.removed and len(out) == 1
+    marker = out[0]
+    assert marker["stale"].tolist() == [True]
+    assert marker["value"].isna().all()
+    want_ts = pd.to_datetime([last_us + 2 * 60 * 1_000_000], unit="us")
+    assert (marker["ts"] == want_ts).all()
+
+
+def test_staleness_stream_rejects_bad_interval(spark):
+    from opentelemetry_collector_spark.streaming.stream import staleness_stream
+
+    df = spark.readStream.format("rate").load().selectExpr(
+        "cast(value as string) series", "timestamp ts", "cast(value as double) value"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scrape_interval_minutes"):
+        staleness_stream(df, scrape_interval_minutes=0)
