@@ -7467,6 +7467,107 @@ FROM united
 """
 
 
+
+def q182_prom_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus ingestion CAPSTONE — the receiver's full scrape-to-
+    metrics path composed in one plan: hourly cumulative per-(conv, role)
+    turn counters rendered as timestamped exposition samples, parsed back
+    (sources/codecs.parse_prometheus_text, explicit-timestamp path),
+    target-label merged (honor_labels=false), relabeled (keep
+    user|assistant), diffed for staleness across hourly scrape
+    generations (sources/prometheus.with_staleness), and the live rows
+    start-time-adjusted + delta-converted by the MetricsAdjuster batch
+    twin (operators/aggregate.adjust_cumulative). Markers union in with
+    NULL value/delta. The oracle re-derives every stage analytically from
+    the events table."""
+    from opentelemetry_collector_spark.operators.aggregate import adjust_cumulative
+    from opentelemetry_collector_spark.sources.codecs import parse_prometheus_text
+    from opentelemetry_collector_spark.sources.prometheus import (
+        RelabelConfig,
+        apply_relabel_configs,
+        merge_target_labels,
+        series_key,
+        with_staleness,
+    )
+    from pyspark.sql import Window as W
+
+    t = from_events(spark, sf_dir)
+    hourly = t.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "conv_id", "role"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("conv_id", "role").orderBy("h")
+    cum = hourly.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "ts_ms", (F.unix_micros(F.to_utc_timestamp(F.col("h"), "UTC")) / 1000).cast("bigint")
+    )
+    lines = cum.select(
+        F.concat(
+            F.lit('otelcol_turns_total{conv_id="'), F.col("conv_id"),
+            F.lit('",role="'), F.col("role"), F.lit('"} '),
+            F.col("cum").cast("string"), F.lit(" "), F.col("ts_ms").cast("string"),
+        ).alias("line")
+    )
+    parsed = parse_prometheus_text(lines)
+    merged = merge_target_labels(parsed, {"job": "otelcol"}, honor_labels=False)
+    rel = apply_relabel_configs(
+        merged, [RelabelConfig(action="keep", source_labels=["role"], regex="user|assistant")]
+    )
+    stal = with_staleness(
+        rel.select(F.col("ts_ms").alias("scrape_idx"), "metric", "labels", "value"),
+        scrape_col="scrape_idx",
+    )
+    keyed = stal.withColumn("series", series_key()).withColumn(
+        "ts", F.timestamp_millis(F.col("scrape_idx"))
+    )
+    live = keyed.filter(~F.col("stale")).select("series", "ts", "value")
+    adj = adjust_cumulative(live, keys=["series"], ts_col="ts", value_col="value")
+    out_live = adj.select(
+        "series", "ts",
+        F.col("value").cast("bigint").alias("value"),
+        F.col("delta").cast("bigint").alias("delta"),
+        "start_ts",
+        F.lit(False).alias("stale"),
+    )
+    out_stale = keyed.filter(F.col("stale")).select(
+        "series", "ts",
+        F.lit(None).cast("bigint").alias("value"),
+        F.lit(None).cast("bigint").alias("delta"),
+        F.lit(None).cast("timestamp").alias("start_ts"),
+        F.lit(True).alias("stale"),
+    )
+    return out_live.unionByName(out_stale)
+
+
+Q182_SQL = f"""{_PRELUDE},
+hourly AS (SELECT date_trunc('hour', ts) AS h, conv_id, role, count(*) AS n
+           FROM t WHERE role IN ('user', 'assistant') GROUP BY 1, 2, 3),
+cum AS (SELECT h, conv_id, role,
+          sum(n) OVER (PARTITION BY conv_id, role ORDER BY h) AS cum
+        FROM hourly),
+keyed AS (SELECT h, conv_id, role, cum,
+            'otelcol_turns_total' || chr(2) || concat_ws(chr(3),
+              'conv_id' || chr(1) || conv_id,
+              'job' || chr(1) || 'otelcol',
+              'role' || chr(1) || role) AS series
+          FROM cum),
+hours AS (SELECT h, lead(h) OVER (ORDER BY h) AS nh
+          FROM (SELECT DISTINCT h FROM keyed)),
+mark AS (SELECT k.series, hr.nh FROM keyed k JOIN hours hr USING (h)
+         WHERE hr.nh IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM keyed k2
+                           WHERE k2.series = k.series AND k2.h = hr.nh)),
+adj AS (SELECT series, h, cum,
+          cum - lag(cum) OVER (PARTITION BY series ORDER BY h) AS delta,
+          min(h) OVER (PARTITION BY series ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS start_ts
+        FROM keyed)
+SELECT series, h AS ts, CAST(cum AS BIGINT) AS value, CAST(delta AS BIGINT) AS delta,
+       start_ts, false AS stale
+FROM adj
+UNION ALL
+SELECT series, nh, NULL, NULL, NULL, true FROM mark
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -7650,6 +7751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q179_media_decode": q179_media_decode,
     "q180_prom_relabel": q180_prom_relabel,
     "q181_prom_staleness": q181_prom_staleness,
+    "q182_prom_pipeline": q182_prom_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -7827,6 +7929,7 @@ ORACLES: dict[str, str] = {
     "q179_media_decode": Q179_SQL,
     "q180_prom_relabel": Q180_SQL,
     "q181_prom_staleness": Q181_SQL,
+    "q182_prom_pipeline": Q182_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -7887,7 +7990,8 @@ _PRIORITY: tuple[str, ...] = (
     "q19_minhash_lsh", "q20_simhash_neardup", "q21_ann_lsh", "q22_media_features",
     "q25_ngram_jaccard", "q63_ann_pq", "q64_ann_ivf_pq", "q66_sketch_rollup",
     "q84_classifier_train", "q179_media_decode", "q180_prom_relabel",
-    "q181_prom_staleness", "q29_expr_filter", "q48_oc_roundtrip",
+    "q181_prom_staleness", "q182_prom_pipeline", "q29_expr_filter",
+    "q48_oc_roundtrip",
 )
 
 
