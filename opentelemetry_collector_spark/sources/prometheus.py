@@ -275,3 +275,82 @@ def with_staleness(
         F.col("stale"),
     )
     return live.unionByName(marks)
+
+
+#: label names the metric builder strips before emitting datapoints
+#: (metricsbuilder.go isUsefulLabel:177-190): wire/meta identity lives on
+#: the resource/target, not on every point.
+_WIRE_LABELS = ("__name__", "instance", "job", "__scheme__", "__metrics_path__")
+
+
+def is_internal_metric(metric: Column) -> Column:
+    """``up`` and every ``scrape_*`` series are scrape bookkeeping, not
+    target data (metricsbuilder.go isInternalMetric:320-327)."""
+    return (metric == "up") | metric.startswith("scrape_")
+
+
+def split_internal_metrics(
+    df: DataFrame, metric_col: str = "metric"
+) -> tuple[DataFrame, DataFrame]:
+    """(data, internal): the metric builder's routing — internal series
+    never become datapoints but are not errors either (hasInternalMetric
+    suppresses the no-data complaint)."""
+    flag = is_internal_metric(F.col(metric_col))
+    return df.filter(~flag), df.filter(flag)
+
+
+def drop_wire_labels(
+    df: DataFrame,
+    labels_col: str = "labels",
+    metric_type_col: str | None = "metric_type",
+) -> DataFrame:
+    """isUsefulLabel (metricsbuilder.go:177-190) as a projection: strip the
+    wire/meta labels from every point; additionally drop ``le`` on
+    histogram-family points and ``quantile`` on summaries (those encode
+    the POSITION of the sample inside its reassembled family, which the
+    family reassembly has already consumed — see scraped_histograms)."""
+    labels = F.coalesce(
+        F.col(labels_col), F.map_from_arrays(F.array(), F.array())
+    ).cast("map<string,string>")
+    drop = F.array(*[F.lit(x) for x in _WIRE_LABELS])
+    if metric_type_col is not None:
+        mt = F.col(metric_type_col)
+        drop = F.concat(
+            drop,
+            F.when(mt == "histogram", F.array(F.lit("le"))).otherwise(F.array().cast("array<string>")),
+            F.when(mt == "summary", F.array(F.lit("quantile"))).otherwise(F.array().cast("array<string>")),
+        )
+    return df.withColumn(
+        labels_col,
+        F.map_from_entries(
+            F.filter(F.map_entries(labels), lambda e: ~F.array_contains(drop, e["key"]))
+        ),
+    )
+
+
+def scrape_health(
+    df: DataFrame,
+    scrape_col: str = "scrape_idx",
+    metric_col: str = "metric",
+    labels_col: str = "labels",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(target, generation) health from the automatic ``up`` series
+    (metricsbuilder.go:117-130: up==1 healthy, up==0 scrape failed,
+    anything else invalid — the two warn branches become a status column
+    instead of log lines). Target identity = the job/instance labels."""
+    up = df.filter(F.col(metric_col) == "up")
+    labels = F.coalesce(
+        F.col(labels_col), F.map_from_arrays(F.array(), F.array())
+    ).cast("map<string,string>")
+    v = F.col(value_col)
+    return up.select(
+        F.col(scrape_col),
+        F.coalesce(F.element_at(labels, F.lit("job")), F.lit("")).alias("job"),
+        F.coalesce(F.element_at(labels, F.lit("instance")), F.lit("")).alias("instance"),
+        F.when(v == 1.0, "healthy")
+        .when(v == 0.0, "scrape_failed")
+        .otherwise("invalid_up_value")
+        .alias("status"),
+        v.cast("double").alias("up_value"),
+    )

@@ -169,3 +169,52 @@ def test_series_key_is_label_order_insensitive(spark):
     ka = a.select(series_key().alias("k")).first()["k"]
     kb = b.select(series_key().alias("k")).first()["k"]
     assert ka == kb
+
+
+def test_internal_metric_split_and_scrape_health(spark):
+    """isInternalMetric routing (up/scrape_* are bookkeeping, not data)
+    and the up-series health table with the reference's three outcomes:
+    1 healthy, 0 scrape_failed, anything else invalid."""
+    from opentelemetry_collector_spark.sources.prometheus import (
+        scrape_health,
+        split_internal_metrics,
+    )
+
+    rows = [
+        (1, "http_requests_total", {"job": "j", "instance": "i1"}, 4.0),
+        (1, "up", {"job": "j", "instance": "i1"}, 1.0),
+        (2, "up", {"job": "j", "instance": "i1"}, 0.0),
+        (3, "up", {"job": "j", "instance": "i2"}, 7.0),
+        (1, "scrape_duration_seconds", {"job": "j", "instance": "i1"}, 0.02),
+        (1, "upstream_bytes", {"job": "j", "instance": "i1"}, 9.0),  # NOT internal
+    ]
+    df = spark.createDataFrame(
+        rows, "scrape_idx int, metric string, labels map<string,string>, value double"
+    )
+    data, internal = split_internal_metrics(df)
+    assert {r.metric for r in data.collect()} == {"http_requests_total", "upstream_bytes"}
+    assert {r.metric for r in internal.collect()} == {"up", "scrape_duration_seconds"}
+    health = {(r.scrape_idx, r.instance): r.status for r in scrape_health(df).collect()}
+    assert health == {
+        (1, "i1"): "healthy",
+        (2, "i1"): "scrape_failed",
+        (3, "i2"): "invalid_up_value",
+    }
+
+
+def test_drop_wire_labels_respects_family_position(spark):
+    """isUsefulLabel: wire/meta labels drop everywhere; le drops only on
+    histogram-family points, quantile only on summaries."""
+    from opentelemetry_collector_spark.sources.prometheus import drop_wire_labels
+
+    rows = [
+        ("a_bucket", "histogram", {"job": "j", "le": "0.5", "path": "/x", "__name__": "a_bucket"}),
+        ("b", "summary", {"instance": "i", "quantile": "0.9", "k": "v"}),
+        ("c", "counter", {"le": "7", "quantile": "0.5", "k": "v", "__metrics_path__": "/m"}),
+    ]
+    df = spark.createDataFrame(rows, "metric string, metric_type string, labels map<string,string>")
+    got = {r.metric: dict(r.labels) for r in drop_wire_labels(df).collect()}
+    assert got["a_bucket"] == {"path": "/x"}
+    assert got["b"] == {"k": "v"}
+    # a counter keeps le/quantile — they are ordinary labels there
+    assert got["c"] == {"le": "7", "quantile": "0.5", "k": "v"}
