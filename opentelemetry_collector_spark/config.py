@@ -286,6 +286,27 @@ def _compile_processor(spark: SparkSession, cid: str, cfg: dict) -> Transform:
         if include is None and exclude is None:
             raise ConfigError(f"processor {cid}: include or exclude required (config.go:70)")
         return lambda df: filter_records(df, include=include, exclude=exclude)
+    if ctype == "relabel":
+        # the scrape manager's relabel_configs as a pipeline processor
+        # (sources/prometheus.py); config mistakes (unknown action, zero
+        # hashmod modulus) fail HERE at load, like Prometheus config load
+        from opentelemetry_collector_spark.sources.prometheus import (
+            RelabelConfig,
+            apply_relabel_configs,
+        )
+
+        raw = cfg.get("configs", [])
+        if not raw:
+            raise ConfigError(f"processor {cid}: configs required (a relabel rule list)")
+        try:
+            rules = [RelabelConfig(**r) for r in raw]
+        except (TypeError, ValueError) as e:
+            raise ConfigError(f"processor {cid}: {e}") from e
+        labels_col = cfg.get("labels_col", "labels")
+        metric_col = cfg.get("metric_col", "metric")
+        return lambda df: apply_relabel_configs(
+            df, rules, labels_col=labels_col, metric_col=metric_col
+        )
     if ctype == "probabilistic_sampler":
         pct = float(cfg.get("sampling_percentage", 100.0))
         seed = int(cfg.get("hash_seed", 0))

@@ -770,3 +770,38 @@ def test_rate_limit_processor_rejects_zero_quota(spark):
     }
     with pytest.raises(ConfigError, match="max_per_window"):
         compile_config(spark, cfg)
+
+
+def test_relabel_processor_from_yaml(spark):
+    """relabel_configs as a YAML processor block: rules compile at load
+    (bad actions fail like Prometheus config load) and the compiled
+    transform applies the chain in order."""
+    from opentelemetry_collector_spark.config import ConfigError, _compile_processor
+
+    fn = _compile_processor(
+        spark,
+        "relabel/r",
+        {
+            "configs": [
+                {"action": "keep", "source_labels": ["role"], "regex": "user"},
+                {
+                    "action": "replace", "source_labels": ["role"],
+                    "target_label": "who", "replacement": "the-$1", "regex": "(user)",
+                },
+                {"action": "labeldrop", "regex": "role"},
+            ]
+        },
+    )
+    df = spark.createDataFrame(
+        [("m", {"role": "user"}, 1.0), ("m", {"role": "tool"}, 2.0)],
+        "metric string, labels map<string,string>, value double",
+    )
+    out = [dict(r.labels) for r in fn(df).collect()]
+    assert out == [{"who": "the-user"}]
+
+    with pytest.raises(ConfigError, match="configs required"):
+        _compile_processor(spark, "relabel/r", {})
+    with pytest.raises(ConfigError, match="unknown action"):
+        _compile_processor(spark, "relabel/r", {"configs": [{"action": "nope"}]})
+    with pytest.raises(ConfigError, match="modulus"):
+        _compile_processor(spark, "relabel/r", {"configs": [{"action": "hashmod"}]})
