@@ -7568,6 +7568,71 @@ SELECT series, nh, NULL, NULL, NULL, true FROM mark
 """
 
 
+
+def q183_scrape_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal-metric routing + target health (metricsbuilder.go:108-130):
+    per hourly scrape generation and per role-target, a synthesized ``up``
+    series carries all three reference outcomes (>=5 turns that hour ->
+    1.0 healthy; even count -> 0.0 scrape_failed; else 7.0 invalid), mixed
+    with data series that must NOT reach the health table —
+    split_internal_metrics routes, scrape_health classifies."""
+    from opentelemetry_collector_spark.sources.prometheus import (
+        scrape_health,
+        split_internal_metrics,
+    )
+
+    t = from_events(spark, sf_dir)
+    per = t.groupBy(F.date_trunc("hour", "ts").alias("h"), "role").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    up_val = (
+        F.when(F.col("n") >= 5, F.lit(1.0))
+        .when(F.col("n") % 2 == 0, F.lit(0.0))
+        .otherwise(F.lit(7.0))
+    )
+    labels = F.create_map(
+        F.lit("job"), F.lit("otelcol"), F.lit("instance"), F.col("role")
+    )
+    up = per.select(
+        F.col("h").alias("scrape_idx"), F.lit("up").alias("metric"),
+        labels.alias("labels"), up_val.alias("value"),
+    )
+    data = per.select(
+        F.col("h").alias("scrape_idx"), F.lit("otelcol_turns_total").alias("metric"),
+        labels.alias("labels"), F.col("n").cast("double").alias("value"),
+    )
+    dur = per.select(
+        F.col("h").alias("scrape_idx"), F.lit("scrape_duration_seconds").alias("metric"),
+        labels.alias("labels"), F.lit(0.01).alias("value"),
+    )
+    frame = up.unionByName(data).unionByName(dur)
+    data_rows, internal = split_internal_metrics(frame)
+    health = scrape_health(internal)
+    # carry the routed data volume so the split itself is value-checked
+    n_data = data_rows.groupBy(
+        F.col("scrape_idx"), F.element_at("labels", F.lit("instance")).alias("instance")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_data_series"))
+    return health.join(n_data, ["scrape_idx", "instance"], "left").select(
+        "scrape_idx", "job", "instance", "status",
+        F.col("up_value").cast("double").alias("up_value"),
+        F.coalesce("n_data_series", F.lit(0)).alias("n_data_series"),
+    )
+
+
+Q183_SQL = f"""{_PRELUDE},
+per AS (SELECT date_trunc('hour', ts) AS h, role, count(*) AS n
+        FROM t GROUP BY 1, 2)
+SELECT h AS scrape_idx, 'otelcol' AS job, role AS instance,
+       CASE WHEN n >= 5 THEN 'healthy'
+            WHEN n % 2 = 0 THEN 'scrape_failed'
+            ELSE 'invalid_up_value' END AS status,
+       CAST(CASE WHEN n >= 5 THEN 1.0 WHEN n % 2 = 0 THEN 0.0 ELSE 7.0 END
+            AS DOUBLE) AS up_value,
+       CAST(1 AS BIGINT) AS n_data_series
+FROM per
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -7752,6 +7817,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q180_prom_relabel": q180_prom_relabel,
     "q181_prom_staleness": q181_prom_staleness,
     "q182_prom_pipeline": q182_prom_pipeline,
+    "q183_scrape_health": q183_scrape_health,
 }
 
 ORACLES: dict[str, str] = {
@@ -7930,6 +7996,7 @@ ORACLES: dict[str, str] = {
     "q180_prom_relabel": Q180_SQL,
     "q181_prom_staleness": Q181_SQL,
     "q182_prom_pipeline": Q182_SQL,
+    "q183_scrape_health": Q183_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -7990,7 +8057,8 @@ _PRIORITY: tuple[str, ...] = (
     "q19_minhash_lsh", "q20_simhash_neardup", "q21_ann_lsh", "q22_media_features",
     "q25_ngram_jaccard", "q63_ann_pq", "q64_ann_ivf_pq", "q66_sketch_rollup",
     "q84_classifier_train", "q179_media_decode", "q180_prom_relabel",
-    "q181_prom_staleness", "q182_prom_pipeline", "q29_expr_filter",
+    "q181_prom_staleness", "q182_prom_pipeline", "q183_scrape_health",
+    "q29_expr_filter",
     "q48_oc_roundtrip",
 )
 
