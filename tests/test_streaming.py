@@ -781,3 +781,38 @@ def test_staleness_stream_rejects_bad_interval(spark):
 
     with _pytest.raises(ValueError, match="scrape_interval_minutes"):
         staleness_stream(df, scrape_interval_minutes=0)
+
+
+def test_relabel_chain_works_on_streaming_frames(spark, tmp_path):
+    """apply_relabel_configs is a pure projection, so the SAME operator
+    runs unchanged inside a streaming plan — the scrape-shaped pipeline
+    needs no batch/stream fork for its label machinery."""
+    from opentelemetry_collector_spark.sources.prometheus import (
+        RelabelConfig,
+        apply_relabel_configs,
+    )
+
+    landing = str(tmp_path / "landing")
+    schema = "metric string, labels map<string,string>, value double"
+    spark.createDataFrame(
+        [("m", {"role": "user"}, 1.0), ("m", {"role": "tool"}, 2.0)], schema
+    ).coalesce(1).write.parquet(landing)
+    stream = apply_relabel_configs(
+        spark.readStream.schema(schema).parquet(landing),
+        [
+            RelabelConfig(action="keep", source_labels=["role"], regex="user"),
+            RelabelConfig(action="hashmod", source_labels=["role"], target_label="s", modulus=4),
+        ],
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("relabel_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from relabel_stream_out").collect()
+    assert len(rows) == 1 and dict(rows[0].labels)["role"] == "user"
+    assert dict(rows[0].labels)["s"] in {"0", "1", "2", "3"}
