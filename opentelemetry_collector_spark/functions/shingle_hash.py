@@ -140,11 +140,14 @@ def token_fnv_hashes(text_col):
     values an external SQL engine can REPLAY — the hash is the same
     code-point polynomial + splitmix64 finalizer as the shingle kernel
     above, which plans/oracle_gen.py emits as DuckDB integer arithmetic
-    (mod-2^64 wrap emulated in HUGEINT). Tokenization mirrors
-    ``operators.text.tokens`` exactly: SQL trim (spaces only), NULL text ->
-    NULL array, empty-after-trim -> empty array, Java ``split("\\s+")``
-    semantics (a leading separator yields a leading "" token; trailing
-    empties are discarded).
+    (mod-2^64 wrap emulated in HUGEINT). Tokenization contract: SQL trim
+    (spaces only), NULL text -> NULL array, empty-after-trim -> empty
+    array, then Java ``split("\\s+")`` (limit 0) semantics — a leading
+    separator yields a leading "" token, trailing empties ARE DISCARDED.
+    NOTE this deliberately DIFFERS from ``operators.text.tokens`` (Spark
+    ``split`` limit -1, which KEEPS trailing empties: tokens('abc\\n') ==
+    ['abc','']); the q20 simhash oracle replays THIS contract, and
+    classify.train_linear_gd filters empties on both sides instead.
 
     Vectorization: all tokens of the batch flatten into one UTF-32
     code-point buffer; the fold runs max_token_len masked vector steps

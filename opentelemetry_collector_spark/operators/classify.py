@@ -215,10 +215,15 @@ def train_linear_gd(
     def _trunc_div(a: int, d: int) -> int:
         return a // d if a >= 0 else -((-a) // d)
 
+    # Contract: empty tokens are FILTERED before counting. text.tokens keeps
+    # Spark split(limit=-1) artifacts ('' for leading/trailing separators,
+    # e.g. tokens('abc\n') == ['abc','']); a bag-of-words model must not see
+    # a '' term in its vocabulary/doc-freqs, and the q84 oracle states the
+    # same list_filter(x <> '') contract (plans/oracle_gen.py).
     labeled = df.select(
         F.col(id_col).alias("_id"),
         F.col(label_col).cast("int").alias("_y"),
-        tokens(F.col(text_col)).alias("_ts"),
+        F.filter(tokens(F.col(text_col)), lambda t: t != F.lit("")).alias("_ts"),
     ).filter(F.col("_y").isNotNull() & F.col("_ts").isNotNull())
     posts = (
         labeled.select("_id", F.explode("_ts").alias("term"))

@@ -161,8 +161,17 @@ def filter_records(
 # ---------------------------------------------------------------------------
 
 def _unquote(tok: str) -> str:
-    """Strip quotes and unescape a STRING token (shared by _cmp/_primary)."""
-    return tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+    """Strip quotes and unescape a STRING token (shared by _cmp/_primary).
+
+    Dispatches on the quote character, so ``'it\\'s'`` unescapes the inner
+    quote just like ``"say \\"hi\\""`` does; a single left-to-right pass
+    keeps ``\\\\`` from re-triggering the quote unescape."""
+    q = tok[0]
+    return re.sub(
+        r"\\(.)",
+        lambda m: m.group(1) if m.group(1) in (q, "\\") else "\\" + m.group(1),
+        tok[1:-1],
+    )
 
 
 _TOKEN_RE = re.compile(

@@ -356,9 +356,7 @@ WITH tok AS (SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
                     ELSE regexp_split_to_array(trim(text), '\s+') END AS ts0
              FROM documents WHERE text IS NOT NULL),
-tk AS (SELECT doc_id,
-         CASE WHEN len(ts0) > 0 AND ts0[-1] = '' THEN ts0[1:len(ts0) - 1] ELSE ts0 END AS ts
-       FROM tok),
+tk AS (SELECT doc_id, list_filter(ts0, x -> x <> '') AS ts FROM tok),
 docs AS (SELECT doc_id,
            CASE WHEN list_contains(ts, '{plant_token}') THEN 1 ELSE 0 END AS y
          FROM tk),

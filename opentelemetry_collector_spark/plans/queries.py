@@ -552,7 +552,7 @@ inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
 p AS (SELECT a_id, b_id, i, sa.n + sb.n - i AS u
       FROM inter JOIN sizes sa ON sa.doc_id = a_id
                  JOIN sizes sb ON sb.doc_id = b_id)
-SELECT a_id, b_id, CAST(floor(i * 1000.0 / u) AS BIGINT) AS jaccard_milli
+SELECT a_id, b_id, CAST(floor((i / u) * 1000) AS BIGINT) AS jaccard_milli
 FROM p WHERE u > 0 AND i * 1.0 / u >= 0.2
 """
 
@@ -8044,27 +8044,53 @@ _DRIVER_VERIFIED_R01: frozenset[str] = frozenset(
     }
 )
 
-# q25's round-2 semantics changed (max_df hot-shingle guard), so its round-1
-# green row no longer covers it — rotate it back into the checked prefix.
-_RECHECK: frozenset[str] = frozenset(
-    {"q25_ngram_jaccard", "q29_expr_filter", "q48_oc_roundtrip"}
+# Names the round-2 driver gate hash-verified (CORRECTNESS_r02.json: 50/50
+# green — the round-2 priority set plus the q54–q91 tail).
+_DRIVER_VERIFIED_R02: frozenset[str] = frozenset(
+    {
+        "q19_minhash_lsh", "q20_simhash_neardup", "q21_ann_lsh",
+        "q22_media_features", "q25_ngram_jaccard", "q29_expr_filter",
+        "q48_oc_roundtrip", "q54_sessionize", "q55_ann_ivf_trained",
+        "q56_language_balanced_sample", "q57_token_budget_mix",
+        "q58_token_budget_rate", "q59_importance_mass", "q60_chunk_documents",
+        "q61_incremental_dedup", "q62_selection_pipeline", "q63_ann_pq",
+        "q64_ann_ivf_pq", "q65_semantic_dedup", "q66_sketch_rollup",
+        "q67_gopher_filter", "q68_tfidf_top_terms", "q69_integrity_audit",
+        "q70_log_dedup", "q71_rate_limit", "q72_otlp_trace_roundtrip",
+        "q73_otlp_metrics_roundtrip", "q74_c4_clean", "q75_boilerplate_lines",
+        "q76_cluster_balance", "q77_otlp_histogram_roundtrip",
+        "q78_otlp_int_metrics_roundtrip", "q79_otlp_summary_roundtrip",
+        "q80_linear_classifier", "q81_unicode_normalize",
+        "q82_substring_removal", "q83_shuffle_shards", "q84_classifier_train",
+        "q85_corpus_build", "q86_epoch_expand", "q87_counter_adjust",
+        "q88_slo_burn", "q89_zipkinv1_roundtrip", "q90_log_templates",
+        "q91_delta_to_cumulative", "q179_media_decode", "q180_prom_relabel",
+        "q181_prom_staleness", "q182_prom_pipeline", "q183_scrape_health",
+    }
 )
 
-# Round-2 additions the r1 verdict called out (the eight formerly rows-only
-# queries gaining oracles, plus the real-decode query): pin them to the very
-# front so a capped driver prefix banks their proof this round.
+# Oracles whose SEMANTICS changed this round, so their prior green rows no
+# longer cover them: q25's oracle rounding order was aligned with the
+# operator (floor((i/u)*1000), ADVICE r2) and its max_df prune gained a
+# corpus-size gate; q84's oracle tokenization was aligned with
+# operators.text.tokens (trailing-empty-token contract, ADVICE r2).
+_RECHECK: frozenset[str] = frozenset(
+    {"q25_ngram_jaccard", "q84_classifier_train"}
+)
+
+# Round-3 additions: pin brand-new oracles to the very front so a capped
+# driver prefix banks their proof this round; everything after them is the
+# never-driver-checked q92–q178 tail.
 _PRIORITY: tuple[str, ...] = (
-    "q19_minhash_lsh", "q20_simhash_neardup", "q21_ann_lsh", "q22_media_features",
-    "q25_ngram_jaccard", "q63_ann_pq", "q64_ann_ivf_pq", "q66_sketch_rollup",
-    "q84_classifier_train", "q179_media_decode", "q180_prom_relabel",
-    "q181_prom_staleness", "q182_prom_pipeline", "q183_scrape_health",
-    "q29_expr_filter",
-    "q48_oc_roundtrip",
+    "q184_otlp_proto_roundtrip",
+    "q185_hostmetrics_fixture",
+    "q25_ngram_jaccard",
+    "q84_classifier_train",
 )
 
 
 def _rotate(d: dict) -> dict:
-    done = _DRIVER_VERIFIED_R01 - _RECHECK
+    done = (_DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02) - _RECHECK
     front = [k for k in _PRIORITY if k in d]
     front += [k for k in d if k not in done and k in ORACLES and k not in front]
     rows_only = [k for k in d if k not in done and k not in ORACLES]

@@ -59,6 +59,24 @@ def build_session(
     return spark
 
 
+def _parse_bytes(v: str, default: int = 128 << 20) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m', '64MB',
+    '1g') the way the JVM's JavaUtils.byteStringAsBytes does — bare numbers
+    are bytes; k/m/g/t/p suffixes (optionally followed by 'b'), case-
+    insensitive. Unparseable values fall back to ``default``."""
+    s = v.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in "kmgtp":
+        mult = 1 << (10 * ("kmgtp".index(s[-1]) + 1))
+        s = s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        return default
+
+
 def spread(df, target: int | None = None):
     """Raise a DataFrame's partition count to cluster parallelism before a
     CPU-heavy per-row stage (shingling, minhash/simhash kernels, Arrow
@@ -86,13 +104,9 @@ def spread(df, target: int | None = None):
         import os as _os
         from urllib.parse import unquote, urlparse
 
-        try:
-            max_bytes = int(
-                df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-                .removesuffix("b")
-            )
-        except ValueError:
-            max_bytes = 128 << 20
+        max_bytes = _parse_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
         try:
             total = sum(_os.path.getsize(unquote(urlparse(f).path)) for f in files)
         except OSError:

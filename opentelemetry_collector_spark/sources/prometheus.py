@@ -33,6 +33,7 @@ bounded by distinct series per scrape pair, not by samples.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -60,6 +61,17 @@ class RelabelConfig:
             raise ValueError(f"relabel: unknown action {self.action!r}")
         if self.action == "hashmod" and self.modulus <= 0:
             raise ValueError("relabel: hashmod requires a positive modulus")
+        # Prometheus config load rejects replace/hashmod without a target
+        # label (prometheus/pkg/relabel config.go Validate); without this,
+        # hashmod would silently insert a label with an empty NAME (which
+        # _prune_empty does not strip — it prunes empty VALUES).
+        if self.action in ("replace", "hashmod") and not self.target_label:
+            raise ValueError(f"relabel: {self.action} requires a target_label")
+        # Fail at config-load time, not job runtime, on a bad pattern.
+        try:
+            re.compile(self.anchored)
+        except re.error as e:
+            raise ValueError(f"relabel: invalid regex {self.regex!r}: {e}") from None
 
     @property
     def anchored(self) -> str:

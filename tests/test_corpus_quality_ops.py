@@ -790,3 +790,36 @@ def test_train_linear_gd_recovers_rule_and_is_partition_invariant(spark):
             w[t] -= trunc(g[t], n * 64)
         b -= trunc(gb, n * 64)
     assert got == w and b1 == b
+
+
+def test_train_linear_gd_filters_empty_tokens_from_split_artifacts(spark):
+    """text.tokens keeps Spark split(limit=-1) artifacts — tokens('abc\\n')
+    is ['abc',''] because F.trim strips spaces only — but the trainer's
+    contract (and the q84 oracle's list_filter) drops empty tokens, so a
+    corpus of tab/newline-terminated documents must train identically to
+    the same corpus with the terminators stripped (ADVICE r2: the two
+    sides previously disagreed on exactly these inputs)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.classify import train_linear_gd
+    from opentelemetry_collector_spark.operators.text import tokens
+
+    # pin the underlying artifact the contract exists for
+    toks = spark.range(1).select(tokens(F.lit("abc\n")).alias("t")).first().t
+    assert toks == ["abc", ""]
+
+    rows = []
+    for i in range(40):
+        good = i % 4 == 0
+        body = ("magic quick brown fox" if good else "lazy dogs sleep day")
+        rows.append((i, body, 1 if good else 0))
+    clean = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    dirty = clean.withColumn(
+        "text", F.concat(F.col("text"), F.when(F.col("doc_id") % 2 == 0, "\n").otherwise("\t"))
+    )
+    wc, bc = train_linear_gd(clean, "doc_id", "label", vocab_size=8, iters=2)
+    wd, bd = train_linear_gd(dirty, "doc_id", "label", vocab_size=8, iters=2)
+    as_map = lambda w: {r.term: r.weight_micro for r in w.collect()}  # noqa: E731
+    wc_map = as_map(wc)
+    assert wc_map == as_map(wd) and bc == bd
+    assert "" not in wc_map
