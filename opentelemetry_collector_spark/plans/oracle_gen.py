@@ -372,3 +372,279 @@ b0 AS (SELECT CAST(0 AS BIGINT) AS b),{chain}
 SELECT term, CAST(w AS BIGINT) AS weight_micro FROM w{iters}
 UNION ALL SELECT '__bias__', CAST((SELECT b FROM b{iters}) AS BIGINT)
 """
+
+
+# ---------------------------------------------------------------------------
+# OTLP protobuf wire replay (q186)
+# ---------------------------------------------------------------------------
+#
+# The strongest check the driver can run on a binary codec: DuckDB
+# RECONSTRUCTS every conversation's ExportLogsServiceRequest envelope
+# field-by-field — varint length prefixes, fixed64 little-endian
+# timestamps, tag bytes, UTF-8 payload hex — and compares md5(hex) with
+# the engine's marshalled bytes. A wrong tag, wrong wire type, wrong
+# emission order, or off-by-one length on EITHER side flips the digest.
+# Field numbers are the reference's generated pb.go
+# (model/internal/data/protogen/logs/v1/logs.pb.go:158-305,
+# common/v1/common.pb.go:85-273); the tag/varint helpers here are written
+# independently of sources/otlp_proto.py so the two sides cannot share a
+# bug by construction.
+
+
+def _pv_hex(n: int) -> str:
+    """Python-side varint hex for CONSTANT lengths baked into the SQL."""
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out).hex()
+
+
+def _sql_varint_hex(e: str, max_groups: int = 5) -> str:
+    """SQL expression: varint hex of a NON-NEGATIVE bigint expression
+    (lengths and turn indexes; 5 groups covers < 2^35)."""
+    arms = []
+    for g in range(1, max_groups + 1):
+        parts = []
+        for i in range(g):
+            grp = f"((({e}) >> {7 * i}) & 127)"
+            byte = f"({grp} | 128)" if i < g - 1 else grp
+            parts.append(f"lpad(lower(to_hex({byte})), 2, '0')")
+        body = " || ".join(parts)
+        if g < max_groups:
+            arms.append(f"WHEN ({e}) < {1 << (7 * g)} THEN {body}")
+        else:
+            arms.append(f"ELSE {body}")
+    return "(CASE " + " ".join(arms) + " END)"
+
+
+def _sql_fixed64le_hex(e: str) -> str:
+    """SQL expression: 8-byte little-endian hex of a bigint in [0, 2^63)."""
+    return " || ".join(
+        f"lpad(lower(to_hex(((({e}) >> {8 * i}) & 255))), 2, '0')" for i in range(8)
+    )
+
+
+def gen_q186_otlp_proto_wire_sql(prelude: str, lib_name: str) -> str:
+    """Envelope reconstruction over the transcripts CTE ``t`` of
+    ``prelude``. Assumes turn_idx >= 0 (it is row_number()-1 by
+    construction); a negative index would need the 10-byte two's
+    complement form on both sides."""
+
+    def vh(e: str) -> str:
+        return _sql_varint_hex(e)
+
+    def hl(e: str) -> str:  # byte length of a hex string column
+        return f"(length({e}) // 2)"
+
+    def sbytes(e: str) -> str:  # UTF-8 byte length of a varchar expression
+        return f"(length(hex({e})) // 2)"
+
+    def anystr(e: str) -> str:  # AnyValue{string_value=e} hex
+        return f"'0a' || {vh(sbytes(e))} || lower(hex({e}))"
+
+    key_role = "0a" + _pv_hex(len(b"role")) + b"role".hex()
+    key_tool = "0a" + _pv_hex(len(b"tool")) + b"tool".hex()
+    key_idx = "0a" + _pv_hex(len(b"turn.idx")) + b"turn.idx".hex()
+    key_conv = "0a" + _pv_hex(len(b"conv.id")) + b"conv.id".hex()
+    lib = lib_name.encode("utf-8")
+    il_payload = "0a" + _pv_hex(len(lib)) + lib.hex()  # InstrumentationLibrary{name}
+    lib_field = "0a" + _pv_hex(len(il_payload) // 2) + il_payload  # ill field 1
+
+    def kv_attr(key_const_hex: str, any_col: str) -> str:
+        """record attribute: '32' (field 6 LEN) wrapping KeyValue{key,value}."""
+        kv = f"'{key_const_hex}' || '12' || {vh(hl(any_col))} || {any_col}"
+        return f"'32' || {vh(f'length({kv}) // 2')} || ({kv})"
+
+    return f"""{prelude},
+rec0 AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN ts IS NULL OR epoch_us(ts) * 1000 = 0
+         THEN '' ELSE '09' || {_sql_fixed64le_hex("epoch_us(ts) * 1000")} END AS time_hex,
+    CASE WHEN text IS NULL THEN NULL ELSE {anystr("text")} END AS any_text,
+    CASE WHEN role IS NULL THEN NULL ELSE {anystr("role")} END AS any_role,
+    CASE WHEN tool IS NULL THEN NULL ELSE {anystr("tool")} END AS any_tool,
+    CASE WHEN turn_idx IS NULL THEN NULL ELSE '18' || {vh("turn_idx")} END AS any_idx
+  FROM t),
+rec1 AS (
+  SELECT conv_id, turn_idx,
+    time_hex
+    || CASE WHEN any_text IS NULL THEN ''
+            ELSE '2a' || {vh(hl("any_text"))} || any_text END
+    || CASE WHEN any_role IS NULL THEN '' ELSE {kv_attr(key_role, "any_role")} END
+    || CASE WHEN any_tool IS NULL THEN '' ELSE {kv_attr(key_tool, "any_tool")} END
+    || CASE WHEN any_idx IS NULL THEN '' ELSE {kv_attr(key_idx, "any_idx")} END
+    AS rec_hex
+  FROM rec0),
+recs AS (
+  SELECT conv_id,
+    string_agg('12' || {vh(hl("rec_hex"))} || rec_hex, '' ORDER BY turn_idx) AS logs_hex
+  FROM rec1 GROUP BY conv_id),
+env0 AS (
+  SELECT conv_id, logs_hex,
+    CASE WHEN conv_id IS NULL THEN ''
+         ELSE '0a' || {vh(f"length('{key_conv}' || '12' || {vh(hl(anystr('conv_id')))} || {anystr('conv_id')}) // 2")}
+              || '{key_conv}' || '12' || {vh(hl(anystr("conv_id")))} || {anystr("conv_id")}
+    END AS res_payload
+  FROM recs),
+env1 AS (
+  SELECT conv_id,
+    '0a' || {vh(hl("res_payload"))} || res_payload
+    || '12' || {vh(f"length('{lib_field}' || logs_hex) // 2")} || '{lib_field}' || logs_hex
+    AS rl_payload
+  FROM env0),
+env AS (
+  SELECT conv_id, '0a' || {vh(hl("rl_payload"))} || rl_payload AS env_hex FROM env1)
+SELECT conv_id, md5(env_hex) AS wire_md5, CAST(length(env_hex) // 2 AS BIGINT) AS n_bytes
+FROM env
+"""
+
+
+# ---------------------------------------------------------------------------
+# hostmetrics fixture corpus replay (q185)
+# ---------------------------------------------------------------------------
+
+
+def gen_q185_hostmetrics_sql() -> str:
+    """Re-parse the committed /proc fixture corpus with INDEPENDENT SQL
+    string machinery (string_split_regex / regexp / pivots) and emit the
+    same (host, scraper, metric, labels, value) points the real parsers
+    produce — the check that made the Prometheus text parser
+    driver-checkable (q40), applied to the hostmetrics scrapers
+    (reference receiver/hostmetricsreceiver/internal/scraper/*). The
+    corpus text is the SHARED INPUT (embedded as literals); every parse
+    rule below is written against /proc format documentation, not against
+    sources/hostmetrics.py."""
+    from opentelemetry_collector_spark.sources.hostmetrics_fixture import fixture_corpus
+
+    values = ",\n    ".join(
+        "('{}', '{}', '{}')".format(h, k, t.replace("'", "''")) for h, k, t in fixture_corpus()
+    )
+
+    cpu_states = ["user", "nice", "system", "idle", "wait", "interrupt", "softirq", "steal"]
+    cpu_arms = "\n  UNION ALL ".join(
+        f"SELECT host, 'cpu' AS scraper, 'system.cpu.time' AS metric, "
+        f"'cpu=' || f[1] || ',state={st}' AS labels, "
+        f"CAST(f[{i + 2}] AS DOUBLE) / 100.0 AS value FROM cpuf"
+        for i, st in enumerate(cpu_states)
+    )
+
+    mem_states = [
+        ("used", "(mt - mf - bu - ca)"),
+        ("free", "mf"),
+        ("buffered", "bu"),
+        ("cached", "ca"),
+        ("slab_reclaimable", "sr"),
+        ("slab_unreclaimable", "su"),
+    ]
+    mem_arms = "\n  UNION ALL ".join(
+        f"SELECT host, 'memory', 'system.memory.usage', 'state={st}', {expr} FROM mem"
+        for st, expr in mem_states
+    )
+
+    load_arms = "\n  UNION ALL ".join(
+        f"SELECT host, 'load', 'system.cpu.load_average.{w}', '', CAST(f[{i + 1}] AS DOUBLE) FROM loadf"
+        for i, w in enumerate(["1m", "5m", "15m"])
+    )
+
+    net_metrics = ["io", "packets", "errors", "dropped"]
+    net_arms = "\n  UNION ALL ".join(
+        f"SELECT host, 'network', 'system.network.{m}', "
+        f"'device=' || dev || ',direction={d}', CAST(f[{idx}] AS DOUBLE) FROM netf"
+        for d, base in (("receive", 1), ("transmit", 9))
+        for off, m in enumerate(net_metrics)
+        for idx in [base + off]
+    )
+
+    disk_arms = "\n  UNION ALL ".join(
+        [
+            "SELECT host, 'disk', 'system.disk.io', 'device=' || dev || ',direction=read', CAST(f[6] AS DOUBLE) * 512.0 FROM diskf",
+            "SELECT host, 'disk', 'system.disk.io', 'device=' || dev || ',direction=write', CAST(f[10] AS DOUBLE) * 512.0 FROM diskf",
+            "SELECT host, 'disk', 'system.disk.operations', 'device=' || dev || ',direction=read', CAST(f[4] AS DOUBLE) FROM diskf",
+            "SELECT host, 'disk', 'system.disk.operations', 'device=' || dev || ',direction=write', CAST(f[8] AS DOUBLE) FROM diskf",
+            "SELECT host, 'disk', 'system.disk.io_time', 'device=' || dev, CAST(f[13] AS DOUBLE) / 1000.0 FROM diskf",
+            "SELECT host, 'disk', 'system.disk.operation_time', 'device=' || dev || ',direction=read', CAST(f[7] AS DOUBLE) / 1000.0 FROM diskf",
+            "SELECT host, 'disk', 'system.disk.operation_time', 'device=' || dev || ',direction=write', CAST(f[11] AS DOUBLE) / 1000.0 FROM diskf",
+            "SELECT host, 'disk', 'system.disk.pending_operations', 'device=' || dev, CAST(f[12] AS DOUBLE) FROM diskf",
+            "SELECT host, 'disk', 'system.disk.weighted_io_time', 'device=' || dev, CAST(f[14] AS DOUBLE) / 1000.0 FROM diskf",
+            "SELECT host, 'disk', 'system.disk.merged', 'device=' || dev || ',direction=read', CAST(f[5] AS DOUBLE) FROM diskf",
+            "SELECT host, 'disk', 'system.disk.merged', 'device=' || dev || ',direction=write', CAST(f[9] AS DOUBLE) FROM diskf",
+        ]
+    )
+
+    return rf"""
+WITH corpus(host, kind, text) AS (VALUES
+    {values}),
+lines AS (SELECT host, kind, unnest(string_split(rtrim(text, chr(10)), chr(10))) AS line
+          FROM corpus),
+cpuf AS (SELECT host, string_split_regex(trim(line), '\s+') AS f
+         FROM lines WHERE kind = 'proc_stat' AND regexp_matches(line, '^cpu[0-9]')),
+kv2 AS (SELECT host, kind, string_split_regex(trim(line), '\s+') AS f
+        FROM lines WHERE len(string_split_regex(trim(line), '\s+')) = 2),
+prockv AS (SELECT host, f[1] AS k, CAST(f[2] AS DOUBLE) AS v FROM kv2 WHERE kind = 'proc_stat'),
+proc_rows AS (
+  SELECT host, 'processes' AS scraper, 'system.processes.count' AS metric,
+         'status=running' AS labels, v AS value FROM prockv WHERE k = 'procs_running'
+  UNION ALL SELECT host, 'processes', 'system.processes.count', 'status=blocked', v
+    FROM prockv WHERE k = 'procs_blocked'
+  UNION ALL SELECT host, 'processes', 'system.processes.created', '', v
+    FROM prockv WHERE k = 'processes'),
+memkv AS (SELECT host, regexp_extract(line, '^(\w+):', 1) AS k,
+                 CAST(regexp_extract(line, ':\s+(\d+)', 1) AS DOUBLE) * 1024 AS v
+          FROM lines WHERE kind = 'meminfo' AND line LIKE '%:%'),
+mem AS (SELECT host,
+          max(CASE WHEN k = 'MemTotal' THEN v END) AS mt,
+          max(CASE WHEN k = 'MemFree' THEN v END) AS mf,
+          max(CASE WHEN k = 'Buffers' THEN v END) AS bu,
+          max(CASE WHEN k = 'Cached' THEN v END) AS ca,
+          max(CASE WHEN k = 'SReclaimable' THEN v END) AS sr,
+          max(CASE WHEN k = 'SUnreclaim' THEN v END) AS su
+        FROM memkv GROUP BY host),
+mem_rows AS (
+  {mem_arms}),
+loadf AS (SELECT host, string_split_regex(trim(text), '\s+') AS f
+          FROM corpus WHERE kind = 'loadavg'),
+load_rows AS (
+  {load_arms}),
+netf0 AS (SELECT host, trim(substr(line, 1, strpos(line, ':') - 1)) AS dev,
+                 string_split_regex(trim(substr(line, strpos(line, ':') + 1)), '\s+') AS f
+          FROM lines WHERE kind = 'net_dev' AND strpos(line, ':') > 0),
+netf AS (SELECT * FROM netf0 WHERE len(f) >= 12),
+net_rows AS (
+  {net_arms}),
+vmkv AS (SELECT host, f[1] AS k, CAST(f[2] AS DOUBLE) AS v FROM kv2 WHERE kind = 'vmstat'),
+vm AS (SELECT host,
+         max(CASE WHEN k = 'pswpin' THEN v END) AS pin,
+         max(CASE WHEN k = 'pswpout' THEN v END) AS pout,
+         max(CASE WHEN k = 'pgfault' THEN v END) AS pgf,
+         max(CASE WHEN k = 'pgmajfault' THEN v END) AS pgmf
+       FROM vmkv GROUP BY host),
+vm_rows AS (
+  SELECT host, 'paging' AS scraper, 'system.paging.operations' AS metric,
+         'direction=page_in,type=major' AS labels, pin AS value FROM vm WHERE pin IS NOT NULL
+  UNION ALL SELECT host, 'paging', 'system.paging.operations', 'direction=page_out,type=major', pout
+    FROM vm WHERE pout IS NOT NULL
+  UNION ALL SELECT host, 'paging', 'system.paging.faults', 'type=major', pgmf
+    FROM vm WHERE pgmf IS NOT NULL
+  UNION ALL SELECT host, 'paging', 'system.paging.faults', 'type=minor', pgf - pgmf
+    FROM vm WHERE pgmf IS NOT NULL AND pgf IS NOT NULL),
+diskf0 AS (SELECT host, string_split_regex(trim(line), '\s+') AS f
+           FROM lines WHERE kind = 'diskstats'),
+diskf1 AS (SELECT host, f[3] AS dev, f FROM diskf0 WHERE len(f) >= 14),
+diskf AS (SELECT * FROM diskf1 WHERE NOT regexp_matches(dev, '^loop')),
+disk_rows AS (
+  {disk_arms}),
+cpu_rows AS (
+  {cpu_arms})
+SELECT * FROM cpu_rows
+UNION ALL SELECT * FROM proc_rows
+UNION ALL SELECT * FROM mem_rows
+UNION ALL SELECT * FROM load_rows
+UNION ALL SELECT * FROM net_rows
+UNION ALL SELECT * FROM vm_rows
+UNION ALL SELECT * FROM disk_rows
+"""

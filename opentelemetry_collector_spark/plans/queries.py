@@ -7633,6 +7633,60 @@ FROM per
 """
 
 
+def q184_otlp_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP protobuf codec gate — the Kafka receiver's DEFAULT encoding
+    (receiver/kafkareceiver/factory.go:32, unmarshaler.go:52-56; codec
+    model/otlp/pb_unmarshaler.go): marshal turns into per-conversation
+    binary ExportLogsServiceRequest envelopes, dispatch them through the
+    UNMARSHALERS['otlp_proto'] registry entry, and flatten back to turns.
+    Oracle = identity over the turns (the q31 contract, on the proto
+    wire). The byte-level wire itself is q186's field-by-field replay."""
+    from opentelemetry_collector_spark.sources.codecs import unmarshal
+    from opentelemetry_collector_spark.sources.otlp_proto import to_otlp_proto
+
+    t = from_events(spark, sf_dir)
+    return unmarshal(to_otlp_proto(t), "otlp_proto").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+Q184_SQL = f"""{_PRELUDE}
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t
+"""
+
+
+def q186_otlp_proto_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact proto wire check: md5 + length of every conversation's
+    marshalled envelope, compared against a DuckDB oracle that REBUILDS
+    the same bytes field-by-field in SQL (varint length prefixes, fixed64
+    little-endian nanos, tag bytes, UTF-8 hex — plans/oracle_gen.py
+    gen_q186_otlp_proto_wire_sql, tags from the reference's generated
+    logs.pb.go:158-305). A wrong tag/wire-type/length on either side
+    flips the digest — this is the check that would catch a MATCHED
+    encoder+decoder bug that q184's roundtrip identity cannot."""
+    from opentelemetry_collector_spark.sources.otlp_proto import to_otlp_proto
+
+    t = from_events(spark, sf_dir)
+    return to_otlp_proto(t, with_conv_id=True).select(
+        "conv_id",
+        F.md5(F.lower(F.hex("value"))).alias("wire_md5"),
+        F.length("value").cast("bigint").alias("n_bytes"),
+    )
+
+
+def q185_hostmetrics_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hostmetrics scrapers over the committed /proc fixture corpus — the
+    real parsers (sources/hostmetrics.py; reference
+    receiver/hostmetricsreceiver/internal/scraper/*) run inside
+    mapInPandas (the scrape_cluster shape) while the DuckDB oracle
+    re-parses the same text with independent SQL string machinery
+    (oracle_gen.gen_q185_hostmetrics_sql). Closes the one source row
+    that was pytest-only because live /proc data has no oracle."""
+    from opentelemetry_collector_spark.sources.hostmetrics_fixture import parse_fixture_corpus
+
+    return parse_fixture_corpus(spark)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -7818,6 +7872,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q181_prom_staleness": q181_prom_staleness,
     "q182_prom_pipeline": q182_prom_pipeline,
     "q183_scrape_health": q183_scrape_health,
+    "q184_otlp_proto_roundtrip": q184_otlp_proto_roundtrip,
+    "q185_hostmetrics_fixture": q185_hostmetrics_fixture,
+    "q186_otlp_proto_wire": q186_otlp_proto_wire,
 }
 
 ORACLES: dict[str, str] = {
@@ -7997,6 +8054,7 @@ ORACLES: dict[str, str] = {
     "q181_prom_staleness": Q181_SQL,
     "q182_prom_pipeline": Q182_SQL,
     "q183_scrape_health": Q183_SQL,
+    "q184_otlp_proto_roundtrip": Q184_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -8013,6 +8071,17 @@ ORACLES["q84_classifier_train"] = _og.gen_q84_gd_sql()
 ORACLES["q64_ann_ivf_pq"] = _og.gen_q64_ivfpq_sql()
 ORACLES["q22_media_features"] = Q22_SQL
 ORACLES["q66_sketch_rollup"] = Q66_SQL
+
+# q186: DuckDB rebuilds every OTLP protobuf envelope field-by-field (hex)
+# and md5-compares against the engine's marshalled bytes — tag bytes and
+# varint helpers written independently of sources/otlp_proto.py.
+from opentelemetry_collector_spark.sources.otlp_proto import _LIB_NAME as _OTLP_LIB
+
+ORACLES["q186_otlp_proto_wire"] = _og.gen_q186_otlp_proto_wire_sql(_PRELUDE, _OTLP_LIB)
+
+# q185: the committed /proc fixture corpus, re-parsed by SQL string
+# machinery on the oracle side (shared input text, independent parsers).
+ORACLES["q185_hostmetrics_fixture"] = _og.gen_q185_hostmetrics_sql()
 
 
 # Names the round-1 driver gate already hash-verified (CORRECTNESS_r01.json:
@@ -8083,6 +8152,7 @@ _RECHECK: frozenset[str] = frozenset(
 # never-driver-checked q92–q178 tail.
 _PRIORITY: tuple[str, ...] = (
     "q184_otlp_proto_roundtrip",
+    "q186_otlp_proto_wire",
     "q185_hostmetrics_fixture",
     "q25_ngram_jaccard",
     "q84_classifier_train",

@@ -286,7 +286,16 @@ def _parse_oc_metrics(df: DataFrame, col: str = "value") -> DataFrame:
     return parse_oc_metrics_json(df, col)
 
 
+def _parse_otlp_proto(df: DataFrame, col: str = "value") -> DataFrame:
+    from opentelemetry_collector_spark.sources.otlp_proto import parse_otlp_proto
+
+    return parse_otlp_proto(df, col)
+
+
 UNMARSHALERS: dict[str, Callable[[DataFrame, str], DataFrame]] = {
+    # the reference's DEFAULT Kafka encoding (factory.go:32,
+    # unmarshaler.go:52-82) — binary OTLP protobuf
+    "otlp_proto": _parse_otlp_proto,
     "turn_json": parse_turn_json,
     "kv_text": parse_kv_text,
     "otlp_json": parse_otlp_json,
