@@ -3291,21 +3291,12 @@ FROM l
 # ---------------------------------------------------------------------------
 
 
-def q89_zipkinv1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipkin v1 JSON parse gate (translator/trace/zipkinv1/json.go via the
-    receiver's v1 path): build the legacy annotation wire from the
-    transcripts-as-traces frame — kind as cs/sr/mr annotations with the
-    service endpoint, attrs + status as binaryAnnotations — then parse it
-    back with the v1 translator's composed v1->OC->pdata semantics. The
-    wire BUILD is our fixture generator (the reference has no v1
-    marshaler; its receiver only parses v1), the PARSE is the operator
-    under test. Oracle: the q37 frame derivation with the one lossy v1
-    difference — INTERNAL has no v1 annotation form, so system turns read
-    back UNSPECIFIED(0)."""
-    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
-    from opentelemetry_collector_spark.sources.zipkin_v1 import parse_zipkin_v1_json
-
-    s = spans_from_transcripts(from_events(spark, sf_dir))
+def _zipkin_v1_wire(s: DataFrame) -> DataFrame:
+    """The legacy v1 annotation wire from the span frame — kind as
+    cs/sr/mr annotations with the service endpoint, attrs + status as
+    binaryAnnotations. Shared fixture generator for the v1 JSON (q89) and
+    thrift (q189) parse gates; the reference has no v1 marshaler, its
+    receiver only parses v1."""
     ep = F.struct(F.col("service_name").alias("serviceName"))
     kind_ann = (
         F.when(F.col("kind") == 3, F.lit("cs"))
@@ -3358,7 +3349,10 @@ def q89_zipkinv1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("value")
     )
-    back = parse_zipkin_v1_json(wire)
+    return wire
+
+
+def _zipkin_v1_frame_projection(back: DataFrame) -> DataFrame:
     return back.select(
         "trace_id",
         "span_id",
@@ -3374,6 +3368,36 @@ def q89_zipkinv1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("attrs")["tool"].alias("attr_tool"),
         F.cardinality(F.col("attrs")).cast("bigint").alias("n_attrs"),
     )
+
+
+def q89_zipkinv1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipkin v1 JSON parse gate (translator/trace/zipkinv1/json.go via
+    the receiver's v1 path): the shared _zipkin_v1_wire fixture build,
+    parsed back with the v1 translator's composed v1->OC->pdata
+    semantics. Oracle: the q37 frame derivation with the one lossy v1
+    difference — INTERNAL has no v1 annotation form, so system turns
+    read back UNSPECIFIED(0)."""
+    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+    from opentelemetry_collector_spark.sources.zipkin_v1 import parse_zipkin_v1_json
+
+    wire = _zipkin_v1_wire(spans_from_transcripts(from_events(spark, sf_dir)))
+    return _zipkin_v1_frame_projection(parse_zipkin_v1_json(wire))
+
+
+def q189_zipkin_thrift_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zipkin_thrift Kafka encoding gate (kafkareceiver/unmarshaler.go:57,
+    zipkinv1.NewThriftTracesUnmarshaler, thrift.go:37-47): the SAME v1
+    wire as q89 transcoded to TBinaryProtocol list<zipkincore.Span>
+    payloads (one per trace), then thrift-decoded through the SHARED v1
+    translator. Same frame, same oracle as q89 — both v1 wires must
+    reconstruct the identical frame."""
+    from opentelemetry_collector_spark.sources.codecs import unmarshal
+    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+    from opentelemetry_collector_spark.sources.zipkin_thrift import thrift_from_v1_json
+
+    wire = _zipkin_v1_wire(spans_from_transcripts(from_events(spark, sf_dir)))
+    back = unmarshal(thrift_from_v1_json(wire), "zipkin_thrift")
+    return _zipkin_v1_frame_projection(back)
 
 
 # the q37 derivation, minus v1's TWO lossy spots: INTERNAL has no
@@ -7674,6 +7698,68 @@ def q186_otlp_proto_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q187_jaeger_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jaeger_proto Kafka encoding gate (kafkareceiver/jaeger_unmarshaler.go
+    :27-43): span frame -> one binary jaeger model Span per message ->
+    registry dispatch -> the SHARED jaegerSpanToTraces semantics. Same
+    frame and oracle as q38 — both jaeger wires must reconstruct the
+    identical frame."""
+    from opentelemetry_collector_spark.sources.codecs import unmarshal
+    from opentelemetry_collector_spark.sources.jaeger_proto import to_jaeger_proto
+    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+
+    t = from_events(spark, sf_dir)
+    back = unmarshal(to_jaeger_proto(spans_from_transcripts(t)), "jaeger_proto")
+    return back.select(
+        "trace_id", "span_id", "parent_span_id", "name", "kind",
+        "status_code", "status_message", "service_name", "ts", "duration_us",
+        F.element_at(F.col("attrs"), "turn.idx").cast("int").alias("attr_turn_idx"),
+        F.element_at(F.col("attrs"), "tool").alias("attr_tool"),
+        F.cardinality(F.col("attrs")).cast("bigint").alias("n_attrs"),
+    )
+
+
+def q188_zipkin_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zipkin_proto Kafka encoding gate (kafkareceiver/unmarshaler.go:56,
+    zipkinv2.NewProtobufTracesUnmarshaler): span frame -> one proto3
+    ListOfSpans per trace -> registry dispatch -> the SHARED zipkinv2
+    to_translator semantics. Same frame and oracle as q37."""
+    from opentelemetry_collector_spark.sources.codecs import unmarshal
+    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+    from opentelemetry_collector_spark.sources.zipkin_proto import to_zipkin_proto
+
+    t = from_events(spark, sf_dir)
+    back = unmarshal(to_zipkin_proto(spans_from_transcripts(t)), "zipkin_proto")
+    return back.select(
+        "trace_id", "span_id", "parent_span_id", "name", "kind",
+        "status_code", "status_message", "service_name", "ts", "duration_us",
+        F.element_at(F.col("attrs"), "turn.idx").cast("int").alias("attr_turn_idx"),
+        F.element_at(F.col("attrs"), "tool").alias("attr_tool"),
+        F.cardinality(F.col("attrs")).cast("bigint").alias("n_attrs"),
+    )
+
+
+def q190_otlp_trace_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """otlp_proto for the TRACES signal (the Go traces registry's default,
+    kafkareceiver/unmarshaler.go:52-56): span frame -> one binary
+    ExportTraceServiceRequest per trace (ResourceSpans per service) ->
+    registry dispatch -> the SHARED jsonpb-dialect trace parser. Fifth
+    trace wire, same frame, same q37 oracle."""
+    from opentelemetry_collector_spark.sources.codecs import unmarshal
+    from opentelemetry_collector_spark.sources.otlp_trace_proto import to_otlp_traces_proto
+    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+
+    t = from_events(spark, sf_dir)
+    back = unmarshal(to_otlp_traces_proto(spans_from_transcripts(t)), "otlp_proto_traces")
+    return back.select(
+        "trace_id", "span_id", "parent_span_id", "name", "kind",
+        "status_code", "status_message", "service_name", "ts", "duration_us",
+        F.element_at(F.col("attrs"), "turn.idx").cast("int").alias("attr_turn_idx"),
+        F.element_at(F.col("attrs"), "tool").alias("attr_tool"),
+        F.cardinality(F.col("attrs")).cast("bigint").alias("n_attrs"),
+    )
+
+
 def q185_hostmetrics_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hostmetrics scrapers over the committed /proc fixture corpus — the
     real parsers (sources/hostmetrics.py; reference
@@ -7778,6 +7864,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_counter_adjust": q87_counter_adjust,
     "q88_slo_burn": q88_slo_burn,
     "q89_zipkinv1_roundtrip": q89_zipkinv1_roundtrip,
+    "q189_zipkin_thrift_roundtrip": q189_zipkin_thrift_roundtrip,
+    "q190_otlp_trace_proto_roundtrip": q190_otlp_trace_proto_roundtrip,
     "q90_log_templates": q90_log_templates,
     "q91_delta_to_cumulative": q91_delta_to_cumulative,
     "q92_split_metrics": q92_split_metrics,
@@ -7875,6 +7963,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q184_otlp_proto_roundtrip": q184_otlp_proto_roundtrip,
     "q185_hostmetrics_fixture": q185_hostmetrics_fixture,
     "q186_otlp_proto_wire": q186_otlp_proto_wire,
+    "q187_jaeger_proto_roundtrip": q187_jaeger_proto_roundtrip,
+    "q188_zipkin_proto_roundtrip": q188_zipkin_proto_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -8055,6 +8145,10 @@ ORACLES: dict[str, str] = {
     "q182_prom_pipeline": Q182_SQL,
     "q183_scrape_health": Q183_SQL,
     "q184_otlp_proto_roundtrip": Q184_SQL,
+    "q187_jaeger_proto_roundtrip": Q38_SQL,
+    "q188_zipkin_proto_roundtrip": Q37_SQL,
+    "q189_zipkin_thrift_roundtrip": Q89_SQL,
+    "q190_otlp_trace_proto_roundtrip": Q37_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -8154,6 +8248,10 @@ _PRIORITY: tuple[str, ...] = (
     "q184_otlp_proto_roundtrip",
     "q186_otlp_proto_wire",
     "q185_hostmetrics_fixture",
+    "q187_jaeger_proto_roundtrip",
+    "q188_zipkin_proto_roundtrip",
+    "q189_zipkin_thrift_roundtrip",
+    "q190_otlp_trace_proto_roundtrip",
     "q25_ngram_jaccard",
     "q84_classifier_train",
 )

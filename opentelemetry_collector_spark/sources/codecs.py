@@ -292,6 +292,30 @@ def _parse_otlp_proto(df: DataFrame, col: str = "value") -> DataFrame:
     return parse_otlp_proto(df, col)
 
 
+def _parse_jaeger_proto(df: DataFrame, col: str = "value") -> DataFrame:
+    from opentelemetry_collector_spark.sources.jaeger_proto import parse_jaeger_proto
+
+    return parse_jaeger_proto(df, col)
+
+
+def _parse_zipkin_proto(df: DataFrame, col: str = "value") -> DataFrame:
+    from opentelemetry_collector_spark.sources.zipkin_proto import parse_zipkin_proto
+
+    return parse_zipkin_proto(df, col)
+
+
+def _parse_zipkin_thrift(df: DataFrame, col: str = "value") -> DataFrame:
+    from opentelemetry_collector_spark.sources.zipkin_thrift import parse_zipkin_thrift
+
+    return parse_zipkin_thrift(df, col)
+
+
+def _parse_otlp_traces_proto(df: DataFrame, col: str = "value") -> DataFrame:
+    from opentelemetry_collector_spark.sources.otlp_trace_proto import parse_otlp_traces_proto
+
+    return parse_otlp_traces_proto(df, col)
+
+
 UNMARSHALERS: dict[str, Callable[[DataFrame, str], DataFrame]] = {
     # the reference's DEFAULT Kafka encoding (factory.go:32,
     # unmarshaler.go:52-82) — binary OTLP protobuf
@@ -301,6 +325,15 @@ UNMARSHALERS: dict[str, Callable[[DataFrame, str], DataFrame]] = {
     "otlp_json": parse_otlp_json,
     "zipkin_json": _parse_zipkin,
     "jaeger_json": _parse_jaeger,
+    # binary trace wires (unmarshaler.go:53-58): jaeger_proto is one
+    # jaeger model Span per message; zipkin_proto is a proto3 ListOfSpans
+    "jaeger_proto": _parse_jaeger_proto,
+    "zipkin_proto": _parse_zipkin_proto,
+    "zipkin_thrift": _parse_zipkin_thrift,
+    # the Go registries are PER-SIGNAL, so "otlp_proto" appears in all
+    # three (unmarshaler.go:52-82) with the pipeline type disambiguating;
+    # this single dispatch table suffixes the signal instead
+    "otlp_proto_traces": _parse_otlp_traces_proto,
     # the OC receiver's two signals (the Kafka registry itself has no OC
     # encoding in the reference; these serve the jsonl/file receiver path)
     "oc_json": _parse_oc,

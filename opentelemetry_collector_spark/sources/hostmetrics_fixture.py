@@ -158,4 +158,6 @@ def parse_fixture_corpus(spark: SparkSession) -> DataFrame:
                 ]
             yield pd.DataFrame(rows, columns=["host", "scraper", "metric", "labels", "value"])
 
-    return corpus.repartition(8, "host").mapInPandas(_parse, POINT_COLS)
+    # 4 partitions: the corpus is 48 rows — enough fan to prove the
+    # distributed shape without forking 8 python workers for it
+    return corpus.repartition(4, "host").mapInPandas(_parse, POINT_COLS)

@@ -1,0 +1,267 @@
+"""Binary trace wire codecs: jaeger_proto, zipkin_proto, zipkin_thrift.
+
+Pure-byte goldens (hand-assembled, independent of the encoders) + junk
+policy + Spark-level roundtrips through the UNMARSHALERS registry."""
+
+from __future__ import annotations
+
+import datetime as dt
+import struct
+
+from opentelemetry_collector_spark.sources.jaeger_proto import (
+    decode_jaeger_span,
+    encode_jaeger_span,
+)
+from opentelemetry_collector_spark.sources.otlp_proto import _ld, _vi
+from opentelemetry_collector_spark.sources.zipkin_proto import (
+    decode_zipkin_spans,
+    encode_zipkin_span,
+)
+from opentelemetry_collector_spark.sources.zipkin_thrift import (
+    decode_thrift_spans,
+    encode_v1_thrift_span,
+    serialize_thrift_spans,
+)
+
+_ROW = dict(
+    trace_id="0af7651916cd43dd8448eb211c80319c",
+    span_id="b7ad6b7169203331",
+    parent_span_id="00f067aa0ba902b7",
+    name="GET /api",
+    kind=3,
+    status_code=2,
+    status_message="boom",
+    service_name="frontend",
+    start_us=1_700_000_000_123_456,
+    duration_us=4_000,
+    attrs={"turn.idx": "3", "tool": "calc"},
+)
+
+
+class TestJaegerProto:
+    def test_roundtrip_all_fields(self):
+        d = decode_jaeger_span(encode_jaeger_span(dict(_ROW), False, False))
+        assert d["traceID"] == _ROW["trace_id"]
+        assert d["spanID"] == _ROW["span_id"]
+        assert d["operationName"] == "GET /api"
+        assert d["references"] == [
+            {"refType": "CHILD_OF", "traceID": _ROW["trace_id"], "spanID": _ROW["parent_span_id"]}
+        ]
+        assert d["startTime"] == _ROW["start_us"] and d["duration"] == 4000
+        assert d["process"] == {"serviceName": "frontend"}
+        tags = {t["key"]: (t["type"], t["value"]) for t in d["tags"]}
+        assert tags["span.kind"] == ("string", "client")
+        assert tags["status.code"] == ("int64", "2")
+        assert tags["error"] == ("bool", "true")
+        assert tags["status.message"] == ("string", "boom")
+        assert tags["turn.idx"] == ("string", "3")
+
+    def test_timestamp_message_golden(self):
+        # start_time = Timestamp{seconds=1700000000, nanos=123456000} at field 6
+        b = encode_jaeger_span(dict(_ROW), False, False)
+        ts_payload = _vi(1, 1_700_000_000) + _vi(2, 123_456_000)
+        assert _ld(6, ts_payload) in b
+
+    def test_unknown_fields_and_junk(self):
+        good = encode_jaeger_span(dict(_ROW), False, False)
+        spliced = _vi(99, 7) + _ld(55, b"junk") + good
+        d = decode_jaeger_span(spliced)
+        assert d["traceID"] == _ROW["trace_id"]
+
+    def test_unspecified_kind_no_tag(self):
+        row = dict(_ROW, kind=0, status_code=0, status_message="", attrs={})
+        tags = {t["key"] for t in decode_jaeger_span(encode_jaeger_span(row, False, False))["tags"]}
+        assert tags == {"status.code"}
+
+
+class TestZipkinProto:
+    def test_roundtrip_all_fields(self):
+        payload = _ld(1, encode_zipkin_span(dict(_ROW), False, False))
+        (s,) = decode_zipkin_spans(payload)
+        assert s["traceId"] == _ROW["trace_id"]
+        assert s["id"] == _ROW["span_id"]
+        assert s["parentId"] == _ROW["parent_span_id"]
+        assert s["kind"] == "CLIENT"
+        assert s["timestamp"] == _ROW["start_us"] and s["duration"] == 4000
+        assert s["localEndpoint"] == {"serviceName": "frontend"}
+        assert s["tags"]["status.code"] == "STATUS_CODE_ERROR"
+        assert s["tags"]["status.message"] == "boom"
+        assert s["tags"]["turn.idx"] == "3"
+
+    def test_internal_kind_becomes_tag(self):
+        row = dict(_ROW, kind=1, status_code=0, status_message="")
+        (s,) = decode_zipkin_spans(_ld(1, encode_zipkin_span(row, False, False)))
+        assert s["kind"] is None and s["tags"]["span.kind"] == "internal"
+
+    def test_multiple_spans_per_list(self):
+        a = encode_zipkin_span(dict(_ROW), False, False)
+        b = encode_zipkin_span(dict(_ROW, span_id="ffffffffffffffff"), False, False)
+        got = decode_zipkin_spans(_ld(1, a) + _ld(1, b))
+        assert [s["id"] for s in got] == [_ROW["span_id"], "ffffffffffffffff"]
+
+    def test_fixed64_micros_golden(self):
+        b = encode_zipkin_span(dict(_ROW), False, False)
+        assert bytes([6 << 3 | 1]) + _ROW["start_us"].to_bytes(8, "little") in b
+
+
+class TestZipkinThrift:
+    _SPAN = {
+        "traceId": "0af7651916cd43dd8448eb211c80319c",
+        "id": "b7ad6b7169203331",
+        "parentId": "00f067aa0ba902b7",
+        "name": "op",
+        "timestamp": 1_700_000_000_123_456,
+        "duration": 4000,
+        "annotations": [
+            {"timestamp": 1_700_000_000_123_456, "value": "cs",
+             "endpoint": {"serviceName": "frontend"}}
+        ],
+        "binaryAnnotations": [
+            {"key": "tool", "value": "calc", "endpoint": {"serviceName": "frontend"}}
+        ],
+    }
+
+    def test_roundtrip(self):
+        payload = serialize_thrift_spans([encode_v1_thrift_span(dict(self._SPAN))])
+        (s,) = decode_thrift_spans(payload)
+        for k in ("traceId", "id", "parentId", "name", "timestamp", "duration"):
+            assert s[k] == self._SPAN[k], k
+        assert s["annotations"][0]["value"] == "cs"
+        assert s["annotations"][0]["endpoint"]["serviceName"] == "frontend"
+        assert s["binaryAnnotations"][0] == {
+            "key": "tool", "value": "calc", "endpoint": {"serviceName": "frontend"}
+        }
+
+    def test_low_only_trace_id(self):
+        span = dict(self._SPAN, traceId="8448eb211c80319c")
+        (s,) = decode_thrift_spans(serialize_thrift_spans([encode_v1_thrift_span(span)]))
+        assert s["traceId"] == "8448eb211c80319c"  # no high half -> 16 hex
+
+    def test_typed_binary_annotation_values(self):
+        # hand-build I64 + BOOL + DOUBLE binary annotations
+        def ban(key: bytes, raw: bytes, ann_type: int) -> bytes:
+            return (
+                bytes([11]) + struct.pack(">h", 1) + struct.pack(">i", len(key)) + key
+                + bytes([11]) + struct.pack(">h", 2) + struct.pack(">i", len(raw)) + raw
+                + bytes([8]) + struct.pack(">h", 3) + struct.pack(">i", ann_type)
+                + bytes([0])
+            )
+
+        body = (
+            bytes([10]) + struct.pack(">h", 1) + struct.pack(">q", 7)       # trace_id
+            + bytes([10]) + struct.pack(">h", 4) + struct.pack(">q", 9)     # id
+            + bytes([15]) + struct.pack(">h", 8) + bytes([12]) + struct.pack(">i", 3)
+            + ban(b"n", struct.pack(">q", -5), 4)
+            + ban(b"b", b"\x01", 0)
+            + ban(b"d", struct.pack(">d", 2.5), 5)
+            + bytes([0])
+        )
+        payload = bytes([12]) + struct.pack(">i", 1) + body
+        (s,) = decode_thrift_spans(payload)
+        vals = {b["key"]: b["value"] for b in s["binaryAnnotations"]}
+        assert vals == {"n": "-5", "b": "true", "d": "2.5"}
+
+    def test_truncated_refuses(self):
+        payload = serialize_thrift_spans([encode_v1_thrift_span(dict(self._SPAN))])
+        import pytest
+
+        with pytest.raises(Exception):
+            decode_thrift_spans(payload[:-4])
+
+
+class TestSparkRegistry:
+    def _frame(self, spark):
+        rows = [
+            ("0af7651916cd43dd8448eb211c80319c", "b7ad6b7169203331", None, "root", 2,
+             0, "", "svc-a", dt.datetime(2024, 5, 1, 8, 0, 0, 250000), 1500,
+             {"turn.idx": "0"}),
+            ("0af7651916cd43dd8448eb211c80319c", "00f067aa0ba902b7", "b7ad6b7169203331",
+             "child", 3, 2, "error code=7", "svc-b",
+             dt.datetime(2024, 5, 1, 8, 0, 1), 900, {"turn.idx": "1", "tool": "calc"}),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "trace_id string, span_id string, parent_span_id string, name string,"
+            " kind int, status_code int, status_message string, service_name string,"
+            " ts timestamp, duration_us bigint, attrs map<string,string>",
+        )
+
+    def test_jaeger_proto_roundtrip_spark(self, spark):
+        from opentelemetry_collector_spark.sources.codecs import unmarshal
+        from opentelemetry_collector_spark.sources.jaeger_proto import to_jaeger_proto
+
+        src = self._frame(spark)
+        back = unmarshal(to_jaeger_proto(src), "jaeger_proto")
+        a = {r["span_id"]: r.asDict() for r in src.collect()}
+        b = {r["span_id"]: r.asDict() for r in back.select(*src.columns).collect()}
+        assert a == b
+
+    def test_zipkin_proto_roundtrip_spark(self, spark):
+        from opentelemetry_collector_spark.sources.codecs import unmarshal
+        from opentelemetry_collector_spark.sources.zipkin_proto import to_zipkin_proto
+
+        src = self._frame(spark)
+        back = unmarshal(to_zipkin_proto(src), "zipkin_proto")
+        a = {r["span_id"]: r.asDict() for r in src.collect()}
+        b = {r["span_id"]: r.asDict() for r in back.select(*src.columns).collect()}
+        assert a == b
+
+
+class TestOtlpTracesProto:
+    def test_roundtrip_pure_python(self):
+        from opentelemetry_collector_spark.sources.otlp_trace_proto import (
+            decode_otlp_traces,
+            encode_otlp_span,
+        )
+        from opentelemetry_collector_spark.sources.otlp_proto import _ld
+        from opentelemetry_collector_spark.sources.codecs import _LIB_NAME
+
+        row = dict(
+            trace_id=_ROW["trace_id"], span_id=_ROW["span_id"],
+            parent_span_id=_ROW["parent_span_id"], name="op", kind=3,
+            status_code=2, status_message="boom",
+            start_ns=1_700_000_000_123_456_000, end_ns=1_700_000_000_127_456_000,
+            attrs={"turn.idx": "3", "tool": "calc"},
+        )
+        resource = _ld(1, _ld(1, b"service.name") + _ld(2, _ld(1, b"svc")))
+        ill = _ld(1, _ld(1, _LIB_NAME.encode())) + _ld(2, encode_otlp_span(row))
+        req = _ld(1, _ld(1, resource) + _ld(2, ill))
+        env = decode_otlp_traces(req)
+        (rs,) = env["resourceSpans"]
+        assert rs["resource"]["attributes"][0] == {
+            "key": "service.name", "value": {"stringValue": "svc"}
+        }
+        (span,) = rs["instrumentationLibrarySpans"][0]["spans"]
+        assert span["traceId"] == row["trace_id"]
+        assert span["parentSpanId"] == row["parent_span_id"]
+        assert span["kind"] == "SPAN_KIND_CLIENT"
+        assert span["startTimeUnixNano"] == str(row["start_ns"])
+        assert span["status"] == {
+            "deprecatedCode": "DEPRECATED_STATUS_CODE_UNKNOWN_ERROR",
+            "message": "boom", "code": "STATUS_CODE_ERROR",
+        }
+        attrs = {a["key"]: a["value"] for a in span["attributes"]}
+        assert attrs == {"turn.idx": {"intValue": "3"}, "tool": {"stringValue": "calc"}}
+
+    def test_unset_status_always_on_wire(self):
+        from opentelemetry_collector_spark.sources.otlp_trace_proto import encode_otlp_span
+
+        row = dict(
+            trace_id=_ROW["trace_id"], span_id=_ROW["span_id"], parent_span_id=None,
+            name="n", kind=0, status_code=0, status_message="",
+            start_ns=None, end_ns=None, attrs={},
+        )
+        b = encode_otlp_span(row)
+        assert b.endswith(bytes([15 << 3 | 2, 0]))  # "status": {} — empty but present
+
+    def test_spark_registry_roundtrip(self, spark):
+        from opentelemetry_collector_spark.sources.codecs import unmarshal
+        from opentelemetry_collector_spark.sources.otlp_trace_proto import (
+            to_otlp_traces_proto,
+        )
+
+        src = TestSparkRegistry()._frame(spark)
+        back = unmarshal(to_otlp_traces_proto(src), "otlp_proto_traces")
+        a = {r["span_id"]: r.asDict() for r in src.collect()}
+        b = {r["span_id"]: r.asDict() for r in back.select(*src.columns).collect()}
+        assert a == b

@@ -33,6 +33,12 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
 
     spark = build_session(master="local[8]")
     con = duckdb.connect()
+    # our oracles are small; an unbounded duckdb (default 80% of RAM, 32
+    # threads) occasionally hits transient host-level memory squeezes on
+    # this VM (observed: 32KB bad_alloc with >100GB nominally free).
+    # Bounding it keeps the gate stable under neighbor pressure.
+    con.sql("SET memory_limit='8GB'")
+    con.sql("SET threads=4")
     for t in TABLES:
         try:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -55,9 +61,27 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         try:
             dk = con.sql(ORACLES[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: duckdb error {e}")
-            failures += 1
-            continue
+            # transient host-level EAGAIN (thread spawn / tiny malloc fails
+            # with >100GB nominally free on this VM): pause and retry once
+            # on a FRESH connection before declaring a failure
+            import time
+
+            time.sleep(3)
+            try:
+                con2 = duckdb.connect()
+                con2.sql("SET memory_limit='8GB'")
+                con2.sql("SET threads=4")
+                for t in TABLES:
+                    try:
+                        con2.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+                    except Exception:
+                        pass
+                dk = con2.sql(ORACLES[name]).df()
+                con = con2
+            except Exception:
+                print(f"FAIL {name}: duckdb error {e}")
+                failures += 1
+                continue
         try:
             a, b = normalize(spk), normalize(dk)
             if list(a.columns) != list(b.columns):
