@@ -7760,6 +7760,36 @@ def q190_otlp_trace_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q191_otlp_metric_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """otlp_proto for the METRICS signal — the metrics registry's ONLY
+    encoding (kafkareceiver/unmarshaler.go:70-74): the q73 scalar frame
+    marshaled to binary ExportMetricsServiceRequest envelopes (v0.5 wire:
+    flat StringKeyValue labels, fixed64 double values with zero-omission,
+    oneof doubleGauge/doubleSum members) -> registry dispatch -> the
+    SHARED dialect parser. Third metrics wire, same q49 oracle."""
+    from opentelemetry_collector_spark.sources.codecs import unmarshal
+    from opentelemetry_collector_spark.sources.otlp_metric_proto import to_otlp_metrics_proto
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        F.col("event_type").alias("metric"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("labels"),
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+        F.col("ts"),
+        F.when(F.col("event_type") == "click", "sum_cumulative_monotonic")
+        .otherwise("gauge")
+        .alias("kind"),
+    )
+    back = unmarshal(to_otlp_metrics_proto(src), "otlp_proto_metrics")
+    return back.select(
+        "metric",
+        "kind",
+        F.element_at(F.col("labels"), "user").cast("bigint").alias("user_id"),
+        F.col("value").cast("bigint").alias("value_cents"),
+        "ts",
+    )
+
+
 def q185_hostmetrics_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hostmetrics scrapers over the committed /proc fixture corpus — the
     real parsers (sources/hostmetrics.py; reference
@@ -7866,6 +7896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_zipkinv1_roundtrip": q89_zipkinv1_roundtrip,
     "q189_zipkin_thrift_roundtrip": q189_zipkin_thrift_roundtrip,
     "q190_otlp_trace_proto_roundtrip": q190_otlp_trace_proto_roundtrip,
+    "q191_otlp_metric_proto_roundtrip": q191_otlp_metric_proto_roundtrip,
     "q90_log_templates": q90_log_templates,
     "q91_delta_to_cumulative": q91_delta_to_cumulative,
     "q92_split_metrics": q92_split_metrics,
@@ -8149,6 +8180,7 @@ ORACLES: dict[str, str] = {
     "q188_zipkin_proto_roundtrip": Q37_SQL,
     "q189_zipkin_thrift_roundtrip": Q89_SQL,
     "q190_otlp_trace_proto_roundtrip": Q37_SQL,
+    "q191_otlp_metric_proto_roundtrip": Q49_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -8252,6 +8284,7 @@ _PRIORITY: tuple[str, ...] = (
     "q188_zipkin_proto_roundtrip",
     "q189_zipkin_thrift_roundtrip",
     "q190_otlp_trace_proto_roundtrip",
+    "q191_otlp_metric_proto_roundtrip",
     "q25_ngram_jaccard",
     "q84_classifier_train",
 )

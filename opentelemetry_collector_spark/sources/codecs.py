@@ -316,6 +316,12 @@ def _parse_otlp_traces_proto(df: DataFrame, col: str = "value") -> DataFrame:
     return parse_otlp_traces_proto(df, col)
 
 
+def _parse_otlp_metrics_proto(df: DataFrame, col: str = "value") -> DataFrame:
+    from opentelemetry_collector_spark.sources.otlp_metric_proto import parse_otlp_metrics_proto
+
+    return parse_otlp_metrics_proto(df, col)
+
+
 UNMARSHALERS: dict[str, Callable[[DataFrame, str], DataFrame]] = {
     # the reference's DEFAULT Kafka encoding (factory.go:32,
     # unmarshaler.go:52-82) — binary OTLP protobuf
@@ -334,6 +340,7 @@ UNMARSHALERS: dict[str, Callable[[DataFrame, str], DataFrame]] = {
     # three (unmarshaler.go:52-82) with the pipeline type disambiguating;
     # this single dispatch table suffixes the signal instead
     "otlp_proto_traces": _parse_otlp_traces_proto,
+    "otlp_proto_metrics": _parse_otlp_metrics_proto,
     # the OC receiver's two signals (the Kafka registry itself has no OC
     # encoding in the reference; these serve the jsonl/file receiver path)
     "oc_json": _parse_oc,

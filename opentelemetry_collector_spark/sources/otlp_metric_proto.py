@@ -1,0 +1,226 @@
+"""OTLP protobuf METRICS envelope codec — ``otlp_proto`` for the metrics
+signal, completing the three-signal registry parity
+(``receiver/kafkareceiver/unmarshaler.go:70-74``
+``defaultMetricsUnmarshalers`` registers exactly one encoding:
+``otlp_proto``).
+
+Same composition as the logs/traces twins: a byte walk over the generated
+wire (``model/internal/data/protogen/metrics/v1/metrics.pb.go``) into the
+jsonpb dialect ``sources/otlp_metric.py`` already parses, so oneof-member
+kind resolution, label StringMap semantics, and the decimal nano division
+stay single-sourced.
+
+metrics.pb.go field numbers (v0.5-era wire — flat StringKeyValue labels,
+int/double member split):
+
+    ExportMetricsServiceRequest: resource_metrics = 1
+    ResourceMetrics: resource=1, instrumentation_library_metrics=2
+    InstrumentationLibraryMetrics: instrumentation_library=1, metrics=2
+    Metric: name=1, description=2, unit=3, then the data oneof
+            (metrics.pb.go:370-388): int_gauge=4, double_gauge=5,
+            int_sum=6, double_sum=7, int_histogram=8, double_histogram=9,
+            double_summary=11
+    DoubleGauge: data_points=1
+    DoubleSum: data_points=1, aggregation_temporality=2 varint
+               (CUMULATIVE=2), is_monotonic=3 varint
+    DoubleDataPoint (metrics.pb.go:989-1012): labels=1 rep StringKeyValue,
+        start_time_unix_nano=2 fixed64, time_unix_nano=3 fixed64,
+        value=4 fixed64 (double), exemplars=5
+    StringKeyValue: key=1, value=2 (common.pb.go:326-327)
+
+Scope: the scalar members (doubleGauge / doubleSum) — the dialect the
+q73 roundtrip pins. The histogram / int / summary members follow the
+identical walk against their own dialect parsers
+(parse_otlp_histograms_json etc.); the seam is the oneof dispatch below.
+"""
+
+from __future__ import annotations
+
+import json
+import struct as _struct
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.sources.codecs import _LIB_NAME
+from opentelemetry_collector_spark.sources.otlp_proto import (
+    _f64,
+    _fields,
+    _ld,
+    _Malformed,
+    _vi,
+)
+
+_TEMPORALITY_CUMULATIVE_VALUE = 2  # AGGREGATION_TEMPORALITY_CUMULATIVE
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+def _double_bits(v: float) -> int:
+    return _struct.unpack("<Q", _struct.pack("<d", float(v)))[0]
+
+
+def _dp(labels: list[tuple[str, str]], t_nanos: int | None, value: float) -> bytes:
+    out = b""
+    for k, v in labels:
+        out += _ld(1, _ld(1, k.encode()) + _ld(2, v.encode()))
+    if t_nanos:
+        out += _f64(3, int(t_nanos))
+    if value != 0.0:  # float64 zero-omission (gogo omit-empty)
+        out += _f64(4, _double_bits(value))
+    return out
+
+
+def encode_metric(name: str, kind: str, dps: list[bytes]) -> bytes:
+    body = b"".join(_ld(1, d) for d in dps)
+    out = _ld(1, name.encode())
+    if kind == "gauge":
+        out += _ld(5, body)  # double_gauge
+    elif kind == "sum_cumulative_monotonic":
+        out += _ld(7, body + _vi(2, _TEMPORALITY_CUMULATIVE_VALUE) + _vi(3, 1))
+    else:
+        raise ValueError(f"unsupported metric kind {kind!r}")
+    return out
+
+
+def to_otlp_metrics_proto(df: DataFrame, out_col: str = "value") -> DataFrame:
+    """Scalar datapoint frame -> one binary ExportMetricsServiceRequest per
+    (metric, kind), datapoints sorted like to_otlp_metrics_json (time,
+    labels, value) so the wire is deterministic."""
+    from opentelemetry_collector_spark.sources.codecs import _nanos
+    from opentelemetry_collector_spark.sources.otlp_metric import _sorted_labels
+
+    labels = _sorted_labels()
+    dp = F.struct(
+        _nanos(F.col("ts")).alias("t_nanos"),
+        F.to_json(labels).alias("labels_json"),
+        F.col("value").alias("value"),
+    )
+    grouped = df.groupBy("metric", "kind").agg(F.array_sort(F.collect_list(dp)).alias("dps"))
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for name, kind, dps in zip(pdf["metric"], pdf["kind"], pdf["dps"]):
+                blobs = [
+                    _dp(
+                        [(e["key"], e["value"]) for e in json.loads(d["labels_json"] or "[]")],
+                        d["t_nanos"],
+                        d["value"],
+                    )
+                    for d in dps
+                ]
+                metric = encode_metric(name, kind, blobs)
+                resource = b""  # non-nullable empty resource
+                ilm = _ld(1, _ld(1, _LIB_NAME.encode())) + _ld(2, metric)
+                vals.append(_ld(1, _ld(1, resource) + _ld(2, ilm)))
+            yield pd.DataFrame({out_col: vals})
+
+    return grouped.mapInPandas(_gen, f"{out_col} binary")
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def _utf8(buf: bytes, span: tuple[int, int]) -> str:
+    return buf[span[0] : span[1]].decode("utf-8", errors="replace")
+
+
+def _dec_dp(buf: bytes, span: tuple[int, int]) -> dict:
+    dp: dict = {"labels": [], "timeUnixNano": None, "value": None}
+    for fno, wt, v in _fields(buf, *span):
+        if fno == 1 and wt == 2:
+            kv = {"key": None, "value": None}
+            for f2, w2, v2 in _fields(buf, *v):
+                if f2 == 1 and w2 == 2:
+                    kv["key"] = _utf8(buf, v2)
+                elif f2 == 2 and w2 == 2:
+                    kv["value"] = _utf8(buf, v2)
+            dp["labels"].append(kv)
+        elif fno == 3 and wt == 1:
+            dp["timeUnixNano"] = str(v) if v else None
+        elif fno == 4 and wt == 1:
+            dp["value"] = _struct.unpack("<d", int(v).to_bytes(8, "little"))[0]
+    if not dp["labels"]:
+        dp.pop("labels")
+    return dp
+
+
+def decode_otlp_metrics(buf: bytes) -> dict:
+    """ExportMetricsServiceRequest -> the jsonpb dialect dict
+    parse_otlp_metrics_json understands (scalar members)."""
+    rms = []
+    for fno, wt, rm_span in _fields(buf, 0, len(buf)):
+        if fno != 1 or wt != 2:
+            continue
+        ilms = []
+        for f2, w2, v2 in _fields(buf, *rm_span):
+            if f2 != 2 or w2 != 2:
+                continue
+            ilm: dict = {"instrumentationLibrary": {}, "metrics": []}
+            for f3, w3, v3 in _fields(buf, *v2):
+                if f3 == 1 and w3 == 2:
+                    for f4, w4, v4 in _fields(buf, *v3):
+                        if f4 == 1 and w4 == 2:
+                            ilm["instrumentationLibrary"]["name"] = _utf8(buf, v4)
+                elif f3 == 2 and w3 == 2:
+                    metric: dict = {"name": None}
+                    for f4, w4, v4 in _fields(buf, *v3):
+                        if f4 == 1 and w4 == 2:
+                            metric["name"] = _utf8(buf, v4)
+                        elif f4 == 5 and w4 == 2:  # double_gauge
+                            metric["doubleGauge"] = {
+                                "dataPoints": [
+                                    _dec_dp(buf, v5)
+                                    for f5, w5, v5 in _fields(buf, *v4)
+                                    if f5 == 1 and w5 == 2
+                                ]
+                            }
+                        elif f4 == 7 and w4 == 2:  # double_sum
+                            sum_m: dict = {"dataPoints": []}
+                            for f5, w5, v5 in _fields(buf, *v4):
+                                if f5 == 1 and w5 == 2:
+                                    sum_m["dataPoints"].append(_dec_dp(buf, v5))
+                                elif f5 == 2 and w5 == 0:
+                                    sum_m["aggregationTemporality"] = (
+                                        "AGGREGATION_TEMPORALITY_CUMULATIVE"
+                                        if v5 == _TEMPORALITY_CUMULATIVE_VALUE
+                                        else str(v5)
+                                    )
+                                elif f5 == 3 and w5 == 0:
+                                    sum_m["isMonotonic"] = bool(v5)
+                            metric["doubleSum"] = sum_m
+                    ilm["metrics"].append(metric)
+            ilms.append(ilm)
+        rms.append({"instrumentationLibraryMetrics": ilms})
+    return {"resourceMetrics": rms}
+
+
+def parse_otlp_metrics_proto(df: DataFrame, col: str = "value") -> DataFrame:
+    """Unmarshal binary metric envelopes to the scalar datapoint frame via
+    the SHARED dialect parser (parse_otlp_metrics_json). Malformed
+    payloads refuse the message."""
+    from opentelemetry_collector_spark.sources.otlp_metric import parse_otlp_metrics_json
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lines = []
+            for buf in pdf[col]:
+                if buf is None:
+                    continue
+                try:
+                    lines.append(json.dumps(decode_otlp_metrics(bytes(buf))))
+                except _Malformed:
+                    continue
+            yield pd.DataFrame({col: lines}, dtype=object)
+
+    json_df = df.select(col).mapInPandas(_gen, f"{col} string")
+    return parse_otlp_metrics_json(json_df, col)

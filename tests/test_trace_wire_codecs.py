@@ -265,3 +265,45 @@ class TestOtlpTracesProto:
         a = {r["span_id"]: r.asDict() for r in src.collect()}
         b = {r["span_id"]: r.asDict() for r in back.select(*src.columns).collect()}
         assert a == b
+
+
+class TestOtlpMetricsProto:
+    def test_roundtrip_pure_python(self):
+        from opentelemetry_collector_spark.sources.otlp_metric_proto import (
+            _dp,
+            decode_otlp_metrics,
+            encode_metric,
+        )
+        from opentelemetry_collector_spark.sources.otlp_proto import _ld
+        from opentelemetry_collector_spark.sources.codecs import _LIB_NAME
+
+        dp = _dp([("user", "42")], 1_700_000_000_000_000_000, 12.5)
+        metric = encode_metric("purchase", "sum_cumulative_monotonic", [dp])
+        ilm = _ld(1, _ld(1, _LIB_NAME.encode())) + _ld(2, metric)
+        req = _ld(1, _ld(1, b"") + _ld(2, ilm))
+        env = decode_otlp_metrics(req)
+        (m,) = env["resourceMetrics"][0]["instrumentationLibraryMetrics"][0]["metrics"]
+        assert m["name"] == "purchase"
+        s = m["doubleSum"]
+        assert s["aggregationTemporality"] == "AGGREGATION_TEMPORALITY_CUMULATIVE"
+        assert s["isMonotonic"] is True
+        (point,) = s["dataPoints"]
+        assert point["labels"] == [{"key": "user", "value": "42"}]
+        assert point["timeUnixNano"] == "1700000000000000000"
+        assert point["value"] == 12.5
+
+    def test_zero_value_omitted(self):
+        from opentelemetry_collector_spark.sources.otlp_metric_proto import (
+            _dp,
+            decode_otlp_metrics,
+            encode_metric,
+        )
+        from opentelemetry_collector_spark.sources.otlp_proto import _ld
+
+        dp = _dp([], 1, 0.0)
+        req = _ld(1, _ld(2, _ld(2, encode_metric("g", "gauge", [dp]))))
+        (m,) = decode_otlp_metrics(req)["resourceMetrics"][0][
+            "instrumentationLibraryMetrics"
+        ][0]["metrics"]
+        (point,) = m["doubleGauge"]["dataPoints"]
+        assert point["value"] is None  # absent member, parser coalesces to 0.0
