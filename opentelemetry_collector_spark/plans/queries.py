@@ -7790,6 +7790,56 @@ def q191_otlp_metric_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q192_otlp_histogram_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """otlp_proto doubleHistogram member (metric oneof field 9,
+    metrics.pb.go:1237-1310): the q77 per-(conv, role) explicit-bounds
+    datapoints marshaled to binary envelopes (packed fixed64 bucketCounts
+    and explicitBounds, fixed64 count/sum with zero-omission) and parsed
+    back through the SHARED histogram dialect parser, then merged per
+    role. Same q33 oracle as the JSON wire — byte loss corrupts the
+    merge."""
+    from opentelemetry_collector_spark.operators.aggregate import bucket_index, histogram_merge
+    from opentelemetry_collector_spark.sources.otlp_metric_proto import (
+        parse_otlp_histograms_proto,
+        to_otlp_histograms_proto,
+    )
+
+    t = from_events(spark, sf_dir)
+    lv = F.length(F.col("text")).cast("double")
+    per_row = t.select("conv_id", "role", lv.alias("lv"), bucket_index(lv, _HIST_BOUNDS).alias("_pos"))
+    nb = len(_HIST_BOUNDS) + 1
+    dp = per_row.groupBy("conv_id", "role").agg(
+        F.array(
+            *[F.sum(F.when(F.col("_pos") == i, 1).otherwise(0)).cast("bigint") for i in range(nb)]
+        ).alias("bucket_counts"),
+        F.sum("lv").alias("h_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("h_count"),
+    )
+    frame = dp.select(
+        F.col("role").alias("metric"),
+        F.create_map(F.lit("conv"), F.col("conv_id")).alias("labels"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "bucket_counts",
+        F.array(*[F.lit(b) for b in _HIST_BOUNDS]).alias("explicit_bounds"),
+        "h_sum",
+        "h_count",
+    )
+    back = parse_otlp_histograms_proto(to_otlp_histograms_proto(frame))
+    merged = histogram_merge(back.withColumnRenamed("metric", "role"), ["role"])
+    return merged.select(
+        "role",
+        F.col("h_sum").cast("bigint").alias("h_sum"),
+        F.col("h_count").cast("bigint").alias("h_count"),
+        F.posexplode("bucket_counts").alias("pos", "bucket_count"),
+    ).select(
+        "role",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("bucket_count").cast("bigint").alias("bucket_count"),
+        "h_sum",
+        "h_count",
+    )
+
+
 def q185_hostmetrics_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hostmetrics scrapers over the committed /proc fixture corpus — the
     real parsers (sources/hostmetrics.py; reference
@@ -7897,6 +7947,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q189_zipkin_thrift_roundtrip": q189_zipkin_thrift_roundtrip,
     "q190_otlp_trace_proto_roundtrip": q190_otlp_trace_proto_roundtrip,
     "q191_otlp_metric_proto_roundtrip": q191_otlp_metric_proto_roundtrip,
+    "q192_otlp_histogram_proto_roundtrip": q192_otlp_histogram_proto_roundtrip,
     "q90_log_templates": q90_log_templates,
     "q91_delta_to_cumulative": q91_delta_to_cumulative,
     "q92_split_metrics": q92_split_metrics,
@@ -8181,6 +8232,7 @@ ORACLES: dict[str, str] = {
     "q189_zipkin_thrift_roundtrip": Q89_SQL,
     "q190_otlp_trace_proto_roundtrip": Q37_SQL,
     "q191_otlp_metric_proto_roundtrip": Q49_SQL,
+    "q192_otlp_histogram_proto_roundtrip": Q33_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -8285,6 +8337,7 @@ _PRIORITY: tuple[str, ...] = (
     "q189_zipkin_thrift_roundtrip",
     "q190_otlp_trace_proto_roundtrip",
     "q191_otlp_metric_proto_roundtrip",
+    "q192_otlp_histogram_proto_roundtrip",
     "q25_ngram_jaccard",
     "q84_classifier_train",
 )

@@ -224,3 +224,187 @@ def parse_otlp_metrics_proto(df: DataFrame, col: str = "value") -> DataFrame:
 
     json_df = df.select(col).mapInPandas(_gen, f"{col} string")
     return parse_otlp_metrics_json(json_df, col)
+
+
+# ---------------------------------------------------------------------------
+# DoubleHistogram member (metric oneof field 9; metrics.pb.go:1237-1310)
+# ---------------------------------------------------------------------------
+
+
+def _packed_f64(field: int, values: list[int]) -> bytes:
+    """Packed repeated fixed64 (proto3 default for repeated scalars): one
+    LEN field whose payload is the concatenated 8-byte values."""
+    return _ld(field, b"".join(int(v).to_bytes(8, "little") for v in values))
+
+
+def _hdp(
+    labels: list[tuple[str, str]],
+    t_nanos: int | None,
+    count: int,
+    h_sum: float,
+    bucket_counts: list[int],
+    explicit_bounds: list[float],
+) -> bytes:
+    out = b""
+    for k, v in labels:
+        out += _ld(1, _ld(1, k.encode()) + _ld(2, v.encode()))
+    if t_nanos:
+        out += _f64(3, int(t_nanos))
+    if count:
+        out += _f64(4, int(count))
+    if h_sum != 0.0:
+        out += _f64(5, _double_bits(h_sum))
+    if bucket_counts:
+        out += _packed_f64(6, bucket_counts)
+    if explicit_bounds:
+        out += _packed_f64(7, [_double_bits(b) for b in explicit_bounds])
+    return out
+
+
+def encode_histogram_metric(name: str, dps: list[bytes]) -> bytes:
+    body = b"".join(_ld(1, d) for d in dps)
+    return _ld(1, name.encode()) + _ld(
+        9, body + _vi(2, _TEMPORALITY_CUMULATIVE_VALUE)
+    )
+
+
+def to_otlp_histograms_proto(df: DataFrame, out_col: str = "value") -> DataFrame:
+    """Histogram datapoint frame (otlp_metric._HIST_FRAME_COLS) -> one
+    binary envelope per metric, datapoints in to_otlp_histograms_json's
+    deterministic order."""
+    from opentelemetry_collector_spark.sources.codecs import _nanos
+    from opentelemetry_collector_spark.sources.otlp_metric import _sorted_labels
+
+    dp = F.struct(
+        _nanos(F.col("ts")).alias("t_nanos"),
+        F.to_json(_sorted_labels()).alias("labels_json"),
+        F.col("h_count").alias("h_count"),
+        F.col("h_sum").alias("h_sum"),
+        F.to_json(F.col("bucket_counts")).alias("counts_json"),
+        F.to_json(F.col("explicit_bounds")).alias("bounds_json"),
+    )
+    grouped = df.groupBy("metric").agg(F.array_sort(F.collect_list(dp)).alias("dps"))
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for name, dps in zip(pdf["metric"], pdf["dps"]):
+                blobs = [
+                    _hdp(
+                        [(e["key"], e["value"]) for e in json.loads(d["labels_json"] or "[]")],
+                        d["t_nanos"],
+                        int(d["h_count"] or 0),
+                        float(d["h_sum"] or 0.0),
+                        json.loads(d["counts_json"] or "[]"),
+                        json.loads(d["bounds_json"] or "[]"),
+                    )
+                    for d in dps
+                ]
+                metric = encode_histogram_metric(name, blobs)
+                ilm = _ld(1, _ld(1, _LIB_NAME.encode())) + _ld(2, metric)
+                vals.append(_ld(1, _ld(1, b"") + _ld(2, ilm)))
+            yield pd.DataFrame({out_col: vals})
+
+    return grouped.mapInPandas(_gen, f"{out_col} binary")
+
+
+def _unpack_f64s(buf: bytes, span: tuple[int, int]) -> list[int]:
+    raw = buf[span[0] : span[1]]
+    if len(raw) % 8:
+        raise _Malformed("packed fixed64 payload not a multiple of 8")
+    return [int.from_bytes(raw[i : i + 8], "little") for i in range(0, len(raw), 8)]
+
+
+def _dec_hdp(buf: bytes, span: tuple[int, int]) -> dict:
+    dp: dict = {
+        "labels": [], "timeUnixNano": None, "count": None, "sum": None,
+        "bucketCounts": None, "explicitBounds": None,
+    }
+    counts: list[int] = []
+    bounds: list[float] = []
+    for fno, wt, v in _fields(buf, *span):
+        if fno == 1 and wt == 2:
+            kv = {"key": None, "value": None}
+            for f2, w2, v2 in _fields(buf, *v):
+                if f2 == 1 and w2 == 2:
+                    kv["key"] = _utf8(buf, v2)
+                elif f2 == 2 and w2 == 2:
+                    kv["value"] = _utf8(buf, v2)
+            dp["labels"].append(kv)
+        elif fno == 3 and wt == 1:
+            dp["timeUnixNano"] = str(v) if v else None
+        elif fno == 4 and wt == 1:
+            dp["count"] = str(v) if v else None
+        elif fno == 5 and wt == 1:
+            dp["sum"] = _struct.unpack("<d", int(v).to_bytes(8, "little"))[0]
+        elif fno == 6:
+            # packed (LEN) is the proto3 default; accept unpacked (I64) too
+            counts += _unpack_f64s(buf, v) if wt == 2 else [v]
+        elif fno == 7:
+            raw = _unpack_f64s(buf, v) if wt == 2 else [v]
+            bounds += [_struct.unpack("<d", int(x).to_bytes(8, "little"))[0] for x in raw]
+    if counts:
+        dp["bucketCounts"] = [str(c) for c in counts]
+    if bounds:
+        dp["explicitBounds"] = bounds
+    if not dp["labels"]:
+        dp.pop("labels")
+    return dp
+
+
+def decode_otlp_histograms(buf: bytes) -> dict:
+    """ExportMetricsServiceRequest (doubleHistogram member) -> the jsonpb
+    dialect dict parse_otlp_histograms_json understands."""
+    rms = []
+    for fno, wt, rm_span in _fields(buf, 0, len(buf)):
+        if fno != 1 or wt != 2:
+            continue
+        ilms = []
+        for f2, w2, v2 in _fields(buf, *rm_span):
+            if f2 != 2 or w2 != 2:
+                continue
+            ilm: dict = {"metrics": []}
+            for f3, w3, v3 in _fields(buf, *v2):
+                if f3 != 2 or w3 != 2:
+                    continue
+                metric: dict = {"name": None}
+                for f4, w4, v4 in _fields(buf, *v3):
+                    if f4 == 1 and w4 == 2:
+                        metric["name"] = _utf8(buf, v4)
+                    elif f4 == 9 and w4 == 2:  # double_histogram
+                        hist: dict = {"dataPoints": []}
+                        for f5, w5, v5 in _fields(buf, *v4):
+                            if f5 == 1 and w5 == 2:
+                                hist["dataPoints"].append(_dec_hdp(buf, v5))
+                            elif f5 == 2 and w5 == 0:
+                                hist["aggregationTemporality"] = (
+                                    "AGGREGATION_TEMPORALITY_CUMULATIVE"
+                                    if v5 == _TEMPORALITY_CUMULATIVE_VALUE
+                                    else str(v5)
+                                )
+                        metric["doubleHistogram"] = hist
+                ilm["metrics"].append(metric)
+            ilms.append(ilm)
+        rms.append({"instrumentationLibraryMetrics": ilms})
+    return {"resourceMetrics": rms}
+
+
+def parse_otlp_histograms_proto(df: DataFrame, col: str = "value") -> DataFrame:
+    """Binary histogram envelopes -> the histogram frame via the SHARED
+    dialect parser (parse_otlp_histograms_json)."""
+    from opentelemetry_collector_spark.sources.otlp_metric import parse_otlp_histograms_json
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lines = []
+            for buf in pdf[col]:
+                if buf is None:
+                    continue
+                try:
+                    lines.append(json.dumps(decode_otlp_histograms(bytes(buf))))
+                except _Malformed:
+                    continue
+            yield pd.DataFrame({col: lines}, dtype=object)
+
+    json_df = df.select(col).mapInPandas(_gen, f"{col} string")
+    return parse_otlp_histograms_json(json_df, col)

@@ -109,6 +109,16 @@ def test_kv_text_encoding(spark):
 
 def test_unmarshaler_registry_dispatch(spark):
     assert set(UNMARSHALERS) == {
+        # binary wires (r3): the reference's full six-encoding Kafka
+        # registry (unmarshaler.go:52-82) plus the per-signal otlp_proto
+        # twins (the Go registries are per-signal; we suffix instead)
+        "otlp_proto",
+        "otlp_proto_traces",
+        "otlp_proto_metrics",
+        "jaeger_proto",
+        "zipkin_proto",
+        "zipkin_thrift",
+        # text/JSON family
         "turn_json",
         "kv_text",
         "otlp_json",
@@ -118,7 +128,7 @@ def test_unmarshaler_registry_dispatch(spark):
         "oc_metrics_json",
     }
     with pytest.raises(ValueError, match="unknown encoding"):
-        unmarshal(None, "jaeger_proto")
+        unmarshal(None, "otlp_thrift")
 
 
 def test_keyed_sink_write_preserves_rows_and_colocates(spark, tmp_path, small):

@@ -307,3 +307,39 @@ class TestOtlpMetricsProto:
         ][0]["metrics"]
         (point,) = m["doubleGauge"]["dataPoints"]
         assert point["value"] is None  # absent member, parser coalesces to 0.0
+
+
+class TestOtlpHistogramProto:
+    def test_roundtrip_pure_python(self):
+        from opentelemetry_collector_spark.sources.otlp_metric_proto import (
+            _hdp,
+            decode_otlp_histograms,
+            encode_histogram_metric,
+        )
+        from opentelemetry_collector_spark.sources.otlp_proto import _ld
+
+        dp = _hdp([("conv", "c-1")], 1_700_000_000_000_000_000, 7, 123.5,
+                  [1, 2, 0, 4], [10.0, 50.0, 100.0])
+        req = _ld(1, _ld(2, _ld(2, encode_histogram_metric("latency", [dp]))))
+        env = decode_otlp_histograms(req)
+        (m,) = env["resourceMetrics"][0]["instrumentationLibraryMetrics"][0]["metrics"]
+        assert m["name"] == "latency"
+        h = m["doubleHistogram"]
+        assert h["aggregationTemporality"] == "AGGREGATION_TEMPORALITY_CUMULATIVE"
+        (point,) = h["dataPoints"]
+        assert point["labels"] == [{"key": "conv", "value": "c-1"}]
+        assert point["count"] == "7"
+        assert point["sum"] == 123.5
+        # packed fixed64 roundtrip — including the ZERO bucket element
+        assert point["bucketCounts"] == ["1", "2", "0", "4"]
+        assert point["explicitBounds"] == [10.0, 50.0, 100.0]
+
+    def test_unpacked_repeated_accepted(self):
+        # some encoders emit repeated fixed64 UNPACKED (one I64 field per
+        # element) — the decoder must accept both representations
+        from opentelemetry_collector_spark.sources.otlp_metric_proto import _dec_hdp
+        from opentelemetry_collector_spark.sources.otlp_proto import _f64
+
+        raw = _f64(6, 5) + _f64(6, 9)
+        dp = _dec_hdp(raw, (0, len(raw)))
+        assert dp["bucketCounts"] == ["5", "9"]
