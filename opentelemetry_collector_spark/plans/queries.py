@@ -7840,6 +7840,91 @@ def q192_otlp_histogram_proto_roundtrip(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+def q193_otlp_int_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """otlp_proto intGauge/intSum members (metric oneof fields 4/6;
+    IntDataPoint metrics.pb.go:889-914, value sfixed64): the q78 integer
+    scalar frame on the binary wire through the SHARED int dialect
+    parser. Values stay exact beyond double's mantissa because the wire
+    is 8-byte two's complement and the dialect carries jsonpb int64
+    strings. Same q49 oracle."""
+    from opentelemetry_collector_spark.sources.otlp_metric_proto import (
+        parse_otlp_int_metrics_proto,
+        to_otlp_int_metrics_proto,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        F.col("event_type").alias("metric"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("labels"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("value"),
+        F.col("ts"),
+        F.when(F.col("event_type") == "click", "sum_cumulative_monotonic")
+        .otherwise("gauge")
+        .alias("kind"),
+    )
+    back = parse_otlp_int_metrics_proto(to_otlp_int_metrics_proto(src))
+    return back.select(
+        "metric",
+        "kind",
+        F.element_at(F.col("labels"), "user").cast("bigint").alias("user_id"),
+        F.col("value").alias("value_cents"),
+        "ts",
+    )
+
+
+def q194_otlp_summary_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """otlp_proto doubleSummary member (metric oneof field 11;
+    DoubleSummaryDataPoint metrics.pb.go:1387-1413): the q79 summary
+    datapoints — count, cents sum, exact dyadic quantiles — on the binary
+    wire (fixed64 count/sum/quantile/value with zero-omission) through
+    the SHARED summary dialect parser. Same q79 oracle."""
+    from opentelemetry_collector_spark.sources.otlp_metric_proto import (
+        parse_otlp_summaries_proto,
+        to_otlp_summaries_proto,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        F.col("event_type").alias("metric"),
+        (F.col("user_id") % 50).cast("int").alias("bucket"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dp = src.groupBy("metric", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("h_count"),
+        F.try_sum("cents").cast("double").alias("h_sum"),
+        (F.min("cents").cast("double") * 2).alias("_v0"),
+        (F.percentile("cents", 0.5) * 2).alias("_v50"),
+        (F.max("cents").cast("double") * 2).alias("_v100"),
+    )
+    frame = dp.select(
+        "metric",
+        F.create_map(F.lit("bucket"), F.col("bucket").cast("string")).alias("labels"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "h_sum",
+        "h_count",
+        F.array(
+            F.struct(F.lit(0.0).alias("quantile"), F.col("_v0").alias("value")),
+            F.struct(F.lit(0.5).alias("quantile"), F.col("_v50").alias("value")),
+            F.struct(F.lit(1.0).alias("quantile"), F.col("_v100").alias("value")),
+        ).alias("quantiles"),
+    )
+    back = parse_otlp_summaries_proto(to_otlp_summaries_proto(frame))
+    return back.select(
+        "metric",
+        F.element_at(F.col("labels"), "bucket").cast("int").alias("bucket"),
+        "h_count",
+        F.col("h_sum").try_cast("bigint").alias("h_sum_cents"),
+        F.explode("quantiles").alias("q"),
+    ).select(
+        "metric",
+        "bucket",
+        "h_count",
+        "h_sum_cents",
+        F.col("q.quantile").alias("quantile"),
+        F.col("q.value").try_cast("bigint").alias("qv_x2"),
+    )
+
+
 def q185_hostmetrics_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hostmetrics scrapers over the committed /proc fixture corpus — the
     real parsers (sources/hostmetrics.py; reference
@@ -7948,6 +8033,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q190_otlp_trace_proto_roundtrip": q190_otlp_trace_proto_roundtrip,
     "q191_otlp_metric_proto_roundtrip": q191_otlp_metric_proto_roundtrip,
     "q192_otlp_histogram_proto_roundtrip": q192_otlp_histogram_proto_roundtrip,
+    "q193_otlp_int_proto_roundtrip": q193_otlp_int_proto_roundtrip,
+    "q194_otlp_summary_proto_roundtrip": q194_otlp_summary_proto_roundtrip,
     "q90_log_templates": q90_log_templates,
     "q91_delta_to_cumulative": q91_delta_to_cumulative,
     "q92_split_metrics": q92_split_metrics,
@@ -8233,6 +8320,8 @@ ORACLES: dict[str, str] = {
     "q190_otlp_trace_proto_roundtrip": Q37_SQL,
     "q191_otlp_metric_proto_roundtrip": Q49_SQL,
     "q192_otlp_histogram_proto_roundtrip": Q33_SQL,
+    "q193_otlp_int_proto_roundtrip": Q49_SQL,
+    "q194_otlp_summary_proto_roundtrip": Q79_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -8338,6 +8427,8 @@ _PRIORITY: tuple[str, ...] = (
     "q190_otlp_trace_proto_roundtrip",
     "q191_otlp_metric_proto_roundtrip",
     "q192_otlp_histogram_proto_roundtrip",
+    "q193_otlp_int_proto_roundtrip",
+    "q194_otlp_summary_proto_roundtrip",
     "q25_ngram_jaccard",
     "q84_classifier_train",
 )

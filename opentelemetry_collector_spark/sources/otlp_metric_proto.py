@@ -408,3 +408,315 @@ def parse_otlp_histograms_proto(df: DataFrame, col: str = "value") -> DataFrame:
 
     json_df = df.select(col).mapInPandas(_gen, f"{col} string")
     return parse_otlp_histograms_json(json_df, col)
+
+
+# ---------------------------------------------------------------------------
+# intGauge / intSum members (metric oneof fields 4 / 6; IntDataPoint
+# metrics.pb.go:889-914 — value is sfixed64, field 4 on the I64 wire)
+# ---------------------------------------------------------------------------
+
+
+def _idp(labels: list[tuple[str, str]], t_nanos: int | None, value: int) -> bytes:
+    out = b""
+    for k, v in labels:
+        out += _ld(1, _ld(1, k.encode()) + _ld(2, v.encode()))
+    if t_nanos:
+        out += _f64(3, int(t_nanos))
+    if value:
+        out += _f64(4, int(value) & ((1 << 64) - 1))  # sfixed64 two's complement
+    return out
+
+
+def encode_int_metric(name: str, kind: str, dps: list[bytes]) -> bytes:
+    body = b"".join(_ld(1, d) for d in dps)
+    out = _ld(1, name.encode())
+    if kind == "gauge":
+        out += _ld(4, body)  # int_gauge
+    elif kind == "sum_cumulative_monotonic":
+        out += _ld(6, body + _vi(2, _TEMPORALITY_CUMULATIVE_VALUE) + _vi(3, 1))
+    else:
+        raise ValueError(f"unsupported metric kind {kind!r}")
+    return out
+
+
+def to_otlp_int_metrics_proto(df: DataFrame, out_col: str = "value") -> DataFrame:
+    """INTEGER scalar frame -> binary envelopes (intGauge/intSum members),
+    to_otlp_int_metrics_json's deterministic datapoint order."""
+    from opentelemetry_collector_spark.sources.codecs import _nanos
+    from opentelemetry_collector_spark.sources.otlp_metric import _sorted_labels
+
+    dp = F.struct(
+        _nanos(F.col("ts")).alias("t_nanos"),
+        F.to_json(_sorted_labels()).alias("labels_json"),
+        F.col("value").alias("value"),
+    )
+    grouped = df.groupBy("metric", "kind").agg(F.array_sort(F.collect_list(dp)).alias("dps"))
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for name, kind, dps in zip(pdf["metric"], pdf["kind"], pdf["dps"]):
+                blobs = [
+                    _idp(
+                        [(e["key"], e["value"]) for e in json.loads(d["labels_json"] or "[]")],
+                        d["t_nanos"],
+                        int(d["value"] or 0),
+                    )
+                    for d in dps
+                ]
+                ilm = _ld(1, _ld(1, _LIB_NAME.encode())) + _ld(2, encode_int_metric(name, kind, blobs))
+                vals.append(_ld(1, _ld(1, b"") + _ld(2, ilm)))
+            yield pd.DataFrame({out_col: vals})
+
+    return grouped.mapInPandas(_gen, f"{out_col} binary")
+
+
+def _dec_idp(buf: bytes, span: tuple[int, int]) -> dict:
+    dp: dict = {"labels": [], "timeUnixNano": None, "value": None}
+    for fno, wt, v in _fields(buf, *span):
+        if fno == 1 and wt == 2:
+            kv = {"key": None, "value": None}
+            for f2, w2, v2 in _fields(buf, *v):
+                if f2 == 1 and w2 == 2:
+                    kv["key"] = _utf8(buf, v2)
+                elif f2 == 2 and w2 == 2:
+                    kv["value"] = _utf8(buf, v2)
+            dp["labels"].append(kv)
+        elif fno == 3 and wt == 1:
+            dp["timeUnixNano"] = str(v) if v else None
+        elif fno == 4 and wt == 1:
+            iv = v - (1 << 64) if v >= 1 << 63 else v
+            dp["value"] = str(iv) if iv else None  # jsonpb int64 string, omit-zero
+    if not dp["labels"]:
+        dp.pop("labels")
+    return dp
+
+
+def decode_otlp_int_metrics(buf: bytes) -> dict:
+    """ExportMetricsServiceRequest (intGauge/intSum members) -> the jsonpb
+    dialect dict parse_otlp_int_metrics_json understands."""
+    rms = []
+    for fno, wt, rm_span in _fields(buf, 0, len(buf)):
+        if fno != 1 or wt != 2:
+            continue
+        ilms = []
+        for f2, w2, v2 in _fields(buf, *rm_span):
+            if f2 != 2 or w2 != 2:
+                continue
+            ilm: dict = {"metrics": []}
+            for f3, w3, v3 in _fields(buf, *v2):
+                if f3 != 2 or w3 != 2:
+                    continue
+                metric: dict = {"name": None}
+                for f4, w4, v4 in _fields(buf, *v3):
+                    if f4 == 1 and w4 == 2:
+                        metric["name"] = _utf8(buf, v4)
+                    elif f4 == 4 and w4 == 2:  # int_gauge
+                        metric["intGauge"] = {
+                            "dataPoints": [
+                                _dec_idp(buf, v5)
+                                for f5, w5, v5 in _fields(buf, *v4)
+                                if f5 == 1 and w5 == 2
+                            ]
+                        }
+                    elif f4 == 6 and w4 == 2:  # int_sum
+                        sum_m: dict = {"dataPoints": []}
+                        for f5, w5, v5 in _fields(buf, *v4):
+                            if f5 == 1 and w5 == 2:
+                                sum_m["dataPoints"].append(_dec_idp(buf, v5))
+                            elif f5 == 2 and w5 == 0:
+                                sum_m["aggregationTemporality"] = (
+                                    "AGGREGATION_TEMPORALITY_CUMULATIVE"
+                                    if v5 == _TEMPORALITY_CUMULATIVE_VALUE
+                                    else str(v5)
+                                )
+                            elif f5 == 3 and w5 == 0:
+                                sum_m["isMonotonic"] = bool(v5)
+                        metric["intSum"] = sum_m
+                ilm["metrics"].append(metric)
+            ilms.append(ilm)
+        rms.append({"instrumentationLibraryMetrics": ilms})
+    return {"resourceMetrics": rms}
+
+
+def parse_otlp_int_metrics_proto(df: DataFrame, col: str = "value") -> DataFrame:
+    """Binary int-metric envelopes -> the integer scalar frame via the
+    SHARED dialect parser (parse_otlp_int_metrics_json)."""
+    from opentelemetry_collector_spark.sources.otlp_metric import parse_otlp_int_metrics_json
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lines = []
+            for buf in pdf[col]:
+                if buf is None:
+                    continue
+                try:
+                    lines.append(json.dumps(decode_otlp_int_metrics(bytes(buf))))
+                except _Malformed:
+                    continue
+            yield pd.DataFrame({col: lines}, dtype=object)
+
+    json_df = df.select(col).mapInPandas(_gen, f"{col} string")
+    return parse_otlp_int_metrics_json(json_df, col)
+
+
+# ---------------------------------------------------------------------------
+# doubleSummary member (metric oneof field 11; DoubleSummaryDataPoint
+# metrics.pb.go:1387-1413, ValueAtQuantile :1502-1504)
+# ---------------------------------------------------------------------------
+
+
+def _sdp(
+    labels: list[tuple[str, str]],
+    t_nanos: int | None,
+    count: int,
+    h_sum: float,
+    quantiles: list[tuple[float, float]],
+) -> bytes:
+    out = b""
+    for k, v in labels:
+        out += _ld(1, _ld(1, k.encode()) + _ld(2, v.encode()))
+    if t_nanos:
+        out += _f64(3, int(t_nanos))
+    if count:
+        out += _f64(4, int(count))
+    if h_sum != 0.0:
+        out += _f64(5, _double_bits(h_sum))
+    for q, v in quantiles:
+        qv = b""
+        if q != 0.0:
+            qv += _f64(1, _double_bits(q))
+        if v != 0.0:
+            qv += _f64(2, _double_bits(v))
+        out += _ld(6, qv)
+    return out
+
+
+def encode_summary_metric(name: str, dps: list[bytes]) -> bytes:
+    return _ld(1, name.encode()) + _ld(11, b"".join(_ld(1, d) for d in dps))
+
+
+def to_otlp_summaries_proto(df: DataFrame, out_col: str = "value") -> DataFrame:
+    """Summary datapoint frame -> binary envelopes (doubleSummary member),
+    to_otlp_summaries_json's deterministic datapoint order."""
+    from opentelemetry_collector_spark.sources.codecs import _nanos
+    from opentelemetry_collector_spark.sources.otlp_metric import _sorted_labels
+
+    dp = F.struct(
+        _nanos(F.col("ts")).alias("t_nanos"),
+        F.to_json(_sorted_labels()).alias("labels_json"),
+        F.col("h_count").alias("h_count"),
+        F.col("h_sum").alias("h_sum"),
+        F.to_json(F.col("quantiles")).alias("quantiles_json"),
+    )
+    grouped = df.groupBy("metric").agg(F.array_sort(F.collect_list(dp)).alias("dps"))
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for name, dps in zip(pdf["metric"], pdf["dps"]):
+                blobs = [
+                    _sdp(
+                        [(e["key"], e["value"]) for e in json.loads(d["labels_json"] or "[]")],
+                        d["t_nanos"],
+                        int(d["h_count"] or 0),
+                        float(d["h_sum"] or 0.0),
+                        [(q["quantile"], q["value"]) for q in json.loads(d["quantiles_json"] or "[]")],
+                    )
+                    for d in dps
+                ]
+                ilm = _ld(1, _ld(1, _LIB_NAME.encode())) + _ld(2, encode_summary_metric(name, blobs))
+                vals.append(_ld(1, _ld(1, b"") + _ld(2, ilm)))
+            yield pd.DataFrame({out_col: vals})
+
+    return grouped.mapInPandas(_gen, f"{out_col} binary")
+
+
+def _dec_sdp(buf: bytes, span: tuple[int, int]) -> dict:
+    dp: dict = {
+        "labels": [], "timeUnixNano": None, "count": None, "sum": None,
+        "quantileValues": None,
+    }
+    qvs = []
+    for fno, wt, v in _fields(buf, *span):
+        if fno == 1 and wt == 2:
+            kv = {"key": None, "value": None}
+            for f2, w2, v2 in _fields(buf, *v):
+                if f2 == 1 and w2 == 2:
+                    kv["key"] = _utf8(buf, v2)
+                elif f2 == 2 and w2 == 2:
+                    kv["value"] = _utf8(buf, v2)
+            dp["labels"].append(kv)
+        elif fno == 3 and wt == 1:
+            dp["timeUnixNano"] = str(v) if v else None
+        elif fno == 4 and wt == 1:
+            dp["count"] = str(v) if v else None
+        elif fno == 5 and wt == 1:
+            dp["sum"] = _struct.unpack("<d", int(v).to_bytes(8, "little"))[0]
+        elif fno == 6 and wt == 2:
+            qv = {"quantile": None, "value": None}
+            for f2, w2, v2 in _fields(buf, *v):
+                if f2 == 1 and w2 == 1:
+                    qv["quantile"] = _struct.unpack("<d", int(v2).to_bytes(8, "little"))[0]
+                elif f2 == 2 and w2 == 1:
+                    qv["value"] = _struct.unpack("<d", int(v2).to_bytes(8, "little"))[0]
+            qvs.append(qv)
+    if qvs:
+        dp["quantileValues"] = qvs
+    if not dp["labels"]:
+        dp.pop("labels")
+    return dp
+
+
+def decode_otlp_summaries(buf: bytes) -> dict:
+    """ExportMetricsServiceRequest (doubleSummary member) -> the jsonpb
+    dialect dict parse_otlp_summaries_json understands."""
+    rms = []
+    for fno, wt, rm_span in _fields(buf, 0, len(buf)):
+        if fno != 1 or wt != 2:
+            continue
+        ilms = []
+        for f2, w2, v2 in _fields(buf, *rm_span):
+            if f2 != 2 or w2 != 2:
+                continue
+            ilm: dict = {"metrics": []}
+            for f3, w3, v3 in _fields(buf, *v2):
+                if f3 != 2 or w3 != 2:
+                    continue
+                metric: dict = {"name": None}
+                for f4, w4, v4 in _fields(buf, *v3):
+                    if f4 == 1 and w4 == 2:
+                        metric["name"] = _utf8(buf, v4)
+                    elif f4 == 11 and w4 == 2:  # double_summary
+                        metric["doubleSummary"] = {
+                            "dataPoints": [
+                                _dec_sdp(buf, v5)
+                                for f5, w5, v5 in _fields(buf, *v4)
+                                if f5 == 1 and w5 == 2
+                            ]
+                        }
+                ilm["metrics"].append(metric)
+            ilms.append(ilm)
+        rms.append({"instrumentationLibraryMetrics": ilms})
+    return {"resourceMetrics": rms}
+
+
+def parse_otlp_summaries_proto(df: DataFrame, col: str = "value") -> DataFrame:
+    """Binary summary envelopes -> the summary frame via the SHARED dialect
+    parser (parse_otlp_summaries_json)."""
+    from opentelemetry_collector_spark.sources.otlp_metric import parse_otlp_summaries_json
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lines = []
+            for buf in pdf[col]:
+                if buf is None:
+                    continue
+                try:
+                    lines.append(json.dumps(decode_otlp_summaries(bytes(buf))))
+                except _Malformed:
+                    continue
+            yield pd.DataFrame({col: lines}, dtype=object)
+
+    json_df = df.select(col).mapInPandas(_gen, f"{col} string")
+    return parse_otlp_summaries_json(json_df, col)

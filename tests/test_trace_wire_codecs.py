@@ -343,3 +343,44 @@ class TestOtlpHistogramProto:
         raw = _f64(6, 5) + _f64(6, 9)
         dp = _dec_hdp(raw, (0, len(raw)))
         assert dp["bucketCounts"] == ["5", "9"]
+
+
+class TestStreamingDecode:
+    def test_otlp_proto_decode_runs_inside_streaming_plan(self, spark, tmp_path):
+        """A Kafka landing job is readStream -> unmarshal -> sink; the
+        otlp_proto decode (mapInPandas) must run unchanged inside a
+        Structured Streaming plan — the same proof the relabel chain got
+        in round 2. Batch-encode envelopes to a landing dir, stream them
+        back through the registry decoder, compare with the batch parse."""
+        import datetime as dt
+
+        from opentelemetry_collector_spark.sources.codecs import unmarshal
+        from opentelemetry_collector_spark.sources.otlp_proto import to_otlp_proto
+
+        rows = [
+            ("c-1", 0, "user", "hello", None, dt.datetime(2024, 5, 1, 8, 0, 0)),
+            ("c-1", 1, "assistant", "hi", "calc", dt.datetime(2024, 5, 1, 8, 0, 1)),
+            ("c-2", 0, "tool", "lookup", "search", dt.datetime(2024, 5, 1, 8, 0, 2)),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        landing = str(tmp_path / "landing")
+        to_otlp_proto(df).write.parquet(landing)
+
+        stream = spark.readStream.schema("value binary").parquet(landing)
+        decoded = unmarshal(stream, "otlp_proto")
+        assert decoded.isStreaming
+        out = str(tmp_path / "out")
+        q = (
+            decoded.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        want = sorted(tuple(r) for r in unmarshal(spark.read.parquet(landing), "otlp_proto").collect())
+        assert got == want and len(got) == 3
