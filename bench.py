@@ -45,6 +45,13 @@ HEADLINE = [
     "q76_cluster_balance",
     "q33_histogram_merge",
     "q34_memory_limiter",
+    # binary Kafka wires (r3: the reference's default otlp_proto encoding
+    # + the trace-wire family over the events-derived frames)
+    "q184_otlp_proto_roundtrip",
+    "q187_jaeger_proto_roundtrip",
+    "q188_zipkin_proto_roundtrip",
+    "q189_zipkin_thrift_roundtrip",
+    "q190_otlp_trace_proto_roundtrip",
     # corpus-quality suite (documents table)
     "q44_pii_redact",
     "q45_repetition",
