@@ -197,16 +197,21 @@ def _fields_of(buf: bytes, pos: int):
 
 
 def _dec_i64(buf: bytes, pos: int) -> int:
+    if pos + 8 > len(buf):
+        raise _Malformed("truncated i64")
     return _struct.unpack(">q", buf[pos : pos + 8])[0]
 
 
 def _dec_str(buf: bytes, pos: int) -> str:
-    (ln,) = _struct.unpack(">i", buf[pos : pos + 4])
-    return buf[pos + 4 : pos + 4 + ln].decode("utf-8", errors="replace")
+    return _dec_bytes(buf, pos).decode("utf-8", errors="replace")
 
 
 def _dec_bytes(buf: bytes, pos: int) -> bytes:
+    if pos + 4 > len(buf):
+        raise _Malformed("truncated string length")
     (ln,) = _struct.unpack(">i", buf[pos : pos + 4])
+    if ln < 0 or pos + 4 + ln > len(buf):
+        raise _Malformed("truncated string payload")
     return buf[pos + 4 : pos + 4 + ln]
 
 
@@ -220,6 +225,8 @@ def _dec_endpoint(buf: bytes, pos: int) -> dict:
         if fid == 3 and ftype == _T_STR:
             ep["serviceName"] = _dec_str(buf, vpos)
         elif fid == 2 and ftype == _T_I16:
+            if vpos + 2 > len(buf):
+                raise _Malformed("truncated i16")
             ep["port"] = _struct.unpack(">h", buf[vpos : vpos + 2])[0]
     return ep
 
@@ -274,6 +281,8 @@ def decode_thrift_spans(buf: bytes) -> list[dict]:
             elif fid == 5 and ftype == _T_I64:
                 span["parentId"] = _hex64(_dec_i64(buf, vpos))
             elif fid == 6 and ftype == _T_LIST:
+                if vpos + 5 > len(buf):
+                    raise _Malformed("truncated list header")
                 et, ln = buf[vpos], _struct.unpack(">i", buf[vpos + 1 : vpos + 5])[0]
                 apos = vpos + 5
                 for _i in range(ln):
@@ -293,6 +302,8 @@ def decode_thrift_spans(buf: bytes) -> list[dict]:
                             anno["endpoint"] = _dec_endpoint(buf, avp)
                     span["annotations"].append(anno)
             elif fid == 8 and ftype == _T_LIST:
+                if vpos + 5 > len(buf):
+                    raise _Malformed("truncated list header")
                 et, ln = buf[vpos], _struct.unpack(">i", buf[vpos + 1 : vpos + 5])[0]
                 bpos = vpos + 5
                 for _i in range(ln):
@@ -311,6 +322,8 @@ def decode_thrift_spans(buf: bytes) -> list[dict]:
                         elif bfid == 2 and bft == _T_STR:
                             bvpos = bvp
                         elif bfid == 3 and bft == _T_I32:
+                            if bvp + 4 > len(buf):
+                                raise _Malformed("truncated i32")
                             btype = _struct.unpack(">i", buf[bvp : bvp + 4])[0]
                         elif bfid == 4 and bft == _T_STRUCT:
                             ban["endpoint"] = _dec_endpoint(buf, bvp)
