@@ -3572,7 +3572,7 @@ WITH src AS (
   FROM src
 )
 SELECT batch_id, metric, kind,
-       COUNT(*) AS n_points, SUM(cents) AS cents_sum
+       COUNT(*) AS n_points, CAST(SUM(cents) AS BIGINT) AS cents_sum
 FROM numbered GROUP BY 1, 2, 3
 """
 
@@ -3727,7 +3727,7 @@ WITH wf AS (
   GROUP BY 1
 ),
 p1 AS (
-  SELECT arr[i] AS lhs, arr[i+1] AS rhs, SUM(freq) AS cnt
+  SELECT arr[i] AS lhs, arr[i+1] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM (SELECT string_split(substr(sym, 2, length(sym)-2), '><') AS arr, freq FROM wf),
        unnest(range(1, len(arr))) t(i)
   GROUP BY 1, 2
@@ -3739,7 +3739,7 @@ r1 AS (
   FROM wf, b1 b
 ),
 p2 AS (
-  SELECT arr[i] AS lhs, arr[i+1] AS rhs, SUM(freq) AS cnt
+  SELECT arr[i] AS lhs, arr[i+1] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM (SELECT string_split(substr(sym, 2, length(sym)-2), '><') AS arr, freq FROM r1),
        unnest(range(1, len(arr))) t(i)
   GROUP BY 1, 2
@@ -3751,7 +3751,7 @@ r2 AS (
   FROM r1, b2 b
 ),
 p3 AS (
-  SELECT arr[i] AS lhs, arr[i+1] AS rhs, SUM(freq) AS cnt
+  SELECT arr[i] AS lhs, arr[i+1] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM (SELECT string_split(substr(sym, 2, length(sym)-2), '><') AS arr, freq FROM r2),
        unnest(range(1, len(arr))) t(i)
   GROUP BY 1, 2
@@ -3763,7 +3763,7 @@ r3 AS (
   FROM r2, b3 b
 ),
 p4 AS (
-  SELECT arr[i] AS lhs, arr[i+1] AS rhs, SUM(freq) AS cnt
+  SELECT arr[i] AS lhs, arr[i+1] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM (SELECT string_split(substr(sym, 2, length(sym)-2), '><') AS arr, freq FROM r3),
        unnest(range(1, len(arr))) t(i)
   GROUP BY 1, 2
@@ -8405,37 +8405,67 @@ _DRIVER_VERIFIED_R02: frozenset[str] = frozenset(
     }
 )
 
-# Oracles whose SEMANTICS changed this round, so their prior green rows no
-# longer cover them: q25's oracle rounding order was aligned with the
-# operator (floor((i/u)*1000), ADVICE r2) and its max_df prune gained a
-# corpus-size gate; q84's oracle tokenization was aligned with
-# operators.text.tokens (trailing-empty-token contract, ADVICE r2).
-_RECHECK: frozenset[str] = frozenset(
-    {"q25_ngram_jaccard", "q84_classifier_train"}
+# Names the round-3 driver gate hash-verified (CORRECTNESS_r03.json: 38/50
+# green — the round-3 priority set plus the front of the q92+ tail; the 12
+# non-green rows were 10 driver-side DuckDB allocation failures and 2
+# oracle-dtype artifacts, re-listed under _RECHECK / _PRIORITY below).
+_DRIVER_VERIFIED_R03: frozenset[str] = frozenset(
+    {
+        "q184_otlp_proto_roundtrip", "q186_otlp_proto_wire",
+        "q185_hostmetrics_fixture", "q187_jaeger_proto_roundtrip",
+        "q188_zipkin_proto_roundtrip", "q189_zipkin_thrift_roundtrip",
+        "q190_otlp_trace_proto_roundtrip", "q191_otlp_metric_proto_roundtrip",
+        "q192_otlp_histogram_proto_roundtrip", "q193_otlp_int_proto_roundtrip",
+        "q194_otlp_summary_proto_roundtrip", "q25_ngram_jaccard",
+        "q84_classifier_train", "q93_otlp_text_traces",
+        "q94_otlp_text_metrics", "q98_jaeger_span_events",
+        "q99_jaeger_span_links", "q100_bloom_dedup",
+        "q101_cm_heavy_hitters", "q102_latency_hist_quantiles",
+        "q110_unimax_allocation", "q111_sparse_cosine_pairs",
+        "q112_context_windows", "q113_pricing_summary",
+        "q114_shipping_priority", "q115_local_supplier_volume",
+        "q116_promo_revenue", "q117_weighted_sample", "q118_table_profile",
+        "q119_event_funnel", "q120_retention_cohorts",
+        "q121_referential_audit", "q122_order_priority",
+        "q123_returned_items", "q124_customer_orders_dist",
+        "q125_large_volume_orders", "q126_rollup_totals",
+        "q128_audience_overlap",
+    }
 )
 
-# Round-3 additions: pin brand-new oracles to the very front so a capped
-# driver prefix banks their proof this round; everything after them is the
-# never-driver-checked q92–q178 tail.
+# Oracles whose SQL changed this round, so their prior rows no longer cover
+# them: q92/q95's integer SUMs gained CAST(... AS BIGINT) (VERDICT r3 — the
+# uncast DuckDB HUGEINT rendered as float in the driver's hasher and broke
+# hash_match on value-identical results).
+_RECHECK: frozenset[str] = frozenset(
+    {"q92_split_metrics", "q95_bpe_train"}
+)
+
+# Round-4 prefix: the 2 dtype-fixed oracles re-check first, then the 10
+# rows the driver's r3 oracle harness lost to transient DuckDB allocation
+# failures (all 10 judge-verified exact on standalone re-run — VERDICT r3);
+# after them the rotation flows into the never-driver-checked q129–q183
+# tail. New round-4 oracles are appended at the end of the priority block.
 _PRIORITY: tuple[str, ...] = (
-    "q184_otlp_proto_roundtrip",
-    "q186_otlp_proto_wire",
-    "q185_hostmetrics_fixture",
-    "q187_jaeger_proto_roundtrip",
-    "q188_zipkin_proto_roundtrip",
-    "q189_zipkin_thrift_roundtrip",
-    "q190_otlp_trace_proto_roundtrip",
-    "q191_otlp_metric_proto_roundtrip",
-    "q192_otlp_histogram_proto_roundtrip",
-    "q193_otlp_int_proto_roundtrip",
-    "q194_otlp_summary_proto_roundtrip",
-    "q25_ngram_jaccard",
-    "q84_classifier_train",
+    "q92_split_metrics",
+    "q95_bpe_train",
+    "q96_zipkin_span_events",
+    "q97_zipkin_span_links",
+    "q103_role_pivot",
+    "q104_incident_window_join",
+    "q105_service_graph",
+    "q106_surprisal",
+    "q107_robust_anomalies",
+    "q108_snapshot_diff",
+    "q109_role_transitions",
+    "q127_pagerank_nav",
 )
 
 
 def _rotate(d: dict) -> dict:
-    done = (_DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02) - _RECHECK
+    done = (
+        _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03
+    ) - _RECHECK
     front = [k for k in _PRIORITY if k in d]
     front += [k for k in d if k not in done and k in ORACLES and k not in front]
     rows_only = [k for k in d if k not in done and k not in ORACLES]

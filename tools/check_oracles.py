@@ -27,6 +27,47 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def scan_dtypes(sf_dir: str) -> int:
+    """Static oracle-dtype gate (no Spark, no query execution): bind every
+    oracle against the sf_dir views and flag final columns whose DuckDB type
+    would render differently from Spark's under the driver's format-sensitive
+    hasher. HUGEINT (what an uncast SUM(BIGINT) returns) becomes float64 in
+    pandas — `1234.0` vs Spark's `1234` — which is exactly the class that
+    cost q92/q95 their round-3 driver rows (VERDICT r3 §wrong.1). DECIMAL
+    with scale 0 is the same landmine; scaled DECIMALs (e.g. the q79/q194
+    quantile columns) render identically on both sides and are allowed."""
+    from opentelemetry_collector_spark.plans.queries import ORACLES
+
+    con = duckdb.connect()
+    con.sql("SET memory_limit='8GB'")
+    con.sql("SET threads=4")
+    for t in TABLES:
+        try:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        except Exception:
+            pass
+    flagged = 0
+    for name, sql in ORACLES.items():
+        try:
+            rel = con.sql(sql)
+            cols, types = rel.columns, [str(t) for t in rel.types]
+        except Exception as e:
+            print(f"SKIP {name}: cannot bind ({str(e)[:120]})")
+            continue
+        bad = [
+            f"{c}:{t}"
+            for c, t in zip(cols, types)
+            if t in ("HUGEINT", "UHUGEINT")
+            or (t.startswith("DECIMAL") and t.rstrip(")").rsplit(",", 1)[-1] == "0")
+        ]
+        if bad:
+            print(f"FLAG {name}: uncast integer aggregate -> {bad} "
+                  f"(add CAST(... AS BIGINT))")
+            flagged += 1
+    print(f"dtype scan: {len(ORACLES)} oracles, {flagged} flagged")
+    return flagged
+
+
 def main(sf_dir: str, only: list[str] | None = None) -> int:
     from opentelemetry_collector_spark.plans.queries import ORACLES, QUERIES
     from opentelemetry_collector_spark.session import build_session
@@ -89,6 +130,21 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             if len(a) != len(b):
                 raise AssertionError(f"rows {len(a)} vs {len(b)}")
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+            # the driver's value hash is FORMAT-sensitive (int64 1234 vs
+            # float64 1234.0 hash differently even when values match), so an
+            # int/float dtype split between the two sides is a failure here
+            # even though assert_frame_equal(check_dtype=False) accepts it.
+            mixed = [
+                c
+                for c in a.columns
+                if pd.api.types.is_integer_dtype(a[c])
+                != pd.api.types.is_integer_dtype(b[c])
+            ]
+            if mixed:
+                raise AssertionError(
+                    f"int/float dtype split (driver hash would differ): "
+                    f"{[(c, str(a[c].dtype), str(b[c].dtype)) for c in mixed]}"
+                )
             print(f"ok   {name}: {len(a)} rows match")
         except AssertionError as e:
             print(f"FAIL {name}: {str(e)[:400]}")
@@ -98,5 +154,8 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    sys.exit(main(sf, sys.argv[2:] or None))
+    argv = [a for a in sys.argv[1:] if a != "--dtypes"]
+    sf = argv[0] if argv else "/root/testdata/sf0.001"
+    if "--dtypes" in sys.argv:
+        sys.exit(scan_dtypes(sf))
+    sys.exit(main(sf, argv[1:] or None))
