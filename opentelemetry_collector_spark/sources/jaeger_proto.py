@@ -56,8 +56,13 @@ _VT_NAMES = {0: "string", 1: "bool", 2: "int64", 3: "float64", 4: "binary"}
 # ---------------------------------------------------------------------------
 
 
-def _ts_msg(micros: int) -> bytes:
-    """google.protobuf.Timestamp/Duration payload from unix micros."""
+def _ts_msg(micros) -> bytes:
+    """google.protobuf.Timestamp/Duration payload from unix micros. A null
+    span ts arrives here as pandas NaN inside the mapInPandas batch (the
+    span frame's ts is nullable) — emit the epoch/zero message instead of
+    letting int(NaN) crash the encode task (ADVICE r3)."""
+    if micros is None or micros != micros:
+        return b""
     seconds, rem = divmod(int(micros), 1_000_000)
     out = b""
     if seconds:

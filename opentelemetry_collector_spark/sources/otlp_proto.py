@@ -199,7 +199,11 @@ def _uvarint(buf: bytes, pos: int, end: int) -> tuple[int, int]:
         pos += 1
         result |= (b & 0x7F) << shift
         if not b & 0x80:
-            return result, pos
+            # a 10-byte varint's final byte carries bits past 63; Go/gogo
+            # truncate to uint64, so mask before returning — otherwise the
+            # two's-complement int64 view (val - 2^64) diverges from the
+            # reference on adversarial wires (ADVICE r3).
+            return result & 0xFFFFFFFFFFFFFFFF, pos
         shift += 7
     raise _Malformed("truncated or oversized varint")
 
@@ -295,7 +299,12 @@ def _decode_envelope(buf: bytes) -> Iterator[tuple]:
                 attr_spans = []
                 for f4, w4, v4 in _fields(buf, *rec_span):
                     if f4 == 1 and w4 == 1:
-                        t_nanos = v4 or None  # 0 == absent (proto3 omit-empty)
+                        # 0 == absent (proto3 omit-empty); values >= 2^63
+                        # (a flipped fixed64 high bit) would overflow the
+                        # bigint Arrow schema downstream and fail the whole
+                        # task, so refuse the FIELD like turn.idx's int32
+                        # policy (ADVICE r3).
+                        t_nanos = v4 if 0 < v4 < (1 << 63) else None
                     elif f4 == 5 and w4 == 2:
                         body = _any_value(buf, v4)
                         text = body if isinstance(body, str) else None

@@ -82,10 +82,13 @@ def encode_otlp_span(row: dict) -> bytes:
         out += _ld(5, row["name"].encode())
     if row["kind"]:
         out += _vi(6, int(row["kind"]))
-    if row["start_ns"]:
-        out += _f64(7, int(row["start_ns"]))
-    if row["end_ns"]:
-        out += _f64(8, int(row["end_ns"]))
+    # nullable ts arrives as pandas NaN in the mapInPandas batch, and NaN is
+    # truthy — guard it explicitly or int(NaN) kills the task (ADVICE r3)
+    start_ns, end_ns = row["start_ns"], row["end_ns"]
+    if start_ns and start_ns == start_ns:
+        out += _f64(7, int(start_ns))
+    if end_ns and end_ns == end_ns:
+        out += _f64(8, int(end_ns))
     for k, v in (row["attrs"] or {}).items():
         if v is not None:
             out += _ld(9, _attr(k, v, as_int=k == "turn.idx"))

@@ -354,21 +354,29 @@ def thrift_from_v1_json(df: DataFrame, col: str = "value", out_col: str = "value
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            by_trace: dict[str, list[bytes]] = {}
-            for line in pdf[col]:
-                span = json.loads(line)
-                by_trace.setdefault(span.get("traceId") or "", []).append(
-                    encode_v1_thrift_span(span)
-                )
             yield pd.DataFrame(
-                {out_col: [serialize_thrift_spans(v) for v in by_trace.values()]}
+                {
+                    out_col: [
+                        serialize_thrift_spans(
+                            [encode_v1_thrift_span(json.loads(line)) for line in lines]
+                        )
+                        for lines in pdf["lines"]
+                    ]
+                }
             )
 
-    # group by trace BEFORE the encode so each payload is one whole trace
+    # collect each trace into ONE row before the Arrow boundary: batch-local
+    # dict grouping after repartition('_trace') split traces straddling the
+    # maxRecordsPerBatch boundary into multiple payloads, breaking the
+    # one-payload-per-trace framing (ADVICE r3; same pattern as
+    # to_zipkin_proto). array_sort makes the wire deterministic.
     keyed = df.select(
         F.get_json_object(F.col(col), "$.traceId").alias("_trace"), F.col(col)
-    ).repartition("_trace")
-    return keyed.select(col).mapInPandas(_gen, f"{out_col} binary")
+    )
+    per_trace = keyed.groupBy("_trace").agg(
+        F.array_sort(F.collect_list(F.col(col))).alias("lines")
+    )
+    return per_trace.select("lines").mapInPandas(_gen, f"{out_col} binary")
 
 
 def parse_zipkin_thrift(df: DataFrame, col: str = "value") -> DataFrame:

@@ -172,3 +172,43 @@ class TestSparkRoundtrip:
         )
         rows = parse_otlp_proto(df).collect()
         assert len(rows) == 1 and rows[0]["conv_id"] == "ok"
+
+
+class TestAdversarialWire:
+    """ADVICE r3: structurally valid wires with adversarial numeric values
+    must degrade per the field-refusal policy, never crash a Spark task."""
+
+    def test_high_bit_timestamp_refuses_field(self):
+        # fixed64 time_unix_nano with the high bit set (>= 2^63) would
+        # overflow the bigint Arrow schema downstream: refuse the FIELD
+        rec = bytes([0x09]) + (1 << 63).to_bytes(8, "little")
+        rec += _hand_len(6, _hand_len(1, b"role") + _hand_len(2, _hand_len(1, b"user")))
+        (row,) = list(_decode_envelope(encode_logs_request("c-hb", [rec])))
+        assert row[5] is None  # t_nanos refused
+        assert row[0] == "c-hb" and row[2] == "user"  # record survives
+
+    def test_high_bit_timestamp_survives_spark_batch(self, spark):
+        # pre-fix repro: pandas inferred uint64 for the overflowing value
+        # and pyarrow raised ArrowInvalid, failing the WHOLE batch
+        from opentelemetry_collector_spark.sources.otlp_proto import parse_otlp_proto
+
+        bad_rec = bytes([0x09]) + ((1 << 63) | 12345).to_bytes(8, "little")
+        good = encode_logs_request(
+            "ok", [encode_log_record(1_700_000_000_000_000_000, "t", "user", None, 0)]
+        )
+        bad = encode_logs_request("hb", [bad_rec])
+        df = spark.createDataFrame(
+            [(bytearray(good),), (bytearray(bad),)], "value binary"
+        )
+        rows = {r["conv_id"]: r for r in parse_otlp_proto(df).collect()}
+        assert rows["hb"]["ts"] is None
+        assert rows["ok"]["ts"] is not None
+
+    def test_uvarint_masks_to_uint64(self):
+        # 10-byte varint whose final byte carries bits past 63: Go/gogo
+        # truncate to uint64, so 2^70-1 must decode as int64 -1 (in int32
+        # range -> turn.idx keeps the value), not a >64-bit python int
+        any_v = bytes([0x18]) + bytes([0xFF] * 9 + [0x7F])
+        rec = _hand_len(6, _hand_len(1, b"turn.idx") + _hand_len(2, any_v))
+        (row,) = list(_decode_envelope(encode_logs_request("c", [rec])))
+        assert row[1] == -1

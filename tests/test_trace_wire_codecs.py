@@ -384,3 +384,74 @@ class TestStreamingDecode:
         got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
         want = sorted(tuple(r) for r in unmarshal(spark.read.parquet(landing), "otlp_proto").collect())
         assert got == want and len(got) == 3
+
+
+class TestNullTimestampEncode:
+    """ADVICE r3: the span frame's ts is nullable; a null arrives in the
+    mapInPandas batch as NaN (truthy!) and int(NaN) crashed the encode
+    task. Null-ts spans must encode (epoch/absent ts) on every wire."""
+
+    def _null_ts_frame(self, spark):
+        rows = [
+            ("0af7651916cd43dd8448eb211c80319c", "b7ad6b7169203331", None, "root",
+             2, 0, "", "svc-a", None, 1500, {"turn.idx": "0"}),
+            ("0af7651916cd43dd8448eb211c80319c", "00f067aa0ba902b7", "b7ad6b7169203331",
+             "child", 3, 0, "", "svc-b", dt.datetime(2024, 5, 1, 8, 0, 1), 900, {}),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "trace_id string, span_id string, parent_span_id string, name string,"
+            " kind int, status_code int, status_message string, service_name string,"
+            " ts timestamp, duration_us bigint, attrs map<string,string>",
+        )
+
+    def test_jaeger_proto_null_ts(self, spark):
+        from opentelemetry_collector_spark.sources.jaeger_proto import to_jaeger_proto
+
+        payloads = [bytes(r["value"]) for r in to_jaeger_proto(self._null_ts_frame(spark)).collect()]
+        assert len(payloads) == 2
+        by_span = {decode_jaeger_span(p)["spanID"]: decode_jaeger_span(p) for p in payloads}
+        assert by_span["b7ad6b7169203331"]["startTime"] == 0
+        assert by_span["00f067aa0ba902b7"]["startTime"] == 1_714_550_401_000_000
+
+    def test_otlp_trace_proto_null_ts(self, spark):
+        from opentelemetry_collector_spark.sources.otlp_trace_proto import (
+            parse_otlp_traces_proto,
+            to_otlp_traces_proto,
+        )
+
+        wire = to_otlp_traces_proto(self._null_ts_frame(spark))
+        back = {r["span_id"]: r.asDict() for r in parse_otlp_traces_proto(wire).collect()}
+        assert set(back) == {"b7ad6b7169203331", "00f067aa0ba902b7"}
+        assert back["b7ad6b7169203331"]["ts"] is None
+        assert back["00f067aa0ba902b7"]["ts"] == dt.datetime(2024, 5, 1, 8, 0, 1)
+
+
+class TestThriftTraceFraming:
+    def test_one_payload_per_trace_across_arrow_batches(self, spark):
+        """ADVICE r3: batch-local grouping split a trace straddling the
+        Arrow maxRecordsPerBatch boundary into multiple payloads; the
+        groupBy/collect_list form keeps one payload per trace regardless
+        of batch size."""
+        import json as _json
+
+        from opentelemetry_collector_spark.sources.zipkin_thrift import thrift_from_v1_json
+
+        spans = [
+            _json.dumps({
+                "traceId": ("a" if i < 9 else "b") * 32, "id": f"{i:016x}",
+                "parentId": None, "name": "op",
+                "timestamp": 1_700_000_000_000_000 + i, "duration": 10,
+                "annotations": [], "binaryAnnotations": [],
+            })
+            for i in range(12)
+        ]
+        df = spark.createDataFrame([(s,) for s in spans], "value string")
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        try:
+            payloads = [bytes(r["value"]) for r in thrift_from_v1_json(df).collect()]
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        assert len(payloads) == 2
+        assert sorted(len(decode_thrift_spans(p)) for p in payloads) == [3, 9]
