@@ -694,3 +694,155 @@ def parse_otlp_summaries_json(df: DataFrame, col: str = "value") -> DataFrame:
         .alias("h_count"),
         qvs.alias("quantiles"),
     )
+
+
+# --- IntHistogram member (metric oneof field 8; IntHistogram
+#     metrics.pb.go:727-732, IntHistogramDataPoint :1087-1124) ---------------
+#
+# The seventh and last pdata metric data type (model/pdata/metrics.go:138
+# MetricDataTypeIntHistogram; oneof arm Metric_IntHistogram
+# metrics.pb.go:381-382). Identical bucket dialect to doubleHistogram with
+# ONE wire difference: the datapoint sum is an sfixed64 int64
+# (metrics.pb.go:1115 `Sum int64 protobuf:"fixed64,5"`), so like the
+# intGauge/intSum scalars it rides jsonpb as an int64 STRING with
+# omit-zero and stays exact beyond double's 53-bit mantissa — the reason
+# the int member exists. explicit_bounds stay float64 (:1124).
+
+
+def to_otlp_int_histograms_json(df: DataFrame, out_col: str = "value") -> DataFrame:
+    """Marshal the INT histogram datapoint frame (metric, labels
+    map<string,string>, ts, bucket_counts array<bigint>, explicit_bounds
+    array<double>, h_sum bigint, h_count bigint) to one OTLP-JSON envelope
+    per metric — the intHistogram oneof member, cumulative temporality.
+    Same single-shuffle deterministic marshal as the double codec; the
+    int64 sum rides as a jsonpb string with omit-zero. Pure JVM
+    projection."""
+    nanos = _nanos(F.col("ts"))
+    labels = _sorted_labels()
+    counts_str = F.transform(F.col("bucket_counts"), lambda c: c.cast("string"))
+    dp = F.struct(
+        F.struct(
+            nanos.alias("n"),
+            F.to_json(labels).alias("l"),
+            F.col("h_count").alias("c"),
+            F.col("h_sum").alias("s"),
+            F.to_json(counts_str).alias("b"),
+        ).alias("_ord"),
+        F.when(F.size(labels) > 0, labels).alias("labels"),
+        nanos.cast("string").alias("timeUnixNano"),
+        F.when(F.col("h_count") != 0, F.col("h_count").cast("string")).alias("count"),
+        # sfixed64 int64 -> jsonpb STRING; omit-zero ships 0 memberless
+        F.when(F.col("h_sum") != 0, F.col("h_sum").cast("string")).alias("sum"),
+        F.when(F.size(counts_str) > 0, counts_str).alias("bucketCounts"),
+        F.when(F.size(F.col("explicit_bounds")) > 0, F.col("explicit_bounds")).alias(
+            "explicitBounds"
+        ),
+    )
+    grouped = df.groupBy("metric").agg(F.array_sort(F.collect_list(dp)).alias("dps"))
+    dps = F.transform(F.col("dps"), lambda d: d.dropFields("_ord"))
+    metric = F.struct(
+        F.col("metric").alias("name"),
+        F.struct(
+            dps.alias("dataPoints"),
+            F.lit(_TEMPORALITY_CUMULATIVE).alias("aggregationTemporality"),
+        ).alias("intHistogram"),
+    )
+    return grouped.select(F.to_json(_envelope(metric)).alias(out_col))
+
+
+_IHDP_SCHEMA = StructType(
+    [
+        StructField("labels", ArrayType(_LABEL_SCHEMA)),
+        StructField("startTimeUnixNano", StringType()),
+        StructField("timeUnixNano", StringType()),
+        StructField("count", StringType()),
+        StructField("sum", StringType()),
+        StructField("bucketCounts", ArrayType(StringType())),
+        StructField("explicitBounds", ArrayType(DoubleType())),
+    ]
+)
+
+_INT_HIST_SCHEMA = StructType(
+    [
+        StructField(
+            "resourceMetrics",
+            ArrayType(
+                StructType(
+                    [
+                        StructField(
+                            "instrumentationLibraryMetrics",
+                            ArrayType(
+                                StructType(
+                                    [
+                                        StructField(
+                                            "metrics",
+                                            ArrayType(
+                                                StructType(
+                                                    [
+                                                        StructField("name", StringType()),
+                                                        StructField(
+                                                            "intHistogram",
+                                                            StructType(
+                                                                [
+                                                                    StructField(
+                                                                        "dataPoints",
+                                                                        ArrayType(_IHDP_SCHEMA),
+                                                                    ),
+                                                                    StructField(
+                                                                        "aggregationTemporality",
+                                                                        StringType(),
+                                                                    ),
+                                                                ]
+                                                            ),
+                                                        ),
+                                                    ]
+                                                )
+                                            ),
+                                        )
+                                    ]
+                                )
+                            ),
+                        )
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def parse_otlp_int_histograms_json(df: DataFrame, col: str = "value") -> DataFrame:
+    """Unmarshal intHistogram envelopes back to the INT histogram frame.
+    Junk degrades per-row exactly like the double parser, with the int
+    twist: a non-numeric sum string try_casts to NULL while the omitted
+    sum reads back 0 (the omit-zero contract), and the value survives
+    bigint-exact — no double mantissa on the path."""
+    parsed = df.select(F.from_json(F.col(col), _INT_HIST_SCHEMA).alias("env"))
+    rm = parsed.select(F.explode("env.resourceMetrics").alias("rm"))
+    ilm = rm.select(F.explode("rm.instrumentationLibraryMetrics").alias("ilm"))
+    m = ilm.select(F.explode("ilm.metrics").alias("m")).filter(
+        F.col("m.intHistogram").isNotNull()
+    )
+    rows = m.select(
+        F.col("m.name").alias("metric"),
+        F.col("m.intHistogram.aggregationTemporality").alias("temporality"),
+        F.explode("m.intHistogram.dataPoints").alias("dp"),
+    )
+    t = F.col("dp.timeUnixNano").try_cast("decimal(20,0)")
+    return rows.select(
+        "metric",
+        "temporality",
+        _label_map(F.col("dp.labels")).alias("labels"),
+        F.timestamp_micros(F.floor(t / 1000).cast("bigint")).alias("ts"),
+        F.transform(F.col("dp.bucketCounts"), lambda c: c.try_cast("bigint")).alias(
+            "bucket_counts"
+        ),
+        F.col("dp.explicitBounds").alias("explicit_bounds"),
+        F.when(F.col("dp.sum").isNull(), F.lit(0).cast("bigint"))
+        .otherwise(F.col("dp.sum").try_cast("bigint"))
+        .alias("h_sum"),
+        F.coalesce(F.col("dp.count").try_cast("bigint"), F.lit(0)).alias("h_count"),
+    )
+
+
+__all__ += ["to_otlp_int_histograms_json", "parse_otlp_int_histograms_json"]

@@ -28,9 +28,9 @@ int/double member split):
         value=4 fixed64 (double), exemplars=5
     StringKeyValue: key=1, value=2 (common.pb.go:326-327)
 
-Scope: the scalar members (doubleGauge / doubleSum) — the dialect the
-q73 roundtrip pins. The histogram / int / summary members follow the
-identical walk against their own dialect parsers
+Scope: ALL SEVEN oneof members — doubleGauge/doubleSum (the q73 dialect),
+doubleHistogram, intGauge/intSum, doubleSummary, and intHistogram — each
+an identical walk against its own dialect parser
 (parse_otlp_histograms_json etc.); the seam is the oneof dispatch below.
 """
 
@@ -720,3 +720,180 @@ def parse_otlp_summaries_proto(df: DataFrame, col: str = "value") -> DataFrame:
 
     json_df = df.select(col).mapInPandas(_gen, f"{col} string")
     return parse_otlp_summaries_json(json_df, col)
+
+
+# ---------------------------------------------------------------------------
+# intHistogram member (metric oneof field 8; IntHistogram
+# metrics.pb.go:727-732, IntHistogramDataPoint :1087-1124 — the last pdata
+# metric data type, model/pdata/metrics.go:138). Same wire layout as the
+# doubleHistogram datapoint except sum (field 5) is an sfixed64 int64
+# (metrics.pb.go:1115), the q192+q193 composition: packed fixed64
+# bucketCounts, packed double explicitBounds, two's-complement int sum.
+# ---------------------------------------------------------------------------
+
+
+def _ihdp(
+    labels: list[tuple[str, str]],
+    t_nanos: int | None,
+    count: int,
+    h_sum: int,
+    bucket_counts: list[int],
+    explicit_bounds: list[float],
+) -> bytes:
+    out = b""
+    for k, v in labels:
+        out += _ld(1, _ld(1, k.encode()) + _ld(2, v.encode()))
+    if t_nanos:
+        out += _f64(3, int(t_nanos))
+    if count:
+        out += _f64(4, int(count))
+    if h_sum:
+        out += _f64(5, int(h_sum) & ((1 << 64) - 1))  # sfixed64 two's complement
+    if bucket_counts:
+        out += _packed_f64(6, bucket_counts)
+    if explicit_bounds:
+        out += _packed_f64(7, [_double_bits(b) for b in explicit_bounds])
+    return out
+
+
+def encode_int_histogram_metric(name: str, dps: list[bytes]) -> bytes:
+    body = b"".join(_ld(1, d) for d in dps)
+    return _ld(1, name.encode()) + _ld(
+        8, body + _vi(2, _TEMPORALITY_CUMULATIVE_VALUE)
+    )
+
+
+def to_otlp_int_histograms_proto(df: DataFrame, out_col: str = "value") -> DataFrame:
+    """INT histogram datapoint frame -> one binary envelope per metric,
+    to_otlp_int_histograms_json's deterministic datapoint order."""
+    from opentelemetry_collector_spark.sources.codecs import _nanos
+    from opentelemetry_collector_spark.sources.otlp_metric import _sorted_labels
+
+    dp = F.struct(
+        _nanos(F.col("ts")).alias("t_nanos"),
+        F.to_json(_sorted_labels()).alias("labels_json"),
+        F.col("h_count").alias("h_count"),
+        F.col("h_sum").alias("h_sum"),
+        F.to_json(F.col("bucket_counts")).alias("counts_json"),
+        F.to_json(F.col("explicit_bounds")).alias("bounds_json"),
+    )
+    grouped = df.groupBy("metric").agg(F.array_sort(F.collect_list(dp)).alias("dps"))
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for name, dps in zip(pdf["metric"], pdf["dps"]):
+                blobs = [
+                    _ihdp(
+                        [(e["key"], e["value"]) for e in json.loads(d["labels_json"] or "[]")],
+                        d["t_nanos"],
+                        int(d["h_count"] or 0),
+                        int(d["h_sum"] or 0),
+                        json.loads(d["counts_json"] or "[]"),
+                        json.loads(d["bounds_json"] or "[]"),
+                    )
+                    for d in dps
+                ]
+                metric = encode_int_histogram_metric(name, blobs)
+                ilm = _ld(1, _ld(1, _LIB_NAME.encode())) + _ld(2, metric)
+                vals.append(_ld(1, _ld(1, b"") + _ld(2, ilm)))
+            yield pd.DataFrame({out_col: vals})
+
+    return grouped.mapInPandas(_gen, f"{out_col} binary")
+
+
+def _dec_ihdp(buf: bytes, span: tuple[int, int]) -> dict:
+    dp: dict = {
+        "labels": [], "timeUnixNano": None, "count": None, "sum": None,
+        "bucketCounts": None, "explicitBounds": None,
+    }
+    counts: list[int] = []
+    bounds: list[float] = []
+    for fno, wt, v in _fields(buf, *span):
+        if fno == 1 and wt == 2:
+            kv = {"key": None, "value": None}
+            for f2, w2, v2 in _fields(buf, *v):
+                if f2 == 1 and w2 == 2:
+                    kv["key"] = _utf8(buf, v2)
+                elif f2 == 2 and w2 == 2:
+                    kv["value"] = _utf8(buf, v2)
+            dp["labels"].append(kv)
+        elif fno == 3 and wt == 1:
+            dp["timeUnixNano"] = str(v) if v else None
+        elif fno == 4 and wt == 1:
+            dp["count"] = str(v) if v else None
+        elif fno == 5 and wt == 1:
+            iv = v - (1 << 64) if v >= 1 << 63 else v
+            dp["sum"] = str(iv) if iv else None  # jsonpb int64 string, omit-zero
+        elif fno == 6:
+            counts += _unpack_f64s(buf, v) if wt == 2 else [v]
+        elif fno == 7:
+            raw = _unpack_f64s(buf, v) if wt == 2 else [v]
+            bounds += [_struct.unpack("<d", int(x).to_bytes(8, "little"))[0] for x in raw]
+    if counts:
+        dp["bucketCounts"] = [str(c) for c in counts]
+    if bounds:
+        dp["explicitBounds"] = bounds
+    if not dp["labels"]:
+        dp.pop("labels")
+    return dp
+
+
+def decode_otlp_int_histograms(buf: bytes) -> dict:
+    """ExportMetricsServiceRequest (intHistogram member) -> the jsonpb
+    dialect dict parse_otlp_int_histograms_json understands."""
+    rms = []
+    for fno, wt, rm_span in _fields(buf, 0, len(buf)):
+        if fno != 1 or wt != 2:
+            continue
+        ilms = []
+        for f2, w2, v2 in _fields(buf, *rm_span):
+            if f2 != 2 or w2 != 2:
+                continue
+            ilm: dict = {"metrics": []}
+            for f3, w3, v3 in _fields(buf, *v2):
+                if f3 != 2 or w3 != 2:
+                    continue
+                metric: dict = {"name": None}
+                for f4, w4, v4 in _fields(buf, *v3):
+                    if f4 == 1 and w4 == 2:
+                        metric["name"] = _utf8(buf, v4)
+                    elif f4 == 8 and w4 == 2:  # int_histogram
+                        hist: dict = {"dataPoints": []}
+                        for f5, w5, v5 in _fields(buf, *v4):
+                            if f5 == 1 and w5 == 2:
+                                hist["dataPoints"].append(_dec_ihdp(buf, v5))
+                            elif f5 == 2 and w5 == 0:
+                                hist["aggregationTemporality"] = (
+                                    "AGGREGATION_TEMPORALITY_CUMULATIVE"
+                                    if v5 == _TEMPORALITY_CUMULATIVE_VALUE
+                                    else str(v5)
+                                )
+                        metric["intHistogram"] = hist
+                ilm["metrics"].append(metric)
+            ilms.append(ilm)
+        rms.append({"instrumentationLibraryMetrics": ilms})
+    return {"resourceMetrics": rms}
+
+
+def parse_otlp_int_histograms_proto(df: DataFrame, col: str = "value") -> DataFrame:
+    """Binary intHistogram envelopes -> the INT histogram frame via the
+    SHARED dialect parser (parse_otlp_int_histograms_json)."""
+    from opentelemetry_collector_spark.sources.otlp_metric import (
+        parse_otlp_int_histograms_json,
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lines = []
+            for buf in pdf[col]:
+                if buf is None:
+                    continue
+                try:
+                    lines.append(json.dumps(decode_otlp_int_histograms(bytes(buf))))
+                except _Malformed:
+                    continue
+            yield pd.DataFrame({col: lines}, dtype=object)
+
+    json_df = df.select(col).mapInPandas(_gen, f"{col} string")
+    return parse_otlp_int_histograms_json(json_df, col)

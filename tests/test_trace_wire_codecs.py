@@ -455,3 +455,118 @@ class TestThriftTraceFraming:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
         assert len(payloads) == 2
         assert sorted(len(decode_thrift_spans(p)) for p in payloads) == [3, 9]
+
+
+class TestOtlpIntHistogramProto:
+    """intHistogram — metric oneof field 8 (IntHistogram metrics.pb.go:
+    727-732, IntHistogramDataPoint :1087-1124): the doubleHistogram bucket
+    wire with an sfixed64 int64 sum (:1115)."""
+
+    def test_roundtrip_pure_python(self):
+        from opentelemetry_collector_spark.sources.otlp_metric_proto import (
+            _ihdp,
+            decode_otlp_int_histograms,
+            encode_int_histogram_metric,
+        )
+        from opentelemetry_collector_spark.sources.otlp_proto import _ld
+
+        # sum beyond double's 53-bit mantissa: 2^53 + 3 survives ONLY on an
+        # integer path (float64 rounds it to 2^53) — the member's reason
+        big = (1 << 53) + 3
+        dp = _ihdp([("conv", "c-1")], 1_700_000_000_000_000_000, 7, big,
+                   [1, 2, 0, 4], [10.0, 50.0, 100.0])
+        req = _ld(1, _ld(2, _ld(2, encode_int_histogram_metric("turn_len", [dp]))))
+        env = decode_otlp_int_histograms(req)
+        (m,) = env["resourceMetrics"][0]["instrumentationLibraryMetrics"][0]["metrics"]
+        assert m["name"] == "turn_len"
+        h = m["intHistogram"]
+        assert h["aggregationTemporality"] == "AGGREGATION_TEMPORALITY_CUMULATIVE"
+        (point,) = h["dataPoints"]
+        assert point["labels"] == [{"key": "conv", "value": "c-1"}]
+        assert point["count"] == "7"
+        assert point["sum"] == str(big)  # jsonpb int64 string, bit-exact
+        assert point["bucketCounts"] == ["1", "2", "0", "4"]
+        assert point["explicitBounds"] == [10.0, 50.0, 100.0]
+
+    def test_negative_sum_twos_complement(self):
+        from opentelemetry_collector_spark.sources.otlp_metric_proto import (
+            _ihdp,
+            _dec_ihdp,
+        )
+
+        raw = _ihdp([], None, 1, -42, [], [])
+        assert _dec_ihdp(raw, (0, len(raw)))["sum"] == "-42"
+
+    def test_omit_zero_sum_reads_back_absent(self):
+        from opentelemetry_collector_spark.sources.otlp_metric_proto import (
+            _ihdp,
+            _dec_ihdp,
+        )
+
+        raw = _ihdp([], None, 3, 0, [1], [])
+        dp = _dec_ihdp(raw, (0, len(raw)))
+        assert dp["sum"] is None and dp["count"] == "3"
+
+    def test_spark_both_wires_bigint_exact(self, spark):
+        """JSON and proto wires agree and keep an int64 sum > 2^53 exact
+        through marshal -> parse on each wire."""
+        from opentelemetry_collector_spark.sources.otlp_metric import (
+            parse_otlp_int_histograms_json,
+            to_otlp_int_histograms_json,
+        )
+        from opentelemetry_collector_spark.sources.otlp_metric_proto import (
+            parse_otlp_int_histograms_proto,
+            to_otlp_int_histograms_proto,
+        )
+
+        big = (1 << 53) + 3
+        frame = spark.createDataFrame(
+            [("turn_len", {"conv": "c-1"}, None, [1, 2, 0], [16.0, 32.0], big, 3),
+             ("turn_len", {"conv": "c-2"}, dt.datetime(2024, 5, 1, 8, 0, 0), [5, 0, 1],
+              [16.0, 32.0], -7, 6)],
+            "metric string, labels map<string,string>, ts timestamp,"
+            " bucket_counts array<bigint>, explicit_bounds array<double>,"
+            " h_sum bigint, h_count bigint",
+        )
+        for rt in (
+            lambda f: parse_otlp_int_histograms_json(to_otlp_int_histograms_json(f)),
+            lambda f: parse_otlp_int_histograms_proto(to_otlp_int_histograms_proto(f)),
+        ):
+            back = rt(frame)
+            assert dict(back.dtypes)["h_sum"] == "bigint"
+            got = {r["labels"]["conv"]: r.asDict() for r in back.collect()}
+            assert got["c-1"]["h_sum"] == big
+            assert got["c-1"]["bucket_counts"] == [1, 2, 0]
+            assert got["c-2"]["h_sum"] == -7
+            assert got["c-2"]["ts"] == dt.datetime(2024, 5, 1, 8, 0, 0)
+
+    def test_mutation_fuzz_decoder_total(self):
+        import random
+
+        from opentelemetry_collector_spark.sources.otlp_metric_proto import (
+            _ihdp,
+            _Malformed,
+            decode_otlp_int_histograms,
+            encode_int_histogram_metric,
+        )
+        from opentelemetry_collector_spark.sources.otlp_proto import _ld
+
+        rng = random.Random(46)
+        dp = _ihdp([("k", "v")], 1_700_000_000_000_000_000, 7, (1 << 60) + 9,
+                   [1, 2, 0, 4], [10.0, 50.0])
+        payload = _ld(1, _ld(2, _ld(2, encode_int_histogram_metric("m", [dp, dp]))))
+        for _ in range(300):
+            b = bytearray(payload)
+            op = rng.randrange(3)
+            if op == 0 and b:
+                i = rng.randrange(len(b))
+                b[i] ^= 1 << rng.randrange(8)
+            elif op == 1:
+                b = b[: rng.randrange(len(b) + 1)]
+            else:
+                i = rng.randrange(len(b) + 1)
+                b[i:i] = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+            try:
+                decode_otlp_int_histograms(bytes(b))
+            except _Malformed:
+                pass
