@@ -61,6 +61,7 @@ partitioning, and nothing here is driver-sized.
 
 from __future__ import annotations
 
+import json as _json
 from typing import Iterator
 
 import pandas as pd
@@ -114,6 +115,27 @@ def _any_int(v: int) -> bytes:
 
 def _kv(key: str, any_payload: bytes) -> bytes:
     return _ld(1, key.encode("utf-8")) + _ld(2, any_payload)
+
+
+def _any_nested(v) -> bytes:
+    """AnyValue payload from a python value, including the composite arms
+    (array_value=5 / kvlist_value=6) — the test/golden-side producer for
+    wires our own pipelines never emit but a real OTLP client can."""
+    import struct as _s
+
+    if isinstance(v, bool):
+        return _vi(2, int(v))
+    if isinstance(v, int):
+        return _vi(3, v)
+    if isinstance(v, float):
+        return _f64(4, int.from_bytes(_s.pack("<d", v), "little"))
+    if isinstance(v, str):
+        return _any_str(v)
+    if isinstance(v, list):
+        return _ld(5, b"".join(_ld(1, _any_nested(e)) for e in v))
+    if isinstance(v, dict):
+        return _ld(6, b"".join(_ld(1, _kv(k, _any_nested(x))) for k, x in v.items()))
+    raise TypeError(f"unsupported AnyValue payload {type(v)!r}")
 
 
 def encode_log_record(t_nanos: int | None, text: str | None, role: str | None,
@@ -243,9 +265,22 @@ def _utf8(buf: bytes, span: tuple[int, int]) -> str:
     return buf[span[0] : span[1]].decode("utf-8", errors="replace")
 
 
-def _any_value(buf: bytes, span: tuple[int, int]):
-    """AnyValue -> python value (str | bool | int | float | None).
-    Unsupported/absent members decode to None (field-level junk policy)."""
+class _TooDeep(ValueError):
+    pass
+
+
+_MAX_NEST_DEPTH = 64  # a hostile wire can nest AnyValue arbitrarily deep
+
+
+def _nested_value(buf: bytes, span: tuple[int, int], depth: int = 0):
+    """AnyValue -> python object INCLUDING the composite arms: array_value
+    (field 5, ArrayValue.values = repeated AnyValue at 1) becomes a list,
+    kvlist_value (field 6, KeyValueList.values = repeated KeyValue at 1)
+    becomes a dict with first-occurrence-wins keys (pdata AttributeMap
+    parity). Depth-capped so a nesting bomb refuses the field instead of
+    exhausting the stack."""
+    if depth > _MAX_NEST_DEPTH:
+        raise _TooDeep("AnyValue nesting exceeds cap")
     for fno, wt, val in _fields(buf, *span):
         if fno == 1 and wt == 2:
             return _utf8(buf, val)
@@ -257,7 +292,45 @@ def _any_value(buf: bytes, span: tuple[int, int]):
             import struct as _s
 
             return _s.unpack("<d", int(val).to_bytes(8, "little"))[0]
+        if fno == 5 and wt == 2:  # array_value (common.pb.go:96-97)
+            return [
+                _nested_value(buf, v2, depth + 1)
+                for f2, w2, v2 in _fields(buf, *val)
+                if f2 == 1 and w2 == 2
+            ]
+        if fno == 6 and wt == 2:  # kvlist_value (common.pb.go:99-100)
+            out: dict = {}
+            for f2, w2, v2 in _fields(buf, *val):
+                if f2 != 1 or w2 != 2:
+                    continue
+                key, kv_val = None, None
+                for f3, w3, v3 in _fields(buf, *v2):
+                    if f3 == 1 and w3 == 2 and key is None:
+                        key = _utf8(buf, v3)
+                    elif f3 == 2 and w3 == 2:
+                        kv_val = _nested_value(buf, v3, depth + 1)
+                if key is not None and key not in out:
+                    out[key] = kv_val
+            return out
     return None
+
+
+def _any_value(buf: bytes, span: tuple[int, int]):
+    """AnyValue -> python value (str | bool | int | float | None) for the
+    flat string-typed attribute store. The composite arms (ARRAY/KVLIST)
+    honor the SURVEY §1.3 contract: they render as their canonical JSON
+    string (sorted keys at every level, compact separators) — the
+    stringify precedent of filtermatcher/attributematcher.go:116-129,
+    extended to the nested members instead of dropping them. Unsupported/
+    absent members and nesting bombs decode to None (field-level junk
+    policy)."""
+    try:
+        v = _nested_value(buf, span)
+    except _TooDeep:
+        return None
+    if isinstance(v, (list, dict)):
+        return _json.dumps(v, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+    return v
 
 
 def _kv_pairs(buf: bytes, spans: list[tuple[int, int]]) -> dict:

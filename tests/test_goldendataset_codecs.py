@@ -168,3 +168,89 @@ def test_pict_pairwise_frame_survives_each_wire(spark, codec):
             # (tracetranslator.ResourceNoServiceName) — expected lossiness
             x = dict(x, service_name="OTLPResourceNoServiceName")
         assert x == y, f"{codec}: {x} != {y}"
+
+
+# ---------------------------------------------------------------------------
+# Nested AnyValue pairwise sweep (the pict_tracing_input_defs.go attribute
+# axis extended to the composite arms — array_value/kvlist_value,
+# common.pb.go:96-100): every payload shape x record-field combination
+# crosses the OTLP logs proto wire; the expected flat rendering is the
+# SURVEY §1.3 contract (canonical JSON, sorted keys), written out BY HAND
+# below — independent of the decoder's own json.dumps.
+# ---------------------------------------------------------------------------
+
+NESTED_PAYLOADS = {
+    # axis value -> (python payload for the encoder, expected attr string)
+    "flat_str": ("plain", "plain"),
+    "flat_int": (-7, "-7"),
+    "arr_empty": ([], "[]"),
+    "arr_str": (["b", "a"], '["b","a"]'),
+    "arr_mixed": (["x", 3, True, 0.5], '["x",3,true,0.5]'),
+    "arr_nested": ([["y"], {"k": 1}], '[["y"],{"k":1}]'),
+    "kv_flat": ({"b": "2", "a": "1"}, '{"a":"1","b":"2"}'),
+    "kv_nested": ({"outer": {"z": [1, 2], "a": True}}, '{"outer":{"a":true,"z":[1,2]}}'),
+    "kv_unicode": ({"ké": "中"}, '{"ké":"中"}'),
+}
+
+NESTED_AXES = {
+    "payload": list(NESTED_PAYLOADS),
+    "resource": ["present", "absent"],
+    "ts": [1_700_000_000_000_000_000, None],
+    "text": ["body", None],
+}
+
+
+def test_nested_anyvalue_pairwise_sweep():
+    from opentelemetry_collector_spark.sources.otlp_proto import (
+        _any_nested,
+        _decode_envelope,
+        _kv,
+        _ld,
+        _f64,
+        encode_logs_request,
+    )
+    from opentelemetry_collector_spark.sources.transcripts import pairwise_cases
+
+    cases = pairwise_cases(NESTED_AXES)
+    assert cases == pairwise_cases(NESTED_AXES)
+    for c in cases:
+        payload, want = NESTED_PAYLOADS[c["payload"]]
+        rec = b""
+        if c["ts"]:
+            rec += _f64(1, c["ts"])
+        if c["text"] is not None:
+            rec += _ld(5, _any_nested(c["text"]))
+        rec += _ld(6, _kv("role", _any_nested("user")))
+        rec += _ld(6, _kv("tool", _any_nested(payload)))
+        env = encode_logs_request("c-1" if c["resource"] == "present" else None, [rec])
+        (row,) = list(_decode_envelope(env))
+        conv, idx, role, text, tool, t_nanos = row
+        assert conv == ("c-1" if c["resource"] == "present" else None)
+        assert t_nanos == c["ts"]
+        assert text == c["text"]
+        assert role == "user"
+        # the contract under test: composite payloads survive as their
+        # canonical JSON rendering; flat strings stay themselves; non-str
+        # scalars stay typed (coerced downstream), so tool reads None
+        if c["payload"] == "flat_int":
+            assert tool is None  # tool column is string-typed; int is junk
+        else:
+            assert tool == want, c["payload"]
+
+
+def test_nested_anyvalue_bomb_refuses_field_not_stack():
+    from opentelemetry_collector_spark.sources.otlp_proto import (
+        _any_nested,
+        _decode_envelope,
+        _kv,
+        _ld,
+        encode_logs_request,
+    )
+
+    bomb: object = "x"
+    for _ in range(300):
+        bomb = [bomb]
+    rec = _ld(6, _kv("tool", _any_nested(bomb))) + _ld(6, _kv("role", _any_nested("user")))
+    (row,) = list(_decode_envelope(encode_logs_request("c", [rec])))
+    assert row[4] is None  # tool: nesting bomb -> field refused
+    assert row[2] == "user"  # the record itself survives

@@ -185,3 +185,56 @@ class TestJaegerZipkinRoundtripFuzz:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+# recursive AnyValue payloads: scalars at the leaves, arrays/kvlists above
+_nested_leaf = st.one_of(
+    _text,
+    st.booleans(),
+    st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+_nested_any = st.recursive(
+    _nested_leaf,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(_text.filter(bool), inner, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+class TestNestedAnyValueFuzz:
+    @settings(max_examples=200, deadline=None)
+    @given(payload=st.one_of(st.lists(_nested_any, max_size=4),
+                             st.dictionaries(_text.filter(bool), _nested_any, max_size=4)))
+    def test_composite_renders_canonical_json(self, payload):
+        """Any composite payload decodes to a string that (a) parses back
+        to the same value and (b) is already in canonical form (sorted
+        keys, compact separators) at every level."""
+        import json
+
+        from opentelemetry_collector_spark.sources.otlp_proto import _any_nested, _kv
+
+        rec = _ld(6, _kv("tool", _any_nested(payload)))
+        env = encode_logs_request("c", [rec])
+        (row,) = list(_decode_envelope(env))
+        rendered = row[4]
+        assert isinstance(rendered, str)
+        assert json.loads(rendered) == payload
+        assert rendered == json.dumps(
+            json.loads(rendered), sort_keys=True, separators=(",", ":"), ensure_ascii=False
+        )
+
+    def test_mutation_fuzz_nested_decoder_total(self):
+        from opentelemetry_collector_spark.sources.otlp_proto import _any_nested, _kv
+
+        rng = random.Random(47)
+        payload = {"a": [1, {"b": ["x", 2.5, True]}], "c": "s"}
+        rec = _ld(6, _kv("tool", _any_nested(payload)))
+        env = encode_logs_request("c", [rec, rec])
+        for mutant in _mutations(env, rng):
+            try:
+                list(_decode_envelope(mutant))
+            except _Malformed:
+                pass
