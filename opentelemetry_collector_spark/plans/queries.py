@@ -2333,10 +2333,20 @@ def _quantize_matrix(arr):
     """floor(arr * scale) with non-finite cells (a degenerate corpus can
     push k-means to NaN/inf centroids) pinned to 0 BEFORE the int cast —
     casting NaN to int64 is undefined, and 0 is a harmless codeword the
-    oracle replays identically."""
+    oracle replays identically. The mask runs AFTER the scale multiply:
+    a huge-but-finite centroid coordinate (degenerate k-means) overflows
+    to inf only once multiplied, so masking first left inf cells behind
+    (the r3 RuntimeWarning in test_degenerate_embeddings)."""
     import numpy as np
 
-    return np.floor(np.nan_to_num(np.asarray(arr), nan=0.0, posinf=0.0, neginf=0.0) * _VEC_SCALE)
+    scaled = np.floor(np.asarray(arr, dtype="float64") * _VEC_SCALE)
+    # clip as well as mask: degenerate-but-finite coords (1e30) scale to
+    # values outside int64, and the artifact writer's int cast must stay
+    # defined; legit unit-ish coords live near 2^16, so the clip only
+    # ever touches junk cells
+    return np.clip(
+        np.nan_to_num(scaled, nan=0.0, posinf=0.0, neginf=0.0), -(2.0**62), 2.0**62
+    )
 
 
 def _quantized_vecs(emb: DataFrame) -> DataFrame:
@@ -2364,7 +2374,16 @@ def _write_books_parquet(name: str, arr) -> str:
 
     os.makedirs(_ORACLE_ARTIFACTS, exist_ok=True)
     path = f"{_ORACLE_ARTIFACTS}/{name}"
-    a = np.asarray(arr)
+    # belt-and-braces for the int64 cast below: the cast value of NaN/inf
+    # OR any |x| >= 2^63 is platform-defined (INT64_MIN on x86) — a
+    # degenerate corpus (1e30 coords) produces finite quantized cells far
+    # outside int64, so mask AND clip; never let a platform-defined cell
+    # into an artifact another platform would replay differently
+    a = np.clip(
+        np.nan_to_num(np.asarray(arr, dtype="float64"), nan=0.0, posinf=0.0, neginf=0.0),
+        -(2.0**62),
+        2.0**62,
+    )
     if a.ndim == 3:
         m, ksub, dsub = a.shape
         tbl = pa.table(

@@ -61,3 +61,28 @@ def test_ann_query_survives_degenerate_vectors(spark, weird_emb_dir, name):
             by_q.setdefault(r.query_id, []).append(r.rank)
         for ranks in by_q.values():
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_codebook_artifacts_have_no_platform_cast_sentinels(spark, weird_emb_dir):
+    """The q63/q64 oracle artifacts are replayed by DuckDB on whatever
+    platform runs the gate; a NaN/inf that reaches the int64 cast would
+    write the platform-defined sentinel (INT64_MIN on x86). After the
+    degenerate-corpus runs, every written codebook/centroid cell must be
+    a real (small) quantized value."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_spark.plans.queries import _ORACLE_ARTIFACTS
+
+    QUERIES["q63_ann_pq"](spark, weird_emb_dir).collect()
+    QUERIES["q64_ann_ivf_pq"](spark, weird_emb_dir).collect()
+    checked = 0
+    for name in ("q63_books.parquet", "q64_books.parquet", "q64_cents.parquet"):
+        path = f"{_ORACLE_ARTIFACTS}/{name}"
+        try:
+            w = pq.read_table(path).column("w").to_numpy()
+        except FileNotFoundError:
+            continue
+        assert (w != np.iinfo(np.int64).min).all(), name
+        assert np.abs(w).max() <= 2**62, name  # the quantizer's clip bound
+        checked += 1
+    assert checked >= 2
