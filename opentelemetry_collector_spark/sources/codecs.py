@@ -123,6 +123,102 @@ _OTLP_SCHEMA = (
 
 _LIB_NAME = "otelcol-spark/transcripts"
 
+# Extended schema for nested-attribute mode (SURVEY §1.3: a composite
+# AnyValue — arrayValue/kvlistValue, common.pb.go:96-100 — survives as its
+# canonical JSON rendering instead of vanishing). The composite members are
+# captured as RAW jsonpb text (from_json's StringType raw-capture) and
+# transcoded by an Arrow-batched kernel; the flat members stay JVM-side.
+_OTLP_SCHEMA_NESTED = (
+    "resourceLogs array<struct<"
+    "  resource: struct<attributes: array<struct<key: string, value: struct<stringValue: string>>>>,"
+    "  instrumentationLibraryLogs: array<struct<"
+    "    instrumentationLibrary: struct<name: string>,"
+    "    logRecords: array<struct<"
+    "      timeUnixNano: string,"
+    "      body: struct<stringValue: string, arrayValue: string, kvlistValue: string>,"
+    "      attributes: array<struct<key: string,"
+    "        value: struct<stringValue: string, intValue: string,"
+    "                      arrayValue: string, kvlistValue: string>>>"
+    "    >>"
+    "  >>"
+    ">>"
+)
+
+
+def _jsonpb_any_to_py(m, depth: int = 0):
+    """Typed jsonpb AnyValue dict -> python object, the JSON-wire twin of
+    otlp_proto._nested_value (same member semantics, same first-occurrence
+    kvlist keys, same 64-level nesting cap; model/otlp/json_unmarshaler.go
+    is the reference composition). Junk members degrade to None."""
+    if depth > 64:
+        raise ValueError("AnyValue nesting exceeds cap")
+    if not isinstance(m, dict):
+        return None
+    if "stringValue" in m:
+        v = m["stringValue"]
+        return v if isinstance(v, str) else None
+    if "boolValue" in m:
+        v = m["boolValue"]
+        if isinstance(v, bool):
+            return v
+        return {"true": True, "false": False}.get(v) if isinstance(v, str) else None
+    if "intValue" in m:
+        try:
+            iv = int(m["intValue"])
+        except (TypeError, ValueError):
+            return None
+        return iv if -(1 << 63) <= iv < 1 << 63 else None
+    if "doubleValue" in m:
+        try:
+            return float(m["doubleValue"])
+        except (TypeError, ValueError):
+            return None
+    if "arrayValue" in m:
+        vals = (m["arrayValue"] or {}).get("values") or []
+        return [_jsonpb_any_to_py(e, depth + 1) for e in vals]
+    if "kvlistValue" in m:
+        out: dict = {}
+        for e in (m["kvlistValue"] or {}).get("values") or []:
+            if not isinstance(e, dict):
+                continue
+            k = e.get("key")
+            if isinstance(k, str) and k not in out:
+                out[k] = _jsonpb_any_to_py(e.get("value"), depth + 1)
+        return out
+    return None
+
+
+def _tagged_composite(value: Column) -> Column:
+    """Raw composite member -> one tagged string ('A'+raw / 'K'+raw) or
+    NULL when the value is flat — the kernel input column."""
+    return F.when(
+        value["arrayValue"].isNotNull(), F.concat(F.lit("A"), value["arrayValue"])
+    ).when(value["kvlistValue"].isNotNull(), F.concat(F.lit("K"), value["kvlistValue"]))
+
+
+def _render_tagged_series(s):
+    """pandas kernel for the composite-attr transcode: 'A{raw}'/'K{raw}'
+    tagged jsonpb member text -> canonical JSON string (sorted keys at
+    every level, compact separators — byte-identical to the proto wire's
+    rendering of the same logical value). None/junk -> None."""
+    import json as _j
+
+    import pandas as pd
+
+    def one(tagged):
+        if tagged is None or (isinstance(tagged, float) and tagged != tagged):
+            return None
+        try:
+            member = "arrayValue" if tagged[0] == "A" else "kvlistValue"
+            obj = _jsonpb_any_to_py({member: _j.loads(tagged[1:])})
+        except (ValueError, TypeError, IndexError):
+            return None
+        if not isinstance(obj, (list, dict)):
+            return None
+        return _j.dumps(obj, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+
+    return s.map(one)
+
 
 def _nanos(ts: Column) -> Column:
     """unix nanos from a timestamp column, overflow-safe: timestamps past
@@ -220,18 +316,27 @@ def to_otlp_json(df: DataFrame, out_col: str = "value") -> DataFrame:
     return per_conv.select(F.to_json(envelope).alias(out_col))
 
 
-def parse_otlp_json(df: DataFrame, col: str = "value") -> DataFrame:
+def parse_otlp_json(df: DataFrame, col: str = "value", nested: bool = False) -> DataFrame:
     """Unmarshal OTLP-JSON envelopes back to flat turn rows: the 3-level
     explode (resourceLogs -> instrumentationLibraryLogs -> logRecords) that
     undoes the pdata nesting (model/pdata/logs.go:43-97), then attribute
     list -> typed columns. All JVM-side: from_json + explode + map_from_entries.
-    """
+
+    ``nested=True`` additionally honors the SURVEY §1.3 composite-AnyValue
+    contract on this wire: an arrayValue/kvlistValue body or role/tool
+    attribute survives as its canonical JSON rendering (byte-identical to
+    what the proto decoder produces for the same logical value) instead of
+    reading as NULL. The composite transcode is an Arrow-batched kernel
+    applied to columns that are NULL except where a producer actually
+    shipped a composite; the default (flat) path stays pure JVM — opt in
+    only on feeds whose producers emit nested attributes."""
     def _attr_map(entries, value_fn):
         # first-occurrence + null-key-drop junk policy, single-sourced in
         # kv_first_occurrence (shared with the traces/metrics parsers)
         return F.map_from_entries(F.transform(kv_first_occurrence(entries), value_fn))
 
-    parsed = df.select(F.from_json(F.col(col), _OTLP_SCHEMA).alias("env"))
+    schema = _OTLP_SCHEMA_NESTED if nested else _OTLP_SCHEMA
+    parsed = df.select(F.from_json(F.col(col), schema).alias("env"))
     rl = parsed.select(F.explode("env.resourceLogs").alias("rl"))
     ill = rl.select(
         _attr_map(
@@ -247,13 +352,46 @@ def parse_otlp_json(df: DataFrame, col: str = "value") -> DataFrame:
     )
     # try_cast: jsonpb int64 strings are producer-controlled — junk refuses
     # the field, never the job
-    return recs.select(
+    flat = recs.select(
         F.col("res_attrs")["conv.id"].alias("conv_id"),
         attrs["turn.idx"].try_cast("int").alias("turn_idx"),
         attrs["role"].alias("role"),
         F.col("r.body.stringValue").alias("text"),
         attrs["tool"].alias("tool"),
         F.timestamp_micros(F.expr("TRY_CAST(r.timeUnixNano AS BIGINT) div 1000")).alias("ts"),
+        *(
+            [
+                _attr_map(
+                    F.col("r.attributes"),
+                    lambda kv: F.struct(kv["key"], _tagged_composite(kv["value"])),
+                ).alias("_raw"),
+                _tagged_composite(F.col("r.body")).alias("_raw_body"),
+            ]
+            if nested
+            else []
+        ),
+    )
+    if not nested:
+        return flat
+    # the transcode UDFs sit in their OWN projection stage (top-level
+    # columns) so Catalyst extracts them into one ArrowEvalPython; burying
+    # them inside coalesce/generate expressions is not extractable
+    from pyspark.sql.functions import pandas_udf
+
+    render = pandas_udf(_render_tagged_series, "string")
+    rendered = flat.select(
+        "*",
+        render(F.col("_raw")["role"]).alias("_n_role"),
+        render(F.col("_raw")["tool"]).alias("_n_tool"),
+        render(F.col("_raw_body")).alias("_n_text"),
+    )
+    return rendered.select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce(F.col("role"), F.col("_n_role")).alias("role"),
+        F.coalesce(F.col("text"), F.col("_n_text")).alias("text"),
+        F.coalesce(F.col("tool"), F.col("_n_tool")).alias("tool"),
+        "ts",
     )
 
 

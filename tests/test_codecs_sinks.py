@@ -497,3 +497,121 @@ def test_otlp_text_always_prints_field_labels(spark):
     (r,) = to_otlp_text(df).collect()
     for label in ("LogRecord #", "Timestamp: ", "Severity: ", "ShortName: ", "Body: "):
         assert label in r.line, f"missing {label!r} line for a junk row"
+
+
+class TestNestedAttrsJsonWire:
+    """SURVEY §1.3 on the JSON wire (opt-in nested mode): composite
+    AnyValue attributes/bodies survive as canonical JSON renderings,
+    byte-identical to the proto decoder's rendering of the same value."""
+
+    @staticmethod
+    def _jsonpb(v):
+        # independent typed-jsonpb producer (json_marshaler.go rendering)
+        if isinstance(v, bool):
+            return {"boolValue": v}
+        if isinstance(v, int):
+            return {"intValue": str(v)}
+        if isinstance(v, float):
+            return {"doubleValue": v}
+        if isinstance(v, str):
+            return {"stringValue": v}
+        if isinstance(v, list):
+            return {"arrayValue": {"values": [TestNestedAttrsJsonWire._jsonpb(e) for e in v]}}
+        if isinstance(v, dict):
+            return {
+                "kvlistValue": {
+                    "values": [
+                        {"key": k, "value": TestNestedAttrsJsonWire._jsonpb(x)}
+                        for k, x in v.items()
+                    ]
+                }
+            }
+        raise TypeError(type(v))
+
+    def _envelope(self, tool_payload, body_payload="hello"):
+        import json
+
+        return json.dumps(
+            {
+                "resourceLogs": [
+                    {
+                        "resource": {
+                            "attributes": [
+                                {"key": "conv.id", "value": {"stringValue": "c-1"}}
+                            ]
+                        },
+                        "instrumentationLibraryLogs": [
+                            {
+                                "instrumentationLibrary": {"name": "x"},
+                                "logRecords": [
+                                    {
+                                        "timeUnixNano": "1700000000000000000",
+                                        "body": self._jsonpb(body_payload),
+                                        "attributes": [
+                                            {"key": "role", "value": {"stringValue": "user"}},
+                                            {"key": "turn.idx", "value": {"intValue": "0"}},
+                                            {"key": "tool", "value": self._jsonpb(tool_payload)},
+                                        ],
+                                    }
+                                ],
+                            }
+                        ],
+                    }
+                ]
+            }
+        )
+
+    PAYLOAD = {"outer": {"z": [1, 2], "a": True}, "arr": ["x", 2.5]}
+
+    def test_parity_with_proto_wire(self, spark):
+        from opentelemetry_collector_spark.sources.codecs import parse_otlp_json
+        from opentelemetry_collector_spark.sources.otlp_proto import (
+            _any_nested,
+            _decode_envelope,
+            _kv,
+            _ld,
+            encode_logs_request,
+        )
+
+        rec = _ld(6, _kv("role", _any_nested("user"))) + _ld(
+            6, _kv("tool", _any_nested(self.PAYLOAD))
+        )
+        (prow,) = list(_decode_envelope(encode_logs_request("c-1", [rec])))
+        proto_rendering = prow[4]
+        assert proto_rendering and proto_rendering.startswith("{")
+
+        df = spark.createDataFrame([(self._envelope(self.PAYLOAD),)], "value string")
+        (row,) = parse_otlp_json(df, nested=True).collect()
+        assert row["tool"] == proto_rendering
+        assert row["role"] == "user" and row["conv_id"] == "c-1"
+        assert row["text"] == "hello" and row["turn_idx"] == 0
+
+    def test_nested_body_renders(self, spark):
+        from opentelemetry_collector_spark.sources.codecs import parse_otlp_json
+
+        df = spark.createDataFrame(
+            [(self._envelope("calc", body_payload=["seg-a", {"k": 1}]),)], "value string"
+        )
+        (row,) = parse_otlp_json(df, nested=True).collect()
+        assert row["text"] == '["seg-a",{"k":1}]'
+        assert row["tool"] == "calc"
+
+    def test_flat_default_unchanged(self, spark):
+        from opentelemetry_collector_spark.sources.codecs import parse_otlp_json
+
+        df = spark.createDataFrame([(self._envelope(self.PAYLOAD),)], "value string")
+        (row,) = parse_otlp_json(df).collect()
+        assert row["tool"] is None  # flat mode: composite attr stays junk
+        assert row["role"] == "user"
+
+    def test_junk_composite_refuses_field(self, spark):
+        import json
+
+        from opentelemetry_collector_spark.sources.codecs import parse_otlp_json
+
+        env = json.loads(self._envelope("calc"))
+        recs = env["resourceLogs"][0]["instrumentationLibraryLogs"][0]["logRecords"]
+        recs[0]["attributes"][2]["value"] = {"arrayValue": "not-an-object"}
+        df = spark.createDataFrame([(json.dumps(env),)], "value string")
+        (row,) = parse_otlp_json(df, nested=True).collect()
+        assert row["tool"] is None and row["role"] == "user"
