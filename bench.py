@@ -52,6 +52,10 @@ HEADLINE = [
     "q188_zipkin_proto_roundtrip",
     "q189_zipkin_thrift_roundtrip",
     "q190_otlp_trace_proto_roundtrip",
+    # r4: the intHistogram member (both wires) over per-(conv,role)
+    # int64-sum datapoints
+    "q195_otlp_int_histogram_roundtrip",
+    "q196_otlp_int_histogram_proto_roundtrip",
     # corpus-quality suite (documents table)
     "q44_pii_redact",
     "q45_repetition",
