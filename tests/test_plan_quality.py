@@ -344,3 +344,21 @@ def test_media_decode_is_shuffle_free(spark):
     assert "hashpartitioning" not in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_otlp_json_flat_parse_stays_jvm_nested_mode_one_arrow_stage(spark):
+    """parse_otlp_json: the default (flat) unmarshal is pure JVM — the
+    flagship ingest path must never pay a Python exchange; the opt-in
+    nested-AnyValue mode adds exactly ONE ArrowEvalPython stage (all three
+    composite transcodes extracted together), never row-wise Python."""
+    from opentelemetry_collector_spark.sources.codecs import parse_otlp_json, to_otlp_json
+    from opentelemetry_collector_spark.plans.queries import from_events
+
+    wire = to_otlp_json(from_events(spark, SF_DIR))
+    flat_plan = _plan(parse_otlp_json(wire))
+    assert "BatchEvalPython" not in flat_plan
+    assert "ArrowEvalPython" not in flat_plan
+
+    nested_plan = _plan(parse_otlp_json(wire, nested=True))
+    assert "BatchEvalPython" not in nested_plan
+    assert nested_plan.count("ArrowEvalPython") == 1
