@@ -4357,17 +4357,24 @@ def q107_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# allocation-light form (VERDICT r3 §wrong.2): the per-role medians are
+# GROUPED aggregates joined back, not whole-partition window buffers —
+# the unbounded-frame window is value-identical but materializes the
+# partition per row, and this oracle sat in the r3 driver's DuckDB
+# OOM-failure set.
 Q107_SQL = f"""{_PRELUDE},
 base AS (SELECT conv_id, turn_idx, role, CAST(length(text) AS BIGINT) AS v FROM t),
-med AS (SELECT *, CAST(floor(quantile_cont(v, 0.5) OVER (PARTITION BY role) * 2) AS BIGINT)
-               AS med2 FROM base),
-dev AS (SELECT *, CASE WHEN v IS NOT NULL THEN abs(2 * v - med2) END AS dev2 FROM med),
-mad AS (SELECT *, CAST(floor(quantile_cont(dev2, 0.5) OVER (PARTITION BY role) * 2) AS BIGINT)
-               AS mad4 FROM dev)
-SELECT conv_id, turn_idx, role, v, med2, mad4,
-       coalesce(dev2 * 2000 > 3500 * mad4, FALSE) AS is_anomaly,
-       CAST(coalesce(dev2 * 2000 // greatest(mad4, 1), 0) AS BIGINT) AS score_pm
-FROM mad
+med AS (SELECT role, CAST(floor(quantile_cont(v, 0.5) * 2) AS BIGINT) AS med2
+        FROM base GROUP BY role),
+dev AS (SELECT b.*, m.med2,
+               CASE WHEN b.v IS NOT NULL THEN abs(2 * b.v - m.med2) END AS dev2
+        FROM base b JOIN med m USING (role)),
+mad AS (SELECT role, CAST(floor(quantile_cont(dev2, 0.5) * 2) AS BIGINT) AS mad4
+        FROM dev GROUP BY role)
+SELECT d.conv_id, d.turn_idx, d.role, d.v, d.med2, a.mad4,
+       coalesce(d.dev2 * 2000 > 3500 * a.mad4, FALSE) AS is_anomaly,
+       CAST(coalesce(d.dev2 * 2000 // greatest(a.mad4, 1), 0) AS BIGINT) AS score_pm
+FROM dev d JOIN mad a USING (role)
 """
 
 
