@@ -2039,6 +2039,165 @@ restart storm.
     print(json.dumps(results), flush=True)
 
 
+def run_nested_attrs(n_convs: int = 200_000, turns_per_conv: int = 10) -> None:
+    """Cost of the JSON-wire composite-AnyValue contract (codecs.
+    parse_otlp_json nested mode): on an executor-generated OTLP-JSON
+    corpus, measure (1) the default flat parse (pure JVM — the flagship
+    ingest path), (2) nested mode over the SAME all-flat wire (what the
+    opt-in costs when no producer actually ships composites: one
+    ArrowEvalPython over all-NULL transcode columns), and (3) nested mode
+    over a wire where ~2% of records carry a kvlist tool attribute (the
+    realistic mixed feed), with the rendered-attr count asserted. Writes
+    BENCH/NESTED_ATTRS.md + nested_attrs.json."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.session import build_session
+    from opentelemetry_collector_spark.sources.codecs import parse_otlp_json
+
+    spark = build_session(app_name="otelcol-nested-attrs", shuffle_partitions=64)
+    try:
+        n_rows = n_convs * turns_per_conv
+        base = spark.range(0, n_rows, 1, 64).select(
+            F.concat(F.lit("conv-"), (F.col("id") / turns_per_conv).cast("long").cast("string")).alias("conv_id"),
+            (F.col("id") % turns_per_conv).cast("int").alias("turn_idx"),
+            F.when(F.col("id") % 2 == 0, "user").otherwise("assistant").alias("role"),
+            F.concat(F.lit("turn text payload "), (F.col("id") % 997).cast("string")).alias("text"),
+            F.when(F.col("id") % 7 == 0, F.lit("calc")).alias("tool"),
+            (F.pmod(F.xxhash64("id"), 50) == 0).alias("_nested"),  # ~2% of turns
+        )
+
+        # jsonpb record: tool rides either flat ({"stringValue": ...}) or as
+        # a kvlist member; to_json drops the NULL branch so each record is a
+        # valid envelope under either schema. Composite payload:
+        # {"name":"calc","args":{...}} — a typical tool-call attribute.
+        _KV_T = "struct<values:array<struct<key:string,value:struct<stringValue:string>>>>"
+
+        def _val(string_col=None, kvlist_col=None):
+            # unified AnyValue struct (both members nullable; to_json drops
+            # the NULL one) so flat and composite attrs share one array type
+            return F.struct(
+                (string_col if string_col is not None else F.lit(None).cast("string")).alias(
+                    "stringValue"
+                ),
+                (kvlist_col if kvlist_col is not None else F.lit(None).cast(_KV_T)).alias(
+                    "kvlistValue"
+                ),
+            )
+
+        kv_entry = lambda k, v: F.struct(F.lit(k).alias("key"), F.struct(v.alias("stringValue")).alias("value"))
+        tool_val_flat = _val(string_col=F.col("tool"))
+        tool_val_nested = _val(
+            kvlist_col=F.struct(
+                F.array(
+                    kv_entry("name", F.lit("calc")),
+                    kv_entry("arg0", (F.col("turn_idx") % 5).cast("string")),
+                ).alias("values")
+            ).cast(_KV_T)
+        )
+
+        def wire(nested_share: bool) -> "F.DataFrame":
+            # build each record's jsonpb text directly (schema-shaped
+            # struct -> to_json; to_json drops NULL members) — pure JVM
+            use_nested = F.col("_nested") if nested_share else F.lit(False)
+            t_nanos = (
+                F.col("turn_idx").cast("bigint") * 1_000_000_000 + 1_700_000_000_000_000_000
+            ).cast("string")
+            role_attr = F.struct(
+                F.lit("role").alias("key"),
+                _val(string_col=F.col("role")).alias("value"),
+            )
+            flat_rec = F.struct(
+                t_nanos.alias("timeUnixNano"),
+                F.struct(F.col("text").alias("stringValue")).alias("body"),
+                F.array_compact(
+                    F.array(
+                        role_attr,
+                        F.when(
+                            F.col("tool").isNotNull(),
+                            F.struct(F.lit("tool").alias("key"), tool_val_flat.alias("value")),
+                        ),
+                    )
+                ).alias("attributes"),
+            )
+            nested_rec = F.struct(
+                t_nanos.alias("timeUnixNano"),
+                F.struct(F.col("text").alias("stringValue")).alias("body"),
+                F.array(
+                    role_attr,
+                    F.struct(F.lit("tool").alias("key"), tool_val_nested.alias("value")),
+                ).alias("attributes"),
+            )
+            body = F.when(use_nested, F.to_json(nested_rec)).otherwise(F.to_json(flat_rec))
+            env = F.concat(
+                F.lit('{"resourceLogs":[{"resource":{"attributes":[{"key":"conv.id","value":{"stringValue":"'),
+                F.col("conv_id"),
+                F.lit('"}}]},"instrumentationLibraryLogs":[{"logRecords":['),
+                body,
+                F.lit("]}]}]}"),
+            )
+            return base.select(env.alias("value"))
+
+        results: dict = {"n_rows": n_rows, "n_convs": n_convs}
+        flat_wire = wire(False).persist()
+        mixed_wire = wire(True).persist()
+        flat_wire.count(), mixed_wire.count()
+
+        t0 = time.perf_counter()
+        parse_otlp_json(flat_wire).write.format("noop").mode("overwrite").save()
+        results["flat_parse_sec"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        parse_otlp_json(flat_wire, nested=True).write.format("noop").mode("overwrite").save()
+        results["nested_mode_allflat_sec"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        out = parse_otlp_json(mixed_wire, nested=True)
+        n_rendered = out.filter(F.col("tool").startswith("{")).count()
+        results["nested_mode_2pct_sec"] = round(time.perf_counter() - t0, 2)
+        results["n_rendered_composites"] = n_rendered
+        expected = mixed_wire.count() and base.filter("_nested").count()
+        results["n_expected_composites"] = expected
+        assert n_rendered == expected, (n_rendered, expected)
+        flat_wire.unpersist(), mixed_wire.unpersist()
+    finally:
+        spark.stop()
+
+    r = results
+    ovh0 = r["nested_mode_allflat_sec"] / max(r["flat_parse_sec"], 1e-9)
+    ovh2 = r["nested_mode_2pct_sec"] / max(r["flat_parse_sec"], 1e-9)
+    md = f"""# BENCH/NESTED_ATTRS.md — JSON-wire composite-AnyValue cost
+
+`python bench.py --nested-scale`: {r['n_rows']:,} single-record envelopes
+({r['n_convs']:,} conversations), local[32], one JVM. Raw numbers in
+`nested_attrs.json`.
+
+| parse | wall sec | vs flat | note |
+|---|---|---|---|
+| flat (default) | {r['flat_parse_sec']} | 1.00x | pure JVM — zero Python stages (pinned in test_plan_quality) |
+| nested mode, all-flat wire | {r['nested_mode_allflat_sec']} | {ovh0:.2f}x | one ArrowEvalPython; every record's {{body, attributes}} JSON crosses to Python, zero composites to transcode |
+| nested mode, ~2% composite | {r['nested_mode_2pct_sec']} | {ovh2:.2f}x | {r['n_rendered_composites']:,} kvlist attrs rendered canonically (count asserted) |
+
+Why opt-in: the nested kernel prices every row through one Arrow exchange
+(to_json -> transfer -> json.loads) even when the producer never ships a
+composite — the {ovh0:.2f}x all-flat cost is the floor, paid by transfer
+and re-parse, not by transcoding. (The kernel takes the record as plain
+to_json text rather than HOF-built map columns because Catalyst cannot
+extract a Python UDF whose argument contains lambda functions once
+projections collapse — see test_nested_mode_survives_downstream_filter.) Feeds
+whose producers are known-flat (ours: the engine's own marshalers emit
+flat attrs only) keep the default and pay zero; feeds that need map-valued
+attributes preserved enable it per-receiver, the same per-receiver choice
+the reference makes by config. At 1000 executors both modes scale
+identically — the kernel is stateless per-batch with no shuffle.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "NESTED_ATTRS.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "nested_attrs.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results), flush=True)
+
+
 def run_graph_scale(rows_millions: float = 40.0) -> None:
     """Iterative graph analytics cost structure (operators/graph.py): on a
     deterministic executor-generated event stream, measure (1) the one
@@ -2458,6 +2617,7 @@ if __name__ == "__main__":
     ap.add_argument("--allpairs-scale", action="store_true")
     ap.add_argument("--ngram-scale", action="store_true")
     ap.add_argument("--prom-scale", action="store_true")
+    ap.add_argument("--nested-scale", action="store_true")
     ap.add_argument("--proto-scale", action="store_true")
     ap.add_argument("--graph-scale", action="store_true")
     ap.add_argument("--ts-scale", action="store_true")
@@ -2490,6 +2650,8 @@ if __name__ == "__main__":
         run_ngram_scale()
     elif args.prom_scale:
         run_prom_scale()
+    elif args.nested_scale:
+        run_nested_attrs()
     elif args.proto_scale:
         run_proto_wire()
     elif args.graph_scale:

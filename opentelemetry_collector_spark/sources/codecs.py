@@ -188,36 +188,58 @@ def _jsonpb_any_to_py(m, depth: int = 0):
     return None
 
 
-def _tagged_composite(value: Column) -> Column:
-    """Raw composite member -> one tagged string ('A'+raw / 'K'+raw) or
-    NULL when the value is flat — the kernel input column."""
-    return F.when(
-        value["arrayValue"].isNotNull(), F.concat(F.lit("A"), value["arrayValue"])
-    ).when(value["kvlistValue"].isNotNull(), F.concat(F.lit("K"), value["kvlistValue"]))
-
-
-def _render_tagged_series(s):
-    """pandas kernel for the composite-attr transcode: 'A{raw}'/'K{raw}'
-    tagged jsonpb member text -> canonical JSON string (sorted keys at
-    every level, compact separators — byte-identical to the proto wire's
-    rendering of the same logical value). None/junk -> None."""
+def _render_composites_series(s):
+    """pandas kernel for the composite transcode: each input element is the
+    to_json of {body, attributes} for one LogRecord (raw composite members
+    captured as jsonpb text by the nested schema). Returns a struct of the
+    CANONICAL JSON renderings (sorted keys at every level, compact
+    separators — byte-identical to the proto wire's rendering of the same
+    logical value) for a composite body / role / tool, NULL members when
+    that slot is flat or junk. The UDF input is a plain to_json expression
+    (no higher-order lambdas) so Catalyst's Python-UDF extraction handles
+    it in any consumer position — filters included."""
     import json as _j
 
     import pandas as pd
 
-    def one(tagged):
-        if tagged is None or (isinstance(tagged, float) and tagged != tagged):
-            return None
+    def _canon(member: str, raw: str):
         try:
-            member = "arrayValue" if tagged[0] == "A" else "kvlistValue"
-            obj = _jsonpb_any_to_py({member: _j.loads(tagged[1:])})
-        except (ValueError, TypeError, IndexError):
+            obj = _jsonpb_any_to_py({member: _j.loads(raw)})
+        except (ValueError, TypeError):
             return None
         if not isinstance(obj, (list, dict)):
             return None
         return _j.dumps(obj, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
 
-    return s.map(one)
+    def _slot(value) -> str | None:
+        if not isinstance(value, dict):
+            return None
+        if value.get("arrayValue") is not None:
+            return _canon("arrayValue", value["arrayValue"])
+        if value.get("kvlistValue") is not None:
+            return _canon("kvlistValue", value["kvlistValue"])
+        return None
+
+    def one(rec_json):
+        if rec_json is None or (isinstance(rec_json, float) and rec_json != rec_json):
+            return (None, None, None)
+        try:
+            rec = _j.loads(rec_json)
+        except (ValueError, TypeError):
+            return (None, None, None)
+        out = {"role": None, "tool": None}
+        seen: set = set()
+        for kv in rec.get("attributes") or []:
+            if not isinstance(kv, dict):
+                continue
+            k = kv.get("key")
+            if k in ("role", "tool") and k not in seen:
+                seen.add(k)  # first occurrence wins (pdata parity)
+                out[k] = _slot(kv.get("value"))
+        return (out["role"], out["tool"], _slot(rec.get("body")))
+
+    rows = [one(x) for x in s]
+    return pd.DataFrame(rows, columns=["role", "tool", "text"])
 
 
 def _nanos(ts: Column) -> Column:
@@ -361,11 +383,9 @@ def parse_otlp_json(df: DataFrame, col: str = "value", nested: bool = False) -> 
         F.timestamp_micros(F.expr("TRY_CAST(r.timeUnixNano AS BIGINT) div 1000")).alias("ts"),
         *(
             [
-                _attr_map(
-                    F.col("r.attributes"),
-                    lambda kv: F.struct(kv["key"], _tagged_composite(kv["value"])),
-                ).alias("_raw"),
-                _tagged_composite(F.col("r.body")).alias("_raw_body"),
+                F.to_json(
+                    F.struct(F.col("r.body").alias("body"), F.col("r.attributes").alias("attributes"))
+                ).alias("_rec_json")
             ]
             if nested
             else []
@@ -373,24 +393,21 @@ def parse_otlp_json(df: DataFrame, col: str = "value", nested: bool = False) -> 
     )
     if not nested:
         return flat
-    # the transcode UDFs sit in their OWN projection stage (top-level
-    # columns) so Catalyst extracts them into one ArrowEvalPython; burying
-    # them inside coalesce/generate expressions is not extractable
+    # ONE Arrow-batched transcode over a PLAIN to_json input: a pandas UDF
+    # whose argument contains higher-order lambdas (transform/filter) is
+    # not extractable by Catalyst once projections collapse (INTERNAL_ERROR
+    # "Cannot evaluate expression: PythonUDF" — hit in r4), so the kernel
+    # re-parses the record JSON itself instead of receiving HOF-built maps
     from pyspark.sql.functions import pandas_udf
 
-    render = pandas_udf(_render_tagged_series, "string")
-    rendered = flat.select(
-        "*",
-        render(F.col("_raw")["role"]).alias("_n_role"),
-        render(F.col("_raw")["tool"]).alias("_n_tool"),
-        render(F.col("_raw_body")).alias("_n_text"),
-    )
+    render = pandas_udf(_render_composites_series, "role string, tool string, text string")
+    rendered = flat.withColumn("_n", render(F.col("_rec_json")))
     return rendered.select(
         "conv_id",
         "turn_idx",
-        F.coalesce(F.col("role"), F.col("_n_role")).alias("role"),
-        F.coalesce(F.col("text"), F.col("_n_text")).alias("text"),
-        F.coalesce(F.col("tool"), F.col("_n_tool")).alias("tool"),
+        F.coalesce(F.col("role"), F.col("_n.role")).alias("role"),
+        F.coalesce(F.col("text"), F.col("_n.text")).alias("text"),
+        F.coalesce(F.col("tool"), F.col("_n.tool")).alias("tool"),
         "ts",
     )
 

@@ -615,3 +615,17 @@ class TestNestedAttrsJsonWire:
         df = spark.createDataFrame([(json.dumps(env),)], "value string")
         (row,) = parse_otlp_json(df, nested=True).collect()
         assert row["tool"] is None and row["role"] == "user"
+
+    def test_nested_mode_survives_downstream_filter(self, spark):
+        """The transcode UDF must stay extractable when its output is
+        consumed inside a FILTER (projection collapse re-inlines the UDF
+        into the condition; a HOF-built argument made that an
+        INTERNAL_ERROR in r4 — this pins the to_json-input design)."""
+        from opentelemetry_collector_spark.sources.codecs import parse_otlp_json
+
+        df = spark.createDataFrame(
+            [(self._envelope(self.PAYLOAD),), (self._envelope("calc"),)], "value string"
+        )
+        out = parse_otlp_json(df, nested=True)
+        assert out.filter(out["tool"].startswith("{")).count() == 1
+        assert out.filter(~out["tool"].startswith("{")).count() == 1
