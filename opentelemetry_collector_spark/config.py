@@ -223,6 +223,15 @@ def _compile_receiver(cid: str, cfg: dict) -> Callable[[SparkSession], DataFrame
             raise ConfigError(f"receiver {cid}: path required")
         path = cfg["path"]
         encoding = cfg.get("encoding", "turn_json")
+        if cfg.get("nested_attrs"):
+            # per-receiver opt-in for the composite-AnyValue contract
+            # (SURVEY §1.3) — the same per-receiver config choice the
+            # reference makes; only meaningful on the OTLP-JSON envelope
+            if encoding != "otlp_json":
+                raise ConfigError(
+                    f"receiver {cid}: nested_attrs requires encoding otlp_json"
+                )
+            encoding = "otlp_json_nested"
 
         def _scan_jsonl(spark: SparkSession) -> DataFrame:
             raw = spark.read.text(path).withColumnRenamed("value", "value")

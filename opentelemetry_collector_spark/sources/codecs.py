@@ -484,6 +484,10 @@ UNMARSHALERS: dict[str, Callable[[DataFrame, str], DataFrame]] = {
     "turn_json": parse_turn_json,
     "kv_text": parse_kv_text,
     "otlp_json": parse_otlp_json,
+    # variant entry (the Go registries are per-variant too): same envelope,
+    # composite AnyValue attrs/bodies preserved as canonical JSON instead
+    # of refused — costs one Arrow exchange (BENCH/NESTED_ATTRS.md)
+    "otlp_json_nested": lambda df, col="value": parse_otlp_json(df, col, nested=True),
     "zipkin_json": _parse_zipkin,
     "jaeger_json": _parse_jaeger,
     # binary trace wires (unmarshaler.go:53-58): jaeger_proto is one

@@ -122,6 +122,7 @@ def test_unmarshaler_registry_dispatch(spark):
         "turn_json",
         "kv_text",
         "otlp_json",
+        "otlp_json_nested",  # r4: composite-AnyValue variant (SURVEY §1.3)
         "zipkin_json",
         "jaeger_json",
         "oc_json",

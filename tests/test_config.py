@@ -805,3 +805,90 @@ def test_relabel_processor_from_yaml(spark):
         _compile_processor(spark, "relabel/r", {"configs": [{"action": "nope"}]})
     with pytest.raises(ConfigError, match="modulus"):
         _compile_processor(spark, "relabel/r", {"configs": [{"action": "hashmod"}]})
+
+
+def test_jsonl_receiver_nested_attrs_knob(spark, tmp_path):
+    """Per-receiver nested_attrs opt-in: an OTLP-JSON landing file whose
+    producer ships a kvlist tool attribute parses with the composite
+    preserved as canonical JSON; without the knob the same file parses
+    flat (tool NULL); the knob rejects non-otlp_json encodings."""
+    import json
+
+    import pytest
+
+    from opentelemetry_collector_spark.config import ConfigError, load_config, run_config
+
+    env = {
+        "resourceLogs": [
+            {
+                "resource": {"attributes": [{"key": "conv.id", "value": {"stringValue": "c-1"}}]},
+                "instrumentationLibraryLogs": [
+                    {
+                        "instrumentationLibrary": {"name": "x"},
+                        "logRecords": [
+                            {
+                                "timeUnixNano": "1700000000000000000",
+                                "body": {"stringValue": "hello"},
+                                "attributes": [
+                                    {"key": "role", "value": {"stringValue": "user"}},
+                                    {"key": "turn.idx", "value": {"intValue": "0"}},
+                                    {
+                                        "key": "tool",
+                                        "value": {
+                                            "kvlistValue": {
+                                                "values": [
+                                                    {"key": "name", "value": {"stringValue": "calc"}}
+                                                ]
+                                            }
+                                        },
+                                    },
+                                ],
+                            }
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    landing = tmp_path / "landing.jsonl"
+    landing.write_text(json.dumps(env) + "\n")
+
+    yaml_tpl = """
+receivers:
+  jsonl/in:
+    path: {path}
+    encoding: otlp_json
+{knob}
+exporters:
+  parquet/out:
+    path: {base}/out
+service:
+  pipelines:
+    logs:
+      receivers: [jsonl/in]
+      processors: []
+      exporters: [parquet/out]
+"""
+    base = str(tmp_path / "nested")
+    run_config(
+        spark,
+        yaml_tpl.format(path=landing, base=base, knob="    nested_attrs: true"),
+        base,
+    )
+    (row,) = spark.read.parquet(f"{base}/out").collect()
+    assert row.tool == '{"name":"calc"}'
+    assert row.role == "user" and row.turn_idx == 0
+
+    base2 = str(tmp_path / "flat")
+    run_config(spark, yaml_tpl.format(path=landing, base=base2, knob=""), base2)
+    (row2,) = spark.read.parquet(f"{base2}/out").collect()
+    assert row2.tool is None and row2.role == "user"
+
+    with pytest.raises(ConfigError, match="nested_attrs requires"):
+        run_config(
+            spark,
+            yaml_tpl.format(path=landing, base=base, knob="    nested_attrs: true").replace(
+                "encoding: otlp_json", "encoding: turn_json"
+            ),
+            str(tmp_path / "bad"),
+        )
