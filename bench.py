@@ -56,6 +56,7 @@ HEADLINE = [
     # int64-sum datapoints
     "q195_otlp_int_histogram_roundtrip",
     "q196_otlp_int_histogram_proto_roundtrip",
+    "q197_int_histogram_wire",
     # corpus-quality suite (documents table)
     "q44_pii_redact",
     "q45_repetition",

@@ -648,3 +648,101 @@ UNION ALL SELECT * FROM net_rows
 UNION ALL SELECT * FROM vm_rows
 UNION ALL SELECT * FROM disk_rows
 """
+
+
+# ---------------------------------------------------------------------------
+# intHistogram wire reconstruction (q197) — the q186 technique applied to
+# the metrics signal: DuckDB rebuilds to_otlp_int_histograms_proto's
+# envelope bytes field-by-field (metrics.pb.go tags: Metric.name=1,
+# int_histogram oneof=8 -> tag 0x42; IntHistogramDataPoint labels=1,
+# count=4 fixed64 -> 0x21, sum=5 sfixed64 -> 0x29, bucket_counts=6 packed
+# -> 0x32, explicit_bounds=7 packed -> 0x3a; IntHistogram
+# aggregation_temporality=2 varint -> 0x10) and md5-compares. A matched
+# encoder+decoder bug that q195/q196's roundtrip identity cannot see
+# flips this digest.
+# ---------------------------------------------------------------------------
+
+
+def gen_q197_int_histogram_wire_sql(prelude: str, lib_name: str) -> str:
+    """Envelope reconstruction over the transcripts CTE ``t``: the q196
+    frame (per-(conv, role) datapoints, iv = length(text) * 1e9+7, the
+    [16,32,64,128] bounds) marshalled to hex entirely in SQL. Assumes
+    conv_ids are printable ASCII without JSON-escaped characters (they
+    are by construction), so datapoint order by conv_id equals Spark's
+    order by the labels-JSON sort key."""
+
+    def vh(e: str) -> str:
+        return _sql_varint_hex(e)
+
+    def hl(e: str) -> str:  # byte length of a hex string column
+        return f"(length({e}) // 2)"
+
+    def sbytes(e: str) -> str:  # UTF-8 byte length of a varchar expression
+        return f"(length(hex({e})) // 2)"
+
+    f64 = _sql_fixed64le_hex
+
+    # constants baked python-side, independent of the engine encoder
+    import struct as _s
+
+    bounds_payload = b"".join(_s.pack("<d", b) for b in (16.0, 32.0, 64.0, 128.0)).hex()
+    bounds_field = "3a" + _pv_hex(len(bounds_payload) // 2) + bounds_payload
+    key_conv = "0a" + _pv_hex(len(b"conv")) + b"conv".hex()
+    lib = lib_name.encode("utf-8")
+    il_payload = "0a" + _pv_hex(len(lib)) + lib.hex()
+    lib_field = "0a" + _pv_hex(len(il_payload) // 2) + il_payload
+
+    # KeyValue{key="conv", value=conv_id} wrapped as datapoint field 1
+    kv = f"'{key_conv}' || '12' || {vh(sbytes('conv_id'))} || lower(hex(conv_id))"
+    label_field = f"'0a' || {vh(f'length({kv}) // 2')} || ({kv})"
+
+    counts_packed = " || ".join(f64(f"c{i}") for i in range(5))
+
+    return f"""{prelude},
+base AS (
+  SELECT role, conv_id,
+         len(list_filter([16.0, 32.0, 64.0, 128.0],
+                         x -> CAST(length(text) AS DOUBLE) > x)) AS pos,
+         CAST(length(text) AS BIGINT) * 1000000007 AS iv
+  FROM t),
+dp AS (
+  SELECT role, conv_id,
+         CAST(count(*) AS BIGINT) AS h_count,
+         CAST(sum(iv) AS BIGINT) AS h_sum,
+         CAST(sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN pos = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN pos = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN pos = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+  FROM base GROUP BY role, conv_id),
+dp_hex AS (
+  SELECT role, conv_id,
+    {label_field}
+    || CASE WHEN h_count = 0 THEN '' ELSE '21' || {f64("h_count")} END
+    || CASE WHEN h_sum = 0 THEN '' ELSE '29' || {f64("h_sum")} END
+    || '32' || '28' || {counts_packed}
+    || '{bounds_field}'
+    AS d
+  FROM dp),
+per_metric AS (
+  SELECT role,
+    string_agg('0a' || {vh(hl("d"))} || d, '' ORDER BY conv_id) AS dps_hex
+  FROM dp_hex GROUP BY role),
+metric_hex AS (
+  SELECT role,
+    '0a' || {vh(sbytes("role"))} || lower(hex(role))
+    || '42' || {vh(f"length(dps_hex || '1002') // 2")} || dps_hex || '1002'
+    AS m
+  FROM per_metric),
+ilm AS (
+  SELECT role, '{lib_field}' || '12' || {vh(hl("m"))} || m AS payload FROM metric_hex),
+env AS (
+  SELECT role,
+    '0a' || {vh(f"length('0a00' || '12' || {vh(hl('payload'))} || payload) // 2")}
+    || '0a00' || '12' || {vh(hl("payload"))} || payload
+    AS env_hex
+  FROM ilm)
+SELECT role AS metric, md5(env_hex) AS wire_md5,
+       CAST(length(env_hex) // 2 AS BIGINT) AS n_bytes
+FROM env
+"""

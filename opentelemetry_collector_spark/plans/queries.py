@@ -8069,6 +8069,28 @@ def q196_otlp_int_histogram_proto_roundtrip(spark: SparkSession, sf_dir: str) ->
     return _int_histogram_merged(back)
 
 
+def q197_int_histogram_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact intHistogram wire check (the q186 technique on the
+    metrics signal): md5 + length of every metric's marshalled envelope
+    vs a DuckDB oracle that REBUILDS the same bytes field-by-field in SQL
+    (oracle_gen.gen_q197_int_histogram_wire_sql — varint length prefixes,
+    sfixed64 little-endian sums, packed fixed64 buckets, the constant
+    packed-double bounds, tags from metrics.pb.go:381/1087-1124). A wrong
+    tag/wire-type/length on either side flips the digest — the check
+    q195/q196's roundtrip identity cannot make."""
+    from opentelemetry_collector_spark.sources.otlp_metric_proto import (
+        to_otlp_int_histograms_proto,
+    )
+
+    frame = _int_histogram_frame(spark, sf_dir)
+    wire = to_otlp_int_histograms_proto(frame, with_metric=True)
+    return wire.select(
+        "metric",
+        F.md5(F.lower(F.hex("value"))).alias("wire_md5"),
+        F.length("value").cast("bigint").alias("n_bytes"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -8168,6 +8190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q194_otlp_summary_proto_roundtrip": q194_otlp_summary_proto_roundtrip,
     "q195_otlp_int_histogram_roundtrip": q195_otlp_int_histogram_roundtrip,
     "q196_otlp_int_histogram_proto_roundtrip": q196_otlp_int_histogram_proto_roundtrip,
+    "q197_int_histogram_wire": q197_int_histogram_wire,
     "q90_log_templates": q90_log_templates,
     "q91_delta_to_cumulative": q91_delta_to_cumulative,
     "q92_split_metrics": q92_split_metrics,
@@ -8480,6 +8503,7 @@ ORACLES["q66_sketch_rollup"] = Q66_SQL
 from opentelemetry_collector_spark.sources.otlp_proto import _LIB_NAME as _OTLP_LIB
 
 ORACLES["q186_otlp_proto_wire"] = _og.gen_q186_otlp_proto_wire_sql(_PRELUDE, _OTLP_LIB)
+ORACLES["q197_int_histogram_wire"] = _og.gen_q197_int_histogram_wire_sql(_PRELUDE, _OTLP_LIB)
 
 # q185: the committed /proc fixture corpus, re-parsed by SQL string
 # machinery on the oracle side (shared input text, independent parsers).
@@ -8596,6 +8620,7 @@ _PRIORITY: tuple[str, ...] = (
     "q127_pagerank_nav",
     "q195_otlp_int_histogram_roundtrip",
     "q196_otlp_int_histogram_proto_roundtrip",
+    "q197_int_histogram_wire",
 )
 
 

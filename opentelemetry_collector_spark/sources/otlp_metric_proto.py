@@ -763,9 +763,14 @@ def encode_int_histogram_metric(name: str, dps: list[bytes]) -> bytes:
     )
 
 
-def to_otlp_int_histograms_proto(df: DataFrame, out_col: str = "value") -> DataFrame:
+def to_otlp_int_histograms_proto(
+    df: DataFrame, out_col: str = "value", with_metric: bool = False
+) -> DataFrame:
     """INT histogram datapoint frame -> one binary envelope per metric,
-    to_otlp_int_histograms_json's deterministic datapoint order."""
+    to_otlp_int_histograms_json's deterministic datapoint order.
+    ``with_metric=True`` keeps the grouping key beside the payload (the
+    Kafka message-key analog — and what lets the q197 wire oracle join
+    its SQL-reconstructed envelope to ours, the q186 pattern)."""
     from opentelemetry_collector_spark.sources.codecs import _nanos
     from opentelemetry_collector_spark.sources.otlp_metric import _sorted_labels
 
@@ -781,7 +786,7 @@ def to_otlp_int_histograms_proto(df: DataFrame, out_col: str = "value") -> DataF
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vals = []
+            names, vals = [], []
             for name, dps in zip(pdf["metric"], pdf["dps"]):
                 blobs = [
                     _ihdp(
@@ -796,10 +801,13 @@ def to_otlp_int_histograms_proto(df: DataFrame, out_col: str = "value") -> DataF
                 ]
                 metric = encode_int_histogram_metric(name, blobs)
                 ilm = _ld(1, _ld(1, _LIB_NAME.encode())) + _ld(2, metric)
+                names.append(name)
                 vals.append(_ld(1, _ld(1, b"") + _ld(2, ilm)))
-            yield pd.DataFrame({out_col: vals})
+            cols = {"metric": names, out_col: vals} if with_metric else {out_col: vals}
+            yield pd.DataFrame(cols)
 
-    return grouped.mapInPandas(_gen, f"{out_col} binary")
+    schema = (f"metric string, {out_col} binary" if with_metric else f"{out_col} binary")
+    return grouped.mapInPandas(_gen, schema)
 
 
 def _dec_ihdp(buf: bytes, span: tuple[int, int]) -> dict:
