@@ -630,3 +630,35 @@ class TestNestedAttrsJsonWire:
         out = parse_otlp_json(df, nested=True)
         assert out.filter(out["tool"].startswith("{")).count() == 1
         assert out.filter(~out["tool"].startswith("{")).count() == 1
+
+    def test_nested_parse_runs_inside_streaming_plan(self, spark, tmp_path):
+        """The nested transcode kernel is stateless per-batch (one
+        ArrowEvalPython, no shuffle), so otlp_json_nested must run
+        unchanged inside a Structured Streaming plan — the same proof the
+        otlp_proto decoder got. Stream a JSON-lines landing dir through
+        the registry entry and compare with the batch parse."""
+        from opentelemetry_collector_spark.sources.codecs import unmarshal
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        (landing / "a.txt").write_text(
+            self._envelope(self.PAYLOAD) + "\n" + self._envelope("calc") + "\n"
+        )
+        stream = spark.readStream.format("text").load(str(landing))
+        decoded = unmarshal(stream, "otlp_json_nested")
+        assert decoded.isStreaming
+        out = str(tmp_path / "out")
+        q = (
+            decoded.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        batch_df = spark.read.format("text").load(str(landing))
+        want = sorted(tuple(r) for r in unmarshal(batch_df, "otlp_json_nested").collect())
+        assert got == want and len(got) == 2
+        tools = {r[4] for r in got}
+        assert "calc" in tools and any(t and t.startswith("{") for t in tools)
