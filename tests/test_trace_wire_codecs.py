@@ -571,18 +571,18 @@ class TestOtlpIntHistogramProto:
             except _Malformed:
                 pass
 
-    def test_zipkin_proto_null_ts(self, spark):
-        """zipkin_proto's encoder receives spans as dicts from a collected
-        array (nulls arrive as None, not NaN) — pin that a null-ts span
-        encodes there too, completing the null-ts matrix across all three
-        trace wires."""
-        from opentelemetry_collector_spark.sources.zipkin_proto import to_zipkin_proto
+def test_zipkin_proto_null_ts(spark):
+    """zipkin_proto's encoder receives spans as dicts from a collected
+    array (nulls arrive as None, not NaN) — pin that a null-ts span
+    encodes there too, completing the null-ts matrix across all three
+    trace wires."""
+    from opentelemetry_collector_spark.sources.zipkin_proto import to_zipkin_proto
 
-        payloads = [
-            bytes(r["value"]) for r in to_zipkin_proto(self._null_ts_frame(spark)).collect()
-        ]
-        spans = [s for p in payloads for s in decode_zipkin_spans(p)]
-        by_id = {s["id"]: s for s in spans}
-        assert set(by_id) == {"b7ad6b7169203331", "00f067aa0ba902b7"}
-        assert by_id["b7ad6b7169203331"]["timestamp"] is None  # omitted on the wire
-        assert by_id["00f067aa0ba902b7"]["timestamp"] == 1_714_550_401_000_000
+    frame = TestNullTimestampEncode()._null_ts_frame(spark)
+    payloads = [bytes(r["value"]) for r in to_zipkin_proto(frame).collect()]
+    spans = [s for p in payloads for s in decode_zipkin_spans(p)]
+    by_id = {s["id"]: s for s in spans}
+    assert set(by_id) == {"b7ad6b7169203331", "00f067aa0ba902b7"}
+    # omitted on the wire; proto3 absent fixed64 reads back zero
+    assert not by_id["b7ad6b7169203331"]["timestamp"]
+    assert by_id["00f067aa0ba902b7"]["timestamp"] == 1_714_550_401_000_000
