@@ -110,6 +110,10 @@ HEADLINE = [
     "q69_integrity_audit",
     "q70_log_dedup",
     "q71_rate_limit",
+    # dialogue turn pairing (transcripts table, r4)
+    "q198_sft_pairs",
+    "q199_tool_roundtrips",
+    "q200_sft_pack",
     # time-series regrid + trace analytics (events/transcripts tables)
     "q152_ohlc_downsample",
     "q155_ewma",

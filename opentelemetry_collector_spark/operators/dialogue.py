@@ -1,0 +1,201 @@
+"""Turn-pairing operators over conversation transcripts.
+
+The reference collector's closest structural relative is the parent→child
+span edge it derives when translating traces (the CHILD_OF reference of
+``translator/trace/jaeger/traces_to_jaegerproto.go:274-332``): a causal
+"who answered whom" link inside one trace. Over multi-turn agent
+transcripts the same link is the unit of *training-data* construction:
+
+- :func:`pair_turns` — for every ``from_role`` turn, attach the first
+  ``to_role`` turn that follows it *before the next* ``from_role`` turn.
+  With ``("user", "assistant")`` this is prompt→response extraction (the
+  SFT pair shape); with ``("assistant", "tool")`` it is tool-call→result
+  round-trip matching, including orphan calls and call latency.
+
+Scale notes:
+
+- ONE shuffle, on the conversation key — the same
+  ``hashpartitioning(conv_id)`` the aggregate/sessionize stages use, so a
+  pipeline composing them reuses one partitioning. Both "next matching
+  turn" lookups are conditional ``min`` aggregates over the
+  rows-following frame of a single Window node (one sort, no self-join,
+  no per-turn explode); the response's payload rides the same window in a
+  struct ordered by its unique leading ``turn_idx``.
+- The per-conversation state is bounded by the conversation's own turn
+  count; nothing is corpus-global. A hot conversation costs one window
+  partition, never a reducer-wide skew (the frames are rows-following
+  scans, not cross products).
+
+Junk policy (repo-wide per-row degradation): NULL ``ts`` on either side
+yields NULL ``latency_us`` for that pair only; a NULL response ``text``
+keeps the pair (``answered`` is a structural fact) with NULL token count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.text import token_count
+
+__all__ = ["pair_turns", "sft_pack"]
+
+
+def _epoch_us(ts):
+    # unix_micros rejects TIMESTAMP_NTZ; cast through the session-UTC zone
+    # (the timeseries.py convention — DuckDB's epoch_us agrees exactly).
+    return F.unix_micros(F.to_utc_timestamp(ts, "UTC"))
+
+
+def pair_turns(
+    df: DataFrame,
+    from_role: str,
+    to_role: str,
+    keys: Sequence[str] = ("conv_id",),
+) -> DataFrame:
+    """Pair each ``from_role`` turn with its answering ``to_role`` turn.
+
+    A pair is ``answered`` when a ``to_role`` turn exists after the prompt
+    and strictly before the next ``from_role`` turn — the causal window in
+    which a response can still be attributed to this prompt. Later
+    ``to_role`` turns belong to later prompts and never leak backwards.
+
+    Returns one row per ``from_role`` turn: ``keys..., prompt_idx,
+    prompt_text, prompt_tokens, answered, resp_idx, resp_text,
+    resp_tokens, resp_tool, latency_us``. Unanswered prompts keep NULL
+    response columns (the orphan-call / unanswered-prompt accounting a
+    corpus build needs — dropping them would silently bias the yield).
+    """
+    nxt = (
+        Window.partitionBy(*keys)
+        .orderBy("turn_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    # struct min orders by the unique leading turn_idx, so this IS "the
+    # first following to_role turn" with its payload attached — no join.
+    resp = F.min(
+        F.when(
+            F.col("role") == to_role,
+            F.struct(F.col("turn_idx"), F.col("ts"), F.col("text"), F.col("tool")),
+        )
+    ).over(nxt)
+    nxt_from = F.min(F.when(F.col("role") == from_role, F.col("turn_idx"))).over(nxt)
+
+    paired = (
+        df.withColumn("_resp", resp)
+        .withColumn("_nxt_from", nxt_from)
+        .filter(F.col("role") == from_role)
+    )
+    answered = F.col("_resp").isNotNull() & (
+        F.col("_nxt_from").isNull() | (F.col("_resp.turn_idx") < F.col("_nxt_from"))
+    )
+    keep = F.when(answered, F.col("_resp"))
+    return paired.select(
+        *keys,
+        F.col("turn_idx").alias("prompt_idx"),
+        F.col("text").alias("prompt_text"),
+        token_count(F.col("text")).alias("prompt_tokens"),
+        answered.alias("answered"),
+        keep.getField("turn_idx").alias("resp_idx"),
+        keep.getField("text").alias("resp_text"),
+        token_count(keep.getField("text")).alias("resp_tokens"),
+        keep.getField("tool").alias("resp_tool"),
+        (_epoch_us(keep.getField("ts")) - _epoch_us(F.col("ts")))
+        .cast("bigint")
+        .alias("latency_us"),
+    )
+
+
+def sft_pack(df: DataFrame, budget: int) -> DataFrame:
+    """Pack answered prompt→response pairs into token-budget training
+    sequences with loss-mask offsets (the SFT packing shape: prompt tokens
+    are context-only, response tokens are supervised).
+
+    Composes :func:`pair_turns` ("user", "assistant"), keeps answered
+    pairs, and greedily packs them in ``prompt_idx`` order under the
+    packing rule of ``operators/packing.pack_sequences`` (new chunk when
+    the budget would overflow; an oversized single example still gets its
+    own chunk). Per example this emits the offsets a trainer needs to
+    mask the prompt span: ``ex_start`` (example's first token in the
+    chunk), ``resp_start``/``resp_end`` (the supervised half-open span),
+    plus per-chunk ``chunk_tokens`` / ``supervised_tokens`` /
+    ``mask_ratio_pm`` accounting.
+
+    The greedy walk, offsets, and per-chunk sums all happen in ONE
+    ``applyInPandas`` pass over the conversation group — the same
+    ``hashpartitioning(conv_id)`` the pairing window just used, so no
+    second shuffle; NULL response token counts pack at zero cost
+    (supervising nothing) per the repo's per-row junk policy.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pairs = (
+        pair_turns(df, "user", "assistant")
+        .filter(F.col("answered"))
+        .select(
+            "conv_id",
+            "prompt_idx",
+            "resp_idx",
+            F.coalesce(F.col("prompt_tokens"), F.lit(0)).cast("long").alias("p_tok"),
+            F.coalesce(F.col("resp_tokens"), F.lit(0)).cast("long").alias("r_tok"),
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("chunk_id", T.IntegerType()),
+            T.StructField("prompt_idx", T.IntegerType()),
+            T.StructField("resp_idx", T.IntegerType()),
+            T.StructField("ex_start", T.LongType()),
+            T.StructField("resp_start", T.LongType()),
+            T.StructField("resp_end", T.LongType()),
+            T.StructField("chunk_tokens", T.LongType()),
+            T.StructField("supervised_tokens", T.LongType()),
+            T.StructField("mask_ratio_pm", T.LongType()),
+        ]
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("prompt_idx", kind="mergesort")
+        p = pd.to_numeric(pdf["p_tok"], errors="coerce").fillna(0).to_numpy(np.int64)
+        r = pd.to_numeric(pdf["r_tok"], errors="coerce").fillna(0).to_numpy(np.int64)
+        ex = p + r
+        n = len(ex)
+        chunks = np.empty(n, dtype=np.int32)
+        starts = np.empty(n, dtype=np.int64)
+        acc, chunk = 0, 0
+        for i in range(n):
+            t = int(ex[i])
+            if acc > 0 and acc + t > budget:
+                chunk += 1
+                acc = 0
+            starts[i] = acc
+            acc += t
+            chunks[i] = chunk
+        n_chunks = chunk + 1
+        chunk_tok = np.bincount(chunks, weights=ex, minlength=n_chunks).astype(np.int64)
+        sup_tok = np.bincount(chunks, weights=r, minlength=n_chunks).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(chunk_tok > 0, 1000 * sup_tok // np.maximum(chunk_tok, 1), 0)
+        return pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].to_numpy(),
+                "chunk_id": chunks,
+                "prompt_idx": pdf["prompt_idx"].to_numpy(np.int32),
+                "resp_idx": pd.to_numeric(pdf["resp_idx"]).to_numpy(np.int32),
+                "ex_start": starts,
+                "resp_start": starts + p,
+                "resp_end": starts + ex,
+                "chunk_tokens": chunk_tok[chunks],
+                "supervised_tokens": sup_tok[chunks],
+                "mask_ratio_pm": ratio[chunks].astype(np.int64),
+            }
+        )
+
+    return pairs.groupBy("conv_id").applyInPandas(_pack, schema=schema)

@@ -8091,6 +8091,178 @@ def q197_int_histogram_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q198_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt→response pair extraction (operators/dialogue.pair_turns — the
+    SFT data-prep shape): every user turn paired with the first assistant
+    turn before the next user turn, with whitespace token counts on both
+    sides, an answered flag for yield accounting, and integer response
+    latency. One conv_id-shuffled Window node, no self-join; the oracle
+    replays the pairing with the same rows-following windows plus an
+    explicit join-back for the response payload (independent derivations
+    of the same causal link)."""
+    from opentelemetry_collector_spark.operators.dialogue import pair_turns
+
+    return pair_turns(from_events(spark, sf_dir), "user", "assistant").drop("resp_tool")
+
+
+Q198_SQL = f"""{_PRELUDE},
+w AS (
+  SELECT conv_id, turn_idx, role, text, ts,
+         min(CASE WHEN role = 'assistant' THEN turn_idx END)
+             OVER nxt AS r_idx,
+         min(CASE WHEN role = 'user' THEN turn_idx END)
+             OVER nxt AS nxt_u
+  FROM t
+  WINDOW nxt AS (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+p AS (
+  SELECT conv_id, turn_idx AS prompt_idx, text AS prompt_text, ts AS p_ts,
+         CASE WHEN r_idx IS NOT NULL AND (nxt_u IS NULL OR r_idx < nxt_u)
+              THEN r_idx END AS resp_idx
+  FROM w WHERE role = 'user')
+SELECT p.conv_id, p.prompt_idx, p.prompt_text,
+       CAST(CASE WHEN length(trim(p.prompt_text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(p.prompt_text), '\\s+')) END
+            AS BIGINT) AS prompt_tokens,
+       p.resp_idx IS NOT NULL AS answered,
+       p.resp_idx, r.text AS resp_text,
+       CAST(CASE WHEN length(trim(r.text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(r.text), '\\s+')) END
+            AS BIGINT) AS resp_tokens,
+       CAST(CASE WHEN p.resp_idx IS NOT NULL AND p.p_ts IS NOT NULL
+                      AND r.ts IS NOT NULL
+                 THEN epoch_us(r.ts) - epoch_us(p.p_ts) END AS BIGINT) AS latency_us
+FROM p LEFT JOIN t r ON r.conv_id = p.conv_id AND r.turn_idx = p.resp_idx
+"""
+
+
+def q199_tool_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call round-trip report (the ("assistant","tool") instantiation of
+    operators/dialogue.pair_turns — the span client→server latency edge of
+    traces_to_jaegerproto.go:274-332 as a per-tool aggregate): answered
+    calls grouped by the responding tool, orphan calls in their own status
+    row, exact integer latency stats (sum/max/truncating mean — `div` and
+    DuckDB `//` both truncate toward zero, verified on negatives). Window
+    rides one conv_id exchange; the report groupBy is a partial-aggregated
+    shuffle of per-pair rows only."""
+    from opentelemetry_collector_spark.operators.dialogue import pair_turns
+
+    pairs = pair_turns(from_events(spark, sf_dir), "assistant", "tool")
+    return (
+        pairs.select(
+            F.when(F.col("answered"), F.lit("answered")).otherwise(F.lit("orphan")).alias("status"),
+            F.col("resp_tool").alias("tool"),
+            "latency_us",
+        )
+        .groupBy("status", "tool")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.count("latency_us").cast("bigint").alias("n_timed"),
+            F.sum("latency_us").cast("bigint").alias("sum_latency_us"),
+            F.max("latency_us").cast("bigint").alias("max_latency_us"),
+        )
+        .withColumn(
+            "mean_latency_us",
+            F.when(
+                F.col("n_timed") > 0, F.expr("sum_latency_us div n_timed")
+            ).cast("bigint"),
+        )
+    )
+
+
+Q199_SQL = f"""{_PRELUDE},
+w AS (
+  SELECT conv_id, turn_idx, role, ts,
+         min(CASE WHEN role = 'tool' THEN turn_idx END) OVER nxt AS r_idx,
+         min(CASE WHEN role = 'assistant' THEN turn_idx END) OVER nxt AS nxt_a
+  FROM t
+  WINDOW nxt AS (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+p AS (
+  SELECT conv_id, turn_idx, ts AS a_ts,
+         CASE WHEN r_idx IS NOT NULL AND (nxt_a IS NULL OR r_idx < nxt_a)
+              THEN r_idx END AS resp_idx
+  FROM w WHERE role = 'assistant'),
+j AS (
+  SELECT CASE WHEN p.resp_idx IS NULL THEN 'orphan' ELSE 'answered' END AS status,
+         r.tool AS tool,
+         CASE WHEN p.resp_idx IS NOT NULL AND p.a_ts IS NOT NULL AND r.ts IS NOT NULL
+              THEN epoch_us(r.ts) - epoch_us(p.a_ts) END AS latency_us
+  FROM p LEFT JOIN t r ON r.conv_id = p.conv_id AND r.turn_idx = p.resp_idx)
+SELECT status, tool,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(latency_us) AS BIGINT) AS n_timed,
+       CAST(sum(latency_us) AS BIGINT) AS sum_latency_us,
+       CAST(max(latency_us) AS BIGINT) AS max_latency_us,
+       CAST(CASE WHEN count(latency_us) > 0
+                 THEN sum(latency_us) // count(latency_us) END AS BIGINT) AS mean_latency_us
+FROM j GROUP BY 1, 2
+"""
+
+
+def q200_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT packing with loss-mask offsets (operators/dialogue.sft_pack):
+    answered prompt→response pairs greedily packed into 32-token training
+    sequences, each example carrying its chunk offsets, the supervised
+    response span [resp_start, resp_end), and per-chunk mask accounting.
+    The greedy walk + offsets + chunk sums run in ONE applyInPandas pass
+    per conversation (the pack_sequences kernel extended with the
+    accumulator's own prefix); the oracle replays the identical walk as a
+    recursive CTE (the Q42 technique) plus per-chunk window sums."""
+    from opentelemetry_collector_spark.operators.dialogue import sft_pack
+
+    return sft_pack(from_events(spark, sf_dir), budget=32)
+
+
+Q200_SQL = f"""{_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)},
+w AS (
+  SELECT conv_id, turn_idx, role, text,
+         min(CASE WHEN role = 'assistant' THEN turn_idx END) OVER nxt AS r_idx,
+         min(CASE WHEN role = 'user' THEN turn_idx END) OVER nxt AS nxt_u
+  FROM t
+  WINDOW nxt AS (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+p AS (
+  SELECT conv_id, turn_idx AS prompt_idx, text AS prompt_text,
+         CASE WHEN r_idx IS NOT NULL AND (nxt_u IS NULL OR r_idx < nxt_u)
+              THEN r_idx END AS resp_idx
+  FROM w WHERE role = 'user'),
+s AS (
+  SELECT p.conv_id, p.prompt_idx, p.resp_idx,
+         CAST(coalesce(CASE WHEN length(trim(p.prompt_text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(p.prompt_text), '\\s+')) END, 0)
+              AS BIGINT) AS p_tok,
+         CAST(coalesce(CASE WHEN length(trim(r.text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(r.text), '\\s+')) END, 0)
+              AS BIGINT) AS r_tok,
+         row_number() OVER (PARTITION BY p.conv_id ORDER BY p.prompt_idx) AS rn
+  FROM p JOIN t r ON r.conv_id = p.conv_id AND r.turn_idx = p.resp_idx),
+rec AS (
+  SELECT conv_id, rn, prompt_idx, resp_idx, p_tok, r_tok, p_tok + r_tok AS ex_tok,
+         p_tok + r_tok AS acc, 0 AS chunk, CAST(0 AS BIGINT) AS ex_start
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.conv_id, s.rn, s.prompt_idx, s.resp_idx, s.p_tok, s.r_tok,
+         s.p_tok + s.r_tok,
+         CASE WHEN r.acc + s.p_tok + s.r_tok > 32 THEN s.p_tok + s.r_tok
+              ELSE r.acc + s.p_tok + s.r_tok END,
+         CASE WHEN r.acc + s.p_tok + s.r_tok > 32 THEN r.chunk + 1 ELSE r.chunk END,
+         CASE WHEN r.acc + s.p_tok + s.r_tok > 32 THEN CAST(0 AS BIGINT) ELSE r.acc END
+  FROM rec r JOIN s ON s.conv_id = r.conv_id AND s.rn = r.rn + 1)
+SELECT conv_id, CAST(chunk AS INT) AS chunk_id, prompt_idx, resp_idx,
+       ex_start,
+       CAST(ex_start + p_tok AS BIGINT) AS resp_start,
+       CAST(ex_start + ex_tok AS BIGINT) AS resp_end,
+       CAST(sum(ex_tok) OVER ck AS BIGINT) AS chunk_tokens,
+       CAST(sum(r_tok) OVER ck AS BIGINT) AS supervised_tokens,
+       CAST(CASE WHEN sum(ex_tok) OVER ck > 0
+                 THEN (1000 * sum(r_tok) OVER ck) // (sum(ex_tok) OVER ck)
+                 ELSE 0 END AS BIGINT) AS mask_ratio_pm
+FROM rec
+WINDOW ck AS (PARTITION BY conv_id, chunk)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -8191,6 +8363,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q195_otlp_int_histogram_roundtrip": q195_otlp_int_histogram_roundtrip,
     "q196_otlp_int_histogram_proto_roundtrip": q196_otlp_int_histogram_proto_roundtrip,
     "q197_int_histogram_wire": q197_int_histogram_wire,
+    "q198_sft_pairs": q198_sft_pairs,
+    "q199_tool_roundtrips": q199_tool_roundtrips,
+    "q200_sft_pack": q200_sft_pack,
     "q90_log_templates": q90_log_templates,
     "q91_delta_to_cumulative": q91_delta_to_cumulative,
     "q92_split_metrics": q92_split_metrics,
@@ -8480,6 +8655,9 @@ ORACLES: dict[str, str] = {
     "q194_otlp_summary_proto_roundtrip": Q79_SQL,
     "q195_otlp_int_histogram_roundtrip": Q196_SQL,
     "q196_otlp_int_histogram_proto_roundtrip": Q196_SQL,
+    "q198_sft_pairs": Q198_SQL,
+    "q199_tool_roundtrips": Q199_SQL,
+    "q200_sft_pack": Q200_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -8621,6 +8799,9 @@ _PRIORITY: tuple[str, ...] = (
     "q195_otlp_int_histogram_roundtrip",
     "q196_otlp_int_histogram_proto_roundtrip",
     "q197_int_histogram_wire",
+    "q198_sft_pairs",
+    "q199_tool_roundtrips",
+    "q200_sft_pack",
 )
 
 

@@ -1,0 +1,164 @@
+"""Turn-pairing operator (operators/dialogue.pair_turns): prompt→response
+extraction and tool-call round-trips, with hand-written goldens covering
+answered / unanswered / orphan / NULL-ts / NULL-text paths and a plan
+assertion pinning the single-exchange no-join shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opentelemetry_collector_spark.operators.dialogue import pair_turns
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampNTZType()),
+    ]
+)
+
+
+def _ts(sec: int) -> dt.datetime:
+    return dt.datetime(2026, 1, 1, 0, 0, sec)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        # c1: the canonical exchange — user answered by the next assistant,
+        # a second user turn answered after an intervening system turn.
+        ("c1", 0, "user", "hello there", None, _ts(0)),
+        ("c1", 1, "assistant", "hi", None, _ts(3)),
+        ("c1", 2, "user", "run the job", None, _ts(5)),
+        ("c1", 3, "system", "notice", None, _ts(6)),
+        ("c1", 4, "assistant", "done now ok", None, _ts(9)),
+        # c2: UNANSWERED first prompt (next user turn arrives before any
+        # assistant), then an answered one whose response has NULL text.
+        ("c2", 0, "user", "first ask", None, _ts(0)),
+        ("c2", 1, "user", "second ask", None, _ts(1)),
+        ("c2", 2, "assistant", None, None, _ts(4)),
+        # c3: trailing orphan prompt (no assistant ever) + NULL prompt ts.
+        ("c3", 0, "user", "lost ask", None, None),
+        # c4: assistant tool-call answered by a tool turn; a second call
+        # orphaned by the next assistant turn arriving first.
+        ("c4", 0, "assistant", "tool_call: calc(1)", None, _ts(0)),
+        ("c4", 1, "tool", "result 1", "calc", _ts(2)),
+        ("c4", 2, "assistant", "tool_call: calc(2)", None, _ts(3)),
+        ("c4", 3, "assistant", "giving up", None, _ts(4)),
+        ("c4", 4, "tool", "late result", "calc", _ts(9)),
+    ]
+    return spark.createDataFrame(rows, SCHEMA).cache()
+
+
+def _by_prompt(df):
+    return {(r["conv_id"], r["prompt_idx"]): r.asDict() for r in df.collect()}
+
+
+def test_prompt_response_golden(frame):
+    got = _by_prompt(pair_turns(frame, "user", "assistant"))
+    assert set(got) == {("c1", 0), ("c1", 2), ("c2", 0), ("c2", 1), ("c3", 0)}
+
+    a = got[("c1", 0)]
+    assert a["answered"] and a["resp_idx"] == 1 and a["resp_text"] == "hi"
+    assert a["prompt_tokens"] == 2 and a["resp_tokens"] == 1
+    assert a["latency_us"] == 3_000_000
+
+    # intervening system turn does not break the pairing
+    b = got[("c1", 2)]
+    assert b["answered"] and b["resp_idx"] == 4 and b["resp_tokens"] == 3
+    assert b["latency_us"] == 4_000_000
+
+    # next user turn fences the causal window: c2/0 is unanswered even
+    # though an assistant turn exists later in the conversation
+    u = got[("c2", 0)]
+    assert not u["answered"]
+    assert u["resp_idx"] is None and u["resp_text"] is None
+    assert u["resp_tokens"] is None and u["latency_us"] is None
+
+    # answered with NULL response text: pair kept, token count NULL
+    n = got[("c2", 1)]
+    assert n["answered"] and n["resp_idx"] == 2
+    assert n["resp_text"] is None and n["resp_tokens"] is None
+
+    # orphan prompt at end of conversation
+    assert not got[("c3", 0)]["answered"]
+
+
+def test_tool_roundtrip_golden(frame):
+    got = _by_prompt(pair_turns(frame, "assistant", "tool"))
+    # every assistant turn is a candidate call
+    assert set(got) == {("c1", 1), ("c1", 4), ("c2", 2), ("c4", 0), ("c4", 2), ("c4", 3)}
+
+    ok = got[("c4", 0)]
+    assert ok["answered"] and ok["resp_idx"] == 1 and ok["resp_tool"] == "calc"
+    assert ok["latency_us"] == 2_000_000
+
+    # the next assistant turn fences the call window: c4/2's would-be
+    # result (turn 4) arrives after c4/3, so c4/2 is an orphan and the
+    # late result is attributed to c4/3
+    assert not got[("c4", 2)]["answered"]
+    late = got[("c4", 3)]
+    assert late["answered"] and late["resp_idx"] == 4 and late["latency_us"] == 5_000_000
+
+
+def test_null_ts_latency_null(frame):
+    got = _by_prompt(pair_turns(frame, "user", "assistant"))
+    # c3/0 has NULL prompt ts and no response at all
+    assert got[("c3", 0)]["latency_us"] is None
+
+
+def test_plan_single_pairing_exchange_no_join(frame):
+    plan = pair_turns(frame, "user", "assistant")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(conv_id" in plan
+
+
+def test_sft_pack_golden(spark, frame):
+    from opentelemetry_collector_spark.operators.dialogue import sft_pack
+
+    # answered user→assistant pairs: c1/0 (2+1=3 tok), c1/2 (3+3=6 tok),
+    # c2/1 (2+NULL→0=2 tok). budget=5 splits c1 into two chunks.
+    rows = {(r["conv_id"], r["prompt_idx"]): r.asDict() for r in sft_pack(frame, budget=5).collect()}
+    assert set(rows) == {("c1", 0), ("c1", 2), ("c2", 1)}
+
+    a = rows[("c1", 0)]
+    assert a["chunk_id"] == 0 and a["ex_start"] == 0
+    assert a["resp_start"] == 2 and a["resp_end"] == 3
+    assert a["chunk_tokens"] == 3 and a["supervised_tokens"] == 1
+    assert a["mask_ratio_pm"] == 333
+
+    # 3+6 > 5 → new chunk; the oversized 6-token example gets its own chunk
+    b = rows[("c1", 2)]
+    assert b["chunk_id"] == 1 and b["ex_start"] == 0
+    assert b["resp_start"] == 3 and b["resp_end"] == 6
+    assert b["chunk_tokens"] == 6 and b["supervised_tokens"] == 3
+    assert b["mask_ratio_pm"] == 500
+
+    # NULL response text supervises nothing: span is empty at the prompt end
+    c = rows[("c2", 1)]
+    assert c["chunk_id"] == 0 and c["resp_start"] == 2 and c["resp_end"] == 2
+    assert c["supervised_tokens"] == 0 and c["mask_ratio_pm"] == 0
+
+
+def test_sft_pack_single_shuffle(spark, frame):
+    from opentelemetry_collector_spark.operators.dialogue import sft_pack
+
+    plan = sft_pack(frame, budget=5)._jdf.queryExecution().executedPlan().toString()
+    # the pairing window and the pack kernel share one conv_id exchange
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_sft_pack_rejects_bad_budget(frame):
+    from opentelemetry_collector_spark.operators.dialogue import sft_pack
+
+    with pytest.raises(ValueError):
+        sft_pack(frame, budget=0)
