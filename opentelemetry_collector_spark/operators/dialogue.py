@@ -11,20 +11,31 @@ transcripts the same link is the unit of *training-data* construction:
   With ``("user", "assistant")`` this is prompt→response extraction (the
   SFT pair shape); with ``("assistant", "tool")`` it is tool-call→result
   round-trip matching, including orphan calls and call latency.
+- :func:`sft_pack` — the packed-sequence composition: answered pairs
+  greedily packed into token-budget sequences with loss-mask offsets.
 
 Scale notes:
 
 - ONE shuffle, on the conversation key — the same
   ``hashpartitioning(conv_id)`` the aggregate/sessionize stages use, so a
   pipeline composing them reuses one partitioning. Both "next matching
-  turn" lookups are conditional ``min`` aggregates over the
-  rows-following frame of a single Window node (one sort, no self-join,
-  no per-turn explode); the response's payload rides the same window in a
-  struct ordered by its unique leading ``turn_idx``.
+  turn" lookups are conditional ``min`` aggregates in a single Window
+  node (one sort, no self-join, no per-turn explode); the response's
+  payload rides the same window in a struct ordered by its unique leading
+  ``turn_idx``.
+- The window formulation is deliberate over the join alternative (the
+  oracle's shape: candidate join + fence self-join + payload join-back).
+  Measured interleaved best-of-3 at 40M turns the window already edges it
+  on uniform 40-turn conversations, and on 2000-turn conversations it
+  wins ~11x: the join's candidate fan-out is quadratic in conversation
+  length (every prompt meets every later to_role turn before the min
+  collapses), while the window is one sorted linear pass
+  (BENCH/DIALOGUE.md). Hot long conversations are this repo's documented
+  skew reality, so the linear formulation is the scale-safe one.
 - The per-conversation state is bounded by the conversation's own turn
   count; nothing is corpus-global. A hot conversation costs one window
-  partition, never a reducer-wide skew (the frames are rows-following
-  scans, not cross products).
+  partition, never a reducer-wide skew (the frames are running scans,
+  not cross products).
 
 Junk policy (repo-wide per-row degradation): NULL ``ts`` on either side
 yields NULL ``latency_us`` for that pair only; a NULL response ``text``
@@ -68,10 +79,14 @@ def pair_turns(
     response columns (the orphan-call / unanswered-prompt accounting a
     corpus build needs — dropping them would silently bias the yield).
     """
+    # "strictly after this turn" expressed as an unbounded-PRECEDING frame
+    # over the REVERSED order: Spark keeps a running buffer for preceding
+    # frames (O(n) per partition) but recomputes following frames from
+    # scratch per row (O(n²) per conversation).
     nxt = (
         Window.partitionBy(*keys)
-        .orderBy("turn_idx")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     # struct min orders by the unique leading turn_idx, so this IS "the
     # first following to_role turn" with its payload attached — no join.
@@ -83,10 +98,10 @@ def pair_turns(
     ).over(nxt)
     nxt_from = F.min(F.when(F.col("role") == from_role, F.col("turn_idx"))).over(nxt)
 
-    paired = (
-        df.withColumn("_resp", resp)
-        .withColumn("_nxt_from", nxt_from)
-        .filter(F.col("role") == from_role)
+    # one select, not chained withColumn: both mins share the window spec,
+    # so CollapseWindow keeps them in a single Window node (one pass).
+    paired = df.select("*", resp.alias("_resp"), nxt_from.alias("_nxt_from")).filter(
+        F.col("role") == from_role
     )
     answered = F.col("_resp").isNotNull() & (
         F.col("_nxt_from").isNull() | (F.col("_resp.turn_idx") < F.col("_nxt_from"))
@@ -108,7 +123,7 @@ def pair_turns(
     )
 
 
-def sft_pack(df: DataFrame, budget: int) -> DataFrame:
+def sft_pack(df: DataFrame, budget: int, n_buckets: int | None = None) -> DataFrame:
     """Pack answered prompt→response pairs into token-budget training
     sequences with loss-mask offsets (the SFT packing shape: prompt tokens
     are context-only, response tokens are supervised).
@@ -124,13 +139,27 @@ def sft_pack(df: DataFrame, budget: int) -> DataFrame:
     ``mask_ratio_pm`` accounting.
 
     The greedy walk, offsets, and per-chunk sums all happen in ONE
-    ``applyInPandas`` pass over the conversation group — the same
-    ``hashpartitioning(conv_id)`` the pairing window just used, so no
-    second shuffle; NULL response token counts pack at zero cost
+    ``applyInPandas`` pass; NULL response token counts pack at zero cost
     (supervising nothing) per the repo's per-row junk policy.
+
+    Grouping granularity — an explicit memory/overhead dial:
+
+    - ``n_buckets=None`` (default): one Arrow group per conversation.
+      Memory-safe unconditionally (a group is bounded by the
+      conversation's own pair count) but pays per-group Arrow overhead —
+      at 1M 16-row conversations that overhead IS the job (measured ~18x
+      the compute, BENCH/DIALOGUE.md).
+    - ``n_buckets=k``: conversations hash into ``k`` buckets
+      (``xxhash64``), one Arrow group per bucket, conversations processed
+      back-to-back inside the kernel with identical per-conv resets —
+      results are bucketing-invariant. Choose ``k`` so a bucket
+      (≈ pairs/k rows) fits executor memory; at 10^12 turns a FIXED k
+      does not — size it from the corpus, e.g. rows/256k.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if n_buckets is not None and n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -162,7 +191,11 @@ def sft_pack(df: DataFrame, budget: int) -> DataFrame:
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("prompt_idx", kind="mergesort")
+        # sort by (conv, prompt) so conversations are contiguous; with
+        # per-conversation groups the conv key is constant and this is
+        # the plain prompt_idx sort
+        pdf = pdf.sort_values(["conv_id", "prompt_idx"], kind="mergesort")
+        conv = pdf["conv_id"].to_numpy()
         p = pd.to_numeric(pdf["p_tok"], errors="coerce").fillna(0).to_numpy(np.int64)
         r = pd.to_numeric(pdf["r_tok"], errors="coerce").fillna(0).to_numpy(np.int64)
         ex = p + r
@@ -171,6 +204,8 @@ def sft_pack(df: DataFrame, budget: int) -> DataFrame:
         starts = np.empty(n, dtype=np.int64)
         acc, chunk = 0, 0
         for i in range(n):
+            if i > 0 and conv[i] != conv[i - 1]:
+                acc, chunk = 0, 0
             t = int(ex[i])
             if acc > 0 and acc + t > budget:
                 chunk += 1
@@ -178,24 +213,47 @@ def sft_pack(df: DataFrame, budget: int) -> DataFrame:
             starts[i] = acc
             acc += t
             chunks[i] = chunk
-        n_chunks = chunk + 1
-        chunk_tok = np.bincount(chunks, weights=ex, minlength=n_chunks).astype(np.int64)
-        sup_tok = np.bincount(chunks, weights=r, minlength=n_chunks).astype(np.int64)
-        with np.errstate(divide="ignore", invalid="ignore"):
+        # per-(conv, chunk) sums: conversations are contiguous, so a dense
+        # group id is the running count of (conv change | chunk change)
+        if n:
+            new_grp = np.empty(n, dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = (conv[1:] != conv[:-1]) | (chunks[1:] != chunks[:-1])
+            gid = np.cumsum(new_grp) - 1
+            n_grp = int(gid[-1]) + 1
+            chunk_tok = np.bincount(gid, weights=ex, minlength=n_grp).astype(np.int64)
+            sup_tok = np.bincount(gid, weights=r, minlength=n_grp).astype(np.int64)
             ratio = np.where(chunk_tok > 0, 1000 * sup_tok // np.maximum(chunk_tok, 1), 0)
+        else:
+            gid = np.empty(0, dtype=np.int64)
+            chunk_tok = sup_tok = ratio = np.empty(0, dtype=np.int64)
         return pd.DataFrame(
             {
-                "conv_id": pdf["conv_id"].to_numpy(),
+                "conv_id": conv,
                 "chunk_id": chunks,
                 "prompt_idx": pdf["prompt_idx"].to_numpy(np.int32),
                 "resp_idx": pd.to_numeric(pdf["resp_idx"]).to_numpy(np.int32),
                 "ex_start": starts,
                 "resp_start": starts + p,
                 "resp_end": starts + ex,
-                "chunk_tokens": chunk_tok[chunks],
-                "supervised_tokens": sup_tok[chunks],
-                "mask_ratio_pm": ratio[chunks].astype(np.int64),
+                "chunk_tokens": chunk_tok[gid],
+                "supervised_tokens": sup_tok[gid],
+                "mask_ratio_pm": ratio[gid].astype(np.int64),
             }
         )
 
-    return pairs.groupBy("conv_id").applyInPandas(_pack, schema=schema)
+    if n_buckets is None:
+        return pairs.groupBy("conv_id").applyInPandas(_pack, schema=schema)
+    bucketed = pairs.withColumn(
+        "_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
+    )
+    out_schema = T.StructType([T.StructField("_bucket", T.LongType())] + list(schema.fields))
+
+    def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _pack(pdf.drop(columns=["_bucket"]))
+        out.insert(0, "_bucket", pdf["_bucket"].iloc[0] if len(pdf) else 0)
+        return out
+
+    return bucketed.groupBy("_bucket").applyInPandas(_pack_bucket, schema=out_schema).drop(
+        "_bucket"
+    )

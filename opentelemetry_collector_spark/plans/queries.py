@@ -8206,12 +8206,16 @@ def q200_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences, each example carrying its chunk offsets, the supervised
     response span [resp_start, resp_end), and per-chunk mask accounting.
     The greedy walk + offsets + chunk sums run in ONE applyInPandas pass
-    per conversation (the pack_sequences kernel extended with the
-    accumulator's own prefix); the oracle replays the identical walk as a
-    recursive CTE (the Q42 technique) plus per-chunk window sums."""
+    (the pack_sequences kernel extended with the accumulator's own
+    prefix), here in the BUCKETED grouping mode (n_buckets=64 — many
+    conversations per Arrow group, per-conv resets inside the kernel;
+    bucketing-invariance vs the per-conversation mode is pytest-pinned
+    and the amortization measured in BENCH/DIALOGUE.md); the oracle
+    replays the identical walk as a recursive CTE (the Q42 technique)
+    plus per-chunk window sums."""
     from opentelemetry_collector_spark.operators.dialogue import sft_pack
 
-    return sft_pack(from_events(spark, sf_dir), budget=32)
+    return sft_pack(from_events(spark, sf_dir), budget=32, n_buckets=64)
 
 
 Q200_SQL = f"""{_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)},

@@ -162,3 +162,14 @@ def test_sft_pack_rejects_bad_budget(frame):
 
     with pytest.raises(ValueError):
         sft_pack(frame, budget=0)
+
+
+def test_sft_pack_bucketed_matches_per_conv(spark, frame):
+    from opentelemetry_collector_spark.operators.dialogue import sft_pack
+
+    base = sft_pack(frame, budget=5)
+    for k in (1, 2, 7):
+        b = sft_pack(frame, budget=5, n_buckets=k)
+        assert base.exceptAll(b).union(b.exceptAll(base)).count() == 0, k
+    with pytest.raises(ValueError):
+        sft_pack(frame, budget=5, n_buckets=0)
