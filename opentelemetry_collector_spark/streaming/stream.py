@@ -852,3 +852,176 @@ def _staleness_state_fn(scrape_interval_minutes: int):
             state.setTimeoutDuration(scrape_interval_minutes * 60 * 1000)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# streaming turn pairing (stateful prompt→response fencing)
+# ---------------------------------------------------------------------------
+
+PAIRS_SCHEMA = (
+    "conv_id string, prompt_idx int, prompt_text string, prompt_tokens bigint,"
+    " answered boolean, resp_idx int, resp_text string, resp_tokens bigint,"
+    " resp_tool string, latency_us bigint"
+)
+
+
+def pair_turns_stream(
+    df: DataFrame,
+    from_role: str = "user",
+    to_role: str = "assistant",
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Streaming twin of ``operators/dialogue.pair_turns``: stateful
+    prompt→response pairing over a live transcript stream via
+    ``applyInPandasWithState`` keyed on ``conv_id``.
+
+    Per-conversation state is ONE pending prompt (the newest ``from_role``
+    turn not yet answered or fenced) plus the processing frontier — O(1)
+    per conversation, unlike buffering turns. Decisions are emitted as
+    soon as they are causally final: a ``to_role`` turn answers the
+    pending prompt immediately; a new ``from_role`` turn fences the
+    pending one (emitted unanswered) and becomes pending itself; on
+    ``timeout_minutes`` of inactivity the pending prompt is emitted
+    unanswered and the conversation's state dropped (the conversation-
+    closed decision — same expiry discipline as :func:`dedup_redelivered`).
+
+    Exactness contract: on in-order delivery the emitted pairs equal the
+    batch operator's output row-for-row (pytest-pinned). Turns arriving
+    behind the frontier are refused per-row (the staleness-marker analog);
+    append mode cannot retract an already-emitted pair.
+
+    Arrow-batched per group: the batch's pairing decisions are vectorized
+    (searchsorted over the from/to turn indices), no per-row Python.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return df.groupBy("conv_id").applyInPandasWithState(
+        _pair_state_fn(from_role, to_role, timeout_minutes),
+        outputStructType=PAIRS_SCHEMA,
+        stateStructType="open_idx int, open_ts_us bigint, open_text string, frontier int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def _tok_count(text):
+    """Whitespace token count matching operators/text.token_count exactly:
+    NULL -> None, empty/whitespace-only -> 0, else \\s+ splits of trim."""
+    if text is None:
+        return None
+    stripped = text.strip()
+    return len(stripped.split()) if stripped else 0
+
+
+def _pair_state_fn(from_role: str, to_role: str, timeout_minutes: int):
+    """Per-conversation handler behind :func:`pair_turns_stream`,
+    module-level so the timeout branch is unit-testable."""
+    import numpy as np
+    import pandas as pd
+
+    out_cols = [
+        "conv_id",
+        "prompt_idx",
+        "prompt_text",
+        "prompt_tokens",
+        "answered",
+        "resp_idx",
+        "resp_text",
+        "resp_tokens",
+        "resp_tool",
+        "latency_us",
+    ]
+
+    def emit(conv, prompts, resps):
+        """prompts: list of (idx, ts_us, text); resps: matching list of
+        (idx, ts_us, text, tool) or None."""
+        rows = []
+        for (p_i, p_ts, p_txt), r in zip(prompts, resps):
+            if r is None:
+                rows.append((conv, p_i, p_txt, _tok_count(p_txt), False, None, None, None, None, None))
+            else:
+                r_i, r_ts, r_txt, r_tool = r
+                lat = r_ts - p_ts if (r_ts is not None and p_ts is not None) else None
+                rows.append(
+                    (conv, p_i, p_txt, _tok_count(p_txt), True, r_i, r_txt, _tok_count(r_txt), r_tool, lat)
+                )
+        df = pd.DataFrame(rows, columns=out_cols)
+        for c, dt in (
+            ("prompt_idx", "int32"),
+            ("resp_idx", "Int32"),
+            ("prompt_tokens", "Int64"),
+            ("resp_tokens", "Int64"),
+            ("latency_us", "Int64"),
+        ):
+            df[c] = df[c].astype(dt)
+        return df
+
+    def fn(key, pdfs, state):
+        conv = key[0]
+        if state.hasTimedOut:
+            open_idx, open_ts, open_text, _ = state.get
+            state.remove()
+            if open_idx is not None:
+                yield emit(conv, [(open_idx, open_ts, open_text)], [None])
+            return
+
+        open_idx, open_ts, open_text, frontier = (
+            state.get if state.exists else (None, None, None, -1)
+        )
+        for pdf in pdfs:
+            pdf = pdf[pdf["role"].isin([from_role, to_role])]
+            pdf = pdf[pdf["turn_idx"] > frontier].sort_values("turn_idx", kind="mergesort")
+            if not len(pdf):
+                continue
+            frontier = int(pdf["turn_idx"].max())
+            ts = pd.to_datetime(pdf["ts"])
+            # NaT refuses integer casts in pandas>=2; go through numpy
+            # (NaT -> int64 min) and mask to None per-row
+            tsv = np.where(
+                ts.isna().to_numpy(),
+                None,
+                ts.to_numpy("datetime64[us]").astype(np.int64),
+            ).astype(object)
+            idx = pdf["turn_idx"].to_numpy(np.int64)
+            is_from = (pdf["role"] == from_role).to_numpy()
+            texts = pdf["text"].to_numpy(object)
+            tools = pdf["tool"].to_numpy(object)
+
+            prompts = (
+                [] if open_idx is None else [(int(open_idx), open_ts, open_text)]
+            ) + [
+                (int(idx[i]), None if tsv[i] is None else int(tsv[i]), texts[i])
+                for i in np.flatnonzero(is_from)
+            ]
+            open_idx = open_ts = open_text = None
+            if prompts:
+                to_pos = np.flatnonzero(~is_from)
+                to_idx = idx[to_pos]
+                p_idx = np.asarray([p[0] for p in prompts], dtype=np.int64)
+                # first to_role turn strictly after each prompt (vectorized)
+                r_at = np.searchsorted(to_idx, p_idx, side="right")
+                outp, outr = [], []
+                for k, p in enumerate(prompts):
+                    fence = p_idx[k + 1] if k + 1 < len(p_idx) else None
+                    r = None
+                    if r_at[k] < len(to_idx):
+                        j = to_pos[r_at[k]]
+                        if fence is None or idx[j] < fence:
+                            r = (
+                                int(idx[j]),
+                                None if tsv[j] is None else int(tsv[j]),
+                                texts[j],
+                                tools[j],
+                            )
+                    if r is None and fence is None:
+                        # newest prompt with no answer yet: stays pending
+                        open_idx, open_ts, open_text = p
+                    else:
+                        outp.append(p)
+                        outr.append(r)
+                if outp:
+                    yield emit(conv, outp, outr)
+        state.update((open_idx, open_ts, open_text, frontier))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+
+    return fn

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pandas as pd
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -173,3 +175,72 @@ def test_sft_pack_bucketed_matches_per_conv(spark, frame):
         assert base.exceptAll(b).union(b.exceptAll(base)).count() == 0, k
     with pytest.raises(ValueError):
         sft_pack(frame, budget=5, n_buckets=0)
+
+
+def test_pair_turns_stream_parity(spark, frame, tmp_path):
+    """Streaming twin (applyInPandasWithState): on an in-order multi-batch
+    stream the emitted pairs equal batch pair_turns row-for-row, except
+    prompts still pending at stream end (no fence, no answer, no timeout)."""
+    from opentelemetry_collector_spark.streaming.stream import (
+        pair_turns_stream,
+        read_transcript_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    # split each conversation across two files at turn 2 — state (the
+    # pending prompt) must carry across micro-batches
+    frame.filter(F.col("turn_idx") < 2).coalesce(1).write.mode("append").parquet(landing)
+    frame.filter(F.col("turn_idx") >= 2).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = pair_turns_stream(
+        read_transcript_stream(spark, landing, max_files_per_trigger=1), "user", "assistant"
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pairs_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["conv_id"], r["prompt_idx"]): r.asDict()
+        for r in spark.sql("select * from pairs_out").collect()
+    }
+    batch = _by_prompt(pair_turns(frame, "user", "assistant"))
+    # c3/0 is the only prompt with no later turn at all: still pending
+    pending = {("c3", 0)}
+    assert set(got) == set(batch) - pending
+    for k, b in batch.items():
+        if k in pending:
+            continue
+        s = got[k]
+        for col in ("prompt_text", "prompt_tokens", "answered", "resp_idx",
+                    "resp_text", "resp_tokens", "latency_us"):
+            assert s[col] == b[col], (k, col, s[col], b[col])
+
+
+def test_pair_stream_timeout_emits_pending_unanswered():
+    """The expiry invocation emits the pending prompt as unanswered and
+    DROPS the conversation's state (no resurrection)."""
+    from opentelemetry_collector_spark.streaming.stream import _pair_state_fn
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        get = (5, 1_000_000, "still waiting", 9)
+
+        def __init__(self):
+            self.removed = False
+
+        def remove(self):
+            self.removed = True
+
+    st = FakeState()
+    out = list(_pair_state_fn("user", "assistant", 60)(("c9",), iter([]), st))
+    assert st.removed
+    assert len(out) == 1 and len(out[0]) == 1
+    row = out[0].iloc[0]
+    assert row["prompt_idx"] == 5 and not row["answered"]
+    assert row["prompt_tokens"] == 2 and row["resp_idx"] is None or row["resp_idx"] is pd.NA
