@@ -53,6 +53,11 @@ FUZZ_QUERIES = [
     "q66_sketch_rollup",
     "q180_prom_relabel",
     "q181_prom_staleness",
+    # round-4 dialogue pairing family (windows + recursive-CTE pack replay;
+    # the NULL-ts / tie-heavy tables hit the latency-NULL and fence paths)
+    "q198_sft_pairs",
+    "q199_tool_roundtrips",
+    "q200_sft_pack",
 ]
 
 SEEDS = [11, 23, 47, 89, 131]
