@@ -42,6 +42,7 @@ HEADLINE = [
     "q30_ann_ivf",
     "q63_ann_pq",
     "q65_semantic_dedup",
+    "q201_contrastive_negatives",
     "q76_cluster_balance",
     "q33_histogram_merge",
     "q34_memory_limiter",

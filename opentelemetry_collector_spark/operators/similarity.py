@@ -1072,3 +1072,76 @@ def pool_embeddings(
             lambda s: s["_m"],
         ).alias("centroid_micros"),
     )
+
+
+def contrastive_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k_hard: int = 5,
+    n_random: int = 3,
+    dup_milli: int = 950,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Negative mining for contrastive / embedding training (the data-prep
+    dual of :func:`cosine_topk`): per anchor, the ``k_hard`` most-similar
+    vectors below the near-duplicate bar (hard negatives — informative
+    because they are close) plus ``n_random`` deterministic random
+    negatives drawn md5-uniformly from the remaining pool (the easy
+    contrast). Vectors at or above ``dup_milli`` cosine-milli are excluded
+    from BOTH pools: a near-duplicate used as a negative is a false
+    negative that poisons the loss.
+
+    Output: (anchor_id, neighbor_id, kind 'hard'|'random', rank,
+    cos_milli). Deterministic end-to-end: cosine ties break on
+    neighbor_id, random picks are md5(anchor:neighbor) order — both
+    engine-replayable (the q16/q43 conventions).
+
+    Scale shape: anchors broadcast against the corpus scan (one pass
+    scores everything); both rank filters are ``row_number() <= k`` alone
+    in their window, so Spark rewrites them to Partial WindowGroupLimit —
+    each map task forwards at most k rows per anchor and the shuffle is
+    O(k x anchors), never corpus-sized. The hard-set anti-join is
+    (k_hard x anchors) rows — AQE broadcasts it.
+    """
+    if k_hard <= 0 or n_random < 0:
+        raise ValueError(f"k_hard must be positive, n_random non-negative: {k_hard}, {n_random}")
+    from opentelemetry_collector_spark.session import spread
+
+    c = spread(corpus).select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"))
+    q = anchors.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+        .filter(F.col("cos").isNotNull())
+        .withColumn("cos_milli", F.floor(F.col("cos") * 1000).cast("bigint"))
+        .filter(F.col("cos_milli") < F.lit(dup_milli))
+    )
+    w_hard = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    hard = (
+        scored.withColumn("rank", F.row_number().over(w_hard))
+        .filter(F.col("rank") <= k_hard)
+        .select("qid", "nid", "rank", "cos_milli")
+    )
+    pool = scored.join(hard.select("qid", "nid"), ["qid", "nid"], "left_anti")
+    md5_key = F.md5(
+        F.concat(F.col("qid").cast("string"), F.lit(":"), F.col("nid").cast("string"))
+    )
+    w_rnd = Window.partitionBy("qid").orderBy(md5_key.asc(), F.col("nid").asc())
+    rnd = (
+        pool.withColumn("rank", F.row_number().over(w_rnd))
+        .filter(F.col("rank") <= n_random)
+        .select("qid", "nid", "rank", "cos_milli")
+    )
+    out_cols = [
+        F.col("qid").alias("anchor_id"),
+        F.col("nid").alias("neighbor_id"),
+        F.col("kind"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("cos_milli"),
+    ]
+    return (
+        hard.withColumn("kind", F.lit("hard"))
+        .select(*out_cols)
+        .unionByName(rnd.withColumn("kind", F.lit("random")).select(*out_cols))
+    )

@@ -8267,6 +8267,53 @@ WINDOW ck AS (PARTITION BY conv_id, chunk)
 """
 
 
+def q201_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard + random negative mining for contrastive/embedding training
+    (operators/similarity.contrastive_negatives — the data-prep dual of
+    q16's top-k): per anchor the 5 most-similar vectors below the 950
+    cos-milli near-dup bar plus 3 md5-deterministic random negatives from
+    the remaining pool (near-dups excluded from BOTH pools — a near-dup
+    negative is a false negative). Anchors broadcast, rank filters are
+    Partial WindowGroupLimit, anti-join is anchor-sized. Oracle replays
+    the identical windows and md5 order."""
+    from opentelemetry_collector_spark.operators.similarity import contrastive_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return contrastive_negatives(emb, emb.filter(F.col("vec_id") < 5))
+
+
+Q201_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) > 0),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+s AS (SELECT q.vec_id AS qid, e.vec_id AS nid, list_cosine_similarity(q.v, e.v) AS c
+      FROM q JOIN e ON e.vec_id <> q.vec_id),
+f AS (SELECT qid, nid, c, CAST(floor(c * 1000) AS BIGINT) AS cm FROM s
+      WHERE c IS NOT NULL AND floor(c * 1000) < 950),
+h AS (SELECT qid, nid, cm, c,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rk
+      FROM f),
+hard AS (SELECT qid, nid, cm, rk FROM h WHERE rk <= 5),
+pool AS (SELECT f.qid, f.nid, f.cm FROM f
+         LEFT JOIN hard ON f.qid = hard.qid AND f.nid = hard.nid
+         WHERE hard.qid IS NULL),
+r AS (SELECT qid, nid, cm,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY md5(CAST(qid AS VARCHAR) || ':' || CAST(nid AS VARCHAR)), nid) AS rk
+      FROM pool)
+SELECT qid AS anchor_id, nid AS neighbor_id, 'hard' AS kind,
+       CAST(rk AS INTEGER) AS rank, cm AS cos_milli
+FROM hard
+UNION ALL
+SELECT qid AS anchor_id, nid AS neighbor_id, 'random' AS kind,
+       CAST(rk AS INTEGER) AS rank, cm AS cos_milli
+FROM r WHERE rk <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -8370,6 +8417,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q198_sft_pairs": q198_sft_pairs,
     "q199_tool_roundtrips": q199_tool_roundtrips,
     "q200_sft_pack": q200_sft_pack,
+    "q201_contrastive_negatives": q201_contrastive_negatives,
     "q90_log_templates": q90_log_templates,
     "q91_delta_to_cumulative": q91_delta_to_cumulative,
     "q92_split_metrics": q92_split_metrics,
@@ -8662,6 +8710,7 @@ ORACLES: dict[str, str] = {
     "q198_sft_pairs": Q198_SQL,
     "q199_tool_roundtrips": Q199_SQL,
     "q200_sft_pack": Q200_SQL,
+    "q201_contrastive_negatives": Q201_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -8806,6 +8855,7 @@ _PRIORITY: tuple[str, ...] = (
     "q198_sft_pairs",
     "q199_tool_roundtrips",
     "q200_sft_pack",
+    "q201_contrastive_negatives",
 )
 
 

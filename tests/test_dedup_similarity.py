@@ -950,3 +950,46 @@ def test_pool_embeddings_ragged_dims_average_per_position(spark):
     r = pool_embeddings(df, ["label"]).collect()[0]
     # pos 0 averages both vectors; pos 1 only the vector that has it
     assert r["centroid_micros"] == [3_000_000, 4_000_000]
+
+
+def test_contrastive_negatives_golden(spark):
+    """Hard/random negative mining: near-dup exclusion from both pools,
+    cosine-ranked hard picks, md5-deterministic random picks."""
+    import hashlib
+
+    from opentelemetry_collector_spark.operators.similarity import contrastive_negatives
+
+    rows = [
+        (0, [1.0, 0.0]),      # anchor
+        (10, [1.0, 0.001]),   # cos ~0.9999995 -> milli 999: near-dup, excluded
+        (11, [1.0, 1.0]),     # cos 0.7071 -> 707
+        (12, [0.0, 1.0]),     # cos 0 -> 0
+        (13, [-1.0, 0.0]),    # cos -1 -> -1000
+        (14, [1.0, 2.0]),     # cos 0.4472 -> 447
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = contrastive_negatives(
+        emb, emb.filter("vec_id = 0"), k_hard=2, n_random=1
+    ).collect()
+    got = {(r["kind"], r["rank"]): (r["neighbor_id"], r["cos_milli"]) for r in out}
+    assert got[("hard", 1)] == (11, 707)
+    assert got[("hard", 2)] == (14, 447)
+    # random pick: md5-lowest of the remaining pool {12, 13}
+    expect_rnd = min((hashlib.md5(f"0:{n}".encode()).hexdigest(), n) for n in (12, 13))[1]
+    assert got[("random", 1)][0] == expect_rnd
+    assert len(got) == 3  # near-dup 10 appears in NO pool
+
+
+def test_contrastive_negatives_plan_and_validation(spark):
+    from opentelemetry_collector_spark.operators.similarity import contrastive_negatives
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "vec_id bigint, embedding array<double>"
+    )
+    df = contrastive_negatives(emb, emb.filter("vec_id < 2"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # anchors broadcast against the scan; both rank filters map-side partial
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    with pytest.raises(ValueError):
+        contrastive_negatives(emb, emb, k_hard=0)

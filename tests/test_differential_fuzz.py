@@ -265,6 +265,9 @@ EMB_FUZZ_QUERIES = [
     "q65_semantic_dedup",
     "q76_cluster_balance",
     "q173_embedding_pool",
+    # round-4: negative mining (exact cosine + md5 picks; the planted
+    # exact/near duplicates exercise the dup-bar exclusion)
+    "q201_contrastive_negatives",
 ]
 
 
