@@ -244,3 +244,118 @@ def test_pair_stream_timeout_emits_pending_unanswered():
     row = out[0].iloc[0]
     assert row["prompt_idx"] == 5 and not row["answered"]
     assert row["prompt_tokens"] == 2 and row["resp_idx"] is None or row["resp_idx"] is pd.NA
+
+
+# ---------------------------------------------------------------------------
+# property-based: Spark operators vs pure-Python reference models
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HSETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_turn_st = st.lists(
+    st.tuples(
+        st.integers(0, 30),  # turn_idx (unique per conv)
+        st.sampled_from(["user", "assistant", "tool", "system"]),
+        st.one_of(st.none(), st.sampled_from(["", "a", "one two", "  x  y "])),
+    ),
+    min_size=1,
+    max_size=14,
+    unique_by=lambda r: r[0],
+)
+
+
+def _ref_pairs(turns, from_role="user", to_role="assistant"):
+    """Pure-Python model of pair_turns for one conversation."""
+    turns = sorted(turns)
+    out = []
+    for i, (idx, role, text) in enumerate(turns):
+        if role != from_role:
+            continue
+        fence = next((j for j, r, _ in turns[i + 1:] if r == from_role), None)
+        resp = next((t for t in turns[i + 1:] if t[1] == to_role), None)
+        answered = resp is not None and (fence is None or resp[0] < fence)
+        out.append((idx, text, answered, resp[0] if answered else None,
+                    resp[2] if answered else None))
+    return out
+
+
+def _ref_tok(text):
+    if text is None:
+        return None
+    s = text.strip()
+    return len(s.split()) if s else 0
+
+
+@given(convs=st.lists(_turn_st, min_size=1, max_size=3))
+@settings(**_HSETTINGS)
+def test_pair_turns_matches_python_model(spark, convs):
+    import datetime as dt
+
+    rows = [
+        (f"h{c}", idx, role, text, None, dt.datetime(2026, 1, 1) + dt.timedelta(seconds=idx))
+        for c, turns in enumerate(convs)
+        for idx, role, text in turns
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["conv_id"], r["prompt_idx"]): r
+        for r in pair_turns(df, "user", "assistant").collect()
+    }
+    expect = {}
+    for c, turns in enumerate(convs):
+        for idx, text, answered, r_idx, r_text in _ref_pairs(turns):
+            expect[(f"h{c}", idx)] = (text, answered, r_idx, r_text)
+    assert set(got) == set(expect)
+    for k, (text, answered, r_idx, r_text) in expect.items():
+        g = got[k]
+        assert g["prompt_text"] == text and g["answered"] == answered
+        assert g["resp_idx"] == r_idx and g["resp_text"] == r_text
+        assert g["prompt_tokens"] == _ref_tok(text)
+        assert g["resp_tokens"] == (_ref_tok(r_text) if answered else None)
+        # answered responses are exclusive and ordered: each belongs to
+        # exactly one prompt (the fence guarantees it)
+    resp_ids = [
+        (k[0], g["resp_idx"]) for k, g in got.items() if g["answered"]
+    ]
+    assert len(resp_ids) == len(set(resp_ids))
+
+
+@given(convs=st.lists(_turn_st, min_size=1, max_size=3), budget=st.integers(1, 8))
+@settings(**_HSETTINGS)
+def test_sft_pack_invariants(spark, convs, budget):
+    import datetime as dt
+
+    from opentelemetry_collector_spark.operators.dialogue import sft_pack
+
+    rows = [
+        (f"h{c}", idx, role, text, None, dt.datetime(2026, 1, 1) + dt.timedelta(seconds=idx))
+        for c, turns in enumerate(convs)
+        for idx, role, text in turns
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    packed = sft_pack(df, budget=budget).collect()
+    by_chunk = {}
+    for r in packed:
+        by_chunk.setdefault((r["conv_id"], r["chunk_id"]), []).append(r)
+    for (_, _), rs in by_chunk.items():
+        rs = sorted(rs, key=lambda r: r["prompt_idx"])
+        total = sum(r["resp_end"] - r["ex_start"] for r in rs)
+        # chunk accounting is internally consistent
+        assert all(r["chunk_tokens"] == total for r in rs)
+        assert all(0 <= r["supervised_tokens"] <= r["chunk_tokens"] for r in rs)
+        # budget respected unless a single oversized example owns the chunk
+        if total > budget:
+            assert len(rs) == 1
+        # offsets are contiguous: each example starts where the previous ended
+        pos = 0
+        for r in rs:
+            assert r["ex_start"] == pos
+            assert r["ex_start"] <= r["resp_start"] <= r["resp_end"]
+            pos = r["resp_end"]
