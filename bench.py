@@ -111,10 +111,12 @@ HEADLINE = [
     "q69_integrity_audit",
     "q70_log_dedup",
     "q71_rate_limit",
-    # dialogue turn pairing (transcripts table, r4)
+    # dialogue turn pairing + preference mining (transcripts table, r4)
     "q198_sft_pairs",
     "q199_tool_roundtrips",
     "q200_sft_pack",
+    "q202_preference_pairs",
+    "q203_best_of_n",
     # time-series regrid + trace analytics (events/transcripts tables)
     "q152_ohlc_downsample",
     "q155_ewma",

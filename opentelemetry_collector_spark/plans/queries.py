@@ -8314,6 +8314,168 @@ FROM r WHERE rk <= 3
 """
 
 
+def q202_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit preference mining (operators/preference.preference_pairs —
+    the reward-model / DPO data shape): among all answered responses to
+    the same prompt text across conversations, the best- and worst-scoring
+    under the deterministic heuristic reward (1000*tokens + alpha per
+    mille), margin > 0 guaranteed. One partial-aggregated groupBy on the
+    prompt key — chosen/rejected travel as max/min(struct) with the unique
+    (conv_id, prompt_idx) tiebreak, so a hot prompt collapses map-side.
+    Oracle replays the pairing CTE plus asc/desc row_number windows (an
+    independent derivation of the same argmax/argmin)."""
+    from opentelemetry_collector_spark.operators.dialogue import pair_turns
+    from opentelemetry_collector_spark.operators.preference import preference_pairs
+
+    return preference_pairs(pair_turns(from_events(spark, sf_dir), "user", "assistant"))
+
+
+# shared oracle text: answered user→assistant candidates with the heuristic
+# reward attached (the SQL twin of preference._candidates + response_reward)
+_PREF_CAND_SQL = r"""
+w AS (
+  SELECT conv_id, turn_idx, role, text,
+         min(CASE WHEN role = 'assistant' THEN turn_idx END)
+             OVER nxt AS r_idx,
+         min(CASE WHEN role = 'user' THEN turn_idx END)
+             OVER nxt AS nxt_u
+  FROM t
+  WINDOW nxt AS (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+p AS (
+  SELECT conv_id, turn_idx AS prompt_idx, text AS prompt_text,
+         CASE WHEN r_idx IS NOT NULL AND (nxt_u IS NULL OR r_idx < nxt_u)
+              THEN r_idx END AS resp_idx
+  FROM w WHERE role = 'user'),
+cand AS (
+  SELECT p.prompt_text, p.conv_id, p.prompt_idx, p.resp_idx, r.text AS resp_text,
+         CAST(CASE WHEN length(trim(r.text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(r.text), '\s+')) END
+              AS BIGINT) * 1000
+         + CAST(CASE WHEN length(r.text) > 0
+                     THEN floor(length(regexp_replace(r.text, '[^A-Za-z]', '', 'g')) * 1000.0
+                                / length(r.text))
+                     ELSE 0 END AS BIGINT) AS reward
+  FROM p JOIN t r ON r.conv_id = p.conv_id AND r.turn_idx = p.resp_idx
+  WHERE p.prompt_text IS NOT NULL AND r.text IS NOT NULL)"""
+
+
+Q202_SQL = f"""{_PRELUDE},
+{_PREF_CAND_SQL},
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY prompt_text
+                            ORDER BY reward DESC, conv_id DESC, prompt_idx DESC) AS hi,
+         row_number() OVER (PARTITION BY prompt_text
+                            ORDER BY reward ASC, conv_id ASC, prompt_idx ASC) AS lo,
+         count(*) OVER (PARTITION BY prompt_text) AS n_cands
+  FROM cand)
+SELECT c.prompt_text, CAST(c.n_cands AS BIGINT) AS n_cands,
+       c.conv_id AS chosen_conv, c.prompt_idx AS chosen_idx,
+       c.resp_idx AS chosen_resp_idx, c.resp_text AS chosen_text,
+       CAST(c.reward AS BIGINT) AS chosen_reward,
+       j.conv_id AS rejected_conv, j.prompt_idx AS rejected_idx,
+       j.resp_idx AS rejected_resp_idx, j.resp_text AS rejected_text,
+       CAST(j.reward AS BIGINT) AS rejected_reward,
+       CAST(c.reward - j.reward AS BIGINT) AS margin
+FROM rk c JOIN rk j ON j.prompt_text = c.prompt_text AND j.lo = 1
+WHERE c.hi = 1 AND c.reward > j.reward
+"""
+
+
+def q203_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n rejection sampling (operators/preference.best_of_n): per
+    prompt at most 4 candidates in deterministic md5 order (sampling blind
+    to the score — reward-ordered "sampling" would make every pool the
+    global argmax), then the best-rewarded survivor with the pool's reward
+    sum. The rank filter is a WindowGroupLimit and the argmax groupBy
+    reuses the window's hashpartitioning(prompt) — one exchange for the
+    whole operator. Oracle replays the identical md5 order and windows."""
+    from opentelemetry_collector_spark.operators.dialogue import pair_turns
+    from opentelemetry_collector_spark.operators.preference import best_of_n
+
+    return best_of_n(pair_turns(from_events(spark, sf_dir), "user", "assistant"), 4)
+
+
+Q203_SQL = f"""{_PRELUDE},
+{_PREF_CAND_SQL},
+s AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY prompt_text
+           ORDER BY md5(prompt_text || ':' || conv_id || ':' ||
+                        CAST(prompt_idx AS VARCHAR)),
+                    conv_id, prompt_idx) AS rk
+  FROM cand),
+b AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY prompt_text
+                            ORDER BY reward DESC, conv_id DESC, prompt_idx DESC) AS hi,
+         count(*) OVER (PARTITION BY prompt_text) AS n_sampled,
+         CAST(sum(reward) OVER (PARTITION BY prompt_text) AS BIGINT) AS reward_sum
+  FROM s WHERE rk <= 4)
+SELECT prompt_text, CAST(n_sampled AS BIGINT) AS n_sampled,
+       conv_id AS best_conv, prompt_idx AS best_idx, resp_idx AS best_resp_idx,
+       resp_text AS best_text, CAST(reward AS BIGINT) AS best_reward, reward_sum
+FROM b WHERE hi = 1
+"""
+
+
+def q204_channel_winrates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise win-rate ladder (operators/preference.win_rates): each
+    q202 preference pair credits the chosen conversation's channel with a
+    win over the rejected conversation's (broadcast conv_meta lookups, the
+    q05 enrichment dimension); per-competitor exact win_rate_ppm and rank
+    — the input a Bradley–Terry/Elo fit consumes. Pairs whose either side
+    is absent from the dimension, or whose channels tie, carry no
+    between-competitor information and drop. The rank window sorts only
+    the competitor-sized frame."""
+    from opentelemetry_collector_spark.operators.dialogue import pair_turns
+    from opentelemetry_collector_spark.operators.preference import (
+        preference_pairs,
+        win_rates,
+    )
+
+    prefs = preference_pairs(pair_turns(from_events(spark, sf_dir), "user", "assistant"))
+    return win_rates(prefs, conv_meta(spark, sf_dir))
+
+
+Q204_SQL = f"""{_PRELUDE},
+{_PREF_CAND_SQL},
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY prompt_text
+                            ORDER BY reward DESC, conv_id DESC, prompt_idx DESC) AS hi,
+         row_number() OVER (PARTITION BY prompt_text
+                            ORDER BY reward ASC, conv_id ASC, prompt_idx ASC) AS lo
+  FROM cand),
+pref AS (
+  SELECT c.conv_id AS chosen_conv, j.conv_id AS rejected_conv
+  FROM rk c JOIN rk j ON j.prompt_text = c.prompt_text AND j.lo = 1
+  WHERE c.hi = 1 AND c.reward > j.reward),
+mm AS (
+  SELECT wm.channel AS w, lm.channel AS l
+  FROM pref
+  JOIN m wm ON wm.conv_id = pref.chosen_conv
+  JOIN m lm ON lm.conv_id = pref.rejected_conv
+  WHERE wm.channel <> lm.channel),
+wins AS (SELECT w AS competitor, count(*) AS wins FROM mm GROUP BY w),
+losses AS (SELECT l AS competitor, count(*) AS losses FROM mm GROUP BY l),
+lad AS (
+  SELECT competitor,
+         CAST(coalesce(wins, 0) AS BIGINT) AS wins,
+         CAST(coalesce(losses, 0) AS BIGINT) AS losses
+  FROM wins FULL OUTER JOIN losses USING (competitor))
+SELECT competitor, wins, losses,
+       CAST(wins + losses AS BIGINT) AS bouts,
+       CAST((wins * 1000000) // (wins + losses) AS BIGINT) AS win_rate_ppm,
+       CAST(row_number() OVER (
+         ORDER BY (wins * 1000000) // (wins + losses) DESC, competitor)
+         AS INTEGER) AS rank
+FROM lad
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -8418,6 +8580,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q199_tool_roundtrips": q199_tool_roundtrips,
     "q200_sft_pack": q200_sft_pack,
     "q201_contrastive_negatives": q201_contrastive_negatives,
+    "q202_preference_pairs": q202_preference_pairs,
+    "q203_best_of_n": q203_best_of_n,
+    "q204_channel_winrates": q204_channel_winrates,
     "q90_log_templates": q90_log_templates,
     "q91_delta_to_cumulative": q91_delta_to_cumulative,
     "q92_split_metrics": q92_split_metrics,
@@ -8711,6 +8876,9 @@ ORACLES: dict[str, str] = {
     "q199_tool_roundtrips": Q199_SQL,
     "q200_sft_pack": Q200_SQL,
     "q201_contrastive_negatives": Q201_SQL,
+    "q202_preference_pairs": Q202_SQL,
+    "q203_best_of_n": Q203_SQL,
+    "q204_channel_winrates": Q204_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -8856,6 +9024,9 @@ _PRIORITY: tuple[str, ...] = (
     "q199_tool_roundtrips",
     "q200_sft_pack",
     "q201_contrastive_negatives",
+    "q202_preference_pairs",
+    "q203_best_of_n",
+    "q204_channel_winrates",
 )
 
 

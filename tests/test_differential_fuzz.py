@@ -58,6 +58,11 @@ FUZZ_QUERIES = [
     "q198_sft_pairs",
     "q199_tool_roundtrips",
     "q200_sft_pack",
+    # round-4 preference family (argmax/argmin structs vs row_number
+    # windows; NULL-riddled tables hit the candidate-disqualification paths)
+    "q202_preference_pairs",
+    "q203_best_of_n",
+    "q204_channel_winrates",
 ]
 
 SEEDS = [11, 23, 47, 89, 131]

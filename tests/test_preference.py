@@ -1,0 +1,216 @@
+"""Preference-learning data prep (operators/preference.py): implicit
+(chosen, rejected) pair mining, best-of-n rejection sampling, and the
+pairwise win-rate ladder — hand-written goldens covering tie-break
+determinism, the uninformative-prompt drops, NULL candidate policy, the
+md5 sampling order, and plan assertions pinning the partial-agg no-join
+shapes."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opentelemetry_collector_spark.operators.preference import (
+    best_of_n,
+    preference_pairs,
+    response_reward,
+    win_rates,
+)
+
+# pair_turns output shape (the columns preference._candidates consumes)
+PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("prompt_idx", T.IntegerType()),
+        T.StructField("prompt_text", T.StringType()),
+        T.StructField("answered", T.BooleanType()),
+        T.StructField("resp_idx", T.IntegerType()),
+        T.StructField("resp_text", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    rows = [
+        # "p1": three candidates with distinct rewards.
+        #   "alpha beta gamma" -> 3 tok, all alpha (ignoring spaces 14/16
+        #   chars alpha -> 875pm) reward 3875
+        #   "ok"               -> 1 tok, 1000pm          reward 2000
+        #   "12345"            -> 1 tok, 0pm             reward 1000
+        ("c1", 0, "p1", True, 1, "alpha beta gamma"),
+        ("c2", 0, "p1", True, 1, "ok"),
+        ("c3", 0, "p1", True, 1, "12345"),
+        # "p2": two candidates with EQUAL rewards -> uninformative, dropped
+        # by preference_pairs; best_of_n still picks the (conv_id desc) max.
+        ("c1", 2, "p2", True, 3, "same"),
+        ("c2", 2, "p2", True, 3, "same"),
+        # "p3": single candidate -> dropped by preference_pairs.
+        ("c3", 2, "p3", True, 3, "only one here"),
+        # junk: unanswered, NULL response, NULL prompt -> never candidates.
+        ("c4", 0, "p1", False, None, None),
+        ("c4", 2, "p1", True, 3, None),
+        ("c4", 4, None, True, 5, "orphan prompt"),
+    ]
+    return spark.createDataFrame(rows, PAIRS_SCHEMA).cache()
+
+
+def test_reward_golden(spark):
+    df = spark.createDataFrame(
+        [("alpha beta gamma",), ("ok",), ("12345",), ("",), ("  ",)], "t: string"
+    ).select(response_reward(F.col("t")).alias("r"))
+    assert [r["r"] for r in df.collect()] == [3875, 2000, 1000, 0, 0]
+
+
+def test_preference_pairs_golden(pairs):
+    out = {r["prompt_text"]: r.asDict() for r in preference_pairs(pairs).collect()}
+    assert set(out) == {"p1"}  # p2 zero-margin, p3 single-candidate: dropped
+    p1 = out["p1"]
+    assert p1["n_cands"] == 3
+    assert (p1["chosen_conv"], p1["chosen_text"], p1["chosen_reward"]) == (
+        "c1",
+        "alpha beta gamma",
+        3875,
+    )
+    assert (p1["rejected_conv"], p1["rejected_text"], p1["rejected_reward"]) == (
+        "c3",
+        "12345",
+        1000,
+    )
+    assert p1["margin"] == 2875
+    assert p1["chosen_resp_idx"] == 1 and p1["rejected_resp_idx"] == 1
+
+
+def test_tie_breaks_are_deterministic(spark):
+    # equal rewards everywhere: chosen = max (conv_id, prompt_idx),
+    # rejected = min — but margin 0 means the pair is dropped; assert via
+    # best_of_n (which keeps the argmax regardless of margin).
+    rows = [
+        ("a", 0, "p", True, 1, "same"),
+        ("b", 0, "p", True, 1, "same"),
+        ("b", 2, "p", True, 3, "same"),
+    ]
+    df = spark.createDataFrame(rows, PAIRS_SCHEMA)
+    assert preference_pairs(df).count() == 0
+    best = best_of_n(df, 3).collect()[0]
+    assert (best["best_conv"], best["best_idx"]) == ("b", 2)
+
+
+def _md5_rank(prompt: str, cands: list[tuple[str, int]]) -> list[tuple[str, int]]:
+    """The operator's documented sampling order, recomputed independently."""
+    return sorted(
+        cands,
+        key=lambda c: (
+            hashlib.md5(f"{prompt}:{c[0]}:{c[1]}".encode()).hexdigest(),
+            c[0],
+            c[1],
+        ),
+    )
+
+
+def test_best_of_n_md5_sampling(pairs):
+    # n=2 over p1's three candidates: the sampled pool is the first two in
+    # md5 order (blind to reward), the winner the best-rewarded of THOSE.
+    sampled = _md5_rank("p1", [("c1", 0), ("c2", 0), ("c3", 0)])[:2]
+    rewards = {("c1", 0): 3875, ("c2", 0): 2000, ("c3", 0): 1000}
+    expect_best = max(sampled, key=lambda c: (rewards[c], c))
+    out = {r["prompt_text"]: r.asDict() for r in best_of_n(pairs, 2).collect()}
+    p1 = out["p1"]
+    assert p1["n_sampled"] == 2
+    assert (p1["best_conv"], p1["best_idx"]) == expect_best
+    assert p1["reward_sum"] == sum(rewards[c] for c in sampled)
+    # n >= pool keeps everything and the global argmax wins
+    all_out = {r["prompt_text"]: r.asDict() for r in best_of_n(pairs, 10).collect()}
+    assert all_out["p1"]["n_sampled"] == 3
+    assert all_out["p1"]["best_conv"] == "c1"
+    assert all_out["p1"]["reward_sum"] == 6875
+    assert set(all_out) == {"p1", "p2", "p3"}  # zero-margin prompts still yield
+
+
+def test_best_of_n_rejects_bad_n(pairs):
+    with pytest.raises(ValueError):
+        best_of_n(pairs, 0)
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    rows = [("c1", "web"), ("c2", "api"), ("c3", "web"), ("c5", "mobile")]
+    return spark.createDataFrame(rows, "conv_id: string, channel: string")
+
+
+def test_win_rates_golden(spark, dim):
+    prefs = spark.createDataFrame(
+        [
+            ("c1", "c2"),  # web beats api
+            ("c2", "c3"),  # api beats web
+            ("c1", "c3"),  # web vs web: same competitor, dropped
+            ("c1", "c9"),  # rejected side not in dim: dropped
+            ("c5", "c1"),  # mobile beats web
+        ],
+        "chosen_conv: string, rejected_conv: string",
+    )
+    out = {r["competitor"]: r.asDict() for r in win_rates(prefs, dim).collect()}
+    assert out["mobile"] == {
+        "competitor": "mobile", "wins": 1, "losses": 0, "bouts": 1,
+        "win_rate_ppm": 1000000, "rank": 1,
+    }
+    assert out["api"]["wins"] == 1 and out["api"]["losses"] == 1
+    assert out["api"]["win_rate_ppm"] == 500000 and out["api"]["rank"] == 2
+    # web: 1 win (over api), 2 losses (api, mobile) -> floor(1e6/3)
+    assert out["web"]["wins"] == 1 and out["web"]["losses"] == 2
+    assert out["web"]["win_rate_ppm"] == 333333 and out["web"]["rank"] == 3
+
+
+def test_win_rates_all_loss_competitor_appears(spark, dim):
+    prefs = spark.createDataFrame(
+        [("c1", "c5"), ("c2", "c5")], "chosen_conv: string, rejected_conv: string"
+    )
+    out = {r["competitor"]: r.asDict() for r in win_rates(prefs, dim).collect()}
+    assert out["mobile"]["wins"] == 0 and out["mobile"]["losses"] == 2
+    assert out["mobile"]["win_rate_ppm"] == 0
+
+
+def test_plan_preference_pairs_partial_agg_no_join(pairs):
+    plan = preference_pairs(pairs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    # map-side combine: a partial max/min aggregate runs BEFORE the exchange
+    pre = plan.split("Exchange")[1]
+    assert "partial_max" in pre and "partial_min" in pre
+
+
+def test_plan_best_of_n_one_exchange_group_limit(pairs):
+    plan = best_of_n(pairs, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "WindowGroupLimit" in plan
+    # the argmax groupBy reuses the window's hashpartitioning(prompt_text)
+    assert plan.count("Exchange") == 1
+
+
+def test_composes_with_pair_turns(spark):
+    """End-to-end over real pair_turns output (the q202 composition)."""
+    from opentelemetry_collector_spark.operators.dialogue import pair_turns
+
+    rows = [
+        ("k1", 0, "user", "what is up", None, None),
+        ("k1", 1, "assistant", "много words here", None, None),
+        ("k2", 0, "user", "what is up", None, None),
+        ("k2", 1, "assistant", "ok", None, None),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampNTZType()),
+        ]
+    )
+    prefs = preference_pairs(pair_turns(spark.createDataFrame(rows, schema), "user", "assistant"))
+    row = prefs.collect()[0]
+    assert row["chosen_conv"] == "k1" and row["rejected_conv"] == "k2"
+    assert row["margin"] > 0
