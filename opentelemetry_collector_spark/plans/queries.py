@@ -8476,6 +8476,96 @@ FROM lad
 """
 
 
+def q205_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY at corpus scale — the missing half of q95's BPE
+    story: train 4 merges (one scan into the word-freq frame, driver top-1
+    per round — operators/bpe.bpe_train), then segment every document
+    under the learned vocab (operators/bpe.bpe_token_count_trained). The
+    merges compile into literal replace chains — a broadcast-free
+    whole-stage-codegen projection, so the apply side is one scan with NO
+    shuffle and NO Python (the plan a 10^12-token tokenization job needs).
+    Per doc: word count, pre-merge symbol count (chars + end marks),
+    trained-BPE token count, and the exact compression per-mille. NULL
+    text propagates NULL counts (junk policy). Oracle retrains the merges
+    via the q95 four-round SQL chain and replays the identical
+    left-to-right replace application per document."""
+    from opentelemetry_collector_spark.operators.bpe import (
+        WORD_PAT,
+        bpe_token_count_trained,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, n_merges=4)
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_PAT), 0)
+    base_syms = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w) + 1
+    )
+    bpe = bpe_token_count_trained(F.col("text"), merges)
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        base_syms.alias("base_syms"),
+        bpe.alias("bpe_tokens"),
+        F.when(
+            base_syms > 0, F.floor(bpe * F.lit(1000.0) / base_syms)
+        ).otherwise(F.when(base_syms.isNotNull(), F.lit(0)))
+        .cast("bigint")
+        .alias("compression_pm"),
+    )
+
+
+# the q95 training chain (wf .. b4) retrained verbatim, then applied per doc
+_Q205_TRAIN = Q95_SQL[Q95_SQL.index("WITH wf") : Q95_SQL.index("SELECT 1 AS merge_rank")]
+
+Q205_SQL = f"""{_Q205_TRAIN.rstrip()},
+docw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents),
+wrapped AS (
+  SELECT doc_id,
+         '<' || array_to_string(list_append(regexp_extract_all(word, '.'), '_'), '><') || '>' AS sym,
+         length(word) + 1 AS nsym
+  FROM docw),
+a1 AS (SELECT doc_id, nsym,
+              replace(sym, '<' || b.lhs || '><' || b.rhs || '>',
+                           '<' || b.lhs || b.rhs || '>') AS sym
+       FROM wrapped, b1 b),
+a2 AS (SELECT doc_id, nsym,
+              replace(sym, '<' || b.lhs || '><' || b.rhs || '>',
+                           '<' || b.lhs || b.rhs || '>') AS sym
+       FROM a1, b2 b),
+a3 AS (SELECT doc_id, nsym,
+              replace(sym, '<' || b.lhs || '><' || b.rhs || '>',
+                           '<' || b.lhs || b.rhs || '>') AS sym
+       FROM a2, b3 b),
+a4 AS (SELECT doc_id, nsym,
+              replace(sym, '<' || b.lhs || '><' || b.rhs || '>',
+                           '<' || b.lhs || b.rhs || '>') AS sym
+       FROM a3, b4 b),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(SUM(nsym) AS BIGINT) AS base_syms,
+         CAST(SUM(len(string_split(substr(sym, 2, length(sym) - 2), '><'))) AS BIGINT)
+           AS bpe_tokens
+  FROM a4 GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(p.n_words, 0) END AS n_words,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(p.base_syms, 0) END AS base_syms,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(p.bpe_tokens, 0) END AS bpe_tokens,
+       CASE WHEN d.text IS NULL THEN NULL
+            WHEN coalesce(p.base_syms, 0) > 0
+              THEN CAST(floor(p.bpe_tokens * 1000.0 / p.base_syms) AS BIGINT)
+            ELSE 0 END AS compression_pm
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -8583,6 +8673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q202_preference_pairs": q202_preference_pairs,
     "q203_best_of_n": q203_best_of_n,
     "q204_channel_winrates": q204_channel_winrates,
+    "q205_bpe_encode": q205_bpe_encode,
     "q90_log_templates": q90_log_templates,
     "q91_delta_to_cumulative": q91_delta_to_cumulative,
     "q92_split_metrics": q92_split_metrics,
@@ -8879,6 +8970,7 @@ ORACLES: dict[str, str] = {
     "q202_preference_pairs": Q202_SQL,
     "q203_best_of_n": Q203_SQL,
     "q204_channel_winrates": Q204_SQL,
+    "q205_bpe_encode": Q205_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -9027,6 +9119,7 @@ _PRIORITY: tuple[str, ...] = (
     "q202_preference_pairs",
     "q203_best_of_n",
     "q204_channel_winrates",
+    "q205_bpe_encode",
 )
 
 

@@ -110,3 +110,25 @@ def test_segment_is_pure_projection(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_encode_null_and_empty_text_policy(spark):
+    """The q205 per-doc encode contract: NULL text -> NULL counts (junk
+    policy), empty/wordless text -> zeros with compression_pm 0."""
+    from opentelemetry_collector_spark.plans.queries import q205_bpe_encode
+
+    d = spark.createDataFrame(
+        [(0, "low lower", "en", "s", 9), (1, "", "en", "s", 0),
+         (2, None, "en", "s", 0), (3, "12 34!", "en", "s", 6)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        d.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["doc_id"]: r.asDict() for r in q205_bpe_encode(spark, td).collect()}
+    assert out[0]["n_words"] == 2 and out[0]["base_syms"] == 10  # low_=4 + lower_=6
+    assert out[2] == {"doc_id": 2, "n_words": None, "base_syms": None,
+                      "bpe_tokens": None, "compression_pm": None}
+    for did in (1, 3):
+        assert out[did]["n_words"] == 0 and out[did]["bpe_tokens"] == 0
+        assert out[did]["compression_pm"] == 0

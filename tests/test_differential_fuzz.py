@@ -187,6 +187,9 @@ DOC_FUZZ_QUERIES = [
     "q19_minhash_lsh",
     "q20_simhash_neardup",
     "q84_classifier_train",
+    # round-4: trained-BPE apply — merges retrained per corpus in both
+    # engines, then the replace-chain application must agree per doc
+    "q205_bpe_encode",
 ]
 
 _WORDS = [
