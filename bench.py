@@ -2873,6 +2873,213 @@ below ~10^8-turn single conversations.
     print(json.dumps(results), flush=True)
 
 
+def run_pref_scale(rows_millions: float = 40.0) -> None:
+    """Preference-mining cost structure (operators/preference.py): on a
+    deterministic executor-generated candidate corpus (pair_turns output
+    shape, unique (conv_id, prompt_idx) per row), measure
+    preference_pairs — the partial-aggregated max/min(struct) formulation
+    — against the row_number-window formulation of the SAME result (the
+    oracle's shape: two sorted windows over the full candidate frame + a
+    self-join) at TWO prompt distributions: uniform (100k distinct
+    prompts) and hot-skew (ONE prompt owning ~25% of all candidates — the
+    "same question asked 10^9 times" reality of a web-scale corpus).
+    The struct aggregate collapses the hot prompt map-side (partial
+    max/min per task); the window must sort the whole hot partition in
+    one task. Equality asserted via exceptAll both directions. Also
+    measures best_of_n absolute cost (WindowGroupLimit sample + argmax
+    riding one exchange). Writes BENCH/PREFERENCE.md + pref_scale.json.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.preference import (
+        best_of_n,
+        preference_pairs,
+    )
+    from opentelemetry_collector_spark.session import build_session
+
+    n = int(rows_millions * 1_000_000)
+    spark = build_session(app_name="otelcol-pref-scale")
+
+    def fixture(n_rows, n_prompts, hot_pm=0):
+        # unique (conv_id, prompt_idx) per id -> deterministic tie-breaks
+        hot = F.pmod(F.xxhash64("id"), F.lit(1000)) < hot_pm
+        pid = F.when(hot, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64("id", F.lit(7)), F.lit(n_prompts))
+        )
+        return spark.range(n_rows).select(
+            F.concat(F.lit("c"), F.floor(F.col("id") / 1000).cast("string")).alias(
+                "conv_id"
+            ),
+            (F.col("id") % 1000).cast("int").alias("prompt_idx"),
+            F.concat(F.lit("prompt "), pid.cast("string")).alias("prompt_text"),
+            F.lit(True).alias("answered"),
+            F.lit(1).alias("resp_idx"),
+            F.concat(
+                F.lit("resp word "),
+                F.pmod(F.xxhash64("id", F.lit(13)), F.lit(997)).cast("string"),
+            ).alias("resp_text"),
+        )
+
+    def windowform(pairs):
+        """The oracle's shape: full-frame sorts + self-join."""
+        from opentelemetry_collector_spark.operators.preference import _candidates
+
+        cand = _candidates(pairs, "prompt_text", None)
+        w_hi = Window.partitionBy("prompt_text").orderBy(
+            F.desc("reward"), F.desc("conv_id"), F.desc("prompt_idx")
+        )
+        w_lo = Window.partitionBy("prompt_text").orderBy(
+            "reward", "conv_id", "prompt_idx"
+        )
+        r = cand.select(
+            "*",
+            F.row_number().over(w_hi).alias("_hi"),
+            F.row_number().over(w_lo).alias("_lo"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("prompt_text"))
+            .cast("bigint")
+            .alias("n_cands"),
+        )
+        ch = r.filter(F.col("_hi") == 1)
+        rj = r.filter(F.col("_lo") == 1).select(
+            F.col("prompt_text").alias("_pt"),
+            F.col("conv_id").alias("rejected_conv"),
+            F.col("prompt_idx").alias("rejected_idx"),
+            F.col("resp_idx").alias("rejected_resp_idx"),
+            F.col("resp_text").alias("rejected_text"),
+            F.col("reward").alias("rejected_reward"),
+        )
+        return (
+            ch.join(rj, ch["prompt_text"] == rj["_pt"])
+            .filter(F.col("reward") > F.col("rejected_reward"))
+            .select(
+                "prompt_text",
+                "n_cands",
+                F.col("conv_id").alias("chosen_conv"),
+                F.col("prompt_idx").alias("chosen_idx"),
+                F.col("resp_idx").alias("chosen_resp_idx"),
+                F.col("resp_text").alias("chosen_text"),
+                F.col("reward").alias("chosen_reward"),
+                "rejected_conv",
+                "rejected_idx",
+                "rejected_resp_idx",
+                "rejected_text",
+                "rejected_reward",
+                (F.col("reward") - F.col("rejected_reward")).cast("bigint").alias("margin"),
+            )
+        )
+
+    def best3(mk_a, mk_b):
+        ta, tb = [], []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            mk_a().write.format("noop").mode("overwrite").save()
+            ta.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            mk_b().write.format("noop").mode("overwrite").save()
+            tb.append(time.perf_counter() - t0)
+        return round(min(ta), 3), round(min(tb), 3)
+
+    try:
+        # warm the worker pool (run_default protocol)
+        spark.range(0, 1024, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
+
+        uni = fixture(n, 100_000)
+        uni.write.format("noop").mode("overwrite").save()
+        agg_u, win_u = best3(lambda: preference_pairs(uni), lambda: windowform(uni))
+        a = preference_pairs(uni)
+        b = windowform(uni)
+        mm_u = a.exceptAll(b).union(b.exceptAll(a)).count()
+        n_prompts_out = a.count()
+
+        hot = fixture(n, 100_000, hot_pm=250)
+        hot.write.format("noop").mode("overwrite").save()
+        agg_h, win_h = best3(lambda: preference_pairs(hot), lambda: windowform(hot))
+        ah = preference_pairs(hot)
+        bh = windowform(hot)
+        mm_h = ah.exceptAll(bh).union(bh.exceptAll(ah)).count()
+
+        bo = 9e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            best_of_n(uni, 8).write.format("noop").mode("overwrite").save()
+            bo = min(bo, time.perf_counter() - t0)
+        bo = round(bo, 3)
+
+        results = {
+            "candidates": n,
+            "n_prompts": 100_000,
+            "uniform_agg_sec": agg_u,
+            "uniform_window_sec": win_u,
+            "uniform_speedup": round(win_u / agg_u, 2),
+            "uniform_mismatch_rows": int(mm_u),
+            "informative_prompts": int(n_prompts_out),
+            "hot_share_pm": 250,
+            "hot_agg_sec": agg_h,
+            "hot_window_sec": win_h,
+            "hot_speedup": round(win_h / agg_h, 2),
+            "hot_mismatch_rows": int(mm_h),
+            "best_of_8_sec": bo,
+        }
+    finally:
+        spark.stop()
+
+    md = f"""# BENCH/PREFERENCE.md — preference-mining cost structure
+
+`python bench.py --pref-scale` on a deterministic executor-generated
+candidate corpus ({n:,} answered prompt->response rows, pair_turns output
+shape, unique (conv_id, prompt_idx) identity). Interleaved best-of-3, one
+session, worker pool pre-warmed (the run_default noise protocol).
+
+## struct-aggregate vs row_number-window formulation
+
+Both compute the identical (chosen, rejected) result (exceptAll both
+directions: {results['uniform_mismatch_rows']} / {results['hot_mismatch_rows']}
+mismatching rows). The shipped operator aggregates max/min(struct) with the
+tiebreak embedded; the alternative (the oracle's shape) ranks the full
+candidate frame with two sorted windows and self-joins the rank-1 rows.
+
+| prompt distribution | struct agg | window+join | speedup |
+|---|---|---|---|
+| uniform, 100k prompts | {results['uniform_agg_sec']} s | {results['uniform_window_sec']} s | {results['uniform_speedup']}x |
+| hot: ONE prompt owns 25% | {results['hot_agg_sec']} s | {results['hot_window_sec']} s | {results['hot_speedup']}x |
+
+The skew row is the design argument: the aggregate collapses the hot
+prompt MAP-SIDE (each task emits one partial max/min struct, the shuffle
+carries ~tasks x 1 row for the hot key), while the window formulation
+must materialize and SORT the whole hot partition in a single task —
+the classic reducer hot spot, and it cannot be salted without breaking
+rank semantics. At 10^12 turns the hot prompt ("hi", "thanks", the
+empty-ish boilerplate prompts of a real assistant corpus) is the rule,
+not the edge case: the struct-agg plan is the only shape that survives.
+
+## best_of_n absolute cost
+
+best_of_n(8) over the uniform corpus: **{results['best_of_8_sec']} s**
+({n:,} candidates -> 8-cap md5 pools -> argmax). The sampling rank is a
+Partial WindowGroupLimit (per-task top-8 before the shuffle) and the
+argmax groupBy reuses the window's hashpartitioning(prompt_text):
+one exchange end-to-end (plan-asserted in test_preference).
+best_of_n's window IS subject to the hot-partition bound above; its
+WindowGroupLimit makes the sort input per task at most 8 rows per
+prompt seen by that task, which is what keeps the hot prompt harmless
+here too.
+
+Informative prompts emitted (margin>0): {results['informative_prompts']:,}
+of 100k.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "PREFERENCE.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "pref_scale.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -2893,6 +3100,7 @@ if __name__ == "__main__":
     ap.add_argument("--ts-scale", action="store_true")
     ap.add_argument("--alert-scale", action="store_true")
     ap.add_argument("--dialogue-scale", action="store_true")
+    ap.add_argument("--pref-scale", action="store_true")
     ap.add_argument("--n-low", type=int, default=4)
     ap.add_argument("--n-high", type=int, default=16)
     ap.add_argument("--rows-millions", type=float, default=160.0)
@@ -2933,5 +3141,7 @@ if __name__ == "__main__":
         run_alert_scale(min(args.rows_millions, 40.0))
     elif args.dialogue_scale:
         run_dialogue_scale(min(args.rows_millions, 40.0))
+    elif args.pref_scale:
+        run_pref_scale(min(args.rows_millions, 40.0))
     else:
         run_default()
