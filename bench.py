@@ -240,9 +240,14 @@ def _diff_against_previous(per_query: dict[str, float], sf: str) -> None:
                 prev = json.load(f)
         except Exception:
             prev = None
+    if prev and prev.get("sf") != sf:
+        # a dev run at another scale factor must NOT clobber the tracked
+        # baseline (an sf0.001 smoke run once replaced the sf0.1 snapshot
+        # and silently disabled the regression gate for a round)
+        return
     with open(snap_path, "w") as f:
         json.dump({"sf": sf, "queries": per_query}, f, indent=1, sort_keys=True)
-    if not prev or prev.get("sf") != sf:
+    if not prev:
         return
     deltas = []
     for name, now in per_query.items():
