@@ -475,6 +475,77 @@ def service_graph(
     )
 
 
+def span_selftime(
+    spans: DataFrame,
+    *,
+    trace_col: str = "trace_id",
+    span_col: str = "span_id",
+    parent_col: str = "parent_span_id",
+    service_col: str = "service_name",
+    name_col: str = "name",
+    duration_col: str = "duration_us",
+) -> DataFrame:
+    """Flame-graph self-time profile from a flattened span frame: one row
+    per (service, operation) with span count, total duration, exclusive
+    self-time (duration minus the sum of direct children's durations,
+    clamped at zero), and each row's share of corpus-wide self-time.
+
+    This is the "where does the time actually go" aggregation an APM
+    backend derives from the spans the reference transports — the
+    exclusive-time complement of :func:`service_graph`'s edge topology
+    (same CHILD_OF relation, ``traces_to_jaegerproto.go:274-332``).
+    Clamping: async/overlapping children can sum past the parent's wall
+    time; standard flame-graph semantics floor the parent's exclusive
+    time at zero, and ``n_clamped`` reports how often (the signal that a
+    corpus is async-heavy and wall-time attribution is approximate).
+
+    Physical shape: ONE partial-aggregated groupBy reduces the corpus to
+    per-(trace, parent) child sums — the shuffle carries one row per
+    parent span, never the span corpus — then one equi-join keyed
+    ``(trace, span_id)`` (AQE-sizable like service_graph's) and one
+    partial-aggregated groupBy over the labels. The share window sorts
+    only the label-cardinality output frame. NULL durations contribute
+    zero but still count as spans (junk policy: a clockless span exists,
+    its time is unknown).
+    """
+    dur0 = F.coalesce(F.col(duration_col), F.lit(0)).cast("bigint")
+    child_sums = (
+        spans.filter(F.col(parent_col).isNotNull())
+        .groupBy(
+            F.col(trace_col).alias("_t"), F.col(parent_col).alias("_p")
+        )
+        .agg(F.sum(dur0).cast("bigint").alias("_child_us"))
+    )
+    joined = spans.select(
+        F.col(trace_col).alias("_t"),
+        F.col(span_col).alias("_p"),
+        F.col(service_col).alias("service"),
+        F.col(name_col).alias("op"),
+        dur0.alias("_dur"),
+    ).join(child_sums, ["_t", "_p"], "left")
+    raw_self = F.col("_dur") - F.coalesce(F.col("_child_us"), F.lit(0))
+    per_label = joined.groupBy("service", "op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum((raw_self < 0).cast("bigint")).cast("bigint").alias("n_clamped"),
+        F.sum("_dur").cast("bigint").alias("total_us"),
+        F.sum(F.greatest(raw_self, F.lit(0))).cast("bigint").alias("self_us"),
+    )
+    # integer `div` (truncating; exact — all operands non-negative), never a
+    # double quotient: 1000*self can exceed 2^53 at corpus scale
+    return (
+        per_label.withColumn(
+            "_tot", F.sum("self_us").over(Window.partitionBy())
+        )
+        .withColumn(
+            "self_share_pm",
+            F.expr(
+                "CASE WHEN _tot > 0 THEN (self_us * 1000) div _tot ELSE 0 END"
+            ).cast("bigint"),
+        )
+        .drop("_tot")
+    )
+
+
 def robust_anomalies(
     df: DataFrame,
     keys: list[str],

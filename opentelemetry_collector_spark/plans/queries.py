@@ -8566,6 +8566,52 @@ FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
 
 
+def q206_span_selftime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flame-graph self-time profile (operators/aggregate.span_selftime —
+    the exclusive-time complement of q105's service-graph topology, same
+    CHILD_OF relation): per (service, operation) span count, total
+    duration, self-time (duration minus direct children's sum, clamped at
+    zero with the clamp count reported), and exact integer share of
+    corpus self-time. One partial-aggregated child-sum groupBy (shuffle
+    carries one row per parent), one AQE-sizable equi-join, one label
+    groupBy; the share window sorts only the label-sized output."""
+    from opentelemetry_collector_spark.operators.aggregate import span_selftime
+    from opentelemetry_collector_spark.sources.zipkin import spans_from_transcripts
+
+    return span_selftime(spans_from_transcripts(from_events(spark, sf_dir)))
+
+
+Q206_SQL = f"""{_PRELUDE},
+spans AS (
+  SELECT md5(conv_id) AS trace_id,
+         substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16) AS span_id,
+         CASE WHEN turn_idx > 0
+              THEN substr(md5(conv_id || ':' || CAST(turn_idx - 1 AS VARCHAR)), 1, 16)
+         END AS parent_span_id,
+         role AS service_name,
+         coalesce(tool, role) AS name,
+         coalesce(CAST(length(text) * 1000 AS BIGINT), 0) AS dur
+  FROM t),
+cs AS (
+  SELECT trace_id, parent_span_id AS span_id, CAST(SUM(dur) AS BIGINT) AS child_us
+  FROM spans WHERE parent_span_id IS NOT NULL GROUP BY 1, 2),
+per AS (
+  SELECT s.service_name AS service, s.name AS op,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN s.dur - coalesce(c.child_us, 0) < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+         CAST(SUM(s.dur) AS BIGINT) AS total_us,
+         CAST(SUM(greatest(s.dur - coalesce(c.child_us, 0), 0)) AS BIGINT) AS self_us
+  FROM spans s LEFT JOIN cs c ON c.trace_id = s.trace_id AND c.span_id = s.span_id
+  GROUP BY 1, 2)
+SELECT service, op, n_spans, n_clamped, total_us, self_us,
+       CAST(CASE WHEN SUM(self_us) OVER () > 0
+                 THEN (self_us * 1000) // (SUM(self_us) OVER ())
+                 ELSE 0 END AS BIGINT) AS self_share_pm
+FROM per
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -8674,6 +8720,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q203_best_of_n": q203_best_of_n,
     "q204_channel_winrates": q204_channel_winrates,
     "q205_bpe_encode": q205_bpe_encode,
+    "q206_span_selftime": q206_span_selftime,
     "q90_log_templates": q90_log_templates,
     "q91_delta_to_cumulative": q91_delta_to_cumulative,
     "q92_split_metrics": q92_split_metrics,
@@ -8971,6 +9018,7 @@ ORACLES: dict[str, str] = {
     "q203_best_of_n": Q203_SQL,
     "q204_channel_winrates": Q204_SQL,
     "q205_bpe_encode": Q205_SQL,
+    "q206_span_selftime": Q206_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -9120,6 +9168,7 @@ _PRIORITY: tuple[str, ...] = (
     "q203_best_of_n",
     "q204_channel_winrates",
     "q205_bpe_encode",
+    "q206_span_selftime",
 )
 
 

@@ -63,6 +63,8 @@ FUZZ_QUERIES = [
     "q202_preference_pairs",
     "q203_best_of_n",
     "q204_channel_winrates",
+    # round-4: flame-graph self-time (clamp + NULL-duration paths under fuzz)
+    "q206_span_selftime",
 ]
 
 SEEDS = [11, 23, 47, 89, 131]
