@@ -1025,3 +1025,113 @@ def _pair_state_fn(from_role: str, to_role: str, timeout_minutes: int):
         state.setTimeoutDuration(timeout_minutes * 60 * 1000)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# streaming preference mining (twin of operators/preference.preference_pairs)
+# ---------------------------------------------------------------------------
+
+PREF_SCHEMA = (
+    "prompt_text string, n_cands bigint,"
+    " chosen_conv string, chosen_idx int, chosen_resp_idx int,"
+    " chosen_text string, chosen_reward bigint,"
+    " rejected_conv string, rejected_idx int, rejected_resp_idx int,"
+    " rejected_text string, rejected_reward bigint, margin bigint"
+)
+
+
+def _pref_reward(text):
+    """Exact Python twin of ``preference.response_reward``: 1000 *
+    whitespace tokens + alpha per-mille. ``len``/code-point semantics and
+    the ASCII ``[A-Za-z]`` class agree with Spark's ``length``/
+    ``regexp_replace``; integer ``//`` equals the operator's
+    ``floor(x*1000.0/n)`` for these magnitudes (exact-dyadic argument in
+    operators/text._per_mille usage)."""
+    import re
+
+    if text is None:
+        return None
+    stripped = text.strip()
+    tok = len(stripped.split()) if stripped else 0
+    n = len(text)
+    alpha = len(re.sub("[^A-Za-z]", "", text))
+    return tok * 1000 + ((alpha * 1000) // n if n > 0 else 0)
+
+
+def preference_stream(df: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/preference.preference_pairs``:
+    running (chosen, rejected) per prompt over a live stream of candidate
+    pairs (``pair_turns`` output shape) via ``applyInPandasWithState``
+    keyed on ``prompt_text``.
+
+    State per prompt is O(1) — candidate count plus the current best and
+    worst (reward, conv_id, prompt_idx, resp_idx, resp_text) tuples under
+    the batch operator's exact tie-break order. Each micro-batch that
+    changes a prompt's snapshot emits the updated row (UPDATE semantics:
+    downstream keeps the latest row per prompt; a chosen response CAN be
+    superseded by a later better candidate, so append mode would lie).
+    Rows are emitted regardless of margin — the margin>0 informative
+    filter is the consumer's, because a prompt can become informative
+    later (parity test filters identically).
+
+    Exactness contract: after any prefix of the stream, the latest
+    snapshot per prompt — filtered to ``margin > 0`` — equals batch
+    ``preference_pairs`` over the same candidate rows (pytest-pinned
+    across micro-batch splits). Candidates are disqualified per-row
+    exactly like the batch operator (NULL prompt / NULL response /
+    unanswered)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cols = [
+        "prompt_text", "n_cands",
+        "chosen_conv", "chosen_idx", "chosen_resp_idx", "chosen_text", "chosen_reward",
+        "rejected_conv", "rejected_idx", "rejected_resp_idx", "rejected_text",
+        "rejected_reward", "margin",
+    ]
+
+    def fn(key, pdfs, state):
+        (prompt,) = key
+        if state.exists:
+            n, b_r, b_c, b_i, b_ri, b_t, w_r, w_c, w_i, w_ri, w_t = state.get
+            best = (b_r, b_c, b_i, b_ri, b_t) if n else None
+            worst = (w_r, w_c, w_i, w_ri, w_t) if n else None
+        else:
+            n, best, worst = 0, None, None
+        changed = False
+        for pdf in pdfs:
+            if prompt is None:
+                continue  # NULL prompt: untrainable, refuse the group's rows
+            cand = pdf[pdf["answered"].fillna(False) & pdf["resp_text"].notna()]
+            for row in cand.itertuples(index=False):
+                r = _pref_reward(row.resp_text)
+                t = (r, row.conv_id, int(row.prompt_idx),
+                     int(row.resp_idx) if pd.notna(row.resp_idx) else None,
+                     row.resp_text)
+                n += 1
+                changed = True
+                if best is None or t[:3] > best[:3]:
+                    best = t
+                if worst is None or t[:3] < worst[:3]:
+                    worst = t
+        if changed:
+            state.update((n, best[0], best[1], best[2], best[3], best[4],
+                          worst[0], worst[1], worst[2], worst[3], worst[4]))
+            yield pd.DataFrame(
+                [(prompt, n, best[1], best[2], best[3], best[4], best[0],
+                  worst[1], worst[2], worst[3], worst[4], worst[0],
+                  best[0] - worst[0])],
+                columns=cols,
+            )
+
+    return df.groupBy("prompt_text").applyInPandasWithState(
+        fn,
+        outputStructType=PREF_SCHEMA,
+        stateStructType=(
+            "n bigint, b_r bigint, b_c string, b_i int, b_ri int, b_t string,"
+            " w_r bigint, w_c string, w_i int, w_ri int, w_t string"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

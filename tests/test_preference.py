@@ -214,3 +214,53 @@ def test_composes_with_pair_turns(spark):
     row = prefs.collect()[0]
     assert row["chosen_conv"] == "k1" and row["rejected_conv"] == "k2"
     assert row["margin"] > 0
+
+
+def test_preference_stream_parity(spark, tmp_path):
+    """Streaming twin (applyInPandasWithState, update mode): after the
+    stream drains, the latest snapshot per prompt filtered to margin>0
+    equals batch preference_pairs over the same candidate rows — across a
+    micro-batch split that puts the eventual chosen and rejected rows in
+    DIFFERENT batches (state must carry and the chosen must supersede)."""
+    from opentelemetry_collector_spark.streaming.stream import preference_stream
+
+    rows = [
+        ("c1", 0, "p1", True, 1, "ok"),                  # batch 1: sole candidate
+        ("c2", 0, "p1", True, 1, "alpha beta gamma"),    # batch 2: supersedes as chosen
+        ("c3", 0, "p1", True, 1, "12345"),               # batch 2: becomes rejected
+        ("c1", 2, "p2", True, 3, "same"),
+        ("c2", 2, "p2", True, 3, "same"),                # p2 stays margin 0
+        ("c4", 0, "p1", False, None, None),              # junk: never a candidate
+    ]
+    df = spark.createDataFrame(rows, PAIRS_SCHEMA)
+    landing = str(tmp_path / "landing")
+    df.filter(F.col("conv_id") == "c1").coalesce(1).write.mode("append").parquet(landing)
+    df.filter(F.col("conv_id") != "c1").coalesce(1).write.mode("append").parquet(landing)
+
+    stream = preference_stream(
+        spark.readStream.schema(PAIRS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(landing)
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("pref_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snaps = spark.sql("select * from pref_out").collect()
+    # latest snapshot per prompt = the one with the highest n_cands
+    latest = {}
+    for r in snaps:
+        if r["prompt_text"] not in latest or r["n_cands"] > latest[r["prompt_text"]]["n_cands"]:
+            latest[r["prompt_text"]] = r.asDict()
+    stream_pairs = {k: v for k, v in latest.items() if v["margin"] > 0}
+    batch = {r["prompt_text"]: r.asDict() for r in preference_pairs(df).collect()}
+    assert set(stream_pairs) == set(batch) == {"p1"}
+    for col, want in batch["p1"].items():
+        assert stream_pairs["p1"][col] == want, (col, stream_pairs["p1"][col], want)
+    # the superseded-chosen history is visible: p1 was emitted more than once
+    assert sum(1 for r in snaps if r["prompt_text"] == "p1") >= 2
+    # p2 snapshots exist but stay uninformative
+    assert latest["p2"]["margin"] == 0
