@@ -264,3 +264,74 @@ def test_preference_stream_parity(spark, tmp_path):
     assert sum(1 for r in snaps if r["prompt_text"] == "p1") >= 2
     # p2 snapshots exist but stay uninformative
     assert latest["p2"]["margin"] == 0
+
+
+# ---------------------------------------------------------------------------
+# property test vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HSETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# candidate rows: (conv_id, prompt_idx, prompt, answered, resp_text) with
+# unique (conv_id, prompt_idx) identity; prompts from a tiny pool so groups
+# collide; texts chosen to vary tokens and alpha share (incl. ties/NULLs)
+_cand_st = st.lists(
+    st.tuples(
+        st.sampled_from(["ca", "cb", "cc"]),
+        st.integers(0, 30),
+        st.one_of(st.none(), st.sampled_from(["p1", "p2"])),
+        st.booleans(),
+        st.one_of(st.none(), st.sampled_from(["", "a", "one two", "x1", "same", "  pad  "])),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+def _ref_reward(text):
+    s = text.strip()
+    tok = len(s.split()) if s else 0
+    n = len(text)
+    alpha = len(_re.sub("[^A-Za-z]", "", text))
+    return tok * 1000 + ((alpha * 1000) // n if n > 0 else 0)
+
+
+def _ref_prefs(rows):
+    groups = {}
+    for conv, idx, prompt, answered, resp in rows:
+        if prompt is None or resp is None or not answered:
+            continue
+        groups.setdefault(prompt, []).append((_ref_reward(resp), conv, idx, resp))
+    out = {}
+    for prompt, cands in groups.items():
+        ch = max(cands)
+        rj = min(cands)
+        if ch[0] > rj[0]:
+            out[prompt] = (len(cands), ch[1], ch[2], ch[0], rj[1], rj[2], rj[0])
+    return out
+
+
+@given(rows=_cand_st)
+@settings(**_HSETTINGS)
+def test_preference_pairs_matches_python_model(spark, rows):
+    df = spark.createDataFrame(
+        [(c, i, p, a, 1 if a else None, r) for c, i, p, a, r in rows], PAIRS_SCHEMA
+    )
+    got = {
+        r["prompt_text"]: (
+            r["n_cands"], r["chosen_conv"], r["chosen_idx"], r["chosen_reward"],
+            r["rejected_conv"], r["rejected_idx"], r["rejected_reward"],
+        )
+        for r in preference_pairs(df).collect()
+    }
+    assert got == _ref_prefs(rows)
