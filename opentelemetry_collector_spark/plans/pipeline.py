@@ -22,6 +22,7 @@ Validation mirrors config.go:31-150: >=1 receiver and >=1 exporter.
 
 from __future__ import annotations
 
+import time as _time_mod
 import uuid
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -216,6 +217,14 @@ class ThrottleError(RuntimeError):
         self.delay_s = float(delay_s)
 
 
+def _sleep(seconds: float) -> None:
+    """Retry-delay indirection. Tests observe backoff by patching THIS, not
+    the global ``time.sleep``: py4j's client-server cleanup thread calls
+    ``time.sleep(1)`` in the background, so a global patch races with it
+    and records phantom delays (seen once under full-suite load)."""
+    _time_mod.sleep(seconds)
+
+
 def write_sink_with_retry(
     df: DataFrame,
     s: SinkSpec,
@@ -233,8 +242,6 @@ def write_sink_with_retry(
     Spark already retries tasks inside a job — this wraps whole-JOB failures
     (driver-visible), which is the layer the Go retry operates at. The write
     is overwrite-idempotent, so a retry replaces partial output."""
-    import time as _time
-
     failed = 0
     backoff = initial_backoff_s
     while True:
@@ -248,7 +255,7 @@ def write_sink_with_retry(
             delay = min(backoff, backoff_cap_s)
             if isinstance(exc, ThrottleError):
                 delay = max(delay, exc.delay_s)
-            _time.sleep(delay)
+            _sleep(delay)
             backoff *= 2
 
 

@@ -290,8 +290,6 @@ def test_snapshot_distinguishes_different_inputs_same_rowcount(spark, tmp_path):
 def test_throttle_hint_raises_backoff_delay(spark, tmp_path, monkeypatch):
     """queued_retry.go:306-308: a throttle hint FLOORS the next backoff —
     the retry never waits less than the server asked."""
-    import time as _t
-
     from opentelemetry_collector_spark.plans import pipeline as P
 
     real = P.write_sink
@@ -307,7 +305,9 @@ def test_throttle_hint_raises_backoff_delay(spark, tmp_path, monkeypatch):
         real(df, s)
 
     monkeypatch.setattr(P, "write_sink", throttled)
-    monkeypatch.setattr(_t, "sleep", lambda d: sleeps.append(d))
+    # patch the module's sleep seam, NOT global time.sleep: py4j's cleanup
+    # thread calls time.sleep(1) in the background and would race the spy
+    monkeypatch.setattr(P, "_sleep", lambda d: sleeps.append(d))
     res = P.run_pipeline(spark, _mini_spec(tmp_path), str(tmp_path / "base"))
     assert res.sink_rows["a"] > 0
     # first delay floored to the hint (base backoff is 0.2); second delay
