@@ -117,6 +117,8 @@ HEADLINE = [
     "q200_sft_pack",
     "q202_preference_pairs",
     "q203_best_of_n",
+    "q205_bpe_encode",
+    "q206_span_selftime",
     # time-series regrid + trace analytics (events/transcripts tables)
     "q152_ohlc_downsample",
     "q155_ewma",
