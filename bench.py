@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level so pandas-UDF type hints resolve
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
@@ -3087,6 +3089,169 @@ of 100k.
     print(json.dumps(results), flush=True)
 
 
+def run_bpe_scale(n_docs: int = 4_000_000) -> None:
+    """Trained-BPE tokenizer-apply cost structure (the q205 operator):
+    three implementations of the IDENTICAL merge application measured on a
+    deterministic executor-generated corpus over a 4096-word Zipf-shaped
+    vocabulary (realistic word repetition — a tiny pool would flatter
+    memoization, a uniform one would bury it):
+
+    1. per-word JVM ``transform`` (the original formulation),
+    2. whole-doc JVM replace chain (the shipped
+       ``bpe_token_count_trained``: one string per doc, ``|`` separators
+       block cross-word merges),
+    3. the memoized Arrow kernel (``bpe_token_counts_kernel``).
+
+    Equality asserted corpus-wide and row-for-row on 100k docs.
+    Interleaved best-of-3. Writes BENCH/BPE_APPLY.md + bpe_scale.json."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.bpe import (
+        END_MARK,
+        WORD_PAT,
+        _apply_merges,
+        _wrap_word,
+        bpe_token_count_trained,
+        bpe_token_counts_kernel,
+        bpe_train,
+    )
+    from opentelemetry_collector_spark.session import build_session
+
+    spark = build_session(app_name="otelcol-bpe-scale")
+    rnd = random.Random(42)
+    pool = [
+        "".join(rnd.choice(string.ascii_lowercase) for _ in range(rnd.randint(3, 9)))
+        for _ in range(4096)
+    ]
+    arr = F.array(*[F.lit(w) for w in pool])
+
+    def fixture(n):
+        def pick(i):
+            u = F.pmod(F.xxhash64(F.col("id"), i), F.lit(1048576)) / F.lit(1048576.0)
+            return F.element_at(arr, (F.floor(F.lit(4096) * u * u * u) + 1).cast("int"))
+
+        words = F.transform(F.sequence(F.lit(0), F.lit(11)), pick)
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+        )
+
+    def per_word_count(col, merges):
+        """The original per-word formulation, kept for the comparison."""
+        words = F.regexp_extract_all(F.lower(col), F.lit(WORD_PAT), 0)
+        segmented = F.transform(
+            words,
+            lambda w: F.split(
+                F.regexp_replace(_apply_merges(_wrap_word(w), merges), "^<|>$", ""),
+                "><",
+            ),
+        )
+        return F.size(F.flatten(segmented)).cast("bigint")
+
+    def bestk(factories, k=3):
+        best = [9e9] * len(factories)
+        for _ in range(k):
+            for i, mk in enumerate(factories):
+                t0 = time.perf_counter()
+                mk().write.format("noop").mode("overwrite").save()
+                best[i] = min(best[i], time.perf_counter() - t0)
+        return [round(b, 3) for b in best]
+
+    try:
+        spark.range(0, 1024, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
+
+        corpus = fixture(n_docs)
+        corpus.write.format("noop").mode("overwrite").save()  # warm generation
+        merges = bpe_train(fixture(100_000), n_merges=16)
+
+        word_sec, doc_sec, udf_sec = bestk(
+            [
+                lambda: corpus.select(per_word_count(F.col("text"), merges).alias("n")),
+                lambda: corpus.select(
+                    bpe_token_count_trained(F.col("text"), merges).alias("n")
+                ),
+                lambda: bpe_token_counts_kernel(corpus, merges).select("bpe_tokens"),
+            ]
+        )
+
+        tot_jvm = corpus.select(
+            F.sum(bpe_token_count_trained(F.col("text"), merges))
+        ).first()[0]
+        tot_udf = bpe_token_counts_kernel(corpus, merges).agg(
+            F.sum("bpe_tokens")
+        ).first()[0]
+        both = bpe_token_counts_kernel(
+            corpus.filter(F.col("doc_id") < 100_000), merges
+        ).select(
+            "bpe_tokens",
+            bpe_token_count_trained(F.col("text"), merges).alias("jvm"),
+            per_word_count(F.col("text"), merges).alias("word"),
+        )
+        row_mismatch = both.filter(
+            (F.col("bpe_tokens") != F.col("jvm")) | (F.col("jvm") != F.col("word"))
+        ).count()
+
+        results = {
+            "docs": n_docs,
+            "merges": len(merges),
+            "vocab": len(pool),
+            "per_word_jvm_sec": word_sec,
+            "whole_doc_jvm_sec": doc_sec,
+            "arrow_kernel_sec": udf_sec,
+            "kernel_vs_shipped_jvm": round(doc_sec / udf_sec, 2),
+            "whole_doc_vs_per_word": round(word_sec / doc_sec, 2),
+            "kernel_docs_per_sec": int(n_docs / udf_sec),
+            "total_tokens": int(tot_jvm),
+            "totals_equal": bool(tot_jvm == tot_udf),
+            "row_mismatches_100k": int(row_mismatch),
+        }
+    finally:
+        spark.stop()
+
+    md = f"""# BENCH/BPE_APPLY.md — trained-tokenizer apply: three implementations
+
+`python bench.py --bpe-scale` on a deterministic executor-generated corpus
+({n_docs:,} docs x 12 words over a 4096-word Zipf-shaped vocabulary, 16
+learned merges). All three apply the IDENTICAL merge chain — corpus-wide
+totals equal: {results['totals_equal']}; 100k-doc row-for-row mismatches:
+{results['row_mismatches_100k']}. Interleaved best-of-3, worker pool
+pre-warmed.
+
+| path | wall | notes |
+|---|---|---|
+| per-word JVM transform (original) | {results['per_word_jvm_sec']} s | replace chain per word instance, lambda per element |
+| whole-doc JVM chain (SHIPPED `bpe_token_count_trained`) | {results['whole_doc_jvm_sec']} s | one string per doc, `|`-separated so merges cannot cross words; {results['whole_doc_vs_per_word']}x over per-word |
+| memoized Arrow kernel (`bpe_token_counts_kernel`) | {results['arrow_kernel_sec']} s | per-batch word dict -> most instances are a lookup; {results['kernel_vs_shipped_jvm']}x over the shipped JVM chain |
+
+The honest finding: **for pure tokenization throughput the Arrow kernel
+wins** ({results['kernel_docs_per_sec']:,} docs/s) because natural-text
+word repetition lets a per-batch dict skip the replace chain entirely,
+and Catalyst has no way to memoize a deterministic expression across
+rows. The JVM column stays the q205 default because it composes as an
+expression (no Python workers, free codegen fusion with surrounding
+projections, no Arrow round-trip when the count feeds further JVM
+logic); when tokenization IS the job, use the kernel — this is the same
+measured-kernel bar the MinHash verify loop documents. Both paths are
+row-for-row identical by construction and by test
+(test_kernel_counts_match_jvm_column).
+
+At 10^12 turns: the kernel's win grows with word repetition (Zipf mass
+concentrates), and its state is per-batch (no memory growth across
+batches); the JVM path's cost is flat per word instance. Neither path
+shuffles; both scale with executors.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BPE_APPLY.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "bpe_scale.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -3108,6 +3273,7 @@ if __name__ == "__main__":
     ap.add_argument("--alert-scale", action="store_true")
     ap.add_argument("--dialogue-scale", action="store_true")
     ap.add_argument("--pref-scale", action="store_true")
+    ap.add_argument("--bpe-scale", action="store_true")
     ap.add_argument("--n-low", type=int, default=4)
     ap.add_argument("--n-high", type=int, default=16)
     ap.add_argument("--rows-millions", type=float, default=160.0)
@@ -3150,5 +3316,7 @@ if __name__ == "__main__":
         run_dialogue_scale(min(args.rows_millions, 40.0))
     elif args.pref_scale:
         run_pref_scale(min(args.rows_millions, 40.0))
+    elif args.bpe_scale:
+        run_bpe_scale()
     else:
         run_default()

@@ -31,6 +31,8 @@ identically in Spark's ``replace``, DuckDB's ``replace`` and Python's
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas-UDF type hints resolve
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -130,5 +132,69 @@ def bpe_segment(col: Column, merges: list[tuple[int, str, str, int]]) -> Column:
 
 def bpe_token_count_trained(col: Column, merges: list[tuple[int, str, str, int]]) -> Column:
     """Token count under the trained merges — the budget currency a packing
-    stage (`packing.pack_sequences`) would consume after tokenizer fitting."""
-    return F.size(bpe_segment(col, merges)).cast("bigint")
+    stage (`packing.pack_sequences`) would consume after tokenizer fitting.
+
+    Counting path runs the replace chain over ONE string per document
+    (wrapped words joined by ``|`` — a character that can never appear in
+    a symbol, so merges cannot fire across word boundaries), then counts
+    ``<`` markers. Measured 1.26x faster than per-word ``transform`` at
+    1M docs (BENCH/BPE_APPLY.md) and byte-identical; :func:`bpe_segment`
+    keeps the per-word form because it must return per-word arrays."""
+    words = F.regexp_extract_all(F.lower(col), F.lit(WORD_PAT), 0)
+    doc = F.array_join(F.transform(words, _wrap_word), "|")
+    doc = _apply_merges(doc, merges)
+    return (F.length(doc) - F.length(F.replace(doc, F.lit("<"), F.lit("")))).cast(
+        "bigint"
+    )
+
+
+def bpe_token_counts_kernel(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Arrow-kernel alternative to :func:`bpe_token_count_trained` with
+    per-batch WORD MEMOIZATION — the Zipf-shaped win the JVM expression
+    cannot express (Catalyst evaluates the replace chain per word
+    instance; natural text repeats its hot words constantly, so a
+    per-batch dict collapses most instances to a lookup).
+
+    Measured interleaved best-of-3 at 1M x 12-word docs over a 4096-word
+    Zipf vocabulary, 16 merges (BENCH/BPE_APPLY.md): kernel 1.14 s vs
+    2.40 s whole-doc JVM chain (2.1x) — the repo's measured-and-justified
+    bar for an Arrow kernel (the minhash-verify precedent). The JVM
+    column stays the default: it composes as an expression, costs no
+    Python workers, and wins whenever counts feed further codegen. Use
+    the kernel when tokenization IS the job. Identical results
+    (row-for-row pytest + in-study assertion)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    reps = [(f"<{l}><{r}>", f"<{l}{r}>") for _, l, r, _ in merges]
+    word_re = re.compile(WORD_PAT)
+
+    @pandas_udf("bigint")
+    def _count(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def wtok(w: str) -> int:
+            v = cache.get(w)
+            if v is None:
+                sym = "<" + "><".join(list(w) + [END_MARK]) + ">"
+                for a, b in reps:
+                    sym = sym.replace(a, b)
+                v = sym.count("><") + 1
+                cache[w] = v
+            return v
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+            else:
+                out.append(sum(wtok(w) for w in word_re.findall(t.lower())))
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(out_col, _count(F.col(text_col)))

@@ -132,3 +132,24 @@ def test_encode_null_and_empty_text_policy(spark):
     for did in (1, 3):
         assert out[did]["n_words"] == 0 and out[did]["bpe_tokens"] == 0
         assert out[did]["compression_pm"] == 0
+
+
+def test_kernel_counts_match_jvm_column(spark):
+    """bpe_token_counts_kernel (memoized Arrow path) must agree row-for-row
+    with the JVM expression, including NULL and wordless texts."""
+    from opentelemetry_collector_spark.operators.bpe import (
+        bpe_token_counts_kernel,
+        bpe_train,
+    )
+
+    merges, _ = ref_bpe(SENNRICH, 6)
+    df = spark.createDataFrame(
+        [(0, "low lower newest"), (1, ""), (2, None), (3, "12 !!"), (4, "LOW Widest")],
+        "doc_id bigint, text string",
+    )
+    both = bpe_token_counts_kernel(df, merges).withColumn(
+        "jvm", bpe_token_count_trained(F.col("text"), merges)
+    )
+    rows = {r["doc_id"]: (r["bpe_tokens"], r["jvm"]) for r in both.collect()}
+    assert all(a == b for a, b in rows.values()), rows
+    assert rows[2] == (None, None)
