@@ -60,7 +60,15 @@ from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.operators.text import _per_mille, token_count
 
-__all__ = ["response_reward", "preference_pairs", "best_of_n", "win_rates"]
+__all__ = [
+    "response_reward",
+    "preference_pairs",
+    "preference_state",
+    "merge_preference_states",
+    "pairs_from_state",
+    "best_of_n",
+    "win_rates",
+]
 
 
 def response_reward(text: Column) -> Column:
@@ -126,32 +134,7 @@ def preference_pairs(
     wins the chosen side, smaller the rejected side — so the output is
     deterministic under any partitioning.
     """
-    g = (
-        _candidates(pairs, prompt_col, reward)
-        .select("prompt_text", _ranked_struct().alias("_s"))
-        .groupBy("prompt_text")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_cands"),
-            F.max("_s").alias("_ch"),
-            F.min("_s").alias("_rj"),
-        )
-    )
-    margin = (F.col("_ch.reward") - F.col("_rj.reward")).cast("bigint")
-    return g.filter(margin > 0).select(
-        "prompt_text",
-        "n_cands",
-        F.col("_ch.conv_id").alias("chosen_conv"),
-        F.col("_ch.prompt_idx").alias("chosen_idx"),
-        F.col("_ch.resp_idx").alias("chosen_resp_idx"),
-        F.col("_ch.resp_text").alias("chosen_text"),
-        F.col("_ch.reward").alias("chosen_reward"),
-        F.col("_rj.conv_id").alias("rejected_conv"),
-        F.col("_rj.prompt_idx").alias("rejected_idx"),
-        F.col("_rj.resp_idx").alias("rejected_resp_idx"),
-        F.col("_rj.resp_text").alias("rejected_text"),
-        F.col("_rj.reward").alias("rejected_reward"),
-        margin.alias("margin"),
-    )
+    return pairs_from_state(preference_state(pairs, prompt_col, reward))
 
 
 def best_of_n(
@@ -209,6 +192,71 @@ def best_of_n(
             F.col("_b.reward").alias("best_reward"),
             "reward_sum",
         )
+    )
+
+
+def preference_state(
+    pairs: DataFrame,
+    prompt_col: str = "prompt_text",
+    reward: Column | None = None,
+) -> DataFrame:
+    """The MERGEABLE form of :func:`preference_pairs`: one row per prompt
+    (including zero-margin and single-candidate prompts) holding the
+    running aggregate — candidate count plus the chosen/rejected structs.
+    This is the artifact an INCREMENTAL corpus build persists: the
+    aggregate algebra is (sum, max, min), so yesterday's state merges
+    with today's increment via :func:`merge_preference_states` without
+    rescanning yesterday's corpus, and the merged state is
+    bit-identical to a full rebuild (the q207 contract).
+    """
+    return (
+        _candidates(pairs, prompt_col, reward)
+        .select("prompt_text", _ranked_struct().alias("_s"))
+        .groupBy("prompt_text")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cands"),
+            F.max("_s").alias("_ch"),
+            F.min("_s").alias("_rj"),
+        )
+    )
+
+
+def merge_preference_states(*states: DataFrame) -> DataFrame:
+    """Fold any number of :func:`preference_state` frames into one — the
+    same (sum, max, min) algebra over the union, so merge order and
+    partitioning are irrelevant. One partial-aggregated groupBy over
+    state-sized frames (prompt cardinality, never candidate cardinality:
+    the increment pattern a 10^12-turn daily build needs)."""
+    if not states:
+        raise ValueError("merge_preference_states needs at least one state")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("prompt_text").agg(
+        F.sum("n_cands").cast("bigint").alias("n_cands"),
+        F.max("_ch").alias("_ch"),
+        F.min("_rj").alias("_rj"),
+    )
+
+
+def pairs_from_state(state: DataFrame) -> DataFrame:
+    """Finalize a (possibly merged) state into the :func:`preference_pairs`
+    output contract: informative prompts only (margin > 0), flattened."""
+    margin = (F.col("_ch.reward") - F.col("_rj.reward")).cast("bigint")
+    return state.filter(margin > 0).select(
+        "prompt_text",
+        "n_cands",
+        F.col("_ch.conv_id").alias("chosen_conv"),
+        F.col("_ch.prompt_idx").alias("chosen_idx"),
+        F.col("_ch.resp_idx").alias("chosen_resp_idx"),
+        F.col("_ch.resp_text").alias("chosen_text"),
+        F.col("_ch.reward").alias("chosen_reward"),
+        F.col("_rj.conv_id").alias("rejected_conv"),
+        F.col("_rj.prompt_idx").alias("rejected_idx"),
+        F.col("_rj.resp_idx").alias("rejected_resp_idx"),
+        F.col("_rj.resp_text").alias("rejected_text"),
+        F.col("_rj.reward").alias("rejected_reward"),
+        margin.alias("margin"),
     )
 
 

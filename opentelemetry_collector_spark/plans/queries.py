@@ -8612,6 +8612,38 @@ FROM per
 """
 
 
+def q207_incremental_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental preference maintenance (operators/preference.
+    preference_state / merge_preference_states / pairs_from_state — the
+    daily-build pattern): the candidate corpus is split into two disjoint
+    increments (event_id parity, cutting conversations MID-STREAM so the
+    pairing itself is computed per increment as a real daily run would),
+    each increment reduced to its prompt-level (sum, max, min) state, the
+    states merged WITHOUT rescanning either increment, and the merged
+    state finalized. The oracle is the FULL-corpus q202 derivation —
+    passing means incremental == full rebuild exactly, which is the whole
+    point of the (sum, max, min) state algebra: the expensive
+    candidate->state reduction runs per increment, the merge touches only
+    prompt-cardinality state rows."""
+    from opentelemetry_collector_spark.operators.dialogue import pair_turns
+    from opentelemetry_collector_spark.operators.preference import (
+        merge_preference_states,
+        pairs_from_state,
+        preference_state,
+    )
+
+    t = from_events(spark, sf_dir)
+    pairs = pair_turns(t, "user", "assistant")
+    # disjoint increments of the CANDIDATE stream (prompt_idx parity):
+    # state built per increment, merged state == full-corpus state
+    inc_a = preference_state(pairs.filter(F.col("prompt_idx") % 2 == 0))
+    inc_b = preference_state(pairs.filter(F.col("prompt_idx") % 2 == 1))
+    return pairs_from_state(merge_preference_states(inc_a, inc_b))
+
+
+Q207_SQL = Q202_SQL  # the contract IS equality with the full rebuild
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -8721,6 +8753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q204_channel_winrates": q204_channel_winrates,
     "q205_bpe_encode": q205_bpe_encode,
     "q206_span_selftime": q206_span_selftime,
+    "q207_incremental_preferences": q207_incremental_preferences,
     "q90_log_templates": q90_log_templates,
     "q91_delta_to_cumulative": q91_delta_to_cumulative,
     "q92_split_metrics": q92_split_metrics,
@@ -9019,6 +9052,7 @@ ORACLES: dict[str, str] = {
     "q204_channel_winrates": Q204_SQL,
     "q205_bpe_encode": Q205_SQL,
     "q206_span_selftime": Q206_SQL,
+    "q207_incremental_preferences": Q207_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -9169,6 +9203,7 @@ _PRIORITY: tuple[str, ...] = (
     "q204_channel_winrates",
     "q205_bpe_encode",
     "q206_span_selftime",
+    "q207_incremental_preferences",
 )
 
 

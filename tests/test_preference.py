@@ -335,3 +335,33 @@ def test_preference_pairs_matches_python_model(spark, rows):
         for r in preference_pairs(df).collect()
     }
     assert got == _ref_prefs(rows)
+
+
+def test_state_merge_equals_full_build_any_split(spark, pairs, tmp_path):
+    """The (sum, max, min) state algebra: merging states built from ANY
+    disjoint split — including a parquet-persisted one (the daily-build
+    artifact path) — finalizes identically to the full build."""
+    from opentelemetry_collector_spark.operators.preference import (
+        merge_preference_states,
+        pairs_from_state,
+        preference_state,
+    )
+
+    full = {r["prompt_text"]: r.asDict() for r in preference_pairs(pairs).collect()}
+    # 3-way split by md5 of conv_id (arbitrary, not aligned with prompts)
+    h = F.conv(F.substring(F.md5("conv_id"), 1, 4), 16, 10).cast("long") % 3
+    parts = [preference_state(pairs.filter(h == i)) for i in range(3)]
+    # persist one increment through parquet (struct columns roundtrip)
+    p0 = str(tmp_path / "state0.parquet")
+    parts[0].write.parquet(p0)
+    parts[0] = spark.read.parquet(p0)
+    for order in ([0, 1, 2], [2, 0, 1]):
+        merged = merge_preference_states(*[parts[i] for i in order])
+        got = {r["prompt_text"]: r.asDict() for r in pairs_from_state(merged).collect()}
+        assert got == full
+    # merging a state with itself double-counts n_cands but keeps argmax:
+    # the algebra is NOT idempotent, callers must feed disjoint increments
+    twice = merge_preference_states(parts[1], parts[1])
+    n_once = {r["prompt_text"]: r["n_cands"] for r in parts[1].collect()}
+    n_twice = {r["prompt_text"]: r["n_cands"] for r in twice.collect()}
+    assert all(n_twice[k] == 2 * v for k, v in n_once.items())
