@@ -63,6 +63,7 @@ FUZZ_QUERIES = [
     "q202_preference_pairs",
     "q203_best_of_n",
     "q204_channel_winrates",
+    "q207_incremental_preferences",
     # round-4: flame-graph self-time (clamp + NULL-duration paths under fuzz)
     "q206_span_selftime",
 ]
