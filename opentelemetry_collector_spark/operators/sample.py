@@ -502,3 +502,46 @@ def tail_sample(
         spans, latency_ms, keep_error_traces, rate_pm, trace_col
     ).filter(F.col("keep") == 1).select(trace_col, "reason")
     return spans.join(kept, on=trace_col, how="inner")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: str,
+    splits: tuple[tuple[str, int], ...] = (("train", 800), ("val", 100), ("test", 100)),
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak correlated rows across
+    splits: the unit of assignment is the GROUP (a near-dup cluster id
+    from ``dedup.dedup_clusters``, a conversation id, a source domain),
+    never the row. A near-dup pair straddling train and test silently
+    inflates eval scores — the classic split bug this operator makes
+    structurally impossible (every member of a group shares the group's
+    md5, hence the group's split).
+
+    ``splits`` are (name, per-mille weight) summing to 1000. Assignment
+    is the :func:`shuffle_shards` idiom: 52-bit md5 prefix of the group
+    key scaled in exact integer math — stateless, engine-portable,
+    stable under any partitioning and across runs (adding documents
+    never reassigns an existing group). A pure projection: zero shuffle,
+    zero sort; NULL group keys get a NULL split (junk stays visible).
+    """
+    weights = [w for _, w in splits]
+    if sum(weights) != 1000 or any(w <= 0 for w in weights):
+        raise ValueError(f"split weights must be positive and sum to 1000: {splits}")
+    prefix = F.conv(
+        F.substring(F.md5(F.col(group_col).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    pm = F.shiftright(prefix * 1000, 52)
+    expr: Column = F.lit(None).cast("string")
+    cum = 0
+    branches = []
+    for name, w in splits:
+        cum += w
+        branches.append((cum, name))
+    # build CASE from the first boundary up; last branch covers the rest
+    case = F.when(pm < branches[0][0], F.lit(branches[0][1]))
+    for bound, name in branches[1:-1]:
+        case = case.when(pm < bound, F.lit(name))
+    if len(branches) > 1:
+        case = case.otherwise(F.lit(branches[-1][1]))
+    expr = F.when(F.col(group_col).isNotNull(), case)
+    return df.withColumn("split", expr)

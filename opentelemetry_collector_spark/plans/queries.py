@@ -8644,6 +8644,44 @@ def q207_incremental_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q207_SQL = Q202_SQL  # the contract IS equality with the full rebuild
 
 
+def q208_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe dataset splitting (operators/sample.leakage_safe_split
+    over the q39 near-dup clusters): train/val/test assigned per CLUSTER
+    — every member of a near-dup component shares its component's 52-bit
+    md5 bucket, so correlated documents can never straddle splits (the
+    eval-inflation bug made structurally impossible). The assignment is a
+    pure projection on top of the cluster frame (zero extra shuffle,
+    stable under corpus growth). Oracle replays the q39 transitive
+    closure plus the identical exact-integer bucket arithmetic."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from opentelemetry_collector_spark.operators.sample import leakage_safe_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 1000)
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", k=5, threshold=0.2)
+    clusters = dedup_clusters(docs.select("doc_id"), pairs, "doc_id")
+    return leakage_safe_split(clusters, "component_id").select(
+        "doc_id", "component_id", "n_members", "split"
+    )
+
+
+# the q39 closure retrained verbatim, then the shuffle_shards bucket idiom
+_Q208_CLOSURE = Q39_SQL[Q39_SQL.index("WITH RECURSIVE") : Q39_SQL.index("SELECT c.doc_id")]
+
+Q208_SQL = f"""{_Q208_CLOSURE.rstrip().rstrip(",")},
+pm AS (
+  SELECT c.doc_id, c.component_id, s.n_members,
+         CAST(((('0x' || substring(md5(CAST(c.component_id AS VARCHAR)), 1, 13))::UBIGINT
+                * 1000) >> 52) AS BIGINT) AS b
+  FROM comp c JOIN sizes s USING (component_id))
+SELECT doc_id, component_id, n_members,
+       CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+FROM pm
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -8754,6 +8792,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q205_bpe_encode": q205_bpe_encode,
     "q206_span_selftime": q206_span_selftime,
     "q207_incremental_preferences": q207_incremental_preferences,
+    "q208_leakage_safe_split": q208_leakage_safe_split,
     "q90_log_templates": q90_log_templates,
     "q91_delta_to_cumulative": q91_delta_to_cumulative,
     "q92_split_metrics": q92_split_metrics,
@@ -9053,6 +9092,7 @@ ORACLES: dict[str, str] = {
     "q205_bpe_encode": Q205_SQL,
     "q206_span_selftime": Q206_SQL,
     "q207_incremental_preferences": Q207_SQL,
+    "q208_leakage_safe_split": Q208_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -9204,6 +9244,7 @@ _PRIORITY: tuple[str, ...] = (
     "q205_bpe_encode",
     "q206_span_selftime",
     "q207_incremental_preferences",
+    "q208_leakage_safe_split",
 )
 
 

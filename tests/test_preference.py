@@ -365,3 +365,37 @@ def test_state_merge_equals_full_build_any_split(spark, pairs, tmp_path):
     n_once = {r["prompt_text"]: r["n_cands"] for r in parts[1].collect()}
     n_twice = {r["prompt_text"]: r["n_cands"] for r in twice.collect()}
     assert all(n_twice[k] == 2 * v for k, v in n_once.items())
+
+
+def test_leakage_safe_split_group_atomicity(spark):
+    """Every group lands entirely in ONE split; NULL groups get NULL;
+    weights validated; assignment matches the documented 52-bit idiom."""
+    import hashlib
+
+    from opentelemetry_collector_spark.operators.sample import leakage_safe_split
+
+    rows = [(i, f"g{i % 7}" if i % 11 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "row_id bigint, grp string")
+    out = leakage_safe_split(df, "grp").collect()
+    by_grp = {}
+    for r in out:
+        if r["grp"] is None:
+            assert r["split"] is None
+        else:
+            by_grp.setdefault(r["grp"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_grp.values())
+    # independent recomputation of one group's bucket
+    for g, s in by_grp.items():
+        pm = (int(hashlib.md5(g.encode()).hexdigest()[:13], 16) * 1000) >> 52
+        want = "train" if pm < 800 else ("val" if pm < 900 else "test")
+        assert s == {want}, (g, pm, s)
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, "grp", splits=(("a", 500), ("b", 400)))
+
+
+def test_leakage_safe_split_is_projection(spark):
+    from opentelemetry_collector_spark.operators.sample import leakage_safe_split
+
+    df = spark.createDataFrame([(1, "g")], "row_id bigint, grp string")
+    plan = leakage_safe_split(df, "grp")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
