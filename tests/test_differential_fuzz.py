@@ -193,6 +193,9 @@ DOC_FUZZ_QUERIES = [
     # round-4: trained-BPE apply — merges retrained per corpus in both
     # engines, then the replace-chain application must agree per doc
     "q205_bpe_encode",
+    # round-4: cluster-atomic splitting (closure + bucket arithmetic on
+    # adversarial duplicate-heavy corpora)
+    "q208_leakage_safe_split",
 ]
 
 _WORDS = [

@@ -812,6 +812,60 @@ COMMENTARY = {
         "pos) removes the hot reducer a dominant cluster would otherwise "
         "create.",
     ),
+    "q202_preference_pairs": (
+        "ONE Exchange beyond the pairing window's conv_id shuffle: the "
+        "prompt-keyed aggregate with partial_max/partial_min of the ranked "
+        "struct BEFORE the exchange; no Join, no Window over candidates.",
+        "A hot prompt (the boilerplate question asked 10^9 times) collapses "
+        "map-side to one struct per task — the shuffle carries per-task "
+        "partials, never the candidate mass, and BENCH/PREFERENCE.md "
+        "measures the formulation skew-flat where the rank-window "
+        "alternative degrades 3x.",
+    ),
+    "q203_best_of_n": (
+        "WindowGroupLimit (per-task top-n before the shuffle) on the md5 "
+        "sampling rank; the argmax groupBy reuses the window's "
+        "hashpartitioning(prompt_text) — one Exchange for the operator.",
+        "Positional sampling needs a window, but the group limit bounds "
+        "every task's sort input to n rows per prompt seen — the hot "
+        "prompt contributes O(tasks x n) rows, not its full mass.",
+    ),
+    "q205_bpe_encode": (
+        "The apply side is a Project inside WholeStageCodegen over one "
+        "scan — the trained merges are literal replace chains, no Python, "
+        "no broadcast, no Exchange introduced by tokenization.",
+        "Tokenizing 10^12 turns must ride the scan; the merge chain "
+        "compiles into the projection, and the measured Arrow-kernel "
+        "alternative (BENCH/BPE_APPLY.md) trades Python workers for a "
+        "4.3x win only when tokenization is the terminal job.",
+    ),
+    "q206_span_selftime": (
+        "Partial-aggregated child-sum groupBy (one row per parent span "
+        "through its Exchange), one equi-join keyed (trace, span) — "
+        "never a nested loop — then a label groupBy with partial agg; "
+        "the share window sorts only the label-sized frame.",
+        "Self-time attribution touches every span once; the child-sum "
+        "shuffle is bounded by parent spans per task and the join is "
+        "AQE-sizable like any skewed equi-join (a hot trace is an "
+        "ordinary hot key).",
+    ),
+    "q207_incremental_preferences": (
+        "Two per-increment aggregates (partial max/min structs) feeding a "
+        "prompt-cardinality merge aggregate — the merge's Exchange "
+        "carries state rows, never candidates; no Join anywhere.",
+        "The daily-build pattern: yesterday's corpus is never rescanned; "
+        "the (sum, max, min) algebra makes the merged state bit-equal to "
+        "a full rebuild, which the oracle (the full-corpus q202 SQL) "
+        "proves on every run.",
+    ),
+    "q208_leakage_safe_split": (
+        "The split assignment is a Project (52-bit md5 bucket arithmetic) "
+        "on the cluster frame — zero Exchange added on top of the "
+        "clustering it consumes.",
+        "Group-atomic splitting must not cost a shuffle at 10^12 rows: "
+        "the bucket is a pure expression of the component id, so split "
+        "assignment rides whatever scan or join produced the clusters.",
+    ),
 }
 
 
