@@ -119,8 +119,11 @@ HEADLINE = [
     "q200_sft_pack",
     "q202_preference_pairs",
     "q203_best_of_n",
+    "q204_channel_winrates",
     "q205_bpe_encode",
     "q206_span_selftime",
+    "q207_incremental_preferences",
+    "q208_leakage_safe_split",
     # time-series regrid + trace analytics (events/transcripts tables)
     "q152_ohlc_downsample",
     "q155_ewma",
