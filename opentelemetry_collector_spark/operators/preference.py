@@ -275,6 +275,10 @@ def win_rates(
     ``competitor, wins, losses, bouts, win_rate_ppm, rank`` — exact
     integer ppm (truncating div), rank by (win_rate_ppm DESC, competitor)
     over the competitor-sized frame only.
+
+    Precondition: ``dim`` is unique per ``dim_key`` (the broadcast
+    enrichment-dimension contract, same as the q05 join) — a duplicate
+    key would multiply that conversation's bouts.
     """
     d_win = F.broadcast(
         dim.select(F.col(dim_key).alias("_wk"), F.col(dim_col).alias("_win"))
