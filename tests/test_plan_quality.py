@@ -362,3 +362,61 @@ def test_otlp_json_flat_parse_stays_jvm_nested_mode_one_arrow_stage(spark):
     nested_plan = _plan(parse_otlp_json(wire, nested=True))
     assert "BatchEvalPython" not in nested_plan
     assert nested_plan.count("ArrowEvalPython") == 1
+
+
+# --- round-4 continuation queries: the preference / tokenizer / trace shapes
+
+
+def test_q202_preference_partial_structs_no_join(spark):
+    from opentelemetry_collector_spark.plans.queries import q202_preference_pairs
+
+    plan = _plan(q202_preference_pairs(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "partial_max" in plan and "partial_min" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q203_best_of_n_window_group_limit(spark):
+    from opentelemetry_collector_spark.plans.queries import q203_best_of_n
+
+    plan = _plan(q203_best_of_n(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+
+
+def test_q205_bpe_apply_stays_jvm(spark):
+    from opentelemetry_collector_spark.plans.queries import q205_bpe_encode
+
+    plan = _plan(q205_bpe_encode(spark, SF_DIR))
+    # the apply projection: no Python anywhere, no exchange introduced by
+    # tokenization itself (the only aggregates belong to q95 training,
+    # which runs eagerly before this plan is built)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_q206_selftime_equi_join_partial_aggs(spark):
+    from opentelemetry_collector_spark.plans.queries import q206_span_selftime
+
+    plan = _plan(q206_span_selftime(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_q207_incremental_merge_carries_state_not_candidates(spark):
+    from opentelemetry_collector_spark.plans.queries import (
+        q207_incremental_preferences,
+    )
+
+    plan = _plan(q207_incremental_preferences(spark, SF_DIR))
+    assert "Join" not in plan
+    # both increment aggregates AND the merge aggregate run partial-first
+    assert plan.count("partial_max") >= 2
+
+
+def test_q208_split_assignment_is_projection(spark):
+    from opentelemetry_collector_spark.operators.sample import leakage_safe_split
+
+    df = spark.createDataFrame([(1, 7)], "doc_id bigint, component_id bigint")
+    plan = _plan(leakage_safe_split(df, "component_id"))
+    assert "Exchange" not in plan and "Python" not in plan
