@@ -3022,6 +3022,43 @@ def run_pref_scale(rows_millions: float = 40.0) -> None:
             bo = min(bo, time.perf_counter() - t0)
         bo = round(bo, 3)
 
+        # streaming twin throughput: the same candidate stream through the
+        # stateful preference_stream (applyInPandasWithState, update mode)
+        import shutil
+        import tempfile
+
+        from opentelemetry_collector_spark.streaming.stream import preference_stream
+
+        n_stream = min(n, 4_000_000)
+        land = tempfile.mkdtemp(prefix="otelcol_pref_stream_")
+        stream_secs = {}
+        try:
+            fixture(n_stream, 100_000).repartition(64).write.mode("overwrite").parquet(land)
+            for trig in (16, 64):
+                ckpt = tempfile.mkdtemp(prefix="otelcol_pref_ckpt_")
+                src = (
+                    spark.readStream.schema(
+                        "conv_id string, prompt_idx int, prompt_text string,"
+                        " answered boolean, resp_idx int, resp_text string"
+                    )
+                    .option("maxFilesPerTrigger", trig)
+                    .parquet(land)
+                )
+                t0 = time.perf_counter()
+                q = (
+                    preference_stream(src)
+                    .writeStream.outputMode("update")
+                    .format("noop")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                stream_secs[trig] = round(time.perf_counter() - t0, 3)
+                shutil.rmtree(ckpt, ignore_errors=True)
+        finally:
+            shutil.rmtree(land, ignore_errors=True)
+
         results = {
             "candidates": n,
             "n_prompts": 100_000,
@@ -3036,6 +3073,10 @@ def run_pref_scale(rows_millions: float = 40.0) -> None:
             "hot_speedup": round(win_h / agg_h, 2),
             "hot_mismatch_rows": int(mm_h),
             "best_of_8_sec": bo,
+            "stream_rows": n_stream,
+            "stream_small_trigger_sec": stream_secs[16],
+            "stream_one_batch_sec": stream_secs[64],
+            "stream_one_batch_rows_per_sec": int(n_stream / stream_secs[64]),
         }
     finally:
         spark.stop()
@@ -3083,6 +3124,27 @@ here too.
 
 Informative prompts emitted (margin>0): {results['informative_prompts']:,}
 of 100k.
+
+## streaming twin throughput
+
+The identical candidate stream ({results['stream_rows']:,} rows, 64
+files) through `preference_stream` (applyInPandasWithState keyed on
+prompt_text, update-mode snapshots), availableNow at two trigger sizes:
+
+| maxFilesPerTrigger | wall | rows/s |
+|---|---|---|
+| 16 (4 micro-batches) | {results['stream_small_trigger_sec']} s | {int(results['stream_rows']/results['stream_small_trigger_sec']):,} |
+| 64 (1 micro-batch) | {results['stream_one_batch_sec']} s | {results['stream_one_batch_rows_per_sec']:,} |
+
+The cost is PER GROUP INVOCATION, not per row: every micro-batch pays
+one Python/Arrow round-trip per prompt present in it (100k here), so
+halving the trigger count halves that fixed cost — the documented
+sizing lever for catch-up/replay. On a live stream the invocation rate
+is bounded by prompts-ACTIVE-per-trigger, which is exactly the regime
+the stateful twin exists for; the bulk path is the batch operator (and
+q207's mergeable state for incremental builds). State is O(1) per
+prompt (count + best/worst tuples): 100k state rows regardless of
+stream length.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PREFERENCE.md"), "w") as f:
