@@ -8682,6 +8682,57 @@ FROM pm
 """
 
 
+def q209_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split dataset card (the release report a corpus ships with):
+    q208's cluster-atomic train/val/test assignment aggregated per split —
+    document and cluster counts, whitespace-token mass, and the largest
+    near-dup cluster that landed in the split (the contamination-risk
+    indicator a reviewer checks first). One partial-aggregated groupBy
+    over the split frame; token counts ride the same scan. Oracle extends
+    the q208 closure with the identical aggregate."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from opentelemetry_collector_spark.operators.sample import leakage_safe_split
+    from opentelemetry_collector_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 1000)
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", k=5, threshold=0.2)
+    clusters = dedup_clusters(docs.select("doc_id"), pairs, "doc_id")
+    assigned = leakage_safe_split(clusters, "component_id").join(
+        docs.select("doc_id", token_count(F.col("text")).alias("_tok")), "doc_id"
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("component_id").cast("bigint").alias("n_clusters"),
+        F.sum("_tok").cast("bigint").alias("sum_tokens"),
+        F.max("n_members").cast("bigint").alias("max_cluster_size"),
+    )
+
+
+Q209_SQL = f"""{_Q208_CLOSURE.rstrip().rstrip(",")},
+pm AS (
+  SELECT c.doc_id, c.component_id, s.n_members,
+         CAST(((('0x' || substring(md5(CAST(c.component_id AS VARCHAR)), 1, 13))::UBIGINT
+                * 1000) >> 52) AS BIGINT) AS b
+  FROM comp c JOIN sizes s USING (component_id)),
+asg AS (
+  SELECT pm.*, CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+                    ELSE 'test' END AS split,
+         CAST(CASE WHEN length(trim(dd.text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(dd.text), '\\s+')) END
+              AS BIGINT) AS tok
+  FROM pm JOIN documents dd ON dd.doc_id = pm.doc_id)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT component_id) AS BIGINT) AS n_clusters,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       CAST(MAX(n_members) AS BIGINT) AS max_cluster_size
+FROM asg GROUP BY split
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -8793,6 +8844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q206_span_selftime": q206_span_selftime,
     "q207_incremental_preferences": q207_incremental_preferences,
     "q208_leakage_safe_split": q208_leakage_safe_split,
+    "q209_split_manifest": q209_split_manifest,
     "q90_log_templates": q90_log_templates,
     "q91_delta_to_cumulative": q91_delta_to_cumulative,
     "q92_split_metrics": q92_split_metrics,
@@ -9093,6 +9145,7 @@ ORACLES: dict[str, str] = {
     "q206_span_selftime": Q206_SQL,
     "q207_incremental_preferences": Q207_SQL,
     "q208_leakage_safe_split": Q208_SQL,
+    "q209_split_manifest": Q209_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -9245,6 +9298,7 @@ _PRIORITY: tuple[str, ...] = (
     "q206_span_selftime",
     "q207_incremental_preferences",
     "q208_leakage_safe_split",
+    "q209_split_manifest",
 )
 
 
