@@ -261,6 +261,30 @@ def test_differential_random_documents(spark, doc_fuzz_dir, name):
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
 
 
+def test_bpe_kernel_matches_jvm_on_fuzz_corpora(spark, doc_fuzz_dir):
+    """The memoized Arrow BPE kernel vs the JVM replace chain, row-for-row
+    on the adversarial corpora (unicode words, mixed casing, tab/newline
+    separators): lower() + [a-z]+ + the merge chain must agree between
+    Python-str and UTF8String semantics on every doc."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.bpe import (
+        bpe_token_count_trained,
+        bpe_token_counts_kernel,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet(os.path.join(doc_fuzz_dir, "documents.parquet"))
+    merges = bpe_train(docs, n_merges=6)
+    both = bpe_token_counts_kernel(docs, merges).select(
+        "doc_id",
+        "bpe_tokens",
+        bpe_token_count_trained(F.col("text"), merges).alias("jvm"),
+    )
+    bad = both.filter(~F.col("bpe_tokens").eqNullSafe(F.col("jvm"))).count()
+    assert bad == 0
+
+
 # ---------------------------------------------------------------------------
 # embeddings-table fuzzing (ANN / similarity: integer-quantized cosine paths)
 # ---------------------------------------------------------------------------
