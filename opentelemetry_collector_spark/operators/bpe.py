@@ -114,6 +114,29 @@ def merges_df(spark: SparkSession, merges: list[tuple[int, str, str, int]]) -> D
     return spark.createDataFrame(merges, "merge_rank int, lhs string, rhs string, cnt bigint")
 
 
+# Above this merge count the compiled replace chain is refused: each merge
+# adds a nested StringReplace node, so a production 30k–50k-merge vocabulary
+# would build a pathological Catalyst expression tree (codegen blowup /
+# 64KB method limits), while the Arrow kernel's cost per merge is a plain
+# str.replace in a memoized per-word loop. 100 is far above any merge count
+# the JVM chain was measured at (BENCH/BPE_APPLY.md: 16) and far below
+# where tree construction itself gets slow.
+MAX_JVM_MERGES = 100
+
+
+def _guard_merge_count(merges, fn_name: str) -> None:
+    if len(merges) > MAX_JVM_MERGES:
+        raise ValueError(
+            f"{fn_name}: {len(merges)} merges would compile into a "
+            f"{len(merges)}-deep nested replace chain (Catalyst expression-"
+            f"tree blowup). Above {MAX_JVM_MERGES} merges use the Arrow "
+            "kernel bpe_token_counts_kernel / bpe_token_counts (measured "
+            "4.26x faster even at 16 merges, BENCH/BPE_APPLY.md) — its "
+            "per-merge cost is a memoized str.replace, independent of "
+            "expression-tree size."
+        )
+
+
 def _apply_merges(sym: Column, merges: list[tuple[int, str, str, int]]) -> Column:
     """Chain the learned replaces in rank order — the compiled artifact."""
     for _, lhs, rhs, _cnt in merges:
@@ -124,7 +147,9 @@ def _apply_merges(sym: Column, merges: list[tuple[int, str, str, int]]) -> Colum
 def bpe_segment(col: Column, merges: list[tuple[int, str, str, int]]) -> Column:
     """Segment text into trained-BPE tokens: array<string> of merged symbols
     (end-of-word marker attached, e.g. ``lo``, ``w_``). Pure JVM: tokenize,
-    wrap, replay the merge chain, unwrap — one codegen projection."""
+    wrap, replay the merge chain, unwrap — one codegen projection.
+    Refuses merge lists beyond MAX_JVM_MERGES (see _guard_merge_count)."""
+    _guard_merge_count(merges, "bpe_segment")
     words = F.regexp_extract_all(F.lower(col), F.lit(WORD_PAT), 0)
     segmented = F.transform(words, lambda w: _symbols(_apply_merges(_wrap_word(w), merges)))
     return F.flatten(segmented)
@@ -137,9 +162,13 @@ def bpe_token_count_trained(col: Column, merges: list[tuple[int, str, str, int]]
     Counting path runs the replace chain over ONE string per document
     (wrapped words joined by ``|`` — a character that can never appear in
     a symbol, so merges cannot fire across word boundaries), then counts
-    ``<`` markers. Measured 1.26x faster than per-word ``transform`` at
-    1M docs (BENCH/BPE_APPLY.md) and byte-identical; :func:`bpe_segment`
-    keeps the per-word form because it must return per-word arrays."""
+    ``<`` markers. Measured 9.63 s vs 11.686 s per-word ``transform``
+    (1.21x) at 4M docs / 16 merges (BENCH/BPE_APPLY.md, bpe_scale.json)
+    and byte-identical; :func:`bpe_segment` keeps the per-word form
+    because it must return per-word arrays. Refuses merge lists beyond
+    MAX_JVM_MERGES — use :func:`bpe_token_counts` /
+    :func:`bpe_token_counts_kernel` for production-size vocabularies."""
+    _guard_merge_count(merges, "bpe_token_count_trained")
     words = F.regexp_extract_all(F.lower(col), F.lit(WORD_PAT), 0)
     doc = F.array_join(F.transform(words, _wrap_word), "|")
     doc = _apply_merges(doc, merges)
@@ -160,14 +189,17 @@ def bpe_token_counts_kernel(
     instance; natural text repeats its hot words constantly, so a
     per-batch dict collapses most instances to a lookup).
 
-    Measured interleaved best-of-3 at 1M x 12-word docs over a 4096-word
-    Zipf vocabulary, 16 merges (BENCH/BPE_APPLY.md): kernel 1.14 s vs
-    2.40 s whole-doc JVM chain (2.1x) — the repo's measured-and-justified
-    bar for an Arrow kernel (the minhash-verify precedent). The JVM
-    column stays the default: it composes as an expression, costs no
-    Python workers, and wins whenever counts feed further codegen. Use
-    the kernel when tokenization IS the job. Identical results
-    (row-for-row pytest + in-study assertion)."""
+    Measured interleaved best-of-3 at 4M x 12-word docs over a 4096-word
+    Zipf vocabulary, 16 merges (BENCH/BPE_APPLY.md, bpe_scale.json):
+    kernel 2.26 s vs 9.63 s whole-doc JVM chain (4.26x) — the repo's
+    measured-and-justified bar for an Arrow kernel (the minhash-verify
+    precedent). The JVM column stays the default at SMALL merge counts:
+    it composes as an expression, costs no Python workers, and wins
+    whenever counts feed further codegen. Use the kernel when
+    tokenization IS the job — and always above MAX_JVM_MERGES, where the
+    JVM chain is refused outright (:func:`bpe_token_counts` routes
+    automatically). Identical results (row-for-row pytest + in-study
+    assertion)."""
     import re
 
     from pyspark.sql.functions import pandas_udf
@@ -198,3 +230,25 @@ def bpe_token_counts_kernel(
         return pd.Series(out, dtype="object")
 
     return df.withColumn(out_col, _count(F.col(text_col)))
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Merge-count-aware front door for trained-BPE token counting.
+
+    At small merge counts (≤ MAX_JVM_MERGES) this compiles the pure-JVM
+    replace-chain column (:func:`bpe_token_count_trained`) — no Python
+    workers, codegen-fusable with surrounding projections. Beyond that,
+    the chain's nested-expression tree would blow up Catalyst (a real
+    vocabulary carries 30k–50k merges), so the call routes to the
+    memoized Arrow kernel (:func:`bpe_token_counts_kernel`), whose
+    per-merge cost is a flat ``str.replace`` and which measured 4.26x
+    faster even at 16 merges (BENCH/BPE_APPLY.md). Both paths are
+    row-for-row identical (pytest-pinned)."""
+    if len(merges) > MAX_JVM_MERGES:
+        return bpe_token_counts_kernel(df, merges, text_col=text_col, out_col=out_col)
+    return df.withColumn(out_col, bpe_token_count_trained(F.col(text_col), merges))

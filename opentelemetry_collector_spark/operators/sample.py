@@ -343,7 +343,12 @@ def unimax_allocation(
     apply downsampling allocations with :func:`stratified_sample`-style
     rank limits. Physical shape: one partial-aggregated groupBy to the
     per-stratum counts, then windows over the STRATA frame (rows = number
-    of strata, never the corpus) and one scalar broadcast of the level.
+    of strata, never the corpus) — including the stratum count and the
+    water level itself, so the whole allocation is ONE Spark job with no
+    driver round-trips (the r4 bench flag on q110 traced to the previous
+    form's three sequential actions: a count(), a first() collect, and
+    the final query re-deriving the strata frame — pure job-scheduling
+    overhead on a frame of a few dozen rows).
     """
     from pyspark.sql import Window
 
@@ -357,26 +362,27 @@ def unimax_allocation(
         .withColumn("cap", (F.col("n_docs") * cap_epochs).cast("bigint"))
     )
     w = Window.orderBy(F.asc("cap"), F.asc("stratum"))
-    ranked = caps.withColumn("_i", F.row_number().over(w) - 1).withColumn(
-        "_prefix",
-        F.coalesce(
-            F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-        ),
+    whole = Window.partitionBy()
+    ranked = (
+        caps.withColumn("_i", F.row_number().over(w) - 1)
+        .withColumn(
+            "_prefix",
+            F.coalesce(
+                F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(whole))
     )
-    n = ranked.count()
-    if n == 0:
-        return ranked.select("stratum", "n_docs", "cap", F.col("cap").alias("alloc"))
-    level_row = (
-        ranked.select(F.expr(f"({budget} - _prefix) div ({n} - _i)").alias("_t"))
-        .agg(F.max("_t").alias("_level"))
-        .first()
+    level = F.greatest(
+        F.max(F.expr(f"({budget} - _prefix) div (_n - _i)")).over(whole),
+        F.lit(0).cast("bigint"),
     )
-    level = max(int(level_row["_level"] or 0), 0)
     return ranked.select(
         "stratum",
         "n_docs",
         "cap",
-        F.least(F.col("cap"), F.lit(level)).cast("bigint").alias("alloc"),
+        F.least(F.col("cap"), level).cast("bigint").alias("alloc"),
     )
 
 

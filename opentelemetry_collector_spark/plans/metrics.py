@@ -19,8 +19,14 @@ from opentelemetry_collector_spark.schema import METRICS_SCHEMA
 
 class MetricsCollector:
     def __init__(self, run_id: str):
+        import time
+
         self.run_id = run_id
         self.rows: list[tuple[str, str, str | None, str, int]] = []
+        # process-start analog: the collector's construction marks the run's
+        # epoch, like ProcessMetricsViews records its start for process/uptime
+        # (service/internal/telemetry/process_telemetry.go:30-47)
+        self._t0 = time.monotonic()
 
     def add(self, component: str, metric: str, value: int, sink: str | None = None) -> None:
         self.rows.append((self.run_id, component, sink, metric, int(value)))
@@ -50,6 +56,32 @@ class MetricsCollector:
         # gauge analog: instantaneous queue depth observed at enqueue
         # (obsmetrics exporter/queue_size)
         self.add("exporter", "queue_size", n, sink=sink)
+
+    def record_process_telemetry(self, component: str = "service/telemetry") -> None:
+        """Engine self-telemetry gauges, the ProcessMetricsViews analog
+        (service/internal/telemetry/process_telemetry.go:30-90): the
+        reference samples process/uptime, process/memory/rss and
+        process/cpu_seconds via gopsutil on a ticker; a batch engine
+        samples once per run (and callers may call repeatedly — uptime is
+        monotone across calls). Integer units so the LongType metrics
+        value stays exact: microseconds for times, bytes for memory.
+        Driver-side stdlib only (resource.getrusage — no gopsutil
+        equivalent dependency): ru_maxrss is the PEAK resident set (the
+        high-watermark a capacity planner actually wants; Linux reports
+        KiB), ru_utime+ru_stime is total user+system CPU. Executor-side
+        memory is Spark's own telemetry domain (event log / UI), see
+        COVERAGE.md §2.6."""
+        import resource
+        import time
+
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        self.add(component, "process/uptime_us", int((time.monotonic() - self._t0) * 1e6))
+        self.add(component, "process/memory/rss_peak_bytes", int(ru.ru_maxrss) * 1024)
+        self.add(
+            component,
+            "process/cpu_seconds_us",
+            int((ru.ru_utime + ru.ru_stime) * 1e6),
+        )
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(self.rows, schema=METRICS_SCHEMA)

@@ -397,6 +397,9 @@ def run_pipeline(
         manifest.commit(ManifestEntry(run_id, s.name, snapshot, "committed", n))
 
     df_processed.unpersist()
+    # engine self-telemetry sampled once per run, after all sink work
+    # (process_telemetry.go:30-90 analog — uptime / peak-RSS / CPU)
+    metrics.record_process_telemetry()
     mdf = metrics.to_df(spark)
     mdf.write.mode("append").parquet(f"{base_path}/metrics")
     if sink_errors and raise_on_sink_error:

@@ -8615,16 +8615,24 @@ FROM per
 def q207_incremental_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental preference maintenance (operators/preference.
     preference_state / merge_preference_states / pairs_from_state — the
-    daily-build pattern): the candidate corpus is split into two disjoint
-    increments (event_id parity, cutting conversations MID-STREAM so the
-    pairing itself is computed per increment as a real daily run would),
-    each increment reduced to its prompt-level (sum, max, min) state, the
-    states merged WITHOUT rescanning either increment, and the merged
-    state finalized. The oracle is the FULL-corpus q202 derivation —
-    passing means incremental == full rebuild exactly, which is the whole
-    point of the (sum, max, min) state algebra: the expensive
-    candidate->state reduction runs per increment, the merge touches only
-    prompt-cardinality state rows."""
+    daily-build pattern): pairing runs ONCE over the full corpus, then
+    the resulting CANDIDATE frame is split into two disjoint increments
+    by prompt_idx parity, each increment reduced to its prompt-level
+    (sum, max, min) state, the states merged WITHOUT rescanning either
+    increment, and the merged state finalized. The oracle is the
+    FULL-corpus q202 derivation — passing means incremental == full
+    rebuild exactly, which is the whole point of the (sum, max, min)
+    state algebra: the expensive candidate->state reduction runs per
+    increment, the merge touches only prompt-cardinality state rows.
+    Contract boundary (deliberate): the split is candidate-level, NOT a
+    mid-stream cut of the raw event log — a real daily run that cut the
+    EVENT stream at an increment boundary would change pair_turns output
+    there (a prompt in day k answered in day k+1 pairs as unanswered
+    until the answer's increment arrives), so the incremental contract
+    proven here covers the state algebra over any disjoint candidate
+    split, and an event-level pipeline must either re-pair a boundary
+    overlap window or accept late-pairing, exactly as the streaming twin
+    (streaming/stream.pair_turns_stream) does with its pending-prompt state."""
     from opentelemetry_collector_spark.operators.dialogue import pair_turns
     from opentelemetry_collector_spark.operators.preference import (
         merge_preference_states,
@@ -9258,53 +9266,82 @@ _DRIVER_VERIFIED_R03: frozenset[str] = frozenset(
     }
 )
 
-# Oracles whose SQL changed this round, so their prior rows no longer cover
-# them: q92/q95's integer SUMs gained CAST(... AS BIGINT) (VERDICT r3 — the
-# uncast DuckDB HUGEINT rendered as float in the driver's hasher and broke
-# hash_match on value-identical results).
-_RECHECK: frozenset[str] = frozenset(
-    {"q92_split_metrics", "q95_bpe_train"}
+# Names the round-4 driver gate hash-verified (CORRECTNESS_r04.json: 50/50
+# green — the round-4 priority block including the q92/q95 dtype re-checks,
+# the 10 r3 DuckDB-OOM re-runs, every round-4 addition q195–q209, and the
+# q129–q151 tail segment).
+_DRIVER_VERIFIED_R04: frozenset[str] = frozenset(
+    {
+        "q92_split_metrics", "q95_bpe_train", "q96_zipkin_span_events",
+        "q97_zipkin_span_links", "q103_role_pivot",
+        "q104_incident_window_join", "q105_service_graph", "q106_surprisal",
+        "q107_robust_anomalies", "q108_snapshot_diff", "q109_role_transitions",
+        "q127_pagerank_nav", "q129_corr_moments", "q130_fuzzy_match",
+        "q131_activity_streaks", "q132_reachability", "q133_json_props",
+        "q134_state_intervals", "q135_char_mass_median", "q136_doc_skyline",
+        "q137_nav_trigrams", "q138_forecast_revenue", "q139_volume_shipping",
+        "q140_market_share", "q141_product_profit", "q142_important_parts",
+        "q143_line_priority", "q144_top_supplier", "q145_part_supplier_counts",
+        "q146_small_qty_revenue", "q147_promo_suppliers",
+        "q148_waiting_suppliers", "q149_sales_opportunity",
+        "q150_min_cost_supplier", "q151_disjunctive_revenue",
+        "q195_otlp_int_histogram_roundtrip",
+        "q196_otlp_int_histogram_proto_roundtrip", "q197_int_histogram_wire",
+        "q198_sft_pairs", "q199_tool_roundtrips", "q200_sft_pack",
+        "q201_contrastive_negatives", "q202_preference_pairs", "q203_best_of_n",
+        "q204_channel_winrates", "q205_bpe_encode", "q206_span_selftime",
+        "q207_incremental_preferences", "q208_leakage_safe_split",
+        "q209_split_manifest",
+    }
 )
 
-# Round-4 prefix: the 2 dtype-fixed oracles re-check first, then the 10
-# rows the driver's r3 oracle harness lost to transient DuckDB allocation
-# failures (all 10 judge-verified exact on standalone re-run — VERDICT r3);
-# after them the rotation flows into the never-driver-checked q129–q183
-# tail. New round-4 oracles are appended at the end of the priority block.
+# No oracle SQL changed since its covering CORRECTNESS row this round, so
+# nothing needs a forced re-check (the q92/q95 dtype fixes were re-verified
+# by the round-4 driver run).
+_RECHECK: frozenset[str] = frozenset()
+
+# Round-5 prefix: the 27-query q152–q178 segment — the only part of the
+# registry no driver CORRECTNESS round ever sampled (it was judge-verified
+# standalone in round 4, but the standing ask is a green DRIVER row for
+# every registry query). After these 27 the rotation re-verifies the
+# cumulative set in registry order, deepest-history first.
 _PRIORITY: tuple[str, ...] = (
-    "q92_split_metrics",
-    "q95_bpe_train",
-    "q96_zipkin_span_events",
-    "q97_zipkin_span_links",
-    "q103_role_pivot",
-    "q104_incident_window_join",
-    "q105_service_graph",
-    "q106_surprisal",
-    "q107_robust_anomalies",
-    "q108_snapshot_diff",
-    "q109_role_transitions",
-    "q127_pagerank_nav",
-    "q195_otlp_int_histogram_roundtrip",
-    "q196_otlp_int_histogram_proto_roundtrip",
-    "q197_int_histogram_wire",
-    "q198_sft_pairs",
-    "q199_tool_roundtrips",
-    "q200_sft_pack",
-    "q201_contrastive_negatives",
-    "q202_preference_pairs",
-    "q203_best_of_n",
-    "q204_channel_winrates",
-    "q205_bpe_encode",
-    "q206_span_selftime",
-    "q207_incremental_preferences",
-    "q208_leakage_safe_split",
-    "q209_split_manifest",
+    "q152_ohlc_downsample",
+    "q153_gapfill_locf",
+    "q154_interpolate_linear",
+    "q155_ewma",
+    "q156_tail_sampling",
+    "q157_span_red_metrics",
+    "q158_counter_rate",
+    "q159_sliding_burst",
+    "q160_span_self_time",
+    "q161_triangles",
+    "q162_trending_templates",
+    "q163_cusum_drift",
+    "q164_covisitation",
+    "q165_k_anonymity",
+    "q166_qi_suppression",
+    "q167_winsorize",
+    "q168_vocab_growth",
+    "q169_attr_cardinality",
+    "q170_hysteresis_alerts",
+    "q171_hot_keys",
+    "q172_equi_depth_bins",
+    "q173_embedding_pool",
+    "q174_join_size_guard",
+    "q175_volume_trend",
+    "q176_trend_residual_anomalies",
+    "q177_seasonal_deviation",
+    "q178_rank_normalize",
 )
 
 
 def _rotate(d: dict) -> dict:
     done = (
-        _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03
+        _DRIVER_VERIFIED_R01
+        | _DRIVER_VERIFIED_R02
+        | _DRIVER_VERIFIED_R03
+        | _DRIVER_VERIFIED_R04
     ) - _RECHECK
     front = [k for k in _PRIORITY if k in d]
     front += [k for k in d if k not in done and k in ORACLES and k not in front]

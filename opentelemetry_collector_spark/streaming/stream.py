@@ -1041,18 +1041,25 @@ PREF_SCHEMA = (
 
 
 def _pref_reward(text):
-    """Exact Python twin of ``preference.response_reward``: 1000 *
-    whitespace tokens + alpha per-mille. ``len``/code-point semantics and
-    the ASCII ``[A-Za-z]`` class agree with Spark's ``length``/
-    ``regexp_replace``; integer ``//`` equals the operator's
-    ``floor(x*1000.0/n)`` for these magnitudes (exact-dyadic argument in
-    operators/text._per_mille usage)."""
+    """Exact Python twin of ``preference.response_reward``, mirroring the
+    JVM chain symbol-for-symbol rather than using Python's near-miss
+    idioms: Spark ``trim`` strips only U+0020 (not ``\\n`` or Unicode
+    spaces, unlike Python ``str.strip()``); Java's ``\\s`` is ASCII-only
+    (NBSP/U+2009 are NOT delimiters, unlike Python ``str.split()``); and
+    Spark ``split``'s default limit -1 is ``Pattern.split(input, -1)``,
+    which KEEPS the empty tokens that edge whitespace produces — so
+    ``"\\nhello"`` counts 2 tokens here exactly as in the batch operator.
+    ``len``/code-point semantics and the ASCII ``[A-Za-z]`` class agree
+    with Spark's ``length``/``regexp_replace``; integer ``//`` equals the
+    operator's ``floor(x*1000.0/n)`` for these magnitudes (exact-dyadic
+    argument in operators/text._per_mille usage). Parity is pinned by
+    tests/test_streaming_preference.py's adversarial-whitespace case."""
     import re
 
     if text is None:
         return None
-    stripped = text.strip()
-    tok = len(stripped.split()) if stripped else 0
+    stripped = text.strip(" ")
+    tok = len(re.split(r"\s+", stripped, flags=re.ASCII)) if stripped else 0
     n = len(text)
     alpha = len(re.sub("[^A-Za-z]", "", text))
     return tok * 1000 + ((alpha * 1000) // n if n > 0 else 0)
@@ -1104,16 +1111,31 @@ def preference_stream(df: DataFrame) -> DataFrame:
             if prompt is None:
                 continue  # NULL prompt: untrainable, refuse the group's rows
             cand = pdf[pdf["answered"].fillna(False) & pdf["resp_text"].notna()]
+
+            def _key(t):
+                # Spark-struct null ordering: a NULL field sorts below any
+                # non-NULL value. (present, value) pairs reproduce the batch
+                # operator's null-aware min/max tie-break on junk rows (NULL
+                # conv_id / prompt_idx) instead of raising TypeError — the
+                # row degrades per-row exactly like the batch path, it does
+                # not kill the streaming query.
+                return (
+                    t[0],
+                    (t[1] is not None, t[1] if t[1] is not None else ""),
+                    (t[2] is not None, t[2] if t[2] is not None else 0),
+                )
+
             for row in cand.itertuples(index=False):
                 r = _pref_reward(row.resp_text)
-                t = (r, row.conv_id, int(row.prompt_idx),
+                t = (r, row.conv_id,
+                     int(row.prompt_idx) if pd.notna(row.prompt_idx) else None,
                      int(row.resp_idx) if pd.notna(row.resp_idx) else None,
                      row.resp_text)
                 n += 1
                 changed = True
-                if best is None or t[:3] > best[:3]:
+                if best is None or _key(t) > _key(best):
                     best = t
-                if worst is None or t[:3] < worst[:3]:
+                if worst is None or _key(t) < _key(worst):
                     worst = t
         if changed:
             state.update((n, best[0], best[1], best[2], best[3], best[4],

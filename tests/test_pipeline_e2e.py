@@ -339,3 +339,41 @@ def test_queue_capacity_refuses_batch_as_enqueue_failed(spark, tmp_path):
     assert {"sent_log_records", "send_failed_log_records", "queue_size"} <= fam
     gauge = [r.value for r in res2.metrics.collect() if r.metric == "queue_size"]
     assert gauge and gauge[0] == res2.sink_rows["a"]
+
+
+def test_process_telemetry_gauges_present_and_monotone(spark, tmp_path):
+    """Engine self-telemetry (process_telemetry.go:30-90 analog): every run
+    emits uptime / peak-RSS / CPU gauges into the metrics table, uptime is
+    monotone across successive samples, and values are sane (peak RSS of a
+    live JVM+Python driver is comfortably >32MB; CPU time positive)."""
+    from opentelemetry_collector_spark.plans.metrics import MetricsCollector
+
+    base = str(tmp_path / "runpt")
+    res = run_pipeline(spark, _spec(spark, base), base)
+    vals = {
+        r.metric: r.value
+        for r in res.metrics.filter(F.col("component") == "service/telemetry").collect()
+    }
+    assert {
+        "process/uptime_us",
+        "process/memory/rss_peak_bytes",
+        "process/cpu_seconds_us",
+    } <= set(vals)
+    assert vals["process/uptime_us"] > 0
+    assert vals["process/memory/rss_peak_bytes"] > 32 * 1024 * 1024
+    assert vals["process/cpu_seconds_us"] > 0
+
+    # monotone uptime across repeated samples on one collector
+    mc = MetricsCollector("ptest")
+    mc.record_process_telemetry()
+    mc.record_process_telemetry()
+    ups = [v for (_, comp, _, met, v) in mc.rows if met == "process/uptime_us"]
+    assert len(ups) == 2 and ups[1] >= ups[0]
+    # persisted alongside the obsreport rows, same schema
+    persisted = {
+        r.metric
+        for r in spark.read.parquet(f"{base}/metrics")
+        .filter(F.col("component") == "service/telemetry")
+        .collect()
+    }
+    assert "process/uptime_us" in persisted

@@ -337,6 +337,86 @@ def test_preference_pairs_matches_python_model(spark, rows):
     assert got == _ref_prefs(rows)
 
 
+def test_pref_reward_twin_matches_jvm_on_adversarial_whitespace(spark):
+    """The streaming twin's _pref_reward must equal the JVM
+    response_reward chain on texts where Python's strip()/split() idioms
+    diverge from Spark trim (U+0020-only) + Java ASCII \\s split with
+    limit -1 (edge empty tokens kept): leading/trailing newlines, tabs,
+    NBSP/thin-space (NOT delimiters in Java's ASCII \\s), and mixed."""
+    from opentelemetry_collector_spark.streaming.stream import _pref_reward
+
+    texts = [
+        "\nhello",            # leading newline -> Java split yields ["", "hello"]
+        "hello\n",            # trailing newline -> trailing "" kept (limit -1)
+        "\thello world\t",
+        "a b",           # NBSP: one Java token, two Python-split tokens
+        "x y",           # thin space: same class of divergence
+        " ",             # NBSP-only: trim keeps it, \s doesn't split it
+        "  spaced out  ",     # U+0020 edges: trim removes, twin must too
+        " \n mixed ws\t here \n ",
+        "",
+        "plain ascii text",
+        "\n\n",
+        "ab  cd \n",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "resp_text string")
+    jvm = {
+        r["resp_text"]: r["r"]
+        for r in df.select(
+            "resp_text", response_reward(F.col("resp_text")).alias("r")
+        ).collect()
+    }
+    for t in texts:
+        assert _pref_reward(t) == jvm[t], (repr(t), _pref_reward(t), jvm[t])
+    assert _pref_reward(None) is None
+
+
+def test_preference_stream_survives_null_identity_rows(spark, tmp_path):
+    """Candidate rows with NULL conv_id / NULL prompt_idx must not kill
+    the streaming query (they are valid candidates in the batch operator,
+    ranked under Spark's null-aware struct comparison where NULL sorts
+    below any value) — the stream snapshot must match batch
+    preference_pairs on the same rows."""
+    from opentelemetry_collector_spark.streaming.stream import preference_stream
+
+    rows = [
+        ("c1", 0, "p1", True, 1, "alpha beta gamma"),
+        (None, 0, "p1", True, 1, "ok"),            # NULL conv_id candidate
+        ("c2", None, "p1", True, 1, "12345"),      # NULL prompt_idx candidate
+        (None, None, "p1", True, 1, "1234"),       # both NULL
+        # tied rewards where only the NULL-aware tiebreak decides:
+        (None, 5, "p2", True, 1, "same"),          # NULL conv_id loses max to c9
+        ("c9", 5, "p2", True, 1, "same"),
+        ("c9", 7, "p2", True, 1, "worse1"),
+    ]
+    df = spark.createDataFrame(rows, PAIRS_SCHEMA)
+    landing = str(tmp_path / "landing")
+    df.coalesce(1).write.mode("append").parquet(landing)
+    q = (
+        preference_stream(
+            spark.readStream.schema(PAIRS_SCHEMA).parquet(landing)
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("pref_null_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snaps = spark.sql("select * from pref_null_out").collect()
+    latest = {}
+    for r in snaps:
+        if r["prompt_text"] not in latest or r["n_cands"] > latest[r["prompt_text"]]["n_cands"]:
+            latest[r["prompt_text"]] = r.asDict()
+    stream_pairs = {k: v for k, v in latest.items() if v["margin"] > 0}
+    batch = {r["prompt_text"]: r.asDict() for r in preference_pairs(df).collect()}
+    assert set(stream_pairs) == set(batch)
+    for prompt, want in batch.items():
+        for col, v in want.items():
+            assert stream_pairs[prompt][col] == v, (prompt, col, stream_pairs[prompt][col], v)
+
+
 def test_state_merge_equals_full_build_any_split(spark, pairs, tmp_path):
     """The (sum, max, min) state algebra: merging states built from ANY
     disjoint split — including a parquet-persisted one (the daily-build
