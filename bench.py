@@ -124,6 +124,9 @@ HEADLINE = [
     "q206_span_selftime",
     "q207_incremental_preferences",
     "q208_leakage_safe_split",
+    # r5: chat-template rendering + loss-mask spans (q210/q211)
+    "q210_chat_render",
+    "q211_loss_mask_spans",
     # time-series regrid + trace analytics (events/transcripts tables)
     "q152_ohlc_downsample",
     "q155_ewma",

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.operators.text import token_count
 
-__all__ = ["pair_turns", "sft_pack"]
+__all__ = ["pair_turns", "sft_pack", "render_conversations", "render_spans"]
 
 
 def _epoch_us(ts):
@@ -256,4 +256,111 @@ def sft_pack(df: DataFrame, budget: int, n_buckets: int | None = None) -> DataFr
 
     return bucketed.groupBy("_bucket").applyInPandas(_pack_bucket, schema=out_schema).drop(
         "_bucket"
+    )
+
+
+# ---------------------------------------------------------------------------
+# chat-template rendering (the apply_chat_template step of SFT data prep)
+# ---------------------------------------------------------------------------
+
+# One turn renders as  <|role|>text<|end|>  and turns join with "\n".
+# Deliberately minimal and delimiter-collision-free against the transcript
+# corpus; the shape (role header + payload + end sentinel) is the common
+# denominator of published chat templates. NULL role/text render as ''
+# (per-row junk degradation — the turn keeps its slot so offsets stay
+# aligned with the conversation's true turn count).
+_ROLE_OPEN = "<|"
+_ROLE_CLOSE = "|>"
+_TURN_END = "<|end|>"
+_TURN_SEP = "\n"
+
+
+def _rendered_turn(role, text):
+    return F.concat(
+        F.lit(_ROLE_OPEN),
+        F.coalesce(role, F.lit("")),
+        F.lit(_ROLE_CLOSE),
+        F.coalesce(text, F.lit("")),
+        F.lit(_TURN_END),
+    )
+
+
+def render_conversations(df: DataFrame) -> DataFrame:
+    """Render each conversation into ONE training text under the chat
+    template — the ``apply_chat_template`` stage every SFT pipeline runs
+    between pair/turn mining and tokenization.
+
+    Output: (conv_id, n_turns, rendered, n_chars), one row per
+    conversation, turns in ``turn_idx`` order.
+
+    Physical shape: one shuffle on ``conv_id`` (the same partitioning the
+    pairing/aggregate stages use); per group the turns are gathered with
+    ``collect_list(struct(turn_idx, ...))`` + ``array_sort`` (struct
+    comparison leads on the unique ``turn_idx``, so the order is total)
+    and the template is applied via ``transform`` + ``array_join`` — all
+    JVM expression work, no Python. A conversation's rendered text lives
+    on one executor row, so memory is bounded by the longest conversation
+    (the same bound the window-based pairing already carries); at
+    10^12-turn scale hot conversations cost one group each, never a
+    reducer-wide skew."""
+    turn = F.struct(F.col("turn_idx"), F.col("role"), F.col("text"))
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(turn)),
+            lambda t: _rendered_turn(t.role, t.text),
+        ),
+        _TURN_SEP,
+    )
+    return (
+        df.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            rendered.alias("rendered"),
+        )
+        .withColumn("n_chars", F.length("rendered").cast("bigint"))
+    )
+
+
+def render_spans(df: DataFrame, roles: Sequence[str] = ("assistant",)) -> DataFrame:
+    """Character-offset loss-mask spans into :func:`render_conversations`'
+    text — for every turn whose role is in ``roles``, the half-open
+    ``[span_start, span_end)`` 0-based character range its PAYLOAD (the
+    text between the role header and the end sentinel) occupies in the
+    conversation's rendered string. A trainer masks everything outside
+    these spans; ``substring(rendered, span_start+1, span_end-span_start)
+    == text`` is the pinned invariant tying the two operators together.
+
+    Closed form, never materializing the rendered string: each turn's
+    rendered length is ``len('<|') + len(role) + len('|>') + len(text) +
+    len('<|end|>')``, so a turn's start offset is the window prefix-sum of
+    the lengths before it plus one separator per preceding turn. ONE
+    window over the same ``conv_id`` shuffle — no collect_list, no join
+    back to the rendered frame, exact integers throughout (the reason a
+    100 TB corpus can compute spans without ever holding a conversation's
+    full text in one place)."""
+    if not roles:
+        raise ValueError("roles must be non-empty")
+    role_len = F.length(F.coalesce(F.col("role"), F.lit(""))).cast("bigint")
+    text_len = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("bigint")
+    head_len = len(_ROLE_OPEN) + len(_ROLE_CLOSE)
+    turn_len = role_len + text_len + F.lit(head_len + len(_TURN_END)).cast("bigint")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    turn_start = (
+        F.coalesce(F.sum(turn_len).over(prior), F.lit(0).cast("bigint"))
+        + (F.row_number().over(w) - 1) * len(_TURN_SEP)
+    )
+    span_start = turn_start + F.lit(len(_ROLE_OPEN)).cast("bigint") + role_len + len(
+        _ROLE_CLOSE
+    )
+    return (
+        df.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            span_start.alias("span_start"),
+            (span_start + text_len).alias("span_end"),
+        )
+        .filter(F.col("role").isin(*roles))
+        .select("conv_id", "turn_idx", "span_start", "span_end")
     )

@@ -8741,6 +8741,69 @@ FROM asg GROUP BY split
 """
 
 
+def q210_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering (operators/dialogue.render_conversations —
+    the ``apply_chat_template`` stage between turn mining and
+    tokenization): every conversation becomes ONE training text,
+    ``<|role|>text<|end|>`` turns joined by newlines in turn_idx order,
+    NULL role/text rendering as '' so offsets stay aligned. One conv_id
+    shuffle; collect_list + array_sort + transform + array_join — all JVM
+    expression work. Oracle: DuckDB string_agg with ORDER BY turn_idx over
+    the identical template."""
+    from opentelemetry_collector_spark.operators.dialogue import render_conversations
+
+    return render_conversations(from_events(spark, sf_dir))
+
+
+Q210_SQL = f"""{_PRELUDE},
+r AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         string_agg('<|' || coalesce(role, '') || '|>' || coalesce(text, '')
+                    || '<|end|>', chr(10) ORDER BY turn_idx) AS rendered
+  FROM t GROUP BY conv_id)
+SELECT conv_id, n_turns, rendered,
+       CAST(length(rendered) AS BIGINT) AS n_chars
+FROM r
+"""
+
+
+def q211_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-mask character spans into q210's rendered text
+    (operators/dialogue.render_spans): for every assistant turn, the
+    half-open [span_start, span_end) range its payload occupies in the
+    conversation's rendered string — what a trainer masks against.
+    Closed-form window prefix-sums over turn lengths (never materializes
+    the rendered text — the property that lets a 10^12-turn corpus
+    compute spans without holding any conversation in one string); the
+    substring-equality invariant against q210 is pytest-pinned. Oracle:
+    the identical prefix-sum arithmetic in DuckDB windows."""
+    from opentelemetry_collector_spark.operators.dialogue import render_spans
+
+    return render_spans(from_events(spark, sf_dir), roles=("assistant",))
+
+
+Q211_SQL = f"""{_PRELUDE},
+r AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(length(coalesce(role, '')) AS BIGINT) AS role_len,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS text_len
+  FROM t),
+s AS (
+  SELECT conv_id, turn_idx, role, role_len, text_len,
+         CAST(coalesce(sum(role_len + text_len + 11) OVER
+                  (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT)
+         + row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+           AS turn_start
+  FROM r)
+SELECT conv_id, turn_idx,
+       CAST(turn_start + 2 + role_len + 2 AS BIGINT) AS span_start,
+       CAST(turn_start + 2 + role_len + 2 + text_len AS BIGINT) AS span_end
+FROM s WHERE role = 'assistant'
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -8853,6 +8916,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q207_incremental_preferences": q207_incremental_preferences,
     "q208_leakage_safe_split": q208_leakage_safe_split,
     "q209_split_manifest": q209_split_manifest,
+    "q210_chat_render": q210_chat_render,
+    "q211_loss_mask_spans": q211_loss_mask_spans,
     "q90_log_templates": q90_log_templates,
     "q91_delta_to_cumulative": q91_delta_to_cumulative,
     "q92_split_metrics": q92_split_metrics,
@@ -9154,6 +9219,8 @@ ORACLES: dict[str, str] = {
     "q207_incremental_preferences": Q207_SQL,
     "q208_leakage_safe_split": Q208_SQL,
     "q209_split_manifest": Q209_SQL,
+    "q210_chat_render": Q210_SQL,
+    "q211_loss_mask_spans": Q211_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -9333,6 +9400,8 @@ _PRIORITY: tuple[str, ...] = (
     "q176_trend_residual_anomalies",
     "q177_seasonal_deviation",
     "q178_rank_normalize",
+    "q210_chat_render",
+    "q211_loss_mask_spans",
 )
 
 

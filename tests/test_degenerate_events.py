@@ -37,6 +37,8 @@ EVENT_QUERIES = [
     "q42_pack_sequences",
     "q43_stratified_sample",
     "q51_asof_enrich",
+    "q210_chat_render",
+    "q211_loss_mask_spans",
     "q52_route_rollup",
     "q53_latency_quantiles",
     "q54_sessionize",

@@ -359,3 +359,82 @@ def test_sft_pack_invariants(spark, convs, budget):
             assert r["ex_start"] == pos
             assert r["ex_start"] <= r["resp_start"] <= r["resp_end"]
             pos = r["resp_end"]
+
+
+# ---------------------------------------------------------------------------
+# chat-template rendering + loss-mask spans
+# ---------------------------------------------------------------------------
+
+
+def test_render_conversations_golden(spark):
+    from opentelemetry_collector_spark.operators.dialogue import render_conversations
+
+    rows = [
+        # out-of-order arrival: rendering must sort by turn_idx
+        ("r1", 1, "assistant", "héllo wörld", None, _ts(1)),
+        ("r1", 0, "user", "hi", None, _ts(0)),
+        # NULL text and NULL role render as '' but keep their slots
+        ("r2", 0, "user", None, None, _ts(0)),
+        ("r2", 1, None, "orphan", None, _ts(1)),
+        # single-turn conversation: no separator
+        ("r3", 0, "system", "", None, None),
+    ]
+    out = {
+        r["conv_id"]: r.asDict()
+        for r in render_conversations(spark.createDataFrame(rows, SCHEMA)).collect()
+    }
+    assert out["r1"]["rendered"] == "<|user|>hi<|end|>\n<|assistant|>héllo wörld<|end|>"
+    assert out["r1"]["n_turns"] == 2
+    # length counts code points (matches DuckDB length over ö/é)
+    assert out["r1"]["n_chars"] == len(out["r1"]["rendered"])
+    assert out["r2"]["rendered"] == "<|user|><|end|>\n<||>orphan<|end|>"
+    assert out["r3"]["rendered"] == "<|system|><|end|>"
+    assert out["r3"]["n_turns"] == 1
+
+
+def test_render_spans_substring_invariant(spark):
+    """The operators' shared contract: for every selected turn,
+    rendered[span_start:span_end] == its text — across NULLs, unicode,
+    empty texts, and multi-conversation frames."""
+    from opentelemetry_collector_spark.operators.dialogue import (
+        render_conversations,
+        render_spans,
+    )
+
+    rows = [
+        ("c1", 0, "user", "hello there", None, _ts(0)),
+        ("c1", 1, "assistant", "hi", None, _ts(3)),
+        ("c1", 2, "user", "run the job", None, _ts(5)),
+        ("c1", 3, "assistant", "done — ok ✓", None, _ts(9)),
+        ("c2", 0, "assistant", "", None, _ts(0)),
+        ("c2", 1, "assistant", None, None, _ts(1)),
+        ("c2", 2, "assistant", "tail", None, _ts(2)),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    rendered = {r["conv_id"]: r["rendered"] for r in render_conversations(df).collect()}
+    spans = render_spans(df, roles=("assistant",)).collect()
+    texts = {(r[0], r[1]): r[3] for r in rows}
+    assert len(spans) == 5
+    for r in spans:
+        want = texts[(r["conv_id"], r["turn_idx"])] or ""
+        got = rendered[r["conv_id"]][r["span_start"] : r["span_end"]]
+        assert got == want, (r, got, want)
+    # roles filter + validation
+    from opentelemetry_collector_spark.operators.dialogue import render_spans as rs
+
+    assert rs(df, roles=("user",)).count() == 2
+    with pytest.raises(ValueError):
+        rs(df, roles=())
+
+
+def test_render_plans_single_exchange_no_python(spark):
+    from opentelemetry_collector_spark.operators.dialogue import (
+        render_conversations,
+        render_spans,
+    )
+
+    df = spark.createDataFrame([("c1", 0, "user", "x", None, _ts(0))], SCHEMA)
+    for frame in (render_conversations(df), render_spans(df)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert "Python" not in plan and "BroadcastNestedLoop" not in plan, plan

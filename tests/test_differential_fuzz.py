@@ -63,6 +63,10 @@ FUZZ_QUERIES = [
     "q202_preference_pairs",
     "q203_best_of_n",
     "q204_channel_winrates",
+    # round-5 chat-template rendering family (string_agg vs collect_list
+    # ordering; NULL text/role keep their slots so spans stay aligned)
+    "q210_chat_render",
+    "q211_loss_mask_spans",
     "q207_incremental_preferences",
     # round-4: flame-graph self-time (clamp + NULL-duration paths under fuzz)
     "q206_span_selftime",

@@ -866,6 +866,22 @@ COMMENTARY = {
         "the bucket is a pure expression of the component id, so split "
         "assignment rides whatever scan or join produced the clusters.",
     ),
+    "q210_chat_render": (
+        "ONE Exchange (hashpartitioning conv_id) into an ObjectHashAggregate "
+        "carrying collect_list; template application is transform/array_join "
+        "projection work after the gather — no Python, no Join, no Window.",
+        "Rendering is one conversation-keyed gather: memory is bounded by "
+        "the longest conversation (the pairing stages' existing bound) and "
+        "a hot conversation is one group, never a reducer-wide skew.",
+    ),
+    "q211_loss_mask_spans": (
+        "ONE Exchange into a single Window node (prefix sums + row_number "
+        "on the same conv_id/turn_idx sort); span arithmetic is pure "
+        "projection — the rendered text is never materialized.",
+        "Loss-mask offsets at 10^12 turns must not require holding a "
+        "conversation's full text in one string: closed-form prefix sums "
+        "give byte-exact spans from per-turn lengths alone.",
+    ),
 }
 
 
