@@ -55,15 +55,31 @@ def referential_audit(
     return out
 
 
-def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def table_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx_rsd: float | None = None,
+) -> DataFrame:
     """(column, n_rows, n_nulls, n_distinct) per profiled column. NULLs are
-    not distinct values (SQL count-distinct semantics in both engines)."""
+    not distinct values (SQL count-distinct semantics in both engines).
+
+    ``approx_rsd=None`` (default, the oracle contract): EXACT distincts —
+    the multi-count-distinct compiles to a single Expand over one scan
+    (fan-out = column count, never row count). ``approx_rsd=0.05`` (etc.):
+    the production switch at 10^12 rows — ``approx_count_distinct``
+    (HyperLogLog++, deterministic for a given input) replaces the Expand
+    with one ordinary partial-aggregated pass whose state is a fixed-size
+    sketch per column, trading bounded relative error (the rsd argument)
+    for scan-sized memory independence. Counts/nulls stay exact in both
+    modes; only n_distinct is approximated."""
     cols = list(columns) if columns is not None else list(df.columns)
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"unknown columns: {missing}")
     if not cols:
         raise ValueError("no columns to profile")
+    if approx_rsd is not None and not 0 < approx_rsd < 1:
+        raise ValueError(f"approx_rsd must be in (0, 1), got {approx_rsd}")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(cols):
         # coalesce: SUM over an empty table is NULL, but zero rows have
@@ -73,7 +89,12 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
                 f"_null_{i}"
             )
         )
-        aggs.append(F.countDistinct(F.col(c)).alias(f"_dist_{i}"))
+        if approx_rsd is None:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"_dist_{i}"))
+        else:
+            aggs.append(
+                F.approx_count_distinct(F.col(c), rsd=approx_rsd).alias(f"_dist_{i}")
+            )
     row = df.agg(*aggs)
     per_col = F.array(
         *[

@@ -108,3 +108,31 @@ def test_join_size_estimate_never_joins_fact_tables(spark):
             ._jdf.queryExecution().optimizedPlan().toString())
     # every scan feeds an Aggregate before any Join sees it
     assert "SortMergeJoin" not in plan or "Aggregate" in plan.split("Join", 1)[1]
+
+
+def test_profile_approx_mode_bounds_error_and_drops_expand(spark):
+    """approx_rsd switches n_distinct to HyperLogLog++ (the production
+    switch at 10^12 rows): counts/nulls stay EXACT, distinct estimates
+    land within a few rsd of truth, and the plan loses the Expand the
+    exact multi-count-distinct needs (sketch state is fixed-size per
+    column, never row-scaled)."""
+    from opentelemetry_collector_spark.plans.profile import table_profile
+
+    rows = [(i, f"v{i % 97}", None if i % 5 == 0 else i % 13) for i in range(2000)]
+    df = spark.createDataFrame(rows, "a bigint, b string, c bigint")
+    exact = {r["column"]: r.asDict() for r in table_profile(df).collect()}
+    approx_df = table_profile(df, approx_rsd=0.02)
+    approx = {r["column"]: r.asDict() for r in approx_df.collect()}
+    for col in ("a", "b", "c"):
+        assert approx[col]["n_rows"] == exact[col]["n_rows"] == 2000
+        assert approx[col]["n_nulls"] == exact[col]["n_nulls"]
+        want = exact[col]["n_distinct"]
+        got = approx[col]["n_distinct"]
+        assert abs(got - want) <= max(3, 0.1 * want), (col, got, want)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    exact_plan = table_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan and "Expand" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        table_profile(df, approx_rsd=1.5)
