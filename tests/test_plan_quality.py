@@ -420,3 +420,24 @@ def test_q208_split_assignment_is_projection(spark):
     df = spark.createDataFrame([(1, 7)], "doc_id bigint, component_id bigint")
     plan = _plan(leakage_safe_split(df, "component_id"))
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_q210_render_single_gather_no_python(spark):
+    from opentelemetry_collector_spark.plans.queries import q210_chat_render
+
+    plan = _plan(q210_chat_render(spark, SF_DIR))
+    # one conv-keyed gather on top of the transcripts derivation's window
+    # exchange; template application is pure JVM expression work
+    assert "ObjectHashAggregate" in plan
+    assert "Python" not in plan and "Join" not in plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_q211_spans_one_window_never_materializes_text(spark):
+    from opentelemetry_collector_spark.plans.queries import q211_loss_mask_spans
+
+    plan = _plan(q211_loss_mask_spans(spark, SF_DIR))
+    assert "Python" not in plan and "Join" not in plan
+    # no collect_list / rendered-string aggregate anywhere — spans come
+    # from per-turn length prefix sums alone
+    assert "collect_list" not in plan and "ObjectHashAggregate" not in plan

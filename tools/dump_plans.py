@@ -690,8 +690,11 @@ COMMENTARY = {
     ),
     "q110_unimax_allocation": (
         "One partial-aggregated HashAggregate reduces the corpus to per-stratum "
-        "counts; every window after that runs on the STRATA frame (rows = "
-        "number of languages).",
+        "counts; every window after that — including the stratum count and "
+        "the water level itself — runs on the STRATA frame (rows = number of "
+        "languages), making the whole allocation ONE Spark job with zero "
+        "driver round-trips (the r4 bench flag's root cause was the previous "
+        "three-action form).",
         "The water-filling math must never touch the corpus: the only full-"
         "data pass is the count, and the level derivation costs windows over a "
         "frame the size of the language list.",
