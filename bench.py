@@ -127,6 +127,7 @@ HEADLINE = [
     # r5: chat-template rendering + loss-mask spans (q210/q211)
     "q210_chat_render",
     "q211_loss_mask_spans",
+    "q212_context_trim",
     # time-series regrid + trace analytics (events/transcripts tables)
     "q152_ohlc_downsample",
     "q155_ewma",

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.operators.text import token_count
 
-__all__ = ["pair_turns", "sft_pack", "render_conversations", "render_spans"]
+__all__ = ["pair_turns", "sft_pack", "render_conversations", "render_spans", "context_trim"]
 
 
 def _epoch_us(ts):
@@ -363,4 +363,55 @@ def render_spans(df: DataFrame, roles: Sequence[str] = ("assistant",)) -> DataFr
         )
         .filter(F.col("role").isin(*roles))
         .select("conv_id", "turn_idx", "span_start", "span_end")
+    )
+
+
+def context_trim(df: DataFrame, budget: int) -> DataFrame:
+    """Context-window truncation: per conversation, keep the LONGEST
+    SUFFIX of turns (the most recent ones) whose total rendered length —
+    in exactly :func:`render_conversations`' character units, template
+    overhead and separators included — fits ``budget``. The trimming
+    stage that runs before rendering when conversations exceed the model
+    context; truncation is at TURN boundaries (cutting inside a turn is
+    the tokenizer's problem, not the corpus builder's).
+
+    Output per conversation: ``n_turns`` (total), ``kept_turns``,
+    ``kept_from_idx`` (first kept turn, NULL when nothing fits — even a
+    lone last turn can exceed the budget; yield accounting sees it),
+    ``kept_chars`` (== ``render_conversations`` n_chars over exactly the
+    kept turns — the pinned cross-operator invariant).
+
+    Closed form: suffix sums over a descending-``turn_idx`` window.
+    Because every turn costs ≥ the template overhead, suffix totals
+    strictly increase walking backwards, so "longest fitting suffix" is
+    exactly the rows whose running total ≤ budget — one filterable flag,
+    no iteration. ONE ``conv_id`` exchange shared by the window AND the
+    final groupBy (same key, Spark reuses the partitioning); nothing is
+    rendered, nothing corpus-global."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    role_len = F.length(F.coalesce(F.col("role"), F.lit("")))
+    text_len = F.length(F.coalesce(F.col("text"), F.lit("")))
+    overhead = len(_ROLE_OPEN) + len(_ROLE_CLOSE) + len(_TURN_END)
+    rlen = (role_len + text_len + F.lit(overhead)).cast("bigint")
+    w = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+    sfx = F.sum(rlen).over(w.rowsBetween(Window.unboundedPreceding, 0)) + (
+        F.row_number().over(w) - 1
+    ) * len(_TURN_SEP)
+    kept = sfx <= budget
+    return (
+        df.select(
+            "conv_id", "turn_idx", sfx.alias("_sfx"), kept.alias("_kept")
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.coalesce(F.sum(F.col("_kept").cast("bigint")), F.lit(0))
+            .cast("bigint")
+            .alias("kept_turns"),
+            F.min(F.when(F.col("_kept"), F.col("turn_idx"))).alias("kept_from_idx"),
+            F.coalesce(F.max(F.when(F.col("_kept"), F.col("_sfx"))), F.lit(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
     )

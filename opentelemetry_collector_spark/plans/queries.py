@@ -8804,6 +8804,45 @@ FROM s WHERE role = 'assistant'
 """
 
 
+def q212_context_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted context-window truncation (operators/dialogue.context_trim):
+    per conversation the longest suffix of turns whose rendered length —
+    in q210's exact character units — fits a 1000-char budget, reported
+    as (n_turns, kept_turns, kept_from_idx, kept_chars). Suffix sums over
+    one descending window; the groupBy reuses the window's conv_id
+    partitioning, so the whole report is ONE exchange past the transcript
+    derivation. Oracle: the identical suffix-sum window arithmetic in
+    DuckDB."""
+    from opentelemetry_collector_spark.operators.dialogue import context_trim
+
+    return context_trim(from_events(spark, sf_dir), budget=1000)
+
+
+Q212_SQL = f"""{_PRELUDE},
+r AS (
+  SELECT conv_id, turn_idx,
+         CAST(11 + length(coalesce(role, '')) + length(coalesce(text, ''))
+              AS BIGINT) AS rlen
+  FROM t),
+s AS (
+  SELECT conv_id, turn_idx,
+         sum(rlen) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) - 1
+           AS sfx
+  FROM r)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(coalesce(sum(CASE WHEN sfx <= 1000 THEN 1 END), 0) AS BIGINT)
+           AS kept_turns,
+       CAST(min(CASE WHEN sfx <= 1000 THEN turn_idx END) AS INTEGER)
+           AS kept_from_idx,
+       CAST(coalesce(max(CASE WHEN sfx <= 1000 THEN sfx END), 0) AS BIGINT)
+           AS kept_chars
+FROM s GROUP BY conv_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_pipeline_e2e": q00_pipeline_e2e,
     "q01_parse_extract": q01_parse_extract,
@@ -8918,6 +8957,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q209_split_manifest": q209_split_manifest,
     "q210_chat_render": q210_chat_render,
     "q211_loss_mask_spans": q211_loss_mask_spans,
+    "q212_context_trim": q212_context_trim,
     "q90_log_templates": q90_log_templates,
     "q91_delta_to_cumulative": q91_delta_to_cumulative,
     "q92_split_metrics": q92_split_metrics,
@@ -9221,6 +9261,7 @@ ORACLES: dict[str, str] = {
     "q209_split_manifest": Q209_SQL,
     "q210_chat_render": Q210_SQL,
     "q211_loss_mask_spans": Q211_SQL,
+    "q212_context_trim": Q212_SQL,
 }
 
 # The LSH-family hashes are plain mod-2^64 integer arithmetic (FNV poly +
@@ -9402,6 +9443,7 @@ _PRIORITY: tuple[str, ...] = (
     "q178_rank_normalize",
     "q210_chat_render",
     "q211_loss_mask_spans",
+    "q212_context_trim",
 )
 
 

@@ -39,6 +39,7 @@ EVENT_QUERIES = [
     "q51_asof_enrich",
     "q210_chat_render",
     "q211_loss_mask_spans",
+    "q212_context_trim",
     "q52_route_rollup",
     "q53_latency_quantiles",
     "q54_sessionize",

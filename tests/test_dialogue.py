@@ -438,3 +438,69 @@ def test_render_plans_single_exchange_no_python(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, plan
         assert "Python" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_context_trim_invariants_vs_render(spark):
+    """kept_chars must equal render_conversations' n_chars over EXACTLY
+    the kept suffix, the suffix must be maximal (one more turn would
+    exceed the budget), and a conversation whose last turn alone exceeds
+    the budget reports kept_turns=0 with NULL kept_from_idx."""
+    from opentelemetry_collector_spark.operators.dialogue import (
+        context_trim,
+        render_conversations,
+    )
+
+    rows = [
+        # c1: all turns fit comfortably
+        ("c1", 0, "user", "hi", None, _ts(0)),
+        ("c1", 1, "assistant", "hello", None, _ts(1)),
+        # c2: long early turns, short tail — only a suffix fits
+        ("c2", 0, "user", "x" * 80, None, _ts(0)),
+        ("c2", 1, "assistant", "y" * 80, None, _ts(1)),
+        ("c2", 2, "user", "short", None, _ts(2)),
+        ("c2", 3, "assistant", "tail", None, _ts(3)),
+        # c3: even the last turn alone exceeds the budget
+        ("c3", 0, "user", "z" * 200, None, _ts(0)),
+        # c4: NULL text turn costs only the template overhead
+        ("c4", 0, None, None, None, _ts(0)),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    budget = 100
+    out = {r["conv_id"]: r.asDict() for r in context_trim(df, budget).collect()}
+
+    assert out["c1"] == {
+        "conv_id": "c1", "n_turns": 2, "kept_turns": 2,
+        "kept_from_idx": 0, "kept_chars": len("<|user|>hi<|end|>\n<|assistant|>hello<|end|>"),
+    }
+    assert out["c3"]["kept_turns"] == 0
+    assert out["c3"]["kept_from_idx"] is None and out["c3"]["kept_chars"] == 0
+    assert out["c4"]["kept_turns"] == 1 and out["c4"]["kept_chars"] == len("<||><|end|>")
+
+    # cross-operator invariant + maximality on every conversation
+    for conv, row in out.items():
+        if row["kept_turns"] == 0:
+            continue
+        kept = df.filter(
+            (F.col("conv_id") == conv) & (F.col("turn_idx") >= row["kept_from_idx"])
+        )
+        n_chars = render_conversations(kept).collect()[0]["n_chars"]
+        assert n_chars == row["kept_chars"] <= budget, (conv, n_chars, row)
+        if row["kept_turns"] < row["n_turns"]:
+            wider = df.filter(
+                (F.col("conv_id") == conv)
+                & (F.col("turn_idx") >= row["kept_from_idx"] - 1)
+            )
+            assert render_conversations(wider).collect()[0]["n_chars"] > budget
+
+    with pytest.raises(ValueError):
+        context_trim(df, 0)
+
+
+def test_context_trim_single_exchange(spark):
+    from opentelemetry_collector_spark.operators.dialogue import context_trim
+
+    df = spark.createDataFrame([("c1", 0, "user", "x", None, _ts(0))], SCHEMA)
+    plan = context_trim(df, 100)._jdf.queryExecution().executedPlan().toString()
+    # the groupBy reuses the window's conv_id partitioning: ONE exchange
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan and "Join" not in plan

@@ -67,6 +67,7 @@ FUZZ_QUERIES = [
     # ordering; NULL text/role keep their slots so spans stay aligned)
     "q210_chat_render",
     "q211_loss_mask_spans",
+    "q212_context_trim",
     "q207_incremental_preferences",
     # round-4: flame-graph self-time (clamp + NULL-duration paths under fuzz)
     "q206_span_selftime",

@@ -441,3 +441,13 @@ def test_q211_spans_one_window_never_materializes_text(spark):
     # no collect_list / rendered-string aggregate anywhere — spans come
     # from per-turn length prefix sums alone
     assert "collect_list" not in plan and "ObjectHashAggregate" not in plan
+
+
+def test_q212_trim_groupby_reuses_window_partitioning(spark):
+    from opentelemetry_collector_spark.plans.queries import q212_context_trim
+
+    plan = _plan(q212_context_trim(spark, SF_DIR))
+    assert "Python" not in plan and "Join" not in plan
+    # transcript-derivation window (user_id) + ONE conv_id exchange shared
+    # by the trim window and its groupBy — never a third
+    assert plan.count("Exchange") <= 2, plan

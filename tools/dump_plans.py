@@ -877,6 +877,15 @@ COMMENTARY = {
         "the longest conversation (the pairing stages' existing bound) and "
         "a hot conversation is one group, never a reducer-wide skew.",
     ),
+    "q212_context_trim": (
+        "Suffix sums in one Window and a groupBy REUSING the window's "
+        "conv_id hashpartitioning — plan shows exactly ONE Exchange past "
+        "the transcript derivation; nothing rendered, no Python, no Join.",
+        "Context trimming at 10^12 turns is a per-conversation suffix "
+        "decision: closed-form prefix arithmetic makes it one linear "
+        "window pass, and budget units equal the renderer's chars so the "
+        "trim->render pipeline composes without a reconciliation step.",
+    ),
     "q211_loss_mask_spans": (
         "ONE Exchange into a single Window node (prefix sums + row_number "
         "on the same conv_id/turn_idx sort); span arithmetic is pure "
