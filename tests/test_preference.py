@@ -290,7 +290,17 @@ _cand_st = st.lists(
         st.integers(0, 30),
         st.one_of(st.none(), st.sampled_from(["p1", "p2"])),
         st.booleans(),
-        st.one_of(st.none(), st.sampled_from(["", "a", "one two", "x1", "same", "  pad  "])),
+        st.one_of(
+            st.none(),
+            st.sampled_from(
+                [
+                    "", "a", "one two", "x1", "same", "  pad  ",
+                    # adversarial whitespace: Python strip()/split() idioms
+                    # diverge from the JVM chain on these (ADVICE r4)
+                    "\nlead", "trail\n", "a b", " thin",
+                ]
+            ),
+        ),
     ),
     min_size=1,
     max_size=25,
@@ -299,8 +309,12 @@ _cand_st = st.lists(
 
 
 def _ref_reward(text):
-    s = text.strip()
-    tok = len(s.split()) if s else 0
+    # JVM-exact mirror of response_reward (Spark trim strips U+0020 only;
+    # Java \s is ASCII; split limit -1 keeps edge empty tokens) — NOT the
+    # Python strip()/split() near-miss, which the adversarial texts in the
+    # strategy above would expose.
+    s = text.strip(" ")
+    tok = len(_re.split(r"\s+", s, flags=_re.ASCII)) if s else 0
     n = len(text)
     alpha = len(_re.sub("[^A-Za-z]", "", text))
     return tok * 1000 + ((alpha * 1000) // n if n > 0 else 0)
