@@ -1157,3 +1157,67 @@ def preference_stream(df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming render accounting (twin of dialogue.render_conversations' sizes)
+# ---------------------------------------------------------------------------
+
+RENDER_STATS_SCHEMA = "conv_id string, n_turns bigint, n_chars bigint"
+
+
+def render_stats_stream(df: DataFrame) -> DataFrame:
+    """Streaming twin of the SIZE half of ``dialogue.render_conversations``:
+    running (n_turns, n_chars) per conversation over a live turn stream —
+    the accounting a context-budget monitor or corpus sizer needs, without
+    ever holding a conversation's text in state.
+
+    The rendered length decomposes order-independently: ``n_chars =
+    sum(per-turn template length) + (n_turns - 1)`` separators, and each
+    turn's template length is ``len('<|') + len(role) + len('|>') +
+    len(text) + len('<|end|>')`` with NULLs as '' — exactly the
+    arithmetic ``dialogue.render_spans`` uses. So state per conversation
+    is TWO counters (turn count, summed turn lengths): O(1), monotone,
+    indifferent to arrival order, and exact against the batch renderer
+    after any prefix of the stream (pytest-pinned). UPDATE-mode snapshots:
+    downstream keeps the latest row per conversation."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from opentelemetry_collector_spark.operators.dialogue import (
+        _ROLE_CLOSE,
+        _ROLE_OPEN,
+        _TURN_END,
+        _TURN_SEP,
+    )
+
+    overhead = len(_ROLE_OPEN) + len(_ROLE_CLOSE) + len(_TURN_END)
+    sep = len(_TURN_SEP)
+
+    def fn(key, pdfs, state):
+        (conv,) = key
+        n, sum_len = state.get if state.exists else (0, 0)
+        changed = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            changed = True
+            role_len = pdf["role"].fillna("").str.len()
+            text_len = pdf["text"].fillna("").str.len()
+            n += len(pdf)
+            sum_len += int((role_len + text_len).sum()) + overhead * len(pdf)
+        if changed:
+            state.update((n, sum_len))
+            n_chars = sum_len + sep * (n - 1) if n else 0
+            yield pd.DataFrame(
+                [(conv, n, n_chars)], columns=["conv_id", "n_turns", "n_chars"]
+            )
+
+    return df.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=RENDER_STATS_SCHEMA,
+        stateStructType="n bigint, sum_len bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

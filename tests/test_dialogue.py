@@ -504,3 +504,51 @@ def test_context_trim_single_exchange(spark):
     # the groupBy reuses the window's conv_id partitioning: ONE exchange
     assert plan.count("Exchange") == 1, plan
     assert "Python" not in plan and "Join" not in plan
+
+
+def test_render_stats_stream_parity(spark, tmp_path):
+    """Streaming render accounting: after the stream drains across
+    micro-batches that split conversations mid-stream AND deliver turns
+    out of order, the latest (n_turns, n_chars) snapshot per conversation
+    equals batch render_conversations exactly (the order-independent
+    decomposition: sum of turn template lengths + separators)."""
+    from opentelemetry_collector_spark.operators.dialogue import render_conversations
+    from opentelemetry_collector_spark.streaming.stream import render_stats_stream
+
+    rows = [
+        ("c1", 1, "assistant", "héllo wörld", None, _ts(1)),   # out of order
+        ("c1", 0, "user", "hi", None, _ts(0)),
+        ("c2", 0, "user", None, None, _ts(0)),                 # NULL text
+        ("c2", 1, None, "orphan", None, _ts(1)),               # NULL role
+        ("c3", 0, "system", "", None, None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    landing = str(tmp_path / "landing")
+    # split c1 across two files so its state must carry between batches
+    df.filter(F.col("turn_idx") == 1).coalesce(1).write.mode("append").parquet(landing)
+    df.filter(F.col("turn_idx") != 1).coalesce(1).write.mode("append").parquet(landing)
+    q = (
+        render_stats_stream(
+            spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(landing)
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("render_stats_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snaps = spark.sql("select * from render_stats_out").collect()
+    latest = {}
+    for r in snaps:
+        if r["conv_id"] not in latest or r["n_turns"] > latest[r["conv_id"]]["n_turns"]:
+            latest[r["conv_id"]] = r.asDict()
+    batch = {r["conv_id"]: r.asDict() for r in render_conversations(df).collect()}
+    assert set(latest) == set(batch)
+    for conv, want in batch.items():
+        assert latest[conv]["n_turns"] == want["n_turns"], conv
+        assert latest[conv]["n_chars"] == want["n_chars"], conv
+    # c1 was emitted twice (split batches) with monotone n_turns
+    c1 = sorted(r["n_turns"] for r in snaps if r["conv_id"] == "c1")
+    assert c1 == [1, 2]
